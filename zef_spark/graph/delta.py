@@ -1,0 +1,197 @@
+"""Write path: declarative "wishes" applied in one transaction.
+
+Reference parity: GraphDelta — ``construct_commands``
+(python/zef/core/graph_delta.py:205), per-form dispatch
+(graph_delta.py:541-856), execution
+(``perform_transaction_commands``:1393), receipts (:1376). Forms
+supported here: entity wish ``E(ET.X, name=..., fields={...})``,
+relation wish ``R(src, RT.Y, dst)``, ``Assign(target, field, value)``,
+``SetField`` (upsert, graph_delta.py:745), ``Terminate``
+(graph_delta.py:730 — cascades to incident edges, writes interval end,
+never deletes).
+
+Scale note: this driver-side path is for interactive/small writes and
+tests. Bulk ingestion at 100 TB goes through the set-oriented mapper
+(mapper.py) — whole DataFrames appended per tx with deterministic ids;
+in production the three tables live in Delta and a transact is one
+multi-table commit (MERGE for supersede/terminate).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..tokens import Token
+from .graph import Graph
+from .schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA, NODES_SCHEMA,
+                     TXS_SCHEMA, VALUE_COLS)
+
+_PY_VRT = [(bool, "Bool"), (int, "Int"), (float, "Float"), (str, "String")]
+
+
+def _vrt_of(value) -> str:
+    import datetime
+    if isinstance(value, datetime.datetime):
+        return "Time"
+    for ty, name in _PY_VRT:
+        if isinstance(value, ty):
+            return name
+    raise TypeError(f"unsupported attribute value type: {type(value)}")
+
+
+@dataclass
+class E:  # instantiate entity
+    et: Token
+    name: str | None = None          # receipt key
+    fields: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class R:  # instantiate relation (endpoints: receipt names or ids)
+    src: Any
+    rt: Token
+    dst: Any
+    name: str | None = None
+
+
+@dataclass
+class Assign:  # value assignment (closes previous, appends new)
+    target: Any       # entity name/id
+    field: str | Token
+    value: Any
+
+
+@dataclass
+class SetField:  # upsert field (creates AE on first use)
+    target: Any
+    field: str | Token
+    value: Any
+
+
+@dataclass
+class Terminate:
+    target: Any
+
+
+def empty_graph(spark) -> Graph:
+    return Graph(
+        spark.createDataFrame([], NODES_SCHEMA),
+        spark.createDataFrame([], EDGES_SCHEMA),
+        spark.createDataFrame([], ATTR_VALUES_SCHEMA),
+        spark.createDataFrame([(0, __import__("datetime").datetime(1970, 1, 1))],
+                              TXS_SCHEMA))
+
+
+def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
+    """Apply wishes atomically as tx = max_tx + 1; returns (new graph,
+    receipt {name: id})."""
+    import datetime
+    spark = g.spark
+    tx = g.max_tx() + 1
+    time = time or datetime.datetime(2000, 1, 1) + datetime.timedelta(days=tx)
+
+    max_id = (g.nodes.select(F.max("id")).collect()[0][0] or 0)
+    max_eid = (g.edges.select(F.max("id")).collect()[0][0] or 0)
+    ids = itertools.count(max(max_id, max_eid, 1 << 60) + 1)
+
+    receipt: dict[str, int] = {}
+    new_nodes, new_edges, new_avs = [], [], []
+    supersede_aes: list[int] = []     # AE ids whose alive row closes at tx
+    terminate_ids: list[int] = []     # node ids to close (+ incident edges)
+
+    def resolve(ref) -> int:
+        if isinstance(ref, int):
+            return ref
+        if isinstance(ref, str) and ref in receipt:
+            return receipt[ref]
+        raise KeyError(f"unresolved reference {ref!r}")
+
+    def field_ae(owner_id: int, fname: str) -> int | None:
+        rows = (g.edges.where((F.col("src_id") == owner_id) &
+                              (F.col("rt") == fname) &
+                              F.col("valid_to_tx").isNull())
+                .select("dst_id").limit(1).collect())
+        return rows[0][0] if rows else None
+
+    def av_row(ae_id: int, value) -> tuple:
+        vrt = _vrt_of(value)
+        vals = {c: None for c in VALUE_COLS.values()}
+        vals[VALUE_COLS[vrt]] = value
+        return (ae_id, vrt, vals["value_str"], vals["value_int"],
+                vals["value_float"], vals["value_bool"], vals["value_time"],
+                tx, None)
+
+    def add_field(owner_id: int, fname: str, value):
+        vrt = _vrt_of(value)
+        ae_id = next(ids)
+        new_nodes.append((ae_id, f"AET.{vrt}", None, tx, None))
+        new_edges.append((next(ids), fname, None, owner_id, ae_id, tx, None))
+        new_avs.append(av_row(ae_id, value))
+
+    for w in wishes:
+        if isinstance(w, E):
+            nid = next(ids)
+            uid = w.name or f"uid-{nid}"
+            new_nodes.append((nid, w.et.name, uid, tx, None))
+            if w.name:
+                receipt[w.name] = nid
+            for fname, val in w.fields.items():
+                add_field(nid, _name(fname), val)
+        elif isinstance(w, R):
+            eid = next(ids)
+            new_edges.append((eid, w.rt.name, w.name,
+                              resolve(w.src), resolve(w.dst), tx, None))
+            if w.name:
+                receipt[w.name] = eid
+        elif isinstance(w, (Assign, SetField)):
+            owner = resolve(w.target)
+            ae = field_ae(owner, _name(w.field))
+            if ae is None:
+                add_field(owner, _name(w.field), w.value)
+            else:
+                supersede_aes.append(ae)
+                new_avs.append(av_row(ae, w.value))
+        elif isinstance(w, Terminate):
+            terminate_ids.append(resolve(w.target))
+        else:
+            raise TypeError(f"unknown wish {w!r}")
+
+    nodes, edges, avs = g.nodes, g.edges, g.attr_values
+    if terminate_ids:
+        tset = set(terminate_ids)
+        nodes = nodes.withColumn(
+            "valid_to_tx",
+            F.when(F.col("id").isin(tset) & F.col("valid_to_tx").isNull(),
+                   F.lit(tx)).otherwise(F.col("valid_to_tx")))
+        edges = edges.withColumn(
+            "valid_to_tx",
+            F.when((F.col("src_id").isin(tset) | F.col("dst_id").isin(tset))
+                   & F.col("valid_to_tx").isNull(),
+                   F.lit(tx)).otherwise(F.col("valid_to_tx")))
+    if supersede_aes:
+        avs = avs.withColumn(
+            "superseded_at_tx",
+            F.when(F.col("ae_id").isin(set(supersede_aes)) &
+                   F.col("superseded_at_tx").isNull(),
+                   F.lit(tx)).otherwise(F.col("superseded_at_tx")))
+
+    if new_nodes:
+        nodes = nodes.unionByName(spark.createDataFrame(new_nodes, NODES_SCHEMA))
+    if new_edges:
+        edges = edges.unionByName(spark.createDataFrame(new_edges, EDGES_SCHEMA))
+    if new_avs:
+        avs = avs.unionByName(
+            spark.createDataFrame(new_avs, ATTR_VALUES_SCHEMA))
+    txs = g.txs.unionByName(spark.createDataFrame([(tx, time)], TXS_SCHEMA))
+
+    out = Graph(nodes, edges, avs, txs)
+    out._max_tx = tx
+    return out, receipt
+
+
+def _name(x) -> str:
+    return x.name if isinstance(x, Token) else str(x)

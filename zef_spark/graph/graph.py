@@ -1,0 +1,315 @@
+"""Graph, GraphSlice, NodeSet/EdgeSet — the query-time handles.
+
+Reference parity:
+- GraphSlice (python/zef/core/graph_slice.py:24-74) = the state of the
+  graph at one tx ("reference frame"); here a (Graph, tx_id) pair whose
+  reads compile to pushed-down interval predicates
+  ``valid_from_tx <= t AND (valid_to_tx IS NULL OR valid_to_tx > t)``.
+- ZefRef/EZefRef (core/include/zefref.h) generalize to *sets*:
+  NodeSet/EdgeSet wrap a lazy DataFrame of rows plus the frame tx, so a
+  chain ``all[ET.X] | Outs[RT.R] | fields[...]`` builds ONE join plan
+  (the traversal-chain compilation called out in SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schema import VALUE_COLS
+
+
+def _alive(df: DataFrame, tx: int) -> DataFrame:
+    return df.where((F.col("valid_from_tx") <= F.lit(tx)) &
+                    (F.col("valid_to_tx").isNull() |
+                     (F.col("valid_to_tx") > F.lit(tx))))
+
+
+class Graph:
+    """The eternal graph: four lazy DataFrames."""
+
+    _zef_graph_kind = True
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame,
+                 attr_values: DataFrame, txs: DataFrame):
+        self.nodes = nodes
+        self.edges = edges
+        self.attr_values = attr_values
+        self.txs = txs
+        self._max_tx = None
+
+    @property
+    def spark(self):
+        return self.nodes.sparkSession
+
+    def max_tx(self) -> int:
+        if self._max_tx is None:
+            self._max_tx = self.txs.agg(F.max("tx_id")).collect()[0][0]
+        return self._max_tx
+
+    def now(self) -> "GraphSlice":
+        return GraphSlice(self, self.max_tx())
+
+    def at(self, tx_or_time) -> "GraphSlice":
+        if isinstance(tx_or_time, int):
+            return GraphSlice(self, tx_or_time)
+        # time-based: latest tx with time <= t (binary search in the
+        # reference, graph_slice.py:60-68; an agg over the small txs
+        # dimension here)
+        t = self.txs.where(F.col("time") <= F.lit(tx_or_time)) \
+            .agg(F.max("tx_id")).collect()[0][0]
+        if t is None:
+            raise ValueError(f"no transaction at or before {tx_or_time!r}")
+        return GraphSlice(self, t)
+
+    def materialize(self, path: str):
+        """Persist as parquet partitioned by type token (= the
+        delegate index via partition pruning) and bucketed edges."""
+        self.nodes.write.mode("overwrite").partitionBy("et") \
+            .parquet(f"{path}/nodes")
+        self.edges.write.mode("overwrite").partitionBy("rt") \
+            .parquet(f"{path}/edges")
+        self.attr_values.write.mode("overwrite").parquet(f"{path}/attr_values")
+        self.txs.write.mode("overwrite").parquet(f"{path}/txs")
+
+    @staticmethod
+    def load(spark, path: str) -> "Graph":
+        return Graph(spark.read.parquet(f"{path}/nodes"),
+                     spark.read.parquet(f"{path}/edges"),
+                     spark.read.parquet(f"{path}/attr_values"),
+                     spark.read.parquet(f"{path}/txs"))
+
+
+class GraphSlice:
+    """Reference frame: all reads as-of ``tx``."""
+
+    _zef_graph_kind = True
+
+    def __init__(self, graph: Graph, tx: int):
+        self.graph = graph
+        self.tx = tx
+
+    def nodes(self) -> DataFrame:
+        return _alive(self.graph.nodes, self.tx)
+
+    def edges(self) -> DataFrame:
+        return _alive(self.graph.edges, self.tx)
+
+    def time(self):
+        return (self.graph.txs.where(F.col("tx_id") == self.tx)
+                .select("time").collect()[0][0])
+
+    def all(self, vt=None) -> "NodeSet":
+        df = self.nodes()
+        if vt is not None:
+            from ..vt import _coerce
+            df = df.where(_coerce(vt).to_column())
+        return NodeSet(self, df)
+
+    def time_travel(self, delta: int) -> "GraphSlice":
+        """Relative slice move (ITF:5493): index arithmetic over the
+        tx chain — implemented over the (small, broadcastable) txs
+        dimension."""
+        txs = self.graph.txs
+        target = (txs.where(F.col("tx_id") <= self.tx) if delta <= 0
+                  else txs)
+        w_sorted = (target.orderBy(F.col("tx_id").desc())
+                    .limit(1 - delta) if delta <= 0 else None)
+        if delta <= 0:
+            rows = w_sorted.collect()
+            if len(rows) < 1 - delta:
+                raise ValueError("time_travel before graph start")
+            return GraphSlice(self.graph, rows[-1][0])
+        rows = (txs.where(F.col("tx_id") > self.tx)
+                .orderBy("tx_id").limit(delta).collect())
+        if len(rows) < delta:
+            raise ValueError("time_travel past latest tx")
+        return GraphSlice(self.graph, rows[-1][0])
+
+
+class NodeSet:
+    """A set of node rows in a frame; df columns: id, et, uid,
+    valid_from_tx, valid_to_tx (+ any accumulated field columns)."""
+
+    _zef_graph_kind = True
+
+    def __init__(self, frame: GraphSlice, df: DataFrame):
+        self.frame = frame
+        self.df = df
+
+    # -- traversal (SURVEY §2.J: hop = equi-join through edges) ------
+    def _hop(self, rt, direction: str) -> "NodeSet":
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t)
+        if rt is not None:
+            e = e.where(F.col("rt") == _rt_name(rt))
+        here, there = (("src_id", "dst_id") if direction == "out"
+                       else ("dst_id", "src_id"))
+        ids = self.df.select(F.col("id").alias("__from"))
+        hopped = e.join(ids, e[here] == ids["__from"], "inner") \
+                  .select(F.col(there).alias("id"))
+        nodes = _alive(g.nodes, t)
+        return NodeSet(self.frame,
+                       nodes.join(hopped.distinct(), "id", "inner"))
+
+    def Outs(self, rt=None) -> "NodeSet":
+        return self._hop(rt, "out")
+
+    def Ins(self, rt=None) -> "NodeSet":
+        return self._hop(rt, "in")
+
+    def out_rels(self, rt=None) -> "EdgeSet":
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t)
+        if rt is not None:
+            e = e.where(F.col("rt") == _rt_name(rt))
+        ids = self.df.select(F.col("id").alias("__from"))
+        return EdgeSet(self.frame,
+                       e.join(ids, e["src_id"] == ids["__from"], "inner")
+                       .drop("__from"))
+
+    def in_rels(self, rt=None) -> "EdgeSet":
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t)
+        if rt is not None:
+            e = e.where(F.col("rt") == _rt_name(rt))
+        ids = self.df.select(F.col("id").alias("__from"))
+        return EdgeSet(self.frame,
+                       e.join(ids, e["dst_id"] == ids["__from"], "inner")
+                       .drop("__from"))
+
+    def has_out(self, rt) -> "NodeSet":
+        """Keep nodes having ≥1 outgoing rt edge — left-semi join
+        (ITF:5728 has_out as a set filter)."""
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t).where(F.col("rt") == _rt_name(rt)) \
+            .select(F.col("src_id").alias("id"))
+        return NodeSet(self.frame, self.df.join(e, "id", "left_semi"))
+
+    def has_in(self, rt) -> "NodeSet":
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t).where(F.col("rt") == _rt_name(rt)) \
+            .select(F.col("dst_id").alias("id"))
+        return NodeSet(self.frame, self.df.join(e, "id", "left_semi"))
+
+    # -- attribute access --------------------------------------------
+    def _field_df(self, rt_name: str) -> DataFrame:
+        """owner id → field value at frame: entity -[rt]-> AE node
+        -> latest alive assignment (ITF:9295 `field`, ITF:6701
+        `value`). Returns (id, value)."""
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t).where(F.col("rt") == rt_name) \
+            .select(F.col("src_id").alias("id"),
+                    F.col("dst_id").alias("__ae"))
+        owners = self.df.select("id").join(e, "id", "inner")
+        av = g.attr_values.where(
+            (F.col("assigned_at_tx") <= F.lit(t)) &
+            (F.col("superseded_at_tx").isNull() |
+             (F.col("superseded_at_tx") > F.lit(t))))
+        value = F.coalesce(*[F.col(c).cast("string")
+                             for c in VALUE_COLS.values()])
+        typed = av.select(
+            F.col("ae_id").alias("__ae"),
+            F.col("assigned_at_tx"),
+            F.col("vrt"),
+            *[F.col(c) for c in VALUE_COLS.values()])
+        joined = owners.join(typed, "__ae", "inner")
+        # exactly one alive assignment per AE is the invariant; guard
+        # with max_by on assigned_at_tx anyway (idempotent re-assigns)
+        per_owner = joined.groupBy("id").agg(
+            F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS.values()],
+                              F.col("vrt")),
+                     F.col("assigned_at_tx")).alias("__v"))
+        return per_owner.select("id", F.col("__v.*"))
+
+    def field(self, rt, alias: str | None = None) -> DataFrame:
+        """(id, <alias>) — value typed by the AE's VRT."""
+        name = _rt_name(rt)
+        fdf = self._field_df(name)
+        vrts = [r[0] for r in fdf.select("vrt").distinct().limit(2).collect()]
+        col = VALUE_COLS.get(vrts[0], "value_str") if vrts else "value_str"
+        return fdf.select("id", F.col(col).alias(alias or name))
+
+    def fields(self, *rts, **aliased) -> DataFrame:
+        """(id, f1, f2, ...) — one join per field; Catalyst prunes each
+        attr branch by its rt literal."""
+        spec = {(_rt_name(r)): _rt_name(r) for r in rts}
+        spec.update({v: _rt_name(k) for k, v in ()})
+        for alias, r in aliased.items():
+            spec[alias] = _rt_name(r)
+        out = self.df.select("id", "et", "uid")
+        for alias, rt_name in spec.items():
+            fdf = self.field(rt_name, alias)
+            out = out.join(fdf, "id", "left")
+        return out
+
+    def select_by_field(self, rt, value) -> "NodeSet":
+        """The canonical indexed point lookup (ITF:6143): filter by
+        field value — pushes to a filter on attr_values then semi-join."""
+        name = _rt_name(rt)
+        g, t = self.frame.graph, self.frame.tx
+        av = g.attr_values.where(
+            (F.col("assigned_at_tx") <= F.lit(t)) &
+            (F.col("superseded_at_tx").isNull() |
+             (F.col("superseded_at_tx") > F.lit(t))))
+        cond = reduce(lambda a, b: a | b,
+                      [F.col(c) == F.lit(value) for c in VALUE_COLS.values()
+                       if _lit_compatible(c, value)])
+        ae_ids = av.where(cond).select(F.col("ae_id").alias("__ae"))
+        e = _alive(g.edges, t).where(F.col("rt") == name) \
+            .select(F.col("src_id").alias("id"),
+                    F.col("dst_id").alias("__ae"))
+        owners = e.join(ae_ids, "__ae", "left_semi").select("id")
+        return NodeSet(self.frame, self.df.join(owners, "id", "left_semi"))
+
+    # -- frame / lifecycle -------------------------------------------
+    def exists_at(self, other: "GraphSlice") -> DataFrame:
+        t = other.tx
+        return self.df.select(
+            "id",
+            ((F.col("valid_from_tx") <= F.lit(t)) &
+             (F.col("valid_to_tx").isNull() |
+              (F.col("valid_to_tx") > F.lit(t)))).alias("exists_at"))
+
+    def to_frame(self, other: "GraphSlice") -> "NodeSet":
+        ids = self.df.select("id")
+        return NodeSet(other, _alive(other.graph.nodes, other.tx)
+                       .join(ids, "id", "left_semi"))
+
+
+def _lit_compatible(col_name: str, value) -> bool:
+    import datetime
+    return {"value_str": isinstance(value, str),
+            "value_int": isinstance(value, int) and not isinstance(value, bool),
+            "value_float": isinstance(value, float),
+            "value_bool": isinstance(value, bool),
+            "value_time": isinstance(value, datetime.datetime)}[col_name]
+
+
+class EdgeSet:
+    _zef_graph_kind = True
+
+    def __init__(self, frame: GraphSlice, df: DataFrame):
+        self.frame = frame
+        self.df = df
+
+    def source(self) -> NodeSet:
+        ids = self.df.select(F.col("src_id").alias("id")).distinct()
+        return NodeSet(self.frame,
+                       _alive(self.frame.graph.nodes, self.frame.tx)
+                       .join(ids, "id", "inner"))
+
+    def target(self) -> NodeSet:
+        ids = self.df.select(F.col("dst_id").alias("id")).distinct()
+        return NodeSet(self.frame,
+                       _alive(self.frame.graph.nodes, self.frame.tx)
+                       .join(ids, "id", "inner"))
+
+
+def _rt_name(rt) -> str:
+    from ..tokens import Token
+    if isinstance(rt, Token):
+        return rt.name
+    return str(rt)

@@ -1,0 +1,192 @@
+"""Table→graph mapper: the `pandas_to_gd` analogue (ITF:7836) for the
+driver's TPC-H-ish parquet tables, per /root/repo/FIXTURES.md §5.
+
+Entities: ET.Customer/Order/Lineitem/Part/Supplier/Nation/Region.
+Relations: PlacedBy(Order→Customer), PartOf(Lineitem→Order),
+OfPart(Lineitem→Part), SuppliedBy(Lineitem→Supplier),
+MemberOf(Nation→Region), LocatedIn(Customer|Supplier→Nation).
+Scalar columns become AET.* attributes (rt = raw column name) with
+single-assignment history (assigned_at_tx = valid_from_tx).
+
+Tx timeline: static dims at tx 1; each order's subtree enters at a tx
+derived from o_orderdate (days since 1992-01-01 + 2); lineitems at
+their l_shipdate tx — so time-travel queries see real temporal spread.
+
+Everything here is a LAZY DataFrame definition (unions of selects over
+the parquet scans); Catalyst prunes un-queried branches (a filter
+``rt = 'x'`` folds the other union branches away), so building the
+Graph costs nothing until a query runs. For repeated heavy use,
+``Graph.materialize`` persists partitioned-by-token parquet.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import Graph
+from .schema import ID_KEY_BITS
+
+_EPOCH = "1992-01-01"
+
+# table -> (type_code, entity token, key expr builder)
+_TABLES = {
+    "region":   (1, "Region",   lambda: F.col("r_regionkey")),
+    "nation":   (2, "Nation",   lambda: F.col("n_nationkey")),
+    "customer": (3, "Customer", lambda: F.col("c_custkey")),
+    "supplier": (4, "Supplier", lambda: F.col("s_suppkey")),
+    "part":     (5, "Part",     lambda: F.col("p_partkey")),
+    "orders":   (6, "Order",    lambda: F.col("o_orderkey")),
+    "lineitem": (7, "Lineitem", lambda: (F.col("l_orderkey") * 8
+                                         + F.col("l_linenumber"))),
+}
+
+# (rt, src_table, src_key_col, dst_table, dst_key_col)
+_RELATIONS = [
+    ("MemberOf", "nation", "n_nationkey", "region", "n_regionkey"),
+    ("LocatedIn", "customer", "c_custkey", "nation", "c_nationkey"),
+    ("LocatedIn", "supplier", "s_suppkey", "nation", "s_nationkey"),
+    ("PlacedBy", "orders", "o_orderkey", "customer", "o_custkey"),
+    ("PartOf", "lineitem", None, "orders", "l_orderkey"),
+    ("OfPart", "lineitem", None, "part", "l_partkey"),
+    ("SuppliedBy", "lineitem", None, "supplier", "l_suppkey"),
+]
+
+_SPARK_TO_VRT = {"bigint": "Int", "int": "Int", "double": "Float",
+                 "string": "String", "boolean": "Bool",
+                 "timestamp_ntz": "Time", "timestamp": "Time",
+                 "date": "Time"}
+
+
+def _mkid(code: int, key):
+    return (F.lit(code).cast("long") * (1 << ID_KEY_BITS)
+            + key.cast("long")).alias("id")
+
+
+def _tx_of_date(col):
+    return (F.datediff(col.cast("date"), F.lit(_EPOCH).cast("date"))
+            .cast("long") + 2)
+
+
+def _valid_from(table: str):
+    if table == "orders":
+        return _tx_of_date(F.col("o_orderdate"))
+    if table == "lineitem":
+        return _tx_of_date(F.col("l_shipdate"))
+    return F.lit(1).cast("long")
+
+
+def _union_all(dfs):
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    raw = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+           for t in _TABLES}
+    key_cols = {  # columns that are pure foreign/primary keys, not attrs
+        "region": {"r_regionkey"}, "nation": {"n_nationkey", "n_regionkey"},
+        "customer": {"c_custkey", "c_nationkey"},
+        "supplier": {"s_suppkey", "s_nationkey"},
+        "part": {"p_partkey"},
+        "orders": {"o_orderkey", "o_custkey"},
+        "lineitem": {"l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber"},
+    }
+
+    node_parts, edge_parts, attr_parts, attr_code = [], [], [], {}
+    next_attr_code = 100
+
+    for tname, (code, et, key_fn) in _TABLES.items():
+        df = raw[tname]
+        key = key_fn()
+        vfrom = _valid_from(tname)
+        ent_id = _mkid(code, key)
+        node_parts.append(df.select(
+            ent_id, F.lit(et).alias("et"),
+            F.concat(F.lit(et.lower() + "-"), key.cast("string")).alias("uid"),
+            vfrom.alias("valid_from_tx"),
+            F.lit(None).cast("long").alias("valid_to_tx")))
+
+        for colname, dtype in df.dtypes:
+            if colname in key_cols[tname]:
+                continue
+            vrt = _SPARK_TO_VRT[dtype]
+            ae_code = next_attr_code
+            attr_code[(tname, colname)] = ae_code
+            next_attr_code += 2  # even: AE node code, odd: attr edge code
+            ae_id = _mkid(ae_code, key)
+            # AE node
+            node_parts.append(df.select(
+                ae_id, F.lit(f"AET.{vrt}").alias("et"),
+                F.lit(None).cast("string").alias("uid"),
+                vfrom.alias("valid_from_tx"),
+                F.lit(None).cast("long").alias("valid_to_tx")))
+            # entity -[colname]-> AE
+            edge_parts.append(df.select(
+                _mkid(ae_code + 1, key), F.lit(colname).alias("rt"),
+                F.lit(None).cast("string").alias("uid"),
+                ent_id.alias("src_id"), ae_id.alias("dst_id"),
+                vfrom.alias("valid_from_tx"),
+                F.lit(None).cast("long").alias("valid_to_tx")))
+            # assignment history row
+            c = F.col(colname)
+            attr_parts.append(df.select(
+                ae_id.alias("ae_id"), F.lit(vrt).alias("vrt"),
+                (c.cast("string") if vrt == "String"
+                 else F.lit(None).cast("string")).alias("value_str"),
+                (c.cast("long") if vrt == "Int"
+                 else F.lit(None).cast("long")).alias("value_int"),
+                (c.cast("double") if vrt == "Float"
+                 else F.lit(None).cast("double")).alias("value_float"),
+                (c.cast("boolean") if vrt == "Bool"
+                 else F.lit(None).cast("boolean")).alias("value_bool"),
+                (c.cast("timestamp_ntz") if vrt == "Time"
+                 else F.lit(None).cast("timestamp_ntz")).alias("value_time"),
+                vfrom.alias("assigned_at_tx"),
+                F.lit(None).cast("long").alias("superseded_at_tx")))
+
+    rel_code = 5000
+    for rt, s_tab, s_key, d_tab, d_key in _RELATIONS:
+        df = raw[s_tab]
+        s_code = _TABLES[s_tab][0]
+        d_code = _TABLES[d_tab][0]
+        src_key = _TABLES[s_tab][2]() if s_key is None else F.col(s_key)
+        if s_key is None:  # lineitem composite key
+            src_key = _TABLES[s_tab][2]()
+        edge_parts.append(df.select(
+            _mkid(rel_code, src_key), F.lit(rt).alias("rt"),
+            F.lit(None).cast("string").alias("uid"),
+            _mkid(s_code, src_key).alias("src_id"),
+            _mkid(d_code, F.col(d_key)).alias("dst_id"),
+            _valid_from(s_tab).alias("valid_from_tx"),
+            F.lit(None).cast("long").alias("valid_to_tx")))
+        rel_code += 1
+
+    # tx dimension: tx 1 (epoch) + every date-derived tx actually used
+    tx_parts = [
+        raw["orders"].select(_tx_of_date(F.col("o_orderdate")).alias("tx_id"),
+                             F.col("o_orderdate").cast("timestamp_ntz")
+                             .alias("time")),
+        raw["lineitem"].select(_tx_of_date(F.col("l_shipdate")).alias("tx_id"),
+                               F.col("l_shipdate").cast("timestamp_ntz")
+                               .alias("time")),
+    ]
+    txs = _union_all(tx_parts).dropDuplicates(["tx_id"]).unionByName(
+        spark.createDataFrame(
+            [(1,)], "tx_id long").select(
+            "tx_id", F.lit(_EPOCH).cast("timestamp_ntz").alias("time")))
+
+    return Graph(_union_all(node_parts), _union_all(edge_parts),
+                 _union_all(attr_parts), txs)
+
+
+_GRAPH_CACHE: dict = {}
+
+
+def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
+    key = sf_dir.rstrip("/")
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(spark, key)
+    return _GRAPH_CACHE[key]

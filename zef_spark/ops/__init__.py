@@ -1,0 +1,25 @@
+"""Public op namespace: ``from zef_spark.ops import filter, map, sort``
+or ``from zef_spark import ops as z`` then ``z.filter[...]``.
+
+Op objects are created lazily from the registry (PEP 562), so ops
+registered later (graph/pipeline modules) appear automatically.
+"""
+
+from . import local_ops as _local_ops  # noqa: F401  (registers)
+from . import df_ops as _df_ops        # noqa: F401  (registers)
+from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401
+                   register_op)
+
+# ensure graph + pipeline op registrations load with the namespace
+from .. import graph as _graph         # noqa: F401
+from .. import pipeline as _pipeline   # noqa: F401
+
+
+def __getattr__(name: str) -> ZefOp:
+    if name in OP_REGISTRY:
+        return ZefOp(((name, ()),))
+    raise AttributeError(f"no such op: {name}")
+
+
+def __dir__():
+    return sorted(OP_REGISTRY)

@@ -1,0 +1,383 @@
+"""DataFrame-kind op implementations.
+
+Design: every op here only *extends the logical plan* (lazy); nothing
+materializes until `collect`. Ordering-sensitive list ops (sliding,
+chunk, nth, enumerate, ...) require an explicit ``order_by`` argument —
+DataFrames are unordered sets at scale, so implicit positional
+semantics would be nondeterministic on a real cluster. Window ops take
+optional ``partition_by``; when omitted, a WARNING-worthy single
+partition window is used (fine for small frames, documented hazard at
+100 TB — always pass partition_by in production pipelines).
+
+Reference parity lines cited as ITF:<line> (see SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .core import ROW, register_op, to_column_predicate
+
+
+def _cols(args):
+    """Accept 'name', '-name' (desc), Column, or lists thereof."""
+    out = []
+    for a in args:
+        if isinstance(a, (list, tuple)):
+            out.extend(_cols(a))
+        elif isinstance(a, Column):
+            out.append(a)
+        elif isinstance(a, str) and a.startswith("-"):
+            out.append(F.col(a[1:]).desc())
+        else:
+            out.append(F.col(a))
+    return out
+
+
+def _window(order_by, partition_by=None):
+    w = Window.partitionBy(*_cols([partition_by])) if partition_by else \
+        Window.partitionBy()
+    return w.orderBy(*_cols([order_by]))
+
+
+# -- terminals --------------------------------------------------------
+@register_op("collect", "df")
+def _collect(df: DataFrame):
+    rows = df.collect()
+    if len(df.columns) == 1:
+        vals = [r[0] for r in rows]
+        return vals[0] if len(vals) == 1 else vals
+    return [tuple(r) for r in rows]
+
+
+@register_op("for_each", "df")
+def _for_each(df: DataFrame, fn):
+    for r in df.toLocalIterator():
+        fn(tuple(r) if len(df.columns) > 1 else r[0])
+
+
+# -- filter / projection ---------------------------------------------
+@register_op("filter", "df")
+def _filter(df: DataFrame, pred):
+    return df.where(to_column_predicate(pred))
+
+
+@register_op("without", "df")
+def _without(df: DataFrame, other, on=None):
+    """Set difference via left_anti join (ITF:9186). `on` = key cols;
+    defaults to the columns shared by both sides."""
+    if not isinstance(other, DataFrame):
+        raise TypeError("df-without expects another DataFrame")
+    keys = on or [c for c in df.columns if c in set(other.columns)]
+    return df.join(other.select(*keys).dropDuplicates(), on=keys,
+                   how="left_anti")
+
+
+@register_op("map", "df")
+def _map(df: DataFrame, fn):
+    """fn(row_proxy) -> Column | dict[name, Column] | list[Column];
+    dict gives aliased projection (ITF:5780 dict-of-fns analogue)."""
+    if isinstance(fn, dict):
+        return df.select(*[v.alias(k) if isinstance(v, Column)
+                           else F.expr(v).alias(k) for k, v in fn.items()])
+    out = fn(ROW)
+    if isinstance(out, Column):
+        return df.select(out)
+    if isinstance(out, dict):
+        return df.select(*[v.alias(k) for k, v in out.items()])
+    if isinstance(out, (list, tuple)):
+        return df.select(*out)
+    raise TypeError("df-map fn must return Column(s)")
+
+
+@register_op("select_keys", "df")
+def _select_keys(df: DataFrame, *keys):
+    return df.select(*[k for k in keys if k in df.columns])
+
+
+@register_op("distinct", "df")
+def _distinct(df: DataFrame):
+    return df.distinct()
+
+
+@register_op("distinct_by", "df")
+def _distinct_by(df: DataFrame, *keys):
+    return df.dropDuplicates(list(keys))
+
+
+@register_op("is_distinct", "df")
+def _is_distinct(df: DataFrame):
+    return df.select(
+        (F.count(F.lit(1)) == F.count_distinct(F.struct(*df.columns)))
+        .alias("is_distinct"))
+
+
+# -- aggregations (1-row DataFrames; stay lazy until collect) ---------
+def _agg_factory(name, agg):
+    @register_op(name, "df")
+    def _op(df: DataFrame, col=None):
+        c = _cols([col])[0] if col is not None else F.col(df.columns[0])
+        return df.agg(agg(c).alias(name))
+    return _op
+
+
+_agg_factory("sum", F.sum)
+_agg_factory("mean", F.avg)
+_agg_factory("variance", F.var_samp)
+_agg_factory("max", F.max)
+_agg_factory("min", F.min)
+
+
+@register_op("product", "df")
+def _product(df: DataFrame, col=None):
+    c = _cols([col])[0] if col is not None else F.col(df.columns[0])
+    # exp(sum(log)) with sign tracking; map-side combinable (ITF:2743)
+    return df.agg(
+        (F.exp(F.sum(F.log(F.abs(c)))) *
+         F.when(F.sum(F.when(c < 0, 1).otherwise(0)) % 2 == 1, -1.0)
+         .otherwise(1.0)).alias("product"))
+
+
+@register_op("length", "df")
+def _length(df: DataFrame):
+    return df.agg(F.count(F.lit(1)).alias("length"))
+
+
+@register_op("count", "df")
+def _count(df: DataFrame, pred=None):
+    if pred is not None:
+        df = df.where(to_column_predicate(pred))
+    return df.agg(F.count(F.lit(1)).alias("count"))
+
+
+@register_op("max_by", "df")
+def _max_by(df: DataFrame, key):
+    return df.agg(F.max_by(F.struct(*df.columns), _cols([key])[0])
+                  .alias("r")).select("r.*")
+
+
+@register_op("min_by", "df")
+def _min_by(df: DataFrame, key):
+    return df.agg(F.min_by(F.struct(*df.columns), _cols([key])[0])
+                  .alias("r")).select("r.*")
+
+
+@register_op("frequencies", "df")
+def _frequencies(df: DataFrame, *cols):
+    keys = list(cols) or df.columns
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("frequency"))
+
+
+@register_op("group_by", "df")
+def _group_by(df: DataFrame, key, agg=None):
+    """group_by[key] -> (key, collect_list(struct)) rows; group_by[key,
+    {alias: Column}] -> grouped aggregation (the scalable form)."""
+    keys = _cols([key])
+    g = df.groupBy(*keys)
+    if agg is None:
+        return g.agg(F.collect_list(F.struct(*df.columns)).alias("group"))
+    if isinstance(agg, dict):
+        return g.agg(*[c.alias(a) for a, c in agg.items()])
+    raise TypeError("group_by agg spec must be a dict of name -> Column")
+
+
+@register_op("all", "df")
+def _all_df(df: DataFrame, pred=None):
+    """Boolean ALL over rows (graph-scan `all` lives in graph kind)."""
+    if pred is None:
+        c = F.col(df.columns[0])
+    else:
+        c = to_column_predicate(pred)
+    return df.agg(F.coalesce(F.bool_and(c), F.lit(True)).alias("all"))
+
+
+@register_op("any", "df")
+def _any_df(df: DataFrame, pred=None):
+    c = F.col(df.columns[0]) if pred is None else to_column_predicate(pred)
+    return df.agg(F.coalesce(F.bool_or(c), F.lit(False)).alias("any"))
+
+
+# -- sort / limits ----------------------------------------------------
+@register_op("sort", "df")
+def _sort(df: DataFrame, *keys):
+    if not keys:
+        keys = df.columns
+    return df.orderBy(*_cols(keys))
+
+
+@register_op("reverse", "df")
+def _reverse(df: DataFrame, *keys):
+    if not keys:
+        keys = df.columns
+    flipped = [c.desc() if isinstance(c, str) else c
+               for c in _cols([f"-{k}" if isinstance(k, str)
+                               and not k.startswith("-") else k
+                               for k in keys])]
+    return df.orderBy(*flipped)
+
+
+@register_op("take", "df")
+def _take(df: DataFrame, n):
+    return df.limit(n)
+
+
+@register_op("skip", "df")
+def _skip(df: DataFrame, n):
+    return df.offset(n)
+
+
+@register_op("nth", "df")
+def _nth(df: DataFrame, n, order_by=None):
+    if order_by is not None:
+        df = df.orderBy(*_cols([order_by]))
+    return df.offset(n).limit(1)
+
+
+@register_op("first", "df")
+def _first(df: DataFrame, order_by=None):
+    if order_by is not None:
+        df = df.orderBy(*_cols([order_by]))
+    return df.limit(1)
+
+
+@register_op("last", "df")
+def _last(df: DataFrame, order_by=None):
+    if order_by is None:
+        raise ValueError("df-last requires an order_by column")
+    return df.orderBy(*[c.desc() for c in _cols([order_by])]).limit(1)
+
+
+@register_op("single", "df")
+def _single(df: DataFrame):
+    rows = df.limit(2).collect()
+    if len(rows) != 1:
+        raise ValueError(f"single: expected exactly 1 row, got {len(rows)}")
+    return rows[0][0] if len(df.columns) == 1 else tuple(rows[0])
+
+
+@register_op("shuffle", "df")
+def _shuffle(df: DataFrame, seed=42):
+    return df.orderBy(F.rand(seed))
+
+
+@register_op("random_pick", "df")
+def _random_pick(df: DataFrame, seed=42):
+    return df.orderBy(F.rand(seed)).limit(1)
+
+
+# -- sequence / window ops (explicit ordering required) ---------------
+@register_op("enumerate", "df")
+def _enumerate(df: DataFrame, order_by, partition_by=None):
+    w = _window(order_by, partition_by)
+    return df.withColumn("index", F.row_number().over(w) - 1)
+
+
+@register_op("sliding", "df")
+def _sliding(df: DataFrame, n, order_by, partition_by=None, step=1):
+    """Overlapping windows (ITF:1427): rowsBetween forward frame +
+    stride filter; emits (window_start_index, window array)."""
+    w = _window(order_by, partition_by)
+    wf = w.rowsBetween(0, n - 1)
+    out = (df
+           .withColumn("__idx", F.row_number().over(w) - 1)
+           .withColumn("window",
+                       F.collect_list(F.struct(*df.columns)).over(wf)))
+    out = out.where((F.col("__idx") % step == 0) &
+                    (F.size("window") == n))
+    return out.withColumnRenamed("__idx", "window_start")
+
+
+@register_op("chunk", "df")
+def _chunk(df: DataFrame, n, order_by, partition_by=None):
+    w = _window(order_by, partition_by)
+    return df.withColumn(
+        "chunk_id", F.floor((F.row_number().over(w) - 1) / n))
+
+
+@register_op("chunk_by", "df")
+def _chunk_by(df: DataFrame, key, order_by, partition_by=None):
+    """Split where key changes (ITF:1386): lag-change flag + running
+    sum = chunk id — the sessionization idiom."""
+    w = _window(order_by, partition_by)
+    k = _cols([key])[0]
+    changed = F.when(
+        k.eqNullSafe(F.lag(k).over(w)), F.lit(0)).otherwise(F.lit(1))
+    return df.withColumn("chunk_id",
+                         F.sum(changed).over(
+                             w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+
+
+@register_op("stride", "df")
+def _stride(df: DataFrame, n, order_by, partition_by=None):
+    w = _window(order_by, partition_by)
+    return (df.withColumn("__idx", F.row_number().over(w) - 1)
+            .where(F.col("__idx") % n == 0).drop("__idx"))
+
+
+@register_op("scan", "df")
+def _scan(df: DataFrame, agg, col, order_by, partition_by=None):
+    """Cumulative fold emitting intermediates (ITF:3568) = running
+    window agg. `agg` is 'sum'|'avg'|'min'|'max'|'count' or a callable
+    Column aggregator."""
+    aggs = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+            "count": F.count}
+    fn = aggs[agg] if isinstance(agg, str) else agg
+    w = _window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, 0)
+    return df.withColumn("scan", fn(_cols([col])[0]).over(w))
+
+
+@register_op("group", "df")
+def _group_df(df: DataFrame, key, order_by, partition_by=None):
+    """Run-length grouping of successive equal keys (ITF:5890) —
+    same machinery as chunk_by; group id column added."""
+    return _chunk_by(df, key, order_by, partition_by) \
+        .withColumnRenamed("chunk_id", "group_id")
+
+
+# -- set ops ----------------------------------------------------------
+@register_op("concat", "df")
+def _concat(df: DataFrame, *others):
+    out = df
+    for o in others:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
+@register_op("interleave", "df")
+def _interleave(df: DataFrame, other, order_by):
+    """Round-robin merge by per-source rank then (rank, source)."""
+    a = df.withColumn("__src", F.lit(0)) \
+          .withColumn("__rk", F.row_number().over(_window(order_by)))
+    b = other.withColumn("__src", F.lit(1)) \
+             .withColumn("__rk", F.row_number().over(_window(order_by)))
+    return (a.unionByName(b).orderBy("__rk", "__src")
+            .drop("__rk", "__src"))
+
+
+@register_op("cartesian_product", "df")
+def _cartesian(df: DataFrame, other):
+    return df.crossJoin(other)
+
+
+# -- misc -------------------------------------------------------------
+@register_op("tap", "df")
+def _tap(df: DataFrame, fn=None):
+    (fn or (lambda d: d.show(20, truncate=False)))(df)
+    return df
+
+
+@register_op("Assert", "df")
+def _assert_df(df: DataFrame, pred, msg="assertion failed"):
+    c = to_column_predicate(pred)
+    return df.withColumn(
+        "__chk",
+        F.when(~c, F.raise_error(F.lit(msg))).otherwise(F.lit(1))
+    ).drop("__chk") if False else df.where(
+        F.when(~c, F.raise_error(F.lit(msg))).otherwise(F.lit(True)))
+
+
+@register_op("identity", "df")
+def _identity(df: DataFrame):
+    return df

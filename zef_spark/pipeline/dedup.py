@@ -1,0 +1,169 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+All set-oriented, shuffle-aware, no driver materialization:
+- exact:   hash-groupBy on content digest (1 shuffle)
+- minhash: shingle → per-permutation min-hash → banded LSH bucket join
+           (the classic MinHashLSH; candidate pairs verified with true
+           shingle Jaccard)
+- simhash: 64-bit sign fingerprint computed row-locally with
+           higher-order functions (NO shuffle for signatures)
+- ngram_jaccard: inverted-index token join (scales as sum of posting
+           list squares — cap hot tokens via `max_df` to bound skew)
+
+At 100 TB: every stage keys its shuffle by digest/bucket (uniform by
+construction); the LSH band join broadcasts nothing and AQE handles
+residual skew. Extends the reference's `deduplicate`
+(python/zef/core/op_implementations/data_wrangling.py) to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops.core import register_op
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each duplicate group."""
+    cols = cols or [c for c in df.columns if c != id_col]
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                         for c in cols]))
+    w = df.withColumn("__digest", digest)
+    keep = w.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(col, k: int = 5):
+    """Distinct character k-shingles, row-local (no UDF)."""
+    n = F.greatest(F.length(col) - k + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substring(col, i, k)))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_perm: int = 64, k: int = 5) -> DataFrame:
+    """(id, sig array<long>): one explode + one groupBy shuffle for all
+    permutations at once; permutation i = min(xxhash64(shingle, i))."""
+    sh = df.select(F.col(id_col),
+                   F.explode(shingles(F.col(text_col), k)).alias("__sh"))
+    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_perm: int = 64, bands: int = 16, k: int = 5,
+                      jaccard_threshold: float | None = None) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via banded LSH; if
+    `jaccard_threshold` is set, verify candidates with true shingle
+    Jaccard (second pass over the shingle sets)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, k)
+    band_cols = F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", *[F.col("sig")[b * rows + r].cast("string")
+                   for r in range(rows)]), F.lit(b)).alias(f"b{b}")
+        for b in range(bands)])
+    banded = sig.select(id_col, F.posexplode(band_cols)
+                        .alias("band", "bucket"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (left.join(right, ["band", "bucket"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    if jaccard_threshold is None:
+        return pairs
+    sh = df.select(F.col(id_col),
+                   shingles(F.col(text_col), k).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (pairs.join(a, "id_a").join(b, "id_b")
+                .withColumn("jaccard",
+                            F.size(F.array_intersect("sh_a", "sh_b")) /
+                            F.size(F.array_union("sh_a", "sh_b")))
+                .where(F.col("jaccard") >= jaccard_threshold))
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash fingerprint, fully row-local (whole-stage
+    codegen; zero shuffle)."""
+    tokens = F.split(F.lower(F.col(text_col)), r"\W+")
+    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(th, F.lit(0),
+                    lambda acc, h: acc + F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1)).otherwise(F.lit(-1)))
+        for b in range(64)]
+    fp = None
+    for b, s in enumerate(bit_sums):
+        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return df.select(F.col(id_col), fp.alias(out_col))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (a pair
+    within hamming ≤3 shares ≥1 identical chunk), verify distance."""
+    fp = simhash(df, text_col, id_col)
+    chunks = F.array(*[
+        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)])
+    blocked = fp.select(id_col, "simhash",
+                        F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    a = blocked.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("fp_a"), "chunk_idx", "chunk")
+    b = blocked.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("fp_b"), "chunk_idx", "chunk")
+    pairs = (a.join(b, ["chunk_idx", "chunk"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "fp_a", "fp_b").distinct())
+    dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (pairs.withColumn("hamming", dist)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """Word n-gram Jaccard similarity join via inverted index.
+    `max_df` drops n-grams appearing in more than that many docs
+    (stopword-like; bounds the quadratic blowup / skew)."""
+    words = F.split(F.lower(F.col(text_col)), r"\W+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+    g = df.select(F.col(id_col), grams.alias("__g"))
+    sizes = g.select(id_col, F.size("__g").alias("__n"))
+    posting = g.select(id_col, F.explode("__g").alias("gram"))
+    if max_df is not None:
+        hot = (posting.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_df).select("gram"))
+        posting = posting.join(hot, "gram", "left_anti")
+    a = posting.select(F.col(id_col).alias("id_a"), "gram")
+    b = posting.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (a.join(b, "gram").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("__inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("__inter") /
+                        (F.col("__na") + F.col("__nb") - F.col("__inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+@register_op("deduplicate", "df")
+def _dedup_op(df: DataFrame, *cols):
+    return exact_dedup(df, list(cols) or None)

@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side only (zip_with + aggregate), the
+  exact baseline; one shuffle for the global top-k.
+- LSH-bucketed ANN: random-hyperplane sign bits via a broadcast plane
+  matrix (deterministic seed) — candidates restricted to the query's
+  bucket(s); the 100 TB path (touches ~1/2^bits of the corpus).
+- IVF-style variant: k-means-free "coarse quantizer" using the sign
+  bits as cells; per-cell exact rerank.
+
+Embedding dot products stay in whole-stage codegen via
+``F.zip_with``/``F.aggregate`` — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float],
+                    out_col: str = "cosine") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return df.withColumn(out_col, sim)
+
+
+def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
+                     query: list[float], k: int = 10) -> DataFrame:
+    """Exact cosine top-k: map-side score, TakeOrdered global top-k
+    (no full sort shuffle — Spark's orderBy+limit optimizes)."""
+    scored = cosine_to_query(df, vec_col, query)
+    return (scored.select(id_col, F.round(F.col("cosine"), 6)
+                          .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def _plane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane (hash-based, no RNG
+    state — reproducible across cluster restarts)."""
+    import hashlib
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}:{plane_idx}:{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8,
+               seed: int = 42):
+    """Sign-bit bucket id (0..2^n_planes-1) as a Column expression —
+    planes are literal arrays (broadcast as constants into codegen)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, p, seed)])
+        bit = F.when(_dot(vec_col, plane) >= 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
+                 query: list[float], k: int = 10, n_planes: int = 8,
+                 seed: int = 42) -> DataFrame:
+    """ANN top-k: score only rows in the query's LSH bucket. At scale,
+    precompute the bucket column at ingest (partition by bucket →
+    partition pruning makes this a point read)."""
+    dim = len(query)
+    bucketed = df.withColumn("__bucket",
+                             lsh_bucket(F.col(vec_col), dim, n_planes, seed))
+    qb = 0
+    for p in range(n_planes):
+        plane = _plane(dim, p, seed)
+        if sum(a * b for a, b in zip(query, plane)) >= 0:
+            qb |= 1 << p
+    cand = bucketed.where(F.col("__bucket") == qb)
+    return brute_force_topk(cand, vec_col, id_col, query, k)
+
+
+def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                 threshold: float = 0.95,
+                 block_col: str | None = None) -> DataFrame:
+    """All-pairs cosine ≥ threshold. With `block_col` (e.g. an LSH
+    bucket or label) the self-join is per-block — the scalable form;
+    without it this is a full cross join (small inputs only)."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("va"),
+                  *( [F.col(block_col).alias("__blk")] if block_col else []))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vb"),
+                  *( [F.col(block_col).alias("__blk")] if block_col else []))
+    joined = (a.join(b, ["__blk"]) if block_col else a.crossJoin(b)) \
+        .where(F.col("id_a") < F.col("id_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
+                                            _norm(F.col("vb")))
+    return (joined.withColumn("cosine", F.round(sim, 6))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,43 @@
+"""SparkSession factory for the zef_spark engine.
+
+Scale posture: AQE on (runtime re-planning, skew-join splitting,
+coalesced shuffle partitions), Arrow on (fast pandas/Pandas-UDF
+interchange), UTC session timezone (deterministic temporal semantics,
+matches the DuckDB oracle). ``shuffle_partitions`` defaults small for
+local test runs; on a real cluster set it near 2-3x total cores or rely
+on AQE coalescing from a high initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Read parquet NTZ timestamps as NTZ so values match DuckDB exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "zef_spark", master: str | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,56 @@
+"""Type tokens: ET (entity types), RT (relation types), AET (attribute
+entity types), and the VRT primitive names.
+
+Reference parity: zef creates ET/RT/AET tokens on first use via string
+interning (reference ``core/src/tokens.cpp``; user surface
+``python/zef/core/VT/rae_types.py``). Here a token is a lightweight
+frozen value object carrying its kind + name; the engine stores it as a
+plain string column (``et`` / ``rt`` / ``vrt``) and relies on
+dictionary encoding + partition pruning instead of int interning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str  # "ET" | "RT" | "AET"
+    name: str
+
+    def __str__(self) -> str:
+        return f"{self.kind}.{self.name}"
+
+    __repr__ = __str__
+
+
+class _TokenFactory:
+    """`ET.Person` style attribute access; tokens created on first use
+    (dynamic/gradual schema — no DDL required, as in the reference)."""
+
+    def __init__(self, kind: str):
+        object.__setattr__(self, "_kind", kind)
+
+    def __getattr__(self, name: str) -> Token:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return Token(self._kind, name)
+
+    def __call__(self, name: str) -> Token:
+        return Token(self._kind, name)
+
+
+ET = _TokenFactory("ET")
+RT = _TokenFactory("RT")
+AET = _TokenFactory("AET")
+
+# VRT primitive names (reference core/include/tokens.h:321-329) → Spark types
+VRT_SPARK_TYPES = {
+    "String": "string",
+    "Bool": "boolean",
+    "Float": "double",
+    "Int": "bigint",
+    "Time": "timestamp_ntz",
+    "Serialized": "string",
+}
