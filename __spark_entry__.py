@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps operator-inventory names (SURVEY.md §2) to callables
+(spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-
+equivalent ANSI SQL per query. Column names/aliases match exactly on
+both sides; float aggregates rounded identically to survive
+value-hash comparison.
+
+Implementation notes: queries use the zef_spark op layer (lazy ZefOp
+chains compiling to single Catalyst plans) and the bitemporal graph
+built by zef_spark.graph.mapper (table→graph, FIXTURES.md §5).
 """
 
 from __future__ import annotations
@@ -12,27 +16,490 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read ns-as-long and convert to µs TIMESTAMP_NTZ
+    (ns→µs truncation — collision-free at this data's density)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        .cast("timestamp_ntz"))
+
+
+# =====================================================================
+# 2.D aggregations / scans — flagship: TPC-H Q1-style pricing summary
+# =====================================================================
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
+       ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    from zef_spark import ops as z
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li
+            | z.filter[F.col("l_shipdate") <= "2000-12-01"]
+            | z.group_by[["l_returnflag", "l_linestatus"], {
+                "sum_qty": F.round(F.sum("l_quantity"), 2),
+                "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+                "sum_disc_price": F.round(F.sum(disc_price), 2),
+                "sum_charge": F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2),
+                "avg_qty": F.round(F.avg("l_quantity"), 2),
+                "avg_price": F.round(F.avg("l_extendedprice"), 2),
+                "avg_disc": F.round(F.avg("l_discount"), 4),
+                "count_order": F.count(F.lit(1))}]
+            | z.sort["l_returnflag", "l_linestatus"])
+
+
+@query("q3_shipping_priority", """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-01-01")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@query("q5_region_revenue", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+def q5(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey) &
+                  (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+@query("q6_forecast_revenue", """
+SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6(spark, sf_dir):
+    from zef_spark import ops as z
+    li = _t(spark, sf_dir, "lineitem")
+    return (li
+            | z.filter[(F.col("l_shipdate") >= "1996-01-01") &
+                       (F.col("l_shipdate") < "1997-01-01") &
+                       F.col("l_discount").between(0.05, 0.07) &
+                       (F.col("l_quantity") < 24)]
+            | z.map[{"revenue_raw": F.col("l_extendedprice") * F.col("l_discount")}]
+            ).agg(F.round(F.sum("revenue_raw"), 2).alias("revenue"))
+
+
+# =====================================================================
+# 2.B filters / predicates / distinct
+# =====================================================================
+
+@query("filter_predicates", """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 40
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p_type LIKE '%BRASS%'
+ORDER BY p_partkey
+""")
+def q_filter_predicates(spark, sf_dir):
+    from zef_spark import ops as z
+    part = _t(spark, sf_dir, "part")
+    return (part
+            | z.filter[lambda r: r.p_size.between(10, 40) &
+                       r.p_brand.isin("Brand#1", "Brand#2", "Brand#3") &
+                       r.p_type.contains("BRASS")]
+            | z.map[{"p_partkey": F.col("p_partkey"),
+                     "p_name": F.col("p_name"),
+                     "p_brand": F.col("p_brand"),
+                     "p_size": F.col("p_size")}]
+            | z.sort["p_partkey"])
+
+
+@query("distinct_pairs", """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+ORDER BY c_mktsegment, c_nationkey
+""")
+def q_distinct(spark, sf_dir):
+    from zef_spark import ops as z
+    cust = _t(spark, sf_dir, "customer")
+    return (cust | z.select_keys["c_mktsegment", "c_nationkey"]
+            | z.distinct | z.sort["c_mktsegment", "c_nationkey"])
+
+
+@query("sort_take_topk", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""")
+def q_sort_take(spark, sf_dir):
+    from zef_spark import ops as z
+    orders = _t(spark, sf_dir, "orders")
+    return (orders | z.select_keys["o_orderkey", "o_totalprice"]
+            | z.sort["-o_totalprice", "o_orderkey"] | z.take[15])
+
+
+@query("without_anti_join", """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""")
+def q_without(spark, sf_dir):
+    from zef_spark import ops as z
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"))
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"))
+    return (cust | z.without[buyers] | z.sort["c_custkey"])
+
+
+@query("conditional_bucketing", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket
+FROM orders ORDER BY o_orderkey
+""")
+def q_if(spark, sf_dir):
+    from zef_spark import ops as z
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (F.when(F.col("o_totalprice") < 50000, "small")
+              .when(F.col("o_totalprice") < 200000, "medium")
+              .otherwise("large"))
+    return (orders | z.map[{"o_orderkey": F.col("o_orderkey"),
+                            "bucket": bucket}] | z.sort["o_orderkey"])
+
+
+# =====================================================================
+# 2.D grouped aggregation / frequencies
+# =====================================================================
+
+@query("frequencies_events", """
+SELECT event_type, COUNT(*) AS frequency FROM events
+GROUP BY event_type ORDER BY event_type
+""")
+def q_frequencies(spark, sf_dir):
+    from zef_spark import ops as z
+    ev = _events(spark, sf_dir)
+    return (ev | z.frequencies["event_type"] | z.sort["event_type"])
+
+
+@query("group_agg_customer_orders", """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spent,
+       ROUND(MAX(o_totalprice), 2) AS max_order
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""")
+def q_group_agg(spark, sf_dir):
+    from zef_spark import ops as z
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            | z.group_by["o_custkey", {
+                "n_orders": F.count(F.lit(1)),
+                "total_spent": F.round(F.sum("o_totalprice"), 2),
+                "max_order": F.round(F.max("o_totalprice"), 2)}]
+            | z.sort["o_custkey"])
+
+
+@query("max_by_top_order_per_cust", """
+SELECT o_custkey, o_orderkey AS best_orderkey,
+       ROUND(o_totalprice, 2) AS best_price
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+WHERE rn = 1 ORDER BY o_custkey
+""")
+def q_max_by(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.max_by("o_orderkey",
+                          F.struct(F.col("o_totalprice"),
+                                   (-F.col("o_orderkey")).alias("nk")))
+                 .alias("best_orderkey"),
+                 F.round(F.max("o_totalprice"), 2).alias("best_price"))
+            .orderBy("o_custkey"))
+
+
+# =====================================================================
+# 2.E/2.F sequence & window ops
+# =====================================================================
+
+@query("scan_cumulative_revenue", """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS scan
+FROM orders ORDER BY o_custkey, o_orderkey
+""")
+def q_scan(spark, sf_dir):
+    from zef_spark import ops as z
+    orders = _t(spark, sf_dir, "orders")
+    out = (orders | z.scan["sum", "o_totalprice",
+                           ["o_orderdate", "o_orderkey"], "o_custkey"])
+    return (out.select("o_custkey", "o_orderkey",
+                       F.round(F.col("scan"), 2).alias("scan"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+@query("sliding_moving_avg", """
+WITH daily AS (
+  SELECT STRFTIME(l_shipdate, '%Y-%m-%d') AS day,
+         SUM(l_extendedprice) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT day, ROUND(AVG(rev) OVER (
+  ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+FROM daily ORDER BY day
+""")
+def q_sliding(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+             .agg(F.sum("l_extendedprice").alias("rev")))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (daily.select("day", F.round(F.avg("rev").over(w), 2).alias("ma7"))
+            .orderBy("day"))
+
+
+@query("enumerate_stride_events", """
+WITH numbered AS (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS index
+  FROM events
+)
+SELECT event_id, user_id, index FROM numbered
+WHERE index % 10 = 0 ORDER BY user_id, index
+""")
+def q_enumerate_stride(spark, sf_dir):
+    from zef_spark import ops as z
+    ev = _events(spark, sf_dir)
+    out = (ev | z.enumerate[["ts", "event_id"], "user_id"]
+           | z.filter[F.col("index") % 10 == 0])
+    return (out.select("event_id", "user_id", "index")
+            .orderBy("user_id", "index"))
+
+
+@query("chunk_by_event_type_runs", """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = LAG(event_type) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+), runs AS (
+  SELECT user_id, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS chunk_id
+  FROM flagged
+)
+SELECT user_id, chunk_id, event_type, COUNT(*) AS run_len
+FROM runs GROUP BY user_id, chunk_id, event_type
+ORDER BY user_id, chunk_id
+""")
+def q_chunk_by(spark, sf_dir):
+    from zef_spark import ops as z
+    ev = _events(spark, sf_dir)
+    out = (ev | z.chunk_by["event_type", ["ts", "event_id"], "user_id"])
+    return (out.groupBy("user_id", "chunk_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("run_len"))
+            .orderBy("user_id", "chunk_id"))
+
+
+# =====================================================================
+# 2.G set ops
+# =====================================================================
+
+@query("concat_union_segments", """
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION ALL
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_custkey
+""")
+def q_concat(spark, sf_dir):
+    from zef_spark import ops as z
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE")
+    bld = cust.where(F.col("c_mktsegment") == "BUILDING")
+    return (auto | z.concat[bld] | z.sort["c_custkey"])
+
+
+# =====================================================================
+# 2.H scalar functions (string / math / datetime / hash)
+# =====================================================================
+
+@query("string_functions", """
+SELECT p_partkey,
+       UPPER(p_name)  AS upper_name,
+       LOWER(p_brand) AS lower_brand,
+       LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       TRIM(p_name) AS trimmed,
+       STARTS_WITH(p_type, 'ECONOMY') AS is_economy
+FROM part ORDER BY p_partkey
+""")
+def q_strings(spark, sf_dir):
+    from zef_spark import ops as z
+    part = _t(spark, sf_dir, "part")
+    return (part | z.map[{
+        "p_partkey": F.col("p_partkey"),
+        "upper_name": F.upper("p_name"),
+        "lower_brand": F.lower("p_brand"),
+        "padded_size": F.lpad(F.col("p_size").cast("string"), 4, "0"),
+        "brand_type": F.concat_ws("|", "p_brand", "p_type"),
+        "trimmed": F.trim("p_name"),
+        "is_economy": F.col("p_type").startswith("ECONOMY")}]
+        | z.sort["p_partkey"])
+
+
+@query("math_functions", """
+SELECT l_orderkey, l_linenumber,
+       FLOOR(l_extendedprice) AS floor_price,
+       CEIL(l_discount * 100) AS ceil_disc_pct,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
+       GREATEST(LEAST(l_quantity, 40.0), 10.0) AS clamped_qty,
+       SIGN(l_quantity - 25) AS sign_qty,
+       ROUND(POWER(l_tax + 1, 2), 6) AS tax_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""")
+def q_math(spark, sf_dir):
+    from zef_spark import ops as z
+    from zef_spark.functions import clamp
+    li = _t(spark, sf_dir, "lineitem")
+    return (li | z.map[{
+        "l_orderkey": F.col("l_orderkey"),
+        "l_linenumber": F.col("l_linenumber"),
+        "floor_price": F.floor("l_extendedprice").cast("double"),
+        "ceil_disc_pct": F.ceil(F.col("l_discount") * 100).cast("double"),
+        "net": F.round(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")), 2).cast("double"),
+        "clamped_qty": clamp(F.col("l_quantity"), 10.0, 40.0),
+        "sign_qty": F.signum(F.col("l_quantity") - 25),
+        "tax_sq": F.round(F.pow(F.col("l_tax") + 1, 2), 6),
+        "qty_mod": F.col("l_quantity").cast("bigint") % 7}]
+        | z.sort["l_orderkey", "l_linenumber"])
+
+
+@query("datetime_functions", """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+       CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch,
+       STRFTIME(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+FROM orders ORDER BY o_orderkey
+""")
+def q_datetime(spark, sf_dir):
+    from zef_spark import ops as z
+    orders = _t(spark, sf_dir, "orders")
+    return (orders | z.map[{
+        "o_orderkey": F.col("o_orderkey"),
+        "order_year": F.year("o_orderdate").cast("bigint"),
+        "order_month": F.month("o_orderdate").cast("bigint"),
+        "days_since_epoch": F.datediff(F.col("o_orderdate"),
+                                       F.lit("1995-01-01").cast("date"))
+        .cast("bigint"),
+        "due_date": F.date_format(F.date_add(F.col("o_orderdate"), 90),
+                                  "yyyy-MM-dd")}]
+        | z.sort["o_orderkey"])
+
+
+@query("hash_functions", """
+SELECT c_custkey, MD5(c_name) AS name_md5 FROM customer ORDER BY c_custkey
+""")
+def q_hash(spark, sf_dir):
+    from zef_spark import ops as z
+    cust = _t(spark, sf_dir, "customer")
+    return (cust | z.map[{"c_custkey": F.col("c_custkey"),
+                          "name_md5": F.md5(F.col("c_name"))}]
+            | z.sort["c_custkey"])
+
+
+# =====================================================================
+# driver entry points
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary through the
+    zef_spark op layer) on sf0.001."""
+    return q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

@@ -1,0 +1,93 @@
+"""Local stand-in for the driver's t2 correctness gate: run each
+__spark_entry__ query on Spark AND its oracle SQL on DuckDB over the
+same parquet, compare row-count, column names, and order-insensitive
+values. Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def duck_run(sf_dir: str, sql: str):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def normalize(rows, cols):
+    """Sort columns by name, stringify values (round-trip floats to
+    9 sig figs), sort rows — order-insensitive canonical form."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "∅"
+        if isinstance(v, float):
+            return f"{v:.9g}"
+        if isinstance(v, bool):
+            return str(bool(v)).lower()
+        return str(v)
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def check(name: str, fn, sql: str, spark, sf_dir: str) -> tuple[bool, str]:
+    sdf = fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    ddf = duck_run(sf_dir, sql)
+    drows = [tuple(r) for r in ddf.itertuples(index=False)]
+    dcols = list(ddf.columns)
+    if sorted(scols) != sorted(dcols):
+        return False, f"schema mismatch: spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count: spark={len(srows)} duck={len(drows)}"
+    a, b = normalize(srows, scols), normalize(drows, dcols)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"OK ({len(srows)} rows)"
+
+
+def main():
+    import __spark_entry__ as entry
+    from zef_spark import get_spark
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  {name:40s} rows-only ({n} rows)")
+            except Exception as e:
+                failed.append(name)
+                print(f"  {name:40s} ERROR {type(e).__name__}: {e}")
+            continue
+        try:
+            ok, msg = check(name, fn, oracles[name], spark, sf_dir)
+        except Exception as e:
+            ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
+        print(f"  {name:40s} {'PASS' if ok else 'FAIL'} {msg}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
