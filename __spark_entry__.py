@@ -488,6 +488,401 @@ def q_hash(spark, sf_dir):
 
 
 # =====================================================================
+# 2.J/2.K graph surface — bitemporal graph built by the table→graph
+# mapper (FIXTURES.md §5); ids encode (type_code, business key)
+# =====================================================================
+
+_KEY_MASK = (1 << 52) - 1
+
+
+def _gs(spark, sf_dir):
+    from zef_spark import graph_for, ops as z
+    return graph_for(spark, sf_dir) | z.now
+
+
+@query("g_all_type_counts", """
+SELECT et, n FROM (
+  SELECT 'Customer' AS et, COUNT(*) AS n FROM customer UNION ALL
+  SELECT 'Lineitem', COUNT(*) FROM lineitem UNION ALL
+  SELECT 'Nation',   COUNT(*) FROM nation UNION ALL
+  SELECT 'Order',    COUNT(*) FROM orders UNION ALL
+  SELECT 'Part',     COUNT(*) FROM part UNION ALL
+  SELECT 'Region',   COUNT(*) FROM region UNION ALL
+  SELECT 'Supplier', COUNT(*) FROM supplier) t
+ORDER BY et
+""")
+def g_all_counts(spark, sf_dir):
+    gs = _gs(spark, sf_dir)
+    return (gs.nodes().where(~F.col("et").startswith("AET."))
+            .groupBy("et").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("et"))
+
+
+@query("g_hop_customer_nation", """
+SELECT c_custkey, n_name FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY c_custkey
+""")
+def g_hop(spark, sf_dir):
+    from zef_spark import ET, RT, ops as z
+    gs = _gs(spark, sf_dir)
+    rels = (gs | z.all[ET.Customer] | z.out_rels[RT.LocatedIn]).df
+    nname = (gs | z.all[ET.Nation]).field("n_name")
+    return (rels.select(F.col("src_id"), F.col("dst_id").alias("id"))
+            .join(nname, "id")
+            .select((F.col("src_id").bitwiseAND(F.lit(_KEY_MASK)))
+                    .alias("c_custkey"), "n_name")
+            .orderBy("c_custkey"))
+
+
+@query("g_hop2_revenue_by_customer", """
+SELECT o_custkey AS c_custkey,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey ORDER BY c_custkey
+""")
+def g_hop2(spark, sf_dir):
+    from zef_spark import ET, RT, ops as z
+    gs = _gs(spark, sf_dir)
+    li = gs | z.all[ET.Lineitem]
+    price = li.field("l_extendedprice")              # (id, l_extendedprice)
+    part_of = li.out_rels(RT.PartOf).df              # li -> order
+    placed_by = (gs | z.all[ET.Order] | z.out_rels[RT.PlacedBy]).df
+    return (price
+            .join(part_of.select(F.col("src_id").alias("id"),
+                                 F.col("dst_id").alias("order_id")), "id")
+            .join(placed_by.select(F.col("src_id").alias("order_id"),
+                                   F.col("dst_id").alias("cust_id")),
+                  "order_id")
+            .groupBy((F.col("cust_id").bitwiseAND(F.lit(_KEY_MASK)))
+                     .alias("c_custkey"))
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+            .orderBy("c_custkey"))
+
+
+@query("g_has_order_customers", """
+SELECT c_custkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""")
+def g_has_order(spark, sf_dir):
+    from zef_spark import ET, RT, ops as z
+    gs = _gs(spark, sf_dir)
+    ns = gs | z.all[ET.Customer] | z.has_in[RT.PlacedBy]
+    return (ns.df.select((F.col("id").bitwiseAND(F.lit(_KEY_MASK)))
+                         .alias("c_custkey"))
+            .orderBy("c_custkey"))
+
+
+@query("g_point_lookup_by_field", """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_name = 'Customer#000000042'
+""")
+def g_point_lookup(spark, sf_dir):
+    from zef_spark import ET, ops as z
+    gs = _gs(spark, sf_dir)
+    ns = (gs | z.all[ET.Customer]
+          | z.select_by_field["c_name", "Customer#000000042"])
+    bal = ns.field("c_acctbal")
+    return bal.select((F.col("id").bitwiseAND(F.lit(_KEY_MASK)))
+                      .alias("c_custkey"), "c_acctbal")
+
+
+@query("g_asof_order_count", """
+SELECT COUNT(*) AS n_orders FROM orders
+WHERE o_orderdate <= TIMESTAMP '1997-06-30'
+""")
+def g_asof(spark, sf_dir):
+    import datetime
+    from zef_spark import ET, graph_for, ops as z
+    g = graph_for(spark, sf_dir)
+    gs = g.at(datetime.datetime(1997, 6, 30))
+    return (gs | z.all[ET.Order] | z.count).withColumnRenamed(
+        "count", "n_orders")
+
+
+@query("g_time_travel_relative", """
+WITH tx_dates AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+  UNION SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem
+  UNION SELECT DATE '1992-01-01'
+), target AS (SELECT d FROM tx_dates ORDER BY d DESC LIMIT 1 OFFSET 500)
+SELECT COUNT(*) AS n_orders FROM orders, target
+WHERE CAST(o_orderdate AS DATE) <= target.d
+""")
+def g_time_travel(spark, sf_dir):
+    from zef_spark import ET, ops as z
+    gs = _gs(spark, sf_dir)
+    past = gs | z.time_travel[-500]
+    return (past | z.all[ET.Order] | z.count).withColumnRenamed(
+        "count", "n_orders")
+
+
+@query("g_tx_instantiated_events", """
+SELECT o_orderkey FROM orders
+WHERE o_orderdate = TIMESTAMP '1997-03-15'
+ORDER BY o_orderkey
+""")
+def g_tx_events(spark, sf_dir):
+    import datetime
+    gs = _gs(spark, sf_dir)
+    tx = (datetime.date(1997, 3, 15) - datetime.date(1992, 1, 1)).days + 2
+    inst = gs.graph.nodes.where((F.col("et") == "Order") &
+                                (F.col("valid_from_tx") == tx))
+    return (inst.select((F.col("id").bitwiseAND(F.lit(_KEY_MASK)))
+                        .alias("o_orderkey")).orderBy("o_orderkey"))
+
+
+# =====================================================================
+# LLM-pipeline operators: dedup / text analysis / similarity
+# =====================================================================
+
+_STOPWORDS = sorted({m for ms in [
+    ["the", "and", "of", "to", "is", "in", "that", "with"],
+    ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    ["le", "la", "les", "et", "est", "une", "dans", "pour"],
+    ["el", "la", "los", "que", "es", "una", "con", "para"]] for m in ms})
+
+
+@query("p_dedup_exact_groups", """
+SELECT MIN(doc_id) AS doc_id FROM documents
+GROUP BY lang, source ORDER BY doc_id
+""")
+def p_dedup_exact(spark, sf_dir):
+    from zef_spark.pipeline.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return (exact_dedup(docs, ["lang", "source"], "doc_id")
+            .select("doc_id").orderBy("doc_id"))
+
+
+@query("p_token_counts", """
+SELECT doc_id,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                            t -> t <> '')) AS INT) AS n_tokens
+FROM documents ORDER BY doc_id
+""")
+def p_token_counts(spark, sf_dir):
+    from zef_spark.pipeline.text import token_count
+    docs = _t(spark, sf_dir, "documents")
+    return (token_count(docs, "text").select("doc_id", "n_tokens")
+            .orderBy("doc_id"))
+
+
+@query("p_text_quality", """
+WITH q AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     t -> t <> '') AS toks,
+         LENGTH(text) AS n_chars,
+         LENGTH(REGEXP_REPLACE(text, '[^[:punct:]]', '', 'g')) AS punct,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+), r AS (
+  SELECT doc_id, LEN(toks) AS n_tok,
+         CASE WHEN LEN(toks) > 0 THEN
+           LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({stop}, t)))
+           / LEN(toks) ELSE 0.0 END AS sr,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS ar,
+         CASE WHEN LEN(toks) > 0 THEN
+           LIST_SUM(LIST_TRANSFORM(toks, t -> LENGTH(t))) / LEN(toks)
+           ELSE 0.0 END AS mwl
+  FROM q
+)
+SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(pr, 6) AS punct_ratio,
+       ROUND(ar, 6) AS alpha_ratio,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(LEAST(n_tok / 50.0, 1.0) * 0.3
+             + LEAST(sr * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.2
+             + ar * 0.2, 6) AS quality
+FROM r ORDER BY doc_id
+""".replace("{stop}", "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"))
+def p_text_quality(spark, sf_dir):
+    from zef_spark.pipeline.text import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return (quality_score(docs, "text")
+            .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
+                    "alpha_ratio", "mean_word_len", "quality")
+            .orderBy("doc_id"))
+
+
+@query("p_lang_id", """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     t -> t <> '') AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         GREATEST(
+           PRINTF('%08d|%s', LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['der','die','das','und','ist','nicht','ein','mit'], x))), 'de'),
+           PRINTF('%08d|%s', LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['the','and','of','to','is','in','that','with'], x))), 'en'),
+           PRINTF('%08d|%s', LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['el','la','los','que','es','una','con','para'], x))), 'es'),
+           PRINTF('%08d|%s', LEN(LIST_FILTER(t, x -> LIST_CONTAINS(['le','la','les','et','est','une','dans','pour'], x))), 'fr')
+         ) AS best
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN CAST(SPLIT_PART(best, '|', 1) AS INT) > 0
+            THEN SPLIT_PART(best, '|', 2) ELSE 'und' END AS lang_pred
+FROM scored ORDER BY doc_id
+""")
+def p_lang_id(spark, sf_dir):
+    from zef_spark.pipeline.text import lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return (lang_id(docs, "text").select("doc_id", "lang_pred")
+            .orderBy("doc_id"))
+
+
+@query("p_fingerprint", """
+WITH n AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS t
+  FROM documents
+)
+SELECT doc_id,
+       MD5(LIST_MIN(LIST_TRANSFORM(
+         RANGE(1, GREATEST(LENGTH(t) - 7, 1) + 1),
+         i -> SUBSTRING(t, CAST(i AS INT), 8)))) AS fingerprint
+FROM n ORDER BY doc_id
+""")
+def p_fingerprint(spark, sf_dir):
+    from zef_spark.pipeline.text import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return (fingerprint(docs, "text", hash_fn="md5")
+            .select("doc_id", "fingerprint").orderBy("doc_id"))
+
+
+def _query_vec(spark, sf_dir):
+    row = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 0).select("embedding").first())
+    return [float(x) for x in row[0]]
+
+
+@query("p_ann_cosine_topk", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), q.qv), 4) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def p_ann_topk(spark, sf_dir):
+    from zef_spark.pipeline.similarity import cosine_to_query
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    scored = cosine_to_query(emb, "embedding", _query_vec(spark, sf_dir))
+    return (scored.select("vec_id", F.round("cosine", 4).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "vec_id").limit(10))
+
+
+@query("p_cosine_pairs_blocked", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+ORDER BY id_a, id_b
+""")
+def p_cosine_pairs(spark, sf_dir):
+    from zef_spark.pipeline.similarity import cosine_pairs
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return (cosine_pairs(emb, "embedding", "vec_id", threshold=0.3,
+                         block_col="label")
+            .orderBy("id_a", "id_b"))
+
+
+# rows-only checks (non-SQL-expressible at reasonable oracle cost)
+
+@query("p_minhash_lsh_pairs")
+def p_minhash(spark, sf_dir):
+    from zef_spark.pipeline.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
+                              bands=16, jaccard_threshold=0.4)
+            .orderBy("id_a", "id_b"))
+
+
+@query("p_simhash_pairs")
+def p_simhash(spark, sf_dir):
+    from zef_spark.pipeline.dedup import simhash_dup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "text", "doc_id", max_hamming=8) \
+        .orderBy("id_a", "id_b")
+
+
+@query("p_ngram_jaccard_pairs")
+def p_ngram_jaccard(spark, sf_dir):
+    from zef_spark.pipeline.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return (ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+@query("p_ann_topk_lsh")
+def p_ann_lsh(spark, sf_dir):
+    from zef_spark.pipeline.similarity import ann_topk_lsh
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return ann_topk_lsh(emb, "embedding", "vec_id",
+                        _query_vec(spark, sf_dir), k=10, n_planes=6)
+
+
+# =====================================================================
+# events: sessionization + tumbling windows (batch forms of the
+# streaming ops; see zef_spark.streaming for the readStream variants)
+# =====================================================================
+
+@query("e_sessionize_30min", """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM lagged GROUP BY user_id ORDER BY user_id
+""")
+def e_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(prev.isNull() |
+                      ((F.unix_micros(F.col("ts").cast("timestamp")) -
+                        F.unix_micros(prev.cast("timestamp")))
+                       > 1800 * 1_000_000), 1).otherwise(0)
+    return (ev.withColumn("new_sess", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("user_id"))
+
+
+@query("e_hourly_tumbling", """
+SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1 ORDER BY hour
+""")
+def e_tumbling(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("hour"), "n_events", "total_value")
+            .orderBy("hour"))
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 

@@ -39,6 +39,7 @@ class Graph:
         self.attr_values = attr_values
         self.txs = txs
         self._max_tx = None
+        self.rt_vrt: dict[str, str] | None = None  # optional rt→VRT registry
 
     @property
     def spark(self):
@@ -225,11 +226,18 @@ class NodeSet:
         return per_owner.select("id", F.col("__v.*"))
 
     def field(self, rt, alias: str | None = None) -> DataFrame:
-        """(id, <alias>) — value typed by the AE's VRT."""
+        """(id, <alias>) — value typed by the AE's VRT. The VRT comes
+        from the graph's static rt→VRT registry when available (no
+        probe); otherwise a bounded probe of the attr branch."""
         name = _rt_name(rt)
         fdf = self._field_df(name)
-        vrts = [r[0] for r in fdf.select("vrt").distinct().limit(2).collect()]
-        col = VALUE_COLS.get(vrts[0], "value_str") if vrts else "value_str"
+        vrt = (self.frame.graph.rt_vrt or {}).get(name) \
+            if getattr(self.frame.graph, "rt_vrt", None) else None
+        if vrt is None:
+            vrts = [r[0] for r in
+                    fdf.select("vrt").distinct().limit(2).collect()]
+            vrt = vrts[0] if vrts else "String"
+        col = VALUE_COLS.get(vrt, "value_str")
         return fdf.select("id", F.col(col).alias(alias or name))
 
     def fields(self, *rts, **aliased) -> DataFrame:

@@ -39,8 +39,7 @@ _TABLES = {
     "supplier": (4, "Supplier", lambda: F.col("s_suppkey")),
     "part":     (5, "Part",     lambda: F.col("p_partkey")),
     "orders":   (6, "Order",    lambda: F.col("o_orderkey")),
-    "lineitem": (7, "Lineitem", lambda: (F.col("l_orderkey") * 8
-                                         + F.col("l_linenumber"))),
+    "lineitem": (7, "Lineitem", lambda: F.col("__li_key")),
 }
 
 # (rt, src_table, src_key_col, dst_table, dst_key_col)
@@ -85,6 +84,18 @@ def _union_all(dfs):
 def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
     raw = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
            for t in _TABLES}
+    # lineitem has no unique natural key in this data (duplicate
+    # (orderkey, linenumber) pairs exist): disambiguate with an
+    # occurrence number — a window keyed by the composite key, so the
+    # shuffle is by key and each partition group is tiny (scales).
+    from pyspark.sql import Window
+    li = raw["lineitem"]
+    occ_w = Window.partitionBy("l_orderkey", "l_linenumber") \
+        .orderBy(*li.columns)
+    raw["lineitem"] = li.withColumn(
+        "__li_key",
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 16
+         + F.row_number().over(occ_w) - 1).cast("long"))
     key_cols = {  # columns that are pure foreign/primary keys, not attrs
         "region": {"r_regionkey"}, "nation": {"n_nationkey", "n_regionkey"},
         "customer": {"c_custkey", "c_nationkey"},
@@ -92,10 +103,11 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
         "part": {"p_partkey"},
         "orders": {"o_orderkey", "o_custkey"},
         "lineitem": {"l_orderkey", "l_partkey", "l_suppkey",
-                     "l_linenumber"},
+                     "l_linenumber", "__li_key"},
     }
 
     node_parts, edge_parts, attr_parts, attr_code = [], [], [], {}
+    rt_vrt: dict[str, str] = {}
     next_attr_code = 100
 
     for tname, (code, et, key_fn) in _TABLES.items():
@@ -113,6 +125,7 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
             if colname in key_cols[tname]:
                 continue
             vrt = _SPARK_TO_VRT[dtype]
+            rt_vrt[colname] = vrt
             ae_code = next_attr_code
             attr_code[(tname, colname)] = ae_code
             next_attr_code += 2  # even: AE node code, odd: attr edge code
@@ -178,8 +191,10 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
             [(1,)], "tx_id long").select(
             "tx_id", F.lit(_EPOCH).cast("timestamp_ntz").alias("time")))
 
-    return Graph(_union_all(node_parts), _union_all(edge_parts),
-                 _union_all(attr_parts), txs)
+    g = Graph(_union_all(node_parts), _union_all(edge_parts),
+              _union_all(attr_parts), txs)
+    g.rt_vrt = rt_vrt  # static rt→VRT map: lets field() skip probing
+    return g
 
 
 _GRAPH_CACHE: dict = {}

@@ -64,8 +64,10 @@ VALUE_COLS = {
     "Time": "value_time",
 }
 
-# Deterministic id layout: high bits = type code, low 40 bits = key.
-ID_KEY_BITS = 40
+# Deterministic id layout: high bits = type code, low 52 bits = key.
+# 52 key bits leave 10 bits for type codes (≤1023) within int64 —
+# enough for ~4.5e15 distinct keys per type at 100 TB scale.
+ID_KEY_BITS = 52
 
 
 def make_id_expr(type_code: int, key_col):

@@ -92,12 +92,15 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def fingerprint(df: DataFrame, text_col: str,
-                out_col: str = "fingerprint", k: int = 8) -> DataFrame:
-    """Document fingerprint: xxhash64 of the lexicographically minimal
+                out_col: str = "fingerprint", k: int = 8,
+                hash_fn: str = "xxhash64") -> DataFrame:
+    """Document fingerprint: hash of the lexicographically minimal
     k-shingle of the normalized text (rolling-hash winnowing, w=∞) —
-    robust to reordering-free edits at the margins; row-local."""
+    robust to reordering-free edits at the margins; row-local.
+    hash_fn: 'xxhash64' (fast, JVM) or 'md5' (portable hex)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     n = F.greatest(F.length(norm) - k + 1, F.lit(1))
     sh = F.transform(F.sequence(F.lit(1), n),
                      lambda i: F.substring(norm, i, k))
-    return df.withColumn(out_col, F.xxhash64(F.array_min(sh)))
+    h = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    return df.withColumn(out_col, h(F.array_min(sh)))
