@@ -1,0 +1,151 @@
+"""Graph model: mapper-built TPC-H graph + traversal + temporal ops,
+plus the write path (wishes/transact) temporal semantics — mirrors the
+reference's persons_pets fixture (FIXTURES.md §1,
+python/tests/test_oldstyle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zef_spark import ET, RT, Graph, ops as z
+from zef_spark.graph.delta import E, R, Assign, SetField, Terminate, \
+    empty_graph, transact
+from zef_spark.graph.mapper import graph_for
+
+
+@pytest.fixture(scope="module")
+def g(spark, sf_dir):
+    return graph_for(spark, sf_dir)
+
+
+def test_all_scan_counts(g):
+    gs = g | z.now
+    assert (gs | z.all[ET.Customer] | z.count | z.collect) == 150
+    assert (gs | z.all[ET.Region] | z.count | z.collect) == 5
+    both = gs | z.all[ET.Region | ET.Nation] | z.count | z.collect
+    assert both == 30
+
+
+def test_hop_traversal(g):
+    gs = g | z.now
+    regions = gs | z.all[ET.Nation] | z.Outs[RT.MemberOf]
+    assert (regions | z.count | z.collect) == 5  # distinct targets
+    nations_back = gs | z.all[ET.Region] | z.Ins[RT.MemberOf]
+    assert (nations_back | z.count | z.collect) == 25
+
+
+def test_field_read(g):
+    gs = g | z.now
+    names = (gs | z.all[ET.Region]).field("r_name")
+    vals = sorted(r[1] for r in names.collect())
+    assert vals == ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def test_select_by_field(g):
+    gs = g | z.now
+    hit = gs | z.all[ET.Customer] | z.select_by_field[
+        "c_name", "Customer#000000001"] | z.to_df
+    assert hit.count() == 1
+
+
+def test_edge_source_target(g):
+    gs = g | z.now
+    es = gs | z.all[ET.Nation] | z.out_rels[RT.MemberOf]
+    assert (es | z.source | z.count | z.collect) == 25
+    assert (es | z.target | z.count | z.collect) == 5
+
+
+def test_asof_monotone(g):
+    import datetime
+    early = g.at(datetime.datetime(1996, 1, 1))
+    late = g.at(datetime.datetime(2000, 1, 1))
+    n_early = early | z.all[ET.Order] | z.count | z.collect
+    n_late = late | z.all[ET.Order] | z.count | z.collect
+    n_now = g | z.now | z.all[ET.Order] | z.count | z.collect
+    assert n_early < n_late <= n_now == 1500
+
+
+def test_time_travel_relative(g):
+    gs = g | z.now
+    past = gs | z.time_travel[-10]
+    assert past.tx < gs.tx
+    back = past | z.time_travel[10]
+    assert back.tx == gs.tx
+
+
+def test_blueprint(g):
+    tri = (g | z.blueprint).collect()
+    triples = {(r[0], r[1], r[2]) for r in tri}
+    assert ("Nation", "MemberOf", "Region") in triples
+    assert ("Order", "PlacedBy", "Customer") in triples
+
+
+# -- write path: persons_pets temporal fixture ------------------------
+
+@pytest.fixture(scope="module")
+def persons(spark):
+    g0 = empty_graph(spark)
+    g1, r1 = transact(g0, [
+        E(ET.Person, name="joe", fields={"Name": "Joe", "Age": 42}),
+        E(ET.Pet, name="luna", fields={"Name": "Luna"}),
+        R("joe", RT.HasPet, "luna"),
+    ])
+    g2, r2 = transact(g1, [E(ET.Person, name="flo", fields={"Name": "Flo"})])
+    g3, _ = transact(g2, [Assign(r1["joe"], "Age", 43)])
+    g4, _ = transact(g3, [Terminate(r2["flo"])])
+    return g4, {**r1, **r2}
+
+
+def test_persons_per_slice_counts(persons):
+    g, ids = persons
+    counts = [GraphAt(g, tx) | z.all[ET.Person] | z.count | z.collect
+              for tx in [1, 2, 3, 4]]
+    assert counts == [1, 2, 2, 1]  # flo terminated at tx4
+
+
+def GraphAt(g, tx):
+    from zef_spark.graph.graph import GraphSlice
+    return GraphSlice(g, tx)
+
+
+def test_value_history_asof(persons):
+    g, ids = persons
+    ns_now = GraphAt(g, 4) | z.all[ET.Person]
+    age_now = ns_now.field("Age").collect()
+    assert [r[1] for r in age_now] == [43]
+    ns_then = GraphAt(g, 2) | z.all[ET.Person]
+    age_then = ns_then.field("Age").collect()
+    assert [r[1] for r in age_then] == [42]
+
+
+def test_traversal_after_write(persons):
+    g, ids = persons
+    pets = GraphAt(g, 4) | z.all[ET.Person] | z.Outs[RT.HasPet]
+    names = pets.field("Name").collect()
+    assert [r[1] for r in names] == ["Luna"]
+
+
+def test_terminate_cascades_edges(persons):
+    g, ids = persons
+    gs = GraphAt(g, 4)
+    alive_edges = gs.edges().where(F.col("rt") == "Name").count()
+    # flo's Name edge terminated with her: joe + luna remain
+    assert alive_edges == 2
+
+
+def test_set_field_upsert(spark, persons):
+    g, ids = persons
+    g5, _ = transact(g, [SetField(ids["joe"], "Name", "Joseph")])
+    ns = GraphAt(g5, g5.max_tx()) | z.all[ET.Person]
+    assert [r[1] for r in ns.field("Name").collect()] == ["Joseph"]
+    # history preserved: at tx1 the old value is visible
+    ns1 = GraphAt(g5, 1) | z.all[ET.Person]
+    assert [r[1] for r in ns1.field("Name").collect()] == ["Joe"]
+
+
+def test_exists_at(persons):
+    g, ids = persons
+    ns = GraphAt(g, 4) | z.all[ET.Person]  # joe only
+    ex = (GraphAt(g, 2) | z.all[ET.Person]).exists_at(GraphAt(g, 4))
+    m = {r[0]: r[1] for r in ex.collect()}
+    assert m[ids["joe"]] is True
+    assert m[ids["flo"]] is False

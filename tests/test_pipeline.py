@@ -1,0 +1,128 @@
+"""Dedup / similarity / text pipeline operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zef_spark.pipeline.dedup import (exact_dedup, minhash_lsh_pairs,
+                                      minhash_signatures, ngram_jaccard_pairs,
+                                      simhash, simhash_dup_pairs)
+from zef_spark.pipeline.similarity import (ann_topk_lsh, brute_force_topk,
+                                           cosine_pairs, cosine_to_query)
+from zef_spark.pipeline.text import (bpe_ish_token_count, fingerprint,
+                                     lang_id, quality_score, token_count)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup
+        (3, "the quick brown fox jumped over the lazy dog"),       # near dup
+        (4, "der hund ist nicht mit der katze und der maus"),
+        (5, "completely different content about spark engines"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    ids = sorted(r[0] for r in kept.select("doc_id").collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 deduped into doc 1
+
+
+def test_minhash_signatures_shape(docs):
+    sig = minhash_signatures(docs.where("doc_id < 6"), "text", "doc_id",
+                             num_perm=16)
+    rows = sig.collect()
+    assert all(len(r["sig"]) == 16 for r in rows)
+    by_id = {r["doc_id"]: r["sig"] for r in rows}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs.where("doc_id < 6"), "text", "doc_id",
+                              num_perm=32, bands=16,
+                              jaccard_threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got  # near dup caught
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_properties(docs):
+    fp = {r["doc_id"]: r["simhash"]
+          for r in simhash(docs, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    ham15 = bin(fp[1] ^ fp[5]).count("1")
+    assert ham13 < ham15  # near dup closer than unrelated
+
+
+def test_simhash_pairs(docs):
+    pairs = simhash_dup_pairs(docs.where("doc_id < 6"), "text", "doc_id",
+                              max_hamming=10)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs.where("doc_id < 6"), "text", "doc_id",
+                                n=2, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+
+
+def test_text_ops(docs):
+    tc = {r["doc_id"]: r["n_tokens"]
+          for r in token_count(docs, "text").collect()}
+    assert tc[1] == 9 and tc[6] == 0
+    bp = bpe_ish_token_count(docs, "text").collect()
+    assert all(r["n_bpe_tokens"] >= 0 for r in bp)
+    lp = {r["doc_id"]: r["lang_pred"]
+          for r in lang_id(docs, "text").collect()}
+    assert lp[1] == "en" and lp[4] == "de" and lp[6] == "und"
+    q = {r["doc_id"]: r["quality"]
+         for r in quality_score(docs, "text").collect()}
+    assert 0 <= q[1] <= 1 and q[6] < q[1]
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in fingerprint(docs, "text").collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[5]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(40):
+        base = [math.sin(i * 0.7 + j) for j in range(8)]
+        rows.append((i, [float(x) for x in base], i % 4))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk(emb):
+    q = [r[0] for r in emb.where("vec_id = 0")
+         .select(F.explode("embedding")).collect()]
+    top = brute_force_topk(emb, "embedding", "vec_id", q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert len(top) == 5
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall_of_self(emb):
+    q = [r[0] for r in emb.where("vec_id = 0")
+         .select(F.explode("embedding")).collect()]
+    top = ann_topk_lsh(emb, "embedding", "vec_id", q, k=5,
+                       n_planes=4).collect()
+    assert top and top[0]["vec_id"] == 0  # query's own bucket has itself
+
+
+def test_cosine_pairs_blocked(emb):
+    pairs = cosine_pairs(emb, "embedding", "vec_id", threshold=0.99,
+                         block_col="label")
+    for r in pairs.collect():
+        assert r["cosine"] >= 0.99
+        assert r["id_a"] < r["id_b"]

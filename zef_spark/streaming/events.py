@@ -1,0 +1,144 @@
+"""Graph-change streams as Structured Streaming.
+
+Reference parity: ``on[instantiated[T] | terminated[T] | assigned[T]]``
+(ITF:238-360) filters per-transaction event lists into RxPY subjects;
+``subscribe`` attaches callbacks (op_structs.py:876-915).
+
+Spark-native design (SURVEY §2.L): the graph's *event log* is the
+streaming source. Events are derived set-wise from the bitemporal
+tables — a row instantiated at ``valid_from_tx``, terminated at
+``valid_to_tx``, assigned at ``assigned_at_tx`` — and materialized as
+an append-only parquet log that ``readStream`` tails. In production
+the log falls out of the Delta commit (Change Data Feed) instead of a
+separate write; the derivation below is the storage-agnostic form.
+
+Late data / watermarks / session windows have NO reference equivalent
+(push-based Rx has no event time) — exposed here as Spark-native
+extras (`windowed_counts`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.graph import Graph
+from ..graph.schema import VALUE_COLS
+
+EVENT_SCHEMA = ("tx_id LONG, event STRING, kind STRING, id LONG, "
+                "token STRING, value STRING, time TIMESTAMP_NTZ")
+
+
+def derive_event_log(g: Graph) -> DataFrame:
+    """Full event log (tx_id, event, kind, id, token, value, time) from
+    the bitemporal tables — pure set-oriented derivation, no state."""
+    txs = g.txs
+    n_inst = g.nodes.select(
+        F.col("valid_from_tx").alias("tx_id"),
+        F.lit("instantiated").alias("event"), F.lit("node").alias("kind"),
+        "id", F.col("et").alias("token"),
+        F.lit(None).cast("string").alias("value"))
+    n_term = g.nodes.where(F.col("valid_to_tx").isNotNull()).select(
+        F.col("valid_to_tx").alias("tx_id"),
+        F.lit("terminated").alias("event"), F.lit("node").alias("kind"),
+        "id", F.col("et").alias("token"),
+        F.lit(None).cast("string").alias("value"))
+    e_inst = g.edges.select(
+        F.col("valid_from_tx").alias("tx_id"),
+        F.lit("instantiated").alias("event"), F.lit("edge").alias("kind"),
+        "id", F.col("rt").alias("token"),
+        F.lit(None).cast("string").alias("value"))
+    e_term = g.edges.where(F.col("valid_to_tx").isNotNull()).select(
+        F.col("valid_to_tx").alias("tx_id"),
+        F.lit("terminated").alias("event"), F.lit("edge").alias("kind"),
+        "id", F.col("rt").alias("token"),
+        F.lit(None).cast("string").alias("value"))
+    assigned = g.attr_values.select(
+        F.col("assigned_at_tx").alias("tx_id"),
+        F.lit("assigned").alias("event"), F.lit("attr").alias("kind"),
+        F.col("ae_id").alias("id"), F.col("vrt").alias("token"),
+        F.coalesce(*[F.col(c).cast("string")
+                     for c in VALUE_COLS.values()]).alias("value"))
+    log = n_inst.unionByName(n_term).unionByName(e_inst) \
+        .unionByName(e_term).unionByName(assigned)
+    return log.join(F.broadcast(txs), "tx_id", "left")
+
+
+def events_of_tx(g: Graph, tx: int) -> DataFrame:
+    """`tx | events` (ITF:5168): the delta of one transaction."""
+    return derive_event_log(g).where(F.col("tx_id") == tx)
+
+
+class EventLog:
+    """Append-only parquet event log + its streaming reader."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, g: Graph, mode: str = "overwrite") -> "EventLog":
+        # partition by event kind → `on[instantiated[...]]` prunes
+        derive_event_log(g).write.mode(mode) \
+            .partitionBy("event").parquet(self.path)
+        return self
+
+    def append_tx(self, g: Graph, tx: int) -> "EventLog":
+        events_of_tx(g, tx).write.mode("append") \
+            .partitionBy("event").parquet(self.path)
+        return self
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        return (spark.readStream
+                .schema(EVENT_SCHEMA + ", event STRING")
+                .option("maxFilesPerTrigger", 64)
+                .parquet(self.path))
+
+    def batch(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+def on_instantiated(events: DataFrame, et=None) -> DataFrame:
+    out = events.where(F.col("event") == "instantiated")
+    if et is not None:
+        out = out.where(F.col("token") == getattr(et, "name", str(et)))
+    return out
+
+
+def on_terminated(events: DataFrame, et=None) -> DataFrame:
+    out = events.where(F.col("event") == "terminated")
+    if et is not None:
+        out = out.where(F.col("token") == getattr(et, "name", str(et)))
+    return out
+
+
+def on_assigned(events: DataFrame, vrt: str | None = None) -> DataFrame:
+    out = events.where(F.col("event") == "assigned")
+    if vrt is not None:
+        out = out.where(F.col("token") == vrt)
+    return out
+
+
+def subscribe(stream_df: DataFrame, fn: Callable, once: bool = True):
+    """`subscribe[fn]`: run fn(batch_df, batch_id) per micro-batch.
+    once=True processes everything available then stops (test mode);
+    otherwise returns the running StreamingQuery."""
+    writer = stream_df.writeStream.foreachBatch(fn) \
+        .option("checkpointLocation", None) if False else \
+        stream_df.writeStream.foreachBatch(fn)
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Spark-native extra: event-time tumbling counts with a
+    late-data watermark (no reference equivalent)."""
+    return (events.withColumn("time", F.col("time").cast("timestamp"))
+            .withWatermark("time", watermark)
+            .groupBy(F.window("time", window).alias("w"),
+                     F.col("event"))
+            .agg(F.count(F.lit(1)).alias("n")))

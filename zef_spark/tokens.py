@@ -24,6 +24,20 @@ class Token:
 
     __repr__ = __str__
 
+    # tokens participate in the VT set algebra: ET.A | ET.B is a type
+    # union usable in all[...] / filter[...] (reference: VT/sets.py)
+    def __or__(self, other):
+        from .vt import Union, _coerce
+        return Union(_coerce(self), _coerce(other))
+
+    def __and__(self, other):
+        from .vt import Intersection, _coerce
+        return Intersection(_coerce(self), _coerce(other))
+
+    def __invert__(self):
+        from .vt import Complement, _coerce
+        return Complement(self)
+
 
 class _TokenFactory:
     """`ET.Person` style attribute access; tokens created on first use

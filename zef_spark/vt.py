@@ -83,6 +83,9 @@ String = _Primitive("String", (str,), lambda c: c.cast("string").isNotNull())
 class Is(ValueType):
     """Is[predicate] — wrap a predicate as a type (sets.py:289)."""
 
+    def __class_getitem__(cls, pred):
+        return cls(pred)
+
     def __init__(self, pred: Callable | None = None):
         self.pred = pred
 
@@ -100,6 +103,11 @@ class Is(ValueType):
 
 
 class Union(ValueType):
+    def __class_getitem__(cls, args):
+        if not isinstance(args, tuple):
+            args = (args,)
+        return cls(*args)
+
     def __init__(self, *members):
         self.members = tuple(_coerce(m) for m in members)
         self.name = "Union[" + ", ".join(m.name for m in self.members) + "]"
@@ -120,6 +128,11 @@ class Union(ValueType):
 
 
 class Intersection(ValueType):
+    def __class_getitem__(cls, args):
+        if not isinstance(args, tuple):
+            args = (args,)
+        return cls(*args)
+
     def __init__(self, *members):
         self.members = tuple(_coerce(m) for m in members)
         self.name = ("Intersection[" +
@@ -141,6 +154,9 @@ class Intersection(ValueType):
 
 
 class Complement(ValueType):
+    def __class_getitem__(cls, arg):
+        return cls(arg)
+
     def __init__(self, member=None):
         self.member = _coerce(member) if member is not None else None
         self.name = f"Complement[{self.member and self.member.name}]"
@@ -156,6 +172,11 @@ class Complement(ValueType):
 
 
 class SetOf(ValueType):
+    def __class_getitem__(cls, args):
+        if not isinstance(args, tuple):
+            args = (args,)
+        return cls(*args)
+
     """SetOf[a, b, c] — membership in an explicit finite set."""
 
     def __init__(self, *values):
@@ -196,6 +217,9 @@ class RAEType(ValueType):
 
 
 class Pattern(ValueType):
+    def __class_getitem__(cls, spec):
+        return cls(spec)
+
     """Pattern[{...}] — structural dict matching (sets.py:340-401)."""
 
     def __init__(self, spec=None):
