@@ -1,0 +1,65 @@
+"""Structured-Streaming graph-change subscriptions over the event log
+(reference: on[instantiated/terminated/assigned], test_subscribe.py)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from zef_spark import ET, RT
+from zef_spark.graph.delta import E, R, Assign, Terminate, empty_graph, \
+    transact
+from zef_spark.streaming import (EventLog, events_of_tx, on_assigned,
+                                 on_instantiated, on_terminated)
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    g0 = empty_graph(spark)
+    g1, r1 = transact(g0, [
+        E(ET.Machine, name="m1", fields={"UsedBy": "alice"}),
+        E(ET.Machine, name="m2", fields={"UsedBy": "bob"}),
+    ])
+    g2, _ = transact(g1, [Assign(r1["m1"], "UsedBy", "carol")])
+    g3, _ = transact(g2, [Terminate(r1["m2"])])
+    return g3
+
+
+def test_events_of_tx(g):
+    ev1 = events_of_tx(g, 1)
+    kinds = {(r["event"], r["kind"]) for r in ev1.collect()}
+    assert ("instantiated", "node") in kinds
+    assert ("assigned", "attr") in kinds
+    ev3 = events_of_tx(g, 3)
+    assert {r["event"] for r in ev3.collect()} >= {"terminated"}
+
+
+def test_event_filters_batch(g, spark):
+    with tempfile.TemporaryDirectory() as d:
+        log = EventLog(f"{d}/log").write(g)
+        ev = log.batch(spark)
+        inst = on_instantiated(ev, ET.Machine)
+        assert inst.count() == 2
+        term = on_terminated(ev, ET.Machine)
+        assert term.count() == 1
+        asg = on_assigned(ev, "String")
+        assert asg.count() == 3  # 2 initial + 1 re-assign
+
+
+def test_streaming_subscription(g, spark):
+    with tempfile.TemporaryDirectory() as d:
+        log = EventLog(f"{d}/log").write(g)
+        stream = log.stream(spark)
+        seen = []
+
+        def sink(batch_df, batch_id):
+            seen.extend(batch_df.collect())
+
+        from zef_spark.streaming import subscribe
+        q = (on_instantiated(stream, ET.Machine)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", f"{d}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert len(seen) == 2
+        assert all(r["token"] == "Machine" for r in seen)
