@@ -40,6 +40,9 @@ class Graph:
         self.txs = txs
         self._max_tx = None
         self.rt_vrt: dict[str, str] | None = None  # optional rt→VRT registry
+        # True when every AE has exactly one assignment row ever
+        # (bulk-ingested graphs): enables no-shuffle field reads
+        self.single_assignment = False
 
     @property
     def spark(self):
@@ -217,8 +220,12 @@ class NodeSet:
             F.col("vrt"),
             *[F.col(c) for c in VALUE_COLS.values()])
         joined = owners.join(typed, "__ae", "inner")
-        # exactly one alive assignment per AE is the invariant; guard
-        # with max_by on assigned_at_tx anyway (idempotent re-assigns)
+        if getattr(g, "single_assignment", False):
+            # mapper-built graphs: exactly one assignment row per AE
+            # ever — skip the defensive aggregation (saves a shuffle)
+            return joined.drop("__ae", "assigned_at_tx")
+        # general graphs: ≤1 *alive* row per AE at any frame, but be
+        # robust to idempotent re-assigns via max_by on assigned_at_tx
         per_owner = joined.groupBy("id").agg(
             F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS.values()],
                               F.col("vrt")),

@@ -194,6 +194,7 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
     g = Graph(_union_all(node_parts), _union_all(edge_parts),
               _union_all(attr_parts), txs)
     g.rt_vrt = rt_vrt  # static rt→VRT map: lets field() skip probing
+    g.single_assignment = True  # one assignment per AE → no-shuffle reads
     return g
 
 

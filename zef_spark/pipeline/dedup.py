@@ -42,15 +42,31 @@ def shingles(col, k: int = 5):
                     lambda i: F.substring(col, i, k)))
 
 
+_MERSENNE = (1 << 31) - 1  # 31-bit prime: a*h+b stays < 2^62 (no ANSI overflow)
+
+
+def _perm_coeffs(num_perm: int, seed: int = 7):
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+            for _ in range(num_perm)]
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_perm: int = 64, k: int = 5) -> DataFrame:
     """(id, sig array<long>): one explode + one groupBy shuffle for all
-    permutations at once; permutation i = min(xxhash64(shingle, i))."""
+    permutations at once. Each shingle is xxhash64'd ONCE; the
+    permutations are universal-hash rescramblings a_i*h+b_i (cheap
+    multiply-adds inside codegen) — 64x less hashing than hashing per
+    permutation, which dominates cost on large corpora."""
     sh = df.select(F.col(id_col),
                    F.explode(shingles(F.col(text_col), k)).alias("__sh"))
-    aggs = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_perm)]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    h = sh.withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))) \
+          .drop("__sh")
+    aggs = [F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
+                         F.lit(_MERSENNE))).alias(f"h{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(num_perm))]
+    sig = h.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)])
                       .alias("sig"))
 
