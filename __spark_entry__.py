@@ -883,6 +883,101 @@ def e_tumbling(spark, sf_dir):
 
 
 # =====================================================================
+# 2.O GraphQL layer (SimpleGQL filter/order/pagination/aggregate
+# compiled to single DataFrame plans; zef_spark/graphql/)
+# =====================================================================
+
+def _gql(spark, sf_dir):
+    from zef_spark.graphql import tpch_schema
+    schema = tpch_schema()
+    return schema, (lambda t: _t(spark, sf_dir, schema[t].table))
+
+
+@query("gql_nested_filter_order", """
+SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+FROM customer c
+WHERE c_acctbal > 1000
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 150000)
+  AND EXISTS (SELECT 1 FROM nation n JOIN region r
+              ON n.n_regionkey = r.r_regionkey
+              WHERE n.n_nationkey = c.c_nationkey
+              AND r.r_name IN ('ASIA', 'EUROPE'))
+ORDER BY c_acctbal DESC, c_custkey LIMIT 50
+""")
+def gql_nested(spark, sf_dir):
+    from zef_spark.graphql import run_query
+    schema, load = _gql(spark, sf_dir)
+    return run_query(
+        schema, load, "Customer",
+        fil={"acctbal": {"gt": 1000},
+             "orders": {"any": {"totalprice": {"gt": 150000}}},
+             "nation": {"region": {"name": {"in": ["ASIA", "EUROPE"]}}}},
+        order={"desc": "acctbal", "then": {"asc": "custkey"}},
+        first=50, columns=["custkey", "name", "acctbal"])
+
+
+@query("gql_aggregate_orders", """
+SELECT COUNT(*) AS "count",
+       MIN(o_totalprice) AS "totalpriceMin",
+       MAX(o_totalprice) AS "totalpriceMax",
+       ROUND(SUM(o_totalprice), 2) AS "totalpriceSum",
+       ROUND(AVG(o_totalprice), 6) AS "totalpriceAvg",
+       MIN(o_orderkey) AS "orderkeyMin",
+       MAX(o_orderkey) AS "orderkeyMax",
+       SUM(o_orderkey) AS "orderkeySum",
+       ROUND(AVG(o_orderkey), 6) AS "orderkeyAvg"
+FROM orders WHERE o_orderstatus = 'F'
+""")
+def gql_aggregate(spark, sf_dir):
+    from zef_spark.graphql import run_aggregate
+    schema, load = _gql(spark, sf_dir)
+    agg = run_aggregate(schema, load, "Order",
+                        fil={"orderstatus": {"eq": "F"}})
+    return agg.select(
+        "count", "totalpriceMin", "totalpriceMax",
+        F.round("totalpriceSum", 2).alias("totalpriceSum"),
+        F.round("totalpriceAvg", 6).alias("totalpriceAvg"),
+        "orderkeyMin", "orderkeyMax", "orderkeySum",
+        F.round("orderkeyAvg", 6).alias("orderkeyAvg"))
+
+
+@query("gql_list_size_filter", """
+SELECT c_custkey AS custkey, c_acctbal AS acctbal
+FROM customer c LEFT JOIN
+  (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+  ON o.o_custkey = c.c_custkey
+WHERE COALESCE(o.cnt, 0) BETWEEN 10 AND 20
+ORDER BY custkey
+""")
+def gql_size(spark, sf_dir):
+    from zef_spark.graphql import run_query
+    schema, load = _gql(spark, sf_dir)
+    return run_query(
+        schema, load, "Customer",
+        fil={"orders": {"size": {"between": {"min": 10, "max": 20}}}},
+        order={"asc": "custkey"},
+        columns=["custkey", "acctbal"])
+
+
+@query("gql_all_quantifier", """
+SELECT c_custkey AS custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  AND NOT (o.o_totalprice IS NOT NULL
+                           AND o.o_totalprice < 300000))
+ORDER BY custkey
+""")
+def gql_all(spark, sf_dir):
+    from zef_spark.graphql import run_query
+    schema, load = _gql(spark, sf_dir)
+    return run_query(
+        schema, load, "Customer",
+        fil={"orders": {"all": {"totalprice": {"lt": 300000}}}},
+        order={"asc": "custkey"}, columns=["custkey"])
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 

@@ -1,0 +1,139 @@
+"""GraphQL layer tests (SURVEY §2.O): SDL parsing, filter language
+semantics (generate_api2.py:785-861 parity), document execution."""
+
+import pytest
+
+from zef_spark.graphql import (GraphQLEngine, run_aggregate, run_query,
+                               schema_from_sdl, tpch_schema)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def schema():
+    return tpch_schema()
+
+
+@pytest.fixture(scope="module")
+def load(spark, schema):
+    return lambda t: spark.read.parquet(f"{SF}/{schema[t].table}.parquet")
+
+
+def test_sdl_parsing(schema):
+    c = schema["Customer"]
+    assert c.table == "customer" and c.id_col == "c_custkey"
+    assert c.fields["acctbal"] == "c_acctbal"
+    assert c.relations["orders"].is_list
+    assert not c.relations["nation"].is_list
+    assert c.relations["nation"].remote_key == "n_nationkey"
+
+
+def test_scalar_ops_and_boolean_combinators(schema, load):
+    rows = run_query(
+        schema, load, "Customer",
+        fil={"or": [{"acctbal": {"lt": -900}},
+                    {"and": [{"mktsegment": {"eq": "BUILDING"}},
+                             {"acctbal": {"ge": 9000}}]}],
+             "not": {"name": {"contains": "000000999"}}},
+        columns=["custkey", "acctbal", "mktsegment"]).collect()
+    assert rows
+    for r in rows:
+        assert r.acctbal < -900 or (r.mktsegment == "BUILDING"
+                                    and r.acctbal >= 9000)
+
+
+def test_id_in_filter(schema, load):
+    rows = run_query(schema, load, "Customer", fil={"id": [1, 2, 3]},
+                     columns=["custkey"]).collect()
+    assert sorted(r.custkey for r in rows) == [1, 2, 3]
+
+
+def test_any_all_size_quantifiers(schema, load, spark):
+    orders = load("Order")
+    # any: at least one order over threshold
+    got = {r.custkey for r in run_query(
+        schema, load, "Customer",
+        fil={"orders": {"any": {"totalprice": {"gt": 400000}}}},
+        columns=["custkey"]).collect()}
+    want = {r.o_custkey for r in
+            orders.where("o_totalprice > 400000")
+            .select("o_custkey").distinct().collect()}
+    assert got == want
+
+    # all: vacuously true for customers with no orders
+    got_all = {r.custkey for r in run_query(
+        schema, load, "Customer",
+        fil={"orders": {"all": {"totalprice": {"lt": 100000}}}},
+        columns=["custkey"]).collect()}
+    violators = {r.o_custkey for r in
+                 orders.where("NOT (o_totalprice < 100000)")
+                 .select("o_custkey").distinct().collect()}
+    everyone = {r.custkey for r in run_query(
+        schema, load, "Customer", columns=["custkey"]).collect()}
+    assert got_all == everyone - violators
+
+    # size: count comparison includes zero-order customers
+    got_zero = {r.custkey for r in run_query(
+        schema, load, "Customer",
+        fil={"orders": {"size": {"eq": 0}}},
+        columns=["custkey"]).collect()}
+    with_orders = {r.o_custkey for r in
+                   orders.select("o_custkey").distinct().collect()}
+    assert got_zero == everyone - with_orders
+
+
+def test_order_then_pagination(schema, load):
+    rows = run_query(
+        schema, load, "Customer",
+        order={"desc": "acctbal", "then": {"asc": "custkey"}},
+        first=5, offset=2,
+        columns=["custkey", "acctbal"]).collect()
+    assert len(rows) == 5
+    bals = [r.acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_aggregate(schema, load):
+    row = run_aggregate(schema, load, "Order",
+                        fil={"orderstatus": {"eq": "F"}}).collect()[0]
+    base = load("Order").where("o_orderstatus = 'F'")
+    assert row["count"] == base.count()
+    assert row["totalpriceMax"] == \
+        base.agg({"o_totalprice": "max"}).collect()[0][0]
+
+
+def test_document_execution_nested(schema, load):
+    eng = GraphQLEngine(schema, load)
+    res = eng.execute("""
+    query {
+      queryCustomer(filter: {orders: {size: {ge: 15}}},
+                    order: {asc: custkey}, first: 2) {
+        custkey name
+        nation { name region { name } }
+        orders { orderkey totalprice }
+      }
+      aggregateOrder(filter: {orderstatus: {eq: "O"}}) { count }
+      getCustomer(id: 28) { custkey acctbal }
+    }""")
+    cs = res["queryCustomer"]
+    assert len(cs) == 2
+    assert len(cs[0]["orders"]) >= 15
+    assert "region" in cs[0]["nation"]
+    assert res["getCustomer"]["custkey"] == 28
+    assert res["aggregateOrder"]["count"] > 0
+
+
+def test_document_variables(schema, load):
+    eng = GraphQLEngine(schema, load)
+    res = eng.execute(
+        "query($k: Int) { getCustomer(id: $k) { custkey } }",
+        variables={"k": 7})
+    assert res["getCustomer"]["custkey"] == 7
+
+
+def test_sdl_errors():
+    with pytest.raises(ValueError, match="needs @rel"):
+        schema_from_sdl("""
+        type A @table(name: "a") { b: B }
+        type B @table(name: "b") { x: Int }
+        """)

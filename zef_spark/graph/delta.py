@@ -117,11 +117,11 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
                 .select("dst_id").limit(1).collect())
         return rows[0][0] if rows else None
 
-    def av_row(ae_id: int, value) -> tuple:
+    def av_row(ae_id: int, fname: str, value) -> tuple:
         vrt = _vrt_of(value)
         vals = {c: None for c in VALUE_COLS.values()}
         vals[VALUE_COLS[vrt]] = value
-        return (ae_id, vrt, vals["value_str"], vals["value_int"],
+        return (ae_id, fname, vrt, vals["value_str"], vals["value_int"],
                 vals["value_float"], vals["value_bool"], vals["value_time"],
                 tx, None)
 
@@ -130,7 +130,7 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
         ae_id = next(ids)
         new_nodes.append((ae_id, f"AET.{vrt}", None, tx, None))
         new_edges.append((next(ids), fname, None, owner_id, ae_id, tx, None))
-        new_avs.append(av_row(ae_id, value))
+        new_avs.append(av_row(ae_id, fname, value))
 
     for w in wishes:
         if isinstance(w, E):
@@ -154,7 +154,7 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
                 add_field(owner, _name(w.field), w.value)
             else:
                 supersede_aes.append(ae)
-                new_avs.append(av_row(ae, w.value))
+                new_avs.append(av_row(ae, _name(w.field), w.value))
         elif isinstance(w, Terminate):
             terminate_ids.append(resolve(w.target))
         else:

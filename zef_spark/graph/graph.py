@@ -39,6 +39,7 @@ class Graph:
         self.attr_values = attr_values
         self.txs = txs
         self._max_tx = None
+        self._max_tx_df = None  # optional cheap plan for max(tx_id)
         self.rt_vrt: dict[str, str] | None = None  # optional rt→VRT registry
         # True when every AE has exactly one assignment row ever
         # (bulk-ingested graphs): enables no-shuffle field reads
@@ -50,7 +51,9 @@ class Graph:
 
     def max_tx(self) -> int:
         if self._max_tx is None:
-            self._max_tx = self.txs.agg(F.max("tx_id")).collect()[0][0]
+            src = (self._max_tx_df if self._max_tx_df is not None
+                   else self.txs.agg(F.max("tx_id")))
+            self._max_tx = src.collect()[0][0]
         return self._max_tx
 
     def now(self) -> "GraphSlice":
@@ -70,12 +73,18 @@ class Graph:
 
     def materialize(self, path: str):
         """Persist as parquet partitioned by type token (= the
-        delegate index via partition pruning) and bucketed edges."""
-        self.nodes.write.mode("overwrite").partitionBy("et") \
+        delegate index via partition pruning). Repartitioning by the
+        partition column first keeps one writer per token directory
+        (no small-file explosion)."""
+        self.nodes.repartition(F.col("et")) \
+            .write.mode("overwrite").partitionBy("et") \
             .parquet(f"{path}/nodes")
-        self.edges.write.mode("overwrite").partitionBy("rt") \
+        self.edges.repartition(F.col("rt")) \
+            .write.mode("overwrite").partitionBy("rt") \
             .parquet(f"{path}/edges")
-        self.attr_values.write.mode("overwrite").parquet(f"{path}/attr_values")
+        self.attr_values.repartition(F.col("attr_rt")) \
+            .write.mode("overwrite").partitionBy("attr_rt") \
+            .parquet(f"{path}/attr_values")
         self.txs.write.mode("overwrite").parquet(f"{path}/txs")
 
     @staticmethod
@@ -212,6 +221,10 @@ class NodeSet:
             (F.col("assigned_at_tx") <= F.lit(t)) &
             (F.col("superseded_at_tx").isNull() |
              (F.col("superseded_at_tx") > F.lit(t))))
+        if "attr_rt" in av.columns:
+            # per-branch literal in mapper-built graphs: constant-folds
+            # every other attr union branch away (delegate-index read)
+            av = av.where(F.col("attr_rt") == rt_name)
         value = F.coalesce(*[F.col(c).cast("string")
                              for c in VALUE_COLS.values()])
         typed = av.select(
@@ -269,6 +282,8 @@ class NodeSet:
             (F.col("assigned_at_tx") <= F.lit(t)) &
             (F.col("superseded_at_tx").isNull() |
              (F.col("superseded_at_tx") > F.lit(t))))
+        if "attr_rt" in av.columns:
+            av = av.where(F.col("attr_rt") == name)
         cond = reduce(lambda a, b: a | b,
                       [F.col(c) == F.lit(value) for c in VALUE_COLS.values()
                        if _lit_compatible(c, value)])

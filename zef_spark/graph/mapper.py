@@ -60,6 +60,7 @@ _SPARK_TO_VRT = {"bigint": "Int", "int": "Int", "double": "Float",
 
 
 def _mkid(code: int, key):
+    assert 0 < code < (1 << (63 - ID_KEY_BITS)), f"type code {code} overflows"
     return (F.lit(code).cast("long") * (1 << ID_KEY_BITS)
             + key.cast("long")).alias("id")
 
@@ -146,7 +147,9 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
             # assignment history row
             c = F.col(colname)
             attr_parts.append(df.select(
-                ae_id.alias("ae_id"), F.lit(vrt).alias("vrt"),
+                ae_id.alias("ae_id"),
+                F.lit(colname).alias("attr_rt"),
+                F.lit(vrt).alias("vrt"),
                 (c.cast("string") if vrt == "String"
                  else F.lit(None).cast("string")).alias("value_str"),
                 (c.cast("long") if vrt == "Int"
@@ -160,7 +163,9 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
                 vfrom.alias("assigned_at_tx"),
                 F.lit(None).cast("long").alias("superseded_at_tx")))
 
-    rel_code = 5000
+    # Relation-edge type codes live above the attr codes but must stay
+    # < 2^(63-ID_KEY_BITS) = 1024 or the id arithmetic overflows int64.
+    rel_code = 600
     for rt, s_tab, s_key, d_tab, d_key in _RELATIONS:
         df = raw[s_tab]
         s_code = _TABLES[s_tab][0]
@@ -195,14 +200,61 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
               _union_all(attr_parts), txs)
     g.rt_vrt = rt_vrt  # static rt→VRT map: lets field() skip probing
     g.single_assignment = True  # one assignment per AE → no-shuffle reads
+    # max_tx without the txs dedup shuffle: datediff is monotonic, so
+    # max(tx) = tx_of(max(date)) — two column maxes that parquet
+    # aggregate pushdown answers from footer stats.
+    g._max_tx_df = (
+        raw["orders"].agg(F.max("o_orderdate").alias("m"))
+        .unionByName(raw["lineitem"].agg(F.max("l_shipdate").alias("m")))
+        .agg(F.max(_tx_of_date(F.col("m"))).alias("max_tx")))
     return g
 
 
 _GRAPH_CACHE: dict = {}
 
+# Bump when the mapper's output schema/ids change: invalidates the
+# on-disk materialized graphs.
+_CACHE_VERSION = 2
+
 
 def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
+    """Materialized-graph access path. The lazy mapper unions (~260
+    branches) are correct but hostile to Catalyst planning time, so on
+    first use per sf_dir the graph is persisted as token-partitioned
+    parquet (nodes by et, edges by rt, attr_values by attr_rt — the
+    Spark-native delegate index) and every query thereafter plans
+    against plain partition-pruned scans. This mirrors the production
+    posture: the mapper is INGESTION; the stored tables are the DB."""
+    import json
+    import os
+
     key = sf_dir.rstrip("/")
-    if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = build_graph(spark, key)
-    return _GRAPH_CACHE[key]
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    root = os.environ.get("ZEF_SPARK_GRAPH_CACHE",
+                          "/root/repo/.graph_cache")
+    tag = key.strip("/").replace("/", "_")
+    path = f"{root}/v{_CACHE_VERSION}/{tag}"
+    meta_path = f"{path}/meta.json"
+    if not os.path.exists(meta_path):
+        # build into a temp dir + atomic rename so a concurrent
+        # process never sees (or clobbers) a half-written graph
+        tmp = f"{path}.tmp.{os.getpid()}"
+        built = build_graph(spark, key)
+        built.materialize(tmp)
+        meta = {"rt_vrt": built.rt_vrt, "max_tx": built.max_tx()}
+        with open(f"{tmp}/meta.json", "w") as f:
+            json.dump(meta, f)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # another process won the race; use theirs
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    g = Graph.load(spark, path)
+    g.rt_vrt = meta["rt_vrt"]
+    g.single_assignment = True
+    g._max_tx = meta["max_tx"]
+    _GRAPH_CACHE[key] = g
+    return g

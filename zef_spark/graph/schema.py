@@ -46,6 +46,10 @@ EDGES_SCHEMA = T.StructType([
 
 ATTR_VALUES_SCHEMA = T.StructType([
     T.StructField("ae_id", T.LongType(), False),
+    # the field/relation token that owns this AE — a per-branch literal
+    # in mapper-built graphs, so ``attr_rt = 'x'`` constant-folds away
+    # every other union branch (and prunes partitions on disk)
+    T.StructField("attr_rt", T.StringType(), True),
     T.StructField("vrt", T.StringType(), False),
     T.StructField("value_str", T.StringType(), True),
     T.StructField("value_int", T.LongType(), True),

@@ -1,0 +1,10 @@
+"""SimpleGQL-style GraphQL layer compiled to DataFrame plans
+(SURVEY §2.O). See schema.py / compiler.py / executor.py."""
+
+from .compiler import run_aggregate, run_query
+from .executor import GraphQLEngine
+from .schema import GqlRelation, GqlSchema, GqlType, schema_from_sdl, \
+    tpch_schema
+
+__all__ = ["GqlType", "GqlRelation", "GqlSchema", "schema_from_sdl",
+           "tpch_schema", "run_query", "run_aggregate", "GraphQLEngine"]

@@ -1,0 +1,151 @@
+"""GraphQL document execution over DataFrame plans.
+
+Reference parity: the SimpleGQL server resolves ``query<T>``,
+``get<T>``, ``aggregate<T>`` per type via ariadne resolvers that walk
+objects one by one (python/zef/graphql/simplegql/server2.py,
+generate_api2.py:295-480). Here the document (parsed with
+graphql-core) compiles to ONE DataFrame plan per top-level field:
+nested selections become joins + collect_list(struct(...)) — the
+set-oriented plan SURVEY §3.3 calls for, avoiding N+1 resolution.
+
+Results are returned as plain Python dicts (the server-boundary
+shape); the DataFrame-returning entry points live in compiler.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .compiler import FilterCompiler, apply_order, apply_pagination, \
+    run_aggregate
+from .schema import GqlSchema
+
+
+def _ast_value(node, variables):
+    from graphql.language import ast as A
+    if isinstance(node, A.VariableNode):
+        return variables[node.name.value]
+    if isinstance(node, A.IntValueNode):
+        return int(node.value)
+    if isinstance(node, A.FloatValueNode):
+        return float(node.value)
+    if isinstance(node, (A.StringValueNode, A.EnumValueNode)):
+        return node.value
+    if isinstance(node, A.BooleanValueNode):
+        return node.value
+    if isinstance(node, A.NullValueNode):
+        return None
+    if isinstance(node, A.ListValueNode):
+        return [_ast_value(v, variables) for v in node.values]
+    if isinstance(node, A.ObjectValueNode):
+        return {f.name.value: _ast_value(f.value, variables)
+                for f in node.fields}
+    raise ValueError(f"unsupported value node {node!r}")
+
+
+class GraphQLEngine:
+    """Executes GraphQL query documents against a table loader."""
+
+    def __init__(self, schema: GqlSchema, load):
+        self.schema = schema
+        self.load = load
+
+    # -- public -------------------------------------------------------
+
+    def df(self, tname: str, args: dict, selection) -> DataFrame:
+        """One top-level query<T> as a DataFrame with (possibly
+        nested) gql-named columns."""
+        t = self.schema[tname]
+        base = self.load(tname)
+        df = FilterCompiler(self.schema, self.load).apply(
+            tname, base, args.get("filter"))
+        df = apply_order(t, df, args.get("order"))
+        df = apply_pagination(df, args.get("first"), args.get("offset"))
+        return self._project(tname, df, selection)
+
+    def execute(self, query: str, variables: dict | None = None) -> dict:
+        from graphql import parse
+        from graphql.language import ast as A
+
+        variables = variables or {}
+        doc = parse(query)
+        ops = [d for d in doc.definitions
+               if isinstance(d, A.OperationDefinitionNode)]
+        if len(ops) != 1 or ops[0].operation.value != "query":
+            raise ValueError("exactly one query operation supported")
+
+        out = {}
+        for sel in ops[0].selection_set.selections:
+            fname = sel.name.value
+            alias = sel.alias.value if sel.alias else fname
+            args = {a.name.value: _ast_value(a.value, variables)
+                    for a in sel.arguments}
+            if fname.startswith("query"):
+                tname = fname[len("query"):]
+                df = self.df(tname, args, sel.selection_set)
+                out[alias] = [json.loads(r) for r in df.toJSON().collect()]
+            elif fname.startswith("aggregate"):
+                tname = fname[len("aggregate"):]
+                df = run_aggregate(self.schema, self.load, tname,
+                                   args.get("filter"))
+                wanted = [s.name.value
+                          for s in sel.selection_set.selections]
+                row = df.select(*wanted).collect()[0]
+                out[alias] = row.asDict()
+            elif fname.startswith("get"):
+                tname = fname[len("get"):]
+                t = self.schema[tname]
+                df = self.load(tname).where(
+                    F.col(t.id_col) == F.lit(args["id"]))
+                df = self._project(tname, df, sel.selection_set)
+                rows = [json.loads(r) for r in df.limit(1).toJSON().collect()]
+                out[alias] = rows[0] if rows else None
+            else:
+                raise ValueError(f"unknown top-level field {fname}")
+        return out
+
+    # -- internals ----------------------------------------------------
+
+    def _project(self, tname: str, df: DataFrame, selection,
+                 keep: str | None = None) -> DataFrame:
+        """Selection set → columns; relation fields become one join +
+        collect_list(struct) (list) or a struct column (object).
+        ``keep`` preserves an extra raw column (the parent join key)
+        through the projection."""
+        t = self.schema[tname]
+        cols = []
+        rk_ids = 0
+        for sel in selection.selections:
+            fname = sel.name.value
+            alias = sel.alias.value if sel.alias else fname
+            if fname in t.fields:
+                cols.append(F.col(t.fields[fname]).alias(alias))
+            elif fname in t.relations:
+                rel = t.relations[fname]
+                rk = f"__gql_rk_{tname}_{rk_ids}"
+                rk_ids += 1
+                child = self._project(
+                    rel.target,
+                    self.load(rel.target).withColumn(
+                        rk, F.col(rel.remote_key)),
+                    sel.selection_set, keep=rk)
+                child_cols = [c for c in child.columns if c != rk]
+                if rel.is_list:
+                    packed = (child.groupBy(rk).agg(
+                        F.collect_list(F.struct(*child_cols)).alias(alias)))
+                else:
+                    packed = child.select(
+                        rk, F.struct(*child_cols).alias(alias))
+                df = df.join(packed, df[rel.local_key] == packed[rk],
+                             "left").drop(rk)
+                if rel.is_list:
+                    df = df.withColumn(
+                        alias, F.coalesce(F.col(alias), F.array()))
+                cols.append(F.col(alias))
+            else:
+                raise ValueError(f"unknown field {tname}.{fname}")
+        head = [F.col(keep)] if keep else []
+        return df.select(*head, *cols)

@@ -1,0 +1,154 @@
+"""GraphQL schema model for the SimpleGQL-style API layer.
+
+Reference parity: the reference generates a full Query/Mutation API
+from a ``.graphql`` SDL file with ``@zef`` directives
+(python/zef/graphql/simplegql/generate_api2.py:80-292). Here a schema
+is a set of ``GqlType``s, each bound to a table (parquet/DataFrame)
+with scalar fields and relations; the compiler (compiler.py) turns
+filter/order/pagination/aggregate requests into single DataFrame
+plans instead of per-object resolvers (set-oriented, no N+1 —
+SURVEY §3.3 "Spark translation").
+
+SDL binding uses directives, mirroring the reference's style:
+
+    type Customer @table(name: "customer", id: "c_custkey") {
+      custkey: Int @col(name: "c_custkey")
+      name: String @col(name: "c_name")
+      nation: Nation @rel(local: "c_nationkey", remote: "n_nationkey")
+      orders: [Order] @rel(local: "c_custkey", remote: "o_custkey")
+    }
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class GqlRelation:
+    target: str        # GraphQL type name
+    is_list: bool      # [T] = one-to-many, T = many-to-one
+    local_key: str     # column on this type's table
+    remote_key: str    # column on the target type's table
+
+
+@dataclass
+class GqlType:
+    name: str
+    table: str                      # table name resolved by the loader
+    id_col: str
+    fields: dict = field(default_factory=dict)      # gql name -> column
+    relations: dict = field(default_factory=dict)   # gql name -> GqlRelation
+
+    def numeric_fields(self, df) -> dict:
+        numeric = {"bigint", "int", "double", "float", "decimal"}
+        types = dict(df.dtypes)
+        return {f: c for f, c in self.fields.items()
+                if types.get(c, "").split("(")[0] in numeric}
+
+
+@dataclass
+class GqlSchema:
+    types: dict = field(default_factory=dict)       # name -> GqlType
+
+    def __getitem__(self, name: str) -> GqlType:
+        return self.types[name]
+
+    def add(self, t: GqlType) -> "GqlSchema":
+        self.types[t.name] = t
+        return self
+
+
+def schema_from_sdl(sdl: str) -> GqlSchema:
+    """Parse an SDL document with @table/@col/@rel directives into a
+    GqlSchema (the analogue of the reference's parse_schema,
+    simplegql/parse_schema.py)."""
+    from graphql import parse
+    from graphql.language import ast as A
+
+    doc = parse(sdl)
+    schema = GqlSchema()
+    typenames = {d.name.value for d in doc.definitions
+                 if isinstance(d, A.ObjectTypeDefinitionNode)}
+
+    def dir_args(node, name):
+        for d in node.directives:
+            if d.name.value == name:
+                return {a.name.value: a.value.value for a in d.arguments}
+        return None
+
+    for d in doc.definitions:
+        if not isinstance(d, A.ObjectTypeDefinitionNode):
+            continue
+        tbl = dir_args(d, "table") or {}
+        t = GqlType(name=d.name.value,
+                    table=tbl.get("name", d.name.value.lower()),
+                    id_col=tbl.get("id", "id"))
+        for f in d.fields:
+            ftype = f.type
+            is_list = False
+            while isinstance(ftype, (A.NonNullTypeNode, A.ListTypeNode)):
+                if isinstance(ftype, A.ListTypeNode):
+                    is_list = True
+                ftype = ftype.type
+            target = ftype.name.value
+            rel = dir_args(f, "rel")
+            if target in typenames:
+                if rel is None:
+                    raise ValueError(
+                        f"{t.name}.{f.name.value}: relation needs @rel")
+                t.relations[f.name.value] = GqlRelation(
+                    target=target, is_list=is_list,
+                    local_key=rel["local"], remote_key=rel["remote"])
+            else:
+                col = (dir_args(f, "col") or {}).get("name", f.name.value)
+                t.fields[f.name.value] = col
+        schema.add(t)
+    return schema
+
+
+TPCH_SDL = """
+type Region @table(name: "region", id: "r_regionkey") {
+  regionkey: Int @col(name: "r_regionkey")
+  name: String @col(name: "r_name")
+  nations: [Nation] @rel(local: "r_regionkey", remote: "n_regionkey")
+}
+
+type Nation @table(name: "nation", id: "n_nationkey") {
+  nationkey: Int @col(name: "n_nationkey")
+  name: String @col(name: "n_name")
+  region: Region @rel(local: "n_regionkey", remote: "r_regionkey")
+  customers: [Customer] @rel(local: "n_nationkey", remote: "c_nationkey")
+}
+
+type Customer @table(name: "customer", id: "c_custkey") {
+  custkey: Int @col(name: "c_custkey")
+  name: String @col(name: "c_name")
+  acctbal: Float @col(name: "c_acctbal")
+  mktsegment: String @col(name: "c_mktsegment")
+  nation: Nation @rel(local: "c_nationkey", remote: "n_nationkey")
+  orders: [Order] @rel(local: "c_custkey", remote: "o_custkey")
+}
+
+type Order @table(name: "orders", id: "o_orderkey") {
+  orderkey: Int @col(name: "o_orderkey")
+  totalprice: Float @col(name: "o_totalprice")
+  orderstatus: String @col(name: "o_orderstatus")
+  orderpriority: String @col(name: "o_orderpriority")
+  customer: Customer @rel(local: "o_custkey", remote: "c_custkey")
+  lineitems: [Lineitem] @rel(local: "o_orderkey", remote: "l_orderkey")
+}
+
+type Lineitem @table(name: "lineitem", id: "l_orderkey") {
+  orderkey: Int @col(name: "l_orderkey")
+  quantity: Float @col(name: "l_quantity")
+  extendedprice: Float @col(name: "l_extendedprice")
+  discount: Float @col(name: "l_discount")
+  returnflag: String @col(name: "l_returnflag")
+  order: Order @rel(local: "l_orderkey", remote: "o_orderkey")
+}
+"""
+
+
+def tpch_schema() -> GqlSchema:
+    return schema_from_sdl(TPCH_SDL)

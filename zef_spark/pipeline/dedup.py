@@ -59,8 +59,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     permutations are universal-hash rescramblings a_i*h+b_i (cheap
     multiply-adds inside codegen) — 64x less hashing than hashing per
     permutation, which dominates cost on large corpora."""
-    sh = df.select(F.col(id_col),
-                   F.explode(shingles(F.col(text_col), k)).alias("__sh"))
+    # Repartition by id BEFORE the explode: small inputs (one parquet
+    # file = one partition) would otherwise run the whole hash pipeline
+    # on a single core, and hash-partitioning on the group key lets the
+    # groupBy below reuse this exchange instead of adding its own.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.repartition(npart, F.col(id_col))
+          .select(F.col(id_col),
+                  F.explode(shingles(F.col(text_col), k)).alias("__sh")))
     h = sh.withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))) \
           .drop("__sh")
     aggs = [F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
@@ -93,8 +99,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
              .select("id_a", "id_b").distinct())
     if jaccard_threshold is None:
         return pairs
-    sh = df.select(F.col(id_col),
-                   shingles(F.col(text_col), k).alias("__sh"))
+    # Exact verify: distinct shingle-HASH arrays are built row-locally
+    # (no shuffle, longs not strings), then joined only to the few
+    # candidates. Intersect/union on sorted long arrays is cheap.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    sh = (df.repartition(npart, F.col(id_col))
+          .select(F.col(id_col),
+                  F.array_distinct(F.transform(
+                      shingles(F.col(text_col), k),
+                      lambda s: F.xxhash64(s))).alias("__sh")))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     verified = (pairs.join(a, "id_a").join(b, "id_b")

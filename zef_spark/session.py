@@ -22,6 +22,9 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     # Read parquet NTZ timestamps as NTZ so values match DuckDB exactly.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # MIN/MAX/COUNT over raw parquet columns answer from footer stats
+    # instead of scanning — used by Graph.max_tx and count-style ops.
+    "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": "8g",
