@@ -633,6 +633,34 @@ def g_tx_events(spark, sf_dir):
                         .alias("o_orderkey")).orderBy("o_orderkey"))
 
 
+@query("g_gather_closure", """
+SELECT et, cnt FROM (
+  SELECT 'Region' AS et, COUNT(*) AS cnt FROM region WHERE r_name='ASIA'
+  UNION ALL
+  SELECT 'Nation', COUNT(*) FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name='ASIA'
+  UNION ALL
+  SELECT 'Customer', COUNT(*) FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name='ASIA'
+  UNION ALL
+  SELECT 'Supplier', COUNT(*) FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name='ASIA'
+) ORDER BY et
+""")
+def g_gather(spark, sf_dir):
+    """Transitive closure (ITF:9800 gather): everything reachable from
+    the ASIA region walking MemberOf/LocatedIn edges backwards."""
+    from zef_spark import ET, RT, ops as z
+    gs = _gs(spark, sf_dir)
+    asia = (gs | z.all[ET.Region]
+            | z.select_by_field["r_name", "ASIA"])
+    reach = asia.gather([RT.MemberOf, RT.LocatedIn], "in")
+    return (reach.df.groupBy("et").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("et"))
+
+
 # =====================================================================
 # LLM-pipeline operators: dedup / text analysis / similarity
 # =====================================================================

@@ -77,6 +77,17 @@ class Terminate:
     target: Any
 
 
+@dataclass
+class Tag:  # (re)assign a temporal name to a RAE (ITF:7361)
+    name: str
+    target: Any
+
+
+@dataclass
+class Untag:  # close the tag's validity interval (ITF:7406)
+    name: str
+
+
 def empty_graph(spark) -> Graph:
     return Graph(
         spark.createDataFrame([], NODES_SCHEMA),
@@ -100,6 +111,8 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
 
     receipt: dict[str, int] = {}
     new_nodes, new_edges, new_avs = [], [], []
+    new_tags: list[tuple] = []
+    close_tags: list[str] = []
     supersede_aes: list[int] = []     # AE ids whose alive row closes at tx
     terminate_ids: list[int] = []     # node ids to close (+ incident edges)
 
@@ -157,6 +170,11 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
                 new_avs.append(av_row(ae, _name(w.field), w.value))
         elif isinstance(w, Terminate):
             terminate_ids.append(resolve(w.target))
+        elif isinstance(w, Tag):
+            close_tags.append(w.name)          # re-assign closes old row
+            new_tags.append((w.name, resolve(w.target), tx, None))
+        elif isinstance(w, Untag):
+            close_tags.append(w.name)
         else:
             raise TypeError(f"unknown wish {w!r}")
 
@@ -188,7 +206,22 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
             spark.createDataFrame(new_avs, ATTR_VALUES_SCHEMA))
     txs = g.txs.unionByName(spark.createDataFrame([(tx, time)], TXS_SCHEMA))
 
-    out = Graph(nodes, edges, avs, txs)
+    tags = g.tags
+    if close_tags or new_tags:
+        from .schema import TAGS_SCHEMA
+        if tags is None:
+            tags = spark.createDataFrame([], TAGS_SCHEMA)
+        if close_tags:
+            tags = tags.withColumn(
+                "valid_to_tx",
+                F.when(F.col("name").isin(set(close_tags)) &
+                       F.col("valid_to_tx").isNull(),
+                       F.lit(tx)).otherwise(F.col("valid_to_tx")))
+        if new_tags:
+            tags = tags.unionByName(
+                spark.createDataFrame(new_tags, TAGS_SCHEMA))
+
+    out = Graph(nodes, edges, avs, txs, tags)
     out._max_tx = tx
     return out, receipt
 

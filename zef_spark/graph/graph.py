@@ -33,11 +33,13 @@ class Graph:
     _zef_graph_kind = True
 
     def __init__(self, nodes: DataFrame, edges: DataFrame,
-                 attr_values: DataFrame, txs: DataFrame):
+                 attr_values: DataFrame, txs: DataFrame,
+                 tags: DataFrame | None = None):
         self.nodes = nodes
         self.edges = edges
         self.attr_values = attr_values
         self.txs = txs
+        self.tags = tags
         self._max_tx = None
         self._max_tx_df = None  # optional cheap plan for max(tx_id)
         self.rt_vrt: dict[str, str] | None = None  # optional rt→VRT registry
@@ -120,6 +122,17 @@ class GraphSlice:
             from ..vt import _coerce
             df = df.where(_coerce(vt).to_column())
         return NodeSet(self, df)
+
+    def by_tag(self, name: str) -> "NodeSet":
+        """Resolve a temporal tag to its target *in this frame*
+        (ITF:7361 `tag`; lookup is frame-relative like every read)."""
+        g = self.graph
+        if g.tags is None:
+            raise KeyError(f"graph has no tags (looking up {name!r})")
+        t = _alive(g.tags.where(F.col("name") == name), self.tx)
+        ids = t.select(F.col("target_id").alias("id"))
+        return NodeSet(self, _alive(g.nodes, self.tx)
+                       .join(ids, "id", "left_semi"))
 
     def time_travel(self, delta: int) -> "GraphSlice":
         """Relative slice move (ITF:5493): index arithmetic over the
@@ -293,6 +306,45 @@ class NodeSet:
                     F.col("dst_id").alias("__ae"))
         owners = e.join(ae_ids, "__ae", "left_semi").select("id")
         return NodeSet(self.frame, self.df.join(owners, "id", "left_semi"))
+
+    def gather(self, rts=None, direction: str = "out",
+               max_steps: int | None = None) -> "NodeSet":
+        """Transitive closure along a rule set (ITF:9800 `gather`:
+        BFS with optional max_step). Iterative frontier joins; each
+        round materializes via localCheckpoint so lineage stays flat
+        (a 20-hop closure is 20 plain joins, not a 2^20-node plan).
+        At cluster scale swap localCheckpoint for checkpoint() on a
+        reliable checkpoint dir."""
+        g, t = self.frame.graph, self.frame.tx
+        e = _alive(g.edges, t)
+        if rts is not None:
+            names = [_rt_name(r) for r in
+                     (rts if isinstance(rts, (list, tuple, set)) else [rts])]
+            e = e.where(F.col("rt").isin(names))
+        hops = []
+        if direction in ("out", "both"):
+            hops.append(e.select(F.col("src_id").alias("__a"),
+                                 F.col("dst_id").alias("__b")))
+        if direction in ("in", "both"):
+            hops.append(e.select(F.col("dst_id").alias("__a"),
+                                 F.col("src_id").alias("__b")))
+        step_df = reduce(lambda a, b: a.unionByName(b), hops)
+
+        visited = self.df.select("id").distinct().localCheckpoint()
+        frontier = visited
+        steps = 0
+        while max_steps is None or steps < max_steps:
+            nxt = (step_df.join(frontier.withColumnRenamed("id", "__a"),
+                                "__a")
+                   .select(F.col("__b").alias("id")).distinct())
+            new = nxt.join(visited, "id", "left_anti").localCheckpoint()
+            if not new.take(1):
+                break
+            visited = visited.unionByName(new).localCheckpoint()
+            frontier = new
+            steps += 1
+        nodes = _alive(g.nodes, t)
+        return NodeSet(self.frame, nodes.join(visited, "id", "left_semi"))
 
     # -- frame / lifecycle -------------------------------------------
     def exists_at(self, other: "GraphSlice") -> DataFrame:

@@ -150,6 +150,18 @@ def _filter(v, pred):
     raise TypeError("graph filter needs a NodeSet/EdgeSet")
 
 
+@register_op("gather", "graph")
+def _gather(v, rts=None, direction="out", max_steps=None):
+    return _expect(v, NodeSet).gather(rts, direction, max_steps)
+
+
+@register_op("by_tag", "graph")
+def _by_tag(v, name):
+    if isinstance(v, Graph):
+        v = v.now()
+    return _expect(v, GraphSlice).by_tag(name)
+
+
 @register_op("exists_at", "graph")
 def _exists_at(v, frame):
     return _expect(v, NodeSet).exists_at(frame)

@@ -60,6 +60,16 @@ ATTR_VALUES_SCHEMA = T.StructType([
     T.StructField("superseded_at_tx", T.LongType(), True),
 ])
 
+# Temporal tag→RAE naming (reference ASSIGN_TAG_NAME_EDGE /
+# NEXT_TAG_NAME_ASSIGNMENT_EDGE, blobs.h:314-334): a tag is a name
+# valid for one target over an interval; re-tagging closes the old row.
+TAGS_SCHEMA = T.StructType([
+    T.StructField("name", T.StringType(), False),
+    T.StructField("target_id", T.LongType(), False),
+    T.StructField("valid_from_tx", T.LongType(), False),
+    T.StructField("valid_to_tx", T.LongType(), True),
+])
+
 VALUE_COLS = {
     "String": "value_str",
     "Int": "value_int",

@@ -7,6 +7,7 @@ registered later (graph/pipeline modules) appear automatically.
 
 from . import local_ops as _local_ops  # noqa: F401  (registers)
 from . import df_ops as _df_ops        # noqa: F401  (registers)
+from . import scalar_ops as _scalar_ops  # noqa: F401  (registers)
 from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401
                    register_op)
 

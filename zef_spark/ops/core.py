@@ -97,9 +97,11 @@ TERMINAL_OPS = {"collect", "for_each", "run"}
 def _kind_of(value) -> str:
     if isinstance(value, DataFrame):
         return "df"
-    # graph-kind values advertise themselves (avoids circular import)
+    # graph-/flat-kind values advertise themselves (avoids circular import)
     if getattr(value, "_zef_graph_kind", False):
         return "graph"
+    if getattr(value, "_zef_flat_kind", False):
+        return "flat"
     return "local"
 
 

@@ -1,0 +1,162 @@
+"""Sources & sinks (SURVEY §2.A): file/format IO surfaced both as
+plain functions and as effect-style ops.
+
+Reference parity: from_csv/to_csv (ITF:7715/7709), read_file/load_file
+(ITF:7725/7750 — format sniffing), write_file/save_file
+(ITF:7811/7777), to_json/from_json (ITF:7638/7656, whole-object codec
+in serialization.py), to_yaml/from_yaml + to_toml/from_toml
+(ITF:7678-7700, gated on lib availability), pandas_to_gd (ITF:7836 —
+tabular → graph wishes), SQL import (experimental/sql_import.py →
+spark.read.jdbc), NetworkX import
+(experimental/importers/general.py:67-137).
+
+Spark-first: everything maps onto spark.read/write; format sniffing
+keys off extension like the reference's load_file. Driver-local codecs
+(yaml/toml/clipboard) stay driver-side by design.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT_FORMAT = {
+    ".csv": "csv", ".tsv": "csv", ".json": "json", ".jsonl": "json",
+    ".ndjson": "json", ".parquet": "parquet", ".orc": "orc",
+    ".txt": "text",
+}
+
+
+def from_csv(spark: SparkSession, path: str, header: bool = True,
+             infer_schema: bool = True, **opts) -> DataFrame:
+    return (spark.read.options(header=header, inferSchema=infer_schema,
+                               **opts).csv(path))
+
+
+def to_csv(df: DataFrame, path: str, header: bool = True, **opts):
+    df.write.mode("overwrite").options(header=header, **opts).csv(path)
+
+
+def load_file(spark: SparkSession, path: str, **opts) -> DataFrame:
+    """Format-sniffing load (ITF:7750): extension decides the reader."""
+    ext = os.path.splitext(path)[1].lower()
+    fmt = _EXT_FORMAT.get(ext)
+    if fmt is None:
+        raise ValueError(f"cannot sniff format of {path!r}")
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.options(header=True, inferSchema=True,
+                                sep="\t" if ext == ".tsv" else ",")
+    return reader.format(fmt).options(**opts).load(path)
+
+
+def save_file(df: DataFrame, path: str, **opts):
+    ext = os.path.splitext(path)[1].lower()
+    fmt = _EXT_FORMAT.get(ext)
+    if fmt is None:
+        raise ValueError(f"cannot sniff format of {path!r}")
+    df.write.mode("overwrite").format(fmt).options(**opts).save(path)
+
+
+def read_file(path: str) -> str:
+    """Driver-local raw read (ITF:7725) — small files only."""
+    with open(path) as f:
+        return f.read()
+
+
+def write_file(content: str, path: str):
+    with open(path, "w") as f:
+        f.write(content)
+
+
+# -- value codecs -----------------------------------------------------
+
+def to_json(value) -> str:
+    """Whole-value JSON codec (ITF:7638; serialization.py). Handles
+    the engine's value types; DataFrames serialize schema+rows."""
+    return _json.dumps(_jsonable(value))
+
+
+def from_json(s: str):
+    return _json.loads(s)
+
+
+def _jsonable(v):
+    from .flat_graph import FlatEdge, FlatGraph, FlatNode
+    from .tokens import Token
+    if isinstance(v, Token):
+        return {"_zef": "token", "kind": v.kind, "name": v.name}
+    if isinstance(v, FlatGraph):
+        nrows, erows = v.to_rows()
+        return {"_zef": "flatgraph", "nodes": nrows, "edges": erows,
+                "keys": sorted(v.key_dict)}
+    if isinstance(v, DataFrame):
+        return {"_zef": "dataframe", "schema": v.schema.jsonValue(),
+                "rows": [r.asDict(recursive=True) for r in v.collect()]}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def to_yaml(value) -> str:
+    try:
+        import yaml
+    except ImportError as ex:  # pragma: no cover
+        raise NotImplementedError("pyyaml not installed") from ex
+    return yaml.safe_dump(_jsonable(value))
+
+
+def from_yaml(s: str):
+    try:
+        import yaml
+    except ImportError as ex:  # pragma: no cover
+        raise NotImplementedError("pyyaml not installed") from ex
+    return yaml.safe_load(s)
+
+
+def to_toml(value) -> str:
+    raise NotImplementedError("no toml writer in this environment")
+
+
+def from_toml(s: str):
+    import tomllib
+    return tomllib.loads(s)
+
+
+# -- tabular / external-graph importers -------------------------------
+
+def pandas_to_gd(pdf, et, key_col: str):
+    """pandas DataFrame → graph wishes (ITF:7836 pandas_to_gd): one
+    entity per row, scalar columns as fields. Feed the result to
+    graph.delta.transact. For bulk scale use graph.mapper instead."""
+    from .graph.delta import E
+    cols = [c for c in pdf.columns if c != key_col]
+    return [E(et, name=str(row[key_col]),
+              fields={c: row[c] for c in cols
+                      if row[c] is not None and row[c] == row[c]})
+            for _, row in pdf.iterrows()]
+
+
+def from_jdbc(spark: SparkSession, url: str, table: str,
+              **opts) -> DataFrame:
+    """SQL import (experimental/sql_import.py analogue)."""
+    return spark.read.options(**opts).jdbc(url, table)
+
+
+def networkx_to_wishes(nxg, et_attr: str = "et", rt_attr: str = "rt"):
+    """NetworkX graph → wishes (importers/general.py:67-137
+    inject_networkx_into_zef analogue)."""
+    from .graph.delta import E, R
+    from .tokens import ET, RT
+    wishes = []
+    for n, data in nxg.nodes(data=True):
+        et = data.get(et_attr, "Node")
+        fields = {k: v for k, v in data.items() if k != et_attr}
+        wishes.append(E(ET(et), name=str(n), fields=fields))
+    for u, v, data in nxg.edges(data=True):
+        wishes.append(R(str(u), RT(data.get(rt_attr, "Edge")), str(v)))
+    return wishes
