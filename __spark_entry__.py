@@ -911,6 +911,47 @@ def e_tumbling(spark, sf_dir):
 
 
 # =====================================================================
+# 2.P data wrangling: schema inference + entity resolution
+# =====================================================================
+
+@query("p_infer_types", """
+SELECT SUM(k) AS sum_key, ROUND(SUM(p), 2) AS sum_price,
+       COUNT(*) AS n
+FROM (SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k,
+             CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS p
+      FROM orders)
+""")
+def p_infer(spark, sf_dir):
+    """infer_types (data_wrangling.py:144): string columns promoted
+    to the narrowest type that parses — proven by aggregating the
+    recovered numerics."""
+    from zef_spark.pipeline.wrangling import infer_types
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_totalprice").cast("string").alias("p"))
+    typed = infer_types(o)
+    assert dict(typed.dtypes) == {"k": "bigint", "p": "double"}
+    return typed.agg(F.sum("k").alias("sum_key"),
+                     F.round(F.sum("p"), 2).alias("sum_price"),
+                     F.count(F.lit(1)).alias("n"))
+
+
+@query("p_identify_entities", """
+SELECT c_custkey, MIN(c_custkey) OVER (PARTITION BY c_nationkey)
+       AS entity_id
+FROM customer ORDER BY c_custkey
+""")
+def p_identify(spark, sf_dir):
+    """identify_entities (data_wrangling.py:280) as min-label
+    propagation; single match key here so the oracle is a window
+    min (transitive multi-key case covered in tests)."""
+    from zef_spark.pipeline.wrangling import identify_entities
+    c = _t(spark, sf_dir, "customer")
+    out = identify_entities(c, "c_custkey", ["c_nationkey"])
+    return out.select("c_custkey", "entity_id").orderBy("c_custkey")
+
+
+# =====================================================================
 # 2.O GraphQL layer (SimpleGQL filter/order/pagination/aggregate
 # compiled to single DataFrame plans; zef_spark/graphql/)
 # =====================================================================

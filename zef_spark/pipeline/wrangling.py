@@ -1,0 +1,125 @@
+"""Data-wrangling ops (SURVEY §2.P): heuristic schema inference and
+entity resolution, re-expressed for distributed tables.
+
+Reference parity: infer_types / deduplicate / identify_entities
+(python/zef/core/op_implementations/data_wrangling.py:144,220,280)
+operate on nested dict-objects with rule iteration on the driver.
+The table-scale analogues here keep the *intent* — discover types,
+merge duplicate entities, link records to canonical entities — as
+set-oriented DataFrame plans (the documented deviation: rules are
+column-based, not nested-object patterns; at 100 TB that is the only
+shape that parallelizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ops.core import register_op
+
+_CASTS = [  # candidate target types, most specific first
+    ("bigint", lambda c: c.try_cast("bigint")),
+    ("double", lambda c: c.try_cast("double")),
+    ("boolean", lambda c: c.try_cast("boolean")),
+    ("date", lambda c: c.try_cast("date")),
+    ("timestamp_ntz", lambda c: c.try_cast("timestamp_ntz")),
+]
+
+
+def infer_types(df: DataFrame, threshold: float = 0.95,
+                sample_rows: int = 10_000) -> DataFrame:
+    """Promote string columns whose values parse as a narrower type
+    on ≥ threshold of non-null sampled rows (infer_types, data_
+    wrangling.py:144; Spark's own inferSchema only works at read
+    time — this works on any DataFrame). One aggregate pass over a
+    bounded sample decides; the cast then applies lazily to the full
+    data, so the decision cost is O(sample), not O(table)."""
+    str_cols = [c for c, t in df.dtypes if t == "string"]
+    if not str_cols:
+        return df
+    sample = df.select(*str_cols).limit(sample_rows)
+    aggs = []
+    for c in str_cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"{c}__n"))
+        for tname, cast in _CASTS:
+            aggs.append(F.count(cast(col)).alias(f"{c}__{tname}"))
+    row = sample.agg(*aggs).collect()[0].asDict()
+    out = df
+    for c in str_cols:
+        n = row[f"{c}__n"]
+        if not n:
+            continue
+        for tname, cast in _CASTS:
+            if row[f"{c}__{tname}"] >= threshold * n:
+                out = out.withColumn(c, cast(F.col(c)))
+                break
+    return out
+
+
+def identify_entities(df: DataFrame, id_col: str,
+                      match_cols: list[str],
+                      out_col: str = "entity_id",
+                      max_iters: int = 20) -> DataFrame:
+    """Entity resolution: rows sharing ANY normalized match-key value
+    belong to one entity; emits a canonical ``out_col`` (min id of the
+    connected component). identify_entities (data_wrangling.py:280)
+    re-expressed as iterative min-label propagation over the
+    record↔key bipartite graph — the standard alternating-groupBy
+    connected-components that scales linearly per round; rounds ≤
+    log(diameter), each round two shuffles."""
+    # record -> key nodes (normalized, null-safe)
+    pairs = None
+    for mc in match_cols:
+        p = (df.select(F.col(id_col).alias("__rid"),
+                       F.concat_ws("", F.lit(mc),
+                                   F.lower(F.trim(F.col(mc).cast("string"))))
+                       .alias("__key"))
+             .where(F.col(mc).isNotNull()))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.localCheckpoint()
+
+    labels = pairs.select("__rid").distinct() \
+        .withColumn("__comp", F.col("__rid"))
+    for _ in range(max_iters):
+        # key label = min over its records; record label = min over keys
+        key_min = (pairs.join(labels, "__rid")
+                   .groupBy("__key").agg(F.min("__comp").alias("__kmin")))
+        new_labels = (pairs.join(key_min, "__key")
+                      .groupBy("__rid")
+                      .agg(F.min("__kmin").alias("__comp"))
+                      .localCheckpoint())
+        changed = (new_labels.join(labels.withColumnRenamed(
+            "__comp", "__old"), "__rid")
+            .where(F.col("__comp") != F.col("__old")).take(1))
+        labels = new_labels
+        if not changed:
+            break
+    return (df.join(labels.withColumnRenamed("__rid", id_col), id_col,
+                    "left")
+            .withColumn(out_col, F.coalesce(F.col("__comp"),
+                                            F.col(id_col)))
+            .drop("__comp"))
+
+
+def merge_duplicates(df: DataFrame, id_col: str, match_cols: list[str],
+                     agg: str = "first") -> DataFrame:
+    """deduplicate (data_wrangling.py:220) at table scale: resolve
+    entities, then collapse each component to one row."""
+    resolved = identify_entities(df, id_col, match_cols)
+    aggs = [getattr(F, agg)(c, ignorenulls=True).alias(c)
+            if agg == "first" else getattr(F, agg)(c).alias(c)
+            for c in df.columns if c != id_col]
+    return (resolved.groupBy(F.col("entity_id").alias(id_col))
+            .agg(*aggs))
+
+
+@register_op("infer_types", "df")
+def _infer_types_op(df, threshold=0.95):
+    return infer_types(df, threshold)
+
+
+@register_op("identify_entities", "df")
+def _identify_entities_op(df, id_col, *match_cols):
+    return identify_entities(df, id_col, list(match_cols))

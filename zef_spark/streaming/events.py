@@ -71,6 +71,23 @@ def events_of_tx(g: Graph, tx: int) -> DataFrame:
     return derive_event_log(g).where(F.col("tx_id") == tx)
 
 
+def preceding_events(g: Graph, ids, up_to_tx: int | None = None
+                     ) -> DataFrame:
+    """`z | preceding_events` (ITF:5090): every past event of the
+    given RAE id(s) up to a frame, oldest first. ``ids`` may be an
+    int, a list, or a DataFrame with an ``id`` column (set-oriented:
+    history for a whole node set in one plan)."""
+    log = derive_event_log(g)
+    if up_to_tx is not None:
+        log = log.where(F.col("tx_id") <= up_to_tx)
+    if isinstance(ids, DataFrame):
+        return log.join(ids.select("id").distinct(), "id", "left_semi") \
+                  .orderBy("tx_id")
+    if isinstance(ids, int):
+        ids = [ids]
+    return log.where(F.col("id").isin(list(ids))).orderBy("tx_id")
+
+
 class EventLog:
     """Append-only parquet event log + its streaming reader."""
 
