@@ -911,6 +911,218 @@ def e_tumbling(spark, sf_dir):
 
 
 # =====================================================================
+# TPC-H-style breadth (adapted to the reduced testdata schema):
+# correlated EXISTS, multi-join flows, conditional aggregation, HAVING
+# =====================================================================
+
+@query("q4_priority_exists", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join (the
+    reference expresses this as has_relation semantics, SURVEY §2.C)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") &
+        (F.col("o_orderdate") < "1996-04-01"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.join(o.select("o_orderkey", "o_orderdate"),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .where(F.col("l_shipdate") >
+                   F.date_add(F.col("o_orderdate").cast("date"), 60)
+                   .cast("timestamp_ntz"))
+            .select("o_orderkey").distinct())
+    return (o.join(late, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query("q7_nation_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""")
+def q7(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"),
+                  F.col("n_name").alias("cust_nation"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+         .where(((F.col("supp_nation") == "NATION_3") &
+                 (F.col("cust_nation") == "NATION_7")) |
+                ((F.col("supp_nation") == "NATION_7") &
+                 (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("bigint").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@query("q9_product_profit", """
+SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS amount
+FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""")
+def q9(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget")) \
+        .select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("bigint").alias("o_year"))
+            # decimal sum: float addition is order-dependent across 32
+            # partitions and can flip the cent rounding vs the oracle;
+            # decimal(18,6) accumulation is exact + associative
+            .agg(F.round(F.sum((F.col("l_extendedprice") *
+                                (1 - F.col("l_discount")))
+                               .cast("decimal(18,6)")), 2)
+                 .cast("double").alias("amount"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@query("q10_returned_items", """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       n_name
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") &
+        (F.col("o_orderdate") < "1996-10-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@query("q14_promo_revenue", """
+SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") &
+        (F.col("l_shipdate") < "1996-10-01"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
+                                              rev).otherwise(0.0))
+                         / F.sum(rev), 4).alias("promo_revenue")))
+
+
+@query("q18_large_orders", """
+SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+       ROUND(qty, 2) AS qty
+FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+    ON big.l_orderkey = o_orderkey
+ORDER BY totalprice DESC, o_orderkey LIMIT 20
+""")
+def q18(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .where(F.col("qty") > 250))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    F.round("qty", 2).alias("qty"))
+            .orderBy(F.col("totalprice").desc(), "o_orderkey").limit(20))
+
+
+@query("q19_bracketed_revenue", """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+""")
+def q19(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (((F.col("p_brand") == "Brand#1") &
+             F.col("p_size").between(1, 15) &
+             F.col("l_quantity").between(1, 21)) |
+            ((F.col("p_brand") == "Brand#3") &
+             F.col("p_size").between(10, 30) &
+             F.col("l_quantity").between(10, 40)))
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") *
+                      (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
+# =====================================================================
 # 2.P data wrangling: schema inference + entity resolution
 # =====================================================================
 

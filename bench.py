@@ -19,6 +19,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q9_product_profit",
+    "q18_large_orders",
+    "gql_nested_filter_order",
     "scan_cumulative_revenue",
     "e_sessionize_30min",
     "g_hop_customer_nation",
