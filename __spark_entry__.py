@@ -894,6 +894,41 @@ def e_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+@query("e_split_on_purchase", """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS seg_after
+  FROM events
+)
+SELECT user_id,
+       seg_after - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         AS seg_no,
+       COUNT(*) FILTER (WHERE event_type <> 'purchase') AS seg_len
+FROM seq
+GROUP BY 1, 2
+HAVING COUNT(*) FILTER (WHERE event_type <> 'purchase') > 0
+ORDER BY user_id, seg_no
+""")
+def e_split_on_purchase(spark, sf_dir):
+    """Batch split_on_next (ITF:9440): segment each user's event
+    sequence on 'purchase' markers — marker-cumsum window as segment
+    id (streaming form: zef_spark.streaming.split_on_next_stream,
+    tests/test_stateful_streaming.py)."""
+    ev = _events(spark, sf_dir)
+    is_marker = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = (ev.withColumn("seg_after", F.sum(is_marker).over(w))
+           .withColumn("seg_no", F.col("seg_after") - is_marker))
+    return (seg.where(F.col("event_type") != "purchase")
+            .groupBy("user_id", "seg_no")
+            .agg(F.count(F.lit(1)).alias("seg_len"))
+            .orderBy("user_id", "seg_no"))
+
+
 @query("e_hourly_tumbling", """
 SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        COUNT(*) AS n_events,

@@ -1,0 +1,59 @@
+"""Stateful streaming split_on_next (§2.L, ITF:9440) over a real
+file-source stream with cross-micro-batch state."""
+
+import os
+
+
+def test_split_on_next_stream(spark, tmp_path):
+    from zef_spark.streaming import run_segments_once
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    schema = "key string, seq long, value string"
+    # batch 1: a gets [x, y] |  ; b starts [p
+    spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("a", 3, "|"), ("b", 1, "p")],
+        schema).coalesce(1).write.mode("append").parquet(d)
+    # batch 2 (same availableNow run reads both files): b finishes
+    spark.createDataFrame(
+        [("b", 2, "q"), ("b", 3, "|"), ("a", 4, "z"), ("a", 5, "|")],
+        schema).coalesce(1).write.mode("append").parquet(d)
+
+    rows = run_segments_once(spark, d, schema, marker="|",
+                             out_table="seg_t1")
+    got = {(r.key, r.seg_no): list(r.segment) for r in rows}
+    assert got[("a", 0)] == ["x", "y"]
+    assert got[("a", 1)] == ["z"]
+    assert got[("b", 0)] == ["p", "q"]
+
+
+def test_split_on_next_stream_state_across_runs(spark, tmp_path):
+    """State must persist in the checkpoint across separate stream
+    runs (the reference's push-stream keeps buffering between
+    pushes)."""
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401
+    from zef_spark.streaming import split_on_next_stream
+
+    d = str(tmp_path / "in2")
+    cp = str(tmp_path / "cp2")
+    out = str(tmp_path / "out2")
+    os.makedirs(d)
+    schema = "key string, seq long, value string"
+
+    def run_once(name):
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (split_on_next_stream(stream, "|")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    spark.createDataFrame([("k", 1, "a"), ("k", 2, "b")], schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    assert run_once("seg_r1") == []          # no marker yet: buffered
+
+    spark.createDataFrame([("k", 3, "|")], schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    rows = run_once("seg_r2")                # marker closes the buffer
+    assert [list(r.segment) for r in rows] == [["a", "b"]]

@@ -1,2 +1,5 @@
 from .events import (EventLog, events_of_tx, on_assigned,  # noqa: F401
-                     on_instantiated, on_terminated, subscribe)
+                     on_instantiated, on_terminated, preceding_events,
+                     subscribe)
+from .stateful import (run_segments_once,  # noqa: F401
+                       split_on_next_stream)

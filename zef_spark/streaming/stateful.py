@@ -1,0 +1,77 @@
+"""Custom stateful streaming operators (SURVEY §2.L).
+
+Reference parity: ``split_on_next`` segments a push stream on marker
+elements (ITF:9440); zef streams are RxPY subjects with per-subscriber
+state (python/zef/core/op_structs.py:701-824). Spark-first: state
+lives in the streaming state store via ``applyInPandasWithState`` —
+partitioned by key, fault-tolerant, and scales to any number of
+groups; the bounded-list form lives in ops/scalar_ops.py.
+
+Ordering note: rows are processed in (key, seq) order within each
+micro-batch; cross-batch order follows source order, as with any
+Structured Streaming stateful op. For event-time ordering add a
+watermark upstream and sort by event time into ``seq``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, LongType, StringType,
+                               StructField, StructType)
+
+SEGMENT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("seg_no", LongType()),
+    StructField("segment", ArrayType(StringType())),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("buf", ArrayType(StringType())),
+    StructField("seg_no", LongType()),
+])
+
+
+def split_on_next_stream(events: DataFrame, marker: str,
+                         key_col: str = "key", seq_col: str = "seq",
+                         value_col: str = "value") -> DataFrame:
+    """Streaming `split_on_next` (ITF:9440): per key, buffer values
+    until a marker arrives, then emit the buffered segment. Works on
+    a streaming OR batch DataFrame with (key, seq, value) columns;
+    state persists across micro-batches in the state store."""
+    import pandas as pd
+
+    def segment(key, pdf_iter, state: GroupState):
+        if state.exists:
+            buf, seg_no = state.get
+            buf = list(buf)
+        else:
+            buf, seg_no = [], 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(seq_col)
+            for v in pdf[value_col]:
+                if v == marker:
+                    out.append((key[0], seg_no, list(buf)))
+                    seg_no += 1
+                    buf = []
+                else:
+                    buf.append(v)
+        state.update((buf, seg_no))
+        yield pd.DataFrame(out, columns=["key", "seg_no", "segment"])
+
+    return (events.groupBy(key_col).applyInPandasWithState(
+        segment, SEGMENT_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def run_segments_once(spark, input_dir: str, schema: str, marker: str,
+                      out_table: str = "segments") -> list:
+    """Drive split_on_next_stream over a file-source stream with
+    availableNow (test/CLI harness): returns collected segment rows."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    seg = split_on_next_stream(stream, marker)
+    q = (seg.writeStream.format("memory").queryName(out_table)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {out_table}").collect()
