@@ -51,6 +51,10 @@ def _coerce(x) -> "ValueType":
         return x
     if isinstance(x, Token):
         return RAEType(x)
+    if isinstance(x, type):  # bare python classes: str, int, ...
+        prim = _PY_CLASS_MAP.get(x)
+        if prim is not None:
+            return prim
     raise TypeError(f"cannot treat {x!r} as a ValueType")
 
 
@@ -78,6 +82,9 @@ Bool = _Primitive("Bool", (bool,), lambda c: c.cast("string").isin("true", "fals
 Int = _Primitive("Int", (int,), lambda c: c.cast("bigint").isNotNull())
 Float = _Primitive("Float", (float,), lambda c: c.cast("double").isNotNull())
 String = _Primitive("String", (str,), lambda c: c.cast("string").isNotNull())
+
+_PY_CLASS_MAP = {type(None): Nil, bool: Bool, int: Int, float: Float,
+                 str: String}
 
 
 class Is(ValueType):
