@@ -132,6 +132,39 @@ def _minhash_pandas_udf(num_perm: int, k: int):
     return pandas_udf(sig_udf, "array<long>")
 
 
+def _minhash_features_pandas_udf(num_perm: int, k: int):
+    """Combined kernel: ONE pass over the text produces both the
+    minhash signature and the distinct shingle-hash array (for exact
+    verification) — halves the text scans + Arrow transfers of running
+    the two kernels separately."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = np.asarray(_perm_coeffs(num_perm), dtype=np.int64)
+    P = _MERSENNE
+
+    def feat_udf(texts):
+        hs, offsets, pos = [], [], 0
+        for t in texts:
+            h = _rolling_hashes(t, k)
+            offsets.append(pos)
+            hs.append(h)
+            pos += len(h)
+        H = np.concatenate(hs) if hs else np.zeros(0, dtype=np.int64)
+        ndocs = len(texts)
+        out = np.empty((num_perm, ndocs), dtype=np.int64)
+        for i in range(num_perm):
+            out[i] = np.minimum.reduceat(
+                (coeffs[i, 0] * H + coeffs[i, 1]) % P, offsets)
+        return pd.DataFrame({
+            "sig": [out[:, d].tolist() for d in range(ndocs)],
+            "sh": [np.unique(h).tolist() for h in hs]})
+
+    feat_udf.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(feat_udf, "struct<sig: array<long>, sh: array<long>>")
+
+
 def _rolling_hashes(text: str, k: int):
     import numpy as np
     b = np.frombuffer((text or "").encode("utf-8", "ignore"),
@@ -170,7 +203,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # docs too short to shingle carry no similarity evidence — without
     # this guard every such doc pairs with every other at jaccard 1.0
     df = df.where(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= k)
-    sig = minhash_signatures(df, text_col, id_col, num_perm, k)
+    feats = None
+    if jaccard_threshold is None:
+        sig = minhash_signatures(df, text_col, id_col, num_perm, k)
+    else:
+        # verification needs the shingle sets too: compute sig + sh in
+        # ONE text pass and persist (memory-and-disk: spills, never
+        # OOMs) — the table is consumed by both sides of two joins,
+        # and without the persist Spark would re-run the kernel per
+        # consumer branch.
+        from pyspark import StorageLevel
+        npart = df.sparkSession.sparkContext.defaultParallelism
+        feats = (df.repartition(npart, F.col(id_col))
+                 .select(F.col(id_col),
+                         _minhash_features_pandas_udf(num_perm, k)(
+                             F.col(text_col)).alias("__m"))
+                 .select(id_col, "__m.sig", "__m.sh",
+                         F.size("__m.sh").alias("n_sh"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        sig = feats.select(id_col, "sig")
     band_cols = F.array(*[
         F.xxhash64(F.concat_ws(
             ",", *[F.col("sig")[b * rows + r].cast("string")
@@ -192,28 +243,35 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
             F.slice(F.col("ids"), i + 2,
                     F.greatest(F.size("ids") - i - 1, F.lit(0))),
             lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    pairs = (buckets.select(F.explode(pair_structs).alias("p"))
-             .select("p.id_a", "p.id_b").distinct())
+    raw_pairs = (buckets.select(F.explode(pair_structs).alias("p"))
+                 .select("p.id_a", "p.id_b"))
     if jaccard_threshold is None:
-        return pairs
-    # Exact verify: distinct shingle-HASH arrays are built row-locally
-    # (no shuffle, longs not strings), then joined only to the few
-    # candidates. Intersect/union on sorted long arrays is cheap.
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    sh = (df.repartition(npart, F.col(id_col))
-          .select(F.col(id_col),
-                  _shingle_hashes_pandas_udf(k)(F.col(text_col))
-                  .alias("__sh")))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    # candidates ≪ corpus: broadcast them into both shingle-set joins
-    pairs = F.broadcast(pairs)
-    verified = (pairs.join(a, "id_a").join(b, "id_b")
+        return raw_pairs.distinct()
+    # Exact verify: shingle-hash arrays come from the SAME persisted
+    # single-pass kernel as the signatures (no second text scan).
+    # |A∪B| = |A|+|B|-|A∩B| — one array_intersect per pair, never a
+    # materialized union array. Join sides are left to AQE: at bench
+    # scale it broadcasts the persisted feature table; at corpus scale
+    # (feats >> candidates) it broadcasts the candidate side instead.
+    # Dedup happens AFTER the threshold filter: multi-band duplicate
+    # candidates (a few %) cost one redundant intersect each, which is
+    # cheaper than a full shuffle of the candidate stream up front.
+    verified = (raw_pairs
+                .join(feats.select(F.col(id_col).alias("id_a"),
+                                   F.col("sh").alias("sh_a"),
+                                   F.col("n_sh").alias("na")), "id_a")
+                .join(feats.select(F.col(id_col).alias("id_b"),
+                                   F.col("sh").alias("sh_b"),
+                                   F.col("n_sh").alias("nb")), "id_b")
+                # intersect staged in its own projection: referenced
+                # twice below, and must not be computed twice per row
+                .withColumn("__inter",
+                            F.size(F.array_intersect("sh_a", "sh_b")))
                 .withColumn("jaccard",
-                            F.size(F.array_intersect("sh_a", "sh_b")) /
-                            F.size(F.array_union("sh_a", "sh_b")))
+                            F.col("__inter") / (F.col("na") + F.col("nb")
+                                                - F.col("__inter")))
                 .where(F.col("jaccard") >= jaccard_threshold))
-    return verified.select("id_a", "id_b", "jaccard")
+    return verified.select("id_a", "id_b", "jaccard").distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str,

