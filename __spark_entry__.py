@@ -1293,6 +1293,52 @@ def gql_all(spark, sf_dir):
         order={"asc": "custkey"}, columns=["custkey"])
 
 
+def _gql_store(spark, sf_dir, tables=("Region", "Nation", "Customer",
+                                      "Order")):
+    from zef_spark.graphql import tpch_schema
+    from zef_spark.graphql.mutations import TableStore
+    schema = tpch_schema()
+    return schema, TableStore({schema[t].table:
+                               _t(spark, sf_dir, schema[t].table)
+                               for t in tables})
+
+
+@query("gql_mutation_update", """
+SELECT c_custkey AS custkey,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN 0.0
+            ELSE c_acctbal END AS acctbal
+FROM customer ORDER BY custkey
+""")
+def gql_mut_update(spark, sf_dir):
+    """updateT(filter, set) as ONE copy-on-write projection
+    (generate_api2.py:633); result = the post-mutation table."""
+    from zef_spark.graphql.mutations import MutationExecutor
+    schema, store = _gql_store(spark, sf_dir)
+    MutationExecutor(schema, store).update(
+        "Customer", {"mktsegment": {"eq": "BUILDING"}},
+        {"acctbal": 0.0})
+    return (store.load("customer")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_acctbal").alias("acctbal"))
+            .orderBy("custkey"))
+
+
+@query("gql_mutation_delete", """
+SELECT COUNT(*) AS remaining, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_totalprice >= 150000
+""")
+def gql_mut_delete(spark, sf_dir):
+    """deleteT(filter) as an anti-join swap into the versioned store
+    (generate_api2.py:671); result aggregates the surviving version."""
+    from zef_spark.graphql.mutations import MutationExecutor
+    schema, store = _gql_store(spark, sf_dir)
+    MutationExecutor(schema, store).delete(
+        "Order", {"totalprice": {"lt": 150000}})
+    return store.load("orders").agg(
+        F.count(F.lit(1)).alias("remaining"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

@@ -137,3 +137,82 @@ def test_sdl_errors():
         type A @table(name: "a") { b: B }
         type B @table(name: "b") { x: Int }
         """)
+
+
+# -- mutations (generate_api2.py:525-700 parity) ----------------------
+
+@pytest.fixture()
+def store(spark, schema):
+    from zef_spark.graphql.mutations import TableStore
+    return TableStore({
+        schema[t].table: spark.read.parquet(
+            f"{SF}/{schema[t].table}.parquet")
+        for t in ("Region", "Nation", "Customer")})
+
+
+def test_mutation_add_and_upsert(schema, store):
+    eng = GraphQLEngine(schema, store=store)
+    before = store.load("region").count()
+    out = eng.execute("""
+      mutation {
+        addRegion(input: [{regionkey: 90, name: "ATLANTIS"}]) {
+          count region { regionkey name }
+        }
+      }""")
+    assert out["addRegion"]["count"] == 1
+    assert out["addRegion"]["region"][0]["name"] == "ATLANTIS"
+    assert store.load("region").count() == before + 1
+    # upsert replaces the existing id instead of duplicating it
+    eng.execute("""
+      mutation {
+        addRegion(input: [{regionkey: 90, name: "LEMURIA"}],
+                  upsert: true) { count }
+      }""")
+    rows = store.load("region").where("r_regionkey = 90").collect()
+    assert len(rows) == 1 and rows[0].r_name == "LEMURIA"
+
+
+def test_mutation_update_set_and_remove(schema, store):
+    eng = GraphQLEngine(schema, store=store)
+    out = eng.execute("""
+      mutation {
+        updateCustomer(input: {
+          filter: {mktsegment: {eq: "BUILDING"}},
+          set: {acctbal: 0.0}, remove: ["comment_ish"]
+        }) { count customer { custkey acctbal } }
+      }""") if "comment_ish" in schema["Customer"].fields else \
+        eng.execute("""
+      mutation {
+        updateCustomer(input: {
+          filter: {mktsegment: {eq: "BUILDING"}},
+          set: {acctbal: 0.0}
+        }) { count customer { custkey acctbal } }
+      }""")
+    n = out["updateCustomer"]["count"]
+    assert n > 0
+    assert all(r["acctbal"] == 0.0
+               for r in out["updateCustomer"]["customer"])
+    # untouched rows keep their values
+    left = store.load("customer").where(
+        "c_mktsegment <> 'BUILDING' AND c_acctbal = 0.0").count()
+    assert left == 0
+
+
+def test_mutation_delete_with_relation_filter(schema, store):
+    eng = GraphQLEngine(schema, store=store)
+    before = store.load("nation").count()
+    out = eng.execute("""
+      mutation {
+        deleteNation(filter: {region: {name: {eq: "ASIA"}}}) { count }
+      }""")
+    n = out["deleteNation"]["count"]
+    assert n == 5   # TPC-H: 5 nations per region
+    assert store.load("nation").count() == before - n
+    # versioned store: previous version retained
+    assert store.history["nation"][-1].count() == before
+
+
+def test_mutation_requires_store(schema, load):
+    eng = GraphQLEngine(schema, load)
+    with pytest.raises(ValueError, match="TableStore"):
+        eng.execute('mutation { deleteRegion(filter: {id: [0]}) { count } }')

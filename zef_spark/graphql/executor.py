@@ -47,10 +47,18 @@ def _ast_value(node, variables):
 
 
 class GraphQLEngine:
-    """Executes GraphQL query documents against a table loader."""
+    """Executes GraphQL query documents against a table loader; when
+    constructed with a mutable ``TableStore`` (mutations.py), mutation
+    documents (add<T>/update<T>/delete<T>) work too."""
 
-    def __init__(self, schema: GqlSchema, load):
+    def __init__(self, schema: GqlSchema, load=None, store=None):
         self.schema = schema
+        self.store = store
+        if load is None:
+            if store is None:
+                raise ValueError("need a loader or a TableStore")
+            # type name -> current table version
+            load = lambda tname: store.load(schema[tname].table)  # noqa: E731
         self.load = load
 
     # -- public -------------------------------------------------------
@@ -74,8 +82,11 @@ class GraphQLEngine:
         doc = parse(query)
         ops = [d for d in doc.definitions
                if isinstance(d, A.OperationDefinitionNode)]
-        if len(ops) != 1 or ops[0].operation.value != "query":
-            raise ValueError("exactly one query operation supported")
+        if len(ops) != 1 or ops[0].operation.value not in ("query",
+                                                           "mutation"):
+            raise ValueError("exactly one query/mutation op supported")
+        if ops[0].operation.value == "mutation":
+            return self._execute_mutation(ops[0], variables)
 
         out = {}
         for sel in ops[0].selection_set.selections:
@@ -108,6 +119,55 @@ class GraphQLEngine:
         return out
 
     # -- internals ----------------------------------------------------
+
+    def _execute_mutation(self, op, variables) -> dict:
+        """add<T>(input, upsert) / update<T>(input: {filter, set,
+        remove}) / delete<T>(filter) — generate_api2.py:525-700. The
+        payload selection set projects the affected rows (field named
+        after the lowercased type, Dgraph-style) plus ``count``."""
+        from .mutations import MutationExecutor
+        if self.store is None:
+            raise ValueError("mutations need a TableStore-backed engine")
+        mx = MutationExecutor(self.schema, self.store)
+        out = {}
+        for sel in op.selection_set.selections:
+            fname = sel.name.value
+            alias = sel.alias.value if sel.alias else fname
+            args = {a.name.value: _ast_value(a.value, variables)
+                    for a in sel.arguments}
+            if fname.startswith("add"):
+                tname = fname[len("add"):]
+                affected = mx.add(tname, args["input"],
+                                  args.get("upsert", False))
+            elif fname.startswith("update"):
+                tname = fname[len("update"):]
+                inp = args["input"]
+                affected = mx.update(tname, inp.get("filter"),
+                                     inp.get("set"), inp.get("remove"))
+            elif fname.startswith("delete"):
+                tname = fname[len("delete"):]
+                affected = mx.delete(tname, args.get("filter"))
+            else:
+                raise ValueError(f"unknown mutation field {fname}")
+            payload = {}
+            if sel.selection_set is None:
+                payload["count"] = affected.count()
+            else:
+                for psel in sel.selection_set.selections:
+                    pname = psel.name.value
+                    palias = psel.alias.value if psel.alias else pname
+                    if pname == "count":
+                        payload[palias] = affected.count()
+                    elif pname.lower() == tname.lower():
+                        rows_df = self._project(tname, affected,
+                                                psel.selection_set)
+                        payload[palias] = [json.loads(r) for r in
+                                           rows_df.toJSON().collect()]
+                    else:
+                        raise ValueError(
+                            f"unknown payload field {pname}")
+            out[alias] = payload
+        return out
 
     def _project(self, tname: str, df: DataFrame, selection,
                  keep: str | None = None) -> DataFrame:
