@@ -1,0 +1,127 @@
+"""Property tests for temporal invariants (SURVEY §5: "property tests
+for temporal invariants — all[T]@slice(i) consistent with replaying
+events ≤ i").
+
+Hypothesis generates random wish histories (instantiate / assign /
+terminate sequences over a small entity pool); for every resulting
+transaction slice we check the bitemporal reads against an
+independent, dead-simple Python replay of the same event list.
+Reference semantics under test: tombstone intervals
+(core/include/blobs.h:160,174 termination_time_slice), value history
+(ATTRIBUTE_VALUE_ASSIGNMENT_EDGE, blobs.h:284), frame reads
+(graph_slice.py:24-74).
+"""
+
+from dataclasses import replace
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from zef_spark import ET, ops as z
+from zef_spark.graph.delta import Assign, E, Terminate, empty_graph, \
+    transact
+
+# a history is a list of txs; each tx is a list of (verb, entity_idx,
+# value) commands over a pool of 4 entity names
+_cmd = st.tuples(st.sampled_from(["new", "assign", "kill"]),
+                 st.integers(min_value=0, max_value=3),
+                 st.integers(min_value=0, max_value=9))
+_history = st.lists(st.lists(_cmd, min_size=1, max_size=3),
+                    min_size=1, max_size=4)
+
+
+def _replay(history):
+    """Driver-side oracle: replay commands, recording per-slice state
+    {name: value_or_None} for every tx index (1-based)."""
+    alive, value, slices = {}, {}, []
+    for tx in history:
+        for verb, idx, val in tx:
+            name = f"e{idx}"
+            if verb == "new" and not alive.get(name):
+                alive[name] = True
+                value[name] = None
+            elif verb == "assign" and alive.get(name):
+                value[name] = val
+            elif verb == "kill" and alive.get(name):
+                alive[name] = False
+        slices.append(({n for n, a in alive.items() if a},
+                       {n: v for n, v in value.items()
+                        if alive.get(n)}))
+    return slices
+
+
+def _wishes(history):
+    """Same commands as graph wishes, one transact per tx; returns the
+    final graph and the receipt name→id map."""
+    alive = {}
+    out = []
+    for tx in history:
+        ws = []
+        for verb, idx, val in tx:
+            name = f"e{idx}"
+            if verb == "new" and not alive.get(name):
+                alive[name] = True
+                ws.append(E(ET.Thing, name=name))
+            elif verb == "assign" and alive.get(name):
+                ws.append(Assign(name, "x", val))
+            elif verb == "kill" and alive.get(name):
+                alive[name] = False
+                ws.append(Terminate(name))
+        out.append(ws)
+    return out
+
+
+def _apply(spark, history):
+    """Run the history through transact; returns (graph, name→id as of
+    each slice)."""
+    g = empty_graph(spark)
+    ids: dict[str, int] = {}
+    id_history: list[dict[str, int]] = []
+    for ws in _wishes(history):
+        # receipts don't persist across transacts: remap names that
+        # were minted in EARLIER txs to their ids
+        ws = [replace(w, target=ids[w.target])
+              if not isinstance(w, E) and w.target in ids else w
+              for w in ws]
+        g, rc = transact(g, ws)
+        ids.update(rc)
+        id_history.append(dict(ids))
+    return g, id_history
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_history)
+def test_slice_reads_match_event_replay(spark, history):
+    expected = _replay(history)
+    g, id_history = _apply(spark, history)
+    n_tx = g.max_tx()
+    assert n_tx == len(history)
+    for i, (alive_names, values) in enumerate(expected, start=1):
+        frame_ids = id_history[i - 1]
+        gs = g.at(i)
+        ns = gs | z.all[ET.Thing]
+        got_ids = {r.id for r in ns.df.select("id").collect()}
+        want_ids = {frame_ids[n] for n in alive_names}
+        assert got_ids == want_ids, f"slice {i}: alive set mismatch"
+        got_vals = dict(ns.field("x").collect())
+        want_vals = {frame_ids[n]: v for n, v in values.items()
+                     if v is not None}
+        assert got_vals == want_vals, f"slice {i}: value mismatch"
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_history)
+def test_time_travel_equals_direct_slice(spark, history):
+    """time_travel[-k] from now == at(max_tx - k) (ITF:5493)."""
+    g, _ = _apply(spark, history)
+    n_tx = g.max_tx()
+    now = g.now()
+    for k in range(n_tx):
+        a = now.time_travel(-k)
+        b = g.at(n_tx - k)
+        ca = (a | z.all[ET.Thing]).df.select("id")
+        cb = (b | z.all[ET.Thing]).df.select("id")
+        assert {r.id for r in ca.collect()} == \
+            {r.id for r in cb.collect()}

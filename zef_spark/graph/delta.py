@@ -115,6 +115,14 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
     close_tags: list[str] = []
     supersede_aes: list[int] = []     # AE ids whose alive row closes at tx
     terminate_ids: list[int] = []     # node ids to close (+ incident edges)
+    # tx-local state so wishes in one tx see each other (reference:
+    # commands in one GraphDelta resolve against the in-progress tx,
+    # graph_delta.py:1242 DAG ordering): (owner, field) -> AE id minted
+    # or first touched this tx, and AE id -> index of its pending value
+    # row (a second Assign in the same tx overwrites — both happen at
+    # the same time slice, last wins).
+    local_ae: dict[tuple[int, str], int] = {}
+    av_index: dict[int, int] = {}
 
     def resolve(ref) -> int:
         if isinstance(ref, int):
@@ -143,6 +151,8 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
         ae_id = next(ids)
         new_nodes.append((ae_id, f"AET.{vrt}", None, tx, None))
         new_edges.append((next(ids), fname, None, owner_id, ae_id, tx, None))
+        local_ae[(owner_id, fname)] = ae_id
+        av_index[ae_id] = len(new_avs)
         new_avs.append(av_row(ae_id, fname, value))
 
     for w in wishes:
@@ -162,12 +172,19 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
                 receipt[w.name] = eid
         elif isinstance(w, (Assign, SetField)):
             owner = resolve(w.target)
-            ae = field_ae(owner, _name(w.field))
+            fname = _name(w.field)
+            ae = local_ae.get((owner, fname))
+            if ae is not None:               # field touched earlier this tx
+                new_avs[av_index[ae]] = av_row(ae, fname, w.value)
+                continue
+            ae = field_ae(owner, fname)
             if ae is None:
-                add_field(owner, _name(w.field), w.value)
+                add_field(owner, fname, w.value)
             else:
                 supersede_aes.append(ae)
-                new_avs.append(av_row(ae, _name(w.field), w.value))
+                local_ae[(owner, fname)] = ae
+                av_index[ae] = len(new_avs)
+                new_avs.append(av_row(ae, fname, w.value))
         elif isinstance(w, Terminate):
             terminate_ids.append(resolve(w.target))
         elif isinstance(w, Tag):
@@ -181,6 +198,15 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
     nodes, edges, avs = g.nodes, g.edges, g.attr_values
     if terminate_ids:
         tset = set(terminate_ids)
+        # instantiated-and-terminated in the SAME tx ⇒ empty validity
+        # interval [tx, tx) — never visible in any slice (reference:
+        # instantiation_time_slice == termination_time_slice,
+        # blobs.h:160). Close the pending rows too, not just stored ones.
+        new_nodes = [(i, et, uid, vf, tx if (i in tset and vt is None)
+                      else vt) for (i, et, uid, vf, vt) in new_nodes]
+        new_edges = [(i, rt, uid, s, d, vf,
+                      tx if ((s in tset or d in tset) and vt is None)
+                      else vt) for (i, rt, uid, s, d, vf, vt) in new_edges]
         nodes = nodes.withColumn(
             "valid_to_tx",
             F.when(F.col("id").isin(tset) & F.col("valid_to_tx").isNull(),
