@@ -68,40 +68,39 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     [0,1]: penalizes very short docs, high punctuation density, low
     stopword ratio (classic C4/Gopher-style filters, simplified).
 
-    Staged so each heavy expression runs ONCE per row: stage 1
-    materializes the token array + regex counts, stage 2 folds the
-    tokens a single time into (stop_hits, char_sum), stage 3 is cheap
-    arithmetic over those scalars. The naive single-projection form
-    re-tokenizes per output column (interpreted higher-order functions
-    don't share subexpressions) — ~7x slower at any scale."""
+    Every feature is a scalar regexp_count over the text — no token
+    array is materialized and no interpreted higher-order function
+    runs. Stop-word hits count word-boundary alternation matches on
+    the lowered text, which is exactly token-equality for a \W+
+    tokenizer (stopwords are pure ASCII letters, so \b coincides with
+    the token edges); summed token length is the word-character count.
+    The earlier array-fold form produced identical rows but paid an
+    interpreted per-token fold plus a multi-second codegen of the fold
+    expression on first run."""
     text = F.col(text_col)
     cols = df.columns
-    stop = F.array(*[F.lit(m) for ms in _LANG_MARKERS.values() for m in ms])
+    stop_pat = (r"\b(?:" + "|".join(m for ms in _LANG_MARKERS.values()
+                                    for m in ms) + r")\b")
+    low = F.lower(text)
     s1 = df.select(
         "*",
-        _tokens(text).alias("__toks"),
         F.length(text).alias("n_chars_computed"),
-        F.length(F.regexp_replace(text, r"[^\p{Punct}]", ""))
-         .alias("__punct"),
-        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).alias("__alpha"))
-    fold = F.aggregate(
-        F.col("__toks"),
-        F.struct(F.lit(0).alias("stop"), F.lit(0).alias("chars")),
-        lambda a, t: F.struct(
-            (a["stop"] + F.when(F.array_contains(stop, t), 1).otherwise(0))
-            .alias("stop"),
-            (a["chars"] + F.length(t)).alias("chars")))
-    s2 = s1.select("*", F.size("__toks").alias("n_tokens"),
-                   fold.alias("__fold"))
+        F.regexp_count(low, F.lit(r"\w+")).alias("__ntok"),
+        F.regexp_count(low, F.lit(stop_pat)).alias("__stop"),
+        (F.length(text) - F.regexp_count(text, F.lit(r"\W")))
+        .alias("__wchars"),
+        F.regexp_count(text, F.lit(r"\p{Punct}")).alias("__punct"),
+        F.regexp_count(text, F.lit(r"[A-Za-z]")).alias("__alpha"))
+    s2 = s1.withColumnRenamed("__ntok", "n_tokens")
     n_tok = F.col("n_tokens")
     n_chars = F.col("n_chars_computed")
     stop_ratio = F.when(n_tok > 0,
-                        F.col("__fold.stop") / n_tok).otherwise(F.lit(0.0))
+                        F.col("__stop") / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0,
                          F.col("__punct") / n_chars).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0,
                          F.col("__alpha") / n_chars).otherwise(F.lit(0.0))
-    mean_word_len = F.when(n_tok > 0, F.col("__fold.chars") / n_tok) \
+    mean_word_len = F.when(n_tok > 0, F.col("__wchars") / n_tok) \
                      .otherwise(F.lit(0.0))
     score = (F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.3
              + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
