@@ -29,16 +29,16 @@ def lang_id(df: DataFrame, text_col: str,
     """Predict language by marker-word hit count; ties break by
     language name order (deterministic). Unknown → 'und'.
 
-    Tokenization is materialized in its own projection stage so the
-    per-language scorers share ONE split pass per row (Catalyst keeps
-    non-cheap aliases referenced more than once un-inlined)."""
+    Each language's hit count is one regexp_count of a word-boundary
+    alternation over the lowered text — equal to token-equality hits
+    for a \W+ tokenizer (markers are pure ASCII letters), with no
+    token array per row and no interpreted higher-order filter."""
     cols = df.columns
-    staged = df.select("*", _tokens(F.col(text_col)).alias("__toks"))
+    staged = df.select("*", F.lower(F.col(text_col)).alias("__low"))
     scores = []
     for lang in sorted(_LANG_MARKERS):
-        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
-        score = F.size(F.filter(F.col("__toks"),
-                                lambda t: F.array_contains(markers, t)))
+        pat = r"\b(?:" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+        score = F.regexp_count(F.col("__low"), F.lit(pat))
         scores.append(F.struct(score.alias("score"),
                                F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
