@@ -844,11 +844,38 @@ def p_simhash(spark, sf_dir):
         .orderBy("id_a", "id_b")
 
 
-@query("p_ngram_jaccard_pairs")
+@query("p_ngram_jaccard_pairs", """
+WITH g AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+           i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' '))) AS grams
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\\W+') AS w
+        FROM documents)
+), posting AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g
+), kept AS (
+  SELECT * FROM posting
+  WHERE gram NOT IN (SELECT gram FROM posting
+                     GROUP BY gram HAVING COUNT(*) > 1000)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), sizes AS (SELECT doc_id, LEN(grams) AS n FROM g)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+ORDER BY id_a, id_b
+""")
 def p_ngram_jaccard(spark, sf_dir):
     from zef_spark.pipeline.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
     return (ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+            .withColumn("jaccard", F.round("jaccard", 6))
             .orderBy("id_a", "id_b"))
 
 
