@@ -17,9 +17,9 @@ from dataclasses import replace
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from zef_spark import ET, ops as z
-from zef_spark.graph.delta import Assign, E, Terminate, empty_graph, \
-    transact
+from zef_spark import ET, RT, ops as z
+from zef_spark.graph.delta import Assign, E, R, Terminate, \
+    empty_graph, transact
 
 # a history is a list of txs; each tx is a list of (verb, entity_idx,
 # value) commands over a pool of 4 entity names
@@ -125,3 +125,62 @@ def test_time_travel_equals_direct_slice(spark, history):
         cb = (b | z.all[ET.Thing]).df.select("id")
         assert {r.id for r in ca.collect()} == \
             {r.id for r in cb.collect()}
+
+
+# -- relation lifecycle: edges close when an endpoint terminates -----
+# (cascade at the terminator's tx, reference graph_delta.py:730;
+# link+kill in ONE tx ⇒ empty interval, never visible)
+
+_rcmd = st.tuples(st.sampled_from(["new", "link", "kill"]),
+                  st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=0, max_value=2))
+_rhistory = st.lists(st.lists(_rcmd, min_size=1, max_size=3),
+                     min_size=1, max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_rhistory)
+def test_edge_visibility_matches_endpoint_lifetimes(spark, history):
+    alive: dict[str, bool] = {}
+    # expected edges as (src_name, dst_name, created_tx, closed_tx|None)
+    exp_edges: list[list] = []
+    g = empty_graph(spark)
+    ids: dict[str, int] = {}
+    next_tx = 1                       # graph tx number IF this tx commits
+    for tx in history:
+        txi = next_tx
+        ws = []
+        for verb, a, b in tx:
+            na, nb = f"e{a}", f"e{b}"
+            if verb == "new" and not alive.get(na):
+                alive[na] = True
+                ws.append(E(ET.Thing, name=na))
+            elif verb == "link" and alive.get(na) and alive.get(nb):
+                ws.append(R(na if na in {w.name for w in ws
+                                         if isinstance(w, E)} else ids[na],
+                            RT.Link,
+                            nb if nb in {w.name for w in ws
+                                         if isinstance(w, E)} else ids[nb]))
+                exp_edges.append([na, nb, txi, None])
+            elif verb == "kill" and alive.get(na):
+                alive[na] = False
+                ws.append(Terminate(na if na in
+                                    {w.name for w in ws
+                                     if isinstance(w, E)} else ids[na]))
+                for e in exp_edges:
+                    if e[3] is None and na in (e[0], e[1]):
+                        e[3] = txi
+        if not ws:
+            continue
+        g, rc = transact(g, ws)
+        ids.update(rc)
+        next_tx += 1
+    n_tx = g.max_tx()
+    for i in range(1, n_tx + 1):
+        es = (g.at(i) | z.all[ET.Thing]).out_rels(RT.Link)
+        got = sorted((r.src_id, r.dst_id)
+                     for r in es.df.select("src_id", "dst_id").collect())
+        want = sorted((ids[s], ids[d]) for s, d, c, k in exp_edges
+                      if c <= i and (k is None or k > i))
+        assert got == want, f"slice {i}: edge set mismatch"
