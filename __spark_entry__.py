@@ -361,9 +361,9 @@ WITH flagged AS (
   FROM events
 ), runs AS (
   SELECT user_id, event_type,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-           AS chunk_id
+           AS BIGINT) AS chunk_id
   FROM flagged
 )
 SELECT user_id, chunk_id, event_type, COUNT(*) AS run_len
@@ -431,7 +431,7 @@ SELECT l_orderkey, l_linenumber,
        CEIL(l_discount * 100) AS ceil_disc_pct,
        CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
        GREATEST(LEAST(l_quantity, 40.0), 10.0) AS clamped_qty,
-       SIGN(l_quantity - 25) AS sign_qty,
+       CAST(SIGN(l_quantity - 25) AS BIGINT) AS sign_qty,
        ROUND(POWER(l_tax + 1, 2), 6) AS tax_sq,
        CAST(l_quantity AS BIGINT) % 7 AS qty_mod
 FROM lineitem ORDER BY l_orderkey, l_linenumber
@@ -447,7 +447,7 @@ def q_math(spark, sf_dir):
         "ceil_disc_pct": F.ceil(F.col("l_discount") * 100).cast("double"),
         "net": F.round(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")), 2).cast("double"),
         "clamped_qty": clamp(F.col("l_quantity"), 10.0, 40.0),
-        "sign_qty": F.signum(F.col("l_quantity") - 25),
+        "sign_qty": F.signum(F.col("l_quantity") - 25).cast("bigint"),
         "tax_sq": F.round(F.pow(F.col("l_tax") + 1, 2), 6),
         "qty_mod": F.col("l_quantity").cast("bigint") % 7}]
         | z.sort["l_orderkey", "l_linenumber"])
@@ -931,8 +931,8 @@ WITH seq AS (
   FROM events
 )
 SELECT user_id,
-       seg_after - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-         AS seg_no,
+       CAST(seg_after - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         AS BIGINT) AS seg_no,
        COUNT(*) FILTER (WHERE event_type <> 'purchase') AS seg_len
 FROM seq
 GROUP BY 1, 2
@@ -1189,7 +1189,7 @@ def q19(spark, sf_dir):
 # =====================================================================
 
 @query("p_infer_types", """
-SELECT SUM(k) AS sum_key, ROUND(SUM(p), 2) AS sum_price,
+SELECT CAST(SUM(k) AS BIGINT) AS sum_key, ROUND(SUM(p), 2) AS sum_price,
        COUNT(*) AS n
 FROM (SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k,
              CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS p
@@ -1268,7 +1268,7 @@ SELECT COUNT(*) AS "count",
        ROUND(AVG(o_totalprice), 6) AS "totalpriceAvg",
        MIN(o_orderkey) AS "orderkeyMin",
        MAX(o_orderkey) AS "orderkeyMax",
-       SUM(o_orderkey) AS "orderkeySum",
+       CAST(SUM(o_orderkey) AS BIGINT) AS "orderkeySum",
        ROUND(AVG(o_orderkey), 6) AS "orderkeyAvg"
 FROM orders WHERE o_orderstatus = 'F'
 """)

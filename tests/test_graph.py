@@ -149,3 +149,27 @@ def test_exists_at(persons):
     m = {r[0]: r[1] for r in ex.collect()}
     assert m[ids["joe"]] is True
     assert m[ids["flo"]] is False
+
+
+def test_materialize_load_tags_roundtrip(spark, persons, tmp_path):
+    """Persist/reload must keep temporal tags (VERDICT r1: tags were
+    silently dropped, by_tag raised KeyError after load)."""
+    from zef_spark.graph.delta import Tag
+    g, ids = persons
+    g5, _ = transact(g, [Tag("the-joe", ids["joe"])])
+    path = str(tmp_path / "gtags")
+    g5.materialize(path)
+    g6 = Graph.load(spark, path)
+    assert g6.tags is not None
+    hit = GraphAt(g6, g6.max_tx()).by_tag("the-joe")
+    assert [r["id"] for r in hit.df.collect()] == [ids["joe"]]
+
+
+def test_materialize_load_without_tags(spark, persons, tmp_path):
+    g, _ = persons
+    path = str(tmp_path / "gnotags")
+    g.materialize(path)
+    g2 = Graph.load(spark, path)
+    assert g2.tags is None
+    assert (GraphAt(g2, g2.max_tx()) | z.all[ET.Person]
+            | z.count | z.collect) == 1

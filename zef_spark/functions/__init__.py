@@ -50,14 +50,8 @@ def to_pascal_case(col):
 
 def to_camel_case(col):
     p = to_pascal_case(col)
-    return F.concat(F.lower(F.substring(p, 1, 1)), F.expr(
-        f"substring({_expr_str(p)}, 2)")) if False else \
-        F.concat(F.lower(p.substr(F.lit(1), F.lit(1))),
-                 p.substr(F.lit(2), F.length(p)))
-
-
-def _expr_str(c):  # pragma: no cover
-    raise NotImplementedError
+    return F.concat(F.lower(p.substr(F.lit(1), F.lit(1))),
+                    p.substr(F.lit(2), F.length(p)))
 
 
 # -- padding / trimming / splitting (ITF:8318-8379, 2199-2322, 4684) --

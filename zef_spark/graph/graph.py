@@ -88,13 +88,22 @@ class Graph:
             .write.mode("overwrite").partitionBy("attr_rt") \
             .parquet(f"{path}/attr_values")
         self.txs.write.mode("overwrite").parquet(f"{path}/txs")
+        if self.tags is not None:
+            self.tags.write.mode("overwrite").parquet(f"{path}/tags")
 
     @staticmethod
     def load(spark, path: str) -> "Graph":
+        # tags are optional: only present when the graph ever tagged
+        # (mirrors the in-memory Graph where tags=None until first tag)
+        try:
+            tags = spark.read.parquet(f"{path}/tags")
+        except Exception:
+            tags = None
         return Graph(spark.read.parquet(f"{path}/nodes"),
                      spark.read.parquet(f"{path}/edges"),
                      spark.read.parquet(f"{path}/attr_values"),
-                     spark.read.parquet(f"{path}/txs"))
+                     spark.read.parquet(f"{path}/txs"),
+                     tags=tags)
 
 
 class GraphSlice:

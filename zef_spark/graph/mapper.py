@@ -171,8 +171,6 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
         s_code = _TABLES[s_tab][0]
         d_code = _TABLES[d_tab][0]
         src_key = _TABLES[s_tab][2]() if s_key is None else F.col(s_key)
-        if s_key is None:  # lineitem composite key
-            src_key = _TABLES[s_tab][2]()
         edge_parts.append(df.select(
             _mkid(rel_code, src_key), F.lit(rt).alias("rt"),
             F.lit(None).cast("string").alias("uid"),

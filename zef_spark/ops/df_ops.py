@@ -371,10 +371,7 @@ def _tap(df: DataFrame, fn=None):
 @register_op("Assert", "df")
 def _assert_df(df: DataFrame, pred, msg="assertion failed"):
     c = to_column_predicate(pred)
-    return df.withColumn(
-        "__chk",
-        F.when(~c, F.raise_error(F.lit(msg))).otherwise(F.lit(1))
-    ).drop("__chk") if False else df.where(
+    return df.where(
         F.when(~c, F.raise_error(F.lit(msg))).otherwise(F.lit(True)))
 
 

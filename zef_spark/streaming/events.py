@@ -107,7 +107,7 @@ class EventLog:
 
     def stream(self, spark: SparkSession) -> DataFrame:
         return (spark.readStream
-                .schema(EVENT_SCHEMA + ", event STRING")
+                .schema(EVENT_SCHEMA)
                 .option("maxFilesPerTrigger", 64)
                 .parquet(self.path))
 
@@ -140,9 +140,7 @@ def subscribe(stream_df: DataFrame, fn: Callable, once: bool = True):
     """`subscribe[fn]`: run fn(batch_df, batch_id) per micro-batch.
     once=True processes everything available then stops (test mode);
     otherwise returns the running StreamingQuery."""
-    writer = stream_df.writeStream.foreachBatch(fn) \
-        .option("checkpointLocation", None) if False else \
-        stream_df.writeStream.foreachBatch(fn)
+    writer = stream_df.writeStream.foreachBatch(fn)
     if once:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
