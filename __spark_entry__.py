@@ -825,10 +825,35 @@ def p_cosine_pairs(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-# rows-only checks (non-SQL-expressible at reasonable oracle cost)
-
-@query("p_minhash_lsh_pairs")
+@query("p_minhash_lsh_pairs", """
+WITH sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      GENERATE_SERIES(1, LEN(text)-4),
+      i -> (ORD(text[i])*4362470401 + ORD(text[i+1])*16974593 +
+            ORD(text[i+2])*66049 + ORD(text[i+3])*257 + ORD(text[i+4]))
+           % 2147483647)) AS hs
+  FROM documents WHERE LEN(COALESCE(text,'')) >= 5
+), sizes AS (SELECT doc_id, LEN(hs) AS n FROM sh),
+posting AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM posting a JOIN posting b USING (h)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, ni/(sa.n + sb.n - ni) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE ni/(sa.n + sb.n - ni) >= 0.4
+ORDER BY id_a, id_b
+""")
 def p_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified. Oracle = exact
+    all-pairs shingle Jaccard (inverted-index join) over the SAME
+    byte-rolling-hash 5-shingles (poly base 257 mod 2^31-1, matching
+    dedup._rolling_hashes), so it ALSO asserts 100% candidate recall
+    of the banding at this threshold — a true ground-truth check, not
+    signature replication."""
     from zef_spark.pipeline.dedup import minhash_lsh_pairs
     docs = _t(spark, sf_dir, "documents")
     return (minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
@@ -836,8 +861,30 @@ def p_minhash(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-@query("p_simhash_pairs")
+@query("p_simhash_pairs", r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\W+')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || SUBSTR(MD5(t), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         CASE WHEN SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN (1::BIGINT << b.b) ELSE 0 END AS term
+  FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS b) b
+  GROUP BY doc_id, b.b
+), fp AS (SELECT doc_id, SUM(term)::BIGINT AS fp FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       BIT_COUNT(XOR(a.fp, b.fp)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.fp, b.fp)) <= 8
+ORDER BY id_a, id_b
+""")
 def p_simhash(spark, sf_dir):
+    """SimHash near-dup pairs. Fingerprint = 60-bit sign-vector over
+    md5-token-hashes (portable), so the oracle recomputes it exactly
+    in DuckDB and checks ALL pairs — which also proves the
+    pigeonhole chunk blocking recalls every pair within the bound."""
     from zef_spark.pipeline.dedup import simhash_dup_pairs
     docs = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(docs, "text", "doc_id", max_hamming=8) \
@@ -879,13 +926,50 @@ def p_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-@query("p_ann_topk_lsh")
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6,
+                        seed: int = 42) -> str:
+    """DuckDB oracle for the hyperplane-LSH ANN: the planes are
+    deterministic (md5-derived, similarity._plane), so we embed them
+    as literal arrays and recompute bucket membership + cosine
+    entirely in SQL."""
+    from zef_spark.pipeline.similarity import _plane
+    rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(repr(x) for x in _plane(dim, p, seed)))
+        for p in range(n_planes))
+    return f"""
+WITH planes(p, plane) AS (VALUES {rows}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(e.v, p.plane) >= 0
+                  THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id
+),
+qb AS (
+  SELECT CAST(SUM(CASE WHEN LIST_DOT_PRODUCT(q.qv, p.plane) >= 0
+              THEN (1 << p.p) ELSE 0 END) AS BIGINT) AS b
+  FROM q CROSS JOIN planes p)
+SELECT e.vec_id AS vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(e.v, q.qv), 4) AS cosine
+FROM emb e JOIN buckets bk ON bk.vec_id = e.vec_id, q, qb
+WHERE bk.bucket = qb.b
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@query("p_ann_topk_lsh", _ann_lsh_oracle_sql())
 def p_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-k. Oracle recomputes the deterministic
+    hyperplane buckets in DuckDB from the same md5-derived plane
+    constants — full value check, not rows-only."""
     from zef_spark.pipeline.similarity import ann_topk_lsh
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
     return ann_topk_lsh(emb, "embedding", "vec_id",
-                        _query_vec(spark, sf_dir), k=10, n_planes=6)
+                        _query_vec(spark, sf_dir), k=10, n_planes=6,
+                        digits=4)
 
 
 # =====================================================================

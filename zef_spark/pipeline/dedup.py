@@ -274,18 +274,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified.select("id_a", "id_b", "jaccard").distinct()
 
 
+SIMHASH_BITS = 60  # 15 hex digits of md5: portable to any engine
+                   # with md5 (DuckDB oracle recomputes it bit-for-bit)
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str,
             out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash fingerprint, fully row-local (whole-stage
-    codegen; zero shuffle)."""
+    """60-bit SimHash fingerprint, fully row-local (zero shuffle).
+    Token hash is the low 60 bits of md5 rather than xxhash64 so an
+    independent engine can reproduce the fingerprint exactly."""
     tokens = F.split(F.lower(F.col(text_col)), r"\W+")
-    th = F.transform(tokens, lambda t: F.xxhash64(t))
+    th = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("long"))
     bit_sums = [
         F.aggregate(th, F.lit(0),
                     lambda acc, h: acc + F.when(
                         F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1)).otherwise(F.lit(-1)))
-        for b in range(64)]
+        for b in range(SIMHASH_BITS)]
     fp = None
     for b, s in enumerate(bit_sums):
         bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
@@ -296,12 +304,18 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,
                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (a pair
-    within hamming ≤3 shares ≥1 identical chunk), verify distance."""
+    """Near-dup pairs by SimHash, blocked on `max_hamming + 1` bit
+    chunks: by pigeonhole a pair within the hamming bound has at
+    least one chunk with no differing bit, so blocking is COMPLETE
+    (100% recall) — the exact-distance verify then prunes false
+    candidates. One shuffle on (chunk_idx, chunk)."""
+    n_chunks = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_chunks)  # ceil
     fp = simhash(df, text_col, id_col)
     chunks = F.array(*[
-        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-        for i in range(4)])
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(n_chunks)])
     blocked = fp.select(id_col, "simhash",
                         F.posexplode(chunks).alias("chunk_idx", "chunk"))
     a = blocked.select(F.col(id_col).alias("id_a"),

@@ -37,11 +37,12 @@ def cosine_to_query(df: DataFrame, vec_col: str, query: list[float],
 
 
 def brute_force_topk(df: DataFrame, vec_col: str, id_col: str,
-                     query: list[float], k: int = 10) -> DataFrame:
+                     query: list[float], k: int = 10,
+                     digits: int = 6) -> DataFrame:
     """Exact cosine top-k: map-side score, TakeOrdered global top-k
     (no full sort shuffle — Spark's orderBy+limit optimizes)."""
     scored = cosine_to_query(df, vec_col, query)
-    return (scored.select(id_col, F.round(F.col("cosine"), 6)
+    return (scored.select(id_col, F.round(F.col("cosine"), digits)
                           .alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
@@ -74,7 +75,7 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8,
 
 def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
                  query: list[float], k: int = 10, n_planes: int = 8,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, digits: int = 6) -> DataFrame:
     """ANN top-k: score only rows in the query's LSH bucket. At scale,
     precompute the bucket column at ingest (partition by bucket →
     partition pruning makes this a point read)."""
@@ -87,7 +88,7 @@ def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
         if sum(a * b for a, b in zip(query, plane)) >= 0:
             qb |= 1 << p
     cand = bucketed.where(F.col("__bucket") == qb)
-    return brute_force_topk(cand, vec_col, id_col, query, k)
+    return brute_force_topk(cand, vec_col, id_col, query, k, digits)
 
 
 def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
