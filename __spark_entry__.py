@@ -618,6 +618,31 @@ def g_time_travel(spark, sf_dir):
         "count", "n_orders")
 
 
+@query("g_time_travel_duration", """
+WITH tx_dates AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+  UNION SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem
+  UNION SELECT DATE '1992-01-01'
+), mx AS (SELECT MAX(d) AS m FROM tx_dates),
+target AS (
+  SELECT MAX(d) AS d FROM tx_dates, mx
+  WHERE d <= m - INTERVAL 365 DAY)
+SELECT COUNT(*) AS n_orders FROM orders, target
+WHERE CAST(o_orderdate AS DATE) <= target.d
+""")
+def g_time_travel_duration(spark, sf_dir):
+    """Duration-relative time travel (ITF:5518-5527 dispatch,
+    reference idiom ``zr | time_travel[-3.5*units.seconds]``): shift
+    the frame's wall-clock back one year, re-resolve the latest tx at
+    or before it. Oracle mirrors with DuckDB interval arithmetic over
+    the same tx timeline (distinct order/ship dates)."""
+    from zef_spark import ET, ops as z, units
+    gs = _gs(spark, sf_dir)
+    past = gs | z.time_travel[-365 * units.days]
+    return (past | z.all[ET.Order] | z.count).withColumnRenamed(
+        "count", "n_orders")
+
+
 @query("g_tx_instantiated_events", """
 SELECT o_orderkey FROM orders
 WHERE o_orderdate = TIMESTAMP '1997-03-15'

@@ -1,0 +1,65 @@
+"""Quantity value types + duration time-travel (reference:
+core/include/scalars.h:133,164; python/zef/core/units.py;
+time_travel dispatch ITF:5518-5527)."""
+
+import pytest
+
+from zef_spark.units import (QuantityFloat, QuantityInt, is_duration,
+                             units)
+
+
+def test_units_arithmetic():
+    d = -3.5 * units.seconds
+    assert isinstance(d, QuantityFloat)
+    assert d.value == -3.5 and d.unit == "seconds"
+    assert isinstance(2 * units.seconds, QuantityInt)
+    assert (5 * units.minutes).value == 300
+    assert (2 * units.days + 12 * units.hours).value == 2.5 * 86400
+    assert -(3 * units.seconds) == QuantityInt(-3, "seconds")
+    assert (6 * units.seconds / 4).value == 1.5
+
+
+def test_unit_mismatch_raises():
+    with pytest.raises(ValueError):
+        _ = 1 * units.seconds + 1 * units.grams
+    with pytest.raises(ValueError):
+        _ = 1 * units.kilograms < 1 * units.grams
+
+
+def test_comparisons_same_unit():
+    assert 1 * units.minutes < 2 * units.minutes
+    assert 90 * units.seconds > 1 * units.minutes  # same base unit
+
+
+def test_is_duration():
+    assert is_duration(3 * units.seconds)
+    assert is_duration(-0.5 * units.hours * 1)
+    assert not is_duration(3 * units.grams)
+    assert not is_duration(3)
+
+
+def test_unit_conversion():
+    q = (2 * units.kilometers).to("meters")
+    assert q.value == 2000.0 and q.unit == "meters"
+    assert (1 * units.kilograms).to("grams").value == 1000.0
+    assert (120 * units.seconds).to("minutes").value == 2.0
+    with pytest.raises(ValueError):
+        (1 * units.meters).to("grams")
+
+
+def test_time_travel_duration(spark):
+    import datetime
+    from zef_spark import ET, ops as z
+    from zef_spark.graph.delta import E, empty_graph, transact
+    g0 = empty_graph(spark)
+    t0 = datetime.datetime(2020, 1, 1)
+    g1, _ = transact(g0, [E(ET.Person, name="a")], time=t0)
+    g2, _ = transact(g1, [E(ET.Person, name="b")],
+                     time=t0 + datetime.timedelta(days=10))
+    gs = g2.now()
+    past = gs | z.time_travel[-5 * units.days]
+    assert (past | z.all[ET.Person] | z.count | z.collect) == 1
+    same = gs | z.time_travel[-1 * units.seconds * 0]
+    assert (same | z.all[ET.Person] | z.count | z.collect) == 2
+    with pytest.raises(ValueError):
+        gs | z.time_travel[5 * units.grams]

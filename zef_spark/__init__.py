@@ -11,5 +11,7 @@ from . import vt                                    # noqa: F401
 from .graph import (Graph, GraphSlice, NodeSet,     # noqa: F401
                     build_graph, graph_for, transact)
 from . import ops                                   # noqa: F401
+from .units import (QuantityFloat, QuantityInt,     # noqa: F401
+                    units)
 
 __version__ = "0.1.0"

@@ -143,10 +143,25 @@ class GraphSlice:
         return NodeSet(self, _alive(g.nodes, self.tx)
                        .join(ids, "id", "left_semi"))
 
-    def time_travel(self, delta: int) -> "GraphSlice":
-        """Relative slice move (ITF:5493): index arithmetic over the
-        tx chain — implemented over the (small, broadcastable) txs
-        dimension."""
+    def time_travel(self, delta) -> "GraphSlice":
+        """Relative slice move (ITF:5493, full dispatch ITF:5518-5527):
+        Int → move that many slices along the tx chain; Duration
+        (Quantity in seconds, e.g. ``-3.5 * units.seconds``) → shift
+        this frame's wall-clock time and re-resolve the latest tx at
+        or before it; Time/datetime → absolute (same as Graph.at).
+        All forms are index arithmetic over the (small, broadcastable)
+        txs dimension."""
+        import datetime as _dt
+        from ..units import QuantityFloat, QuantityInt, is_duration
+        if isinstance(delta, (QuantityInt, QuantityFloat)):
+            if not is_duration(delta):
+                raise ValueError(
+                    f"time_travel needs a duration in seconds, got "
+                    f"unit {delta.unit!r}")
+            target = self.time() + _dt.timedelta(seconds=delta.value)
+            return self.graph.at(target)
+        if isinstance(delta, _dt.datetime):
+            return self.graph.at(delta)
         txs = self.graph.txs
         target = (txs.where(F.col("tx_id") <= self.tx) if delta <= 0
                   else txs)
