@@ -643,6 +643,67 @@ def g_time_travel_duration(spark, sf_dir):
         "count", "n_orders")
 
 
+@query("g_quantity_fields", """
+SELECT r_name AS name, r_regionkey * 2.5 * 1000 AS span_m
+FROM region ORDER BY name
+""")
+def g_quantity_fields(spark, sf_dir):
+    """Quantity value types end-to-end (reference scalars.h:133,164;
+    units.py): assign QuantityFloat fields via transact, read back,
+    unit-convert kilometers→meters in the plan (CASE expression, no
+    UDF)."""
+    from zef_spark import ET, QuantityFloat, ops as z
+    from zef_spark.functions import unit_convert
+    from zef_spark.graph.delta import E, empty_graph, transact
+    regions = _t(spark, sf_dir, "region").orderBy("r_regionkey").collect()
+    g, _ = transact(empty_graph(spark), [
+        E(ET.Region, name=f"r{r['r_regionkey']}",
+          fields={"Name": r["r_name"],
+                  "Span": QuantityFloat(2.5 * r["r_regionkey"],
+                                        "kilometers")})
+        for r in regions])
+    ns = g.now() | z.all[ET.Region]
+    out = ns.fields("Name", "Span")
+    return (out.select(F.col("Name").alias("name"),
+                       unit_convert("Span", "meters")["value"]
+                       .alias("span_m"))
+            .orderBy("name"))
+
+
+@query("g_relation_fields_meta", """
+SELECT r_name AS name, ROUND(SUM(n.n_nationkey * 1.5), 2) AS total_w
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name ORDER BY name
+""")
+def g_relation_fields_meta(spark, sf_dir):
+    """Relation-of-relation (reference blobs.h:221-222): MemberOf
+    relations carry a Weight FIELD — the attribute edge's source is
+    the relation itself, i.e. a meta-edge — and the read path
+    traverses it (EdgeSet.field resolves AEs keyed by EDGE ids)."""
+    from zef_spark import ET, RT, ops as z
+    from zef_spark.graph.delta import E, R, empty_graph, transact
+    nations = _t(spark, sf_dir, "nation").collect()
+    regions = _t(spark, sf_dir, "region").collect()
+    wishes = [E(ET.Region, name=f"r{r['r_regionkey']}",
+                fields={"Name": r["r_name"]}) for r in regions]
+    wishes += [E(ET.Nation, name=f"n{n['n_nationkey']}") for n in nations]
+    wishes += [R(f"n{n['n_nationkey']}", RT.MemberOf,
+                 f"r{n['n_regionkey']}",
+                 fields={"Weight": n["n_nationkey"] * 1.5})
+               for n in nations]
+    g, _ = transact(empty_graph(spark), wishes)
+    gs = g.now()
+    es = gs | z.all[ET.Nation] | z.out_rels[RT.MemberOf]
+    w = es.field("Weight")
+    rname = (gs | z.all[ET.Region]).field("Name") \
+        .select(F.col("id").alias("dst_id"), F.col("Name").alias("name"))
+    return (es.df.select("id", "dst_id")
+            .join(w, "id").join(rname, "dst_id")
+            .groupBy("name")
+            .agg(F.round(F.sum("Weight"), 2).alias("total_w"))
+            .orderBy("name"))
+
+
 @query("g_tx_instantiated_events", """
 SELECT o_orderkey FROM orders
 WHERE o_orderdate = TIMESTAMP '1997-03-15'

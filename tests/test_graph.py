@@ -173,3 +173,39 @@ def test_materialize_load_without_tags(spark, persons, tmp_path):
     assert g2.tags is None
     assert (GraphAt(g2, g2.max_tx()) | z.all[ET.Person]
             | z.count | z.collect) == 1
+
+
+def test_relation_of_relation(spark):
+    """Edges as endpoints of edges (reference blobs.h:221-222):
+    create R(joe -HasPet-> luna), attach a meta-edge Since on the
+    relation itself, traverse through it, and check terminate
+    cascades transitively."""
+    from zef_spark.graph.delta import E, R, Terminate, empty_graph, \
+        transact
+    g0 = empty_graph(spark)
+    g1, r = transact(g0, [
+        E(ET.Person, name="joe"),
+        E(ET.Pet, name="luna"),
+        E(ET.Event, name="adoption"),
+        R("joe", RT.HasPet, "luna", name="hp",
+          fields={"Strength": 0.9}),
+        R("hp", RT.CausedBy, "adoption", name="meta"),
+    ])
+    gs = g1.now()
+    # traverse: from the HasPet edge through CausedBy to the event
+    hp = (gs | z.all[ET.Person] | z.out_rels[RT.HasPet])
+    ev = hp.Outs(RT.CausedBy)
+    assert [x["et"] for x in ev.df.collect()] == ["Event"]
+    # and back: the CausedBy edge's source is the HasPet EDGE
+    meta_src = (gs | z.all[ET.Event] | z.in_rels[RT.CausedBy]) \
+        .source()
+    assert [x["et"] for x in meta_src.df.collect()] == ["RT.HasPet"]
+    # relations own fields
+    sv = hp.field("Strength").collect()
+    assert [x["Strength"] for x in sv] == [0.9]
+    # terminating luna closes HasPet, which cascades to the meta-edge
+    g2, _ = transact(g1, [Terminate(r["luna"])])
+    gs2 = g2.now()
+    assert (gs2 | z.all[ET.Event] | z.in_rels[RT.CausedBy]).df.count() == 0
+    # the event entity itself survives
+    assert (gs2 | z.all[ET.Event] | z.count | z.collect) == 1

@@ -63,3 +63,64 @@ def test_time_travel_duration(spark):
     assert (same | z.all[ET.Person] | z.count | z.collect) == 2
     with pytest.raises(ValueError):
         gs | z.time_travel[5 * units.grams]
+
+
+def test_quantity_enum_assign_read_roundtrip(spark):
+    """Assign/read round-trip of Quantity + Enum values (reference
+    scalars.h:133,164 QuantityFloat/QuantityInt; tokens.h:302-318
+    ZefEnumValue; test shape: python/tests/test_enum.py)."""
+    from zef_spark import ET, ops as z, units
+    from zef_spark.tokens import EN
+    from zef_spark.graph.delta import E, empty_graph, transact
+    from zef_spark.functions import unit_convert
+
+    g0 = empty_graph(spark)
+    g1, r = transact(g0, [
+        E(ET.Parcel, name="p1", fields={
+            "Weight": 2.5 * units.kilograms,
+            "Distance": 3 * units.kilometers,
+            "Color": EN.Color.red}),
+        E(ET.Parcel, name="p2", fields={
+            "Weight": 750 * units.grams,
+            "Distance": 1 * units.meters,
+            "Color": EN.Color.blue}),
+    ])
+    ns = g1.now() | z.all[ET.Parcel]
+    w = {r["id"]: r["Weight"] for r in ns.field("Weight").collect()}
+    assert w[r["p1"]]["value"] == 2.5 and w[r["p1"]]["unit"] == "kilograms"
+    assert w[r["p2"]]["value"] == 750.0 and w[r["p2"]]["unit"] == "grams"
+    colors = {r["id"]: r["Color"] for r in ns.field("Color").collect()}
+    assert colors[r["p1"]] == "Color.red"
+
+    # vrt records int-ness even though storage is one double;
+    # units.kilometers is itself QuantityInt(1000, "meters") so both
+    # Distance rows land in meters
+    rows = (g1.attr_values.where("attr_rt = 'Distance'")
+            .select("value_quantity.value", "value_quantity.unit", "vrt")
+            .collect())
+    assert sorted((x["value"], x["unit"], x["vrt"]) for x in rows) == \
+        [(1.0, "meters", "QuantityInt"), (3000.0, "meters", "QuantityInt")]
+
+    # unit conversion op: everything to grams
+    wdf = ns.field("Weight")
+    conv = wdf.select("id", unit_convert("Weight", "grams").alias("g"))
+    got = {r["id"]: r["g"]["value"] for r in conv.collect()}
+    assert got[r["p1"]] == 2500.0 and got[r["p2"]] == 750.0
+
+
+def test_select_by_field_quantity_enum(spark):
+    from zef_spark import ET, ops as z, units
+    from zef_spark.tokens import EN
+    from zef_spark.graph.delta import E, empty_graph, transact
+    g0 = empty_graph(spark)
+    g1, r = transact(g0, [
+        E(ET.Thing, name="a", fields={"W": 5 * units.grams,
+                                      "C": EN.State.on}),
+        E(ET.Thing, name="b", fields={"W": 7 * units.grams,
+                                      "C": EN.State.off}),
+    ])
+    ns = g1.now() | z.all[ET.Thing]
+    hit = ns.select_by_field("W", 5 * units.grams)
+    assert [x["id"] for x in hit.df.collect()] == [r["a"]]
+    hit2 = ns.select_by_field("C", EN.State.off)
+    assert [x["id"] for x in hit2.df.collect()] == [r["b"]]

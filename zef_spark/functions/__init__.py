@@ -121,3 +121,28 @@ def to_bytes(col):
 
 def utf8bytes_to_string(col):
     return F.decode(_c(col), "utf-8")
+
+
+def quantity(value, unit):
+    """Build a quantity struct column (matches the value_quantity
+    storage layout: struct<value double, unit string>)."""
+    return F.struct(_c(value).cast("double").alias("value"),
+                    (F.lit(unit) if isinstance(unit, str)
+                     else _c(unit)).alias("unit"))
+
+
+def unit_convert(qcol, target_unit: str):
+    """Convert a quantity struct column to `target_unit` through the
+    registered linear factors (zef_spark.units.register_conversion);
+    rows whose unit has no conversion become NULL. Pure CASE
+    expression — whole-stage codegen, no UDF."""
+    from ..units import _CONVERSIONS
+    q = _c(qcol)
+    v, u = q["value"], q["unit"]
+    out = F.when(u == target_unit, v)
+    for (src, dst), factor in _CONVERSIONS.items():
+        if dst == target_unit:
+            out = out.when(u == src, v * F.lit(factor))
+    return F.struct(out.alias("value"),
+                    F.when(out.isNotNull(), F.lit(target_unit))
+                    .alias("unit"))

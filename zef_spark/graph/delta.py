@@ -28,19 +28,36 @@ from pyspark.sql import functions as F
 from ..tokens import Token
 from .graph import Graph
 from .schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA, NODES_SCHEMA,
-                     TXS_SCHEMA, VALUE_COLS)
+                     TXS_SCHEMA, VALUE_COLS, VALUE_COL_LIST)
 
 _PY_VRT = [(bool, "Bool"), (int, "Int"), (float, "Float"), (str, "String")]
 
 
 def _vrt_of(value) -> str:
     import datetime
+    from ..tokens import EnumValue
+    from ..units import QuantityFloat, QuantityInt
     if isinstance(value, datetime.datetime):
         return "Time"
+    if isinstance(value, QuantityInt):
+        return "QuantityInt"
+    if isinstance(value, QuantityFloat):
+        return "QuantityFloat"
+    if isinstance(value, EnumValue):
+        return "Enum"
     for ty, name in _PY_VRT:
         if isinstance(value, ty):
             return name
     raise TypeError(f"unsupported attribute value type: {type(value)}")
+
+
+def _storage_value(vrt: str, value):
+    """Python wish value → the physical cell for its VALUE_COLS slot."""
+    if vrt in ("QuantityInt", "QuantityFloat"):
+        return (float(value.value), value.unit)
+    if vrt == "Enum":
+        return str(value)
+    return value
 
 
 @dataclass
@@ -51,11 +68,13 @@ class E:  # instantiate entity
 
 
 @dataclass
-class R:  # instantiate relation (endpoints: receipt names or ids)
+class R:  # instantiate relation (endpoints: receipt names or ids —
+    # including EDGE ids/names: relation-of-relation, blobs.h:221-222)
     src: Any
     rt: Token
     dst: Any
     name: str | None = None
+    fields: dict = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -140,11 +159,10 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
 
     def av_row(ae_id: int, fname: str, value) -> tuple:
         vrt = _vrt_of(value)
-        vals = {c: None for c in VALUE_COLS.values()}
-        vals[VALUE_COLS[vrt]] = value
-        return (ae_id, fname, vrt, vals["value_str"], vals["value_int"],
-                vals["value_float"], vals["value_bool"], vals["value_time"],
-                tx, None)
+        vals = {c: None for c in VALUE_COL_LIST}
+        vals[VALUE_COLS[vrt]] = _storage_value(vrt, value)
+        return (ae_id, fname, vrt,
+                *[vals[c] for c in VALUE_COL_LIST], tx, None)
 
     def add_field(owner_id: int, fname: str, value):
         vrt = _vrt_of(value)
@@ -170,6 +188,8 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
                               resolve(w.src), resolve(w.dst), tx, None))
             if w.name:
                 receipt[w.name] = eid
+            for fname, val in w.fields.items():
+                add_field(eid, _name(fname), val)
         elif isinstance(w, (Assign, SetField)):
             owner = resolve(w.target)
             fname = _name(w.field)
@@ -198,6 +218,25 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
     nodes, edges, avs = g.nodes, g.edges, g.attr_values
     if terminate_ids:
         tset = set(terminate_ids)
+        # transitive cascade: closing an edge also closes meta-edges
+        # whose endpoint is that edge (relation-of-relation). Depth is
+        # the meta-nesting level (almost always ≤2), so a short
+        # frontier loop; each round is one pruned scan of edges.
+        pend = [(i, s, d, vt) for (i, _, _, s, d, _, vt) in new_edges]
+        frontier = tset
+        while frontier:
+            nxt = set()
+            for (i, s, d, vt) in pend:
+                if i not in tset and vt is None and (s in frontier
+                                                    or d in frontier):
+                    nxt.add(i)
+            fdf = F.col("src_id").isin(frontier) | \
+                F.col("dst_id").isin(frontier)
+            stored = (edges.where(fdf & F.col("valid_to_tx").isNull())
+                      .select("id").collect())
+            nxt.update(r[0] for r in stored)
+            frontier = nxt - tset
+            tset |= frontier
         # instantiated-and-terminated in the SAME tx ⇒ empty validity
         # interval [tx, tx) — never visible in any slice (reference:
         # instantiation_time_slice == termination_time_slice,
@@ -205,7 +244,8 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
         new_nodes = [(i, et, uid, vf, tx if (i in tset and vt is None)
                       else vt) for (i, et, uid, vf, vt) in new_nodes]
         new_edges = [(i, rt, uid, s, d, vf,
-                      tx if ((s in tset or d in tset) and vt is None)
+                      tx if ((i in tset or s in tset or d in tset)
+                             and vt is None)
                       else vt) for (i, rt, uid, s, d, vf, vt) in new_edges]
         nodes = nodes.withColumn(
             "valid_to_tx",
@@ -213,7 +253,8 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
                    F.lit(tx)).otherwise(F.col("valid_to_tx")))
         edges = edges.withColumn(
             "valid_to_tx",
-            F.when((F.col("src_id").isin(tset) | F.col("dst_id").isin(tset))
+            F.when((F.col("id").isin(tset) | F.col("src_id").isin(tset)
+                    | F.col("dst_id").isin(tset))
                    & F.col("valid_to_tx").isNull(),
                    F.lit(tx)).otherwise(F.col("valid_to_tx")))
     if supersede_aes:

@@ -18,13 +18,29 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .schema import VALUE_COLS
+from .schema import VALUE_COLS, VALUE_COL_LIST
 
 
 def _alive(df: DataFrame, tx: int) -> DataFrame:
     return df.where((F.col("valid_from_tx") <= F.lit(tx)) &
                     (F.col("valid_to_tx").isNull() |
                      (F.col("valid_to_tx") > F.lit(tx))))
+
+
+def _rae_view(g, tx: int) -> DataFrame:
+    """All alive RAEs — nodes AND relations — as one id-addressable
+    set (id, et, uid, intervals). Relations surface with
+    ``et = "RT.<rt>"`` so traversal endpoints can be edges
+    (relation-of-relation, reference blobs.h:221-222: edges are
+    first-class sources/targets). The union is lazy; a hop that only
+    ever lands on nodes keeps the edge branch pruned by Catalyst only
+    when ids can't match — so prefer node-only joins where the schema
+    guarantees node endpoints (field reads do)."""
+    nodes = _alive(g.nodes, tx)
+    edges = _alive(g.edges, tx).select(
+        "id", F.concat(F.lit("RT."), F.col("rt")).alias("et"),
+        "uid", "valid_from_tx", "valid_to_tx")
+    return nodes.unionByName(edges)
 
 
 class Graph:
@@ -200,9 +216,10 @@ class NodeSet:
         ids = self.df.select(F.col("id").alias("__from"))
         hopped = e.join(ids, e[here] == ids["__from"], "inner") \
                   .select(F.col(there).alias("id"))
-        nodes = _alive(g.nodes, t)
+        # endpoints may be nodes OR edges (relation-of-relation)
         return NodeSet(self.frame,
-                       nodes.join(hopped.distinct(), "id", "inner"))
+                       _rae_view(g, t).join(hopped.distinct(), "id",
+                                            "inner"))
 
     def Outs(self, rt=None) -> "NodeSet":
         return self._hop(rt, "out")
@@ -263,12 +280,12 @@ class NodeSet:
             # every other attr union branch away (delegate-index read)
             av = av.where(F.col("attr_rt") == rt_name)
         value = F.coalesce(*[F.col(c).cast("string")
-                             for c in VALUE_COLS.values()])
+                             for c in VALUE_COL_LIST])
         typed = av.select(
             F.col("ae_id").alias("__ae"),
             F.col("assigned_at_tx"),
             F.col("vrt"),
-            *[F.col(c) for c in VALUE_COLS.values()])
+            *[F.col(c) for c in VALUE_COL_LIST])
         joined = owners.join(typed, "__ae", "inner")
         if getattr(g, "single_assignment", False):
             # mapper-built graphs: exactly one assignment row per AE
@@ -277,7 +294,7 @@ class NodeSet:
         # general graphs: ≤1 *alive* row per AE at any frame, but be
         # robust to idempotent re-assigns via max_by on assigned_at_tx
         per_owner = joined.groupBy("id").agg(
-            F.max_by(F.struct(*[F.col(c) for c in VALUE_COLS.values()],
+            F.max_by(F.struct(*[F.col(c) for c in VALUE_COL_LIST],
                               F.col("vrt")),
                      F.col("assigned_at_tx")).alias("__v"))
         return per_owner.select("id", F.col("__v.*"))
@@ -321,9 +338,11 @@ class NodeSet:
              (F.col("superseded_at_tx") > F.lit(t))))
         if "attr_rt" in av.columns:
             av = av.where(F.col("attr_rt") == name)
-        cond = reduce(lambda a, b: a | b,
-                      [F.col(c) == F.lit(value) for c in VALUE_COLS.values()
-                       if _lit_compatible(c, value)])
+        preds = [_value_predicate(c, value) for c in VALUE_COL_LIST]
+        preds = [p for p in preds if p is not None]
+        if not preds:
+            raise TypeError(f"no value column matches {type(value)}")
+        cond = reduce(lambda a, b: a | b, preds)
         ae_ids = av.where(cond).select(F.col("ae_id").alias("__ae"))
         e = _alive(g.edges, t).where(F.col("rt") == name) \
             .select(F.col("src_id").alias("id"),
@@ -385,13 +404,27 @@ class NodeSet:
                        .join(ids, "id", "left_semi"))
 
 
-def _lit_compatible(col_name: str, value) -> bool:
+def _value_predicate(col_name: str, value):
+    """Equality predicate for one physical value column, or None when
+    the Python value can't live in that column (keeps the OR short —
+    Catalyst prunes nothing from an always-false branch)."""
     import datetime
-    return {"value_str": isinstance(value, str),
-            "value_int": isinstance(value, int) and not isinstance(value, bool),
-            "value_float": isinstance(value, float),
-            "value_bool": isinstance(value, bool),
-            "value_time": isinstance(value, datetime.datetime)}[col_name]
+    from ..tokens import EnumValue
+    from ..units import QuantityFloat, QuantityInt
+    if col_name == "value_quantity":
+        if not isinstance(value, (QuantityInt, QuantityFloat)):
+            return None
+        return (F.col("value_quantity.value") == float(value.value)) & \
+            (F.col("value_quantity.unit") == value.unit)
+    if col_name == "value_enum":
+        return (F.col(col_name) == str(value)) \
+            if isinstance(value, EnumValue) else None
+    ok = {"value_str": isinstance(value, str),
+          "value_int": isinstance(value, int) and not isinstance(value, bool),
+          "value_float": isinstance(value, float),
+          "value_bool": isinstance(value, bool),
+          "value_time": isinstance(value, datetime.datetime)}[col_name]
+    return (F.col(col_name) == F.lit(value)) if ok else None
 
 
 class EdgeSet:
@@ -404,14 +437,38 @@ class EdgeSet:
     def source(self) -> NodeSet:
         ids = self.df.select(F.col("src_id").alias("id")).distinct()
         return NodeSet(self.frame,
-                       _alive(self.frame.graph.nodes, self.frame.tx)
+                       _rae_view(self.frame.graph, self.frame.tx)
                        .join(ids, "id", "inner"))
 
     def target(self) -> NodeSet:
         ids = self.df.select(F.col("dst_id").alias("id")).distinct()
         return NodeSet(self.frame,
-                       _alive(self.frame.graph.nodes, self.frame.tx)
+                       _rae_view(self.frame.graph, self.frame.tx)
                        .join(ids, "id", "inner"))
+
+    # -- relation-of-relation traversal: edges are id-addressable RAEs
+    # (blobs.h:221-222), so an EdgeSet hops exactly like a NodeSet —
+    # meta-edges attached to these edges are reachable
+    def _as_rae_set(self) -> NodeSet:
+        return NodeSet(self.frame, self.df)
+
+    def Outs(self, rt=None) -> NodeSet:
+        return self._as_rae_set().Outs(rt)
+
+    def Ins(self, rt=None) -> NodeSet:
+        return self._as_rae_set().Ins(rt)
+
+    def out_rels(self, rt=None) -> "EdgeSet":
+        return self._as_rae_set().out_rels(rt)
+
+    def in_rels(self, rt=None) -> "EdgeSet":
+        return self._as_rae_set().in_rels(rt)
+
+    def field(self, rt, alias: str | None = None) -> DataFrame:
+        """Relations can own attribute fields too (the reference
+        allows (rel, RT.x, value) triples): same AE resolution as
+        NodeSet.field keyed by this edge set's ids."""
+        return self._as_rae_set().field(rt, alias)
 
 
 def _rt_name(rt) -> str:

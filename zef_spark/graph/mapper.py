@@ -160,6 +160,9 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
                  else F.lit(None).cast("boolean")).alias("value_bool"),
                 (c.cast("timestamp_ntz") if vrt == "Time"
                  else F.lit(None).cast("timestamp_ntz")).alias("value_time"),
+                F.lit(None).cast("struct<value:double,unit:string>")
+                .alias("value_quantity"),
+                F.lit(None).cast("string").alias("value_enum"),
                 vfrom.alias("assigned_at_tx"),
                 F.lit(None).cast("long").alias("superseded_at_tx")))
 
@@ -212,7 +215,7 @@ _GRAPH_CACHE: dict = {}
 
 # Bump when the mapper's output schema/ids change: invalidates the
 # on-disk materialized graphs.
-_CACHE_VERSION = 2
+_CACHE_VERSION = 3  # v3: value_quantity/value_enum columns
 
 
 def graph_for(spark: SparkSession, sf_dir: str) -> Graph:

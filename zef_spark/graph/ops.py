@@ -127,12 +127,12 @@ def _value(v, alias="value"):
         (F.col("assigned_at_tx") <= F.lit(t)) &
         (F.col("superseded_at_tx").isNull() |
          (F.col("superseded_at_tx") > F.lit(t))))
-    from .schema import VALUE_COLS
+    from .schema import VALUE_COL_LIST
     joined = ns.df.select("id").join(
         av.withColumnRenamed("ae_id", "id"), "id", "inner")
     return joined.groupBy("id").agg(
         F.max_by(F.coalesce(*[F.col(c).cast("string")
-                              for c in VALUE_COLS.values()]),
+                              for c in VALUE_COL_LIST]),
                  F.col("assigned_at_tx")).alias(alias))
 
 

@@ -56,6 +56,15 @@ ATTR_VALUES_SCHEMA = T.StructType([
     T.StructField("value_float", T.DoubleType(), True),
     T.StructField("value_bool", T.BooleanType(), True),
     T.StructField("value_time", T.TimestampNTZType(), True),
+    # QuantityInt/QuantityFloat (reference scalars.h:133,164): value +
+    # unit; int-ness is recorded in the vrt, the storage is one double
+    T.StructField("value_quantity", T.StructType([
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("unit", T.StringType(), True),
+    ]), True),
+    # ZefEnumValue (reference tokens.h:302-318) as "Type.value" —
+    # parquet dictionary-encodes the low-cardinality string for free
+    T.StructField("value_enum", T.StringType(), True),
     T.StructField("assigned_at_tx", T.LongType(), False),
     T.StructField("superseded_at_tx", T.LongType(), True),
 ])
@@ -76,7 +85,14 @@ VALUE_COLS = {
     "Float": "value_float",
     "Bool": "value_bool",
     "Time": "value_time",
+    "QuantityInt": "value_quantity",
+    "QuantityFloat": "value_quantity",
+    "Enum": "value_enum",
 }
+
+# physical value columns, deduped (QuantityInt/QuantityFloat share
+# one struct column) — use THIS for column iteration, not .values()
+VALUE_COL_LIST = list(dict.fromkeys(VALUE_COLS.values()))
 
 # Deterministic id layout: high bits = type code, low 52 bits = key.
 # 52 key bits leave 10 bits for type codes (≤1023) within int64 —

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..graph.graph import Graph
-from ..graph.schema import VALUE_COLS
+from ..graph.schema import VALUE_COL_LIST
 
 EVENT_SCHEMA = ("tx_id LONG, event STRING, kind STRING, id LONG, "
                 "token STRING, value STRING, time TIMESTAMP_NTZ")
@@ -60,7 +60,7 @@ def derive_event_log(g: Graph) -> DataFrame:
         F.lit("assigned").alias("event"), F.lit("attr").alias("kind"),
         F.col("ae_id").alias("id"), F.col("vrt").alias("token"),
         F.coalesce(*[F.col(c).cast("string")
-                     for c in VALUE_COLS.values()]).alias("value"))
+                     for c in VALUE_COL_LIST]).alias("value"))
     log = n_inst.unionByName(n_term).unionByName(e_inst) \
         .unionByName(e_term).unionByName(assigned)
     return log.join(F.broadcast(txs), "tx_id", "left")

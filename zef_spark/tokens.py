@@ -59,6 +59,48 @@ ET = _TokenFactory("ET")
 RT = _TokenFactory("RT")
 AET = _TokenFactory("AET")
 
+
+@dataclass(frozen=True)
+class EnumValue:
+    """ZefEnumValue (reference core/include/tokens.h:302-318): a
+    (enum_type, value) pair, e.g. ``EN.Unit.seconds``. Stored as the
+    dictionary-encodable string "Type.value" in ``value_enum``."""
+    enum_type: str
+    value: str
+
+    def __str__(self) -> str:
+        return f"{self.enum_type}.{self.value}"
+
+    __repr__ = __str__
+
+
+class _EnumTypeNS:
+    __slots__ = ("_t",)
+
+    def __init__(self, t: str):
+        self._t = t
+
+    def __getattr__(self, v: str) -> EnumValue:
+        if v.startswith("_"):
+            raise AttributeError(v)
+        return EnumValue(self._t, v)
+
+    def __call__(self, v: str) -> EnumValue:
+        return EnumValue(self._t, v)
+
+
+class _EnumFactory:
+    """`EN.Color.red` style access (reference EN surface,
+    python/zef/core/units.py imports EN for Unit enums)."""
+
+    def __getattr__(self, t: str) -> _EnumTypeNS:
+        if t.startswith("_"):
+            raise AttributeError(t)
+        return _EnumTypeNS(t)
+
+
+EN = _EnumFactory()
+
 # VRT primitive names (reference core/include/tokens.h:321-329) → Spark types
 VRT_SPARK_TYPES = {
     "String": "string",
