@@ -209,3 +209,29 @@ def test_relation_of_relation(spark):
     assert (gs2 | z.all[ET.Event] | z.in_rels[RT.CausedBy]).df.count() == 0
     # the event entity itself survives
     assert (gs2 | z.all[ET.Event] | z.count | z.collect) == 1
+
+
+def test_transact_batches_driver_round_trips(spark, monkeypatch):
+    """A transact of N wishes must issue O(1) driver round-trips, not
+    O(N): id high-water mark is chained between transacts and all
+    (owner, field)->AE pairs resolve in ONE broadcast join (VERDICT
+    r1 scale-killer fix). collect() calls are the proxy for jobs."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+    g0 = empty_graph(spark)
+    g1, r1 = transact(g0, [
+        E(ET.Person, name=f"p{i}", fields={"Age": i}) for i in range(8)])
+    calls = {"n": 0}
+    orig = CDF.collect
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(CDF, "collect", counting)
+    g2, _ = transact(g1, [Assign(r1[f"p{i}"], "Age", 100 + i)
+                          for i in range(8)])
+    assert calls["n"] <= 2, f"{calls['n']} collects for 8 assigns"
+    monkeypatch.undo()
+    ns = GraphAt(g2, g2.max_tx()) | z.all[ET.Person]
+    ages = sorted(r[1] for r in ns.field("Age").collect())
+    assert ages == [100 + i for i in range(8)]

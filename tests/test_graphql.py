@@ -216,3 +216,24 @@ def test_mutation_requires_store(schema, load):
     eng = GraphQLEngine(schema, load)
     with pytest.raises(ValueError, match="TableStore"):
         eng.execute('mutation { deleteRegion(filter: {id: [0]}) { count } }')
+
+
+def test_unpaginated_query_plans_a_limit(schema, load):
+    """An unpaginated query<T> must not collect unboundedly: the
+    engine caps at max_rows (explicit `first` wins; max_rows=None
+    opts out). VERDICT r1 scale-killer fix."""
+    import warnings
+    eng = GraphQLEngine(schema, load, max_rows=7)
+    q = "{ queryCustomer { custkey } }"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = eng.execute(q)
+        assert any("capping" in str(x.message) for x in w)
+    assert len(out["queryCustomer"]) == 7
+    # explicit first overrides the cap
+    out2 = eng.execute("{ queryCustomer(first: 9) { custkey } }")
+    assert len(out2["queryCustomer"]) == 9
+    # opt-out: no cap applied
+    eng_nc = GraphQLEngine(schema, load, max_rows=None)
+    out3 = eng_nc.execute(q)
+    assert len(out3["queryCustomer"]) == 150

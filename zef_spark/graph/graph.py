@@ -58,6 +58,7 @@ class Graph:
         self.tags = tags
         self._max_tx = None
         self._max_tx_df = None  # optional cheap plan for max(tx_id)
+        self._max_rae_id = None  # id high-water mark (set by transact)
         self.rt_vrt: dict[str, str] | None = None  # optional rt→VRT registry
         # True when every AE has exactly one assignment row ever
         # (bulk-ingested graphs): enables no-shuffle field reads

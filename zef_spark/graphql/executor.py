@@ -51,9 +51,17 @@ class GraphQLEngine:
     constructed with a mutable ``TableStore`` (mutations.py), mutation
     documents (add<T>/update<T>/delete<T>) work too."""
 
-    def __init__(self, schema: GqlSchema, load=None, store=None):
+    #: default driver-materialization cap for unpaginated query<T> —
+    #: execute() collects results onto the driver, so an unbounded
+    #: query over a large table would OOM it (VERDICT r1). Explicit
+    #: ``first`` wins; pass max_rows=None to opt out entirely.
+    DEFAULT_MAX_ROWS = 10_000
+
+    def __init__(self, schema: GqlSchema, load=None, store=None,
+                 max_rows: int | None = DEFAULT_MAX_ROWS):
         self.schema = schema
         self.store = store
+        self.max_rows = max_rows
         if load is None:
             if store is None:
                 raise ValueError("need a loader or a TableStore")
@@ -71,7 +79,15 @@ class GraphQLEngine:
         df = FilterCompiler(self.schema, self.load).apply(
             tname, base, args.get("filter"))
         df = apply_order(t, df, args.get("order"))
-        df = apply_pagination(df, args.get("first"), args.get("offset"))
+        first = args.get("first")
+        if first is None and self.max_rows is not None:
+            import warnings
+            warnings.warn(
+                f"query{tname} without 'first': capping at "
+                f"{self.max_rows} rows (pass first explicitly, or "
+                f"max_rows=None to opt out)", stacklevel=3)
+            first = self.max_rows
+        df = apply_pagination(df, first, args.get("offset"))
         return self._project(tname, df, selection)
 
     def execute(self, query: str, variables: dict | None = None) -> dict:
