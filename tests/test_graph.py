@@ -235,3 +235,35 @@ def test_transact_batches_driver_round_trips(spark, monkeypatch):
     ns = GraphAt(g2, g2.max_tx()) | z.all[ET.Person]
     ages = sorted(r[1] for r in ns.field("Age").collect())
     assert ages == [100 + i for i in range(8)]
+
+
+def test_foreign_rae_merge_by_uid(spark):
+    """Merge keeps origin uid across graphs (reference
+    graph_delta.py:643 `merge`, FOREIGN_ENTITY_NODE blobs.h:336-390):
+    merging twice is idempotent, identity joins across graphs on uid,
+    and merge-with-fields upserts instead of duplicating AEs."""
+    from zef_spark.graph.delta import Merge, merge_ref
+    ga0 = empty_graph(spark)
+    ga, ra = transact(ga0, [
+        E(ET.Person, name="alice-uid", fields={"Name": "Alice"})])
+    # capture alice from graph A, merge into B
+    wish = merge_ref(ga.now(), ra["alice-uid"])
+    assert wish.uid == "alice-uid"
+    gb0 = empty_graph(spark)
+    gb, rb = transact(gb0, [Merge(wish.uid, wish.et,
+                                  fields={"Name": "Alice"})])
+    # same origin uid on both graphs
+    uid_a = ga.nodes.where(F.col("id") == ra["alice-uid"]) \
+        .select("uid").collect()[0][0]
+    uid_b = gb.nodes.where(F.col("id") == rb["alice-uid"]) \
+        .select("uid").collect()[0][0]
+    assert uid_a == uid_b == "alice-uid"
+    # re-merge: resolves to the SAME local id, no new node
+    gb2, rb2 = transact(gb, [Merge("alice-uid", fields={"Name": "Ali"})])
+    assert rb2["alice-uid"] == rb["alice-uid"]
+    assert gb2.nodes.where(F.col("uid") == "alice-uid").count() == 1
+    # field upserted, not duplicated
+    ns = GraphAt(gb2, gb2.max_tx()) | z.all[ET.Person]
+    assert [r[1] for r in ns.field("Name").collect()] == ["Ali"]
+    names_edges = gb2.edges.where(F.col("rt") == "Name").count()
+    assert names_edges == 1
