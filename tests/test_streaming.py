@@ -63,3 +63,36 @@ def test_streaming_subscription(g, spark):
         q.awaitTermination(120)
         assert len(seen) == 2
         assert all(r["token"] == "Machine" for r in seen)
+
+
+def test_stream_op_chaining(g, spark):
+    """Generic op chains compose against STREAMING DataFrames for the
+    stateless subset (reference lifts ops onto Rx streams,
+    op_structs.py:789-824): on_instantiated | filter | map |
+    subscribe, plus for_each as a streaming terminal."""
+    from pyspark.sql import functions as F
+    from zef_spark import ops as z
+
+    with tempfile.TemporaryDirectory() as d:
+        log = EventLog(f"{d}/log").write(g)
+        stream = log.stream(spark)
+        seen = []
+        (on_instantiated(stream)
+         | z.filter[F.col("kind") == "node"]
+         | z.map[{"id": F.col("id"), "token": F.col("token")}]
+         | z.subscribe[lambda b, _i: seen.extend(b.collect())])
+        machines = [r for r in seen if r["token"] == "Machine"]
+        assert len(machines) == 2
+
+        # for_each drains per element on a stream
+        ids = []
+        (on_instantiated(stream)
+         | z.filter[F.col("token") == "Machine"]
+         | z.map[F.col("id")]
+         | z.for_each[ids.append])
+        assert len(ids) == 2
+
+        # collect on a stream is a clear error, not a hang
+        import pytest as _pytest
+        with _pytest.raises(TypeError, match="STREAMING"):
+            stream | z.collect

@@ -44,6 +44,11 @@ def _window(order_by, partition_by=None):
 # -- terminals --------------------------------------------------------
 @register_op("collect", "df")
 def _collect(df: DataFrame):
+    if df.isStreaming:
+        raise TypeError(
+            "collect on a STREAMING DataFrame: terminate the chain "
+            "with subscribe[fn] / for_each[fn] instead (reference "
+            "Awaitable chains end in subscribe, op_structs.py:876)")
     rows = df.collect()
     if len(df.columns) == 1:
         vals = [r[0] for r in rows]
@@ -53,6 +58,16 @@ def _collect(df: DataFrame):
 
 @register_op("for_each", "df")
 def _for_each(df: DataFrame, fn):
+    if df.isStreaming:
+        # per-element callback over micro-batches: the streaming form
+        # of the same op (chain-on-stream, op_structs.py:789-824)
+        from ..streaming.events import subscribe
+        ncols = len(df.columns)
+
+        def batch_fn(batch_df, _bid):
+            for r in batch_df.toLocalIterator():
+                fn(tuple(r) if ncols > 1 else r[0])
+        return subscribe(df, batch_fn, once=True)
     for r in df.toLocalIterator():
         fn(tuple(r) if len(df.columns) > 1 else r[0])
 
@@ -81,6 +96,10 @@ def _map(df: DataFrame, fn):
     if isinstance(fn, dict):
         return df.select(*[v.alias(k) if isinstance(v, Column)
                            else F.expr(v).alias(k) for k, v in fn.items()])
+    if isinstance(fn, Column):
+        return df.select(fn)
+    if isinstance(fn, str):
+        return df.select(F.expr(fn))
     out = fn(ROW)
     if isinstance(out, Column):
         return df.select(out)
