@@ -267,3 +267,74 @@ def test_foreign_rae_merge_by_uid(spark):
     assert [r[1] for r in ns.field("Name").collect()] == ["Ali"]
     names_edges = gb2.edges.where(F.col("rt") == "Name").count()
     assert names_edges == 1
+
+
+def test_schema_constraints_on_transact(spark):
+    """check_schema aborts the whole tx on violation (reference
+    FinishTransaction check_schema, core/src/transaction.cpp:158-183;
+    validator shape: simplegql generated validators)."""
+    from zef_spark.graph.constraints import GraphConstraints, \
+        SchemaViolation
+    from zef_spark.graph.delta import Transaction
+    g0 = empty_graph(spark)
+    g0.schema_validator = GraphConstraints(
+        triples={("Person", "HasPet", "Pet")},
+        fields={"Person": {"Name": "String", "Age": "Int"}},
+        required={"Person": {"Name"}})
+    # valid tx passes
+    g1, r = transact(g0, [
+        E(ET.Person, name="joe", fields={"Name": "Joe", "Age": 3}),
+        E(ET.Pet, name="rex"),
+        R("joe", RT.HasPet, "rex")], check_schema=True)
+    assert (g1.now() | z.all[ET.Person] | z.count | z.collect) == 1
+    # wrong field type
+    with pytest.raises(SchemaViolation, match="must be Int"):
+        transact(g1, [E(ET.Person, fields={"Name": "X", "Age": "old"})],
+                 check_schema=True)
+    # unknown field on a closed type
+    with pytest.raises(SchemaViolation, match="no field"):
+        transact(g1, [E(ET.Person, fields={"Name": "X", "Hat": 1})],
+                 check_schema=True)
+    # missing required field
+    with pytest.raises(SchemaViolation, match="required"):
+        transact(g1, [E(ET.Person, fields={"Age": 9})],
+                 check_schema=True)
+    # disallowed triple — including endpoints pre-existing on graph
+    with pytest.raises(SchemaViolation, match="not an allowed"):
+        transact(g1, [R(r["joe"], RT.HasPet, r["joe"])],
+                 check_schema=True)
+    # abort = nothing applied
+    assert (g1.now() | z.all[ET.Person] | z.count | z.collect) == 1
+
+    # Transaction scope applies at exit; exception aborts
+    from zef_spark.graph.delta import Transaction
+    with Transaction(g1, check_schema=True) as txn:
+        txn += E(ET.Person, name="flo", fields={"Name": "Flo"})
+    assert (txn.graph.now() | z.all[ET.Person] | z.count | z.collect) == 2
+    try:
+        with Transaction(g1) as t2:
+            t2 += E(ET.Person, name="x", fields={"Name": "X"})
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert t2.graph is None  # aborted, nothing applied
+
+
+def test_delegates_and_type_reflection(g):
+    """to_delegate / delegate_of / abstract_type /
+    representation_type / is_represented_as (reference
+    TO_DELEGATE_EDGE spine blobs.h:188-219 → type-token partitions)."""
+    gs = g | z.now
+    dels = (gs | z.all[ET.Region | ET.Nation] | z.to_delegate).collect()
+    assert {r[0] for r in dels} == {"Region", "Nation"}
+    inst = gs | z.delegate_of[ET.Region]
+    assert (inst | z.count | z.collect) == 5
+    rels = gs | z.delegate_of[RT.MemberOf]
+    assert rels.df.count() == 25
+    at = (gs | z.all[ET.Region] | z.abstract_type).collect()
+    assert all(r[1] == "ET.Region" for r in at)
+    # AEs: representation type mirrors the VRT
+    ae_ns = gs.all()
+    rep = (ae_ns | z.is_represented_as["Float"]
+           | z.representation_type).collect()
+    assert len(rep) > 0 and all(r[1] == "Float" for r in rep)

@@ -144,11 +144,22 @@ def empty_graph(spark) -> Graph:
                               TXS_SCHEMA))
 
 
-def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
+def transact(g: Graph, wishes: list, time=None,
+             check_schema: bool = False) -> tuple[Graph, dict]:
     """Apply wishes atomically as tx = max_tx + 1; returns (new graph,
-    receipt {name: id})."""
+    receipt {name: id}). With ``check_schema=True`` the graph's
+    attached validator (``g.schema_validator`` — a GraphConstraints or
+    any callable(wishes, g)) runs first and a violation aborts the
+    whole tx (reference FinishTransaction check_schema,
+    core/src/transaction.cpp:158-183)."""
     import datetime
     spark = g.spark
+    if check_schema:
+        validator = getattr(g, "schema_validator", None)
+        if validator is None:
+            raise ValueError(
+                "check_schema=True but graph has no schema_validator")
+        validator(wishes, g)
     tx = g.max_tx() + 1
     time = time or datetime.datetime(2000, 1, 1) + datetime.timedelta(days=tx)
 
@@ -384,7 +395,52 @@ def transact(g: Graph, wishes: list, time=None) -> tuple[Graph, dict]:
     # chain the id high-water mark: the next transact mints ids with
     # no Spark job at all
     out._max_rae_id = max(last_minted, 1 << 60)
+    out.schema_validator = getattr(g, "schema_validator", None)
+    out.rt_vrt = g.rt_vrt
     return out, receipt
+
+
+class Transaction:
+    """Transaction scope (reference RAII Transaction,
+    core/include/transaction.h:52-90): wishes appended inside the
+    ``with`` block apply atomically at exit; an exception aborts with
+    nothing applied (and schema violations abort likewise).
+
+    >>> with Transaction(g, check_schema=True) as txn:
+    ...     txn += E(ET.Person, name="p")
+    ...     txn += R("p", RT.Knows, some_id)
+    >>> g2, receipt = txn.graph, txn.receipt
+    """
+
+    def __init__(self, g: Graph, time=None, check_schema: bool = False):
+        self._g = g
+        self._time = time
+        self._check = check_schema
+        self.wishes: list = []
+        self.graph: Graph | None = None
+        self.receipt: dict | None = None
+
+    def append(self, *wishes) -> "Transaction":
+        self.wishes.extend(wishes)
+        return self
+
+    def __iadd__(self, wish):
+        if isinstance(wish, (list, tuple)):
+            self.wishes.extend(wish)
+        else:
+            self.wishes.append(wish)
+        return self
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            return False                      # abort: nothing applied
+        self.graph, self.receipt = transact(
+            self._g, self.wishes, time=self._time,
+            check_schema=self._check)
+        return False
 
 
 def _name(x) -> str:

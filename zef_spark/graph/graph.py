@@ -59,6 +59,9 @@ class Graph:
         self._max_tx = None
         self._max_tx_df = None  # optional cheap plan for max(tx_id)
         self._max_rae_id = None  # id high-water mark (set by transact)
+        # optional constraint validator callable(wishes, graph);
+        # carried across transacts (graphs are immutable values)
+        self.schema_validator = None
         self.rt_vrt: dict[str, str] | None = None  # optional rt→VRT registry
         # True when every AE has exactly one assignment row ever
         # (bulk-ingested graphs): enables no-shuffle field reads

@@ -228,3 +228,69 @@ def _blueprint(v):
             .join(n.withColumnRenamed("id", "dst_id")
                   .withColumnRenamed("et", "dst_et"), "dst_id")
             .select("src_et", "rt", "dst_et").distinct())
+
+
+# -- delegates / type reflection (SURVEY §2.J tail) -------------------
+# The reference materializes delegates as TO_DELEGATE_EDGE /
+# RAE_INSTANCE_EDGE spines (blobs.h:188-219); here the delegate IS the
+# type token backed by the et/rt partition — to_delegate projects to
+# it, delegate_of enumerates its instances via partition pruning.
+
+@register_op("to_delegate", "graph")
+def _to_delegate(v):
+    """Instance set → its delegate(s): distinct type tokens
+    (ITF `to_delegate`; delegate = type-level identity)."""
+    ns = _expect(v, (NodeSet, EdgeSet))
+    col = "et" if isinstance(ns, NodeSet) else "rt"
+    return ns.df.select(F.col(col).alias("delegate")).distinct()
+
+
+@register_op("delegate_of", "graph")
+def _delegate_of(v, token):
+    """Delegate → its alive instances in this frame (the
+    RAE_INSTANCE_EDGE traversal as a pruned scan)."""
+    if isinstance(v, Graph):
+        v = v.now()
+    gs = _expect(v, GraphSlice)
+    name = getattr(token, "name", str(token))
+    if getattr(token, "kind", "ET") == "RT":
+        from .graph import _alive
+        return EdgeSet(gs, _alive(gs.graph.edges, gs.tx)
+                       .where(F.col("rt") == name))
+    return gs.all(token)
+
+
+@register_op("abstract_type", "graph")
+def _abstract_type(v):
+    """(id, abstract_type): ET.X / AET.X / RT.X per row (reference
+    `abstract_type`, rae_types.py)."""
+    ns = _expect(v, (NodeSet, EdgeSet))
+    if isinstance(ns, EdgeSet):
+        return ns.df.select("id", F.concat(F.lit("RT."), F.col("rt"))
+                            .alias("abstract_type"))
+    return ns.df.select(
+        "id",
+        F.when(F.col("et").startswith("AET.") |
+               F.col("et").startswith("RT."), F.col("et"))
+        .otherwise(F.concat(F.lit("ET."), F.col("et")))
+        .alias("abstract_type"))
+
+
+@register_op("representation_type", "graph")
+def _representation_type(v):
+    """For attribute entities: the VRT that represents the value
+    (AET.Float → Float); NULL for plain entities."""
+    ns = _expect(v, NodeSet)
+    return ns.df.select(
+        "id",
+        F.when(F.col("et").startswith("AET."),
+               F.substring(F.col("et"), 5, 64))
+        .alias("representation_type"))
+
+
+@register_op("is_represented_as", "graph")
+def _is_represented_as(v, vrt: str):
+    """Filter an AE set to those represented by the given VRT."""
+    ns = _expect(v, NodeSet)
+    return NodeSet(ns.frame,
+                   ns.df.where(F.col("et") == f"AET.{vrt}"))
