@@ -237,3 +237,74 @@ def test_unpaginated_query_plans_a_limit(schema, load):
     eng_nc = GraphQLEngine(schema, load, max_rows=None)
     out3 = eng_nc.execute(q)
     assert len(out3["queryCustomer"]) == 150
+
+
+def test_http_server_with_jwt_auth(schema, load):
+    """HTTP + JWT (HS256) + per-type row-level auth rules (reference
+    simplegql server2.py:27-110 flow: Bearer header, HS256 preshared
+    key, audience check, deny-without-auth unless public; rules
+    filter compiled INTO the plan)."""
+    import http.client
+    import json as _json
+    import time as _time
+    from zef_spark.graphql import (AuthConfig, GraphQLEngine,
+                                   encode_jwt, make_server,
+                                   serve_in_thread)
+
+    eng = GraphQLEngine(schema, load)
+    auth = AuthConfig(
+        secret="test-secret", audience="zef-test",
+        rules={
+            # nation-scoped row security from a claim (nested filter
+            # through the relation -> semi-join in the plan)
+            "Customer": lambda c: {"nation": {"nationkey":
+                                              {"eq": c["nation"]}}},
+            # Supplier denied outright for everyone
+            "Supplier": lambda c: False,
+        })
+    srv = make_server(eng, auth)
+    serve_in_thread(srv)
+    host, port = srv.server_address
+
+    def post(body, token=None):
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        conn.request("POST", "/graphql", _json.dumps(body), headers)
+        r = conn.getresponse()
+        return r.status, _json.loads(r.read())
+
+    q = {"query":
+         "{ queryCustomer(first: 500) { custkey nation { nationkey } } }"}
+    # no token -> 401 (public=False)
+    status, _ = post(q)
+    assert status == 401
+    # bad signature -> 401
+    status, _ = post(q, token=encode_jwt({"aud": "zef-test"}, "wrong"))
+    assert status == 401
+    # wrong audience -> 401
+    status, _ = post(q, token=encode_jwt(
+        {"aud": "other", "nation": 3}, "test-secret"))
+    assert status == 401
+    # expired -> 401
+    status, _ = post(q, token=encode_jwt(
+        {"aud": "zef-test", "nation": 3, "exp": _time.time() - 10},
+        "test-secret"))
+    assert status == 401
+    # good token: row-level rule restricts to nation 3
+    tok = encode_jwt({"aud": "zef-test", "nation": 3}, "test-secret")
+    status, body = post(q, token=tok)
+    assert status == 200, body
+    rows = body["data"]["queryCustomer"]
+    assert len(rows) > 0
+    assert all(r["nation"]["nationkey"] == 3 for r in rows)
+    # denied type -> 403
+    status, body = post(
+        {"query": "{ querySupplier { suppkey } }"}, token=tok)
+    assert status == 403
+    # health check
+    conn = http.client.HTTPConnection(host, port, timeout=10)
+    conn.request("GET", "/")
+    assert conn.getresponse().status == 200
+    srv.shutdown()
