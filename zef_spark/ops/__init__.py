@@ -10,6 +10,7 @@ from . import df_ops as _df_ops        # noqa: F401  (registers)
 from . import scalar_ops as _scalar_ops  # noqa: F401  (registers)
 from . import plumbing as _plumbing      # noqa: F401  (registers)
 from . import completion as _completion  # noqa: F401  (registers)
+from . import reflection as _reflection  # noqa: F401  (registers)
 from .plumbing import (absorbed, func, peel, to_pipeline,  # noqa: F401
                        without_absorbed)
 from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401

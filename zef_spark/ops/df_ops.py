@@ -364,6 +364,17 @@ def _concat(df: DataFrame, *others):
     return out
 
 
+@register_op("merge", "df")
+def _merge_df(df: DataFrame, *others):
+    """Stream/batch merge (reference stream `merge` joins Awaitables
+    into one stream): unionByName, valid on streaming DataFrames too
+    (Spark unions streaming sources natively)."""
+    out = df
+    for o in others:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
 @register_op("interleave", "df")
 def _interleave(df: DataFrame, other, order_by):
     """Round-robin merge by per-source rank then (rank, source)."""
