@@ -221,6 +221,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                  .select(id_col, "__m.sig", "__m.sh",
                          F.size("__m.sh").alias("n_sh"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
+        # materialize the cache BEFORE the plan fans out: AQE runs the
+        # bucket stage and both verify-join scans concurrently, and a
+        # cold cache would compute the kernel once per concurrent scan
+        # (block-lock contention at best, triple compute at worst)
+        feats.count()
         sig = feats.select(id_col, "sig")
     band_cols = F.array(*[
         F.xxhash64(F.concat_ws(

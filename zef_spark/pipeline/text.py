@@ -26,7 +26,7 @@ def _tokens(col):
 
 def lang_id(df: DataFrame, text_col: str,
             out_col: str = "lang_pred") -> DataFrame:
-    """Predict language by marker-word hit count; ties break by
+    r"""Predict language by marker-word hit count; ties break by
     language name order (deterministic). Unknown → 'und'.
 
     Each language's hit count is one regexp_count of a word-boundary
@@ -64,7 +64,7 @@ def bpe_ish_token_count(df: DataFrame, text_col: str,
 
 
 def quality_score(df: DataFrame, text_col: str) -> DataFrame:
-    """Adds length / ratio features + a composite quality score in
+    r"""Adds length / ratio features + a composite quality score in
     [0,1]: penalizes very short docs, high punctuation density, low
     stopword ratio (classic C4/Gopher-style filters, simplified).
 
@@ -77,20 +77,30 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
     The earlier array-fold form produced identical rows but paid an
     interpreted per-token fold plus a multi-second codegen of the fold
     expression on first run."""
+    import string as _string
     text = F.col(text_col)
     cols = df.columns
     stop_pat = (r"\b(?:" + "|".join(m for ms in _LANG_MARKERS.values()
                                     for m in ms) + r")\b")
     low = F.lower(text)
+
+    # char-class counts via translate (a char map, NOT a regex pass):
+    # length(x) - length(translate(x, CLASS, '')) counts exactly the
+    # chars in CLASS — identical to the regexp_count forms for every
+    # input (Java \p{Punct} and \w are ASCII-only), ~2-3x faster
+    # (measured 0.73s → 0.26s warm at sf0.1)
+    def n_of(chars):
+        return F.length(text) - F.length(F.translate(text, chars, ""))
+
     s1 = df.select(
         "*",
         F.length(text).alias("n_chars_computed"),
         F.regexp_count(low, F.lit(r"\w+")).alias("__ntok"),
         F.regexp_count(low, F.lit(stop_pat)).alias("__stop"),
-        (F.length(text) - F.regexp_count(text, F.lit(r"\W")))
+        n_of(_string.ascii_letters + _string.digits + "_")
         .alias("__wchars"),
-        F.regexp_count(text, F.lit(r"\p{Punct}")).alias("__punct"),
-        F.regexp_count(text, F.lit(r"[A-Za-z]")).alias("__alpha"))
+        n_of(_string.punctuation).alias("__punct"),
+        n_of(_string.ascii_letters).alias("__alpha"))
     s2 = s1.withColumnRenamed("__ntok", "n_tokens")
     n_tok = F.col("n_tokens")
     n_chars = F.col("n_chars_computed")
