@@ -124,3 +124,28 @@ def test_select_by_field_quantity_enum(spark):
     assert [x["id"] for x in hit.df.collect()] == [r["a"]]
     hit2 = ns.select_by_field("C", EN.State.off)
     assert [x["id"] for x in hit2.df.collect()] == [r["b"]]
+
+
+def test_user_value_type_roundtrip(spark):
+    """UserValueType (reference user_value_type.py): validated
+    construction, Serialized storage, read-back reconstruction."""
+    from zef_spark.user_value_type import (UserValueType,
+                                           deserialize_value)
+    from zef_spark import ET, ops as z
+    from zef_spark.graph.delta import E, empty_graph, transact
+
+    Email = UserValueType("EmailT", str, lambda s: "@" in s)
+    e = Email("a@b.c")
+    assert Email.is_a(e) and e.value == "a@b.c"
+    with pytest.raises(ValueError, match="constraint"):
+        Email("not-an-email")
+
+    g, r = transact(empty_graph(spark), [
+        E(ET.Person, name="p", fields={"Contact": Email("x@y.z")})])
+    ns = g.now() | z.all[ET.Person]
+    raw = ns.field("Contact").collect()[0]["Contact"]
+    back = deserialize_value(raw)
+    assert back == Email("x@y.z")
+    row = g.attr_values.where("attr_rt = 'Contact'") \
+        .select("vrt").collect()[0]
+    assert row["vrt"] == "Serialized"

@@ -37,6 +37,9 @@ def _vrt_of(value) -> str:
     import datetime
     from ..tokens import EnumValue
     from ..units import QuantityFloat, QuantityInt
+    from ..user_value_type import UserValueInstance
+    if isinstance(value, UserValueInstance):
+        return "Serialized"
     if isinstance(value, datetime.datetime):
         return "Time"
     if isinstance(value, QuantityInt):
@@ -57,6 +60,8 @@ def _storage_value(vrt: str, value):
         return (float(value.value), value.unit)
     if vrt == "Enum":
         return str(value)
+    if vrt == "Serialized":
+        return value.serialize()
     return value
 
 

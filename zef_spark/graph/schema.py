@@ -88,6 +88,8 @@ VALUE_COLS = {
     "QuantityInt": "value_quantity",
     "QuantityFloat": "value_quantity",
     "Enum": "value_enum",
+    # UserValueType instances: JSON envelope (user_value_type.py)
+    "Serialized": "value_str",
 }
 
 # physical value columns, deduped (QuantityInt/QuantityFloat share
