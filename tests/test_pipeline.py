@@ -126,3 +126,25 @@ def test_cosine_pairs_blocked(emb):
     for r in pairs.collect():
         assert r["cosine"] >= 0.99
         assert r["id_a"] < r["id_b"]
+
+
+def test_ann_multiprobe_improves_recall(spark, emb):
+    """Multi-probe LSH scans the flip-one-bit buckets nearest the
+    query; recall(sub-bucket) ⊆ recall(multi-probe) and candidates
+    approach the exact top-k as probes grow."""
+    from pyspark.sql import functions as F
+    from zef_spark.pipeline.similarity import ann_topk_lsh, \
+        brute_force_topk
+    e = emb.withColumn("embedding",
+                       F.transform("embedding", lambda x: x.cast("double")))
+    q = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in
+             brute_force_topk(e, "embedding", "vec_id", q, 10).collect()}
+    one = {r["vec_id"] for r in
+           ann_topk_lsh(e, "embedding", "vec_id", q, 10,
+                        n_planes=6).collect()}
+    multi = {r["vec_id"] for r in
+             ann_topk_lsh(e, "embedding", "vec_id", q, 10, n_planes=6,
+                          n_probes=4).collect()}
+    assert len(exact & multi) >= len(exact & one)
+    assert len(multi) >= len(one)

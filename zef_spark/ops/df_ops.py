@@ -36,9 +36,18 @@ def _cols(args):
 
 
 def _window(order_by, partition_by=None):
-    w = Window.partitionBy(*_cols([partition_by])) if partition_by else \
-        Window.partitionBy()
-    return w.orderBy(*_cols([order_by]))
+    if partition_by is None:
+        # a global window serializes the whole input through ONE task
+        # — fine for driver-scale data, a stall at corpus scale
+        # (VERDICT r1 scale hazard). Loud so callers pass the key.
+        import warnings
+        warnings.warn(
+            "window op without partition_by: Spark will move ALL rows "
+            "into a single partition. Pass partition_by for any "
+            "non-trivial input.", stacklevel=4)
+        return Window.partitionBy().orderBy(*_cols([order_by]))
+    return Window.partitionBy(*_cols([partition_by])) \
+        .orderBy(*_cols([order_by]))
 
 
 # -- terminals --------------------------------------------------------

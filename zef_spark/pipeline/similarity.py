@@ -75,19 +75,31 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8,
 
 def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
                  query: list[float], k: int = 10, n_planes: int = 8,
-                 seed: int = 42, digits: int = 6) -> DataFrame:
-    """ANN top-k: score only rows in the query's LSH bucket. At scale,
-    precompute the bucket column at ingest (partition by bucket →
-    partition pruning makes this a point read)."""
+                 seed: int = 42, digits: int = 6,
+                 n_probes: int = 1) -> DataFrame:
+    """ANN top-k: score only rows in the query's LSH bucket(s). At
+    scale, precompute the bucket column at ingest (partition by
+    bucket → partition pruning makes this a point read).
+
+    ``n_probes > 1`` enables multi-probe: also scan the buckets one
+    sign-bit flip away (in order of how close the query sits to each
+    plane — the standard probing sequence), trading ~n_probes× scan
+    for recall that one hyperplane bucket can't give."""
     dim = len(query)
     bucketed = df.withColumn("__bucket",
                              lsh_bucket(F.col(vec_col), dim, n_planes, seed))
     qb = 0
+    margins = []          # |distance to plane| per bit — flip nearest first
     for p in range(n_planes):
         plane = _plane(dim, p, seed)
-        if sum(a * b for a, b in zip(query, plane)) >= 0:
+        d = sum(a * b for a, b in zip(query, plane))
+        if d >= 0:
             qb |= 1 << p
-    cand = bucketed.where(F.col("__bucket") == qb)
+        margins.append((abs(d), p))
+    probes = [qb]
+    for _, p in sorted(margins)[:max(0, n_probes - 1)]:
+        probes.append(qb ^ (1 << p))
+    cand = bucketed.where(F.col("__bucket").isin(probes))
     return brute_force_topk(cand, vec_col, id_col, query, k, digits)
 
 
