@@ -338,3 +338,34 @@ def test_delegates_and_type_reflection(g):
     rep = (ae_ns | z.is_represented_as["Float"]
            | z.representation_type).collect()
     assert len(rep) > 0 and all(r[1] == "Float" for r in rep)
+
+
+def test_bucketed_materialize_colocates_hop_join(spark, persons):
+    """Bucketed tables (nodes by id, edges by src_id) make the hop
+    join exchange-free on the bucketed sides — the pay-shuffle-once-
+    at-ingest layout for 100 TB graphs."""
+    g, ids = persons
+    g.materialize_bucketed("tg", buckets=4)
+    gb = Graph.load_bucketed(spark, "tg")
+    # correctness: same traversal results
+    pets = GraphAt(gb, gb.max_tx()) | z.all[ET.Person] | z.Outs[RT.HasPet]
+    assert [r[1] for r in pets.field("Name").collect()] == ["Luna"]
+    # plan: the owners-join (edges.src_id = nodes.id) over the two
+    # bucketed tables needs no exchange; compare against the plain
+    # parquet layout which must shuffle both sides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+        def owners_join(graph):
+            e = graph.edges.where(F.col("rt") == "HasPet") \
+                .select(F.col("src_id").alias("id"), "dst_id")
+            return graph.nodes.join(e, "id")
+        nx_bucketed = owners_join(gb)._jdf.queryExecution() \
+            .executedPlan().toString().count("Exchange")
+        nx_plain = owners_join(g)._jdf.queryExecution() \
+            .executedPlan().toString().count("Exchange")
+        assert nx_bucketed == 0, f"bucketed join has {nx_bucketed} exchanges"
+        assert nx_plain >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

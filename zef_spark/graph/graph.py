@@ -111,6 +111,43 @@ class Graph:
         if self.tags is not None:
             self.tags.write.mode("overwrite").parquet(f"{path}/tags")
 
+    def materialize_bucketed(self, prefix: str, buckets: int = 64):
+        """Persist as BUCKETED tables (nodes by id, edges by src_id,
+        attr_values by ae_id, all sorted within buckets): hop joins
+        (edges.src_id = nodes.id) and field reads co-locate with ZERO
+        exchange on the bucketed sides — the 100 TB layout where the
+        per-tx shuffle is paid once at ingest, not per query.
+        Src-major bucketing optimizes Out-traversal; an In-heavy
+        workload would maintain the dst-major projection (schema.py
+        scale notes). Uses the session catalog (saveAsTable — plain
+        parquet + bucket metadata, no Hive needed)."""
+        spark = self.spark
+        for tbl in (f"{prefix}_nodes", f"{prefix}_edges",
+                    f"{prefix}_attr_values", f"{prefix}_txs",
+                    f"{prefix}_tags"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        self.nodes.write.bucketBy(buckets, "id").sortBy("id") \
+            .mode("overwrite").saveAsTable(f"{prefix}_nodes")
+        self.edges.write.bucketBy(buckets, "src_id").sortBy("src_id") \
+            .mode("overwrite").saveAsTable(f"{prefix}_edges")
+        self.attr_values.write.bucketBy(buckets, "ae_id") \
+            .sortBy("ae_id") \
+            .mode("overwrite").saveAsTable(f"{prefix}_attr_values")
+        self.txs.write.mode("overwrite").saveAsTable(f"{prefix}_txs")
+        if self.tags is not None:
+            self.tags.write.mode("overwrite") \
+                .saveAsTable(f"{prefix}_tags")
+
+    @staticmethod
+    def load_bucketed(spark, prefix: str) -> "Graph":
+        tags = None
+        if spark.catalog.tableExists(f"{prefix}_tags"):
+            tags = spark.table(f"{prefix}_tags")
+        return Graph(spark.table(f"{prefix}_nodes"),
+                     spark.table(f"{prefix}_edges"),
+                     spark.table(f"{prefix}_attr_values"),
+                     spark.table(f"{prefix}_txs"), tags=tags)
+
     @staticmethod
     def load(spark, path: str) -> "Graph":
         # tags are optional: only present when the graph ever tagged
