@@ -148,3 +148,21 @@ def test_ann_multiprobe_improves_recall(spark, emb):
                           n_probes=4).collect()}
     assert len(exact & multi) >= len(exact & one)
     assert len(multi) >= len(one)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join spreads a hot key over `salts` tasks; row-for-row
+    equivalent to the plain join (deterministic salt — retries must
+    reproduce it)."""
+    from pyspark.sql import functions as F
+    from zef_spark.pipeline.skew import salted_join
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1500, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"), F.col("id").alias("v"))        # 75% on key 7
+    right = spark.range(100).select(F.col("id").alias("k"),
+                                    (F.col("id") * 10).alias("w"))
+    plain = left.join(right, "k").orderBy("v", "w")
+    salted = salted_join(left, right, "k", salts=8).orderBy("v", "w")
+    assert plain.collect() == salted.collect()
+    lout = salted_join(left, right, "k", salts=8, how="left")
+    assert lout.count() == left.join(right, "k", "left").count()

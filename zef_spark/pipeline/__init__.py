@@ -1,1 +1,2 @@
-from . import dedup, multimodal, similarity, text, wrangling  # noqa: F401
+from . import dedup, multimodal, similarity, skew, text, \
+    wrangling  # noqa: F401
