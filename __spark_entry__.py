@@ -1355,6 +1355,432 @@ def q19(spark, sf_dir):
 
 
 # =====================================================================
+# Remaining TPC-H query shapes (q2 q8 q11 q12 q13 q15 q16 q17 q20 q21
+# q22), adapted to the synthetic schema: no partsupp table, so the
+# part<->supplier bridge is derived from lineitem; no l_shipmode /
+# commit/receipt dates, so "late" = l_shipdate far past o_orderdate.
+# The operator compositions (correlated min, scalar subquery, CASE
+# aggregation, two-level agg, left-outer histogram, semi/anti joins,
+# exactly-one-exists) match the originals.  Float determinism: sums
+# accumulate in DECIMAL(18,6) (exact, associative across partitions),
+# divisions happen in DOUBLE on both sides.
+# =====================================================================
+
+@query("q2_min_cost_supplier", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS unit_cost
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM cost)
+SELECT s.s_name, n.n_name, p.p_partkey, p.p_type,
+       ROUND(r.unit_cost, 4) AS unit_cost
+FROM ranked r
+  JOIN part p ON p.p_partkey = r.l_partkey
+  JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region rg ON rg.r_regionkey = n.n_regionkey
+WHERE r.unit_cost = r.min_cost AND p.p_size <= 15
+  AND p.p_type = 'LARGE' AND rg.r_name = 'EUROPE'
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""")
+def q2(spark, sf_dir):
+    """TPC-H Q2 shape: correlated min over a derived part/supplier
+    cost table (partsupp stand-in = lineitem aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                  .cast("double") /
+                  F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                  .cast("double")).alias("unit_cost")))
+    w = Window.partitionBy("l_partkey")
+    ranked = cost.withColumn("min_cost", F.min("unit_cost").over(w))
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")) \
+        .select("p_partkey", "p_type")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (ranked.where(F.col("unit_cost") == F.col("min_cost"))
+            .join(F.broadcast(p), ranked.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), ranked.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .select("s_name", "n_name", "p_partkey", "p_type",
+                    F.round("unit_cost", 4).alias("unit_cost"))
+            .limit(100))
+
+
+@query("q8_market_share", """
+WITH vol AS (
+  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO')
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+""")
+def q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): conditional share of
+    decimal-exact volume per year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO") \
+        .select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    rg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n1 = (n.join(F.broadcast(rg), n.n_regionkey == rg.r_regionkey)
+          .select(F.col("n_nationkey").alias("ck")))
+    n2 = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n1), c.c_nationkey == F.col("ck"),
+                 "left_semi")
+           .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
+           .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                   (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,6)").alias("volume"),
+                   "supp_nation"))
+    return (vol.groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7",
+                             F.col("volume")).otherwise(F.lit(0)))
+                .cast("double") /
+                F.sum("volume").cast("double"), 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@query("q11_part_value_share", """
+WITH val AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS value
+  FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1)
+SELECT p_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(value AS DOUBLE) >
+      (SELECT CAST(SUM(value) AS DOUBLE) FROM val) * 0.001
+ORDER BY part_value DESC, p_partkey
+""")
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape: scalar subquery (global total) gating a
+    grouped value — total computed once and broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3") \
+        .select("n_nationkey")
+    val = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey,
+                 "left_semi")
+           .groupBy(F.col("l_partkey").alias("p_partkey"))
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .alias("value")))
+    total = val.agg(F.sum("value").cast("double").alias("total"))
+    return (val.crossJoin(F.broadcast(total))
+            .where(F.col("value").cast("double") >
+                   F.col("total") * 0.001)
+            .select("p_partkey",
+                    F.round("value", 2).cast("double").alias("part_value"))
+            .orderBy(F.col("part_value").desc(), "p_partkey"))
+
+
+@query("q12_priority_lateness", """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-sum pivot over late shipments (no
+    l_shipmode column; l_returnflag is the class key)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate",
+                                              "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("l_shipdate") >=
+                   F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+@query("q13_order_count_distribution", """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+       ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13(spark, sf_dir):
+    """TPC-H Q13: two-level aggregation over a left outer join
+    (customers with zero orders land in the c_count=0 bucket)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") != "5-LOW") \
+        .select("o_custkey", "o_orderkey")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@query("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+         AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE)
+       AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s_suppkey
+""")
+def q15(spark, sf_dir):
+    """TPC-H Q15: revenue view + scalar max — decimal-exact equality
+    join back onto the view."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1996-04-01"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,6)")).alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_rev", 2).cast("double")
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+@query("q16_supplier_variety", """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q16(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute triple,
+    excluded suppliers via anti join (lineitem is the partsupp
+    bridge)."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") &
+        F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier") \
+        .where(F.col("s_name").contains("7")).select("s_suppkey")
+    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+@query("q17_small_qty_revenue", """
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY 1)
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                       AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM lineitem li
+  JOIN part ON p_partkey = li.l_partkey
+  JOIN pa   ON pa.l_partkey = li.l_partkey
+WHERE p_brand = 'Brand#3' AND li.l_quantity < 0.2 * avg_qty
+""")
+def q17(spark, sf_dir):
+    """TPC-H Q17: correlated per-part average gating a global sum
+    (avg computed as exact decimal sum / count, divided in double)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = (li.groupBy(F.col("l_partkey").alias("pk"))
+          .agg((F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .cast("double") / F.count(F.lit(1))).alias("avg_qty")))
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3") \
+        .select("p_partkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(pa, li.l_partkey == pa.pk)
+            .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(18,6)")).cast("double")
+                         / 7.0, 2).cast("double").alias("avg_yearly")))
+
+
+@query("q20_excess_suppliers", """
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,6))) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_16' AND s_suppkey IN (
+  SELECT l_suppkey FROM qty JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%widget%' AND total_qty > 60)
+ORDER BY s_name
+""")
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape: nested IN chain compiled to semi joins —
+    suppliers who shipped >100 units of widget parts in 1997."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") &
+        (F.col("l_shipdate") < "1998-01-01"))
+    p = _t(spark, sf_dir, "part") \
+        .where(F.col("p_name").contains("widget")).select("p_partkey")
+    qty = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey,
+                   "left_semi")
+           .groupBy("l_suppkey", "l_partkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                .alias("total_qty"))
+           .where(F.col("total_qty") > 60)
+           .select("l_suppkey").distinct())
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_16")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(qty), s.s_suppkey == qty.l_suppkey,
+                  "left_semi")
+            .select("s_name", "n_name").orderBy("s_name"))
+
+
+@query("q21_waiting_suppliers", """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                  + INTERVAL 45 DAY
+                             THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""")
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    exists/not-exists pair becomes one grouped pass — multi-supplier
+    orders where exactly ONE supplier shipped late."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                              "l_shipdate")
+    o = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > (F.col("o_orderdate") +
+                                  F.expr("INTERVAL 45 DAYS"))
+    per_order = (li.join(o, li.l_orderkey == o.o_orderkey)
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(late, F.col("l_suppkey")))
+                      .alias("n_late"),
+                      F.max(F.when(late, F.col("l_suppkey")))
+                      .alias("late_supp")))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+            .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name"))
+
+
+@query("q22_idle_customers", """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.0),
+eligible AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer, avg_bal
+  WHERE c_acctbal > a
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'))
+SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+       AS totacctbal
+FROM eligible GROUP BY 1 ORDER BY 1
+""")
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS
+    anti join (cntrycode stand-in: c_nationkey mod 5 — no phone
+    column in the synthetic schema)."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                     .cast("double") / F.count(F.lit(1))).alias("a")))
+    o = _t(spark, sf_dir, "orders") \
+        .where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    eligible = (c.crossJoin(F.broadcast(avg_bal))
+                .where(F.col("c_acctbal") > F.col("a"))
+                .join(o, c.c_custkey == o.o_custkey, "left_anti"))
+    return (eligible
+            .groupBy((F.col("c_nationkey") % 5).cast("bigint")
+                     .alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")),
+                         2).cast("double").alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+# =====================================================================
 # 2.P data wrangling: schema inference + entity resolution
 # =====================================================================
 

@@ -122,10 +122,18 @@ class Graph:
         scale notes). Uses the session catalog (saveAsTable — plain
         parquet + bucket metadata, no Hive needed)."""
         spark = self.spark
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         for tbl in (f"{prefix}_nodes", f"{prefix}_edges",
                     f"{prefix}_attr_values", f"{prefix}_txs",
                     f"{prefix}_tags"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            # a table location can survive a crashed session even when
+            # the (in-memory) catalog has no entry for it; saveAsTable
+            # then refuses with LOCATION_ALREADY_EXISTS
+            loc = warehouse.removeprefix("file:")
+            if loc:
+                import shutil
+                shutil.rmtree(f"{loc}/{tbl}", ignore_errors=True)
         self.nodes.write.bucketBy(buckets, "id").sortBy("id") \
             .mode("overwrite").saveAsTable(f"{prefix}_nodes")
         self.edges.write.bucketBy(buckets, "src_id").sortBy("src_id") \
