@@ -1058,6 +1058,57 @@ def p_ann_lsh(spark, sf_dir):
                         digits=4)
 
 
+def _ann_ivf_oracle_sql(dim: int = 64, n_cells: int = 16,
+                        n_probes: int = 2, seed: int = 7) -> str:
+    """DuckDB oracle for the IVF ANN: centroids are deterministic
+    (md5-derived, similarity._centroid) and embedded as literals;
+    cell assignment = first-max argmax (ARRAY_AGG ORDER BY d DESC, c
+    == Spark array_position of array_max); probes precomputed in
+    Python from the same constants."""
+    from zef_spark.pipeline.similarity import _centroid
+    import duckdb  # noqa: F401  (oracle targets DuckDB)
+    rows = ", ".join(
+        "({}, [{}])".format(
+            c + 1, ", ".join(repr(x) for x in _centroid(dim, c, seed)))
+        for c in range(n_cells))
+    # ivf_topk ranks probe cells in Python against the query vector;
+    # the oracle can't know the query at build time, so it recomputes
+    # the same ranking in SQL from the same centroid literals.
+    return f"""
+WITH cents(c, cent) AS (VALUES {rows}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+qprobe AS (
+  SELECT c.c FROM cents c, q
+  ORDER BY LIST_DOT_PRODUCT(q.qv, c.cent) DESC, c.c
+  LIMIT {n_probes}),
+dots AS (
+  SELECT e.vec_id, c.c, LIST_DOT_PRODUCT(e.v, c.cent) AS d
+  FROM emb e CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, (ARRAY_AGG(c ORDER BY d DESC, c))[1] AS cell
+  FROM dots GROUP BY vec_id)
+SELECT e.vec_id AS vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(e.v, q.qv), 4) AS cosine
+FROM emb e JOIN cells cl ON cl.vec_id = e.vec_id, q
+WHERE cl.cell IN (SELECT c FROM qprobe)
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@query("p_ann_topk_ivf", _ann_ivf_oracle_sql())
+def p_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN top-k (inverted-file probe + exact
+    rerank, similarity.ivf_topk). At scale the cell id is an
+    ingest-time partition column; a probe is partition pruning."""
+    from zef_spark.pipeline.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return ivf_topk(emb, "embedding", "vec_id",
+                    _query_vec(spark, sf_dir), k=10, n_cells=16,
+                    n_probes=2, digits=4)
+
+
 # =====================================================================
 # events: sessionization + tumbling windows (batch forms of the
 # streaming ops; see zef_spark.streaming for the readStream variants)

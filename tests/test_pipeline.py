@@ -166,3 +166,28 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.collect() == salted.collect()
     lout = salted_join(left, right, "k", salts=8, how="left")
     assert lout.count() == left.join(right, "k", "left").count()
+
+
+def test_ivf_topk_probe_and_rerank(emb):
+    """IVF: the query's own cell is always probed (its centroid has
+    the max dot with itself among probed ranks), so vec_id 0 comes
+    back first with cosine 1; more probes never shrink the candidate
+    pool."""
+    from zef_spark.pipeline.similarity import ivf_cell, ivf_topk
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    top = ivf_topk(emb, "embedding", "vec_id", q, k=5, n_cells=8,
+                   n_probes=2).collect()
+    assert top and top[0]["vec_id"] == 0
+    assert abs(top[0]["cosine"] - 1.0) < 1e-4
+    few = ivf_topk(emb, "embedding", "vec_id", q, k=40, n_cells=8,
+                   n_probes=1).count()
+    many = ivf_topk(emb, "embedding", "vec_id", q, k=40, n_cells=8,
+                    n_probes=4).count()
+    assert many >= few
+    # cell assignment is a pure function of the vector (ingest-time
+    # partition column at scale): stable across evaluations
+    cells = emb.select("vec_id", ivf_cell(F.col("embedding"), 8,
+                                          n_cells=8).alias("c"))
+    a = {r["vec_id"]: r["c"] for r in cells.collect()}
+    b = {r["vec_id"]: r["c"] for r in cells.collect()}
+    assert a == b and set(a.values()) <= set(range(1, 9))

@@ -103,6 +103,55 @@ def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
     return brute_force_topk(cand, vec_col, id_col, query, k, digits)
 
 
+def _centroid(dim: int, cell_idx: int, seed: int) -> list[float]:
+    """Deterministic unit centroid (hash-based like _plane but tagged
+    separately so cells and planes never coincide)."""
+    import hashlib
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"ivf:{seed}:{cell_idx}:{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+def ivf_cell(vec_col, dim: int, n_cells: int = 16, seed: int = 7):
+    """IVF coarse-quantizer cell id (1..n_cells) as a Column: argmax
+    dot(vec, centroid) over literal centroid arrays. Dots fold
+    left-to-right (zip_with + aggregate) so the doubles are
+    bit-reproducible; ties resolve to the FIRST max on both Spark and
+    DuckDB (array_position / list_indexof semantics)."""
+    dots = F.array(*[
+        _dot(vec_col, F.array(*[F.lit(x) for x in _centroid(dim, c, seed)]))
+        for c in range(n_cells)])
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
+             query: list[float], k: int = 10, n_cells: int = 16,
+             n_probes: int = 2, seed: int = 7,
+             digits: int = 6) -> DataFrame:
+    """IVF-style ANN: restrict the exact rerank to the `n_probes`
+    cells whose centroids are nearest the query (inverted-file
+    search, the FAISS coarse-quantizer pattern). At 100 TB the cell
+    id is computed once at ingest and the table is partitioned by it,
+    so a probe is partition pruning, not a scan; reranking touches
+    ~n_probes/n_cells of the corpus. Centroids here are
+    deterministic hash vectors — swap in trained k-means centroids
+    (same literal-array plumbing) when recall matters more than
+    reproducibility."""
+    dim = len(query)
+    probes = sorted(range(1, n_cells + 1),
+                    key=lambda c: (-sum(a * b for a, b in
+                                        zip(query, _centroid(dim, c - 1,
+                                                             seed))), c)
+                    )[:n_probes]
+    celled = df.withColumn("__cell",
+                           ivf_cell(F.col(vec_col), dim, n_cells, seed))
+    cand = celled.where(F.col("__cell").isin(probes))
+    return brute_force_topk(cand, vec_col, id_col, query, k, digits)
+
+
 def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                  threshold: float = 0.95,
                  block_col: str | None = None) -> DataFrame:
