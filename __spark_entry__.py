@@ -1551,7 +1551,11 @@ def q11(spark, sf_dir):
                  "left_semi")
            .groupBy(F.col("l_partkey").alias("p_partkey"))
            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-                .alias("value")))
+                .alias("value"))
+           # referenced twice (rows + scalar total) and Catalyst does
+           # not reuse the exchange across the two aggregation shapes:
+           # without persist the full lineitem scan runs twice
+           .persist())
     total = val.agg(F.sum("value").cast("double").alias("total"))
     return (val.crossJoin(F.broadcast(total))
             .where(F.col("value").cast("double") >
@@ -1638,7 +1642,8 @@ def q15(spark, sf_dir):
         (F.col("l_shipdate") < "1996-04-01"))
     rev = (li.groupBy("l_suppkey")
            .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                      .cast("decimal(18,6)")).alias("total_rev")))
+                      .cast("decimal(18,6)")).alias("total_rev"))
+           .persist())  # shared by the max scalar and the join-back
     mx = rev.agg(F.max("total_rev").alias("mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.crossJoin(F.broadcast(mx))
