@@ -96,3 +96,20 @@ def test_stream_op_chaining(g, spark):
         import pytest as _pytest
         with _pytest.raises(TypeError, match="STREAMING"):
             stream | z.collect
+
+
+def test_push_into_event_log(spark, tmp_path):
+    """`value | push[stream]`: pushed rows land in the log and the
+    streaming reader sees them on the next trigger."""
+    from zef_spark import ops as z
+    from zef_spark.streaming.events import EventLog, subscribe
+    log = EventLog(str(tmp_path / "pushlog"))
+    ({"tx_id": 1, "event": "instantiated", "kind": "node", "id": 7,
+      "token": "ET.Sensor"} | z.push[log])
+    log.push([{"tx_id": 2, "event": "assigned", "kind": "attr", "id": 7,
+               "token": "Float", "value": "3.5"}])
+    seen = []
+    subscribe(log.stream(spark), lambda b, _i: seen.extend(
+        r.asDict() for r in b.collect()), once=True)
+    assert {r["event"] for r in seen} == {"instantiated", "assigned"}
+    assert all(r["id"] == 7 for r in seen)

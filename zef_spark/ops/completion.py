@@ -427,7 +427,10 @@ def _subscribe(df, fn, once=True):
 @register_op("push", "local")
 def _push(row, log):
     """ITF:2401 — imperative push into a pushable stream: append the
-    row to an EventLog (micro-batch source)."""
-    raise NotImplementedError(
-        "push requires an EventLog sink: use EventLog.append_tx / "
-        "write for graph-derived streams")
+    event row(s) to an EventLog; its streaming reader sees them on
+    the next micro-batch trigger."""
+    from ..streaming.events import EventLog
+    if not isinstance(log, EventLog):
+        raise TypeError("push target must be an EventLog (the "
+                        "pushable-stream analogue)")
+    return log.push(row)

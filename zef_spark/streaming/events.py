@@ -105,6 +105,24 @@ class EventLog:
             .partitionBy("event").parquet(self.path)
         return self
 
+    def push(self, rows, spark: SparkSession | None = None) -> "EventLog":
+        """Imperative push into the pushable stream (reference
+        zefops `push`, ITF:2401): append explicit event rows — dicts
+        with any subset of EVENT_SCHEMA's fields — to the log. The
+        micro-batch file source picks the new files up on the next
+        trigger, so `push` composes with every chainable stream op.
+        Small appends create small files; at scale push through a
+        queue/compaction layer instead of one file per call."""
+        spark = spark or SparkSession.getActiveSession()
+        if isinstance(rows, dict):
+            rows = [rows]
+        fields = [f.strip().split(" ")[0]
+                  for f in EVENT_SCHEMA.split(",")]
+        norm = [{k: r.get(k) for k in fields} for r in rows]
+        spark.createDataFrame(norm, EVENT_SCHEMA) \
+            .write.mode("append").partitionBy("event").parquet(self.path)
+        return self
+
     def stream(self, spark: SparkSession) -> DataFrame:
         return (spark.readStream
                 .schema(EVENT_SCHEMA)
