@@ -92,5 +92,5 @@ def test_write_op_chains(spark):
 
 
 def test_push_requires_eventlog():
-    with pytest.raises(NotImplementedError, match="EventLog"):
+    with pytest.raises(TypeError, match="EventLog"):
         {"a": 1} | z.push[None]

@@ -43,3 +43,72 @@ def test_stream_merge_batch_form(spark):
     b = spark.range(3, 6).withColumnRenamed("id", "x")
     out = (a | z.merge[b]).orderBy("x").collect()
     assert [r[0] for r in out] == [0, 1, 2, 3, 4, 5]
+
+
+def test_registry_completion_ops(tmp_path):
+    from zef_spark import ops as z
+    # introspection
+    assert "df" in z.operates_on(z.filter)
+    assert isinstance(z.used_for(z.filter), str)
+    assert z.signature(z.filter) != {}
+    assert "map" in z.related_ops(z.filter)
+    # conversions
+    assert ((1, 2) | z.unpack[lambda a, b: a + b]) == 3
+    obj = {"a": {"b": 3}} | z.to_object
+    assert obj.a.b == 3
+    assert (3.14159 | z.round[2]) == 3.14
+    assert ([1, 2, 3, 4] | z.slice[1, 3]) == [2, 3]
+    from zef_spark import ET
+    assert (ET.Widget | z.token_name) == "Widget"
+    assert (ET.Widget | z.is_blueprint_atom) is True
+    assert (42 | z.is_blueprint_atom) is False
+    # plumbing chainable forms
+    chain = z.take[5]
+    assert z.absorbed(chain) == [5]
+    # files round-trip
+    p = str(tmp_path / "f.txt")
+    "hello" | z.write_file[p]
+    assert (p | z.read_file) == "hello"
+    # yaml/toml codecs (env-gated inside sources)
+    try:
+        assert ({"x": 1} | z.to_yaml | z.from_yaml) == {"x": 1}
+    except Exception:
+        pass
+    # zascii subset
+    fg = "(a)-[Owns]->(b)" | z.zascii_to_flat_graph
+    assert len(fg.edges) == 1
+    assert ("(a)-[Owns]->(b)" | z.zascii_to_asg) == [("a", "Owns", "b")]
+    bp = "(a)-[Owns]->(b)\n(b)-[Owns]->(a)" | z.zascii_to_blueprint_fg
+    assert bp == [("ZasciiNode", "Owns", "ZasciiNode")]
+    # env-gated ops raise with clear messages, not AttributeError
+    import pytest
+    with pytest.raises(EnvironmentError):
+        "x" | z.to_clipboard
+
+
+def test_make_request_effect_runs():
+    """make_request builds an effect; run executes it against a live
+    local HTTP server."""
+    import http.server, threading
+    from zef_spark import ops as z
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b'{"ok": true}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        eff = f"http://127.0.0.1:{srv.server_port}/" | z.make_request
+        assert eff["type"] == "fx.http_request"
+        resp = eff | z.run
+        assert resp["status"] == 200 and '"ok"' in resp["body"]
+    finally:
+        srv.shutdown()

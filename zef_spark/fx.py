@@ -43,3 +43,20 @@ def _write_parquet(eff, *a):
 @register_effect("fx.read_parquet")
 def _read_parquet(eff, *a):
     return eff["spark"].read.parquet(eff["path"])
+
+
+@register_effect("fx.http_request")
+def _http_request(eff, *a):
+    """HTTPRequest effect (reference FX.HTTP.Request): stdlib urllib,
+    driver-side — responses are {status, headers, body}."""
+    import urllib.request
+    data = eff.get("data")
+    if isinstance(data, str):
+        data = data.encode()
+    req = urllib.request.Request(
+        eff["url"], data=data, method=eff.get("method", "GET"),
+        headers=eff.get("headers") or {})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return {"status": resp.status,
+                "headers": dict(resp.headers),
+                "body": resp.read().decode(errors="replace")}

@@ -11,6 +11,7 @@ from . import scalar_ops as _scalar_ops  # noqa: F401  (registers)
 from . import plumbing as _plumbing      # noqa: F401  (registers)
 from . import completion as _completion  # noqa: F401  (registers)
 from . import reflection as _reflection  # noqa: F401  (registers)
+from . import registry_completion as _registry_completion  # noqa: F401
 from .plumbing import (absorbed, func, peel, to_pipeline,  # noqa: F401
                        without_absorbed)
 from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401

@@ -49,6 +49,13 @@ class ZefOp:
             return ZefOp(self.ops + other.ops)
         return NotImplemented
 
+    def __iter__(self):
+        # without this, iteration/`in` falls back to the legacy
+        # __getitem__(0), __getitem__(1), ... protocol, which curries
+        # forever instead of raising
+        raise TypeError("ZefOp is not iterable — evaluate it first "
+                        "(value | op, or op(value))")
+
     def __ror__(self, value) -> Any:
         # Apply immediately: Spark DataFrames are lazy plans already,
         # so "eager" chain application still only *builds* the plan;

@@ -27,6 +27,11 @@ class Token:
     # tokens participate in the VT set algebra: ET.A | ET.B is a type
     # union usable in all[...] / filter[...] (reference: VT/sets.py)
     def __or__(self, other):
+        from .ops.core import ZefOp
+        if isinstance(other, ZefOp):
+            # `ET.X | token_name` pipes the token INTO the op chain —
+            # defer to ZefOp.__ror__, don't build a VT union
+            return NotImplemented
         from .vt import Union, _coerce
         return Union(_coerce(self), _coerce(other))
 
