@@ -59,10 +59,10 @@ def test_json_codec_roundtrip(spark):
     assert from_json(to_json({"a": [1, 2], "b": "x"})) \
         == {"a": [1, 2], "b": "x"}
     tok = to_json(ET.Person)
-    assert from_json(tok)["name"] == "Person"
+    assert from_json(tok) == ET.Person  # typed revival
     fg = FlatGraph().insert_entity(ET.A, "k", x=1)
     d = from_json(to_json(fg))
-    assert d["_zef"] == "flatgraph" and len(d["nodes"]) == 2
+    assert d == fg  # typed revival
 
 
 def test_pandas_to_gd(spark):
@@ -82,3 +82,23 @@ def test_save_file_sniffing_errors(spark, tmp_path):
     from zef_spark.sources import load_file
     with pytest.raises(ValueError, match="sniff"):
         load_file(spark, "data.unknownext")
+
+
+def test_serialization_round_trip(spark):
+    """Reference test_serialization.py analogue:
+    deserialize(serialize(x)) == x for tokens, nested values, and
+    FlatGraphs (DataFrames revive by schema+rows)."""
+    from zef_spark import ET, RT, ops as z
+    tok = ET.Machine
+    assert (tok | z.serialize | z.deserialize) == tok
+    nested = {"a": [1, {"t": RT.UsedBy}], "b": "x"}
+    assert (nested | z.serialize | z.deserialize) == nested
+    from zef_spark.flat_graph import FlatGraph
+    fg = (FlatGraph().insert_entity(ET.Person, "ada", age=36)
+          .insert_entity(ET.Person, "bob"))
+    fg = fg.insert_relation("ada", RT.Knows, "bob")
+    fg2 = fg | z.serialize | z.deserialize
+    assert fg2 == fg
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    df2 = df | z.serialize | z.deserialize
+    assert df2.schema == df.schema and df2.collect() == df.collect()

@@ -157,6 +157,16 @@ class FlatGraph:
         erows = [(e.idx, e.rt, e.src, e.dst) for e in self.edges]
         return nrows, erows
 
+    @staticmethod
+    def from_rows(nodes, edges, keys) -> "FlatGraph":
+        """Inverse of the serialization row form (sources._jsonable):
+        rebuild from [idx, raet, value, origin_uid] / [idx, rt, src,
+        dst] rows — deserialize(serialize(fg)) == fg."""
+        return FlatGraph(
+            tuple(FlatNode(i, r, v, u) for i, r, v, u in nodes),
+            tuple(FlatEdge(i, r, s, d) for i, r, s, d in edges),
+            frozenset((k, idx) for k, idx in keys))
+
     def to_spark_graph(self, spark):
         """Lift into a bitemporal Graph via the write path (delta
         transact), preserving keys as receipt names."""

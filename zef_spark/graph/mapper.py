@@ -225,7 +225,14 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
     parquet (nodes by et, edges by rt, attr_values by attr_rt — the
     Spark-native delegate index) and every query thereafter plans
     against plain partition-pruned scans. This mirrors the production
-    posture: the mapper is INGESTION; the stored tables are the DB."""
+    posture: the mapper is INGESTION; the stored tables are the DB.
+
+    Layout choice, measured: the bucketed alternative
+    (Graph.materialize_bucketed) removes 3 of 10 exchanges from the
+    2-hop query but loses token-partition pruning, and is ~30% SLOWER
+    at sf0.1 (4.1s vs 3.1s warm) — selective token predicates are the
+    common case, so token partitioning is the default; bucket when a
+    workload is dominated by unselective whole-graph traversals."""
     import json
     import os
 

@@ -76,6 +76,20 @@ for _name in ("to_yaml", "from_yaml", "to_toml", "from_toml"):
     register_op(_name, "local")(_mk(_name))
 
 
+@register_op("serialize", "any")
+def _serialize(v):
+    """serialization.py serialize — typed JSON (tokens, FlatGraphs,
+    DataFrames revive on deserialize)."""
+    from .. import sources
+    return sources.to_json(v)
+
+
+@register_op("deserialize", "local")
+def _deserialize(s):
+    from .. import sources
+    return sources.from_json(s)
+
+
 @register_op("pandas_to_gd", "local")
 def _pandas_to_gd(pdf, et, key_col):
     from .. import sources

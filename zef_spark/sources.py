@@ -80,7 +80,32 @@ def to_json(value) -> str:
 
 
 def from_json(s: str):
-    return _json.loads(s)
+    """Inverse of to_json: revives `_zef`-tagged payloads back into
+    Token / FlatGraph / DataFrame (serialization.py round-trip:
+    deserialize(serialize(x)) == x)."""
+    return _revive(_json.loads(s))
+
+
+def _revive(v):
+    if isinstance(v, list):
+        return [_revive(x) for x in v]
+    if not isinstance(v, dict):
+        return v
+    tag = v.get("_zef")
+    if tag == "token":
+        from .tokens import Token
+        return Token(v["kind"], v["name"])
+    if tag == "flatgraph":
+        from .flat_graph import FlatGraph
+        return FlatGraph.from_rows(v["nodes"], v["edges"],
+                                   [tuple(k) for k in v["keys"]])
+    if tag == "dataframe":
+        from pyspark.sql import SparkSession
+        from pyspark.sql import types as T
+        spark = SparkSession.getActiveSession()
+        schema = T.StructType.fromJson(v["schema"])
+        return spark.createDataFrame(v["rows"], schema)
+    return {k: _revive(x) for k, x in v.items()}
 
 
 def _jsonable(v):
@@ -89,8 +114,15 @@ def _jsonable(v):
     if isinstance(v, Token):
         return {"_zef": "token", "kind": v.kind, "name": v.name}
     if isinstance(v, FlatGraph):
-        nrows, erows = v.to_rows()
-        return {"_zef": "flatgraph", "nodes": nrows, "edges": erows,
+        # field values pass through when JSON-native (lossless
+        # round-trip); to_rows()'s repr form is only for DataFrame lift
+        jn = (str, int, float, bool, type(None))
+        return {"_zef": "flatgraph",
+                "nodes": [[n.idx, n.raet,
+                           n.value if isinstance(n.value, jn)
+                           else repr(n.value), n.origin_uid]
+                          for n in v.nodes],
+                "edges": [[e.idx, e.rt, e.src, e.dst] for e in v.edges],
                 "keys": sorted(v.key_dict)}
     if isinstance(v, DataFrame):
         return {"_zef": "dataframe", "schema": v.schema.jsonValue(),
