@@ -42,8 +42,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ns→µs truncation — collision-free at this data's density)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV, not `/`: float division of ns-epoch longs (> 2^53)
+    # loses the last µs digit in the double mantissa
     return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         .cast("timestamp_ntz"))
 
 
@@ -1140,6 +1142,38 @@ def e_sessionize(spark, sf_dir):
             .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"),
                  F.count(F.lit(1)).alias("n_events"))
             .orderBy("user_id"))
+
+
+@query("e_session_windows", """
+WITH lagged AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                  OR ts - prev >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""")
+def e_session_windows(spark, sf_dir):
+    """Native F.session_window sessionization (streaming.sessionized,
+    identical plan on readStream with watermark state eviction).
+    Oracle = lag/cumulative-sum session assignment; a new session
+    starts at gap >= 30min, matching session_window's half-open
+    [start, start+gap) semantics."""
+    from zef_spark.streaming.events import sessionized
+    ev = _events(spark, sf_dir)
+    return (sessionized(ev, gap="30 minutes", key="user_id",
+                        time_col="ts")
+            .select("user_id", "session_start", "n_events")
+            .orderBy("user_id", "session_start"))
 
 
 @query("e_split_on_purchase", """

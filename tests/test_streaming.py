@@ -113,3 +113,30 @@ def test_push_into_event_log(spark, tmp_path):
         r.asDict() for r in b.collect()), once=True)
     assert {r["event"] for r in seen} == {"instantiated", "assigned"}
     assert all(r["id"] == 7 for r in seen)
+
+
+def test_session_window_batch_and_stream(spark, tmp_path):
+    """F.session_window sessionization: same results in batch and
+    streaming (availableNow) modes; watermark bounds stream state."""
+    import datetime as dt
+    from zef_spark.streaming.events import sessionized
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, base), (1, base + dt.timedelta(minutes=10)),   # session 1
+            (1, base + dt.timedelta(hours=2)),                 # session 2
+            (2, base + dt.timedelta(minutes=5))]               # user 2
+    df = spark.createDataFrame(rows, "id long, time timestamp")
+    got = {(r["id"], r["n_events"]) for r in
+           sessionized(df, gap="30 minutes").collect()}
+    assert got == {(1, 2), (1, 1), (2, 1)}
+
+    src = str(tmp_path / "sess_src")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema("id long, time timestamp")
+              .parquet(src))
+    out = []
+    q = (sessionized(stream, gap="30 minutes")
+         .writeStream.outputMode("complete")
+         .foreachBatch(lambda b, _i: out.extend(b.collect()))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {(r["id"], r["n_events"]) for r in out} == got

@@ -166,6 +166,25 @@ def subscribe(stream_df: DataFrame, fn: Callable, once: bool = True):
     return writer.start()
 
 
+def sessionized(events: DataFrame, gap: str = "30 minutes",
+                key: str = "id", time_col: str = "time",
+                watermark: str | None = "1 hour") -> DataFrame:
+    """Native session windows (F.session_window): per-key sessions
+    close after `gap` of inactivity. Works identically on batch and
+    streaming DataFrames; on streams the watermark bounds state (a
+    session older than watermark+gap can never reopen, so Spark
+    evicts it — the 100 TB/unbounded-stream requirement). Returns
+    (key, session_start, session_end, n_events)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (df.groupBy(F.col(key),
+                       F.session_window(F.col(time_col), gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(key, F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events"))
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str = "1 hour") -> DataFrame:
     """Spark-native extra: event-time tumbling counts with a
