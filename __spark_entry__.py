@@ -1176,6 +1176,69 @@ def e_session_windows(spark, sf_dir):
             .orderBy("user_id", "session_start"))
 
 
+@query("e_asof_last_purchase", """
+SELECT v.user_id, v.event_id, v.ts,
+       p.value AS purchase_value, CAST(p.ts AS VARCHAR) AS ts_right
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+ORDER BY v.user_id, v.ts, v.event_id
+""")
+def e_asof(spark, sf_dir):
+    """As-of join (pipeline.joins.asof_join): each view event gets
+    the most recent prior purchase of the same user. One shuffle
+    (union + running-last window), no nested-loop. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from zef_spark.pipeline.joins import asof_join
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "event_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    return (asof_join(views, purchases, on="ts", by="user_id")
+            .select("user_id", "event_id", "ts",
+                    F.col("purchase_value_right").alias("purchase_value"),
+                    # string form: NULL-safe cross-engine rendering
+                    # (both engines trim trailing fractional zeros;
+                    # pandas NaT vs None would differ on raw timestamps)
+                    F.col("ts_right").cast("string").alias("ts_right"))
+            .orderBy("user_id", "ts", "event_id"))
+
+
+@query("e_range_purchase_window", """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts AS start_ts,
+             ts + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.start_ts <= v.ts AND v.ts < p.end_ts
+ORDER BY v.user_id, view_id, purchase_id
+""")
+def e_range(spark, sf_dir):
+    """Range (point-in-interval) join (pipeline.joins.range_join):
+    views landing inside the hour after each purchase, same user.
+    Bucketized equi-join — no BroadcastNestedLoop. Oracle: plain
+    inequality join."""
+    from zef_spark.pipeline.joins import range_join
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", F.col("event_id").alias("view_id"), "ts")
+    windows = (ev.where(F.col("event_type") == "purchase")
+               .select("user_id",
+                       F.col("event_id").alias("purchase_id"),
+                       F.col("ts").alias("start_ts"),
+                       (F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+                       .alias("end_ts")))
+    return (range_join(views, windows, "ts", "start_ts", "end_ts",
+                       by="user_id", bucket="1 hour")
+            .select("user_id", "view_id", "purchase_id")
+            .orderBy("user_id", "view_id", "purchase_id"))
+
+
 @query("e_split_on_purchase", """
 WITH seq AS (
   SELECT user_id, event_id, event_type,

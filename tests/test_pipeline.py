@@ -191,3 +191,52 @@ def test_ivf_topk_probe_and_rerank(emb):
     a = {r["vec_id"]: r["c"] for r in cells.collect()}
     b = {r["vec_id"]: r["c"] for r in cells.collect()}
     assert a == b and set(a.values()) <= set(range(1, 9))
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    import datetime as dt
+    from zef_spark.pipeline.joins import asof_join
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    quotes = spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(30), 11.0), (2, t(5), 20.0)],
+        "k long, ts timestamp, px double")
+    trades = spark.createDataFrame(
+        [(1, t(15), "a"), (1, t(31), "b"), (1, t(59), "c"),
+         (2, t(0), "d")],
+        "k long, ts timestamp, tag string")
+    back = {r["tag"]: r["px_right"] for r in
+            asof_join(trades, quotes, on="ts", by="k").collect()}
+    assert back == {"a": 10.0, "b": 11.0, "c": 11.0, "d": None}
+    fwd = {r["tag"]: r["px_right"] for r in
+           asof_join(trades, quotes, on="ts", by="k",
+                     direction="forward").collect()}
+    assert fwd == {"a": 11.0, "b": None, "c": None, "d": 20.0}
+    tol = {r["tag"]: r["px_right"] for r in
+           asof_join(trades, quotes, on="ts", by="k",
+                     tolerance="20 minutes").collect()}
+    assert tol == {"a": 10.0, "b": 11.0, "c": None, "d": None}
+    # scale guard: one shuffle, no nested-loop join
+    plan = asof_join(trades, quotes, on="ts", by="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_containment(spark):
+    import datetime as dt
+    from zef_spark.pipeline.joins import range_join
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    pts = spark.createDataFrame(
+        [(1, t(10), "p1"), (1, t(45), "p2"), (2, t(10), "p3")],
+        "k long, ts timestamp, tag string")
+    ivs = spark.createDataFrame(
+        [(1, t(0), t(30), "iv1"),     # contains p1 only
+         (1, t(5), t(50), "iv2"),     # contains p1 and p2
+         (2, t(20), t(30), "iv3")],   # contains nothing of k=2
+        "k long, s timestamp, e timestamp, name string")
+    got = {(r["tag"], r["name"]) for r in
+           range_join(pts, ivs, "ts", "s", "e", by="k",
+                      bucket="15 minutes").collect()}
+    assert got == {("p1", "iv1"), ("p1", "iv2"), ("p2", "iv2")}
+    plan = range_join(pts, ivs, "ts", "s", "e", by="k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan

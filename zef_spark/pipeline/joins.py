@@ -1,0 +1,123 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+range (point-in-interval) join.
+
+Both compile to single shuffle-on-key DataFrame plans — no driver
+loops, no UDFs, no nested-loop joins:
+
+- ``asof_join``: the union + running-last trick. Tag both inputs,
+  union them, and take the last right-side row at-or-before each left
+  row inside one window pass. ONE shuffle (by key), scales linearly;
+  the alternative (theta join on ts ranges) is a BroadcastNestedLoop
+  that dies at scale.
+- ``range_join``: bucketize time. Intervals explode to the fixed-width
+  buckets they cover, points hash to their bucket, the join is a plain
+  equi-join on (key, bucket) + an exact containment filter. Bucket
+  width trades explode factor vs candidate precision; pick it near the
+  median interval length.
+
+Reference parity: zef expresses these as graph traversals over time
+slices (`time_travel` / `exists_at`, ITF); here they are first-class
+relational operators for event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: str | list[str], tolerance: str | None = None,
+              direction: str = "backward",
+              suffix: str = "_right") -> DataFrame:
+    """For each left row, attach the most recent right row with the
+    same key(s) and ``right.on <= left.on`` (direction="backward";
+    "forward" = next right row at-or-after). ``tolerance`` (an
+    INTERVAL string, e.g. "1 hour") drops matches further away.
+
+    Plan shape: union both sides, one window over (by, on) carrying
+    the last-seen right payload forward, keep left rows. Single
+    shuffle on the key columns.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = [by] if isinstance(by, str) else list(by)
+    rcols = [c for c in right.columns if c not in by + [on]]
+    lcols = [c for c in left.columns if c not in by + [on]]
+
+    r = right.select(
+        *by, F.col(on).alias("__t"), F.lit(0).alias("__side"),
+        *[F.col(c).alias(c + suffix) for c in rcols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols])
+    lft = left.select(
+        *by, F.col(on).alias("__t"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+          for c in rcols],
+        *lcols)
+    # backward: right rows sort BEFORE left rows at equal ts (a right
+    # row at exactly left.ts matches); forward mirrors by reversing
+    # the scan direction
+    if direction == "backward":
+        w = (Window.partitionBy(*by).orderBy("__t", "__side")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(*by).orderBy(F.col("__t").desc(),
+                                             F.col("__side"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+    matched = lft.unionByName(r)
+    carried = [F.last(F.when(F.col("__side") == 0, F.col(c + suffix)),
+                      ignorenulls=True).over(w).alias(c + suffix)
+               for c in rcols]
+    match_t = F.last(F.when(F.col("__side") == 0, F.col("__t")),
+                     ignorenulls=True).over(w).alias("__match_t")
+    out = (matched.select(*by, "__t", "__side", *lcols, *carried,
+                          match_t)
+           .where(F.col("__side") == 1))
+    if tolerance is not None:
+        lim = (F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+               if direction == "backward"
+               else F.col("__t") + F.expr(f"INTERVAL {tolerance}"))
+        keep = (F.col("__match_t") >= lim if direction == "backward"
+                else F.col("__match_t") <= lim)
+        null_out = F.when(F.col("__match_t").isNotNull() & keep,
+                          F.lit(True))
+        out = out.select(
+            *by, "__t", *lcols,
+            *[F.when(null_out, F.col(c + suffix)).alias(c + suffix)
+              for c in rcols],
+            F.when(null_out, F.col("__match_t")).alias("__match_t"))
+    return (out.withColumnRenamed("__t", on)
+            .withColumnRenamed("__match_t", on + suffix)
+            .drop("__side"))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
+               start_col: str, end_col: str,
+               by: str | list[str] | None = None,
+               bucket: str = "1 hour") -> DataFrame:
+    """Join each point row to every interval row containing it
+    (``start <= point < end``), optionally keyed. Intervals explode
+    to the ``bucket``-width time buckets they cover; the join becomes
+    an equi-join on (key, bucket) + exact containment filter — no
+    nested-loop. Long intervals cost ceil(len/bucket) replicas; size
+    ``bucket`` near the median interval length.
+    """
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    import pandas as pd
+
+    def micros(c):
+        # unix_micros demands TIMESTAMP; events carry TIMESTAMP_NTZ
+        # (session tz = UTC, so the cast is value-preserving)
+        return F.unix_micros(c.cast("timestamp"))
+    bucket_us = F.lit(int(pd.Timedelta(bucket).total_seconds() * 1_000_000))
+    p = points.withColumn("__b", (micros(F.col(point_col)) / bucket_us)
+                          .cast("long"))
+    iv = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            (micros(F.col(start_col)) / bucket_us).cast("long"),
+            (micros(F.col(end_col)) / bucket_us).cast("long"))))
+    joined = p.join(iv, by + ["__b"])
+    return (joined.where((F.col(start_col) <= F.col(point_col)) &
+                         (F.col(point_col) < F.col(end_col)))
+            .drop("__b"))
