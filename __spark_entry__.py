@@ -1239,6 +1239,35 @@ def e_range(spark, sf_dir):
             .orderBy("user_id", "view_id", "purchase_id"))
 
 
+@query("e_hypertable_rollup", """
+SELECT gran, bucket, event_type, n,
+       CAST(ROUND(sum_value, 2) AS DOUBLE) AS sum_value
+FROM (
+  SELECT '1 hour' AS gran, DATE_TRUNC('hour', ts) AS bucket,
+         event_type, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT '1 day', DATE_TRUNC('day', ts), event_type, COUNT(*),
+         SUM(CAST(value AS DECIMAL(18,6)))
+  FROM events GROUP BY 2, 3)
+ORDER BY gran, bucket, event_type
+""")
+def e_rollup(spark, sf_dir):
+    """Hypertable rollup (pipeline.rollup.hypertable_rollup):
+    hour+day continuous aggregates in ONE shuffle (explode to
+    (gran, bucket), single groupBy). Oracle: per-granularity
+    date_trunc aggregates unioned — epoch-floor bucketing equals
+    date_trunc for hour/day in UTC."""
+    from zef_spark.pipeline.rollup import hypertable_rollup
+    ev = _events(spark, sf_dir)
+    return (hypertable_rollup(ev, "ts", ["event_type"], "value")
+            .select("gran", "bucket", "event_type", "n",
+                    F.round("sum_value", 2).cast("double")
+                    .alias("sum_value"))
+            .orderBy("gran", "bucket", "event_type"))
+
+
 @query("e_split_on_purchase", """
 WITH seq AS (
   SELECT user_id, event_id, event_type,

@@ -240,3 +240,29 @@ def test_range_join_containment(spark):
     plan = range_join(pts, ivs, "ts", "s", "e", by="k") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_refresh_equals_recompute(spark):
+    """Incremental refresh (old rollup + new events) must equal a
+    full rollup over all events — algebraic merge correctness."""
+    import datetime as dt
+    from zef_spark.pipeline.rollup import (hypertable_rollup,
+                                           refresh_rollup, rollup_pick)
+    t = lambda h, m: dt.datetime(2024, 1, 1 + h // 24, h % 24, m)
+    schema = "ts timestamp, et string, v double"
+    old = spark.createDataFrame(
+        [(t(0, 5), "a", 1.0), (t(0, 50), "a", 2.0), (t(1, 10), "b", 3.0)],
+        schema)
+    new = spark.createDataFrame(
+        [(t(0, 59), "a", 4.0), (t(30, 0), "b", 5.0)], schema)
+    stored = hypertable_rollup(old, "ts", ["et"], "v")
+    refreshed = refresh_rollup(stored, new, "ts", ["et"], "v")
+    full = hypertable_rollup(old.unionByName(new), "ts", ["et"], "v")
+    key = lambda r: (r["gran"], r["bucket"], r["et"])
+    a = {key(r): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+         for r in refreshed.collect()}
+    b = {key(r): (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+         for r in full.collect()}
+    assert a == b
+    assert rollup_pick(("1 hour", "1 day"), "7 days") == "1 day"
+    assert rollup_pick(("1 hour", "1 day"), "6 hours") == "1 hour"
