@@ -1662,7 +1662,7 @@ WITH val AS (
 SELECT p_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
 FROM val
 WHERE CAST(value AS DOUBLE) >
-      (SELECT CAST(SUM(value) AS DOUBLE) FROM val) * 0.001
+      (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM val) * 3.0
 ORDER BY part_value DESC, p_partkey
 """)
 def q11(spark, sf_dir):
@@ -1682,10 +1682,13 @@ def q11(spark, sf_dir):
            # not reuse the exchange across the two aggregation shapes:
            # without persist the full lineitem scan runs twice
            .persist())
-    total = val.agg(F.sum("value").cast("double").alias("total"))
+    # scale-free threshold (3x the mean part value): a fixed share
+    # of the global total selects nothing once the part count grows
+    total = val.agg((F.sum("value").cast("double") /
+                     F.count(F.lit(1))).alias("mean_val"))
     return (val.crossJoin(F.broadcast(total))
             .where(F.col("value").cast("double") >
-                   F.col("total") * 0.001)
+                   F.col("mean_val") * 3.0)
             .select("p_partkey",
                     F.round("value", 2).cast("double").alias("part_value"))
             .orderBy(F.col("part_value").desc(), "p_partkey"))
