@@ -1,0 +1,75 @@
+"""Plan-quality regression guard: the scale properties we claim
+(broadcast dimension joins, no nested-loop joins, pushed filters)
+must be visible in the executed plans, not just asserted in docs.
+
+A refactor that silently turns a broadcast join into a
+BroadcastNestedLoopJoin or drops a parquet filter pushdown passes
+row-equality tests but dies at 100 TB — this file fails it early.
+"""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# every headline bench query + the new operator queries
+GUARDED = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "scan_cumulative_revenue",
+    "e_sessionize_30min",
+    "e_session_windows",
+    "e_asof_last_purchase",
+    "e_range_purchase_window",
+    "e_hypertable_rollup",
+    "g_hop_customer_nation",
+    "g_hop2_revenue_by_customer",
+    "p_ann_cosine_topk",
+    "p_ann_topk_ivf",
+]
+
+# cosine_pairs without block_col is a documented explicit cross join;
+# everything else must stay hash/broadcast-joined
+FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    return e
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_no_nested_loop_joins(spark, entry, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in FORBIDDEN:
+        assert bad not in plan, f"{name} regressed to {bad}"
+
+
+def test_filter_pushdown_reaches_scan(spark, entry):
+    """Selective scans must push predicates into the parquet reader
+    (PushedFilters non-empty), not filter post-scan."""
+    df = entry.queries()["q19_bracketed_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and any(p.strip() for p in pushed), \
+        "no parquet filter pushdown in q19"
+
+
+def test_dimension_joins_broadcast(spark, entry):
+    """TPC-H star joins keep every dimension on the broadcast side —
+    zero SortMergeJoin for q5/q9 at any SF (dims are small by
+    schema, not by luck)."""
+    for name in ("q5_region_revenue", "q9_product_profit"):
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name} lost broadcasts"
+        assert "SortMergeJoin" not in plan, \
+            f"{name} shuffles a dimension join"
