@@ -266,3 +266,26 @@ def test_hypertable_rollup_refresh_equals_recompute(spark):
     assert a == b
     assert rollup_pick(("1 hour", "1 day"), "7 days") == "1 day"
     assert rollup_pick(("1 hour", "1 day"), "6 hours") == "1 hour"
+
+
+def test_ann_index_partition_pruning(spark, emb, tmp_path):
+    """The materialized IVF index turns a probe into partition
+    pruning: identical results to the in-memory ivf_topk, and the
+    cell predicate appears as a PartitionFilter (not a data
+    filter)."""
+    from zef_spark.pipeline.similarity import (ann_topk_indexed,
+                                               ivf_topk,
+                                               materialize_ann_index)
+    path = str(tmp_path / "ann_idx")
+    materialize_ann_index(emb, path, "embedding", dim=8, method="ivf",
+                          n_cells=8)
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    direct = ivf_topk(emb, "embedding", "vec_id", q, k=5, n_cells=8,
+                      n_probes=2).collect()
+    indexed = ann_topk_indexed(spark, path, "embedding", "vec_id", q,
+                               k=5, n_cells=8, n_probes=2)
+    assert [tuple(r) for r in indexed.collect()] == \
+        [tuple(r) for r in direct]
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__cell" in \
+        plan.split("PartitionFilters")[1][:200]

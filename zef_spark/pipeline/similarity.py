@@ -152,6 +152,44 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
     return brute_force_topk(cand, vec_col, id_col, query, k, digits)
 
 
+def materialize_ann_index(df: DataFrame, path: str, vec_col: str,
+                          dim: int, method: str = "ivf",
+                          n_cells: int = 16, n_planes: int = 8,
+                          seed: int | None = None) -> None:
+    """Write the corpus partitioned by its ANN cell/bucket id — the
+    ingest-time layout where a probe is PARTITION PRUNING, not a
+    scan. ``method``: "ivf" (coarse-quantizer cells) or "lsh"
+    (hyperplane sign buckets)."""
+    if method == "ivf":
+        cell = ivf_cell(F.col(vec_col), dim, n_cells,
+                        7 if seed is None else seed)
+    elif method == "lsh":
+        cell = lsh_bucket(F.col(vec_col), dim, n_planes,
+                          42 if seed is None else seed)
+    else:
+        raise ValueError("method must be 'ivf' or 'lsh'")
+    df.withColumn("__cell", cell).write.mode("overwrite") \
+        .partitionBy("__cell").parquet(path)
+
+
+def ann_topk_indexed(spark, path: str, vec_col: str, id_col: str,
+                     query: list[float], k: int = 10,
+                     n_cells: int = 16, n_probes: int = 2,
+                     seed: int = 7, digits: int = 6) -> DataFrame:
+    """Probe a materialized IVF index: the cell predicate hits the
+    partition column, so Spark lists only ~n_probes/n_cells of the
+    files (check PartitionFilters in .explain) before the exact
+    rerank."""
+    dim = len(query)
+    probes = sorted(range(1, n_cells + 1),
+                    key=lambda c: (-sum(a * b for a, b in
+                                        zip(query, _centroid(dim, c - 1,
+                                                             seed))), c)
+                    )[:n_probes]
+    cand = spark.read.parquet(path).where(F.col("__cell").isin(probes))
+    return brute_force_topk(cand, vec_col, id_col, query, k, digits)
+
+
 def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                  threshold: float = 0.95,
                  block_col: str | None = None) -> DataFrame:
