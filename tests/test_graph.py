@@ -369,3 +369,36 @@ def test_bucketed_materialize_colocates_hop_join(spark, persons):
         assert nx_plain >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_concurrent_transactions_fork_independently(spark):
+    """Reference test_no_simul_transactions analogue. The reference
+    serializes writers on one mutable graph; here transact is
+    FUNCTIONAL (returns a new Graph), so two concurrent transacts
+    from the same base must both succeed, producing independent
+    lineages, with the base frame unchanged (git-branch semantics
+    replace writer locking)."""
+    import threading
+    from zef_spark import ET, ops as z
+    from zef_spark.graph.delta import E, empty_graph, transact
+    base, _ = transact(empty_graph(spark), [E(ET.Base, "b0")])
+    n_base = base.now().all().df.count()
+    results, errors = {}, []
+
+    def writer(tag):
+        try:
+            g2, rc = transact(base, [E(ET.Forked, tag)])
+            results[tag] = g2
+        except Exception as ex:  # pragma: no cover
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(f"w{i}",))
+               for i in range(3)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errors
+    assert len(results) == 3
+    for tag, g2 in results.items():
+        ns = g2.now() | z.all[ET.Forked]
+        assert ns.df.count() == 1  # each lineage sees only its write
+    assert base.now().all().df.count() == n_base  # base untouched

@@ -1,0 +1,78 @@
+"""Property tests for the temporal join/rollup operators: the Spark
+implementations must agree with independent oracles (pandas
+merge_asof; full recompute) on randomized inputs — not just the
+hand-picked examples in test_pipeline.py."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _events(draw, n_keys=2, max_rows=14):
+    rows = draw(st.lists(
+        st.tuples(st.integers(0, n_keys - 1),      # key
+                  st.integers(0, 5000),            # minutes offset
+                  st.integers(0, 99)),             # payload
+        min_size=1, max_size=max_rows))
+    # distinct timestamps per key: merge_asof demands sorted, and
+    # equal-ts tie rules differ between engines — not the semantics
+    # under test
+    seen, out = set(), []
+    for k, m, v in rows:
+        if (k, m) not in seen:
+            seen.add((k, m))
+            out.append((k, BASE + dt.timedelta(minutes=m), float(v)))
+    return out
+
+
+@st.composite
+def _two_sides(draw):
+    return _events(draw), _events(draw)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_two_sides())
+def test_asof_join_matches_pandas_merge_asof(spark, sides):
+    from zef_spark.pipeline.joins import asof_join
+    lrows, rrows = sides
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lv double")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rv double")
+    got = {(r["k"], r["ts"], r["lv"]): r["rv_right"]
+           for r in asof_join(left, right, on="ts", by="k").collect()}
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "rv"]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["rv"]) else row["rv"]
+        assert got[(row["k"], row["ts"].to_pydatetime(),
+                    row["lv"])] == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_rollup_refresh_equals_recompute_property(spark, data):
+    from zef_spark.pipeline.rollup import hypertable_rollup, refresh_rollup
+    rows = data.draw(st.lists(
+        st.tuples(st.integers(0, 3000),            # minutes offset
+                  st.sampled_from(["a", "b"]),
+                  st.integers(-50, 50)),
+        min_size=2, max_size=16))
+    split = data.draw(st.integers(1, len(rows) - 1))
+    mk = lambda rs: spark.createDataFrame(
+        [(BASE + dt.timedelta(minutes=m), et, float(v))
+         for m, et, v in rs], "ts timestamp, et string, v double")
+    stored = hypertable_rollup(mk(rows[:split]), "ts", ["et"], "v")
+    refreshed = refresh_rollup(stored, mk(rows[split:]), "ts", ["et"], "v")
+    full = hypertable_rollup(mk(rows), "ts", ["et"], "v")
+    key = lambda r: (r["gran"], r["bucket"], r["et"])
+    val = lambda r: (r["n"], r["sum_value"], r["min_value"],
+                     r["max_value"])
+    assert {key(r): val(r) for r in refreshed.collect()} == \
+        {key(r): val(r) for r in full.collect()}
