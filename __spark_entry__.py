@@ -872,6 +872,86 @@ def p_fingerprint(spark, sf_dir):
             .select("doc_id", "fingerprint").orderBy("doc_id"))
 
 
+@query("p_multimodal_meta", """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text, n_chars,
+         320 + (n_chars % 5) * 160 AS width,
+         240 + (n_chars % 4) * 120 AS height,
+         1000 + n_chars AS duration_ms
+  FROM documents),
+img AS (
+  SELECT media_id,
+         LEAST(512.0 / GREATEST(width, height), 1.0) AS scale,
+         CAST(CEIL(width * LEAST(512.0 / GREATEST(width, height), 1.0))
+              AS BIGINT) AS target_w
+  FROM media WHERE media_type = 'image'),
+vid AS (
+  SELECT media_id,
+         GREATEST(CAST(FLOOR(duration_ms / 1000.0) AS BIGINT), 1)
+         AS n_frames
+  FROM media WHERE media_type = 'video')
+SELECT m.media_type, COUNT(*) AS n,
+       CAST(SUM(m.n_chars) AS BIGINT) AS sum_bytes,
+       MIN(MD5(m.text)) AS min_digest,
+       CAST(SUM(CASE WHEN i.scale < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+       AS n_resized,
+       COALESCE(CAST(SUM(i.target_w) AS BIGINT), 0) AS sum_target_w,
+       COALESCE(CAST(SUM(v.n_frames) AS BIGINT), 0) AS sum_frames
+FROM media m
+  LEFT JOIN img i ON i.media_id = m.media_id
+  LEFT JOIN vid v ON v.media_id = m.media_id
+GROUP BY m.media_type ORDER BY m.media_type
+""")
+def p_multimodal(spark, sf_dir):
+    """Multimodal column pipeline over documents-derived media
+    (binary content + typed metadata): resize bookkeeping and video
+    frame-sampling plans are JVM-side (pipeline.multimodal
+    resize_meta / frame_sample_plan); content digests run on the
+    BINARY column. The decode UDF itself stays stubbed (no media
+    libs in env) — everything around it is real and oracle-checked.
+    Documents are ASCII, so MD5(utf8 bytes) == DuckDB MD5(text)."""
+    from zef_spark.pipeline.multimodal import (frame_sample_plan,
+                                               resize_meta)
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct((320 + (F.col("n_chars") % 5) * 160).cast("int")
+                 .alias("width"),
+                 (240 + (F.col("n_chars") % 4) * 120).cast("int")
+                 .alias("height"),
+                 (1000 + F.col("n_chars")).cast("int")
+                 .alias("duration_ms"),
+                 F.lit("synthetic").alias("codec")).alias("meta"))
+    img = (resize_meta(media.where(F.col("media_type") == "image"))
+           .select("media_id", "resize_scale",
+                   F.col("target_w").cast("bigint").alias("target_w")))
+    vid = (frame_sample_plan(media, every_ms=1000)
+           .groupBy("media_id")
+           .agg(F.count(F.lit(1)).alias("n_frames")))
+    return (media
+            .join(img, "media_id", "left")
+            .join(vid, "media_id", "left")
+            .groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("content")).cast("bigint")
+                 .alias("sum_bytes"),
+                 F.min(F.md5("content")).alias("min_digest"),
+                 F.sum(F.when(F.col("resize_scale") < 1.0, 1)
+                       .otherwise(0)).cast("bigint").alias("n_resized"),
+                 F.coalesce(F.sum("target_w"), F.lit(0)).cast("bigint")
+                 .alias("sum_target_w"),
+                 F.coalesce(F.sum("n_frames"), F.lit(0)).cast("bigint")
+                 .alias("sum_frames"))
+            .orderBy("media_type"))
+
+
 def _query_vec(spark, sf_dir):
     row = (_t(spark, sf_dir, "embeddings")
            .where(F.col("vec_id") == 0).select("embedding").first())
