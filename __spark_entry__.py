@@ -37,16 +37,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read ns-as-long and convert to µs TIMESTAMP_NTZ
-    (ns→µs truncation — collision-free at this data's density)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not `/`: float division of ns-epoch longs (> 2^53)
-    # loses the last µs digit in the double mantissa
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        .cast("timestamp_ntz"))
+    """Load events.parquet with `ts` normalized to TIMESTAMP_NTZ,
+    robust to the fixture's physical type: ns-epoch int64 (older
+    fixtures, via nanosAsLong) or native timestamp[us]/[ns]."""
+    from zef_spark.sources import load_events
+    return load_events(spark, f"{sf_dir}/events.parquet")
 
 
 # =====================================================================

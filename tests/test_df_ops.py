@@ -44,10 +44,8 @@ def test_distinct_without(spark, sf_dir):
 
 
 def test_window_sequence_ops(spark, sf_dir):
-    ev_path = f"{sf_dir}/events.parquet"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(ev_path).withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    from zef_spark.sources import load_events
+    ev = load_events(spark, f"{sf_dir}/events.parquet")
     en = ev | z.enumerate[["ts", "event_id"], "user_id"]
     assert "index" in en.columns
     first_idx = en.where(F.col("index") == 0).count()

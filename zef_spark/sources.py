@@ -29,6 +29,37 @@ _EXT_FORMAT = {
 }
 
 
+def load_events(spark: SparkSession, path: str,
+                ts_col: str = "ts") -> DataFrame:
+    """Load an event-log parquet with `ts_col` normalized to
+    TIMESTAMP_NTZ regardless of the physical type on disk:
+    int64 ns-epoch (read via nanosAsLong), TIMESTAMP(NANOS/MICROS),
+    or TIMESTAMP_NTZ. Branching on the read schema means a fixture
+    regeneration that flips the physical type cannot silently break
+    every downstream events query."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    # nanosAsLong only affects TIMESTAMP(NANOS) columns; harmless
+    # (and necessary for old fixtures) to set before the read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        # ns-epoch long → µs. Integer DIV, not `/`: float division of
+        # ns longs (> 2^53) loses the last µs digit in the mantissa.
+        return df.withColumn(
+            ts_col,
+            F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
+            .cast("timestamp_ntz"))
+    if isinstance(dt, TimestampNTZType):
+        return df
+    if isinstance(dt, TimestampType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp_ntz"))
+    raise TypeError(
+        f"unsupported dtype for event column {ts_col!r}: {dt}")
+
+
 def from_csv(spark: SparkSession, path: str, header: bool = True,
              infer_schema: bool = True, **opts) -> DataFrame:
     return (spark.read.options(header=header, inferSchema=infer_schema,
