@@ -2232,9 +2232,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1(spark, "/root/testdata/sf0.001")
 
 
+# The driver oracle-checks only the FIRST 50 entries of queries().
+# Rotate the registration order each round so every query accumulates a
+# CORRECTNESS row: r04 front-loads (a) the 29 queries that had never
+# been inside the window in r01-r03 (TPC-H long tail, gql_*, the three
+# extra event queries, p_infer_types/p_identify_entities) and (b) the 7
+# event queries fixed this round, then fills the window with one
+# representative per SURVEY §2 family. Everything else stays registered
+# (rows r01-r03 already prove it) and remains runnable by name.
+_FRONT = [
+    # (a) never-oracle-checked before r04
+    "q2_min_cost_supplier", "q4_priority_exists", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_part_value_share", "q12_priority_lateness",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
+    "q18_large_orders", "q19_bracketed_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "gql_nested_filter_order", "gql_aggregate_orders",
+    "gql_list_size_filter", "gql_all_quantifier",
+    "gql_mutation_update", "gql_mutation_delete",
+    "e_hypertable_rollup", "e_split_on_purchase", "e_hourly_tumbling",
+    "p_infer_types", "p_identify_entities",
+    # (b) event queries fixed this round (ts dtype regression)
+    "frequencies_events", "enumerate_stride_events",
+    "chunk_by_event_type_runs", "e_sessionize_30min",
+    "e_session_windows", "e_asof_last_purchase",
+    "e_range_purchase_window",
+    # (c) one representative per §2 family, all green r01-r03
+    "q1_pricing_summary", "q3_shipping_priority", "filter_predicates",
+    "conditional_bucketing", "sort_take_topk",
+    "scan_cumulative_revenue", "sliding_moving_avg",
+    "concat_union_segments", "string_functions", "g_all_type_counts",
+    "g_hop2_revenue_by_customer", "g_time_travel_duration",
+    "p_dedup_exact_groups", "p_text_quality",
+]
+
+
+def _rotated(d: dict) -> dict:
+    missing = [n for n in _FRONT if n not in d]
+    assert not missing, f"_FRONT names unknown queries: {missing}"
+    return {**{n: d[n] for n in _FRONT if n in d},
+            **{n: v for n, v in d.items() if n not in _FRONT}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    return _rotated(ORACLE)

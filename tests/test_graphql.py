@@ -239,6 +239,41 @@ def test_unpaginated_query_plans_a_limit(schema, load):
     assert len(out3["queryCustomer"]) == 150
 
 
+def test_unpaginated_query_shows_global_limit_in_plan(schema, load):
+    """The cap must be a server-side GlobalLimit in the executed plan,
+    not a driver-side truncation after an unbounded collect."""
+    eng = GraphQLEngine(schema, load, max_rows=7)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = eng.df("Customer", {}, _sel("{ custkey }"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan, plan
+
+
+def test_mutation_payload_rows_are_capped(schema, store):
+    """update<T> touching many rows must not collect them all into the
+    payload: max_rows bounds the projected row list (count stays
+    exact)."""
+    eng = GraphQLEngine(schema, store=store, max_rows=5)
+    out = eng.execute("""
+      mutation {
+        updateCustomer(input: {
+            filter: {}, set: {acctbal: 1.0}}) {
+          count
+          customer { custkey }
+        }
+      }""")
+    assert out["updateCustomer"]["count"] > 5
+    assert len(out["updateCustomer"]["customer"]) == 5
+
+
+def _sel(src):
+    from graphql import parse
+    return (parse("{ queryX " + src + " }")
+            .definitions[0].selection_set.selections[0].selection_set)
+
+
 def test_http_server_with_jwt_auth(schema, load):
     """HTTP + JWT (HS256) + per-type row-level auth rules (reference
     simplegql server2.py:27-110 flow: Bearer header, HS256 preshared

@@ -177,6 +177,11 @@ class GraphQLEngine:
                     elif pname.lower() == tname.lower():
                         rows_df = self._project(tname, affected,
                                                 psel.selection_set)
+                        # same driver-OOM guard as query<T>: an
+                        # update/delete can affect the whole table, and
+                        # the payload projection collects to the driver
+                        if self.max_rows is not None:
+                            rows_df = rows_df.limit(self.max_rows)
                         payload[palias] = [json.loads(r) for r in
                                            rows_df.toJSON().collect()]
                     else:
