@@ -221,16 +221,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                  .select(id_col, "__m.sig", "__m.sh",
                          F.size("__m.sh").alias("n_sh"))
                  .persist(StorageLevel.MEMORY_AND_DISK))
-        # materialize the cache BEFORE the plan fans out: AQE runs the
-        # bucket stage and both verify-join scans concurrently, and a
-        # cold cache would compute the kernel once per concurrent scan
-        # (block-lock contention at best, triple compute at worst)
-        feats.count()
+        # NO eager count here: the candidate-pair materialization below
+        # is the first (single) consumer and populates the cache as it
+        # runs; the later verify joins then read it warm. An extra
+        # barrier job costs a full AQE round-trip for nothing.
         sig = feats.select(id_col, "sig")
+    # band hash over the RAW sig longs (xxhash64 is variadic) — no
+    # per-element string casts / concat: the expression tree is ~6x
+    # smaller, which matters because driver-side codegen of this
+    # projection was a measurable serial cost per cold call
     band_cols = F.array(*[
-        F.xxhash64(F.concat_ws(
-            ",", *[F.col("sig")[b * rows + r].cast("string")
-                   for r in range(rows)]), F.lit(b)).alias(f"b{b}")
+        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)],
+                   F.lit(b)).alias(f"b{b}")
         for b in range(bands)])
     banded = sig.select(id_col, F.posexplode(band_cols)
                         .alias("band", "bucket"))
@@ -242,14 +244,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     buckets = (banded.groupBy("band", "bucket")
                .agg(ids_arr.alias("ids"))
                .where(F.size("ids") > 1))
-    pair_structs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2,
-                    F.greatest(F.size("ids") - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
-    raw_pairs = (buckets.select(F.explode(pair_structs).alias("p"))
-                 .select("p.id_a", "p.id_b"))
+    # in-bucket pairs via two native explodes (GenerateExec, codegen)
+    # with an id_a < id_b filter — generates m^2 rows per bucket but
+    # each is 16 bytes and the generate is JVM-tight; the earlier
+    # nested transform+slice HOF built the m(m-1)/2 set directly yet
+    # ran INTERPRETED per element, ~2x slower end-to-end.
+    raw_pairs = (buckets
+                 .select("ids", F.explode("ids").alias("id_a"))
+                 .select("id_a", F.explode("ids").alias("id_b"))
+                 .where(F.col("id_a") < F.col("id_b")))
     if jaccard_threshold is None:
         return raw_pairs.distinct()
     # Exact verify: shingle-hash arrays come from the SAME persisted
@@ -258,16 +261,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # materialized union array. Join sides are left to AQE: at bench
     # scale it broadcasts the persisted feature table; at corpus scale
     # (feats >> candidates) it broadcasts the candidate side instead.
-    # Dedup happens AFTER the threshold filter: multi-band duplicate
-    # candidates (a few %) cost one redundant intersect each, which is
-    # cheaper than a full shuffle of the candidate stream up front.
-    verified = (raw_pairs
-                .join(feats.select(F.col(id_col).alias("id_a"),
-                                   F.col("sh").alias("sh_a"),
-                                   F.col("n_sh").alias("na")), "id_a")
-                .join(feats.select(F.col(id_col).alias("id_b"),
-                                   F.col("sh").alias("sh_b"),
-                                   F.col("n_sh").alias("nb")), "id_b")
+    # Dedup BEFORE the verify joins: a truly-similar pair collides in
+    # MOST of the `bands` bands (not one), so the raw candidate stream
+    # carries multi-band duplicates and each would pay a redundant
+    # O(|sh|) array_intersect. The deduped pair set is NARROW (two
+    # longs — MBs even when the corpus is TBs) and is persisted so
+    # (a) Catalyst can't fuse the jaccard filter into the join
+    # condition (which evaluates array_intersect a second time per
+    # row), and (b) the bucket/pair-gen stage runs exactly once.
+    from pyspark import StorageLevel
+    cand = raw_pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    # join the SAME feats plan twice via dataframe aliases: the two
+    # broadcast-exchange subtrees canonicalize identically, so Spark
+    # builds ONE broadcast of the feature table and the second join is
+    # a ReusedExchange (halves broadcast build time).
+    fa, fb = feats.alias("__fa"), feats.alias("__fb")
+    verified = (cand
+                .join(fa, F.col("id_a") == F.col(f"__fa.{id_col}"))
+                .join(fb, F.col("id_b") == F.col(f"__fb.{id_col}"))
+                .select("id_a", "id_b",
+                        F.col("__fa.sh").alias("sh_a"),
+                        F.col("__fb.sh").alias("sh_b"),
+                        F.col("__fa.n_sh").alias("na"),
+                        F.col("__fb.n_sh").alias("nb"))
                 # intersect staged in its own projection: referenced
                 # twice below, and must not be computed twice per row
                 .withColumn("__inter",
@@ -276,7 +293,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                             F.col("__inter") / (F.col("na") + F.col("nb")
                                                 - F.col("__inter")))
                 .where(F.col("jaccard") >= jaccard_threshold))
-    return verified.select("id_a", "id_b", "jaccard").distinct()
+    # pairs are already unique (deduped pre-verify) — no final shuffle
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 SIMHASH_BITS = 60  # 15 hex digits of md5: portable to any engine
