@@ -274,6 +274,65 @@ def _sel(src):
             .definitions[0].selection_set.selections[0].selection_set)
 
 
+def test_subscription_fires_on_add(schema, store):
+    """Per-type subscriptions (reference resolvers_generator.py:60-61
+    SubscriptionType surface): an addT mutation publishes one 'added'
+    event to that type's subscribers, with payload rows + exact count."""
+    from zef_spark.graphql import GraphQLEngine, SubscriptionManager
+    subs = SubscriptionManager()
+    got = []
+    sub = subs.subscribe("Region", got.append)
+    other = []
+    subs.subscribe("Nation", other.append)       # must NOT fire
+    eng = GraphQLEngine(schema, store=store, subscriptions=subs)
+    eng.execute("""
+      mutation {
+        addRegion(input: [{regionkey: 77, name: "ATLANTIS"}]) { count }
+      }""")
+    assert len(got) == 1 and not other
+    ev = got[0]
+    assert ev["type"] == "Region" and ev["kind"] == "added"
+    assert ev["count"] == 1
+    assert ev["rows"][0]["r_name"] == "ATLANTIS"
+    # event-kind filter: a delete does not reach an added-only sub
+    sub.cancel()
+    added_only = []
+    subs.subscribe("Region", added_only.append, events=("added",))
+    eng.execute('mutation { deleteRegion(filter: {id: [77]}) { count } }')
+    assert not added_only
+
+
+def test_subscription_event_log_streams(schema, store, spark, tmp_path):
+    """Stream-shaped subscriptions: events append to a parquet log
+    that a Structured-Streaming reader consumes (the one-writer/
+    many-readers fan-out posture at scale)."""
+    from zef_spark.graphql import GraphQLEngine, SubscriptionManager, \
+        counts_by_type
+    from zef_spark.streaming.events import subscribe as stream_subscribe
+    subs = SubscriptionManager(event_log_path=str(tmp_path / "sublog"))
+    eng = GraphQLEngine(schema, store=store, subscriptions=subs)
+    eng.execute("""
+      mutation {
+        addNation(input: [{nationkey: 91, name: "NOWHERE"}]) {
+          count }
+      }""")
+    eng.execute("""
+      mutation {
+        updateNation(input: {filter: {id: [91]},
+                             set: {name: "EREHWON"}}) { count }
+      }""")
+    seen = []
+    stream_subscribe(subs.stream(spark),
+                     lambda b, _id: seen.extend(b.collect()), once=True)
+    kinds = {(r.type_name, r.kind) for r in seen}
+    assert ("Nation", "added") in kinds
+    assert ("Nation", "updated") in kinds
+    # batch aggregate over the same log
+    agg = {(r.type_name, r.kind): r.n_events
+           for r in counts_by_type(subs.batch(spark)).collect()}
+    assert agg[("Nation", "added")] == 1
+
+
 def test_http_server_with_jwt_auth(schema, load):
     """HTTP + JWT (HS256) + per-type row-level auth rules (reference
     simplegql server2.py:27-110 flow: Bearer header, HS256 preshared

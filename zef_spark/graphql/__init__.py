@@ -7,8 +7,11 @@ from .schema import GqlRelation, GqlSchema, GqlType, schema_from_sdl, \
     tpch_schema
 from .server import (AuthConfig, AuthError, decode_jwt, encode_jwt,
                      make_server, serve_in_thread)
+from .subscriptions import (Subscription, SubscriptionManager,
+                            counts_by_type)
 
 __all__ = ["GqlType", "GqlRelation", "GqlSchema", "schema_from_sdl",
            "tpch_schema", "run_query", "run_aggregate", "GraphQLEngine",
            "AuthConfig", "AuthError", "encode_jwt", "decode_jwt",
-           "make_server", "serve_in_thread"]
+           "make_server", "serve_in_thread", "Subscription",
+           "SubscriptionManager", "counts_by_type"]

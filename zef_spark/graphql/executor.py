@@ -58,10 +58,13 @@ class GraphQLEngine:
     DEFAULT_MAX_ROWS = 10_000
 
     def __init__(self, schema: GqlSchema, load=None, store=None,
-                 max_rows: int | None = DEFAULT_MAX_ROWS):
+                 max_rows: int | None = DEFAULT_MAX_ROWS,
+                 subscriptions=None):
         self.schema = schema
         self.store = store
         self.max_rows = max_rows
+        #: optional SubscriptionManager; mutations publish into it
+        self.subscriptions = subscriptions
         if load is None:
             if store is None:
                 raise ValueError("need a loader or a TableStore")
@@ -155,16 +158,21 @@ class GraphQLEngine:
                 tname = fname[len("add"):]
                 affected = mx.add(tname, args["input"],
                                   args.get("upsert", False))
+                kind = "added"
             elif fname.startswith("update"):
                 tname = fname[len("update"):]
                 inp = args["input"]
                 affected = mx.update(tname, inp.get("filter"),
                                      inp.get("set"), inp.get("remove"))
+                kind = "updated"
             elif fname.startswith("delete"):
                 tname = fname[len("delete"):]
                 affected = mx.delete(tname, args.get("filter"))
+                kind = "deleted"
             else:
                 raise ValueError(f"unknown mutation field {fname}")
+            if self.subscriptions is not None:
+                self.subscriptions.publish(tname, kind, affected)
             payload = {}
             if sel.selection_set is None:
                 payload["count"] = affected.count()
