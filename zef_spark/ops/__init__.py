@@ -14,6 +14,8 @@ from . import reflection as _reflection  # noqa: F401  (registers)
 from . import registry_completion as _registry_completion  # noqa: F401
 from .plumbing import (absorbed, func, peel, to_pipeline,  # noqa: F401
                        without_absorbed)
+from .zef_functions import (GraphBox, func_versions,  # noqa: F401
+                            load_func, store_func, zef_fn)
 from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401
                    register_op)
 
