@@ -1089,6 +1089,134 @@ def p_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+_NGRAM_PAIRS_CTE = """
+g AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(w) - 2, 1)),
+           i -> ARRAY_TO_STRING(LIST_SLICE(w, i, i + 2), ' '))) AS grams
+  FROM (SELECT doc_id, STRING_SPLIT_REGEX(LOWER(text), '\\W+') AS w
+        FROM documents)
+), posting AS (
+  SELECT doc_id, UNNEST(grams) AS gram FROM g
+), kept AS (
+  SELECT * FROM posting
+  WHERE gram NOT IN (SELECT gram FROM posting
+                     GROUP BY gram HAVING COUNT(*) > 1000)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b USING (gram)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), sizes AS (SELECT doc_id, LEN(grams) AS n FROM g),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+)"""
+
+
+@query("p_dup_clusters", """
+WITH RECURSIVE """ + _NGRAM_PAIRS_CTE + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+)
+SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id ORDER BY id
+""")
+def p_dup_clusters(spark, sf_dir):
+    """Near-dup PAIRS → dedup CLUSTERS: connected components by
+    min-label propagation (bounded rounds, localCheckpoint per round;
+    pipeline/corpus.py). Oracle: DuckDB recursive-CTE reachability."""
+    from zef_spark.pipeline.corpus import dup_clusters
+    from zef_spark.pipeline.dedup import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=3, threshold=0.2)
+    return dup_clusters(pairs).orderBy("id")
+
+
+@query("p_hash_sample", """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'corpus_v1'),
+                      1, 15))::BIGINT % 64 < 10
+ORDER BY doc_id
+""")
+def p_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (10/64 of docs by md5 of the key):
+    reproducible across engines/runs — the corpus-snapshot sampler."""
+    from zef_spark.pipeline.corpus import hash_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (hash_sample(docs, 10, 64, "doc_id", salt="corpus_v1",
+                        method="md5")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@query("p_pack_sequences", """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), capped AS (
+  SELECT doc_id, n_tokens, LEAST(n_tokens, 512) AS n,
+         SUM(LEAST(n_tokens, 512)) OVER (
+           ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS pack_id,
+       (cum - n) % 512 AS pack_offset
+FROM capped ORDER BY doc_id
+""")
+def p_pack_sequences(spark, sf_dir):
+    """Cumsum-bin packing of documents into 512-token context
+    windows (LM batch construction; pipeline/corpus.py)."""
+    from zef_spark.pipeline.corpus import pack_sequences
+    from zef_spark.pipeline.text import token_count
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count(docs, "text")
+    return pack_sequences(toks, "doc_id", "n_tokens", 512) \
+        .orderBy("doc_id")
+
+
+@query("p_tf_idf", """
+WITH posting AS (
+  SELECT doc_id, t.t AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                                                     '\\W+'),
+                                  x -> x <> '')) AS t
+        FROM documents) t
+  GROUP BY doc_id, t.t
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM posting GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         ROUND(tf * LN(1 + (SELECT n_docs FROM n) * 1.0 / df), 6)
+           AS tf_idf
+  FROM posting JOIN dfreq USING (token)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tf_idf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tf_idf FROM ranked
+WHERE rk <= 3 ORDER BY doc_id, token
+""")
+def p_tf_idf(spark, sf_dir):
+    """Top-3 TF-IDF tokens per document (pipeline/corpus.py)."""
+    from zef_spark.pipeline.corpus import tf_idf
+    docs = _t(spark, sf_dir, "documents")
+    return (tf_idf(docs, "doc_id", "text", top_k=3)
+            .orderBy("doc_id", "token"))
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6,
                         seed: int = 42) -> str:
     """DuckDB oracle for the hyperplane-LSH ANN: the planes are
@@ -2259,13 +2387,13 @@ _FRONT = [
     "chunk_by_event_type_runs", "e_sessionize_30min",
     "e_session_windows", "e_asof_last_purchase",
     "e_range_purchase_window",
-    # (c) one representative per §2 family, all green r01-r03
-    "q1_pricing_summary", "q3_shipping_priority", "filter_predicates",
-    "conditional_bucketing", "sort_take_topk",
-    "scan_cumulative_revenue", "sliding_moving_avg",
+    # (c) operators NEW in r04 (first oracle rows)
+    "p_dup_clusters", "p_hash_sample", "p_pack_sequences", "p_tf_idf",
+    # (d) one representative per §2 family, all green r01-r03
+    "q1_pricing_summary", "q3_shipping_priority",
+    "conditional_bucketing", "sort_take_topk", "sliding_moving_avg",
     "concat_union_segments", "string_functions", "g_all_type_counts",
     "g_hop2_revenue_by_customer", "g_time_travel_duration",
-    "p_dedup_exact_groups", "p_text_quality",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Corpus-construction operators (pipeline/corpus.py): dup clustering,
+deterministic sampling, sequence packing, tf-idf."""
+
+from pyspark.sql import functions as F
+
+from zef_spark.pipeline.corpus import (dedup_keep_representative,
+                                       dup_clusters, hash_sample,
+                                       pack_sequences,
+                                       stratified_hash_sample, tf_idf)
+
+
+def test_dup_clusters_components(spark):
+    # two components {1,2,3} (chain) and {10,11}; 99 isolated (absent)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    got = {r.id: r.cluster for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_deep_chain_converges(spark):
+    # a path graph needs multiple propagation rounds
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = dup_clusters(pairs)
+    assert got.select("cluster").distinct().count() == 1
+    assert got.count() == n + 1
+
+
+def test_dedup_keep_representative(spark):
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_representative(docs, pairs).collect())
+    assert kept == [0, 3, 4]   # drop 1,2 (cluster 0) and 5 (cluster 4)
+
+
+def test_hash_sample_deterministic_and_consistent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = hash_sample(docs, 16, 64, "doc_id", salt="s").select("doc_id")
+    b = hash_sample(docs, 16, 64, "doc_id", salt="s").select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    n = a.count()
+    total = docs.count()
+    assert 0.15 * total < n < 0.35 * total   # ~25% ± slack
+    # nesting: a 8/64 sample with the same salt is a subset of 16/64
+    sub = hash_sample(docs, 8, 64, "doc_id", salt="s").select("doc_id")
+    assert sub.exceptAll(a).count() == 0
+    # md5 method agrees with itself and samples a similar fraction
+    m = hash_sample(docs, 16, 64, "doc_id", salt="s", method="md5")
+    assert 0.15 * total < m.count() < 0.35 * total
+
+
+def test_stratified_hash_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all, thin = langs[0], langs[1]
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang",
+        rates={keep_all: (64, 64), thin: (8, 64)})
+    n_all = docs.where(F.col("lang") == keep_all).count()
+    assert out.where(F.col("lang") == keep_all).count() == n_all
+    n_thin_base = docs.where(F.col("lang") == thin).count()
+    n_thin = out.where(F.col("lang") == thin).count()
+    assert n_thin < n_thin_base * 0.4
+    # strata without a rate and no default are dropped
+    assert out.select("lang").distinct().count() == 2
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 999), (5, 50)],
+        "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", 512) \
+        .orderBy("doc_id").collect()
+    # capped cumsum: 100, 400, 600, 1112, 1162
+    assert [r.pack_id for r in out] == [0, 0, 1, 2, 2]
+    for r in out:
+        assert 0 <= r.pack_offset < 512
+    # oversized doc (999 > 512) is capped into exactly one window
+    assert out[3].pack_offset == 88   # 1112 - 512 = 600 → 600 % 512
+
+
+def test_tf_idf_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"),
+         (3, "cherry cherry durian")],
+        "doc_id long, text string")
+    rows = tf_idf(df, "doc_id", "text").collect()
+    by = {(r.doc_id, r.token): r for r in rows}
+    assert by[(1, "apple")].tf == 2 and by[(1, "apple")].df == 1
+    assert by[(2, "banana")].df == 2
+    # rarer token outweighs a common one at equal tf
+    assert by[(2, "cherry")].tf_idf == by[(2, "banana")].tf_idf or \
+        by[(1, "apple")].tf_idf > by[(1, "banana")].tf_idf
+    # top_k keeps the k best per doc
+    top = tf_idf(df, "doc_id", "text", top_k=1)
+    assert top.count() == 3
+    assert {r.doc_id for r in top.collect()} == {1, 2, 3}

@@ -1,2 +1,2 @@
-from . import dedup, multimodal, similarity, skew, text, \
+from . import corpus, dedup, multimodal, similarity, skew, text, \
     wrangling  # noqa: F401

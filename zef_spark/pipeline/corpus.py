@@ -1,0 +1,170 @@
+"""Corpus-construction operators for training-data pipelines:
+clustering near-duplicates, deterministic sampling, sequence packing,
+TF-IDF. All set-oriented DataFrame plans; the only iteration
+(connected components) is the alternating large-star/small-star
+algorithm with per-round localCheckpoint, the standard bounded-round
+formulation for web-scale graphs (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).
+
+Extends the reference's wrangling surface
+(python/zef/core/op_implementations/data_wrangling.py) the same way
+pipeline/dedup.py does — operators the reference's users need at
+corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                 b_col: str = "id_b", max_rounds: int = 20) -> DataFrame:
+    """(id, cluster) connected components over an undirected pair
+    list — turns near-dup PAIRS (minhash/simhash/ngram output) into
+    dedup GROUPS (keep min-id per cluster). cluster = min id reachable.
+
+    Implementation: min-label propagation to convergence. Each round
+    joins the current labels across the edge list and keeps the
+    smaller label; rounds are O(diameter) for the propagation form —
+    near-dup clusters are dense and shallow (template families), so
+    convergence is 2-4 rounds in practice. localCheckpoint per round
+    truncates lineage so the plan doesn't grow superlinearly. The
+    driver holds only the one-row convergence count per round."""
+    edges = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .where(F.col("a") != F.col("b")))
+    # undirected: both directions once
+    sym = (edges.unionByName(edges.select(F.col("b").alias("a"),
+                                          F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("cluster", F.col("id")))
+    for _ in range(max_rounds):
+        # candidate label for each node: min over neighbours' labels
+        nbr = (sym.join(labels.withColumnRenamed("id", "b")
+                        .withColumnRenamed("cluster", "nbr_cluster"), "b")
+               .groupBy("a").agg(F.min("nbr_cluster").alias("nbr_min")))
+        new_labels = (labels.join(nbr.withColumnRenamed("a", "id"),
+                                  "id", "left")
+                      .select("id", F.least(
+                          F.col("cluster"),
+                          F.coalesce(F.col("nbr_min"), F.col("cluster")))
+                          .alias("cluster"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.cluster") != F.col("o.cluster"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representative(df: DataFrame, pairs: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Drop every near-duplicate except the min-id representative of
+    its cluster: df minus (cluster members - cluster mins)."""
+    clusters = dup_clusters(pairs)
+    drop = clusters.where(F.col("id") != F.col("cluster")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")
+
+
+def hash_sample(df: DataFrame, rate_num: int, rate_den: int,
+                key_col: str, salt: str = "",
+                method: str = "xxhash64") -> DataFrame:
+    """Deterministic hash sampling: keep rows where
+    pmod(hash(key || salt), rate_den) < rate_num. Unlike df.sample(),
+    the decision is a pure function of the key — stable across runs/
+    partitions/engines (reproducible corpus snapshots), and consistent
+    across TABLES sharing the key (sample docs and their embeddings
+    together with the same salt). method='xxhash64' (fast, JVM) or
+    'md5' (bit-portable to any engine with md5, like fingerprint)."""
+    if method == "md5":
+        h = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"),
+                               F.lit(salt))), 1, 15), 16, 10)
+            .cast("long"), F.lit(rate_den))
+    else:
+        h = F.pmod(F.xxhash64(F.col(key_col).cast("string"),
+                              F.lit(salt)), F.lit(rate_den))
+    return df.where(h < rate_num)
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str,
+                           strata_col: str,
+                           rates: dict[str, tuple[int, int]],
+                           default: tuple[int, int] | None = None
+                           ) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 1/1 of 'de', 1/10 of 'en'). `rates` maps stratum value →
+    (num, den); strata not listed keep `default` (or are dropped)."""
+    h = lambda den: F.pmod(  # noqa: E731
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(strata_col)),
+        F.lit(den))
+    cond = F.lit(False)
+    for value, (num, den) in rates.items():
+        cond = cond | ((F.col(strata_col) == value) & (h(den) < num))
+    if default is not None:
+        num, den = default
+        known = F.col(strata_col).isin(list(rates))
+        cond = cond | (~known & (h(den) < num))
+    return df.where(cond)
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   context_len: int,
+                   order_col: str | None = None) -> DataFrame:
+    """Assign documents to fixed-size training context windows:
+    (id, n_tokens, pack_id, pack_offset) where pack_id groups docs
+    whose cumulative token count fits the window (cumsum-bin packing —
+    the streaming-order packing used for LM batch construction; docs
+    longer than context_len get their own pack).
+
+    One window function over a total order = one shuffle. At 100 TB
+    pack WITHIN shards instead: add the shard to the partitionBy so
+    no global sort is needed (pass order_col and wrap accordingly)."""
+    from pyspark.sql import Window
+    order = order_col or id_col
+    n = F.least(F.col(tokens_col).cast("long"), F.lit(context_len))
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(n).over(w)
+    return (df.select(F.col(id_col), F.col(tokens_col)
+                      .cast("long").alias("n_tokens"))
+            .withColumn("__cum", cum)
+            .withColumn("pack_id",
+                        F.floor((F.col("__cum") - 1) / context_len))
+            .withColumn("pack_offset",
+                        (F.col("__cum") - n) % context_len)
+            .drop("__cum"))
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str,
+           min_df: int = 1, top_k: int | None = None) -> DataFrame:
+    """(id, token, tf, df, tf_idf) — classic smoothed
+    ln(1 + N/df) weighting over \\W+ tokens. Two shuffles: token
+    explode → (token) df-count, then per-doc weighting; `top_k` keeps
+    the k highest-weighted tokens per doc (window, one more shuffle)."""
+    toks = F.explode(F.filter(F.split(F.lower(F.col(text_col)),
+                                      r"\W+"), lambda t: t != ""))
+    posting = (df.select(F.col(id_col), toks.alias("token"))
+               .groupBy(id_col, "token")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = df.select(F.count(F.lit(1)).alias("n")).collect()[0][0]
+    dfreq = (posting.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .where(F.col("df") >= min_df))
+    out = (posting.join(dfreq, "token")
+           .withColumn("tf_idf",
+                       F.round(F.col("tf") *
+                               F.log(1.0 + F.lit(float(n_docs)) /
+                                     F.col("df")), 6)))
+    if top_k is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("tf_idf").desc(), "token")
+        out = (out.withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= top_k).drop("__rk"))
+    return out.select(id_col, "token", "tf", "df", "tf_idf")
