@@ -302,6 +302,35 @@ def test_subscription_fires_on_add(schema, store):
     assert not added_only
 
 
+def test_subscription_document_surface(schema, store):
+    """subscription { onRegion(kinds: ["added"]) { name } } — the
+    document form registers a projected per-type subscription."""
+    from zef_spark.graphql import GraphQLEngine, SubscriptionManager
+    subs = SubscriptionManager()
+    eng = GraphQLEngine(schema, store=store, subscriptions=subs)
+    got = []
+    handles = eng.execute_subscription(
+        'subscription { onRegion(kinds: ["added"]) { name } }',
+        got.append)
+    eng.execute("""
+      mutation {
+        addRegion(input: [{regionkey: 78, name: "HYPERBOREA"}]) {
+          count }
+      }""")
+    assert len(got) == 1
+    # payload rows projected to the selected gql fields only
+    assert got[0]["rows"] == [{"name": "HYPERBOREA"}]
+    # delete is filtered out by kinds
+    eng.execute('mutation { deleteRegion(filter: {id: [78]}) { count } }')
+    assert len(got) == 1
+    handles["onRegion"].cancel()
+    eng.execute("""
+      mutation {
+        addRegion(input: [{regionkey: 79, name: "MU"}]) { count }
+      }""")
+    assert len(got) == 1
+
+
 def test_subscription_event_log_streams(schema, store, spark, tmp_path):
     """Stream-shaped subscriptions: events append to a parquet log
     that a Structured-Streaming reader consumes (the one-writer/

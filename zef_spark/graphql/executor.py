@@ -101,11 +101,15 @@ class GraphQLEngine:
         doc = parse(query)
         ops = [d for d in doc.definitions
                if isinstance(d, A.OperationDefinitionNode)]
-        if len(ops) != 1 or ops[0].operation.value not in ("query",
-                                                           "mutation"):
-            raise ValueError("exactly one query/mutation op supported")
+        if len(ops) != 1 or ops[0].operation.value not in (
+                "query", "mutation", "subscription"):
+            raise ValueError(
+                "exactly one query/mutation/subscription op supported")
         if ops[0].operation.value == "mutation":
             return self._execute_mutation(ops[0], variables)
+        if ops[0].operation.value == "subscription":
+            raise ValueError("subscription documents need a callback: "
+                             "use execute_subscription(query, callback)")
 
         out = {}
         for sel in ops[0].selection_set.selections:
@@ -135,6 +139,55 @@ class GraphQLEngine:
                 out[alias] = rows[0] if rows else None
             else:
                 raise ValueError(f"unknown top-level field {fname}")
+        return out
+
+    def execute_subscription(self, query: str, callback,
+                             variables: dict | None = None) -> dict:
+        """Subscription documents (reference exposes a Subscription
+        root via ariadne SubscriptionType, resolvers_generator.py:
+        60-61): ``subscription { onCustomer(kinds: ["added"]) {
+        custkey } }`` registers `callback` for Customer change events;
+        the selection set projects each event's payload rows to the
+        requested gql fields. Returns {alias: Subscription handle}
+        (cancel() to detach)."""
+        from graphql import parse
+        from graphql.language import ast as A
+
+        if self.subscriptions is None:
+            raise ValueError("engine has no SubscriptionManager "
+                             "(pass subscriptions=)")
+        variables = variables or {}
+        doc = parse(query)
+        ops = [d for d in doc.definitions
+               if isinstance(d, A.OperationDefinitionNode)]
+        if len(ops) != 1 or ops[0].operation.value != "subscription":
+            raise ValueError("exactly one subscription op expected")
+        out = {}
+        for sel in ops[0].selection_set.selections:
+            fname = sel.name.value
+            alias = sel.alias.value if sel.alias else fname
+            if not fname.startswith("on"):
+                raise ValueError(
+                    f"subscription fields are on<Type>, got {fname}")
+            tname = fname[len("on"):]
+            t = self.schema[tname]
+            args = {a.name.value: _ast_value(a.value, variables)
+                    for a in sel.arguments}
+            kinds = tuple(args.get("kinds",
+                                   ("added", "updated", "deleted")))
+            cols = None
+            if sel.selection_set is not None:
+                cols = {s.name.value: t.fields[s.name.value]
+                        for s in sel.selection_set.selections}
+
+            def cb(event, _cols=cols, _callback=callback):
+                if _cols is not None:
+                    event = {**event, "rows": [
+                        {g: r.get(raw) for g, raw in _cols.items()}
+                        for r in event["rows"]]}
+                _callback(event)
+
+            out[alias] = self.subscriptions.subscribe(tname, cb, kinds)
         return out
 
     # -- internals ----------------------------------------------------

@@ -1,10 +1,13 @@
 """Corpus-construction operators for training-data pipelines:
 clustering near-duplicates, deterministic sampling, sequence packing,
 TF-IDF. All set-oriented DataFrame plans; the only iteration
-(connected components) is the alternating large-star/small-star
-algorithm with per-round localCheckpoint, the standard bounded-round
-formulation for web-scale graphs (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14).
+(connected components) is min-label propagation with per-round
+localCheckpoint — O(component diameter) rounds, the right regime for
+near-dup graphs whose components are dense, shallow template
+families. (For adversarial long-chain graphs the alternating
+large-star/small-star formulation — Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — converges in
+O(log^2 n) rounds; swap the loop body if that shape ever dominates.)
 
 Extends the reference's wrangling surface
 (python/zef/core/op_implementations/data_wrangling.py) the same way
