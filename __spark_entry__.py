@@ -1217,6 +1217,75 @@ def p_tf_idf(spark, sf_dir):
             .orderBy("doc_id", "token"))
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """DuckDB oracle for fixed-iteration Lloyd's k-means: unrolls
+    n_iter (assign → decimal-exact centroid means) rounds then the
+    final assignment, mirroring pipeline/clustering.kmeans_assign's
+    determinism contract (round-6 centroids, round-4 distances,
+    ties → lowest cluster index, empty clusters keep centroids)."""
+    parts = [f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+vpos AS (SELECT vec_id, UNNEST(v) AS x,
+                UNNEST(RANGE(1, LEN(v) + 1)) AS pos FROM emb),
+cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, v AS cv
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
+)"""]
+    for i in range(n_iter):
+        parts.append(f""",
+d{i} AS (
+  SELECT e.vec_id, c.c,
+         ROUND(LIST_DOT_PRODUCT(e.v, e.v)
+               - 2 * LIST_DOT_PRODUCT(e.v, c.cv)
+               + LIST_DOT_PRODUCT(c.cv, c.cv), 4) AS d
+  FROM emb e CROSS JOIN cents{i} c
+),
+asg{i} AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+    FROM d{i}) WHERE rk = 1
+),
+stats{i + 1} AS (
+  SELECT a.c, p.pos,
+         ROUND(CAST(SUM(CAST(p.x AS DECIMAL(30,15))) AS DOUBLE)
+               / COUNT(*), 6) AS m
+  FROM vpos p JOIN asg{i} a USING (vec_id) GROUP BY a.c, p.pos
+),
+cents{i + 1} AS (
+  SELECT c, LIST(m ORDER BY pos) AS cv FROM stats{i + 1} GROUP BY c
+  UNION ALL
+  SELECT c, cv FROM cents{i}
+  WHERE c NOT IN (SELECT c FROM stats{i + 1})
+)""")
+    parts.append(f""",
+dfin AS (
+  SELECT e.vec_id, c.c,
+         ROUND(LIST_DOT_PRODUCT(e.v, e.v)
+               - 2 * LIST_DOT_PRODUCT(e.v, c.cv)
+               + LIST_DOT_PRODUCT(c.cv, c.cv), 4) AS d
+  FROM emb e CROSS JOIN cents{n_iter} c
+)
+SELECT vec_id, CAST(c AS INT) AS cluster, d AS dist FROM (
+  SELECT vec_id, c, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+  FROM dfin) WHERE rk = 1
+ORDER BY vec_id""")
+    return "".join(parts)
+
+
+@query("p_kmeans_clusters", _kmeans_oracle_sql())
+def p_kmeans(spark, sf_dir):
+    """Fixed-iteration k-means over the embeddings table
+    (pipeline/clustering.py): broadcast-centroid Lloyd rounds, fully
+    oracle-checked against DuckDB's unrolled CTE mirror."""
+    from zef_spark.pipeline.clustering import kmeans_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    return (kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=2)
+            .orderBy("vec_id"))
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6,
                         seed: int = 42) -> str:
     """DuckDB oracle for the hyperplane-LSH ANN: the planes are
@@ -2389,9 +2458,11 @@ _FRONT = [
     "e_range_purchase_window",
     # (c) operators NEW in r04 (first oracle rows)
     "p_dup_clusters", "p_hash_sample", "p_pack_sequences", "p_tf_idf",
+    "p_kmeans_clusters",
     # (d) one representative per §2 family, all green r01-r03
+    # (2.E is covered by the fixed event queries above)
     "q1_pricing_summary", "q3_shipping_priority",
-    "conditional_bucketing", "sort_take_topk", "sliding_moving_avg",
+    "conditional_bucketing", "sort_take_topk",
     "concat_union_segments", "string_functions", "g_all_type_counts",
     "g_hop2_revenue_by_customer", "g_time_travel_duration",
 ]
