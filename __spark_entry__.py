@@ -1217,6 +1217,60 @@ def p_tf_idf(spark, sf_dir):
             .orderBy("doc_id", "token"))
 
 
+@query("p_repetition_signals", """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     t -> t <> '') AS w, text
+  FROM documents
+), words AS (
+  SELECT doc_id,
+         ROUND(1.0 - COUNT(DISTINCT t.t) * 1.0 / COUNT(*), 6)
+           AS dup_word_frac
+  FROM (SELECT doc_id, UNNEST(w) AS t FROM toks) t
+  GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(
+           RANGE(1, LEN(w) - 1 + 1),
+           i -> w[i] || ' ' || w[i + 1])) AS b
+  FROM toks WHERE LEN(w) >= 2
+), bgc AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+), bigrams AS (
+  SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+), chc AS (
+  SELECT doc_id, ch, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                 RANGE(1, LENGTH(text) + 1),
+                 i -> SUBSTRING(text, CAST(i AS INT), 1))) AS ch
+        FROM toks)
+  GROUP BY doc_id, ch
+), entropy AS (
+  SELECT doc_id,
+         ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6)
+           AS char_entropy
+  FROM chc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(w.dup_word_frac, 0.0) AS dup_word_frac,
+       COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(e.char_entropy, 0.0) AS char_entropy
+FROM documents d
+LEFT JOIN words w ON w.doc_id = d.doc_id
+LEFT JOIN bigrams b ON b.doc_id = d.doc_id
+LEFT JOIN entropy e ON e.doc_id = d.doc_id
+ORDER BY d.doc_id
+""")
+def p_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/diversity quality filters
+    (pipeline/text.py repetition_signals)."""
+    from zef_spark.pipeline.text import repetition_signals
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
     """DuckDB oracle for fixed-iteration Lloyd's k-means: unrolls
     n_iter (assign → decimal-exact centroid means) rounds then the
@@ -2458,11 +2512,11 @@ _FRONT = [
     "e_range_purchase_window",
     # (c) operators NEW in r04 (first oracle rows)
     "p_dup_clusters", "p_hash_sample", "p_pack_sequences", "p_tf_idf",
-    "p_kmeans_clusters",
+    "p_kmeans_clusters", "p_repetition_signals",
     # (d) one representative per §2 family, all green r01-r03
-    # (2.E is covered by the fixed event queries above)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "conditional_bucketing", "sort_take_topk",
+    # (2.E via the fixed event queries above; 2.C joins via the
+    # TPC-H battery in (a))
+    "q1_pricing_summary", "conditional_bucketing", "sort_take_topk",
     "concat_union_segments", "string_functions", "g_all_type_counts",
     "g_hop2_revenue_by_customer", "g_time_travel_duration",
 ]

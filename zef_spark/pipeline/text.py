@@ -125,6 +125,68 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
                      F.round(score, 6).alias("quality"))
 
 
+def repetition_signals(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    r"""Gopher-style repetition/diversity filters, set-oriented:
+    (id, dup_word_frac, top_bigram_frac, char_entropy) —
+    - dup_word_frac: 1 - distinct/total \w+ tokens (near 1 for
+      "spam spam spam" boilerplate),
+    - top_bigram_frac: share of word-bigram occurrences taken by the
+      most frequent bigram (template/repetition detector),
+    - char_entropy: Shannon entropy (nats) of the character
+      distribution (low for degenerate strings).
+    Three explode→groupBy aggregations, all whole-stage codegen; at
+    100 TB each shuffles keyed by doc id (uniform) and the per-doc
+    state is a handful of counters."""
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), r"\W+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__w"), text.alias("__t"))
+
+    words = (base.select(id_col, F.explode("__w").alias("w"))
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.count_distinct(F.col("w")).alias("__d"))
+             .select(id_col,
+                     F.round(1.0 - F.col("__d") / F.col("__n"), 6)
+                     .alias("dup_word_frac")))
+
+    bg = F.transform(F.sequence(F.lit(0), F.size("__w") - 2),
+                     lambda i: F.concat_ws(
+                         " ", F.element_at(F.col("__w"), i + 1),
+                         F.element_at(F.col("__w"), i + 2)))
+    bigrams = (base.where(F.size("__w") >= 2)
+               .select(id_col, F.explode(bg).alias("b"))
+               .groupBy(id_col, "b")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.round(F.max("c") / F.sum("c"), 6)
+                    .alias("top_bigram_frac")))
+
+    # H = -Σ (c/N) ln(c/N) = ln(N) - (Σ c·ln c)/N — one pass over the
+    # per-char counts, no second aggregation for N
+    chars = F.transform(F.sequence(F.lit(1), F.length("__t")),
+                        lambda i: F.col("__t").substr(i, F.lit(1)))
+    entropy = (base.select(id_col, F.explode(chars).alias("ch"))
+               .groupBy(id_col, "ch")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .groupBy(id_col)
+               .agg(F.round(
+                   F.log(F.sum("c")) -
+                   F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6)
+                   .alias("char_entropy")))
+
+    out = (df.select(id_col)
+           .join(words, id_col, "left")
+           .join(bigrams, id_col, "left")
+           .join(entropy, id_col, "left"))
+    return out.select(
+        id_col,
+        F.coalesce("dup_word_frac", F.lit(0.0)).alias("dup_word_frac"),
+        F.coalesce("top_bigram_frac", F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy"))
+
+
 def fingerprint(df: DataFrame, text_col: str,
                 out_col: str = "fingerprint", k: int = 8,
                 hash_fn: str = "xxhash64") -> DataFrame:
