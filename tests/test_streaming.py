@@ -115,6 +115,48 @@ def test_push_into_event_log(spark, tmp_path):
     assert all(r["id"] == 7 for r in seen)
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """streaming_dedup: duplicates within the watermark are dropped on
+    an unbounded stream (dropDuplicatesWithinWatermark — bounded
+    state); batch frames dedup exactly."""
+    import datetime as dt
+    from zef_spark.streaming.events import streaming_dedup, subscribe
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(10, base, "a"), (10, base + dt.timedelta(minutes=1), "a-dup"),
+            (11, base + dt.timedelta(minutes=2), "b"),
+            (10, base + dt.timedelta(minutes=3), "a-dup2"),
+            (12, base + dt.timedelta(minutes=4), "c")]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string")
+    # batch: exact dedup
+    assert streaming_dedup(df, ["k"], "ts").count() == 3
+    # stream: same via the file source
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema("k long, ts timestamp, v string")
+              .parquet(src))
+    out = []
+    deduped = streaming_dedup(stream, ["k"], "ts", delay="10 minutes")
+    assert stream.isStreaming and deduped.isStreaming
+    subscribe(deduped, lambda b, _i: out.extend(b.collect()), once=True)
+    assert sorted(r.k for r in out) == [10, 11, 12]
+
+
+def test_sync_materializes_durable_graph(spark, tmp_path):
+    """g | sync[path]: persists and returns the disk-backed graph with
+    identical query results."""
+    from zef_spark import ops as z
+    g0 = empty_graph(spark)
+    g1, _ = transact(g0, [
+        E(ET.Machine, name="m1", fields={"UsedBy": "alice"}),
+        E(ET.Machine, name="m2", fields={"UsedBy": "bob"})])
+    g2 = g1 | z.sync[str(tmp_path / "synced")]
+    assert (g2.now() | z.all[ET.Machine] | z.count | z.collect) == 2
+    import os
+    assert os.path.isdir(str(tmp_path / "synced" / "nodes"))
+    # identity form still returns the graph unchanged
+    assert (g1 | z.sync) is g1
+
+
 def test_session_window_batch_and_stream(spark, tmp_path):
     """F.session_window sessionization: same results in batch and
     streaming (availableNow) modes; watermark bounds stream state."""

@@ -380,10 +380,25 @@ def _transact(wishes, g, time=None):
 
 
 @register_op("sync", "graph")
-def _sync(g, *_args):
-    """ITF:7436 — persistence subscription; storage is durable here,
-    so sync is the identity (documented deviation)."""
-    return g
+def _sync(g, *args):
+    """ITF:7436 — persistence subscription. Reference semantics:
+    subscribe the graph to durable replication. Here:
+    ``g | sync`` — identity for graphs already backed by storage
+    (parquet-loaded), the documented deviation for in-memory ones;
+    ``g | sync[path]`` — materialize the graph (token-partitioned
+    parquet, Graph.materialize) and return the DISK-BACKED graph, so
+    subsequent queries read pruned scans instead of the transact
+    lineage. Carries rt_vrt / single_assignment metadata over."""
+    if not args:
+        return g
+    path = args[0]
+    from ..graph.graph import Graph
+    g.materialize(path)
+    g2 = Graph.load(g.spark, path)
+    g2.rt_vrt = getattr(g, "rt_vrt", None)
+    g2.single_assignment = getattr(g, "single_assignment", False)
+    g2.schema_validator = getattr(g, "schema_validator", None)
+    return g2
 
 
 @register_op("to_zef_list", "local")

@@ -1,5 +1,6 @@
 from .events import (EventLog, events_of_tx, on_assigned,  # noqa: F401
                      on_instantiated, on_terminated, preceding_events,
-                     subscribe)
+                     sessionized, streaming_dedup, subscribe,
+                     windowed_counts)
 from .stateful import (run_segments_once,  # noqa: F401
                        split_on_next_stream)

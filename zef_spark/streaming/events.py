@@ -194,3 +194,26 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
             .groupBy(F.window("time", window).alias("w"),
                      F.col("event"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str],
+                    time_col: str | None = None,
+                    delay: str = "1 hour") -> DataFrame:
+    """Exact dedup on an unbounded stream — the ingestion-side
+    at-least-once → exactly-once filter of a corpus pipeline.
+
+    With `time_col`, state is BOUNDED: a watermark evicts keys older
+    than `delay` (dropDuplicatesWithinWatermark — a duplicate arriving
+    within the delay is dropped, later re-arrivals are the caller's
+    compaction problem; this is the only state shape that survives an
+    unbounded stream at 100 TB). Without `time_col`, state grows with
+    distinct keys (exact-forever; batch DataFrames or bounded key
+    domains only). Works identically on batch frames (falls back to
+    dropDuplicates — watermarks are streaming-only)."""
+    if time_col is None:
+        return stream.dropDuplicates(keys)
+    df = stream.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return (df.withWatermark(time_col, delay)
+            .dropDuplicatesWithinWatermark(keys))
