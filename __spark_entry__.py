@@ -1340,6 +1340,71 @@ def p_kmeans(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def _pq_oracle_sql(dim: int = 64, m: int = 8, n_codes: int = 16,
+                   seed: int = 11, k: int = 10) -> str:
+    """DuckDB oracle for PQ/ADC ANN: embeds the deterministic
+    codebooks as literals, re-encodes every vector, computes the
+    query LUT in SQL (same three-dot fold as the Spark driver), and
+    reproduces the ADC top-k."""
+    from zef_spark.pipeline.similarity import _pq_codebook
+    w = dim // m
+    rows = ", ".join(
+        "({}, {}, [{}])".format(
+            s, c, ", ".join(repr(x) for x in _pq_codebook(w, s, c, seed)))
+        for s in range(m) for c in range(n_codes))
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+cb(s, c, cv) AS (VALUES {rows}),
+subs AS (
+  SELECT e.vec_id, cb.s, cb.c,
+         LIST_SLICE(e.v, cb.s * {w} + 1, cb.s * {w} + {w}) AS sub, cb.cv
+  FROM emb e CROSS JOIN cb
+),
+enc AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id, s
+             ORDER BY ROUND(LIST_DOT_PRODUCT(sub, sub)
+                            - 2 * LIST_DOT_PRODUCT(sub, cv)
+                            + LIST_DOT_PRODUCT(cv, cv), 6), c) AS rk
+    FROM subs) WHERE rk = 1
+),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+lut AS (
+  SELECT cb.s, cb.c,
+         ROUND(LIST_DOT_PRODUCT(LIST_SLICE(q.qv, cb.s * {w} + 1,
+                                           cb.s * {w} + {w}),
+                                LIST_SLICE(q.qv, cb.s * {w} + 1,
+                                           cb.s * {w} + {w}))
+               - 2 * LIST_DOT_PRODUCT(LIST_SLICE(q.qv, cb.s * {w} + 1,
+                                                 cb.s * {w} + {w}),
+                                      cb.cv)
+               + LIST_DOT_PRODUCT(cb.cv, cb.cv), 6) AS d
+  FROM cb, q
+)
+SELECT e.vec_id, ROUND(SUM(l.d), 4) AS pq_dist
+FROM enc e JOIN lut l ON l.s = e.s AND l.c = e.code
+GROUP BY e.vec_id
+ORDER BY pq_dist, vec_id LIMIT {k}
+"""
+
+
+@query("p_ann_pq_topk", _pq_oracle_sql())
+def p_ann_pq(spark, sf_dir):
+    """Product-quantized ANN: encode to m×4-bit codes (32x smaller
+    than raw float vectors — the in-memory first-pass retrieval tier
+    at 100 TB), then asymmetric-distance top-k via a driver-side
+    lookup table baked into codegen. Oracle re-encodes and re-ranks
+    everything in DuckDB from the same deterministic codebooks."""
+    from zef_spark.pipeline.similarity import pq_encode, pq_topk
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    codes = pq_encode(emb, "embedding", "vec_id", dim=64)
+    return pq_topk(codes, _query_vec(spark, sf_dir), "vec_id", k=10)
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6,
                         seed: int = 42) -> str:
     """DuckDB oracle for the hyperplane-LSH ANN: the planes are
@@ -2512,12 +2577,12 @@ _FRONT = [
     "e_range_purchase_window",
     # (c) operators NEW in r04 (first oracle rows)
     "p_dup_clusters", "p_hash_sample", "p_pack_sequences", "p_tf_idf",
-    "p_kmeans_clusters", "p_repetition_signals",
+    "p_kmeans_clusters", "p_repetition_signals", "p_ann_pq_topk",
     # (d) one representative per §2 family, all green r01-r03
-    # (2.E via the fixed event queries above; 2.C joins via the
-    # TPC-H battery in (a))
+    # (2.E via the fixed event queries above; 2.C joins and 2.H
+    # scalar-function shapes via the TPC-H battery in (a))
     "q1_pricing_summary", "conditional_bucketing", "sort_take_topk",
-    "concat_union_segments", "string_functions", "g_all_type_counts",
+    "concat_union_segments", "g_all_type_counts",
     "g_hop2_revenue_by_customer", "g_time_travel_duration",
 ]
 

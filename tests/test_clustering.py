@@ -32,6 +32,30 @@ def test_kmeans_iterations_tighten_clusters(spark, sf_dir):
     assert d2 <= d0 + 1e-6
 
 
+def test_pq_encode_and_adc_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from zef_spark.pipeline.similarity import (brute_force_topk,
+                                               pq_encode, pq_topk)
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    codes = pq_encode(emb, "embedding", "vec_id", dim=64)
+    row = codes.first()
+    assert len(row.pq_code) == 8
+    assert all(0 <= c < 16 for c in row.pq_code)
+    q = [float(x) for x in emb.where("vec_id = 0")
+         .select("embedding").first()[0]]
+    top = pq_topk(codes, q, "vec_id", k=10).collect()
+    assert len(top) == 10
+    # ADC distances are sorted ascending
+    ds = [r.pq_dist for r in top]
+    assert ds == sorted(ds)
+    # sanity: PQ recall overlaps the exact top-10 (coarse quantizer,
+    # not exact — require non-trivial overlap, not equality)
+    exact = {r.vec_id for r in
+             brute_force_topk(emb, "embedding", "vec_id", q, 10).collect()}
+    assert len({r.vec_id for r in top} & exact) >= 1
+
+
 def test_cluster_balanced_sample(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     out = cluster_balanced_sample(emb, "embedding", "vec_id",

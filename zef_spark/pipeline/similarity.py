@@ -190,6 +190,87 @@ def ann_topk_indexed(spark, path: str, vec_col: str, id_col: str,
     return brute_force_topk(cand, vec_col, id_col, query, k, digits)
 
 
+def _pq_codebook(dim_sub: int, sub_idx: int, code: int,
+                 seed: int) -> list[float]:
+    """Deterministic codebook entry (hash-derived like _centroid).
+    Reproducible across engines/restarts; swap in per-subspace
+    k-means-trained entries (clustering.kmeans_assign on the sliced
+    column — same literal plumbing) when recall matters more than
+    reproducibility."""
+    import hashlib
+    out = []
+    for j in range(dim_sub):
+        h = hashlib.md5(f"pq:{seed}:{sub_idx}:{code}:{j}".encode()) \
+            .hexdigest()
+        out.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(x * x for x in out)) or 1.0
+    return [x / n for x in out]
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str, dim: int,
+              m: int = 8, n_codes: int = 16, seed: int = 11,
+              out_col: str = "pq_code") -> DataFrame:
+    """Product-quantize embeddings: split the vector into `m`
+    subspaces and store, per subspace, the index of the nearest
+    codebook entry — (id, array<int> of length m). At 64-dim float
+    that is 256 B → `m` small ints (~8 B with byte codes): the
+    compression that lets a 100 TB embedding corpus live in memory
+    for first-pass retrieval. Encoding is a pure codegen projection
+    (literal codebooks), zero shuffle."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    v = F.col(vec_col)
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * w + 1, w)
+        dists = F.array(*[
+            F.round(_dot(sub, sub)
+                    - 2.0 * _dot(sub, F.array(*[
+                        F.lit(x) for x in _pq_codebook(w, s, c, seed)]))
+                    + F.lit(sum(x * x
+                                for x in _pq_codebook(w, s, c, seed))),
+                    6)
+            for c in range(n_codes)])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias(out_col))
+
+
+def pq_topk(codes: DataFrame, query: list[float], id_col: str,
+            k: int = 10, m: int = 8, n_codes: int = 16,
+            seed: int = 11, code_col: str = "pq_code") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: precompute the
+    query→codebook distance lookup table driver-side (m × n_codes
+    floats), then approx dist = Σ_s LUT[s][code_s] — a literal-array
+    element_at sum per row, no vector math on the corpus, no shuffle
+    before the TakeOrdered top-k."""
+    dim = len(query)
+    w = dim // m
+    luts = []
+    for s in range(m):
+        q_sub = query[s * w:(s + 1) * w]
+        qq = sum(a * a for a in q_sub)
+        row = []
+        for c in range(n_codes):
+            cb = _pq_codebook(w, s, c, seed)
+            # three separate sequential dots (qq - 2qc + cc), NOT one
+            # fused (a-b)^2 fold: matches the fold structure an
+            # external verifier's LIST_DOT_PRODUCT produces, so the
+            # rounded values agree bit-for-bit
+            qc = sum(a * b for a, b in zip(q_sub, cb))
+            cc = sum(b * b for b in cb)
+            row.append(round(qq - 2.0 * qc + cc, 6))
+        luts.append(row)
+    dist = None
+    for s in range(m):
+        lut = F.array(*[F.lit(x) for x in luts[s]])
+        term = F.element_at(lut, F.element_at(F.col(code_col), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    return (codes.select(id_col, F.round(dist, 4).alias("pq_dist"))
+            .orderBy("pq_dist", id_col).limit(k))
+
+
 def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
                  threshold: float = 0.95,
                  block_col: str | None = None) -> DataFrame:
