@@ -29,6 +29,12 @@ GUARDED = [
     "g_hop2_revenue_by_customer",
     "p_ann_cosine_topk",
     "p_ann_topk_ivf",
+    # r04 additions
+    "p_hash_sample",
+    "p_pack_sequences",
+    "p_tf_idf",
+    "p_repetition_signals",
+    "p_ann_pq_topk",
 ]
 
 # cosine_pairs without block_col is a documented explicit cross join;
@@ -61,6 +67,38 @@ def test_filter_pushdown_reaches_scan(spark, entry):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert pushed and any(p.strip() for p in pushed), \
         "no parquet filter pushdown in q19"
+
+
+def test_pq_pipeline_is_shuffle_free_before_topk(spark, entry):
+    """PQ encode + ADC scoring must be pure projections: the ONLY
+    plan movement allowed is the TakeOrdered top-k — a shuffle here
+    means vector math leaked onto the corpus path."""
+    df = entry.queries()["p_ann_pq_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, "PQ scoring plan shuffles"
+    assert "Join" not in plan, "PQ scoring plan joins"
+
+
+def test_kmeans_assignment_is_join_free(spark, entry, sf_dir):
+    """kmeans_assign's final projection embeds centroids as literals:
+    the assignment plan must contain no join (broadcast-centroid
+    Lloyd, not a centroid-table join)."""
+    from zef_spark.pipeline.clustering import kmeans_assign
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = kmeans_assign(emb, "embedding", "vec_id", k=4, n_iter=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_hash_sample_is_scan_plus_filter(spark, entry, sf_dir):
+    """Deterministic sampling is a single scan + filter — no shuffle,
+    no aggregation (df.sample parity at the plan level)."""
+    from zef_spark.pipeline.corpus import hash_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = hash_sample(docs, 1, 4, "doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
 
 
 def test_dimension_joins_broadcast(spark, entry):
