@@ -274,6 +274,38 @@ def _sel(src):
             .definitions[0].selection_set.selections[0].selection_set)
 
 
+def test_upfetch_updates_or_creates_by_unique_field(schema, store):
+    """upfetchT(input) merges on the @upfetch field (Customer.name):
+    existing names update provided fields, new names create rows —
+    no ids in the input (reference upfetch semantics)."""
+    eng = GraphQLEngine(schema, store=store)
+    before = store.load("customer").count()
+    out = eng.execute("""
+      mutation {
+        upfetchCustomer(input: [
+          {name: "Customer#000000001", acctbal: 4242.5},
+          {name: "BRAND_NEW_CUSTOMER", acctbal: 1.5}
+        ]) { count customer { name acctbal } }
+      }""")
+    assert out["upfetchCustomer"]["count"] == 2
+    got = {r["name"]: r["acctbal"]
+           for r in out["upfetchCustomer"]["customer"]}
+    assert got["Customer#000000001"] == 4242.5
+    assert got["BRAND_NEW_CUSTOMER"] == 1.5
+    assert store.load("customer").count() == before + 1
+    # untouched fields survive the update
+    seg = (store.load("customer")
+           .where("c_name = 'Customer#000000001'")
+           .select("c_mktsegment").first()[0])
+    assert seg is not None
+    # missing upfetch key is an error
+    with pytest.raises(ValueError, match="needs 'name'"):
+        eng.execute("""
+          mutation {
+            upfetchCustomer(input: [{acctbal: 9.0}]) { count }
+          }""")
+
+
 def test_subscription_fires_on_add(schema, store):
     """Per-type subscriptions (reference resolvers_generator.py:60-61
     SubscriptionType surface): an addT mutation publishes one 'added'

@@ -207,7 +207,11 @@ class GraphQLEngine:
             alias = sel.alias.value if sel.alias else fname
             args = {a.name.value: _ast_value(a.value, variables)
                     for a in sel.arguments}
-            if fname.startswith("add"):
+            if fname.startswith("upfetch"):
+                tname = fname[len("upfetch"):]
+                affected = mx.upfetch(tname, args["input"])
+                kind = "updated"
+            elif fname.startswith("add"):
                 tname = fname[len("add"):]
                 affected = mx.add(tname, args["input"],
                                   args.get("upsert", False))

@@ -90,6 +90,52 @@ class MutationExecutor:
         self.store.swap(t.table, out)
         return new.select(*cur.columns)
 
+    # -- upfetch ------------------------------------------------------
+
+    def upfetch(self, tname: str, inputs) -> DataFrame:
+        """upfetchT(input) — merge keyed on the type's @upfetch
+        (unique) field: rows whose unique value exists UPDATE the
+        provided fields; the rest are CREATED (reference
+        generate_api2.py upfetch resolver: "update if found by the
+        upfetch field, else create"; no id in the input). One
+        copy-on-write plan: left-join current⟷inputs coalescing
+        provided fields, union the anti-joined new rows."""
+        t = self.schema[tname]
+        if t.upfetch_field is None:
+            raise ValueError(f"{tname} has no @upfetch field")
+        key = t.fields[t.upfetch_field]
+        if isinstance(inputs, dict):
+            inputs = [inputs]
+        cur = self.store.load(t.table)
+        rows = [{t.fields[kk]: v for kk, v in item.items()}
+                for item in inputs]
+        if any(key not in r for r in rows):
+            raise ValueError(
+                f"every upfetch{tname} input needs {t.upfetch_field!r}")
+        given = list(dict.fromkeys(c for r in rows for c in r))
+        rows = [{c: r.get(c) for c in given} for r in rows]
+        upd = cur.sparkSession.createDataFrame(
+            rows, schema=cur.select(*given).schema)
+        marked = upd.select(
+            F.col(key),
+            *[F.col(c).alias(f"__up_{c}") for c in given if c != key],
+            F.lit(True).alias("__hit"))
+        merged = cur.join(marked, key, "left").select(*[
+            (F.when(F.col("__hit") & F.col(f"__up_{c}").isNotNull(),
+                    F.col(f"__up_{c}")).otherwise(F.col(c)).alias(c)
+             if c != key and c in given else F.col(c))
+            for c in cur.columns])
+        fresh = upd.join(cur.select(key), key, "left_anti")
+        missing = [c for c in cur.columns if c not in fresh.columns]
+        fresh = fresh.select(
+            "*", *[F.lit(None).cast(dict(cur.dtypes)[c]).alias(c)
+                   for c in missing]).select(*cur.columns)
+        self.store.swap(t.table, merged.unionByName(fresh))
+        # payload: the post-merge view of every input-keyed row
+        keys = [r[key] for r in rows]
+        return (merged.unionByName(fresh)
+                .where(F.col(key).isin(keys)))
+
     # -- update -------------------------------------------------------
 
     def update(self, tname: str, filter_arg, set_arg: dict | None = None,

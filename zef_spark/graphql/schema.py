@@ -39,6 +39,9 @@ class GqlType:
     id_col: str
     fields: dict = field(default_factory=dict)      # gql name -> column
     relations: dict = field(default_factory=dict)   # gql name -> GqlRelation
+    #: gql name of the @upfetch (unique) field, if declared — enables
+    #: the upfetch<T> mutation (merge-by-unique-field)
+    upfetch_field: str | None = None
 
     def numeric_fields(self, df) -> dict:
         numeric = {"bigint", "int", "double", "float", "decimal"}
@@ -103,6 +106,11 @@ def schema_from_sdl(sdl: str) -> GqlSchema:
             else:
                 col = (dir_args(f, "col") or {}).get("name", f.name.value)
                 t.fields[f.name.value] = col
+                if dir_args(f, "upfetch") is not None:
+                    if t.upfetch_field is not None:
+                        raise ValueError(
+                            f"{t.name}: only one @upfetch field allowed")
+                    t.upfetch_field = f.name.value
         schema.add(t)
     return schema
 
@@ -123,7 +131,7 @@ type Nation @table(name: "nation", id: "n_nationkey") {
 
 type Customer @table(name: "customer", id: "c_custkey") {
   custkey: Int @col(name: "c_custkey")
-  name: String @col(name: "c_name")
+  name: String @col(name: "c_name") @upfetch
   acctbal: Float @col(name: "c_acctbal")
   mktsegment: String @col(name: "c_mktsegment")
   nation: Nation @rel(local: "c_nationkey", remote: "n_nationkey")
