@@ -69,6 +69,30 @@ def test_filter_pushdown_reaches_scan(spark, entry):
         "no parquet filter pushdown in q19"
 
 
+def test_every_registered_query_avoids_nested_loops(spark, entry):
+    """Sweep ALL registered queries (not just the guarded headline
+    set): any BroadcastNestedLoopJoin/CartesianProduct over more than
+    one row per side is a 100 TB scale-killer. Allowlisted: the three
+    TPC-H shapes joining a broadcast SINGLE-ROW aggregate (a scalar,
+    not a table) — q11 mean, q15 max, q22 avg."""
+    SCALAR_CROSS = {"q11_part_value_share", "q15_top_supplier",
+                    "q22_idle_customers"}
+    bad = {}
+    for name, fn in entry.queries().items():
+        if name in SCALAR_CROSS:
+            continue
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as exc:   # a query that won't plan is worse
+            bad[name] = f"failed to plan: {exc}"
+            continue
+        for pat in FORBIDDEN:
+            if pat in plan:
+                bad[name] = pat
+    assert not bad, bad
+
+
 def test_pq_pipeline_is_shuffle_free_before_topk(spark, entry):
     """PQ encode + ADC scoring must be pure projections: the ONLY
     plan movement allowed is the TakeOrdered top-k — a shuffle here
