@@ -93,20 +93,24 @@ class Graph:
             raise ValueError(f"no transaction at or before {tx_or_time!r}")
         return GraphSlice(self, t)
 
-    def materialize(self, path: str):
+    def materialize(self, path: str, files_per_token: int = 8):
         """Persist as parquet partitioned by type token (= the
-        delegate index via partition pruning). Repartitioning by the
-        partition column first keeps one writer per token directory
-        (no small-file explosion)."""
-        self.nodes.repartition(F.col("et")) \
-            .write.mode("overwrite").partitionBy("et") \
-            .parquet(f"{path}/nodes")
-        self.edges.repartition(F.col("rt")) \
-            .write.mode("overwrite").partitionBy("rt") \
-            .parquet(f"{path}/edges")
-        self.attr_values.repartition(F.col("attr_rt")) \
-            .write.mode("overwrite").partitionBy("attr_rt") \
-            .parquet(f"{path}/attr_values")
+        delegate index via partition pruning). The writer partitioning
+        is (token, id-hash salt): bounded files per token directory
+        (no small-file explosion) but MORE than one, so scans of a
+        single token parallelize — one-file-per-token capped every
+        downstream stage at 1 task per token, which a production-size
+        table would never exhibit."""
+        def _w(df, part_col, salt_col, out):
+            salt = F.pmod(F.xxhash64(F.col(salt_col)),
+                          F.lit(files_per_token))
+            (df.repartition(F.col(part_col), salt)
+             .write.mode("overwrite").partitionBy(part_col)
+             .parquet(out))
+
+        _w(self.nodes, "et", "id", f"{path}/nodes")
+        _w(self.edges, "rt", "src_id", f"{path}/edges")
+        _w(self.attr_values, "attr_rt", "ae_id", f"{path}/attr_values")
         self.txs.write.mode("overwrite").parquet(f"{path}/txs")
         if self.tags is not None:
             self.tags.write.mode("overwrite").parquet(f"{path}/tags")

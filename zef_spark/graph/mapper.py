@@ -215,7 +215,7 @@ _GRAPH_CACHE: dict = {}
 
 # Bump when the mapper's output schema/ids change: invalidates the
 # on-disk materialized graphs.
-_CACHE_VERSION = 3  # v3: value_quantity/value_enum columns
+_CACHE_VERSION = 4  # v4: salted writer partitioning (>1 file/token)
 
 
 def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
