@@ -102,3 +102,24 @@ def test_serialization_round_trip(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     df2 = df | z.serialize | z.deserialize
     assert df2.schema == df.schema and df2.collect() == df.collect()
+
+
+def test_networkx_import_end_to_end(spark):
+    """NetworkX graph → wishes → transact → queryable graph
+    (importers/general.py:67-137 analogue; nx IS available here)."""
+    import networkx as nx
+    from zef_spark import ET, RT, ops as z
+    from zef_spark.graph.delta import empty_graph, transact
+    from zef_spark.sources import networkx_to_wishes
+
+    nxg = nx.DiGraph()
+    nxg.add_node("a", et="City", Name="Aa", Population=10)
+    nxg.add_node("b", et="City", Name="Bb", Population=20)
+    nxg.add_edge("a", "b", rt="ConnectedTo")
+    g, _ = transact(empty_graph(spark), networkx_to_wishes(nxg))
+    cities = g.now() | z.all[ET.City]
+    assert (cities | z.count | z.collect) == 2
+    hops = (cities | z.out_rels[RT.ConnectedTo]).df.count()
+    assert hops == 1
+    pops = dict(cities.field("Population").collect())
+    assert sorted(pops.values()) == [10, 20]
