@@ -289,3 +289,89 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__cell" in \
         plan.split("PartitionFilters")[1][:200]
+
+
+def test_pii_scan_and_redact(spark):
+    from zef_spark.pipeline.text import pii_redact, pii_scan
+    rows = [
+        (1, "contact me at alice@example.com or 555-123-4567 now"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 responded"),
+        (3, "no pii here, just 12345 and a.b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           pii_redact(pii_scan(df, "text"), "text").collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 0)
+    assert out[1]["redacted"] == "contact me at [EMAIL] or [PHONE] now"
+    assert out[2]["n_ipv4"] == 2
+    assert out[2]["redacted"] == "server at [IP] and [IP] responded"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+    assert out[3]["redacted"] == out[3]["text"]
+
+
+def test_ngram_contamination(spark):
+    from zef_spark.pipeline.dedup import ngram_contamination
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox sleeps"),   # shares 2 of 3 trigrams
+         (2, "entirely novel text with no overlap at all"),
+         (3, "to")],                          # < n tokens → excluded
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(docs, bench).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_hit"] == 2
+    assert out[1]["contamination"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["n_hit"] == 0
+    assert 3 not in out
+
+
+def test_unigram_logprob(spark):
+    import math
+    from zef_spark.pipeline.text import unigram_logprob
+    # corpus: 4 tokens total — "a" x3 (p=3/4), "b" x1 (p=1/4)
+    df = spark.createDataFrame([(1, "a a a"), (2, "b")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(math.log(0.75), abs=1e-4)
+    assert out[2]["avg_logprob"] == pytest.approx(math.log(0.25), abs=1e-4)
+
+
+def test_domain_stats(spark):
+    from zef_spark.pipeline.corpus import domain_stats
+    df = spark.createDataFrame(
+        [("s1", "en", 10), ("s1", "de", 30), ("s2", "en", 5)],
+        "source string, lang string, n_chars long")
+    out = {r["source"]: r for r in domain_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["total_chars"] == 40
+    assert out["s1"]["avg_chars"] == 20.0 and out["s1"]["n_langs"] == 2
+    assert out["s2"]["n_docs"] == 1
+
+
+def test_sketch_checks_within_tolerance(spark):
+    from zef_spark.pipeline.sketches import (approx_distinct,
+                                             approx_quantiles,
+                                             distinct_check,
+                                             quantile_check)
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 700).alias("u"),
+        F.col("id").cast("double").alias("v"))
+    d = {r["grp"]: r for r in
+         distinct_check(df, ["grp"], "u", rsd=0.02).collect()}
+    assert all(r["distinct_ok"] == 1 for r in d.values())
+    # even ids mod 700 (even modulus) hit only the 350 even residues
+    assert d[0]["n_exact"] == 350
+    q = {r["grp"]: r for r in
+         quantile_check(df, ["grp"], "v", prob=0.5).collect()}
+    assert all(r["quantile_ok"] == 1 for r in q.values())
+    # chainable forms
+    from zef_spark import ops as z
+    ad = df | z.approx_distinct[["grp"], "u", 0.02]
+    assert ad.count() == 2
+    aq = approx_quantiles(df, ["grp"], "v", [0.25, 0.5, 0.75])
+    assert all(len(r["quantiles"]) == 3 for r in aq.collect())
+    assert approx_distinct(df, ["grp"], "u").count() == 2

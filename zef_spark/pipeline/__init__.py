@@ -1,2 +1,2 @@
 from . import clustering, corpus, dedup, multimodal, similarity, \
-    skew, text, wrangling  # noqa: F401
+    sketches, skew, text, wrangling  # noqa: F401

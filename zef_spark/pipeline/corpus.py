@@ -171,3 +171,18 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str,
         out = (out.withColumn("__rk", F.row_number().over(w))
                .where(F.col("__rk") <= top_k).drop("__rk"))
     return out.select(id_col, "token", "tf", "df", "tf_idf")
+
+
+def domain_stats(df: DataFrame, source_col: str = "source",
+                 size_col: str = "n_chars",
+                 lang_col: str = "lang") -> DataFrame:
+    """Per-source corpus profile (doc count, char volume, language
+    spread) — the first report a curation run produces. One hash agg
+    keyed by source; at 100 TB the source key is the natural
+    low-cardinality partitioner (domains ≪ docs), so this stays a
+    single map-side-combined shuffle."""
+    return (df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("total_chars"),
+        F.round(F.avg(size_col), 2).alias("avg_chars"),
+        F.countDistinct(lang_col).alias("n_langs")))

@@ -389,3 +389,47 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 @register_op("deduplicate", "df")
 def _dedup_op(df: DataFrame, *cols):
     return exact_dedup(df, list(cols) or None)
+
+
+def ngram_contamination(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of
+    its distinct word n-grams that also occur anywhere in the
+    `benchmark` corpus — the standard decontamination signal before
+    training on scraped data.
+
+    Plan shape: both sides explode to distinct (doc, gram) postings
+    (row-local gram construction, one distinct-agg shuffle each);
+    the benchmark gram set is usually ≪ corpus (benchmarks are
+    thousands of docs, corpora billions), so the hit-join is
+    broadcast under AQE; per-doc counts are one more keyed agg.
+    Nothing is quadratic: cost is O(grams) + one join keyed by gram.
+
+    Documents with fewer than `n` tokens have no n-grams and are
+    excluded (matching the SQL oracle's semantics)."""
+    def gram_posting(d: DataFrame) -> DataFrame:
+        words = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                         lambda t: t != "")
+        return (d.select(F.col(id_col), words.alias("__w"))
+                .where(F.size("__w") >= n)
+                .select(id_col,
+                        F.explode(F.array_distinct(F.transform(
+                            F.sequence(F.lit(1),
+                                       F.size("__w") - n + 1),
+                            lambda i: F.concat_ws(
+                                " ", F.slice("__w", i, n)))))
+                        .alias("gram")))
+
+    doc_grams = gram_posting(df)
+    bench_grams = (gram_posting(benchmark)
+                   .select("gram").distinct()
+                   .withColumn("__hit", F.lit(1)))
+    marked = doc_grams.join(bench_grams, "gram", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"))
+            .select(id_col, "n_grams", "n_hit",
+                    F.round(F.col("n_hit") / F.col("n_grams"), 6)
+                    .alias("contamination")))

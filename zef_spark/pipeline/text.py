@@ -200,3 +200,68 @@ def fingerprint(df: DataFrame, text_col: str,
                      lambda i: F.substring(norm, i, k))
     h = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     return df.withColumn(out_col, h(F.array_min(sh)))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB oracle): plain char classes + bounded repetition,
+# no backrefs/lookaround. Replacement order matters: emails first
+# (an email's domain would otherwise feed the hostname-ish patterns).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_<kind> match-count columns per PII pattern — one
+    regexp_count scan each, row-local, zero shuffle."""
+    cols = [F.regexp_count(F.col(text_col), F.lit(pat))
+            .alias(f"n_{kind}") for kind, pat, _ in PII_PATTERNS]
+    return df.select("*", *cols)
+
+
+def pii_redact(df: DataFrame, text_col: str,
+               out_col: str = "redacted") -> DataFrame:
+    """Replaces every PII match with its `[KIND]` token (global
+    replace, patterns applied in PII_PATTERNS order). Row-local
+    Column expression — at 100 TB this is a pure map stage that
+    pipelines with the scan."""
+    redacted = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.withColumn(out_col, redacted)
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    out_col: str = "avg_logprob",
+                    digits: int = 4) -> DataFrame:
+    """Perplexity-proxy quality score: mean ln P(token) under the
+    corpus's own unigram LM (MLE — the vocabulary is built from the
+    same corpus, so there is no OOV mass to smooth).
+
+    Plan shape: token explode → (doc, token) tf counts (one shuffle,
+    map-side combined) → vocab counts (second agg on token) → join
+    posting⋈vocab on token (AQE broadcasts the vocab side when it is
+    small; natural-language vocabularies plateau in the millions of
+    types, so at 100 TB this join stays cheap while the posting side
+    scales linearly) → per-doc weighted average (third agg on doc).
+    The corpus total enters via a 1-row broadcast crossJoin, never a
+    driver collect."""
+    toks = F.explode(_tokens(F.col(text_col)))
+    posting = (df.select(F.col(id_col), toks.alias("token"))
+               .groupBy(id_col, "token")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    vocab = posting.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    scored = (posting.join(vocab, "token")
+              .crossJoin(F.broadcast(total))
+              .select(id_col,
+                      F.col("tf"),
+                      F.log(F.col("cnt") / F.col("__total"))
+                      .alias("__lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum(F.col("tf") * F.col("__lp"))
+                         / F.sum("tf"), digits).alias(out_col),
+                 F.sum("tf").alias("n_tokens")))
