@@ -76,7 +76,9 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
     TPC-H shapes joining a broadcast SINGLE-ROW aggregate (a scalar,
     not a table) — q11 mean, q15 max, q22 avg."""
     SCALAR_CROSS = {"q11_part_value_share", "q15_top_supplier",
-                    "q22_idle_customers"}
+                    "q22_idle_customers",
+                    # corpus-total scalar broadcast (unigram LM norm)
+                    "p_unigram_logprob"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
@@ -135,3 +137,31 @@ def test_dimension_joins_broadcast(spark, entry):
         assert "BroadcastHashJoin" in plan, f"{name} lost broadcasts"
         assert "SortMergeJoin" not in plan, \
             f"{name} shuffles a dimension join"
+
+
+def test_pii_redact_is_pure_map(spark, entry):
+    """PII scan+redact is a row-local map stage: no Exchange, no
+    Join, no aggregation — anything else means the regex path picked
+    up a shuffle it doesn't need."""
+    # guard the operator itself (the registered query only adds a
+    # presentation orderBy on top)
+    from zef_spark.pipeline.text import pii_redact, pii_scan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (pii_redact(pii_scan(docs, "text"), "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_sketch_checks_single_shuffle_per_agg(spark, entry):
+    """Each sketch aggregate is one partial-agg shuffle keyed by the
+    group column: HashAggregate(partial) → Exchange → final. The
+    joined check query may reuse the exchange but must never expand
+    beyond group-key exchanges (no row-identity shuffle)."""
+    from zef_spark.pipeline.sketches import distinct_check
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = (distinct_check(ev, ["event_type"], "user_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    # countDistinct adds an expand+regroup stage; both exchanges are
+    # keyed by event_type — what must NOT appear is a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 2, plan
