@@ -1538,6 +1538,67 @@ def p_sketch_checks(spark, sf_dir):
     return d.join(q, "event_type").orderBy("event_type")
 
 
+@query("e_funnel_counts", """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY e.user_id
+)
+SELECT 0 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', COUNT(*) FROM s1
+UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2
+ORDER BY step
+""")
+def e_funnel_counts(spark, sf_dir):
+    """Ordered funnel view→click→purchase (pipeline/funnel.py):
+    each step is a type-filtered scan joined to the shrinking
+    (user, prev_ts) frontier."""
+    from zef_spark.pipeline.funnel import funnel_counts
+    ev = _events(spark, sf_dir)
+    return (funnel_counts(ev, ["view", "click", "purchase"])
+            .orderBy("step"))
+
+
+@query("e_cohort_retention", """
+WITH firstw AS (
+  SELECT user_id,
+         CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cw
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id,
+         CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+  FROM events
+)
+SELECT STRFTIME(cw, '%Y-%m-%d') AS cohort_week,
+       DATEDIFF('day', cw, w) // 7 AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM act JOIN firstw USING (user_id)
+GROUP BY cw, week_offset
+ORDER BY cohort_week, week_offset
+""")
+def e_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (pipeline/funnel.py
+    cohort_retention); cohort week formatted as a string for the
+    cross-engine value hash."""
+    from zef_spark.pipeline.funnel import cohort_retention
+    ev = _events(spark, sf_dir)
+    out = cohort_retention(ev)
+    return (out.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("week_offset").cast("long").alias("week_offset"),
+        "n_users")
+        .orderBy("cohort_week", "week_offset"))
+
+
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6,
                         seed: int = 42) -> str:
     """DuckDB oracle for the hyperplane-LSH ANN: the planes are

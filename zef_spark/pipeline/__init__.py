@@ -1,2 +1,2 @@
-from . import clustering, corpus, dedup, multimodal, similarity, \
+from . import clustering, corpus, dedup, funnel, multimodal, similarity, \
     sketches, skew, text, wrangling  # noqa: F401
