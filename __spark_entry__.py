@@ -1538,6 +1538,65 @@ def p_sketch_checks(spark, sf_dir):
     return d.join(q, "event_type").orderBy("event_type")
 
 
+@query("p_sketch_merge", """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       1 AS merge_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def p_sketch_merge(spark, sf_dir):
+    """Mergeable-profile proof (pipeline/sketches.py): per-shard HLL
+    profiles (user_id % 4 shards) unioned with hll_merge must land
+    within 5% of the exact distinct count — the incremental
+    re-scan-free profiling path. The oracle pins the exact count and
+    the 0/1 flag (sketch binaries are engine-specific)."""
+    from zef_spark.pipeline.sketches import (hll_merge, hll_profile,
+                                             hll_profile_estimate)
+    ev = _events(spark, sf_dir)
+    sharded = ev.withColumn("__shard", F.pmod("user_id", F.lit(4)))
+    prof = hll_profile(sharded, ["event_type", "__shard"], "user_id")
+    merged = hll_profile_estimate(hll_merge(prof, ["event_type"]))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    ok = (F.abs(F.col("distinct_est") - F.col("n_exact"))
+          <= 0.05 * F.col("n_exact"))
+    return (exact.join(merged, "event_type")
+            .select("event_type", "n_exact",
+                    ok.cast("int").alias("merge_ok"))
+            .orderBy("event_type"))
+
+
+@query("p_theta_overlap", """
+WITH both_u AS (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_both_exact, 1 AS theta_ok
+FROM both_u
+""")
+def p_theta_overlap(spark, sf_dir):
+    """Theta-sketch set intersection (pipeline/sketches.py
+    theta_intersect_distinct): estimated |viewers ∩ purchasers| vs
+    the exact per-user flag aggregation, within 5% (+1 guard for
+    small counts). Exact needs a full user-keyed shuffle; the sketch
+    answers from two O(1)-state aggregates."""
+    from zef_spark.pipeline.sketches import theta_intersect_distinct
+    ev = _events(spark, sf_dir)
+    typ = F.col("event_type")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(typ == "view", 1).otherwise(0)).alias("__a"),
+        F.max(F.when(typ == "purchase", 1).otherwise(0)).alias("__b"))
+    exact = flags.agg(
+        F.sum(F.when((F.col("__a") == 1) & (F.col("__b") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_both_exact"))
+    theta = theta_intersect_distinct(
+        ev, [], "user_id", typ == "view", typ == "purchase")
+    ok = (F.abs(F.col("intersect_est") - F.col("n_both_exact"))
+          <= 0.05 * (F.col("n_both_exact") + F.lit(1)))
+    return (exact.crossJoin(theta)
+            .select("n_both_exact", ok.cast("int").alias("theta_ok")))
+
+
 @query("e_funnel_counts", """
 WITH s0 AS (
   SELECT user_id, MIN(ts) AS t0 FROM events

@@ -375,3 +375,25 @@ def test_sketch_checks_within_tolerance(spark):
     aq = approx_quantiles(df, ["grp"], "v", [0.25, 0.5, 0.75])
     assert all(len(r["quantiles"]) == 3 for r in aq.collect())
     assert approx_distinct(df, ["grp"], "u").count() == 2
+
+
+def test_hll_profile_merge_and_theta(spark):
+    from zef_spark.pipeline.sketches import (hll_merge, hll_profile,
+                                             hll_profile_estimate,
+                                             theta_intersect_distinct)
+    df = spark.range(0, 9000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 911).alias("u"),
+        (F.col("id") % 4).alias("shard"))
+    # shard -> merge estimate within 5% of exact (911 per group)
+    prof = hll_profile(df, ["g", "shard"], "u")
+    assert prof.count() == 12            # 3 groups x 4 shards
+    merged = hll_profile_estimate(hll_merge(prof, ["g"]))
+    for r in merged.collect():
+        assert abs(r["distinct_est"] - 911) <= 0.05 * 911
+    # theta intersection of overlapping ranges is exact under the
+    # nominal-entries threshold: [0,500) ∩ [250,911) = 250
+    t = theta_intersect_distinct(df, ["g"], "u",
+                                 F.col("u") < 500, F.col("u") >= 250)
+    for r in t.collect():
+        assert round(r["intersect_est"]) == 250

@@ -78,7 +78,9 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
     SCALAR_CROSS = {"q11_part_value_share", "q15_top_supplier",
                     "q22_idle_customers",
                     # corpus-total scalar broadcast (unigram LM norm)
-                    "p_unigram_logprob"}
+                    "p_unigram_logprob",
+                    # 1-row exact agg x 1-row theta agg
+                    "p_theta_overlap"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

@@ -91,3 +91,56 @@ def _approx_quantiles_op(df: DataFrame, group_cols, col, probs,
                          accuracy: int = 10000):
     return approx_quantiles(df, list(group_cols), col, list(probs),
                             accuracy)
+
+
+def hll_profile(df: DataFrame, group_cols: list[str], col: str,
+                lgk: int = 12,
+                out_col: str = "hll_sketch") -> DataFrame:
+    """Per-group Datasketches HLL sketch (binary, mergeable). This is
+    the incremental-profiling primitive: build per-shard / per-day
+    profiles once, then answer any cross-shard distinct question by
+    UNIONING sketches (hll_merge) — no re-scan of the raw data.
+
+    Union of same-lgK sketches merges register state losslessly, but
+    the ESTIMATE can differ slightly from a single-pass sketch of the
+    same data: Datasketches uses the more accurate HIP estimator for
+    a single-stream sketch and falls back to the composite estimator
+    after a union. Both stay within the lgK error bound — treat
+    estimates as interchangeable within tolerance, not bit-equal."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias(out_col))
+
+
+def hll_merge(profiles: DataFrame, group_cols: list[str],
+              sketch_col: str = "hll_sketch") -> DataFrame:
+    """Merge shard profiles down to one sketch per group (register
+    max — lossless for same-lgK sketches)."""
+    return profiles.groupBy(*group_cols).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col))
+
+
+def hll_profile_estimate(profiles: DataFrame,
+                         sketch_col: str = "hll_sketch",
+                         out_col: str = "distinct_est") -> DataFrame:
+    """Read the distinct estimate off a profile table (row-local)."""
+    return profiles.withColumn(
+        out_col, F.hll_sketch_estimate(sketch_col))
+
+
+def theta_intersect_distinct(df: DataFrame, group_cols: list[str],
+                             col: str, flag_a, flag_b,
+                             lgk: int = 12) -> DataFrame:
+    """Estimated |distinct(col) where A ∩ distinct(col) where B| per
+    group via theta sketches — the 'users who did BOTH' question that
+    exact processing can only answer with a value-level self-join.
+    flag_a/flag_b are boolean Columns."""
+    agg = df.groupBy(*group_cols).agg(
+        F.theta_sketch_agg(F.when(flag_a, F.col(col)), F.lit(lgk))
+        .alias("__sa"),
+        F.theta_sketch_agg(F.when(flag_b, F.col(col)), F.lit(lgk))
+        .alias("__sb"))
+    return agg.select(
+        *group_cols,
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("__sa"), F.col("__sb")))
+        .alias("intersect_est"))
