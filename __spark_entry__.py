@@ -2823,8 +2823,11 @@ _FRONT = [
     "gql_mutation_update", "gql_mutation_delete",
     "e_hypertable_rollup", "e_split_on_purchase", "e_hourly_tumbling",
     "p_infer_types", "p_identify_entities",
-    # (b) event queries fixed this round (ts dtype regression)
-    "frequencies_events", "enumerate_stride_events",
+    # (b) event queries fixed this round (ts dtype regression).
+    # frequencies_events rotates to the tail: it is green in r01 and
+    # its _events helper is proven on the new fixture by the five
+    # sibling event queries below.
+    "enumerate_stride_events",
     "chunk_by_event_type_runs", "e_sessionize_30min",
     "e_session_windows", "e_asof_last_purchase",
     "e_range_purchase_window",
@@ -2833,13 +2836,18 @@ _FRONT = [
     "p_kmeans_clusters", "p_repetition_signals", "p_ann_pq_topk",
     "p_domain_stats", "p_pii_redact", "p_contamination",
     "p_unigram_logprob", "p_sketch_checks",
-    # (d) one representative per §2 family, all green r01-r03
+    # (c') event-analytics ops new in r04 — first oracle rows
+    # (q1_pricing_summary rotates to the tail: it has three green rows
+    # r01-r03 AND runs every round via the entry() smoke check;
+    # p_sketch_merge / p_theta_overlap front-load in r05)
+    "e_funnel_counts", "e_cohort_retention",
+    # (d) graph-family representative, green r01-r03
     # (2.E via the fixed event queries above; 2.C joins and 2.H
     # scalar-function shapes via the TPC-H battery in (a);
     # conditional_bucketing / sort_take_topk / concat_union_segments /
     # g_all_type_counts / g_time_travel_duration rotate to the tail —
     # each already has three green rows r01-r03)
-    "q1_pricing_summary", "g_hop2_revenue_by_customer",
+    "g_hop2_revenue_by_customer",
 ]
 
 
