@@ -1750,6 +1750,53 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def _semantic_dup_oracle_sql(dim: int = 64, n_cells: int = 16,
+                             n_assign: int = 2, seed: int = 7,
+                             thr: float = 0.3) -> str:
+    """DuckDB oracle for IVF-cell-blocked semantic dedup: same
+    centroid literals, top-n_assign cells per vector ranked by
+    (d DESC, c), distinct in-cell pairs, exact cosine filter."""
+    from zef_spark.pipeline.similarity import _centroid
+    rows = ", ".join(
+        "({}, [{}])".format(
+            c + 1, ", ".join(repr(x) for x in _centroid(dim, c, seed)))
+        for c in range(n_cells))
+    return f"""
+WITH cents(c, cent) AS (VALUES {rows}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, c.c, LIST_DOT_PRODUCT(e.v, c.cent) AS d
+  FROM emb e CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, UNNEST(top) AS cell FROM (
+    SELECT vec_id, (ARRAY_AGG(c ORDER BY d DESC, c))[1:{n_assign}] AS top
+    FROM dots GROUP BY vec_id)),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b,
+       ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 6) AS cosine
+FROM pairs p JOIN emb ea ON ea.vec_id = p.id_a
+             JOIN emb eb ON eb.vec_id = p.id_b
+WHERE ROUND(LIST_COSINE_SIMILARITY(ea.v, eb.v), 6) >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
+@query("p_semantic_dup_pairs", _semantic_dup_oracle_sql())
+def p_semantic_dup(spark, sf_dir):
+    """Embedding near-dup pairs blocked by IVF cells with top-2
+    multi-assignment (similarity.semantic_dup_pairs) — the scale
+    path for embedding-cosine dedup: per-cell equi-join, never a
+    corpus² cross join."""
+    from zef_spark.pipeline.similarity import semantic_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return (semantic_dup_pairs(emb, "embedding", "vec_id", dim=64,
+                               threshold=0.3, n_cells=16, n_assign=2)
+            .orderBy("id_a", "id_b"))
+
+
 @query("p_ann_topk_ivf", _ann_ivf_oracle_sql())
 def p_ann_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN top-k (inverted-file probe + exact

@@ -291,6 +291,32 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
         plan.split("PartitionFilters")[1][:200]
 
 
+def test_semantic_dup_pairs(spark, emb):
+    """IVF-cell-blocked embedding near-dup: finds every pair a full
+    all-pairs scan finds at a high threshold (cells only PRUNE, and
+    near-identical vectors always share their nearest cell), emits
+    each pair once with id_a < id_b."""
+    from zef_spark.pipeline.similarity import (cosine_pairs,
+                                               semantic_dup_pairs)
+    # clone three vectors with a tiny perturbation → guaranteed dups
+    dup = emb.where("vec_id < 3").select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001).alias("embedding"))
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    got = semantic_dup_pairs(corpus, "embedding", "vec_id", dim=8,
+                             threshold=0.999, n_cells=8, n_assign=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(0, 100), (1, 101), (2, 102)} <= pairs
+    assert all(a < b for a, b in pairs)
+    # no multi-cell double emission
+    assert got.count() == got.distinct().count()
+    # blocked result ⊆ exact all-pairs at the same threshold
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_pairs(corpus, "embedding", "vec_id",
+                                   threshold=0.999).collect()}
+    assert pairs <= exact
+
+
 def test_pii_scan_and_redact(spark):
     from zef_spark.pipeline.text import pii_redact, pii_scan
     rows = [

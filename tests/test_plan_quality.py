@@ -35,6 +35,7 @@ GUARDED = [
     "p_tf_idf",
     "p_repetition_signals",
     "p_ann_pq_topk",
+    "p_semantic_dup_pairs",
 ]
 
 # cosine_pairs without block_col is a documented explicit cross join;

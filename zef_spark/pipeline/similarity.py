@@ -127,6 +127,59 @@ def ivf_cell(vec_col, dim: int, n_cells: int = 16, seed: int = 7):
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
+def ivf_cells_topn(vec_col, dim: int, n_cells: int = 16,
+                   n_assign: int = 2, seed: int = 7):
+    """The `n_assign` nearest IVF cells (1..n_cells) as an
+    array<int> Column, nearest first. Sorting (-dot, c) structs gives
+    d-descending with first-cell tie-breaks — the same ranking as
+    ``ivf_cell`` extended past the argmax."""
+    entries = F.array(*[
+        F.struct(
+            (-_dot(vec_col, F.array(*[F.lit(x) for x in
+                                      _centroid(dim, c, seed)])))
+            .alias("nd"),
+            F.lit(c + 1).alias("c"))
+        for c in range(n_cells)])
+    top = F.slice(F.array_sort(entries), 1, n_assign)
+    return F.transform(top, lambda s: s["c"])
+
+
+def semantic_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                       dim: int, threshold: float = 0.95,
+                       n_cells: int = 16, n_assign: int = 2,
+                       seed: int = 7, digits: int = 6) -> DataFrame:
+    """Embedding near-duplicate pairs at corpus scale (the SemDeDup
+    shape: cluster, then mine pairs only within clusters). Each
+    vector joins its `n_assign` nearest IVF cells, pairs are mined
+    per cell with an id_a < id_b equi-join, scored with exact cosine,
+    and deduped across shared cells. Work is sum over cells of
+    |cell|² — never corpus² — and the join shuffles on the cell id.
+    Multi-assignment recovers boundary pairs that single-cell
+    blocking misses (a pair is found iff the two vectors share ANY of
+    their n_assign cells). Skew note: with hash centroids cells stay
+    near-uniform; with trained centroids cap the hot cell by
+    splitting it on a secondary LSH bit before the join.
+
+    Extends the reference's `deduplicate`
+    (python/zef/core/op_implementations/data_wrangling.py) to
+    embedding space."""
+    cells = ivf_cells_topn(F.col(vec_col), dim, n_cells, n_assign, seed)
+    celled = df.select(F.col(id_col), F.col(vec_col).alias("__v"),
+                       F.explode(cells).alias("__cell"))
+    a = celled.select("__cell", F.col(id_col).alias("id_a"),
+                      F.col("__v").alias("va"))
+    b = celled.select("__cell", F.col(id_col).alias("id_b"),
+                      F.col("__v").alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) *
+                                            _norm(F.col("vb")))
+    return (a.join(b, "__cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(sim, digits))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .distinct())
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query: list[float], k: int = 10, n_cells: int = 16,
              n_probes: int = 2, seed: int = 7,
