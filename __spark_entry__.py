@@ -1164,6 +1164,45 @@ def p_hash_sample(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def _mixture_oracle_sql(weights: dict[str, float], total: int,
+                        salt: str) -> str:
+    """DuckDB oracle for the exact mixture sampler: same md5 rank,
+    same floor allocation embedded as CASE literals."""
+    wsum = float(sum(weights.values()))
+    alloc = {s: int(total * (w / wsum)) for s, w in weights.items()}
+    cases = " ".join(f"WHEN '{s}' THEN {n}" for s, n in alloc.items())
+    inlist = ", ".join(f"'{s}'" for s in weights)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                                        || '{salt}'), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents WHERE source IN ({inlist}))
+SELECT doc_id, source FROM ranked
+WHERE rn <= CASE source {cases} END
+ORDER BY doc_id
+"""
+
+
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+@query("p_mixture_sample", _mixture_oracle_sql(_MIX_WEIGHTS, 60, "mix_v1"))
+def p_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling to target domain proportions
+    (corpus.mixture_sample, exact mode): floor(total*w_s/Σw) docs per
+    source by md5 rank — here src0 wants 30 but is capped by the 25
+    available, exercising the availability cap."""
+    from zef_spark.pipeline.corpus import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (mixture_sample(docs, "source", "doc_id", _MIX_WEIGHTS,
+                           total=60, salt="mix_v1", exact=True)
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
 @query("p_pack_sequences", """
 WITH tok AS (
   SELECT doc_id,

@@ -68,6 +68,34 @@ def test_stratified_hash_sample(spark, sf_dir):
     assert out.select("lang").distinct().count() == 2
 
 
+def test_mixture_sample_exact_and_rate(spark, sf_dir):
+    from zef_spark.pipeline.corpus import mixture_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src0": 3.0, "src1": 1.0}
+    # exact mode: floor allocation per stratum, capped by availability
+    out = mixture_sample(docs, "source", "doc_id", weights, total=20,
+                         salt="t", exact=True)
+    by_src = {r[0]: r[1] for r in
+              out.groupBy("source").count().collect()}
+    assert by_src == {"src0": 15, "src1": 5}
+    # determinism: same call, same rows
+    out2 = mixture_sample(docs, "source", "doc_id", weights, total=20,
+                          salt="t", exact=True)
+    assert out.exceptAll(out2).count() == 0
+    # unlisted strata dropped
+    assert out.select("source").distinct().count() == 2
+    # rate mode: row-local decision, counts near target (small-n slack)
+    rate = mixture_sample(docs, "source", "doc_id", weights, total=20,
+                          salt="t")
+    by_src_r = {r[0]: r[1] for r in
+                rate.groupBy("source").count().collect()}
+    assert set(by_src_r) <= {"src0", "src1"}
+    assert sum(by_src_r.values()) <= 25  # never wildly over target
+    # rate-mode plan never shuffles data rows: scan + filter only
+    plan = rate._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_pack_sequences_invariants(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, 300), (3, 200), (4, 999), (5, 50)],

@@ -117,6 +117,57 @@ def stratified_hash_sample(df: DataFrame, key_col: str,
     return df.where(cond)
 
 
+def _md5_rank(key_col: str, salt: str):
+    """64-bit-portable deterministic rank: first 15 hex digits of
+    md5(key||salt) as a long — bit-identical in any engine with md5
+    (same expression family as hash_sample's method='md5')."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("long")
+
+
+def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
+                   weights: dict[str, float], total: int,
+                   salt: str = "", exact: bool = False) -> DataFrame:
+    """Sample a corpus to a target domain MIXTURE: stratum s gets
+    floor(total * w_s / Σw) rows (capped by availability), chosen
+    deterministically by md5 rank of the key — reproducible across
+    runs and engines, and consistent across tables sharing the key.
+    Strata not in `weights` are dropped.
+
+    exact=False (the 100 TB path): two bounded passes — a count
+    aggregate per stratum (domains ≪ rows), then a row-local keep
+    decision `rank % c_s < n_s`; no data-row shuffle at all, per-
+    stratum counts land within sampling noise of the target.
+    exact=True: per-stratum row_number over the rank gives exact
+    allocations, but each stratum sorts in ONE task — use it when
+    every stratum fits a worker (report/validation scale), not on a
+    5 TB domain."""
+    wsum = float(sum(weights.values())) or 1.0
+    alloc = {s: int(total * (w / wsum)) for s, w in weights.items()}
+    rank = _md5_rank(key_col, salt)
+    kept = df.where(F.col(strata_col).isin(list(weights)))
+    n_col = F.lit(None).cast("long")
+    for s, n in alloc.items():
+        n_col = F.when(F.col(strata_col) == s, F.lit(n)).otherwise(n_col)
+    if exact:
+        from pyspark.sql import Window
+        w = Window.partitionBy(strata_col).orderBy(rank, F.col(key_col))
+        return (kept.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= n_col).drop("__rn"))
+    counts = {r[0]: r[1] for r in
+              kept.groupBy(strata_col).count().collect()}
+    c_col = F.lit(None).cast("long")
+    for s in alloc:
+        c_col = F.when(F.col(strata_col) == s,
+                       F.lit(counts.get(s, 0))).otherwise(c_col)
+    # keep iff rank mod c_s < n_s: a pure row-local decision hitting
+    # n_s/c_s of the stratum in expectation (exact under rank
+    # uniformity), zero shuffle of data rows
+    return kept.where(F.pmod(rank, F.greatest(c_col, F.lit(1)))
+                      < F.least(n_col, c_col))
+
+
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    context_len: int,
                    order_col: str | None = None) -> DataFrame:
