@@ -875,6 +875,52 @@ def p_fingerprint(spark, sf_dir):
             .select("doc_id", "fingerprint").orderBy("doc_id"))
 
 
+@query("p_chunk_documents", """
+WITH n AS (
+  SELECT doc_id, text,
+         GREATEST(CAST(CEIL((LEN(text) - 100) / 400.0) AS INT), 1) AS nch
+  FROM documents),
+idx AS (
+  SELECT doc_id, text, UNNEST(GENERATE_SERIES(0, nch - 1)) AS i FROM n)
+SELECT doc_id, i AS chunk_idx, i * 400 + 1 AS chunk_start,
+       SUBSTR(text, CAST(i * 400 + 1 AS INT), 500) AS chunk
+FROM idx ORDER BY doc_id, chunk_idx
+""")
+def p_chunk_documents(spark, sf_dir):
+    """Fixed-size overlapping training windows (text.chunk_documents,
+    500 chars / 100 overlap): row-local posexplode, no shuffle."""
+    from zef_spark.pipeline.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_documents(docs, "text", "doc_id",
+                            chunk_chars=500, overlap=100)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+@query("p_repeated_spans", r"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+spans AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(tk[i:i+7], ' ') AS span
+  FROM (SELECT doc_id, tk,
+               UNNEST(GENERATE_SERIES(1, LEN(tk) - 7)) AS i
+        FROM toks WHERE LEN(tk) >= 8))
+SELECT span, COUNT(*) AS n_docs
+FROM spans GROUP BY span HAVING COUNT(*) >= 2
+ORDER BY span
+""")
+def p_repeated_spans(spark, sf_dir):
+    """Cross-document repeated 8-token spans with document frequency
+    (text.repeated_spans) — the exact-substring-dedup mining signal
+    (Lee et al., ACL'22). One span-keyed shuffle, no joins."""
+    from zef_spark.pipeline.text import repeated_spans
+    docs = _t(spark, sf_dir, "documents")
+    return (repeated_spans(docs, "text", "doc_id", k=8, min_docs=2)
+            .orderBy("span"))
+
+
 @query("p_multimodal_meta", """
 WITH media AS (
   SELECT doc_id AS media_id,

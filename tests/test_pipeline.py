@@ -317,6 +317,46 @@ def test_semantic_dup_pairs(spark, emb):
     assert pairs <= exact
 
 
+def test_chunk_documents(spark):
+    from zef_spark.pipeline.text import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "a" * 950), (2, "xy"), (3, "")],
+        "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id",
+                          chunk_chars=500, overlap=100)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_start"],
+                                           len(r["chunk"]))
+           for r in out.collect()}
+    # 950 chars, stride 400 → 3 windows; the last is short
+    assert got[(1, 0)] == (1, 500)
+    assert got[(1, 1)] == (401, 500)
+    assert got[(1, 2)] == (801, 150)
+    # short and empty docs yield exactly one chunk
+    assert got[(2, 0)] == (1, 2) and got[(3, 0)] == (1, 0)
+    assert len(got) == 5
+    # row-local: no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_repeated_spans(spark):
+    from zef_spark.pipeline.text import repeated_spans
+    common = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, common + " alpha"), (2, common + " beta"),
+         (3, "unrelated words entirely different content stuff"),
+         (4, "short"),
+         (5, common + " " + common)],   # in-doc repeat counts ONCE
+        "doc_id long, text string")
+    spans = {r["span"]: r["n_docs"]
+             for r in repeated_spans(df, "text", "doc_id",
+                                     k=8, min_docs=2).collect()}
+    assert spans[common] == 3           # docs 1, 2, 5 — not 4
+    # no span from the sub-k-token docs, nothing below min_docs
+    assert all(n >= 2 for n in spans.values())
+    assert not any("short" in s for s in spans)
+
+
 def test_pii_scan_and_redact(spark):
     from zef_spark.pipeline.text import pii_redact, pii_scan
     rows = [

@@ -234,6 +234,63 @@ def pii_redact(df: DataFrame, text_col: str,
     return df.withColumn(out_col, redacted)
 
 
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_chars: int = 1000, overlap: int = 100,
+                    out_col: str = "chunk") -> DataFrame:
+    """Split each document into fixed-size character windows with
+    overlap — the training-window splitter. Emits (id, chunk_idx,
+    chunk_start, chunk) with chunk_idx 0-based and chunk_start the
+    1-based offset; the final window may be short, and an empty/short
+    doc yields exactly one chunk. Pure row-local explode: at 100 TB
+    this pipelines with the scan, no shuffle, and output rows carry
+    the doc id so downstream tokenize/pack stages key on
+    (id, chunk_idx) deterministically."""
+    if chunk_chars <= overlap:
+        raise ValueError("chunk_chars must exceed overlap")
+    stride = chunk_chars - overlap
+    col = F.col(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.length(col) - F.lit(overlap)) / F.lit(stride)),
+        F.lit(1)).cast("int")
+    return (df.select(
+        F.col(id_col), col.alias("__t"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+        .alias("chunk_idx", "__i"))
+        .select(id_col, "chunk_idx",
+                (F.col("__i") * stride + 1).alias("chunk_start"),
+                F.substring("__t", F.col("__i") * stride + 1,
+                            chunk_chars).alias(out_col)))
+
+
+def repeated_spans(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated token spans: every k-token window that
+    appears in ≥ min_docs distinct documents, with its document
+    frequency — the mining stage of exact-substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL'22: repeated 50-token spans are memorization fuel). Plan:
+    row-local window explode (rows × ~tokens, pipelined with the
+    scan), per-doc distinct, ONE shuffle keyed by the span text —
+    uniform by construction; no joins. Emits the span string itself
+    so the result is directly greppable/actionable."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                    lambda t: t != "")
+    n_spans = F.size(toks) - k + 1
+    # sequence(1, 0) DESCENDS in Spark — docs shorter than k tokens
+    # must yield an empty span array, not [1, 0]
+    spans = F.when(
+        n_spans >= 1,
+        F.transform(F.sequence(F.lit(1), n_spans),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (df.select(F.col(id_col),
+                         F.explode(spans).alias("span"))
+               .distinct())
+    return (per_doc.groupBy("span")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                     out_col: str = "avg_logprob",
                     digits: int = 4) -> DataFrame:
