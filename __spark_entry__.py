@@ -1249,6 +1249,88 @@ def p_mixture_sample(spark, sf_dir):
             .select("doc_id", "source").orderBy("doc_id"))
 
 
+def _curation_oracle_sql(weights: dict[str, float], total: int,
+                         thr: float, salt: str) -> str:
+    """DuckDB oracle for the composed curation pipeline: chains the
+    already-verified per-stage oracles (exact dedup → quality →
+    mixture rank → redact) as CTEs."""
+    wsum = float(sum(weights.values()))
+    alloc = {s: int(total * (w / wsum)) for s, w in weights.items()}
+    cases = " ".join(f"WHEN '{s}' THEN {n}" for s, n in alloc.items())
+    inlist = ", ".join(f"'{s}'" for s in weights)
+    stop = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    return f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+base AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  JOIN keep USING (doc_id)),
+feats AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     t -> t <> '') AS toks,
+         LENGTH(text) AS n_chars,
+         LENGTH(REGEXP_REPLACE(text, '[^[:punct:]]', '', 'g')) AS punct,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM base),
+scored AS (
+  SELECT doc_id,
+         ROUND(LEAST(LEN(toks) / 50.0, 1.0) * 0.3
+           + LEAST(CASE WHEN LEN(toks) > 0 THEN
+               LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({stop}, t)))
+               / LEN(toks) ELSE 0.0 END * 5.0, 1.0) * 0.3
+           + (1.0 - LEAST(CASE WHEN n_chars > 0 THEN punct / n_chars
+                          ELSE 0.0 END * 5.0, 1.0)) * 0.2
+           + CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+             * 0.2, 6) AS quality
+  FROM feats),
+filt AS (
+  SELECT b.doc_id, b.source, b.text, s.quality
+  FROM base b JOIN scored s USING (doc_id)
+  WHERE s.quality >= {thr} AND b.source IN ({inlist})),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '{salt}'),
+                             1, 15))::BIGINT, doc_id) AS rn
+  FROM filt)
+SELECT doc_id, source, quality,
+       LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+         '\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'),
+         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'))
+         AS redacted_chars
+FROM ranked WHERE rn <= CASE source {cases} END
+ORDER BY doc_id
+"""
+
+
+_CUR_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+
+
+@query("p_curation_pipeline",
+       _curation_oracle_sql(_CUR_WEIGHTS, 30, 0.6, "cur_v1"))
+def p_curation(spark, sf_dir):
+    """End-to-end corpus curation as ONE composed Catalyst plan:
+    exact dedup → quality filter (≥0.6) → PII redact → deterministic
+    mixture sample to target source proportions. Each stage is the
+    same operator verified individually; this query proves they
+    compose without driver round-trips (a single lazy DataFrame
+    chain)."""
+    from zef_spark.pipeline.corpus import mixture_sample
+    from zef_spark.pipeline.dedup import exact_dedup
+    from zef_spark.pipeline.text import pii_redact, quality_score
+    docs = _t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    scored = quality_score(kept, "text").where(F.col("quality") >= 0.6)
+    red = pii_redact(scored, "text")
+    sampled = mixture_sample(red, "source", "doc_id", _CUR_WEIGHTS,
+                             total=30, salt="cur_v1", exact=True)
+    return (sampled.select("doc_id", "source", "quality",
+                           F.length("redacted").alias("redacted_chars"))
+            .orderBy("doc_id"))
+
+
 @query("p_pack_sequences", """
 WITH tok AS (
   SELECT doc_id,
