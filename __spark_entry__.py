@@ -1249,6 +1249,30 @@ def p_mixture_sample(spark, sf_dir):
             .select("doc_id", "source").orderBy("doc_id"))
 
 
+@query("p_split_corpus", """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'split_v1'),
+                         1, 15))::BIGINT % 1000000 AS bkt
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""")
+def p_split_corpus(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5 hash bucket
+    of the key (corpus.split_corpus): row-local, engine-portable,
+    consistent across tables sharing the key."""
+    from zef_spark.pipeline.corpus import split_corpus
+    docs = _t(spark, sf_dir, "documents")
+    return (split_corpus(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="split_v1")
+            .select("doc_id", "split").orderBy("doc_id"))
+
+
 def _curation_oracle_sql(weights: dict[str, float], total: int,
                          thr: float, salt: str) -> str:
     """DuckDB oracle for the composed curation pipeline: chains the

@@ -96,6 +96,28 @@ def test_mixture_sample_exact_and_rate(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_split_corpus(spark, sf_dir):
+    from zef_spark.pipeline.corpus import split_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_corpus(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       salt="s")
+    n = docs.count()
+    by = {r[0]: r[1] for r in out.groupBy("split").count().collect()}
+    assert set(by) <= {"train", "val", "test"}
+    assert sum(by.values()) == n           # exactly one label per row
+    assert by["train"] > 0.6 * n           # ~80% ± hash noise
+    # deterministic and key-consistent: same key → same split
+    again = split_corpus(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="s")
+    assert out.select("doc_id", "split") \
+        .exceptAll(again.select("doc_id", "split")).count() == 0
+    # row-local: no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_pack_sequences_invariants(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, 300), (3, 200), (4, 999), (5, 50)],

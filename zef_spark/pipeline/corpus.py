@@ -168,6 +168,35 @@ def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
                       < F.least(n_col, c_col))
 
 
+def split_corpus(df: DataFrame, key_col: str,
+                 fracs: dict[str, float], salt: str = "",
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 rank of the
+    key modulo 1e6 lands in cumulative-fraction buckets, so the split
+    is a pure function of (key, salt) — reproducible across runs and
+    engines, consistent across tables sharing the key (a doc and its
+    embeddings land in the same split), and row-local (zero shuffle;
+    at 100 TB it pipelines with the scan). Fractions are normalized;
+    bucket edges are floor(cum·1e6), so every row gets exactly one
+    label."""
+    DEN = 1_000_000
+    total = float(sum(fracs.values())) or 1.0
+    bucket = F.pmod(_md5_rank(key_col, salt), F.lit(DEN))
+    cum = 0.0
+    expr = None
+    edges = []
+    for name, frac in fracs.items():
+        cum += frac / total
+        edges.append((name, int(cum * DEN)))
+    # last edge is DEN by construction (cum == 1.0 after normalize)
+    edges[-1] = (edges[-1][0], DEN)
+    for name, hi in edges:
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else \
+            expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    context_len: int,
                    order_col: str | None = None) -> DataFrame:
