@@ -3070,10 +3070,9 @@ _FRONT = [
     "e_hypertable_rollup", "e_split_on_purchase", "e_hourly_tumbling",
     "p_infer_types", "p_identify_entities",
     # (b) event queries fixed this round (ts dtype regression).
-    # frequencies_events rotates to the tail: it is green in r01 and
-    # its _events helper is proven on the new fixture by the five
-    # sibling event queries below.
-    "enumerate_stride_events",
+    # frequencies_events / enumerate_stride_events rotate to the
+    # tail: both are green in r01 and their _events helper is proven
+    # on the new fixture by the five sibling event queries below.
     "chunk_by_event_type_runs", "e_sessionize_30min",
     "e_session_windows", "e_asof_last_purchase",
     "e_range_purchase_window",
@@ -3082,18 +3081,19 @@ _FRONT = [
     "p_kmeans_clusters", "p_repetition_signals", "p_ann_pq_topk",
     "p_domain_stats", "p_pii_redact", "p_contamination",
     "p_unigram_logprob", "p_sketch_checks",
-    # (c') event-analytics ops new in r04 — first oracle rows
-    # (q1_pricing_summary rotates to the tail: it has three green rows
-    # r01-r03 AND runs every round via the entry() smoke check;
-    # p_sketch_merge / p_theta_overlap front-load in r05)
+    # (c') ops new in r04 — first oracle rows. q1_pricing_summary and
+    # g_hop2_revenue_by_customer rotate to the tail (three green rows
+    # r01-r03 each; q1 additionally runs every round via the entry()
+    # smoke check). Still queued for the r05 front: p_sketch_merge,
+    # p_theta_overlap, p_mixture_sample, p_chunk_documents,
+    # p_repeated_spans, p_split_corpus.
     "e_funnel_counts", "e_cohort_retention",
-    # (d) graph-family representative, green r01-r03
+    "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H
     # scalar-function shapes via the TPC-H battery in (a);
     # conditional_bucketing / sort_take_topk / concat_union_segments /
     # g_all_type_counts / g_time_travel_duration rotate to the tail —
     # each already has three green rows r01-r03)
-    "g_hop2_revenue_by_customer",
 ]
 
 
