@@ -141,6 +141,42 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     assert sorted(r.k for r in out) == [10, 11, 12]
 
 
+def test_corpus_ops_stream_unchanged(spark, tmp_path):
+    """The row-local corpus operators (PII redact, quality scoring,
+    split assignment) are pure projections, so the SAME functions run
+    on a streaming DataFrame without modification — the 100 TB ingest
+    shape: score/redact/split documents as they arrive, no batch/
+    stream code fork."""
+    from zef_spark.pipeline.corpus import split_corpus
+    from zef_spark.pipeline.text import pii_redact, quality_score
+    from zef_spark.streaming.events import subscribe
+    rows = [(1, "Contact me at a@b.com about the big deal and the "
+                "plan that is in the works with everyone"),
+            (2, "short text"),
+            (3, "the quick brown fox and the lazy dog went to the "
+                "market with a basket of goods that is full")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "corpus_src")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+
+    def pipeline(d):
+        scored = quality_score(pii_redact(d, "text"), "text")
+        return split_corpus(scored, "doc_id",
+                            {"train": 0.8, "val": 0.2}, salt="s") \
+            .select("doc_id", "redacted", "quality", "split")
+
+    assert stream.isStreaming and pipeline(stream).isStreaming
+    out = []
+    subscribe(pipeline(stream),
+              lambda b, _i: out.extend(b.collect()), once=True)
+    batch = {r["doc_id"]: tuple(r) for r in pipeline(df).collect()}
+    streamed = {r["doc_id"]: tuple(r) for r in out}
+    assert streamed == batch                    # identical rows
+    assert "[EMAIL]" in streamed[1][1]          # redaction applied
+
+
 def test_sync_materializes_durable_graph(spark, tmp_path):
     """g | sync[path]: persists and returns the disk-backed graph with
     identical query results."""
