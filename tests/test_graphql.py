@@ -123,6 +123,39 @@ def test_document_execution_nested(schema, load):
     assert res["aggregateOrder"]["count"] > 0
 
 
+def test_document_fragments(schema, load):
+    """Named fragment spreads and inline fragments flatten to the
+    same plan as the spelled-out selection (reference gets this free
+    from graphql-core's executor; here fragments inline pre-compile)."""
+    eng = GraphQLEngine(schema, load)
+    with_frags = eng.execute("""
+    query {
+      queryCustomer(filter: {orders: {size: {ge: 15}}},
+                    order: {asc: custkey}, first: 2) {
+        ...custCore
+        nation { name ... on Nation { region { name } } }
+      }
+    }
+    fragment custCore on Customer {
+      custkey
+      ...custName
+    }
+    fragment custName on Customer { name }
+    """)
+    plain = eng.execute("""
+    query {
+      queryCustomer(filter: {orders: {size: {ge: 15}}},
+                    order: {asc: custkey}, first: 2) {
+        custkey name
+        nation { name region { name } }
+      }
+    }""")
+    assert with_frags == plain
+    assert with_frags["queryCustomer"][0]["nation"]["region"]
+    with pytest.raises(ValueError, match="unknown fragment"):
+        eng.execute("query { getCustomer(id: 1) { ...nope } }")
+
+
 def test_document_variables(schema, load):
     eng = GraphQLEngine(schema, load)
     res = eng.execute(

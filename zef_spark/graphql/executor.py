@@ -46,6 +46,47 @@ def _ast_value(node, variables):
     raise ValueError(f"unsupported value node {node!r}")
 
 
+def _inline_fragments(doc):
+    """Flatten fragment spreads (`...F` + `fragment F on T {...}`)
+    and inline fragments (`... on T {...}`) into plain field
+    selections, so every downstream selection walk sees only
+    FieldNodes. The reference inherits fragment handling from
+    graphql-core's executor (server2.py runs the standard `graphql()`
+    entry); here documents compile to DataFrame plans, so fragments
+    are resolved once, up front, on the parsed AST. Valid GraphQL
+    forbids fragment cycles; unknown names raise."""
+    from graphql.language import ast as A
+    frags = {d.name.value: d for d in doc.definitions
+             if isinstance(d, A.FragmentDefinitionNode)}
+
+    def expand(selection_set):
+        if selection_set is None:
+            return None
+        sels = []
+        for s in selection_set.selections:
+            if isinstance(s, A.FragmentSpreadNode):
+                if s.name.value not in frags:
+                    raise ValueError(
+                        f"unknown fragment {s.name.value!r}")
+                sels.extend(
+                    expand(frags[s.name.value].selection_set).selections)
+            elif isinstance(s, A.InlineFragmentNode):
+                sels.extend(expand(s.selection_set).selections)
+            else:
+                if s.selection_set is not None:
+                    s = A.FieldNode(
+                        alias=s.alias, name=s.name,
+                        arguments=s.arguments, directives=s.directives,
+                        selection_set=expand(s.selection_set))
+                sels.append(s)
+        return A.SelectionSetNode(selections=tuple(sels))
+
+    for d in doc.definitions:
+        if isinstance(d, A.OperationDefinitionNode):
+            d.selection_set = expand(d.selection_set)
+    return doc
+
+
 class GraphQLEngine:
     """Executes GraphQL query documents against a table loader; when
     constructed with a mutable ``TableStore`` (mutations.py), mutation
@@ -98,7 +139,7 @@ class GraphQLEngine:
         from graphql.language import ast as A
 
         variables = variables or {}
-        doc = parse(query)
+        doc = _inline_fragments(parse(query))
         ops = [d for d in doc.definitions
                if isinstance(d, A.OperationDefinitionNode)]
         if len(ops) != 1 or ops[0].operation.value not in (
@@ -157,7 +198,7 @@ class GraphQLEngine:
             raise ValueError("engine has no SubscriptionManager "
                              "(pass subscriptions=)")
         variables = variables or {}
-        doc = parse(query)
+        doc = _inline_fragments(parse(query))
         ops = [d for d in doc.definitions
                if isinstance(d, A.OperationDefinitionNode)]
         if len(ops) != 1 or ops[0].operation.value != "subscription":
