@@ -156,6 +156,23 @@ def test_document_fragments(schema, load):
         eng.execute("query { getCustomer(id: 1) { ...nope } }")
 
 
+def test_skip_include_directives(schema, load):
+    eng = GraphQLEngine(schema, load)
+    res = eng.execute("""
+    query($withBal: Boolean, $noName: Boolean) {
+      getCustomer(id: 28) {
+        custkey
+        acctbal @include(if: $withBal)
+        name @skip(if: $noName)
+      }
+    }""", variables={"withBal": False, "noName": True})
+    assert res["getCustomer"] == {"custkey": 28}
+    res = eng.execute("""
+    query { getCustomer(id: 28) { custkey acctbal @include(if: true) } }
+    """)
+    assert set(res["getCustomer"]) == {"custkey", "acctbal"}
+
+
 def test_document_variables(schema, load):
     eng = GraphQLEngine(schema, load)
     res = eng.execute(

@@ -46,24 +46,38 @@ def _ast_value(node, variables):
     raise ValueError(f"unsupported value node {node!r}")
 
 
-def _inline_fragments(doc):
+def _inline_fragments(doc, variables=None):
     """Flatten fragment spreads (`...F` + `fragment F on T {...}`)
     and inline fragments (`... on T {...}`) into plain field
-    selections, so every downstream selection walk sees only
-    FieldNodes. The reference inherits fragment handling from
+    selections, and resolve the @skip/@include directives (dropping
+    excluded selections), so every downstream selection walk sees
+    only unconditional FieldNodes. The reference inherits both from
     graphql-core's executor (server2.py runs the standard `graphql()`
-    entry); here documents compile to DataFrame plans, so fragments
-    are resolved once, up front, on the parsed AST. Valid GraphQL
-    forbids fragment cycles; unknown names raise."""
+    entry); here documents compile to DataFrame plans, so they are
+    resolved once, up front, on the parsed AST. Valid GraphQL forbids
+    fragment cycles; unknown fragment names raise."""
     from graphql.language import ast as A
+    variables = variables or {}
     frags = {d.name.value: d for d in doc.definitions
              if isinstance(d, A.FragmentDefinitionNode)}
+
+    def included(node) -> bool:
+        for d in (node.directives or ()):
+            args = {a.name.value: _ast_value(a.value, variables)
+                    for a in d.arguments}
+            if d.name.value == "skip" and args.get("if"):
+                return False
+            if d.name.value == "include" and not args.get("if"):
+                return False
+        return True
 
     def expand(selection_set):
         if selection_set is None:
             return None
         sels = []
         for s in selection_set.selections:
+            if not included(s):
+                continue
             if isinstance(s, A.FragmentSpreadNode):
                 if s.name.value not in frags:
                     raise ValueError(
@@ -139,7 +153,7 @@ class GraphQLEngine:
         from graphql.language import ast as A
 
         variables = variables or {}
-        doc = _inline_fragments(parse(query))
+        doc = _inline_fragments(parse(query), variables)
         ops = [d for d in doc.definitions
                if isinstance(d, A.OperationDefinitionNode)]
         if len(ops) != 1 or ops[0].operation.value not in (
@@ -198,7 +212,7 @@ class GraphQLEngine:
             raise ValueError("engine has no SubscriptionManager "
                              "(pass subscriptions=)")
         variables = variables or {}
-        doc = _inline_fragments(parse(query))
+        doc = _inline_fragments(parse(query), variables)
         ops = [d for d in doc.definitions
                if isinstance(d, A.OperationDefinitionNode)]
         if len(ops) != 1 or ops[0].operation.value != "subscription":
