@@ -222,6 +222,37 @@ def test_mutation_add_and_upsert(schema, store):
     assert len(rows) == 1 and rows[0].r_name == "LEMURIA"
 
 
+def test_mutation_hooks_fire_and_abort(schema, store):
+    """Per-type OnCreate/OnUpdate/OnRemove hooks (reference
+    generate_api2.py:1328-1348): run on the affected rows before
+    commit; a raising hook aborts the mutation, store untouched."""
+    seen = []
+    hooks = {"Region": {
+        "create": lambda df: seen.append(
+            ("create", sorted(r.r_name for r in df.collect()))),
+        "remove": lambda df: seen.append(
+            ("remove", df.count()))}}
+    eng = GraphQLEngine(schema, store=store, hooks=hooks)
+    eng.execute("""
+      mutation { addRegion(input: [{regionkey: 91, name: "MU"}])
+                 { count } }""")
+    assert ("create", ["MU"]) in seen
+    eng.execute("""
+      mutation { deleteRegion(filter: {name: {eq: "MU"}}) { count } }""")
+    assert ("remove", 1) in seen
+    # aborting hook: store version unchanged, error surfaces
+    def veto(df):
+        raise ValueError("policy says no")
+    eng2 = GraphQLEngine(schema, store=store,
+                         hooks={"Region": {"create": veto}})
+    before = store.load("region").count()
+    with pytest.raises(RuntimeError, match="OnCreate hook.*aborted"):
+        eng2.execute("""
+          mutation { addRegion(input: [{regionkey: 92, name: "NO"}])
+                     { count } }""")
+    assert store.load("region").count() == before
+
+
 def test_mutation_update_set_and_remove(schema, store):
     eng = GraphQLEngine(schema, store=store)
     out = eng.execute("""

@@ -114,12 +114,15 @@ class GraphQLEngine:
 
     def __init__(self, schema: GqlSchema, load=None, store=None,
                  max_rows: int | None = DEFAULT_MAX_ROWS,
-                 subscriptions=None):
+                 subscriptions=None, hooks: dict | None = None):
         self.schema = schema
         self.store = store
         self.max_rows = max_rows
         #: optional SubscriptionManager; mutations publish into it
         self.subscriptions = subscriptions
+        #: per-type OnCreate/OnUpdate/OnRemove mutation hooks
+        #: ({type: {"create"|"update"|"remove": fn}}, mutations.py)
+        self.hooks = hooks
         if load is None:
             if store is None:
                 raise ValueError("need a loader or a TableStore")
@@ -255,7 +258,7 @@ class GraphQLEngine:
         from .mutations import MutationExecutor
         if self.store is None:
             raise ValueError("mutations need a TableStore-backed engine")
-        mx = MutationExecutor(self.schema, self.store)
+        mx = MutationExecutor(self.schema, self.store, self.hooks)
         out = {}
         for sel in op.selection_set.selections:
             fname = sel.name.value

@@ -55,13 +55,36 @@ class TableStore:
 
 class MutationExecutor:
     """Compiles one mutation field into a new table version + payload
-    DataFrame of the affected rows."""
+    DataFrame of the affected rows.
 
-    def __init__(self, schema: GqlSchema, store: TableStore):
+    ``hooks`` mirrors the reference's per-type OnCreate/OnUpdate/
+    OnRemove zef-function hooks (generate_api2.py:1328-1348):
+    ``{type_name: {"create"|"update"|"remove": fn}}``. A hook runs
+    BEFORE the copy-on-write swap and receives the affected-rows
+    DataFrame (the set-oriented analogue of the reference's
+    per-object call); an exception aborts the mutation with the store
+    untouched — same abort semantics as the reference's ExternalError
+    path. Graph-stored versioned functions (ops.zef_fn) are plain
+    callables, so they slot in directly as governed hooks."""
+
+    def __init__(self, schema: GqlSchema, store: TableStore,
+                 hooks: dict | None = None):
         self.schema = schema
         self.store = store
+        self.hooks = hooks or {}
         # FilterCompiler resolves TYPE names; the store holds TABLE names
         self._load = lambda tname: store.load(schema[tname].table)
+
+    def _run_hook(self, tname: str, kind: str, payload: DataFrame):
+        fn = (self.hooks.get(tname) or {}).get(kind)
+        if fn is None:
+            return
+        try:
+            fn(payload)
+        except Exception as e:
+            raise RuntimeError(
+                f"On{kind.capitalize()} hook for {tname!r} raised; "
+                f"mutation aborted: {e}") from e
 
     # -- add ----------------------------------------------------------
 
@@ -87,8 +110,10 @@ class MutationExecutor:
             cur = cur.where(~F.col(t.id_col).isin(ids) if ids
                             else F.lit(True))
         out = cur.unionByName(new.select(*cur.columns))
+        payload = new.select(*cur.columns)
+        self._run_hook(tname, "create", payload)
         self.store.swap(t.table, out)
-        return new.select(*cur.columns)
+        return payload
 
     # -- upfetch ------------------------------------------------------
 
@@ -130,11 +155,14 @@ class MutationExecutor:
         fresh = fresh.select(
             "*", *[F.lit(None).cast(dict(cur.dtypes)[c]).alias(c)
                    for c in missing]).select(*cur.columns)
-        self.store.swap(t.table, merged.unionByName(fresh))
         # payload: the post-merge view of every input-keyed row
         keys = [r[key] for r in rows]
-        return (merged.unionByName(fresh)
-                .where(F.col(key).isin(keys)))
+        payload = (merged.unionByName(fresh)
+                   .where(F.col(key).isin(keys)))
+        # upfetch is merge-or-create; the update hook governs it
+        self._run_hook(tname, "update", payload)
+        self.store.swap(t.table, merged.unionByName(fresh))
+        return payload
 
     # -- update -------------------------------------------------------
 
@@ -158,9 +186,11 @@ class MutationExecutor:
             F.when(match, touched[c]).otherwise(F.col(c)).alias(c)
             if c in touched else F.col(c)
             for c in cur.columns])
+        payload = out.join(self._matched_ids(tname, cur, filter_arg),
+                           t.id_col, "left_semi")
+        self._run_hook(tname, "update", payload)
         self.store.swap(t.table, out)
-        return out.join(self._matched_ids(tname, cur, filter_arg),
-                        t.id_col, "left_semi")
+        return payload
 
     # -- delete -------------------------------------------------------
 
@@ -171,6 +201,7 @@ class MutationExecutor:
         cur = self.store.load(t.table)
         ids = self._matched_ids(tname, cur, filter_arg)
         removed = cur.join(ids, t.id_col, "left_semi")
+        self._run_hook(tname, "remove", removed)
         self.store.swap(t.table, cur.join(ids, t.id_col, "left_anti"))
         return removed
 
