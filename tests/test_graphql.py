@@ -253,6 +253,48 @@ def test_mutation_hooks_fire_and_abort(schema, store):
     assert store.load("region").count() == before
 
 
+def test_sdl_declared_hooks_resolve(spark, store):
+    """@hooks(onCreate: "name") in the SDL resolves through a
+    registry or a graph-stored versioned function (reference: hook
+    names point at zef functions stored on the schema graph)."""
+    from zef_spark.graphql import resolve_hooks, schema_from_sdl
+    from zef_spark.ops.zef_functions import store_func
+    sdl = """
+    type Region @table(name: "region", id: "r_regionkey")
+                @hooks(onCreate: "audit_region", onRemove: "veto") {
+      regionkey: Int @col(name: "r_regionkey")
+      name: String @col(name: "r_name")
+    }"""
+    sch = schema_from_sdl(sdl)
+    assert sch["Region"].hook_names == {"create": "audit_region",
+                                        "remove": "veto"}
+    seen = []
+    hooks = resolve_hooks(sch, registry={
+        "audit_region": lambda df: seen.append(df.count()),
+        "veto": lambda df: (_ for _ in ()).throw(ValueError("no"))})
+    eng = GraphQLEngine(sch, store=store, hooks=hooks)
+    eng.execute("""mutation {
+        addRegion(input: [{regionkey: 93, name: "YS"}]) { count } }""")
+    assert seen == [1]
+    with pytest.raises(RuntimeError, match="OnRemove hook"):
+        eng.execute("""mutation {
+            deleteRegion(filter: {name: {eq: "YS"}}) { count } }""")
+    # graph-stored resolution: the hook is itself versioned data
+    from zef_spark.graph.delta import empty_graph
+    g, _ = store_func(empty_graph(spark),
+                      source="def audit_region(df):\n    return 1\n",
+                      label="audit_region")
+    hooks2 = resolve_hooks(
+        schema_from_sdl("""
+        type Region @table(name: "region", id: "r_regionkey")
+                    @hooks(onCreate: "audit_region") {
+          regionkey: Int @col(name: "r_regionkey")
+        }"""), graph=g)
+    assert callable(hooks2["Region"]["create"])
+    with pytest.raises(ValueError, match="not found"):
+        resolve_hooks(sch, registry={})
+
+
 def test_mutation_update_set_and_remove(schema, store):
     eng = GraphQLEngine(schema, store=store)
     out = eng.execute("""

@@ -3,15 +3,15 @@
 
 from .compiler import run_aggregate, run_query
 from .executor import GraphQLEngine
-from .schema import GqlRelation, GqlSchema, GqlType, schema_from_sdl, \
-    tpch_schema
+from .schema import GqlRelation, GqlSchema, GqlType, resolve_hooks, \
+    schema_from_sdl, tpch_schema
 from .server import (AuthConfig, AuthError, decode_jwt, encode_jwt,
                      make_server, serve_in_thread)
 from .subscriptions import (Subscription, SubscriptionManager,
                             counts_by_type)
 
 __all__ = ["GqlType", "GqlRelation", "GqlSchema", "schema_from_sdl",
-           "tpch_schema", "run_query", "run_aggregate", "GraphQLEngine",
+           "tpch_schema", "resolve_hooks", "run_query", "run_aggregate", "GraphQLEngine",
            "AuthConfig", "AuthError", "encode_jwt", "decode_jwt",
            "make_server", "serve_in_thread", "Subscription",
            "SubscriptionManager", "counts_by_type"]

@@ -42,6 +42,12 @@ class GqlType:
     #: gql name of the @upfetch (unique) field, if declared — enables
     #: the upfetch<T> mutation (merge-by-unique-field)
     upfetch_field: str | None = None
+    #: mutation-hook NAMES from the type-level @hooks directive
+    #: ({"create"|"update"|"remove": name}), resolved to callables by
+    #: resolve_hooks() — the SDL analogue of the reference's
+    #: _OnCreate/_OnUpdate/_OnRemove fields pointing at zef functions
+    #: on the schema graph (schema_file_parser.py:317-322)
+    hook_names: dict = field(default_factory=dict)
 
     def numeric_fields(self, df) -> dict:
         numeric = {"bigint", "int", "double", "float", "decimal"}
@@ -87,6 +93,10 @@ def schema_from_sdl(sdl: str) -> GqlSchema:
         t = GqlType(name=d.name.value,
                     table=tbl.get("name", d.name.value.lower()),
                     id_col=tbl.get("id", "id"))
+        hooks = dir_args(d, "hooks") or {}
+        t.hook_names = {kind[2:].lower(): fn_name
+                        for kind, fn_name in hooks.items()
+                        if kind in ("onCreate", "onUpdate", "onRemove")}
         for f in d.fields:
             ftype = f.type
             is_list = False
@@ -113,6 +123,37 @@ def schema_from_sdl(sdl: str) -> GqlSchema:
                     t.upfetch_field = f.name.value
         schema.add(t)
     return schema
+
+
+def resolve_hooks(schema: GqlSchema, registry: dict | None = None,
+                  graph=None) -> dict:
+    """Resolve every type's @hooks names to callables — the dict
+    GraphQLEngine/MutationExecutor take as ``hooks``. Names resolve
+    from ``registry`` first, then from versioned functions stored on
+    ``graph`` (ops.store_func/load_func) — mirroring the reference,
+    which looks hook names up among the zef functions on the schema
+    graph (schema_file_parser.py:317-322) so mutation governance is
+    itself versioned data."""
+    out = {}
+    for t in schema.types.values():
+        if not t.hook_names:
+            continue
+        resolved = {}
+        for kind, name in t.hook_names.items():
+            fn = (registry or {}).get(name)
+            if fn is None and graph is not None:
+                from ..ops.zef_functions import load_func
+                try:
+                    fn = load_func(graph, name)
+                except KeyError:
+                    fn = None
+            if fn is None:
+                raise ValueError(
+                    f"hook {name!r} for {t.name}.{kind} not found in "
+                    f"registry or stored on the graph")
+            resolved[kind] = fn
+        out[t.name] = resolved
+    return out
 
 
 TPCH_SDL = """
