@@ -156,6 +156,15 @@ def test_document_fragments(schema, load):
         eng.execute("query { getCustomer(id: 1) { ...nope } }")
 
 
+def test_typename_meta_field(schema, load):
+    eng = GraphQLEngine(schema, load)
+    res = eng.execute("""
+    query { getCustomer(id: 28) {
+      __typename custkey nation { __typename name } } }""")
+    assert res["getCustomer"]["__typename"] == "Customer"
+    assert res["getCustomer"]["nation"]["__typename"] == "Nation"
+
+
 def test_skip_include_directives(schema, load):
     eng = GraphQLEngine(schema, load)
     res = eng.execute("""

@@ -325,7 +325,9 @@ class GraphQLEngine:
         for sel in selection.selections:
             fname = sel.name.value
             alias = sel.alias.value if sel.alias else fname
-            if fname in t.fields:
+            if fname == "__typename":
+                cols.append(F.lit(tname).alias(alias))
+            elif fname in t.fields:
                 cols.append(F.col(t.fields[fname]).alias(alias))
             elif fname in t.relations:
                 rel = t.relations[fname]
