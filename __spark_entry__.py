@@ -3037,6 +3037,77 @@ def gql_mut_delete(spark, sf_dir):
         F.round(F.sum("o_totalprice"), 2).alias("total"))
 
 
+@query("p_nb_classifier", r"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         ('0x' || SUBSTR(MD5(t || 'nb_v1'), 1, 15))::BIGINT % 4096
+           AS feature
+  FROM (SELECT doc_id, lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+                                                     '\W+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+), train_counts AS (
+  SELECT lang AS label, feature, COUNT(*) AS c
+  FROM feat WHERE doc_id % 5 <> 0
+  GROUP BY label, feature
+), label_tok AS (
+  SELECT label, CAST(SUM(c) AS BIGINT) AS T
+  FROM train_counts GROUP BY label
+), labels AS (
+  SELECT d.label,
+         CAST(ROUND(LN(d.n_docs /
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents
+                        WHERE doc_id % 5 <> 0)), 6)
+              AS DECIMAL(20,6)) AS prior,
+         CAST(ROUND(LN(1.0 / (t.T + 4096.0)), 6)
+              AS DECIMAL(20,6)) AS default_lp
+  FROM (SELECT lang AS label, COUNT(*) AS n_docs FROM documents
+        WHERE doc_id % 5 <> 0 GROUP BY lang) d
+  JOIN label_tok t USING (label)
+), deltas AS (
+  SELECT feature, label,
+         CAST(ROUND(LN(c + 1.0), 6) AS DECIMAL(20,6)) AS delta
+  FROM train_counts
+), posting AS (
+  SELECT doc_id, feature, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM feat WHERE doc_id % 5 = 0 GROUP BY doc_id, feature
+), doc_n AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok
+  FROM posting GROUP BY doc_id
+), obs AS (
+  SELECT p.doc_id, d.label, SUM(p.tf * d.delta) AS obs_lp
+  FROM posting p JOIN deltas d USING (feature)
+  GROUP BY p.doc_id, d.label
+), best AS (
+  SELECT dn.doc_id AS doc_id, l.label AS label_pred,
+         ROW_NUMBER() OVER (
+           PARTITION BY dn.doc_id
+           ORDER BY l.prior + dn.n_tok * l.default_lp
+                    + COALESCE(o.obs_lp, 0) DESC, l.label DESC) AS rn
+  FROM doc_n dn CROSS JOIN labels l
+  LEFT JOIN obs o ON o.doc_id = dn.doc_id AND o.label = l.label
+)
+SELECT d.lang, b.label_pred, COUNT(*) AS n
+FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+GROUP BY d.lang, b.label_pred
+ORDER BY d.lang, b.label_pred
+""")
+def p_nb_classifier(spark, sf_dir):
+    """Hashed-feature Naive Bayes classifier (pipeline/classifier.py):
+    train on 4/5 of documents, confusion matrix on the held-out 1/5.
+    Train = one (feature,label) shuffle; model is bounded by the
+    hashing trick and broadcast at scoring; decimal log-probs make
+    scores partition-order-exact (the oracle replays train+score)."""
+    from zef_spark.pipeline.classifier import nb_train, nb_confusion
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_train(docs.where("doc_id % 5 != 0"), "text", "lang",
+                     n_features=4096, alpha=1.0)
+    return (nb_confusion(docs.where("doc_id % 5 = 0"), model,
+                         "text", "doc_id", "lang")
+            .orderBy("lang", "label_pred"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -3086,7 +3157,7 @@ _FRONT = [
     # r01-r03 each; q1 additionally runs every round via the entry()
     # smoke check). Still queued for the r05 front: p_sketch_merge,
     # p_theta_overlap, p_mixture_sample, p_chunk_documents,
-    # p_repeated_spans, p_split_corpus.
+    # p_repeated_spans, p_split_corpus, p_nb_classifier.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H
