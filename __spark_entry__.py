@@ -3108,6 +3108,34 @@ def p_nb_classifier(spark, sf_dir):
             .orderBy("lang", "label_pred"))
 
 
+_PR_EDGES_SQL = """SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+
+
+def _pr_oracle() -> str:
+    from zef_spark.graph.algorithms import pagerank_oracle_sql
+    return pagerank_oracle_sql(_PR_EDGES_SQL, n_iter=3)
+
+
+@query("p_pagerank", None)
+def p_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (graph/algorithms.py) over the
+    customer->supplier purchase graph (supplier ids offset to
+    disambiguate the two key spaces). Each iteration shuffles only
+    the O(nodes) rank vector; decimal-exact, oracle unrolls the same
+    3 iterations in DuckDB."""
+    from zef_spark.graph.algorithms import pagerank
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1000000).alias("dst")))
+    return pagerank(edges, n_iter=3).orderBy("id")
+
+
+ORACLE["p_pagerank"] = _pr_oracle()
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

@@ -1,0 +1,131 @@
+"""Iterative graph analytics over edge lists — the algorithm tier on
+top of the traversal ops (graph/ops.py hops, NodeSet.gather closure,
+pipeline/corpus.dup_clusters components). Reference zef stops at
+closure (`gather`); ranking/centrality is a Spark-native extra that a
+graph-engine user expects.
+
+``pagerank`` is the classic bulk-synchronous shape: each iteration is
+ONE shuffle (contributions keyed by destination) joined against the
+static out-degree table. Ranks carry as DECIMAL so per-iteration sums
+are exact and partition-order-independent; the only float steps are
+divisions, which are IEEE-deterministic for identical inputs and
+immediately re-rounded into DECIMAL via explicit ROUND (half-up in
+both Spark and DuckDB for positive values — never a Python round(),
+which is banker's, and never a precision-reducing decimal cast) — a
+fixed-iteration run is therefore bit-reproducible and replayable in
+another engine (the `p_pagerank` oracle unrolls the same iterations
+in DuckDB).
+
+100 TB notes: the edge table never moves — only the rank vector
+(O(nodes)) shuffles per iteration; out-degrees are computed once.
+`checkpoint_every` truncates lineage with localCheckpoint the same way
+`NodeSet.gather` does (swap for checkpoint() on a real cluster).
+Dangling mass: simplified PageRank (rank = (1-d)/N + d·Σ in-contribs)
+— dangling-node mass decays rather than redistributes, the common
+choice for link-spam-robust relevance and the one that keeps the
+per-iteration plan a single aggregation (no extra global sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: scale of the intermediate decimal rank representation. 12 decimal
+#: digits of a rank in [0, 1] is far below any ranking-relevant
+#: difference and well inside double's 15-16 significant digits, so
+#: the round(double -> dec12) step cannot flake across engines.
+_SCALE = 12
+_DEC = f"decimal(26,{_SCALE})"
+
+
+def _dec12(col):
+    """double -> DECIMAL(26,12) via explicit half-up ROUND (identical
+    in Spark and DuckDB for positive values)."""
+    return F.round(col, _SCALE).cast(_DEC)
+
+
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             n_iter: int = 3, damping: float = 0.85,
+             digits: int = 6, checkpoint_every: int = 0) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+    Returns (id, rank) for every node appearing as source or target;
+    rank rounded to `digits`. Duplicate edges count once."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct())
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    n = nodes.count()  # scalar: drives the teleport constant only
+    teleport = _dec12(F.lit(1.0 - damping) / F.lit(float(n)))
+    damp = F.lit(damping).cast("decimal(4,3)")
+
+    ranks = nodes.select("id", _dec12(F.lit(1.0) / F.lit(float(n)))
+                         .alias("rank"))
+    if checkpoint_every:
+        e = e.localCheckpoint()
+        deg = deg.localCheckpoint()
+
+    for i in range(n_iter):
+        contribs = (e.join(ranks.join(deg, "id"),
+                           e.src == F.col("id"))
+                    .select(F.col("dst").alias("id"),
+                            _dec12(F.col("rank").cast("double")
+                                   / F.col("out_deg")).alias("contrib"))
+                    .groupBy("id")
+                    .agg(F.sum("contrib").alias("in_sum")))
+        # teleport + d*in_sum is exact decimal arithmetic (scale 15);
+        # the explicit ROUND brings it back to scale 12 half-up.
+        ranks = (nodes.join(contribs, "id", "left")
+                 .select("id",
+                         F.round(teleport + damp
+                                 * F.coalesce(F.col("in_sum"),
+                                              F.lit(0).cast(_DEC)),
+                                 _SCALE).cast(_DEC).alias("rank")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+
+    return ranks.select("id", F.round(F.col("rank").cast("double"),
+                                      digits).alias("rank"))
+
+
+def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3,
+                        damping: float = 0.85, digits: int = 6) -> str:
+    """DuckDB SQL replaying `pagerank` exactly: same decimal scale,
+    same explicit ROUND at every precision boundary, iterations
+    unrolled (recursive CTEs cannot aggregate). `edges_cte` must
+    select columns (src, dst). Float literals are repr()'d so both
+    engines start from bit-identical doubles."""
+    d = damping
+    one_minus_d = repr(1.0 - damping)  # Python double, verbatim
+    dec = f"DECIMAL(26,{_SCALE})"
+    sql = [f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY src),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT id, CAST(ROUND(1.0 / (SELECT n FROM n), {_SCALE})
+                       AS {dec}) AS rank FROM nodes)"""]
+    for i in range(n_iter):
+        sql.append(f""",
+c{i} AS (
+  SELECT e.dst AS id,
+         SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) / deg.out_deg,
+                        {_SCALE}) AS {dec})) AS in_sum
+  FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON deg.id = r.id
+  GROUP BY e.dst
+), r{i + 1} AS (
+  SELECT nodes.id,
+         CAST(ROUND(CAST(ROUND({one_minus_d} / (SELECT n FROM n),
+                               {_SCALE}) AS {dec})
+                    + CAST({d} AS DECIMAL(4,3)) * COALESCE(
+                        c{i}.in_sum, CAST(0 AS {dec})),
+                    {_SCALE}) AS {dec}) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id
+)""")
+    sql.append(f"""
+SELECT id, ROUND(CAST(rank AS DOUBLE), {digits}) AS rank
+FROM r{n_iter} ORDER BY id""")
+    return "".join(sql)
