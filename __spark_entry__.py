@@ -3108,6 +3108,49 @@ def p_nb_classifier(spark, sf_dir):
             .orderBy("lang", "label_pred"))
 
 
+@query("p_incremental_dedup", """
+WITH sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      GENERATE_SERIES(1, LEN(text)-4),
+      i -> (ORD(text[i])*4362470401 + ORD(text[i+1])*16974593 +
+            ORD(text[i+2])*66049 + ORD(text[i+3])*257 + ORD(text[i+4]))
+           % 2147483647)) AS hs
+  FROM documents WHERE LEN(COALESCE(text,'')) >= 5
+), sizes AS (SELECT doc_id, LEN(hs) AS n FROM sh),
+posting AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+inter AS (
+  SELECT b.doc_id AS new_id, a.doc_id AS old_id, COUNT(*) AS ni
+  FROM posting a JOIN posting b USING (h)
+  WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0 GROUP BY 1, 2
+)
+SELECT new_id, old_id, ni/(sa.n + sb.n - ni) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = old_id
+           JOIN sizes sb ON sb.doc_id = new_id
+WHERE ni/(sa.n + sb.n - ni) >= 0.4
+ORDER BY new_id, old_id
+""")
+def p_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup detection (pipeline/dedup.py): 3/4 of
+    documents are indexed ONCE (banded postings + shingle features on
+    disk), then the remaining 1/4 arrives as a new batch and probes
+    the index — batch postings broadcast, the corpus never re-reads
+    its text. Oracle = true cross-set Jaccard >= 0.4 all-pairs (the
+    64/16 banding's 100% recall at 0.4 is part of what's asserted)."""
+    import tempfile
+    from zef_spark.pipeline.dedup import (build_minhash_index,
+                                          incremental_minhash_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/zef_spark_mh_index_{sf_tag}"
+    build_minhash_index(docs.where("doc_id % 4 != 0"), "text",
+                        "doc_id", path)
+    return (incremental_minhash_pairs(
+        docs.where("doc_id % 4 = 0"), path, "text", "doc_id",
+        jaccard_threshold=0.4)
+        .orderBy("new_id", "old_id"))
+
+
 _PR_EDGES_SQL = """SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
 

@@ -297,6 +297,147 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified.select("id_a", "id_b", "jaccard")
 
 
+# ---------------------------------------------------------------------
+# Incremental dedup: persisted MinHash index + new-batch probe.
+# The production shape at 100 TB: the corpus's banded postings and
+# shingle features are computed ONCE at ingest; each new batch pays
+# only its own signature pass plus two joins where the (small) batch
+# side broadcasts — the index is scanned (narrow columns), never
+# shuffled, and never re-shingled.
+# ---------------------------------------------------------------------
+
+def _band_buckets(sig_col, num_perm: int, bands: int):
+    """array of per-band bucket hashes over the raw sig longs (same
+    expression family as minhash_lsh_pairs)."""
+    rows = num_perm // bands
+    return F.array(*[
+        F.xxhash64(*[sig_col[b * rows + r] for r in range(rows)],
+                   F.lit(b))
+        for b in range(bands)])
+
+
+def build_minhash_index(df: DataFrame, text_col: str, id_col: str,
+                        path: str, num_perm: int = 64, bands: int = 16,
+                        k: int = 5, mode: str = "overwrite") -> None:
+    """Materialize the corpus near-dup index at `path`:
+    - `features/`  (id, sh, n_sh)        — exact-verify shingle sets
+    - `postings/`  (id, band, bucket)    — banded LSH postings
+    - `meta/`      one row of the build parameters (probe asserts
+      compatibility — a num_perm/bands/k mismatch silently produces
+      disjoint buckets, so it must fail loudly instead).
+    mode="append" adds a new batch to an existing index (same params,
+    caller dedups ids)."""
+    spark = df.sparkSession
+    df = df.where(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= k)
+    feats = (df.select(F.col(id_col).alias("id"),
+                       _minhash_features_pandas_udf(num_perm, k)(
+                           F.col(text_col)).alias("__m"))
+             .select("id", F.col("__m.sig").alias("sig"),
+                     F.col("__m.sh").alias("sh"))
+             .withColumn("n_sh", F.size("sh")))
+    feats.select("id", "sh", "n_sh").write.mode(mode).parquet(
+        f"{path}/features")
+    # recompute the (cheap, row-local) signature for postings rather
+    # than persisting sig: the write barrier would otherwise force a
+    # second full read of features
+    posts = (df.select(F.col(id_col).alias("id"),
+                       _minhash_pandas_udf(num_perm, k)(
+                           F.col(text_col)).alias("sig"))
+             .select("id", F.posexplode(
+                 _band_buckets(F.col("sig"), num_perm, bands))
+                 .alias("band", "bucket")))
+    posts.write.mode(mode).parquet(f"{path}/postings")
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(num_perm, bands, k)], "num_perm int, bands int, k int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def incremental_minhash_pairs(new_df: DataFrame, index_path: str,
+                              text_col: str, id_col: str,
+                              jaccard_threshold: float = 0.4
+                              ) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the indexed corpus:
+    (new_id, old_id, jaccard). The batch is signed row-locally; its
+    postings broadcast-join the index postings (the index side never
+    shuffles), candidates dedup, and exact verification joins the
+    stored shingle sets — no corpus text is ever re-read."""
+    from pyspark import StorageLevel
+    spark = new_df.sparkSession
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    num_perm, bands, k = meta.num_perm, meta.bands, meta.k
+
+    new_df = new_df.where(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) >= k)
+    npart = spark.sparkContext.defaultParallelism
+    new_feats = (new_df.repartition(npart, F.col(id_col))
+                 .select(F.col(id_col).alias("new_id"),
+                         _minhash_features_pandas_udf(num_perm, k)(
+                             F.col(text_col)).alias("__m"))
+                 .select("new_id", F.col("__m.sig").alias("sig"),
+                         F.col("__m.sh").alias("sh_new"),
+                         F.size("__m.sh").alias("n_new"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    new_posts = new_feats.select(
+        "new_id", F.posexplode(
+            _band_buckets(F.col("sig"), num_perm, bands))
+        .alias("band", "bucket"))
+    idx_posts = spark.read.parquet(f"{index_path}/postings")
+    # batch side is the small one by construction — broadcast it so
+    # the corpus postings scan stays shuffle-free
+    cand = (idx_posts.join(F.broadcast(new_posts), ["band", "bucket"])
+            .select("new_id", F.col("id").alias("old_id"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    cand.count()
+    idx_feats = spark.read.parquet(f"{index_path}/features")
+    verified = (cand
+                .join(idx_feats, cand.old_id == idx_feats.id)
+                .join(new_feats.select("new_id", "sh_new", "n_new"),
+                      "new_id")
+                .withColumn("__inter",
+                            F.size(F.array_intersect("sh_new", "sh")))
+                .withColumn("jaccard",
+                            F.col("__inter") /
+                            (F.col("n_new") + F.col("n_sh")
+                             - F.col("__inter")))
+                .where(F.col("jaccard") >= jaccard_threshold))
+    return verified.select("new_id", "old_id", "jaccard")
+
+
+def incremental_ingest(new_df: DataFrame, index_path: str,
+                       text_col: str, id_col: str,
+                       jaccard_threshold: float = 0.4) -> DataFrame:
+    """The full ingest step: probe the index, keep only batch docs
+    with NO near-dup in the corpus, append the survivors to the index,
+    and return them. Batch-internal dups are also collapsed (keep
+    smallest id) via minhash_lsh_pairs on the batch alone."""
+    meta = (new_df.sparkSession.read.parquet(f"{index_path}/meta")
+            .collect()[0])
+    dup_new = (incremental_minhash_pairs(
+        new_df, index_path, text_col, id_col, jaccard_threshold)
+        .select(F.col("new_id").alias(id_col)).distinct())
+    survivors = new_df.join(dup_new, id_col, "left_anti")
+    intra = (minhash_lsh_pairs(survivors, text_col, id_col,
+                               num_perm=meta.num_perm,
+                               bands=meta.bands, k=meta.k,
+                               jaccard_threshold=jaccard_threshold)
+             .select(F.col("id_b").alias(id_col)).distinct())
+    survivors = survivors.join(intra, id_col, "left_anti")
+    # SEVER the plan from the index files before appending to them:
+    # a parquet write triggers recacheByPath on every cached plan that
+    # reads the written path, so a merely-persisted survivors frame
+    # would silently RECOMPUTE against the post-append index (where
+    # each survivor collides with itself) and come back empty.
+    # localCheckpoint materializes to executor storage with no file
+    # lineage — immune to the recache. (Real cluster: checkpoint().)
+    survivors = survivors.localCheckpoint()
+    build_minhash_index(survivors, text_col, id_col, index_path,
+                        num_perm=meta.num_perm, bands=meta.bands,
+                        k=meta.k, mode="append")
+    return survivors
+
+
 SIMHASH_BITS = 60  # 15 hex digits of md5: portable to any engine
                    # with md5 (DuckDB oracle recomputes it bit-for-bit)
 
