@@ -3108,6 +3108,90 @@ def p_nb_classifier(spark, sf_dir):
             .orderBy("lang", "label_pred"))
 
 
+@query("p_gopher_rules", r"""
+WITH m AS (
+  SELECT doc_id,
+    LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS g_n_words,
+    LEN(text) - LEN(REPLACE(REPLACE(REPLACE(REPLACE(text, ' ', ''),
+        chr(9), ''), chr(10), ''), chr(13), '')) AS n_ws,
+    LEN(text) - LEN(REPLACE(text, '#', '')) AS n_hash,
+    LEN(REGEXP_EXTRACT_ALL(text, '\.\.\.')) AS n_ellipsis,
+    LEN(REGEXP_EXTRACT_ALL(text, chr(10))) + 1 AS n_lines,
+    LEN(REGEXP_EXTRACT_ALL(text, '(?m)^\s*[-*]')) AS n_bullet,
+    LEN(REGEXP_EXTRACT_ALL(text, '(?m)\.\.\.\s*$')) AS n_ell_end,
+    LEN(REGEXP_EXTRACT_ALL(' ' || text, '\s\S*[A-Za-z]')) AS n_alpha_w,
+    (CASE WHEN REGEXP_MATCHES(LOWER(text), '\bthe\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\bbe\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\bto\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\bof\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\band\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\bthat\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\bhave\b') THEN 1 ELSE 0 END
+     + CASE WHEN REGEXP_MATCHES(LOWER(text), '\bwith\b') THEN 1 ELSE 0 END
+    ) AS g_stop_hits,
+    LEN(text) AS n_chars
+  FROM documents
+), r AS (
+  SELECT doc_id, g_n_words,
+    ROUND(CASE WHEN g_n_words > 0
+               THEN (n_chars - n_ws) * 1.0 / g_n_words ELSE 0 END, 6)
+      AS g_mean_word_len,
+    ROUND(CASE WHEN g_n_words > 0
+               THEN (n_hash + n_ellipsis) * 1.0 / g_n_words
+               ELSE 0 END, 6) AS g_symbol_ratio,
+    ROUND(n_bullet * 1.0 / n_lines, 6) AS g_bullet_frac,
+    ROUND(n_ell_end * 1.0 / n_lines, 6) AS g_ellipsis_frac,
+    ROUND(CASE WHEN g_n_words > 0
+               THEN n_alpha_w * 1.0 / g_n_words ELSE 0 END, 6)
+      AS g_alpha_word_frac,
+    g_stop_hits
+  FROM m
+)
+SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
+       g_bullet_frac, g_ellipsis_frac, g_alpha_word_frac, g_stop_hits,
+       CASE WHEN g_n_words BETWEEN 50 AND 100000
+             AND g_mean_word_len BETWEEN 3 AND 10
+             AND g_symbol_ratio <= 0.1
+             AND g_bullet_frac <= 0.9
+             AND g_ellipsis_frac <= 0.3
+             AND g_alpha_word_frac >= 0.8
+             AND g_stop_hits >= 2
+            THEN 1 ELSE 0 END AS gopher_keep
+FROM r ORDER BY doc_id
+""")
+def p_gopher_rules(spark, sf_dir):
+    """Gopher hard quality thresholds (pipeline/text.py gopher_rules,
+    Rae et al. 2021 Table A1) — row-local scalar regexp/translate
+    metrics + the keep gate; oracle replays every rule in DuckDB."""
+    from zef_spark.pipeline.text import gopher_rules
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules(docs, "text")
+    return (g.select("doc_id", "g_n_words", "g_mean_word_len",
+                     "g_symbol_ratio", "g_bullet_frac",
+                     "g_ellipsis_frac", "g_alpha_word_frac",
+                     "g_stop_hits", "gopher_keep")
+            .orderBy("doc_id"))
+
+
+@query("p_c4_line_clean", r"""
+SELECT doc_id,
+       COALESCE(ARRAY_TO_STRING(LIST_FILTER(STR_SPLIT(text, chr(10)),
+         l -> REGEXP_MATCHES(l, '[.!?"’”]\s*$')
+              AND LEN(LIST_FILTER(STRING_SPLIT_REGEX(l, '\s+'),
+                                  t -> t <> '')) >= 3),
+         chr(10)), '') AS clean_text
+FROM documents ORDER BY doc_id
+""")
+def p_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning (pipeline/text.py c4_line_clean,
+    Raffel et al. 2020 §2.2): keep lines with terminal punctuation
+    and >=3 words, rejoin. Row-local, zero shuffle."""
+    from zef_spark.pipeline.text import c4_line_clean
+    docs = _t(spark, sf_dir, "documents")
+    return (c4_line_clean(docs, "text")
+            .select("doc_id", "clean_text").orderBy("doc_id"))
+
+
 @query("p_incremental_dedup", """
 WITH sh AS (
   SELECT doc_id,

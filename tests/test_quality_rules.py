@@ -1,0 +1,51 @@
+"""Gopher hard-threshold rules and C4 line cleaning
+(pipeline/text.py) on constructed rich text."""
+
+from zef_spark.pipeline.text import c4_line_clean, gopher_rules
+
+GOOD = ("The quick brown fox jumps over the lazy dog and runs far. "
+        * 12)  # ~120 words, has 'the'/'and', all alpha words
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_keeps_good_prose(spark):
+    [r] = gopher_rules(_df(spark, [(1, GOOD)]), "text").collect()
+    assert r.gopher_keep == 1
+    assert r.g_n_words >= 50 and r.g_stop_hits >= 2
+    assert 3 <= r.g_mean_word_len <= 10
+    assert r.g_alpha_word_frac >= 0.8
+
+
+def test_gopher_rejects_each_rule(spark):
+    rows = [
+        (1, "too short doc"),                       # < 50 words
+        (2, ("# " * 30 + "word ") * 20),            # symbol ratio
+        (3, "\n".join("- bullet line" for _ in range(40))
+            + "\n" + GOOD),                         # bullet frac
+        (4, ("12345 9876 00 11 22 " * 30)),         # alpha word frac
+        (5, ("zz qq ww ee rr tt yy uu " * 20)),     # no stopwords
+    ]
+    got = {r.doc_id: r.gopher_keep
+           for r in gopher_rules(_df(spark, rows), "text").collect()}
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_c4_keeps_only_terminal_punct_lines(spark):
+    text = ("A proper sentence with enough words here.\n"
+            "no terminal punctuation on this line\n"
+            "Short one.\n"            # < 3 words
+            "Another good sentence ends with a question mark?\n"
+            "menu | nav | login")
+    [r] = c4_line_clean(_df(spark, [(1, text)]), "text").collect()
+    assert r.clean_text == (
+        "A proper sentence with enough words here.\n"
+        "Another good sentence ends with a question mark?")
+
+
+def test_c4_empty_when_nothing_qualifies(spark):
+    [r] = c4_line_clean(_df(spark, [(1, "word salad no punct")]),
+                        "text").collect()
+    assert r.clean_text == ""

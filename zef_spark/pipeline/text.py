@@ -125,6 +125,95 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
                      F.round(score, 6).alias("quality"))
 
 
+#: the Gopher stop set (Rae et al. 2021 §A1.1): a doc must contain at
+#: least `min_stop_hits` DISTINCT of these to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    r"""Gopher quality-filter rules (Rae et al. 2021, Table A1) as
+    metric columns + one `gopher_keep` flag. Complements
+    ``quality_score`` (a soft composite) with the published HARD
+    thresholds a curation pipeline gates on.
+
+    Every metric is a scalar regexp_count / translate over the text —
+    row-local, whole-stage-codegen'd, zero shuffle; at 100 TB this
+    pipelines with whatever scan feeds it. Patterns are RE2-safe so
+    the DuckDB oracle replays them verbatim."""
+    text = F.col(text_col)
+    low = F.lower(text)
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
+    # chars inside words = total minus whitespace (translate is a char
+    # map, not a regex pass — same trick as quality_score)
+    n_ws = F.length(text) - F.length(F.translate(text, " \t\n\r", ""))
+    n_hash = F.length(text) - F.length(F.translate(text, "#", ""))
+    n_ellipsis = F.regexp_count(text, F.lit(r"\.\.\."))
+    n_lines = F.regexp_count(text, F.lit("\n")) + 1
+    n_bullet = F.regexp_count(text, F.lit(r"(?m)^\s*[-*]"))
+    n_ell_end = F.regexp_count(text, F.lit(r"(?m)\.\.\.\s*$"))
+    # words containing a letter: one leading-whitespace-anchored scan
+    n_alpha_w = F.regexp_count(F.concat(F.lit(" "), text),
+                               F.lit(r"\s\S*[A-Za-z]"))
+    stop_hits = sum(
+        (F.regexp_count(low, F.lit(rf"\b{w}\b")) > 0).cast("int")
+        for w in GOPHER_STOPWORDS)
+
+    mean_wl = F.when(n_words > 0,
+                     (F.length(text) - n_ws) / n_words).otherwise(0.0)
+    sym = F.when(n_words > 0,
+                 (n_hash + n_ellipsis) / n_words).otherwise(0.0)
+    bullet = n_bullet / n_lines
+    ell = n_ell_end / n_lines
+    alpha = F.when(n_words > 0, n_alpha_w / n_words).otherwise(0.0)
+
+    out = df.select(
+        "*",
+        n_words.alias("g_n_words"),
+        F.round(mean_wl, 6).alias("g_mean_word_len"),
+        F.round(sym, 6).alias("g_symbol_ratio"),
+        F.round(bullet, 6).alias("g_bullet_frac"),
+        F.round(ell, 6).alias("g_ellipsis_frac"),
+        F.round(alpha, 6).alias("g_alpha_word_frac"),
+        stop_hits.alias("g_stop_hits"))
+    keep = ((F.col("g_n_words") >= min_words)
+            & (F.col("g_n_words") <= max_words)
+            & (F.col("g_mean_word_len") >= min_mean_word_len)
+            & (F.col("g_mean_word_len") <= max_mean_word_len)
+            & (F.col("g_symbol_ratio") <= max_symbol_ratio)
+            & (F.col("g_bullet_frac") <= max_bullet_frac)
+            & (F.col("g_ellipsis_frac") <= max_ellipsis_frac)
+            & (F.col("g_alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("g_stop_hits") >= min_stop_hits))
+    return out.withColumn("gopher_keep", keep.cast("int"))
+
+
+def c4_line_clean(df: DataFrame, text_col: str,
+                  out_col: str = "clean_text",
+                  min_words_per_line: int = 3) -> DataFrame:
+    r"""C4 line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation AND have at least
+    `min_words_per_line` words; the doc's clean text is the kept
+    lines re-joined. Row-local (split → filter → join on the line
+    array); the per-line predicate is an interpreted HOF but touches
+    each char once — still scan-bound, zero shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(r'[.!?"’”]\s*$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))
+           >= min_words_per_line))
+    return df.withColumn(out_col, F.array_join(kept, "\n"))
+
+
 def repetition_signals(df: DataFrame, id_col: str,
                        text_col: str) -> DataFrame:
     r"""Gopher-style repetition/diversity filters, set-oriented:
