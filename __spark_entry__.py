@@ -3235,6 +3235,59 @@ def p_incremental_dedup(spark, sf_dir):
         .orderBy("new_id", "old_id"))
 
 
+def _embed_pipeline_oracle_sql(in_dim: int = 64, out_dim: int = 8,
+                               seed: str = "rp_v1") -> str:
+    """DuckDB replay of mean_pool -> l2_normalize ->
+    random_projection: identical sign constants, identical rounding
+    boundaries (decimal-exact pooled sums, round-6 elements)."""
+    from zef_spark.pipeline.embeddings import projection_signs
+    import math
+    signs = projection_signs(in_dim, out_dim, seed)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    rows = ", ".join(
+        "({}, [{}])".format(j, ", ".join(
+            f"{s}.0" for s in row))
+        for j, row in enumerate(signs))
+    return f"""
+WITH pooled AS (
+  SELECT label, t.i - 1 AS dim,
+         ROUND(CAST(SUM(CAST(embedding[t.i] AS DECIMAL(18,9)))
+                    AS DOUBLE) / COUNT(*), 6) AS m
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, {in_dim})) AS t(i)
+  GROUP BY label, t.i
+), vecs AS (
+  SELECT label, LIST(m ORDER BY dim) AS v FROM pooled GROUP BY label
+), unit AS (
+  SELECT label,
+         LIST_TRANSFORM(v, x ->
+           ROUND(x / SQRT(LIST_DOT_PRODUCT(v, v)), 6)) AS u
+  FROM vecs
+), signs(j, s) AS (VALUES {rows})
+SELECT u.label, signs.j AS dim,
+       ROUND(LIST_DOT_PRODUCT(u.u, signs.s) * {scale}, 6) AS value
+FROM unit u CROSS JOIN signs
+ORDER BY label, dim
+"""
+
+
+@query("p_embed_pipeline", _embed_pipeline_oracle_sql())
+def p_embed_pipeline(spark, sf_dir):
+    """Embedding utility chain (pipeline/embeddings.py): per-label
+    mean-pool (decimal-exact), L2 normalize, and an 8-dim md5-sign
+    Johnson-Lindenstrauss projection, exploded to scalar rows for the
+    value-hash compare. Pooling is the only shuffle; the projection
+    matrix is literal constants in the plan."""
+    from zef_spark.pipeline.embeddings import (l2_normalize, mean_pool,
+                                               random_projection)
+    emb = _t(spark, sf_dir, "embeddings")
+    pooled = mean_pool(emb, "label", "embedding")
+    unit = l2_normalize(pooled, "pooled", out_col="u")
+    proj = random_projection(unit, "u", in_dim=64, out_dim=8)
+    return (proj.select("label", F.posexplode("projected")
+                        .alias("dim", "value"))
+            .orderBy("label", "dim"))
+
+
 _PR_EDGES_SQL = """SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
 
