@@ -3235,6 +3235,81 @@ def p_incremental_dedup(spark, sf_dir):
         .orderBy("new_id", "old_id"))
 
 
+@query("e_gapfill", """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+  FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+), bounds AS (
+  SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly
+), spine AS (
+  SELECT t.event_type, s.b AS bucket
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(
+        (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+        INTERVAL 1 HOUR)) AS b) s
+), j AS (
+  SELECT sp.event_type, sp.bucket, h.sum_value,
+    COUNT(h.sum_value) OVER (PARTITION BY sp.event_type
+                             ORDER BY sp.bucket) AS g_fwd,
+    COUNT(h.sum_value) OVER (PARTITION BY sp.event_type
+                             ORDER BY sp.bucket DESC) AS g_bwd
+  FROM spine sp LEFT JOIN hourly h
+    ON h.event_type = sp.event_type AND h.bucket = sp.bucket
+), f AS (
+  SELECT event_type, bucket, sum_value,
+    MAX(sum_value) OVER (PARTITION BY event_type, g_fwd) AS prev_v,
+    MAX(sum_value) OVER (PARTITION BY event_type, g_bwd) AS next_v,
+    MAX(CASE WHEN sum_value IS NOT NULL THEN bucket END)
+      OVER (PARTITION BY event_type, g_fwd) AS prev_t,
+    MAX(CASE WHEN sum_value IS NOT NULL THEN bucket END)
+      OVER (PARTITION BY event_type, g_bwd) AS next_t
+  FROM j
+)
+SELECT event_type, STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+  ROUND(CAST(sum_value AS DOUBLE), 6) AS sum_value,
+  ROUND(CAST(prev_v AS DOUBLE), 6) AS locf,
+  CASE WHEN sum_value IS NOT NULL
+         THEN ROUND(CAST(sum_value AS DOUBLE), 6)
+       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+         THEN ROUND(CAST(prev_v AS DOUBLE)
+                    + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                    * (EPOCH_US(bucket) - EPOCH_US(prev_t))
+                    / (EPOCH_US(next_t) - EPOCH_US(prev_t)), 6)
+       ELSE ROUND(CAST(prev_v AS DOUBLE), 6) END AS interp,
+  ROUND(CAST(COALESCE(sum_value, 0) AS DOUBLE), 6) AS zero
+FROM f ORDER BY event_type, bucket
+""")
+def e_gapfill(spark, sf_dir):
+    """Dense time-bucket gap filling with LOCF / linear interpolation
+    / zero fill (pipeline/rollup.py gapfill — the TimescaleDB
+    time_bucket_gapfill pattern). Spine = tiny bounds agg × distinct
+    dims (broadcast); fills are dims-partitioned window functions —
+    one shuffle. Oracle replays the fills via the count-partition
+    LOCF trick."""
+    from zef_spark.pipeline.rollup import gapfill
+    ev = _events(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts")
+                         .cast("timestamp_ntz").alias("bucket"))
+              .agg(F.sum(F.col("value").cast("decimal(18,6)"))
+                   .alias("sum_value")))
+    g = gapfill(hourly, "bucket", "1 hour", ["event_type"],
+                "sum_value")
+    return (g.select("event_type",
+                     F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+                     .alias("bucket"),
+                     F.round(F.col("sum_value").cast("double"), 6)
+                     .alias("sum_value"),
+                     F.round(F.col("locf").cast("double"), 6)
+                     .alias("locf"),
+                     F.round(F.col("interp").cast("double"), 6)
+                     .alias("interp"),
+                     F.round(F.col("zero").cast("double"), 6)
+                     .alias("zero"))
+            .orderBy("event_type", "bucket"))
+
+
 def _embed_pipeline_oracle_sql(in_dim: int = 64, out_dim: int = 8,
                                seed: str = "rp_v1") -> str:
     """DuckDB replay of mean_pool -> l2_normalize ->

@@ -1,0 +1,54 @@
+"""Time-bucket gap filling (pipeline/rollup.py gapfill): dense spine,
+LOCF, linear interpolation, zero fill."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from zef_spark.pipeline.rollup import gapfill
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _hourly(spark, rows):
+    data = [(k, T0 + dt.timedelta(hours=h), float(v))
+            for k, h, v in rows]
+    return (spark.createDataFrame(
+        data, "k string, bucket timestamp_ntz, v double")
+        .select("k", "bucket", F.col("v").cast("decimal(18,6)")
+                .alias("v")))
+
+
+def test_spine_is_dense_and_fills(spark):
+    # observations at hours 0, 3 (value 10 -> 40): gaps at 1, 2
+    df = _hourly(spark, [("a", 0, 10.0), ("a", 3, 40.0)])
+    out = {r.bucket.hour: r
+           for r in gapfill(df, "bucket", "1 hour", ["k"], "v").collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[1].v is None and out[2].v is None
+    assert float(out[1].locf) == 10.0 and float(out[2].locf) == 10.0
+    assert float(out[1].interp) == 20.0 and float(out[2].interp) == 30.0
+    assert float(out[1].zero) == 0.0
+    assert float(out[3].interp) == 40.0
+
+
+def test_trailing_edge_locf(spark):
+    # gap AFTER the last observation (explicit end): interp falls
+    # back to locf, zero stays 0
+    df = _hourly(spark, [("a", 0, 5.0)])
+    out = {r.bucket.hour: r
+           for r in gapfill(df, "bucket", "1 hour", ["k"], "v",
+                            end=T0 + dt.timedelta(hours=2)).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert float(out[2].locf) == 5.0 and float(out[2].interp) == 5.0
+    assert float(out[2].zero) == 0.0
+
+
+def test_groups_fill_independently(spark):
+    df = _hourly(spark, [("a", 0, 1.0), ("a", 2, 3.0),
+                         ("b", 0, 100.0), ("b", 2, 100.0)])
+    rows = gapfill(df, "bucket", "1 hour", ["k"], "v").collect()
+    got = {(r.k, r.bucket.hour): float(r.interp) for r in rows}
+    assert got[("a", 1)] == 2.0
+    assert got[("b", 1)] == 100.0
+    assert len(rows) == 6

@@ -72,6 +72,72 @@ def refresh_rollup(stored: DataFrame, new_events: DataFrame,
                  F.max("max_value").alias("max_value")))
 
 
+def gapfill(df: DataFrame, time_col: str, gran: str,
+            dims: list[str], value_col: str,
+            start=None, end=None, digits: int = 6) -> DataFrame:
+    """Dense time-bucket gap filling (TimescaleDB
+    time_bucket_gapfill + locf + interpolate, Spark-first): every
+    (dims, bucket) combination over [start, end] gets a row, with
+    three fill columns alongside the raw value —
+    `locf` (last observation carried forward), `interp` (linear
+    between the neighboring observations, locf at the trailing edge),
+    and `zero` (missing = 0).
+
+    Plan shape: the bucket spine is ONE tiny agg (global min/max when
+    start/end omitted) + a distinct-dims agg, cross-joined broadcast —
+    spine size is |dims|×|buckets|, independent of event volume; the
+    data joins the spine on (dims, bucket) and the fills are window
+    functions partitioned by dims (one shuffle, keyed by the same
+    dims). Values stay DECIMAL through locf/zero; interp's ratio is
+    the only float step, rounded to `digits`."""
+    step = _bucket_width_us(gran)
+    spark = df.sparkSession
+    t = F.col(time_col)
+    if start is None or end is None:
+        lo, hi = (df.agg(F.min(t), F.max(t)).collect()[0])
+        start = start or lo
+        end = end or hi
+    bounds = spark.createDataFrame([(start, end)],
+                                   f"__lo timestamp_ntz, __hi timestamp_ntz")
+    spine_t = (bounds.select(
+        F.explode(F.sequence(F.unix_micros(F.col("__lo").cast("timestamp")),
+                             F.unix_micros(F.col("__hi").cast("timestamp")),
+                             F.lit(step)))
+        .alias("__us"))
+        .select(F.timestamp_micros(F.col("__us"))
+                .cast("timestamp_ntz").alias(time_col)))
+    spine = (df.select(*dims).distinct().crossJoin(F.broadcast(spine_t))
+             if dims else spine_t)
+    joined = spine.join(df, [*dims, time_col], "left")
+    v = F.col(value_col)
+    from pyspark.sql import Window
+    w_prev = (Window.partitionBy(*dims).orderBy(time_col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(*dims).orderBy(time_col)
+              .rowsBetween(0, Window.unboundedFollowing))
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    t_obs = F.when(v.isNotNull(), F.col(time_col))
+    prev_t = F.last(t_obs, ignorenulls=True).over(w_prev)
+    next_t = F.first(t_obs, ignorenulls=True).over(w_next)
+    frac = ((F.unix_micros(F.col(time_col).cast("timestamp"))
+             - F.unix_micros(prev_t.cast("timestamp"))).cast("double")
+            / (F.unix_micros(next_t.cast("timestamp"))
+               - F.unix_micros(prev_t.cast("timestamp"))).cast("double"))
+    interp = (F.when(v.isNotNull(), v.cast("double"))
+              .when(prev_v.isNotNull() & next_v.isNotNull(),
+                    F.round(prev_v.cast("double")
+                            + (next_v.cast("double")
+                               - prev_v.cast("double")) * frac, digits))
+              .otherwise(prev_v.cast("double")))
+    zero_lit = F.lit(0).cast(joined.schema[value_col].dataType)
+    return joined.select(
+        *dims, time_col, v.alias(value_col),
+        prev_v.alias("locf"),
+        interp.alias("interp"),
+        F.coalesce(v, zero_lit).alias("zero"))
+
+
 def rollup_pick(granularities: tuple[str, ...], window: str) -> str:
     """The coarsest materialized granularity that evenly divides the
     requested window — the continuous-aggregate read path picks it to
