@@ -36,6 +36,12 @@ GUARDED = [
     "p_repetition_signals",
     "p_ann_pq_topk",
     "p_semantic_dup_pairs",
+    # r04 continuation: classifier / graph-analytics / rules / embeds
+    "p_pagerank",
+    "p_incremental_dedup",
+    "p_gopher_rules",
+    "p_c4_line_clean",
+    "p_embed_pipeline",
 ]
 
 # cosine_pairs without block_col is a documented explicit cross join;
@@ -81,7 +87,15 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # corpus-total scalar broadcast (unigram LM norm)
                     "p_unigram_logprob",
                     # 1-row exact agg x 1-row theta agg
-                    "p_theta_overlap"}
+                    "p_theta_overlap",
+                    # docs x CLASS TABLE (bounded by label count):
+                    # the intended per-class scoring fan-out, tiny
+                    # broadcast side
+                    "p_nb_classifier",
+                    # distinct-dims x bucket spine: both sides are
+                    # metadata-sized (bounds agg + dim values),
+                    # independent of event volume
+                    "e_gapfill"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

@@ -49,3 +49,13 @@ def test_c4_empty_when_nothing_qualifies(spark):
     [r] = c4_line_clean(_df(spark, [(1, "word salad no punct")]),
                         "text").collect()
     assert r.clean_text == ""
+
+
+def test_rules_are_shuffle_free(spark):
+    """Both ops must stay row-local: no Exchange, no Join — at
+    100 TB they pipeline with the scan that feeds them."""
+    df = _df(spark, [(1, GOOD)])
+    for op in (lambda d: gopher_rules(d, "text"),
+               lambda d: c4_line_clean(d, "text")):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan, plan
