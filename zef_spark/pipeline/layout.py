@@ -1,0 +1,130 @@
+"""Physical-layout optimization for parquet tables: Z-order
+clustering (multi-column data skipping) and small-file compaction —
+the maintenance half of a 100 TB lakehouse (Delta OPTIMIZE ZORDER BY /
+compaction, re-expressed on plain parquet).
+
+Why it matters at scale: parquet row-group pruning works off per-file
+min/max stats. A table sorted by one column skips beautifully on that
+column and not at all on others; Z-ordering interleaves the bits of
+several columns' ranks so files stay narrow on EVERY clustered column
+at once — reads filtered on any of them touch a fraction of the
+files. Compaction bounds the file count a streaming sink accretes
+(one-file-per-micro-batch kills scan planning long before data size
+does).
+
+Implementation is pure DataFrame: rank each column (quantile-bucket
+via ntile so skew cannot starve bit-planes), interleave bits in a
+single column expression, then repartitionByRange + sortWithinPartitions
+on the z-value — range partitioning makes FILES disjoint in z-space,
+the in-file sort makes ROW GROUPS disjoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def z_value(cols: list, bits: int = 10):
+    """Interleave the low `bits` of the given integer rank columns
+    into one Morton (Z-curve) value. cols are Columns holding values
+    in [0, 2^bits)."""
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            z = z + (F.shiftleft(
+                F.shiftright(c.cast("long"), b) % 2, b * n + i))
+    return z
+
+
+def z_order(df: DataFrame, cols: list[str], bits: int = 8,
+            out_col: str = "__z") -> DataFrame:
+    """Add the Z-curve clustering value over numeric `cols`. Each
+    column is QUANTILE-bucketed (robust to skew and to wildly
+    different value ranges) against boundaries from approxQuantile —
+    a driver-side array of 2^bits-1 cut points per column, embedded
+    as literals — then bit-interleaved.
+
+    Deliberately NOT a global ntile window: ranking 100 TB through a
+    single-task sort is the scale-killer this module exists to avoid.
+    Bucket assignment is a row-local fold over the boundary array
+    (2^bits comparisons per row per column, write-time only)."""
+    buckets = 1 << bits
+    probs = [i / buckets for i in range(1, buckets)]
+    zcols = []
+    for c in cols:
+        bnds = df.approxQuantile(c, probs, 1.0 / (4 * buckets))
+        barr = F.array(*[F.lit(float(b)) for b in bnds])
+        zcols.append(
+            F.aggregate(barr, F.lit(0),
+                        lambda acc, b:
+                        acc + (F.col(c).cast("double") >= b)
+                        .cast("int")).alias(f"__zb_{c}"))
+    staged = df.select("*", *zcols)
+    return (staged
+            .withColumn(out_col, z_value(
+                [F.col(f"__zb_{c}") for c in cols], bits))
+            .drop(*[f"__zb_{c}" for c in cols]))
+
+
+def write_z_ordered(df: DataFrame, path: str, cols: list[str],
+                    n_files: int = 0, bits: int = 10,
+                    mode: str = "overwrite") -> None:
+    """Write `df` Z-ordered by `cols`: range-partitioned on the
+    z-value (files disjoint in z-space) and sorted within partitions
+    (row groups disjoint). n_files=0 keeps the session's shuffle
+    parallelism."""
+    zdf = z_order(df, cols, bits)
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (zdf.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode).parquet(path))
+
+
+def file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file min/max of `cols` — the exact information the reader's
+    row-group pruner sees. Used to measure clustering quality."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (df.withColumn("__file", F.input_file_name())
+            .groupBy("__file").agg(*aggs))
+
+
+def skipping_ratio(spark, path: str, col: str, lo, hi) -> float:
+    """Fraction of files a range predicate lo <= col <= hi can SKIP
+    based on footer stats alone (1.0 = reads one file's worth,
+    0.0 = must open everything)."""
+    st = file_stats(spark.read.parquet(path), [col]).collect()
+    if not st:
+        return 0.0
+    skipped = sum(1 for r in st
+                  if r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    return skipped / len(st)
+
+
+def compact_parquet(spark, path: str, target_mb: int = 128,
+                    min_files: int = 2) -> int:
+    """Rewrite `path` into ceil(bytes / target_mb) files (coalesce —
+    no shuffle). Returns the new file count, or 0 if the directory is
+    already compact (fewer than `min_files` files or a single file at
+    target size). Streaming sinks call this periodically; the rewrite
+    is atomic via a temp-dir swap."""
+    import math
+    import shutil
+    import glob
+    import os
+    files = [f for f in glob.glob(f"{path}/*.parquet")
+             if os.path.isfile(f)]
+    if len(files) < min_files:
+        return 0
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if n >= len(files):
+        return 0
+    tmp = f"{path}__compact_tmp"
+    (spark.read.parquet(path).coalesce(n)
+     .write.mode("overwrite").parquet(tmp))
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
