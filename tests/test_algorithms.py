@@ -42,3 +42,25 @@ def test_duplicate_edges_count_once(spark):
     a = sorted(map(tuple, pagerank(e1, n_iter=3).collect()))
     b = sorted(map(tuple, pagerank(e2, n_iter=3).collect()))
     assert a == b
+
+
+def test_connected_components(spark):
+    from zef_spark.graph.algorithms import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long")
+    got = {r.id: r.component
+           for r in connected_components(edges).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert 20 not in got  # self-loop only: no real edge
+
+
+def test_degrees(spark):
+    from zef_spark.graph.algorithms import degrees
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 1), (1, 2)], "src long, dst long")
+    got = {r.id: (r.out_deg, r.in_deg, r.deg)
+           for r in degrees(edges).collect()}
+    assert got[1] == (2, 1, 3)   # duplicate edge counts once
+    assert got[2] == (0, 1, 1)
+    assert got[3] == (1, 1, 2)

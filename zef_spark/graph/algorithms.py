@@ -91,6 +91,40 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
                                       digits).alias("rank"))
 
 
+def connected_components(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst",
+                         max_rounds: int = 20) -> DataFrame:
+    """(id, component) weakly-connected components over a directed or
+    undirected edge list — min-label propagation with per-round
+    localCheckpoint (the same kernel that clusters near-dup pairs in
+    pipeline/corpus.dup_clusters; exposed here as the general graph
+    algorithm). Isolated semantics: only nodes appearing in an edge
+    get a row — union your node table afterwards for singletons.
+    Rounds are O(component diameter); each round is one edge-keyed
+    join + one min-aggregate."""
+    from ..pipeline.corpus import dup_clusters
+    return (dup_clusters(edges, src_col, dst_col,
+                         max_rounds=max_rounds)
+            .withColumnRenamed("cluster", "component"))
+
+
+def degrees(edges: DataFrame, src_col: str = "src",
+            dst_col: str = "dst") -> DataFrame:
+    """(id, out_deg, in_deg, deg) over a distinct directed edge list
+    — one aggregate per direction plus an outer merge."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst")).distinct())
+    out_d = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg"))
+    in_d = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg"))
+    return (out_d.join(in_d, "id", "full")
+            .select("id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+            .withColumn("deg", F.col("out_deg") + F.col("in_deg")))
+
+
 def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3,
                         damping: float = 0.85, digits: int = 6) -> str:
     """DuckDB SQL replaying `pagerank` exactly: same decimal scale,
