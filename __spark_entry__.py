@@ -3235,6 +3235,31 @@ def p_incremental_dedup(spark, sf_dir):
         .orderBy("new_id", "old_id"))
 
 
+@query("p_heavy_hitters", r"""
+WITH tok AS (
+  SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                            x -> x <> '')) AS item
+  FROM documents
+)
+SELECT item, COUNT(*) AS n
+FROM tok
+GROUP BY item
+HAVING COUNT(*) > 0.01 * (SELECT COUNT(*) FROM tok)
+ORDER BY item
+""")
+def p_heavy_hitters(spark, sf_dir):
+    """Exact frequent items at sketch cost (pipeline/sketches.py
+    heavy_hitters): per-partition Misra-Gries candidates (bounded
+    state, no full-cardinality shuffle) + exact recount of only the
+    candidates. Guaranteed equal to the exact HAVING query — the
+    oracle IS that query."""
+    from zef_spark.pipeline.text import _tokens
+    from zef_spark.pipeline.sketches import heavy_hitters
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", 0.01).orderBy("item")
+
+
 @query("e_gapfill", """
 WITH hourly AS (
   SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,

@@ -127,6 +127,67 @@ def hll_profile_estimate(profiles: DataFrame,
         out_col, F.hll_sketch_estimate(sketch_col))
 
 
+def _misra_gries_udf(counters: int):
+    """Per-partition Misra-Gries heavy-hitter summary over a string
+    column: `counters` live counters; a full table decrements all.
+    Guarantee: any item with partition frequency > n_part/counters
+    survives with estimate undercounted by at most n_part/counters.
+    mapInPandas iterates the WHOLE partition, so the dict spans
+    batches — O(counters) state per partition, ever."""
+    def mg(batches):
+        import pandas as pd
+        counts: dict = {}
+        for pdf in batches:
+            for v in pdf["__item"]:
+                if v is None:
+                    continue
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < counters:
+                    counts[v] = 1
+                else:
+                    dead = [k for k in counts
+                            if counts[k] == 1]
+                    for k in counts:
+                        counts[k] -= 1
+                    for k in dead:
+                        del counts[k]
+        yield pd.DataFrame({"item": list(counts),
+                            "est": list(counts.values())})
+    return mg
+
+
+def heavy_hitters(df: DataFrame, col, threshold_frac: float = 0.01,
+                  counters: int | None = None) -> DataFrame:
+    """EXACT frequent items above `threshold_frac` of the stream,
+    found at sketch cost: (item, n) for every item with
+    count > threshold_frac * N.
+
+    Two-phase candidate + verify (the production heavy-hitter shape):
+    1. per-partition Misra-Gries (mapInPandas, O(counters) state) —
+       finds every possible heavy hitter; the merged candidate table
+       is at most partitions × counters rows, FLAT in cardinality
+       (an exact groupBy would shuffle every distinct item);
+    2. exact recount of ONLY the candidates (broadcast semi-join
+       filter, then a tiny groupBy) and the threshold cut.
+    MG guarantees no item above n/counters is missed, so with
+    counters >= 2/threshold_frac the result equals the exact
+    HAVING-count query — deterministic and oracle-checkable."""
+    import math
+    counters = counters or max(8, math.ceil(2.0 / threshold_frac))
+    items = df.select(F.col(col).cast("string").alias("__item"))
+    summaries = items.mapInPandas(
+        _misra_gries_udf(counters), "item string, est long")
+    cand = summaries.select("item").distinct()
+    n = items.count()
+    cut = threshold_frac * n
+    return (items.join(F.broadcast(cand),
+                       items.__item == cand.item)
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > cut))
+
+
 def theta_intersect_distinct(df: DataFrame, group_cols: list[str],
                              col: str, flag_a, flag_b,
                              lgk: int = 12) -> DataFrame:
