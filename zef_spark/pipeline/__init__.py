@@ -1,2 +1,3 @@
-from . import clustering, corpus, dedup, funnel, multimodal, similarity, \
-    sketches, skew, text, wrangling  # noqa: F401
+from . import classifier, clustering, corpus, dedup, embeddings, \
+    funnel, joins, layout, multimodal, rollup, similarity, sketches, \
+    skew, text, wrangling  # noqa: F401

@@ -140,3 +140,16 @@ def nb_confusion(df: DataFrame, model: dict, text_col: str,
             .join(pred, id_col)
             .groupBy(label_col, "label_pred")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+from ..ops.core import register_op
+
+
+@register_op("nb_train", "df")
+def _nb_train_op(df: DataFrame, *args, **kw):
+    return nb_train(df, *args, **kw)
+
+
+@register_op("nb_predict", "df")
+def _nb_predict_op(df: DataFrame, model, *args, **kw):
+    return nb_predict(df, model, *args, **kw)

@@ -95,3 +95,21 @@ def random_projection(df: DataFrame, vec_col: str, in_dim: int,
             F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale), digits)
         for row in signs]
     return df.withColumn(out_col, F.array(*comps))
+
+
+from ..ops.core import register_op
+
+
+@register_op("l2_normalize", "df")
+def _l2_op(df: DataFrame, *args, **kw):
+    return l2_normalize(df, *args, **kw)
+
+
+@register_op("mean_pool", "df")
+def _pool_op(df: DataFrame, *args, **kw):
+    return mean_pool(df, *args, **kw)
+
+
+@register_op("random_projection", "df")
+def _rp_op(df: DataFrame, *args, **kw):
+    return random_projection(df, *args, **kw)

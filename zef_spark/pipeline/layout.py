@@ -128,3 +128,11 @@ def compact_parquet(spark, path: str, target_mb: int = 128,
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n
+
+
+from ..ops.core import register_op
+
+
+@register_op("z_order", "df")
+def _z_order_op(df: DataFrame, *args, **kw):
+    return z_order(df, *args, **kw)

@@ -205,3 +205,8 @@ def theta_intersect_distinct(df: DataFrame, group_cols: list[str],
         F.theta_sketch_estimate(
             F.theta_intersection(F.col("__sa"), F.col("__sb")))
         .alias("intersect_est"))
+
+
+@register_op("heavy_hitters", "df")
+def _heavy_hitters_op(df: DataFrame, col, *args, **kw):
+    return heavy_hitters(df, col, *args, **kw)

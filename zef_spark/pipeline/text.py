@@ -411,3 +411,22 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
             .agg(F.round(F.sum(F.col("tf") * F.col("__lp"))
                          / F.sum("tf"), digits).alias(out_col),
                  F.sum("tf").alias("n_tokens")))
+
+
+from ..ops.core import register_op
+
+
+@register_op("gopher_rules", "df")
+def _gopher_op(df: DataFrame, *args, **kw):
+    return gopher_rules(df, *args, **kw)
+
+
+@register_op("c4_line_clean", "df")
+def _c4_op(df: DataFrame, *args, **kw):
+    return c4_line_clean(df, *args, **kw)
+
+
+@register_op("gapfill", "df")
+def _gapfill_op(df: DataFrame, *args, **kw):
+    from .rollup import gapfill as _gf
+    return _gf(df, *args, **kw)
