@@ -3235,6 +3235,56 @@ def p_incremental_dedup(spark, sf_dir):
         .orderBy("new_id", "old_id"))
 
 
+@query("p_scrub_spans", r"""
+WITH norm AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), normtext AS (
+  SELECT doc_id, ARRAY_TO_STRING(toks, ' ') AS norm FROM norm
+), per_doc AS (
+  SELECT DISTINCT doc_id,
+         ARRAY_TO_STRING(LIST_SLICE(toks, i, i + 7), ' ') AS span
+  FROM (SELECT doc_id, toks,
+               UNNEST(GENERATE_SERIES(1, LEN(toks) - 7)) AS i
+        FROM norm WHERE LEN(toks) >= 8)
+), rep AS (
+  SELECT span, MIN(doc_id) AS canon
+  FROM per_doc GROUP BY span HAVING COUNT(*) >= 2
+), scrub AS (
+  SELECT p.doc_id,
+         LIST_TRANSFORM(
+           LIST_REVERSE(LIST_SORT(LIST_TRANSFORM(LIST(p.span),
+             s -> LPAD(CAST(LEN(s) AS VARCHAR), 6, '0')
+                  || '|' || s))),
+           x -> SUBSTR(x, 8)) AS spans
+  FROM per_doc p JOIN rep r USING (span)
+  WHERE p.doc_id <> r.canon
+  GROUP BY p.doc_id
+)
+SELECT n.doc_id,
+  CASE WHEN s.spans IS NULL THEN n.norm
+       ELSE TRIM(REGEXP_REPLACE(
+         LIST_REDUCE(LIST_PREPEND(' ' || n.norm || ' ', s.spans),
+                     (acc, sp) -> REPLACE(acc, ' ' || sp || ' ', ' ')),
+         ' +', ' ', 'g')) END AS clean_text
+FROM normtext n LEFT JOIN scrub s USING (doc_id)
+ORDER BY n.doc_id
+""")
+def p_scrub_spans(spark, sf_dir):
+    """Exact-substring scrubbing (pipeline/text.py
+    scrub_repeated_spans — the removal half of Lee et al. ACL'22):
+    cross-doc repeated 8-token spans are cut from every non-canonical
+    document, longest-first deterministic fold. Mining is one
+    span-keyed shuffle; the replacement fold is row-local."""
+    from zef_spark.pipeline.text import scrub_repeated_spans
+    docs = _t(spark, sf_dir, "documents")
+    return (scrub_repeated_spans(docs, "text", "doc_id", k=8,
+                                 min_docs=2)
+            .orderBy("doc_id"))
+
+
 @query("p_heavy_hitters", r"""
 WITH tok AS (
   SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),

@@ -59,3 +59,45 @@ def test_rules_are_shuffle_free(spark):
                lambda d: c4_line_clean(d, "text")):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+SPAN8 = "one two three four five six seven eight"
+
+
+def test_scrub_keeps_canonical_occurrence(spark):
+    from zef_spark.pipeline.text import scrub_repeated_spans
+    docs = _df(spark, [
+        (1, f"intro {SPAN8} outro"),
+        (2, f"head {SPAN8} tail"),
+        (3, "no repeats in this one at all whatsoever today"),
+    ])
+    got = {r.doc_id: r.clean_text
+           for r in scrub_repeated_spans(docs, "text", "doc_id",
+                                         k=8).collect()}
+    assert got[1] == f"intro {SPAN8} outro"   # canonical copy kept
+    assert got[2] == "head tail"              # scrubbed
+    assert got[3].startswith("no repeats")    # untouched
+
+
+def test_scrub_all_copies_when_keep_first_off(spark):
+    from zef_spark.pipeline.text import scrub_repeated_spans
+    docs = _df(spark, [(1, f"a {SPAN8} b"), (2, f"c {SPAN8} d")])
+    got = {r.doc_id: r.clean_text
+           for r in scrub_repeated_spans(docs, "text", "doc_id", k=8,
+                                         keep_first=False).collect()}
+    assert got == {1: "a b", 2: "c d"}
+
+
+def test_scrub_never_cuts_mid_word(spark):
+    from zef_spark.pipeline.text import scrub_repeated_spans
+    # doc 3 contains the span TOKENS as a sub-word prefix pattern:
+    # 'xone' must not be clipped by the ' one two ... ' replacement
+    docs = _df(spark, [
+        (1, f"p {SPAN8} q"),
+        (2, f"r {SPAN8} s"),
+        (3, f"xone two three four five six seven eight tail pad pad"),
+    ])
+    got = {r.doc_id: r.clean_text
+           for r in scrub_repeated_spans(docs, "text", "doc_id",
+                                         k=8).collect()}
+    assert got[3].startswith("xone two")

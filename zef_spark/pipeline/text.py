@@ -380,6 +380,68 @@ def repeated_spans(df: DataFrame, text_col: str, id_col: str,
             .where(F.col("n_docs") >= min_docs))
 
 
+def scrub_repeated_spans(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 8, min_docs: int = 2,
+                         keep_first: bool = True) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. ACL'22):
+    cut every cross-document repeated k-token span out of the corpus,
+    keeping one canonical occurrence (the min-id document) when
+    `keep_first`. Returns (id, clean_text) where clean_text is the
+    NORMALIZED text (lowered, non-word runs collapsed to single
+    spaces) with offending spans replaced by a space — exact-substring
+    scrubbing is defined on the token stream, so the normalized form
+    is the honest output (the reference corpus keeps byte offsets; a
+    parquet corpus keeps the normalized text).
+
+    Plan: span mining reuses repeated_spans' shapes (row-local window
+    explode, ONE span-keyed shuffle); the scrub list per doc arrives
+    via one join on the span text + a doc-keyed collect; the
+    replacement fold is row-local. Span-boundary safety: matches are
+    space-padded (' span ') so a span never matches mid-word; spans
+    are folded longest-first then lexicographic, so overlapping
+    removals are deterministic and engine-reproducible."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                    lambda t: t != "")
+    n_spans = F.size(toks) - k + 1
+    spans = F.when(
+        n_spans >= 1,
+        F.transform(F.sequence(F.lit(1), n_spans),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+    norm = df.select(F.col(id_col),
+                     F.concat_ws(" ", toks).alias("__norm"))
+    per_doc = (df.select(F.col(id_col), F.explode(spans).alias("span"))
+               .distinct())
+    rep = (per_doc.groupBy("span")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.min(id_col).alias("__canon"))
+           .where(F.col("n_docs") >= min_docs))
+    targets = per_doc.join(rep, "span")
+    if keep_first:
+        targets = targets.where(F.col(id_col) != F.col("__canon"))
+    scrub = (targets.groupBy(id_col)
+             .agg(F.collect_set("span").alias("__spans")))
+    # longest-first fold: same k tokens but varying char length —
+    # sort by (length desc, text desc) for a total, portable order
+    ordered = F.array_sort(
+        F.col("__spans"),
+        lambda a, b: F.when(F.length(a) > F.length(b), -1)
+        .when(F.length(a) < F.length(b), 1)
+        .when(a > b, -1).when(a < b, 1).otherwise(0))
+    cleaned = F.aggregate(
+        ordered,
+        F.concat(F.lit(" "), F.col("__norm"), F.lit(" ")),
+        lambda acc, s: F.replace(acc, F.concat(F.lit(" "), s,
+                                               F.lit(" ")),
+                                 F.lit(" ")))
+    return (norm.join(scrub, id_col, "left")
+            .select(id_col,
+                    F.when(F.col("__spans").isNull(), F.col("__norm"))
+                    .otherwise(
+                        F.trim(F.regexp_replace(cleaned, " +", " ")))
+                    .alias("clean_text")))
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                     out_col: str = "avg_logprob",
                     digits: int = 4) -> DataFrame:
