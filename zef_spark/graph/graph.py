@@ -203,6 +203,12 @@ class GraphSlice:
     _zef_graph_kind = True
 
     def __init__(self, graph: Graph, tx: int):
+        horizon = getattr(graph, "vacuum_horizon", None)
+        if horizon is not None and tx < horizon:
+            raise ValueError(
+                f"frame tx={tx} is below the vacuum horizon "
+                f"{horizon}: history before the horizon was "
+                f"compacted away (graph/vacuum.py)")
         self.graph = graph
         self.tx = tx
 
