@@ -3235,6 +3235,42 @@ def p_incremental_dedup(spark, sf_dir):
         .orderBy("new_id", "old_id"))
 
 
+@query("p_impute_winsorize", """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE CAST(n_chars AS DOUBLE) END AS nc
+  FROM documents
+), imp AS (
+  SELECT doc_id,
+         COALESCE(nc, (SELECT ROUND(AVG(nc), 6) FROM base)) AS nc
+  FROM base
+), cuts AS (
+  SELECT QUANTILE_CONT(nc, 0.01) AS lo, QUANTILE_CONT(nc, 0.99) AS hi
+  FROM imp
+)
+SELECT doc_id, ROUND(nc, 6) AS nc,
+       ROUND(LEAST(GREATEST(nc, lo), hi), 6) AS nc_winsor
+FROM imp, cuts ORDER BY doc_id
+""")
+def p_impute_winsorize(spark, sf_dir):
+    """Value cleaning (pipeline/wrangling.py): mean-impute nulls then
+    winsorize to the exact [1%, 99%] quantiles. Fill values and cut
+    points are 1-row broadcast aggregates; the fill/clamp stages are
+    row-local."""
+    from zef_spark.pipeline.wrangling import impute, winsorize
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, None)
+        .otherwise(F.col("n_chars").cast("double")).alias("nc"))
+    filled = impute(base, {"nc": "mean"})
+    w = winsorize(filled, "nc", 0.01, 0.99)
+    return (w.select("doc_id", F.round("nc", 6).alias("nc"),
+                     F.col("nc_winsor"))
+            .orderBy("doc_id"))
+
+
 @query("p_scrub_spans", r"""
 WITH norm AS (
   SELECT doc_id,

@@ -1,0 +1,38 @@
+"""Value cleaning (pipeline/wrangling.py): winsorize + impute."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from zef_spark.pipeline.wrangling import impute, winsorize
+
+
+def test_winsorize_clamps_tails(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 100)] + [(100, 10000.0)],
+        "id long, v double")
+    out = winsorize(df, "v", 0.01, 0.99)
+    mx = out.agg(F.max("v_winsor")).collect()[0][0]
+    assert mx < 10000.0                      # outlier clamped
+    [r] = out.where("id = 50").collect()
+    assert r.v_winsor == 50.0                # interior untouched
+
+
+def test_impute_mean_median_literal(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0, "x"), (2, 3.0, 4.0, None),
+         (3, None, None, "y")],
+        "id long, a double, b double, c string")
+    out = {r.id: r for r in impute(df, {"a": "mean", "b": "median",
+                                        "c": "zz"}).collect()}
+    assert out[3].a == 2.0     # mean(1, 3)
+    assert out[3].b == 3.0     # median(2, 4)
+    assert out[2].c == "zz"    # literal fill
+    assert out[1].a == 1.0     # non-null untouched
+
+
+def test_impute_mode_deterministic_tie(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "a"), (5, None)],
+        "id long, s string")
+    [r] = impute(df, {"s": "mode"}).where("id = 5").collect()
+    assert r.s == "a"          # tie between a/b -> smallest value

@@ -115,6 +115,83 @@ def merge_duplicates(df: DataFrame, id_col: str, match_cols: list[str],
             .agg(*aggs))
 
 
+def winsorize(df: DataFrame, col: str, lo: float = 0.01,
+              hi: float = 0.99, digits: int = 6,
+              out_col: str | None = None) -> DataFrame:
+    """Clamp `col` to its [lo, hi] EXACT quantiles (outlier
+    winsorization before training-statistics / normalization). The
+    two cut points come from one percentile aggregate (exact —
+    matches any engine's QUANTILE_CONT, unlike approx sketches) and
+    enter the plan as a broadcast 1-row crossJoin; the clamp itself
+    is row-local. At 100 TB switch the percentile agg for
+    approx_percentile and accept the sketch bound — the clamp stage
+    is unchanged."""
+    cuts = df.agg(
+        F.percentile(F.col(col), F.lit(lo)).alias("__lo"),
+        F.percentile(F.col(col), F.lit(hi)).alias("__hi"))
+    out = out_col or f"{col}_winsor"
+    return (df.crossJoin(F.broadcast(cuts))
+            .withColumn(out, F.round(
+                F.least(F.greatest(F.col(col).cast("double"),
+                                   F.col("__lo")), F.col("__hi")),
+                digits))
+            .drop("__lo", "__hi"))
+
+
+def impute(df: DataFrame, cols: dict, digits: int = 6) -> DataFrame:
+    """Fill nulls per column: `cols` maps column -> strategy
+    ('mean' | 'median' | 'mode' | any literal value). All fill
+    values come from ONE aggregate row (broadcast crossJoin); the
+    fill is row-local coalesce. mean/median round to `digits`;
+    mode ties break on the smallest value (deterministic)."""
+    aggs, fills = [], {}
+    for c, strat in cols.items():
+        a = f"__fill_{c}"
+        if strat == "mean":
+            aggs.append(F.round(F.avg(F.col(c).cast("double")),
+                                digits).alias(a))
+        elif strat == "median":
+            aggs.append(F.round(F.percentile(
+                F.col(c).cast("double"), F.lit(0.5)), digits).alias(a))
+        elif strat == "mode":
+            # mode needs a per-value count — handled as its own tiny
+            # aggregate below, then cross-joined into the stats row
+            fills[c] = ("mode", a)
+            continue
+        else:
+            aggs.append(F.lit(strat).alias(a))
+        fills[c] = (strat, a)
+    stats = df.agg(*aggs) if aggs else None
+    # mode needs its own tiny per-column aggregate (count per value)
+    for c, (strat, a) in list(fills.items()):
+        if strat != "mode":
+            continue
+        mode_df = (df.where(F.col(c).isNotNull())
+                   .groupBy(c).agg(F.count(F.lit(1)).alias("__n"))
+                   .orderBy(F.col("__n").desc(), F.col(c))
+                   .limit(1).select(F.col(c).alias(a)))
+        stats = (stats.drop(a).crossJoin(F.broadcast(mode_df))
+                 if stats is not None else mode_df)
+    out = df.crossJoin(F.broadcast(stats))
+    for c, (_strat, a) in fills.items():
+        out = out.withColumn(c, F.coalesce(F.col(c).cast("double")
+                                           if _strat in ("mean",
+                                                         "median")
+                                           else F.col(c),
+                                           F.col(a)))
+    return out.drop(*[a for _, a in fills.values()])
+
+
+@register_op("winsorize", "df")
+def _winsorize_op(df, col, *args, **kw):
+    return winsorize(df, col, *args, **kw)
+
+
+@register_op("impute", "df")
+def _impute_op(df, cols, **kw):
+    return impute(df, cols, **kw)
+
+
 @register_op("infer_types", "df")
 def _infer_types_op(df, threshold=0.95):
     return infer_types(df, threshold)
