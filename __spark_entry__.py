@@ -3235,6 +3235,44 @@ def p_incremental_dedup(spark, sf_dir):
         .orderBy("new_id", "old_id"))
 
 
+@query("e_stream_ingest", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events WHERE event_id < 200
+GROUP BY event_type ORDER BY event_type
+""")
+def e_stream_ingest(spark, sf_dir):
+    """Streaming graph ingestion (streaming/ingest.py): a 200-event
+    sample streams through stream_transact (one atomic tx per
+    micro-batch, on-graph exactly-once ledger) into an empty graph;
+    the result aggregates the GRAPH's entities — equal to aggregating
+    the source events directly, which is what the oracle does."""
+    import tempfile
+    from zef_spark import ET
+    from zef_spark.graph.delta import E, empty_graph
+    from zef_spark.streaming.ingest import stream_transact
+    ev = (_events(spark, sf_dir).where("event_id < 200")
+          .select("event_id", "event_type", "value"))
+    d = tempfile.mkdtemp(prefix="zef_stream_ingest_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/src")
+    stream = (spark.readStream
+              .schema("event_id long, event_type string, value double")
+              .parquet(f"{d}/src"))
+
+    def wish_fn(rows):
+        return [E(ET.StreamEvent, f"e{r.event_id}",
+                  fields={"etype": r.event_type, "value": r.value})
+                for r in rows]
+
+    st = stream_transact(empty_graph(spark), stream, wish_fn,
+                         checkpoint=f"{d}/cp")
+    ns = st.graph.now().all(ET.StreamEvent)
+    vals = ns.fields(event_type="etype", value="value")
+    return (vals.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .orderBy("event_type"))
+
+
 @query("p_impute_winsorize", """
 WITH base AS (
   SELECT doc_id,
@@ -3551,7 +3589,10 @@ _FRONT = [
     # r01-r03 each; q1 additionally runs every round via the entry()
     # smoke check). Still queued for the r05 front: p_sketch_merge,
     # p_theta_overlap, p_mixture_sample, p_chunk_documents,
-    # p_repeated_spans, p_split_corpus, p_nb_classifier.
+    # p_repeated_spans, p_split_corpus, p_nb_classifier, p_pagerank,
+    # p_incremental_dedup, p_gopher_rules, p_c4_line_clean,
+    # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
+    # p_impute_winsorize, e_stream_ingest.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

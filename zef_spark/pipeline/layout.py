@@ -20,7 +20,7 @@ the in-file sort makes ROW GROUPS disjoint."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def z_value(cols: list, bits: int = 10):
