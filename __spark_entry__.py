@@ -3540,6 +3540,62 @@ def p_pagerank(spark, sf_dir):
 ORACLE["p_pagerank"] = _pr_oracle()
 
 
+@query("p_fuzzy_supplier_pairs", """
+SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+       levenshtein(a.s_name, b.s_name) AS distance
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+ORDER BY k1, k2
+""")
+def p_fuzzy_supplier_pairs(spark, sf_dir):
+    """Fuzzy (edit-distance) self-join on supplier names via q-gram
+    blocking (pipeline/joins.py fuzzy_join): candidates share a 2-gram
+    or the bounded short block, exact levenshtein filters — never an
+    all-pairs CartesianProduct. Oracle IS all-pairs, so equality
+    proves the blocking complete on this data."""
+    from zef_spark.pipeline.joins import fuzzy_join
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    pairs = fuzzy_join(sup, sup, "s_name", max_distance=2,
+                       keep=["s_suppkey"])
+    return (pairs.where(F.col("s_suppkey_l") < F.col("s_suppkey_r"))
+            .select(F.col("s_suppkey_l").alias("k1"),
+                    F.col("s_suppkey_r").alias("k2"),
+                    F.col("distance").cast("long").alias("distance"))
+            .orderBy("k1", "k2"))
+
+
+@query("p_url_canonical_domains", """
+SELECT 'shop' || CAST(o_custkey % 20 AS VARCHAR) || '.co.uk' AS domain,
+       COUNT(DISTINCT o_orderkey) AS n_urls
+FROM orders GROUP BY 1 ORDER BY domain
+""")
+def p_url_canonical_domains(spark, sf_dir):
+    """Web-curation chain (pipeline/web.py): two junk variants per
+    order URL (case/default-port/tracking-param/fragment noise) ->
+    normalize_url collapses them -> url_dedup keeps one row per
+    canonical URL -> registered_domain (eTLD+1 incl. co.uk) ->
+    per-domain count. The oracle derives the canonical form
+    analytically from the generator, so equality proves every
+    normalization rule end-to-end."""
+    from zef_spark.pipeline.web import (normalize_url, parse_url,
+                                        registered_domain, url_dedup)
+    o = _t(spark, sf_dir, "orders")
+    k = (F.col("o_custkey") % 20).cast("string")
+    okey = F.col("o_orderkey").cast("string")
+    v1 = F.concat(F.lit("HTTPS://WWW.Shop"), k, F.lit(".CO.UK:443/o/"),
+                  okey, F.lit("?utm_source=ad&item="), okey, F.lit("#f"))
+    v2 = F.concat(F.lit("https://www.shop"), k, F.lit(".co.uk/o/"),
+                  okey, F.lit("?item="), okey, F.lit("&gclid=z"))
+    raw = (o.select(v1.alias("url"), "o_orderkey")
+           .unionAll(o.select(v2.alias("url"), "o_orderkey")))
+    ded = url_dedup(normalize_url(raw).select("url_norm", "o_orderkey"),
+                    "url_norm", order_col="o_orderkey")
+    dom = registered_domain(parse_url(ded, "url_norm"))
+    return (dom.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"))
+            .orderBy("domain"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -3592,7 +3648,8 @@ _FRONT = [
     # p_repeated_spans, p_split_corpus, p_nb_classifier, p_pagerank,
     # p_incremental_dedup, p_gopher_rules, p_c4_line_clean,
     # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
-    # p_impute_winsorize, e_stream_ingest.
+    # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
+    # p_url_canonical_domains.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

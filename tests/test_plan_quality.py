@@ -95,7 +95,10 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # distinct-dims x bucket spine: both sides are
                     # metadata-sized (bounds agg + dim values),
                     # independent of event volume
-                    "e_gapfill"}
+                    "e_gapfill",
+                    # two stacked 1-row scalar broadcasts (mean fill
+                    # value, then the two winsor cut points)
+                    "p_impute_winsorize"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

@@ -92,6 +92,61 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
             .drop("__side"))
 
 
+def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
+               right_on: str | None = None, max_distance: int = 2,
+               q: int = 2, keep: list[str] | None = None) -> DataFrame:
+    """Approximate string join: pair rows whose key strings are within
+    ``max_distance`` Levenshtein edits (entity resolution / record
+    linkage; the reference's `identify_entities` handles only exact
+    match keys — this is the fuzzy tier above it).
+
+    Plan shape (q-gram blocking, NOT all-pairs): each side explodes its
+    key into positional ``q``-grams, candidates are the distinct pairs
+    sharing at least one gram (an equi-join on the gram), and the exact
+    ``levenshtein`` filter runs only on candidates. Completeness: t
+    edits destroy at most q*t of a string's ``|s| - q + 1`` q-grams,
+    so two strings within distance t both of length >= q*(t+1) are
+    GUARANTEED to share a gram; pairs where either key is shorter go
+    through a dedicated short block (every key of length
+    < q*(t+1) + t joins it — distance <= t bounds the length gap by t,
+    so the block provably covers all remaining pairs; it is a tiny,
+    bounded slice in real corpora).
+
+    Scale: work is sum over grams of (left_count * right_count); cap
+    pathological grams upstream with a stop-gram filter if the key
+    distribution has giant shared substrings. One shuffle keyed by
+    gram + one distinct — no CartesianProduct in the plan.
+    """
+    right_on = right_on or left_on
+    keep = keep or []
+    min_len = q * (max_distance + 1)
+
+    def grams(df, col, side):
+        key = F.col(col).alias("__key_" + side)
+        base = df.select(key, *[F.col(c).alias(f"{c}_{side}")
+                                for c in keep])
+        klen = F.length("__key_" + side)
+        g = base.where(klen >= min_len).select(
+            "*", F.explode(F.expr(
+                f"transform(sequence(1, length(__key_{side}) - {q - 1}),"
+                f" i -> substring(__key_{side}, i, {q}))")).alias("__g"))
+        # a pair with min(|a|,|b|) < q*(t+1) has BOTH lengths below
+        # q*(t+1)+t (edit distance bounds the length gap by t), so this
+        # single block covers every pair the gram bound can't guarantee.
+        # "#short" cannot collide with real grams: grams have length q.
+        short_side = (base.where(klen < min_len + max_distance)
+                      .withColumn("__g", F.lit("#short")))
+        return g.unionByName(short_side)
+
+    lg, rg = grams(left, left_on, "l"), grams(right, right_on, "r")
+    cand = (lg.join(rg, "__g").drop("__g").distinct())
+    return (cand.where(
+        F.levenshtein("__key_l", "__key_r") <= max_distance)
+        .withColumn("distance", F.levenshtein("__key_l", "__key_r"))
+        .withColumnRenamed("__key_l", left_on + "_l")
+        .withColumnRenamed("__key_r", right_on + "_r"))
+
+
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
                start_col: str, end_col: str,
                by: str | list[str] | None = None,
@@ -121,3 +176,21 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
     return (joined.where((F.col(start_col) <= F.col(point_col)) &
                          (F.col(point_col) < F.col(end_col)))
             .drop("__b"))
+
+
+from ..ops.core import register_op
+
+
+@register_op("asof_join", "df")
+def _asof_join(df, other, on, by, **kw):
+    return asof_join(df, other, on, by, **kw)
+
+
+@register_op("range_join", "df")
+def _range_join(df, intervals, point_col, start_col, end_col, **kw):
+    return range_join(df, intervals, point_col, start_col, end_col, **kw)
+
+
+@register_op("fuzzy_join", "df")
+def _fuzzy_join(df, other, left_on, right_on=None, **kw):
+    return fuzzy_join(df, other, left_on, right_on, **kw)
