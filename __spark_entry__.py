@@ -3540,6 +3540,40 @@ def p_pagerank(spark, sf_dir):
 ORACLE["p_pagerank"] = _pr_oracle()
 
 
+@query("p_bpe_fixed_merges", r"""
+WITH w AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LIST_SUM(LIST_TRANSFORM(ws, x ->
+           LENGTH(x) + 1
+           - (LENGTH(x) - LENGTH(REPLACE(x, 'th', ''))) // 2
+           - (LENGTH(x) - LENGTH(REPLACE(x, 'qu', ''))) // 2))
+         AS BIGINT) AS n_bpe
+FROM w ORDER BY doc_id
+""")
+def p_bpe_fixed_merges(spark, sf_dir):
+    """BPE application (pipeline/tokenizer.py apply_bpe): distinct
+    words tokenized once via an Arrow pandas kernel, corpus re-joined
+    through a broadcast — vocab-sized python work, corpus touched by
+    one hash join. Merges fixed to the letter-disjoint pair
+    [(t,h), (q,u)] so the oracle can count tokens analytically:
+    chars + EOW - non-overlapping 'th'/'qu' occurrences per word
+    (REPLACE scans left-to-right exactly like the merge fold; the
+    trainer itself is verified merge-for-merge against a pure-Python
+    reference in tests/test_tokenizer.py — iterative argmax is
+    outside SQL)."""
+    from zef_spark.pipeline.tokenizer import apply_bpe
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = apply_bpe(docs, "text", [("t", "h"), ("q", "u")])
+    return (out.select("doc_id",
+                       F.col("n_bpe").cast("long").alias("n_bpe"))
+            .orderBy("doc_id"))
+
+
 @query("p_fuzzy_supplier_pairs", """
 SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
        levenshtein(a.s_name, b.s_name) AS distance
@@ -3649,7 +3683,7 @@ _FRONT = [
     # p_incremental_dedup, p_gopher_rules, p_c4_line_clean,
     # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
     # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
-    # p_url_canonical_domains.
+    # p_url_canonical_domains, p_bpe_fixed_merges.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

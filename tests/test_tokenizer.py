@@ -1,0 +1,120 @@
+"""BPE trainer/applier vs a pure-Python reference implementation."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from zef_spark.pipeline.tokenizer import (EOW, apply_bpe, learn_bpe,
+                                          tokenize_words)
+
+
+# ---------------------------------------------------------- reference
+
+def ref_word_counts(texts):
+    c = Counter()
+    for t in texts:
+        c.update(w for w in re.split(r"\W+", t.lower()) if w)
+    return c
+
+
+def ref_learn(texts, n_merges):
+    vocab = {tuple(list(w) + [EOW]): n
+             for w, n in ref_word_counts(texts).items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        # max count, ties lexicographic — same rule as learn_bpe
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b))
+        new = {}
+        for syms, cnt in vocab.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new[tuple(out)] = new.get(tuple(out), 0) + cnt
+        vocab = new
+    return merges
+
+
+def ref_apply(word, merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    s = list(word) + [EOW]
+    while len(s) > 1:
+        best = min(
+            ((ranks[(s[i], s[i + 1])], i) for i in range(len(s) - 1)
+             if (s[i], s[i + 1]) in ranks), default=None)
+        if best is None:
+            break
+        i = best[1]
+        s[i:i + 2] = [s[i] + s[i + 1]]
+    return s
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the thin cat that ate the rat",
+    "low lower lowest slow slower",
+    "new newer newest knew",
+    "queue quick quiet quit th th th",
+]
+
+
+# -------------------------------------------------------------- tests
+
+def _corpus_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+
+
+def test_learn_bpe_matches_reference(spark):
+    got = learn_bpe(_corpus_df(spark), "text", n_merges=12)
+    assert got == ref_learn(CORPUS, 12)
+
+
+def test_learn_bpe_stops_when_dry(spark):
+    df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    # every pair occurs once -> no merge with freq >= 2
+    assert learn_bpe(df, "text", n_merges=5) == []
+
+
+def test_tokenize_words_matches_reference(spark):
+    merges = ref_learn(CORPUS, 10)
+    words = sorted(ref_word_counts(CORPUS))
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["pieces"]
+           for r in tokenize_words(wdf, merges).collect()}
+    for w in words:
+        assert got[w] == ref_apply(w, merges), w
+
+
+def test_apply_bpe_roundtrip(spark):
+    """Pieces re-concatenate to the original words, in order."""
+    merges = ref_learn(CORPUS, 10)
+    out = apply_bpe(_corpus_df(spark), "text", merges)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i, t in enumerate(CORPUS):
+        rebuilt = "".join(rows[i]["bpe_tokens"]).replace(EOW, " ").strip()
+        assert rebuilt == " ".join(w for w in re.split(r"\W+", t.lower()) if w)
+        assert rows[i]["n_bpe"] == len(rows[i]["bpe_tokens"])
+
+
+def test_apply_bpe_scales_by_vocab_not_corpus(spark):
+    """The pandas tokenizer runs over DISTINCT words only and the
+    corpus side joins against a broadcast — verify the plan."""
+    merges = [("t", "h"), ("th", "e" + EOW)]
+    plan = (apply_bpe(_corpus_df(spark), "text", merges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
