@@ -3547,6 +3547,70 @@ def p_pagerank(spark, sf_dir):
 ORACLE["p_pagerank"] = _pr_oracle()
 
 
+@query("e_merge_intervals", """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+), flag AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+              THEN 1 ELSE 0 END AS nf
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flag
+)
+SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       COUNT(*) AS n_merged
+FROM isl GROUP BY user_id, island
+ORDER BY user_id, span_start
+""")
+def e_merge_intervals(spark, sf_dir):
+    """Interval union (pipeline/intervals.py merge_intervals): each
+    event opens a 30-minute activity interval; overlapping intervals
+    per user collapse to disjoint spans via ONE key shuffle + running-
+    max window (gaps-and-islands) — no join, no explode. The oracle
+    runs the same algebra as plain SQL windows."""
+    from zef_spark.pipeline.intervals import merge_intervals
+    ev = _events(spark, sf_dir)
+    iv = ev.select("user_id", F.col("ts").alias("s"),
+                   (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                   .alias("e"))
+    return (merge_intervals(iv, "s", "e", "user_id")
+            .select("user_id", "span_start", "span_end",
+                    F.col("n_merged").cast("long").alias("n_merged"))
+            .orderBy("user_id", "span_start"))
+
+
+@query("p_weighted_sample", """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars
+  FROM documents WHERE n_chars > 0
+  ORDER BY -LN((CAST(CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)),
+                           1, 15)) AS BIGINT) AS DOUBLE) + 1)
+               / 1152921504606846976.0)
+           / CAST(n_chars AS DOUBLE)
+  LIMIT 100
+) ORDER BY doc_id
+""")
+def p_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (pipeline/corpus.py weighted_sample): Efraimidis-Spirtsos
+    exponential jitter with an md5-hash uniform instead of rand(), so
+    the draw is a pure function of the key — the oracle recomputes the
+    identical priorities and must select the identical 100 docs.
+    Global form is TakeOrdered top-k: no full sort, no shuffle of the
+    corpus."""
+    from zef_spark.pipeline.corpus import weighted_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (weighted_sample(docs, "n_chars", 100, "doc_id")
+            .orderBy("doc_id"))
+
+
 @query("p_bpe_fixed_merges", r"""
 WITH w AS (
   SELECT doc_id,
@@ -3690,7 +3754,8 @@ _FRONT = [
     # p_incremental_dedup, p_gopher_rules, p_c4_line_clean,
     # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
     # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
-    # p_url_canonical_domains, p_bpe_fixed_merges.
+    # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
+    # p_weighted_sample.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -27,3 +27,11 @@ def test_registry_resolves_all_new_names(spark):
                  "random_projection", "z_order", "gopher_rules",
                  "c4_line_clean", "gapfill", "heavy_hitters"):
         assert "df" in OP_REGISTRY.get(name, {}), name
+
+
+def test_registry_resolves_r04_late_names(spark):
+    from zef_spark.ops.core import OP_REGISTRY
+    for name in ("fuzzy_join", "asof_join", "range_join", "parse_url",
+                 "normalize_url", "registered_domain", "url_dedup",
+                 "domain_caps", "apply_bpe"):
+        assert "df" in OP_REGISTRY.get(name, {}), name

@@ -1,3 +1,3 @@
 from . import classifier, clustering, corpus, dedup, embeddings, \
-    funnel, joins, layout, multimodal, rollup, similarity, sketches, \
-    skew, text, tokenizer, web, wrangling  # noqa: F401
+    funnel, intervals, joins, layout, multimodal, rollup, similarity, \
+    sketches, skew, text, tokenizer, web, wrangling  # noqa: F401

@@ -266,3 +266,44 @@ def domain_stats(df: DataFrame, source_col: str = "source",
         F.sum(size_col).alias("total_chars"),
         F.round(F.avg(size_col), 2).alias("avg_chars"),
         F.countDistinct(lang_col).alias("n_langs")))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    key_col: str, salt: str = "",
+                    by: str | list[str] | None = None) -> DataFrame:
+    """Deterministic weighted sampling without replacement (top-k by
+    importance): implements the Efraimidis-Spirtsos exponential-jitter
+    scheme with a HASH uniform instead of rand() — priority
+    -ln(u)/w with u = md5(key||salt) mapped to (0,1). Inclusion
+    probabilities match weighted sampling without replacement, yet the
+    draw is a pure function of (key, salt): reproducible across runs,
+    engines, and co-sampled tables, exactly like hash_sample.
+
+    Global form (by=None) is a TakeOrdered top-k — no full sort; the
+    grouped form is one shuffle on `by` + row_number. Rows with
+    non-positive weight are excluded (they have zero inclusion mass).
+    """
+    # u in (0,1]: (h + 1) / 2^60 over the first 15 md5 hex chars;
+    # -ln(u)/w as the sort key, smallest first
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(2 ** 60))
+    pri = -F.log(u) / F.col(weight_col).cast("double")
+    out = (df.where(F.col(weight_col) > 0)
+           .withColumn("__pri", pri))
+    if by is None:
+        return out.orderBy("__pri").limit(k).drop("__pri")
+    from pyspark.sql import Window
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by).orderBy("__pri")
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__pri", "__rn"))
+
+
+from ..ops.core import register_op  # noqa: E402
+
+
+@register_op("weighted_sample", "df")
+def _weighted_sample(df, weight_col, k, key_col, salt="", by=None):
+    return weighted_sample(df, weight_col, k, key_col, salt, by)
