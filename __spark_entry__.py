@@ -3547,6 +3547,76 @@ def p_pagerank(spark, sf_dir):
 ORACLE["p_pagerank"] = _pr_oracle()
 
 
+_COSUPPLY_SQL = """
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_suppkey < b.l_suppkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1995-04-01'
+"""
+
+
+def _cosupply_edges(spark, sf_dir):
+    """Undirected supplier co-supply edges (shared order, Q1 1995)."""
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1995-04-01"))
+         .select("o_orderkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey"))
+    a, b = li.alias("a"), li.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+            .select(F.col("a.l_suppkey").alias("src"),
+                    F.col("b.l_suppkey").alias("dst"))
+            .distinct())
+
+
+@query("g_triangle_cosupply", f"""
+WITH pr AS ({_COSUPPLY_SQL})
+SELECT COUNT(*) AS n_triangles
+FROM pr e1
+JOIN pr e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+JOIN pr e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+""")
+def g_triangle_cosupply(spark, sf_dir):
+    """Exact triangle count (graph/algorithms.py triangle_count) over
+    the supplier co-supply graph: degree-ordered orientation caps
+    wedge work at sum(oriented_deg^2) = O(m^1.5), skew-proof. The
+    oracle lists triangles by plain id-order join (fine at gate
+    scale; the orientation is the 100 TB formulation)."""
+    from zef_spark.graph.algorithms import triangle_count
+    return triangle_count(_cosupply_edges(spark, sf_dir))
+
+
+@query("g_bfs_cosupply", f"""
+WITH RECURSIVE pr AS ({_COSUPPLY_SQL}),
+e AS (SELECT s1 AS s, s2 AS t FROM pr
+      UNION ALL SELECT s2, s1 FROM pr),
+bfs(id, level) AS (
+  SELECT CAST(1 AS BIGINT) AS id, 0 AS level
+  UNION
+  SELECT e.t, b.level + 1 FROM bfs b JOIN e ON e.s = b.id
+  WHERE b.level < 6
+)
+SELECT id, MIN(level) AS level FROM bfs GROUP BY id ORDER BY id
+""")
+def g_bfs_cosupply(spark, sf_dir):
+    """Multi-round BFS levels (graph/algorithms.py bfs_levels) from
+    supplier 1 over the undirected co-supply graph: per round one
+    frontier-edge join + visited anti-join, lineage cut per round.
+    Oracle: DuckDB recursive CTE with UNION dedup, same depth cap."""
+    from zef_spark.graph.algorithms import bfs_levels
+    src = spark.createDataFrame([(1,)], "id long")
+    return (bfs_levels(_cosupply_edges(spark, sf_dir), src,
+                       max_depth=6, directed=False)
+            .select("id", F.col("level").cast("long").alias("level"))
+            .orderBy("id"))
+
+
 @query("e_merge_intervals", """
 WITH iv AS (
   SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
@@ -3755,7 +3825,7 @@ _FRONT = [
     # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
     # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
     # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
-    # p_weighted_sample.
+    # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -1,0 +1,68 @@
+"""triangle_count / bfs_levels vs networkx ground truth."""
+
+import pytest
+
+nx = pytest.importorskip("networkx")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _gnp(seed=7, n=40, p=0.12):
+    return nx.gnp_random_graph(n, p, seed=seed)
+
+
+def _edges_df(spark, g):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in g.edges()], "src long, dst long")
+
+
+def test_triangle_count_matches_networkx(spark):
+    from zef_spark.graph.algorithms import triangle_count
+    g = _gnp()
+    got = triangle_count(_edges_df(spark, g)).collect()[0]["n_triangles"]
+    expected = sum(nx.triangles(g).values()) // 3
+    assert got == expected and expected > 0
+
+
+def test_triangle_count_per_node(spark):
+    from zef_spark.graph.algorithms import triangle_count
+    g = _gnp(seed=11)
+    got = {r["id"]: r["n_triangles"] for r in
+           triangle_count(_edges_df(spark, g), per_node=True).collect()}
+    for node, t in nx.triangles(g).items():
+        assert got.get(node, 0) == t
+
+
+def test_triangle_count_dedups_multi_edges(spark):
+    from zef_spark.graph.algorithms import triangle_count
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)],
+        "src long, dst long")  # one triangle, duplicated/reversed/self
+    assert triangle_count(df).collect()[0]["n_triangles"] == 1
+
+
+def test_bfs_levels_matches_networkx(spark):
+    from zef_spark.graph.algorithms import bfs_levels
+    g = _gnp(seed=3)
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["level"] for r in
+           bfs_levels(_edges_df(spark, g), src,
+                      directed=False).collect()}
+    expected = nx.single_source_shortest_path_length(g, 0)
+    assert got == {int(k): v for k, v in expected.items()}
+
+
+def test_bfs_multi_source_and_depth_cap(spark):
+    from zef_spark.graph.algorithms import bfs_levels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (9,)], "id long")
+    got = {r["id"]: r["level"] for r in
+           bfs_levels(chain, srcs).collect()}
+    assert got[0] == 0 and got[9] == 0
+    assert got[10] == 1          # reached from source 9
+    assert got[5] == 5           # reached from source 0, directed
+    capped = {r["id"]: r["level"] for r in
+              bfs_levels(chain, spark.createDataFrame([(0,)], "id long"),
+                         max_depth=3).collect()}
+    assert max(capped.values()) == 3 and 4 not in capped.values()
