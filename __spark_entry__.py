@@ -3547,6 +3547,59 @@ def p_pagerank(spark, sf_dir):
 ORACLE["p_pagerank"] = _pr_oracle()
 
 
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query("p_pivot_lang_counts", """
+SELECT source,
+       COUNT(*) FILTER (WHERE lang = 'de') AS de,
+       COUNT(*) FILTER (WHERE lang = 'en') AS en,
+       COUNT(*) FILTER (WHERE lang = 'es') AS es,
+       COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+       COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+FROM documents GROUP BY source ORDER BY source
+""")
+def p_pivot_lang_counts(spark, sf_dir):
+    """Wide pivot (ops/df_ops.py pivot_table) with EXPLICIT pivot
+    values — single hash aggregate with map-side combine, no
+    distinct-scan planning pass. Missing (source, lang) combos
+    coalesce to 0 to match COUNT FILTER semantics."""
+    from zef_spark import ops as z
+    docs = _t(spark, sf_dir, "documents")
+    wide = docs | z.pivot_table["source", "lang",
+                                F.count(F.lit(1)), _LANGS]
+    return (wide.select(
+        "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+                    for c in _LANGS])
+        .orderBy("source"))
+
+
+@query("p_rollup_order_status", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+       GROUPING_ID(o_orderstatus, o_orderpriority) AS grouping_level
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY grouping_level, o_orderstatus, o_orderpriority
+""")
+def p_rollup_order_status(spark, sf_dir):
+    """Hierarchical subtotals (ops/df_ops.py rollup_agg): leaf rows,
+    per-status subtotals, and the grand total from ONE Expand + hash
+    aggregate pass — no repeated scans, no union of three group-bys.
+    grouping_level is the engine-standard grouping_id bitmask."""
+    from zef_spark import ops as z
+    o = _t(spark, sf_dir, "orders")
+    out = o | z.rollup_agg[["o_orderstatus", "o_orderpriority"], {
+        "n": F.count(F.lit(1)),
+        "total": F.round(F.sum("o_totalprice"), 2)}]
+    return (out.select("o_orderstatus", "o_orderpriority", "n",
+                       "total",
+                       F.col("grouping_level").cast("long")
+                       .alias("grouping_level"))
+            .orderBy("grouping_level", "o_orderstatus",
+                     "o_orderpriority"))
+
+
 _COSUPPLY_SQL = """
   SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
   FROM lineitem a
@@ -3825,7 +3878,8 @@ _FRONT = [
     # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
     # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
     # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
-    # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply.
+    # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply,
+    # p_pivot_lang_counts, p_rollup_order_status.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -1,0 +1,67 @@
+"""pivot_table / unpivot / rollup_agg / cube_agg."""
+
+from pyspark.sql import functions as F
+
+from zef_spark import ops as z
+
+
+def _sales(spark):
+    return spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4), ("b", "x", 8)],
+        "k string, cat string, v long")
+
+
+def test_pivot_table_explicit_values(spark):
+    wide = _sales(spark) | z.pivot_table["k", "cat", F.sum("v"),
+                                         ["x", "y"]]
+    rows = {r["k"]: (r["x"], r["y"]) for r in wide.collect()}
+    assert rows == {"a": (1, 2), "b": (12, None)}
+
+
+def test_pivot_roundtrips_through_unpivot(spark):
+    wide = _sales(spark) | z.pivot_table["k", "cat", F.sum("v"),
+                                         ["x", "y"]]
+    long = (wide | z.unpivot["k", ["x", "y"], "cat", "v"]) \
+        .where(F.col("v").isNotNull())
+    back = {(r["k"], r["cat"], r["v"]) for r in long.collect()}
+    assert back == {("a", "x", 1), ("a", "y", 2), ("b", "x", 12)}
+
+
+def test_unpivot_is_shuffle_free(spark):
+    plan = (_sales(spark) | z.unpivot["k", ["v"], "var", "val"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_rollup_agg_levels(spark):
+    out = _sales(spark) | z.rollup_agg[["k", "cat"],
+                                       {"n": F.count(F.lit(1))}]
+    rows = {(r["k"], r["cat"], r["grouping_level"]): r["n"]
+            for r in out.collect()}
+    assert rows[("a", "x", 0)] == 1
+    assert rows[("a", None, 1)] == 2       # per-k subtotal
+    assert rows[(None, None, 3)] == 4      # grand total
+    assert len(rows) == 3 + 2 + 1
+
+
+def test_cube_agg_includes_cat_margin(spark):
+    out = _sales(spark) | z.cube_agg[["k", "cat"],
+                                     {"n": F.count(F.lit(1))}]
+    rows = {(r["k"], r["cat"], r["grouping_level"]): r["n"]
+            for r in out.collect()}
+    assert rows[(None, "x", 2)] == 3       # cat margin, absent in rollup
+    assert rows[(None, None, 3)] == 4
+
+
+def test_pivot_and_rollup_single_aggregate_pass(spark):
+    wide = _sales(spark) | z.pivot_table["k", "cat", F.sum("v"),
+                                         ["x", "y"]]
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    # Spark pivots via a two-phase aggregate (by (k,cat) then by k) —
+    # two exchanges but ONE source scan; the scan count is what blows
+    # up at 100 TB
+    assert plan.count("Scan") == 1
+    assert plan.count("Exchange") <= 2
+    ru = _sales(spark) | z.rollup_agg[["k"], {"n": F.count(F.lit(1))}]
+    rplan = ru._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in rplan and rplan.count("Exchange") <= 1

@@ -417,3 +417,55 @@ def _assert_df(df: DataFrame, pred, msg="assertion failed"):
 @register_op("identity", "df")
 def _identity(df: DataFrame):
     return df
+
+
+# -- reshaping: pivot / unpivot / hierarchical aggregates -------------
+@register_op("pivot_table", "df")
+def _pivot_table(df: DataFrame, index, pivot_col, agg,
+                 pivot_values=None):
+    """Wide pivot: one row per `index`, one column per pivot value.
+    ALWAYS pass `pivot_values` at scale — without them Spark runs an
+    extra full scan (distinct on the pivot column) before it can even
+    plan, and an unbounded value set makes an unbounded-width row.
+    With values given, the pivot is a single hash aggregate with
+    map-side combine (pivot_values columns of partial state/group).
+    `agg`: a Column aggregate (e.g. F.count(F.lit(1)))."""
+    index = [index] if isinstance(index, str) else list(index)
+    g = df.groupBy(*index)
+    p = (g.pivot(pivot_col, list(pivot_values)) if pivot_values
+         else g.pivot(pivot_col))
+    return p.agg(agg)
+
+
+@register_op("unpivot", "df")
+def _unpivot(df: DataFrame, ids, value_cols, var_name="variable",
+             value_name="value"):
+    """Long melt (inverse of pivot): row-local explode of the chosen
+    columns — zero shuffle."""
+    ids = [ids] if isinstance(ids, str) else list(ids)
+    vals = [value_cols] if isinstance(value_cols, str) \
+        else list(value_cols)
+    return df.unpivot(ids, vals, var_name, value_name)
+
+
+@register_op("rollup_agg", "df")
+def _rollup_agg(df: DataFrame, cols, aggs: dict):
+    """Hierarchical subtotals (GROUP BY ROLLUP): one pass emits every
+    prefix level plus the grand total; `grouping_level` counts how
+    many trailing dims are rolled up (0 = leaf row). Spark expands
+    rollup inside a single Expand+hash-aggregate — no repeated scans.
+    `aggs`: name -> aggregate Column."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return (df.rollup(*cols)
+            .agg(*[a.alias(n) for n, a in aggs.items()],
+                 F.grouping_id().alias("grouping_level")))
+
+
+@register_op("cube_agg", "df")
+def _cube_agg(df: DataFrame, cols, aggs: dict):
+    """All-subsets subtotals (GROUP BY CUBE), same single-pass Expand
+    shape as rollup_agg; grouping_id identifies the subset."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return (df.cube(*cols)
+            .agg(*[a.alias(n) for n, a in aggs.items()],
+                 F.grouping_id().alias("grouping_level")))
