@@ -3600,6 +3600,44 @@ def p_rollup_order_status(spark, sf_dir):
                      "o_orderpriority"))
 
 
+@query("w_ranking_family", """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w_price AS rnk,
+       DENSE_RANK() OVER w_price AS drnk,
+       NTILE(4) OVER w_date AS quartile,
+       ROUND(LAG(o_totalprice, 1, 0) OVER w_date, 2) AS prev_total
+FROM orders
+WINDOW w_price AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey),
+       w_date AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""")
+def w_ranking_family(spark, sf_dir):
+    """Ranking/offset window family (ops/df_ops.py rank_by /
+    dense_rank_by / ntile_by / lag_by): four window chains over the
+    same per-customer partitioning compile into a single plan with
+    one partition-key shuffle reused by both sort orders."""
+    from zef_spark import ops as z
+    o = _t(spark, sf_dir, "orders")
+    out = (o
+           | z.rank_by[["-o_totalprice", "o_orderkey"],
+                       "o_custkey", "rnk"]
+           | z.dense_rank_by[["-o_totalprice", "o_orderkey"],
+                             "o_custkey", "drnk"]
+           | z.ntile_by[4, ["o_orderdate", "o_orderkey"],
+                        "o_custkey", "quartile"]
+           | z.lag_by["o_totalprice", ["o_orderdate", "o_orderkey"],
+                      "o_custkey", 1, 0.0, "prev_total"])
+    return (out.select(
+        "o_custkey", "o_orderkey",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("drnk").cast("long").alias("drnk"),
+        F.col("quartile").cast("long").alias("quartile"),
+        F.round("prev_total", 2).alias("prev_total"))
+        .orderBy("o_custkey", "o_orderkey"))
+
+
 _COSUPPLY_SQL = """
   SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
   FROM lineitem a
@@ -3879,7 +3917,7 @@ _FRONT = [
     # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
     # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
     # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply,
-    # p_pivot_lang_counts, p_rollup_order_status.
+    # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

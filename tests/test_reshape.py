@@ -65,3 +65,33 @@ def test_pivot_and_rollup_single_aggregate_pass(spark):
     ru = _sales(spark) | z.rollup_agg[["k"], {"n": F.count(F.lit(1))}]
     rplan = ru._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in rplan and rplan.count("Exchange") <= 1
+
+
+def test_ranking_family(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0),
+         ("b", 4, 5.0)], "k string, id long, v double")
+    out = (df
+           | z.rank_by[["-v", "id"], "k", "rnk"]
+           | z.dense_rank_by["-v", "k", "drnk"]
+           | z.row_number_by["id", "k", "rn"]
+           | z.percent_rank_by["v", "k", "pr"]
+           | z.ntile_by[2, "id", "k", "half"]
+           | z.lag_by["v", "id", "k", 1, 0.0, "prev"]
+           | z.lead_by["v", "id", "k"])
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[2]["rnk"], rows[3]["rnk"], rows[1]["rnk"]) == (1, 2, 3)
+    assert (rows[2]["drnk"], rows[3]["drnk"]) == (1, 1)
+    assert [rows[i]["rn"] for i in (1, 2, 3)] == [1, 2, 3]
+    assert rows[1]["pr"] == 0.0 and rows[4]["pr"] == 0.0
+    assert (rows[1]["half"], rows[3]["half"]) == (1, 2)
+    assert (rows[1]["prev"], rows[2]["prev"]) == (0.0, 10.0)
+    assert rows[3]["v_lead"] is None
+
+
+def test_ranking_chain_single_shuffle(spark):
+    df = spark.createDataFrame([("a", 1, 1.0)],
+                               "k string, id long, v double")
+    out = (df | z.rank_by[["-v"], "k"] | z.lag_by["v", "id", "k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

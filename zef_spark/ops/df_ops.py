@@ -469,3 +469,54 @@ def _cube_agg(df: DataFrame, cols, aggs: dict):
     return (df.cube(*cols)
             .agg(*[a.alias(n) for n, a in aggs.items()],
                  F.grouping_id().alias("grouping_level")))
+
+
+# -- ranking / offset window family -----------------------------------
+def _rank_fam(df: DataFrame, fn_col, order_by, partition_by, out):
+    return df.withColumn(out, fn_col.over(_window(order_by,
+                                                  partition_by)))
+
+
+@register_op("rank_by", "df")
+def _rank_by(df: DataFrame, order_by, partition_by=None, out="rank"):
+    """SQL RANK (gaps on ties) within each partition. One shuffle on
+    the partition key; warns loudly when partition_by is omitted."""
+    return _rank_fam(df, F.rank(), order_by, partition_by, out)
+
+
+@register_op("dense_rank_by", "df")
+def _dense_rank_by(df: DataFrame, order_by, partition_by=None,
+                   out="dense_rank"):
+    return _rank_fam(df, F.dense_rank(), order_by, partition_by, out)
+
+
+@register_op("row_number_by", "df")
+def _row_number_by(df: DataFrame, order_by, partition_by=None,
+                   out="row_number"):
+    return _rank_fam(df, F.row_number(), order_by, partition_by, out)
+
+
+@register_op("percent_rank_by", "df")
+def _percent_rank_by(df: DataFrame, order_by, partition_by=None,
+                     out="percent_rank"):
+    return _rank_fam(df, F.percent_rank(), order_by, partition_by, out)
+
+
+@register_op("ntile_by", "df")
+def _ntile_by(df: DataFrame, n, order_by, partition_by=None,
+              out="ntile"):
+    return _rank_fam(df, F.ntile(n), order_by, partition_by, out)
+
+
+@register_op("lag_by", "df")
+def _lag_by(df: DataFrame, col, order_by, partition_by=None,
+            offset=1, default=None, out=None):
+    return _rank_fam(df, F.lag(col, offset, default), order_by,
+                     partition_by, out or f"{col}_lag")
+
+
+@register_op("lead_by", "df")
+def _lead_by(df: DataFrame, col, order_by, partition_by=None,
+             offset=1, default=None, out=None):
+    return _rank_fam(df, F.lead(col, offset, default), order_by,
+                     partition_by, out or f"{col}_lead")
