@@ -140,13 +140,27 @@ class Untag:  # close the tag's validity interval (ITF:7406)
     name: str
 
 
+def _local_df(spark, rows, schema):
+    """createDataFrame with partitions scaled to the row count: a
+    wish list of a few hundred rows must not shard into
+    defaultParallelism (32+) near-empty partitions — every downstream
+    point lookup would pay one task launch PER partition. One
+    partition per 50k rows, capped at the session parallelism."""
+    n = max(1, min(spark.sparkContext.defaultParallelism,
+                   len(rows) // 50_000 + 1))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n), schema)
+
+
 def empty_graph(spark) -> Graph:
-    return Graph(
+    g = Graph(
         spark.createDataFrame([], NODES_SCHEMA),
         spark.createDataFrame([], EDGES_SCHEMA),
         spark.createDataFrame([], ATTR_VALUES_SCHEMA),
         spark.createDataFrame([(0, __import__("datetime").datetime(1970, 1, 1))],
                               TXS_SCHEMA))
+    g.interactive = True
+    return g
 
 
 def transact(g: Graph, wishes: list, time=None,
@@ -372,13 +386,13 @@ def transact(g: Graph, wishes: list, time=None,
                    F.lit(tx)).otherwise(F.col("superseded_at_tx")))
 
     if new_nodes:
-        nodes = nodes.unionByName(spark.createDataFrame(new_nodes, NODES_SCHEMA))
+        nodes = nodes.unionByName(_local_df(spark, new_nodes, NODES_SCHEMA))
     if new_edges:
-        edges = edges.unionByName(spark.createDataFrame(new_edges, EDGES_SCHEMA))
+        edges = edges.unionByName(_local_df(spark, new_edges, EDGES_SCHEMA))
     if new_avs:
         avs = avs.unionByName(
-            spark.createDataFrame(new_avs, ATTR_VALUES_SCHEMA))
-    txs = g.txs.unionByName(spark.createDataFrame([(tx, time)], TXS_SCHEMA))
+            _local_df(spark, new_avs, ATTR_VALUES_SCHEMA))
+    txs = g.txs.unionByName(_local_df(spark, [(tx, time)], TXS_SCHEMA))
 
     tags = g.tags
     if close_tags or new_tags:
@@ -402,6 +416,7 @@ def transact(g: Graph, wishes: list, time=None,
     out._max_rae_id = max(last_minted, 1 << 60)
     out.schema_validator = getattr(g, "schema_validator", None)
     out.rt_vrt = g.rt_vrt
+    out.interactive = getattr(g, "interactive", False)
     return out, receipt
 
 

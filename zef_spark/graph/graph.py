@@ -66,6 +66,13 @@ class Graph:
         # True when every AE has exactly one assignment row ever
         # (bulk-ingested graphs): enables no-shuffle field reads
         self.single_assignment = False
+        # True for driver-built in-memory graphs (empty_graph +
+        # transact chains): point-lookup joins hint broadcast —
+        # their sides are wish-list-sized by construction, and the
+        # cost of letting AQE discover that is two shuffle-stage
+        # round trips PER lookup. Parquet/mapper graphs keep the
+        # planner's choice (a non-selective value could be huge).
+        self.interactive = False
 
     @property
     def spark(self):
@@ -425,11 +432,14 @@ class NodeSet:
             raise TypeError(f"no value column matches {type(value)}")
         cond = reduce(lambda a, b: a | b, preds)
         ae_ids = av.where(cond).select(F.col("ae_id").alias("__ae"))
+        bc = F.broadcast if getattr(g, "interactive", False) \
+            else (lambda d: d)
         e = _alive(g.edges, t).where(F.col("rt") == name) \
             .select(F.col("src_id").alias("id"),
                     F.col("dst_id").alias("__ae"))
-        owners = e.join(ae_ids, "__ae", "left_semi").select("id")
-        return NodeSet(self.frame, self.df.join(owners, "id", "left_semi"))
+        owners = e.join(bc(ae_ids), "__ae", "left_semi").select("id")
+        return NodeSet(self.frame,
+                       self.df.join(bc(owners), "id", "left_semi"))
 
     def gather(self, rts=None, direction: str = "out",
                max_steps: int | None = None) -> "NodeSet":
