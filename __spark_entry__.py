@@ -3600,6 +3600,104 @@ def p_rollup_order_status(spark, sf_dir):
                      "o_orderpriority"))
 
 
+@query("p_profile_documents", """
+SELECT 'lang' AS col_name, COUNT(*) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct,
+       CAST(MIN(lang) AS VARCHAR) AS min, CAST(MAX(lang) AS VARCHAR) AS max,
+       CAST(NULL AS DOUBLE) AS mean
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*),
+       CAST(COUNT(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*),
+       CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT),
+       CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR),
+       CAST(NULL AS DOUBLE)
+FROM documents
+ORDER BY col_name
+""")
+def p_profile_documents(spark, sf_dir):
+    """One-pass table profiling (pipeline/wrangling.py profile_table):
+    nulls / exact distincts / min / max / numeric means for every
+    column stack into ONE aggregate row (single scan, plan-asserted in
+    tests), then explode row-locally to per-column rows."""
+    from zef_spark.pipeline.wrangling import profile_table
+    docs = _t(spark, sf_dir, "documents")
+    return (profile_table(docs, ["lang", "n_chars", "source"])
+            .withColumnRenamed("column", "col_name")
+            .orderBy("col_name"))
+
+
+@query("p_diff_orders", """
+SELECT o_orderkey AS k,
+       CASE WHEN o_orderkey % 97 = 0 THEN 'removed'
+            WHEN o_orderkey % 100 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN o_orderkey % 97 <> 0 AND o_orderkey % 100 = 0
+            THEN 'o_totalprice' ELSE '' END AS changed
+FROM orders ORDER BY k
+""")
+def p_diff_orders(spark, sf_dir):
+    """Keyed table diff (pipeline/wrangling.py diff_tables): one
+    full-outer join, null-safe column compare, per-row status +
+    changed-column list. The right side is a derived variant (5%% of
+    keys dropped, 1%% repriced); the oracle computes every status
+    analytically from the generator, so equality proves the diff
+    logic — not a replay of it."""
+    from zef_spark.pipeline.wrangling import diff_tables
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    right = (o.where(F.col("o_orderkey") % 97 != 0)
+             .withColumn("o_totalprice", F.when(
+                 F.col("o_orderkey") % 100 == 0,
+                 F.round(F.col("o_totalprice") * 1.1, 2))
+                 .otherwise(F.col("o_totalprice"))))
+    d = diff_tables(o, right, "o_orderkey")
+    return (d.select(F.col("o_orderkey").alias("k"), "status",
+                     F.array_join("changed_columns", ",")
+                     .alias("changed"))
+            .orderBy("k"))
+
+
+@query("e_scd2_event_type", """
+WITH ch AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS f
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_type, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                TIMESTAMP '9999-12-31') AS valid_to
+FROM ch WHERE f = 1 ORDER BY user_id, valid_from
+""")
+def e_scd2_event_type(spark, sf_dir):
+    """SCD-2 interval builder (pipeline/wrangling.py
+    scd2_from_events): per-user event_type change history as
+    [valid_from, valid_to) rows, consecutive duplicates collapsed —
+    one key shuffle, lag/lead windows. The standalone form of the
+    graph's attr_values interval maintenance."""
+    from zef_spark.pipeline.wrangling import scd2_from_events
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    out = scd2_from_events(ev, "user_id", "ts", ["event_type"])
+    # open (current) intervals -> sentinel: NULL timestamps canon
+    # differently across engine clients (None vs NaT)
+    return (out.select(
+        "user_id", "event_type", "valid_from",
+        F.coalesce("valid_to",
+                   F.lit("9999-12-31").cast("timestamp_ntz"))
+        .alias("valid_to"))
+        .orderBy("user_id", "valid_from"))
+
+
 @query("w_ranking_family", """
 SELECT o_custkey, o_orderkey,
        RANK() OVER w_price AS rnk,
@@ -3917,7 +4015,8 @@ _FRONT = [
     # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
     # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
     # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply,
-    # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family.
+    # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family,
+    # p_profile_documents, p_diff_orders, e_scd2_event_type.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from functools import reduce
+
 from ..ops.core import register_op
 
 _CASTS = [  # candidate target types, most specific first
@@ -200,3 +202,118 @@ def _infer_types_op(df, threshold=0.95):
 @register_op("identify_entities", "df")
 def _identify_entities_op(df, id_col, *match_cols):
     return identify_entities(df, id_col, list(match_cols))
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None,
+                  digits: int = 6) -> DataFrame:
+    """One-pass data profile: per column, row count, null count,
+    exact distinct count, min/max (as strings for type uniformity),
+    and mean for numeric columns. ALL columns profile in a single
+    aggregate job — the stats stack into one wide row, then unpivot
+    row-locally to (column, metric...) rows. Exact count_distinct
+    expands per column but stays one stage; at 100 TB swap
+    `countDistinct` for `approx_count_distinct` and keep the shape.
+    """
+    from pyspark.sql.types import NumericType
+    cols = cols or df.columns
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, NumericType)}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            # aggregate on the NATIVE type, cast the result — casting
+            # first would rank numbers lexicographically ("99" > "101")
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            (F.round(F.avg(F.col(c).cast("double")), digits)
+             if c in numeric else F.lit(None).cast("double"))
+            .alias(f"__mean_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [F.struct(
+        F.lit(c).alias("column"),
+        F.col("__n").alias("n_rows"),
+        F.col(f"__nulls_{c}").cast("long").alias("n_nulls"),
+        F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+        F.col(f"__min_{c}").alias("min"),
+        F.col(f"__max_{c}").alias("max"),
+        F.col(f"__mean_{c}").alias("mean")) for c in cols]
+    return (row.select(F.explode(F.array(*per_col)).alias("p"))
+            .select("p.*"))
+
+
+def diff_tables(left: DataFrame, right: DataFrame, key: str | list[str],
+                compare: list[str] | None = None) -> DataFrame:
+    """Keyed row-level diff (CDC / regression check): one row per key
+    present in either side, status in {added, removed, changed,
+    unchanged} ('added' = only in right). Changed columns are listed
+    by name. ONE full-outer join on the key; comparisons are
+    null-safe (`eqNullSafe`) and row-local."""
+    key = [key] if isinstance(key, str) else list(key)
+    compare = compare or [c for c in left.columns
+                          if c not in key and c in right.columns]
+    # presence flags come from sentinel columns, not payload nulls —
+    # a row whose compared columns are all NULL still counts present
+    l = left.select(*key,
+                    *[F.col(c).alias(f"__l_{c}") for c in compare],
+                    F.lit(1).alias("__lp"))
+    r = right.select(*key,
+                     *[F.col(c).alias(f"__r_{c}") for c in compare],
+                     F.lit(1).alias("__rp"))
+    j = l.join(r, key, "full_outer")
+    changed_cols = F.filter(
+        F.array(*[F.when(~F.col(f"__l_{c}").eqNullSafe(
+            F.col(f"__r_{c}")), F.lit(c)) for c in compare]),
+        lambda x: x.isNotNull())
+    status = (F.when(F.col("__lp").isNull(), F.lit("added"))
+              .when(F.col("__rp").isNull(), F.lit("removed"))
+              .when(F.size(changed_cols) > 0, F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    # changed_columns is only meaningful for 'changed' rows — an
+    # added/removed row trivially differs in every column
+    listed = F.when(status == "changed", changed_cols)         .otherwise(F.array().cast("array<string>"))
+    return (j.select(*key, status.alias("status"),
+                     listed.alias("changed_columns")))
+
+
+def scd2_from_events(df: DataFrame, key: str | list[str],
+                     ts_col: str, value_cols: list[str]) -> DataFrame:
+    """Build SCD-2 validity intervals from a change-event stream:
+    one row per (key, change) with [valid_from, valid_to) — valid_to
+    NULL for the current row. Consecutive events with UNCHANGED
+    values collapse into one interval (true change detection via lag
+    over the same window). One shuffle on the key; this is the
+    standalone form of what graph ingestion does to attr_values."""
+    from pyspark.sql import Window
+    key = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*key).orderBy(ts_col)
+    same_as_prev = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.lag(c, 1).over(w)) for c in value_cols])
+    changes = (df.withColumn("__new", F.when(
+        F.lag(ts_col, 1).over(w).isNull() | ~same_as_prev, 1)
+        .otherwise(0))
+        .where(F.col("__new") == 1))
+    w2 = Window.partitionBy(*key).orderBy(ts_col)
+    return (changes.select(
+        *key, *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col, 1).over(w2).alias("valid_to")))
+
+
+@register_op("profile_table", "df")
+def _profile_table_op(df, cols=None, digits=6):
+    return profile_table(df, cols, digits)
+
+
+@register_op("diff_tables", "df")
+def _diff_tables_op(df, other, key, compare=None):
+    return diff_tables(df, other, key, compare)
+
+
+@register_op("scd2_from_events", "df")
+def _scd2_op(df, key, ts_col, value_cols):
+    return scd2_from_events(df, key, ts_col, value_cols)
