@@ -3698,6 +3698,41 @@ def e_scd2_event_type(spark, sf_dir):
         .orderBy("user_id", "valid_from"))
 
 
+_EWMA_ALPHA = 0.3
+
+@query("e_ewma_user_value", f"""
+WITH RECURSIVE src AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+r(user_id, rn, ts, y) AS (
+  SELECT user_id, rn, ts, value FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts,
+         {1.0 - _EWMA_ALPHA!r} * r.y + {_EWMA_ALPHA!r} * s.value
+  FROM r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts, y AS ewma FROM r
+ORDER BY user_id, ts
+""")
+def e_ewma_user_value(spark, sf_dir):
+    """Per-user EWMA (pipeline/rollup.py ewma) — a linear recursion
+    no window function expresses; grouped Arrow kernel, one key
+    shuffle. The fold is literally `(1-a)*y + a*x` and the oracle's
+    constants are repr()'d Python doubles, so both engines produce
+    BIT-IDENTICAL doubles — which is why the comparison runs on the
+    raw values: any decimal ROUND would re-introduce divergence,
+    because Spark rounds the shortest decimal repr while DuckDB
+    rounds the scaled binary value, and they disagree for
+    boundary-adjacent doubles."""
+    from zef_spark.pipeline.rollup import ewma
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = ewma(ev, "user_id", "ts", "value", alpha=_EWMA_ALPHA)
+    return (out.select("user_id", "ts", "ewma")
+            .orderBy("user_id", "ts"))
+
+
 @query("w_ranking_family", """
 SELECT o_custkey, o_orderkey,
        RANK() OVER w_price AS rnk,
@@ -3779,6 +3814,36 @@ def g_triangle_cosupply(spark, sf_dir):
     scale; the orientation is the 100 TB formulation)."""
     from zef_spark.graph.algorithms import triangle_count
     return triangle_count(_cosupply_edges(spark, sf_dir))
+
+
+@query("g_clustering_cosupply", f"""
+WITH pr AS ({_COSUPPLY_SQL}),
+tri AS (
+  SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+  FROM pr e1 JOIN pr e2 ON e1.s1 = e2.s1 AND e1.s2 < e2.s2
+  JOIN pr e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+), corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), t AS (SELECT id, COUNT(*) AS nt FROM corners GROUP BY id),
+deg AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT s1 AS id FROM pr UNION ALL SELECT s2 FROM pr) GROUP BY id)
+SELECT deg.id, degree, COALESCE(nt, 0) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN ROUND(2.0 * COALESCE(nt, 0)
+                       / (degree * (degree - 1)), 6)
+            ELSE 0.0 END AS coefficient
+FROM deg LEFT JOIN t ON t.id = deg.id
+ORDER BY deg.id
+""")
+def g_clustering_cosupply(spark, sf_dir):
+    """Local clustering coefficient (graph/algorithms.py) over the
+    co-supply graph: per-node triangles from the oriented listing +
+    degrees from the same canonical edges; coefficient = 2T/d(d-1)."""
+    from zef_spark.graph.algorithms import clustering_coefficient
+    return (clustering_coefficient(_cosupply_edges(spark, sf_dir))
+            .orderBy("id"))
 
 
 @query("g_bfs_cosupply", f"""
@@ -4016,7 +4081,8 @@ _FRONT = [
     # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
     # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply,
     # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family,
-    # p_profile_documents, p_diff_orders, e_scd2_event_type.
+    # p_profile_documents, p_diff_orders, e_scd2_event_type,
+    # e_ewma_user_value, g_clustering_cosupply.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -66,3 +66,19 @@ def test_bfs_multi_source_and_depth_cap(spark):
               bfs_levels(chain, spark.createDataFrame([(0,)], "id long"),
                          max_depth=3).collect()}
     assert max(capped.values()) == 3 and 4 not in capped.values()
+
+
+def test_clustering_coefficient_matches_networkx(spark):
+    from zef_spark.graph.algorithms import clustering_coefficient
+    g = _gnp(seed=5)
+    got = {r["id"]: (r["degree"], r["n_triangles"], r["coefficient"])
+           for r in clustering_coefficient(_edges_df(spark, g)).collect()}
+    ref_c = nx.clustering(g)
+    ref_t = nx.triangles(g)
+    for node in g.nodes():
+        if g.degree(node) == 0:
+            assert node not in got  # isolated nodes have no edge rows
+            continue
+        d, t, c = got[node]
+        assert d == g.degree(node) and t == ref_t[node]
+        assert abs(c - ref_c[node]) < 1e-6

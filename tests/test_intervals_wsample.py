@@ -101,3 +101,22 @@ def test_weighted_sample_grouped_and_weight_bias(spark):
     df2 = df.withColumn("w", F.when(F.col("id") < 1000, -1.0)
                         .otherwise(0.0))
     assert weighted_sample(df2, "w", 5, "id").count() == 0
+
+
+def test_ewma_matches_reference_fold(spark):
+    import datetime as dt
+    from zef_spark.pipeline.rollup import ewma
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, base + dt.timedelta(minutes=i), float(v))
+            for k, i, v in [(1, 0, 10), (1, 1, 20), (1, 2, 10),
+                            (2, 0, 5)]]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {(r["k"], r["ts"]): r["ewma"]
+           for r in ewma(df, "k", "ts", "v", alpha=0.3).collect()}
+    y1 = 10.0
+    y2 = (1.0 - 0.3) * y1 + 0.3 * 20.0
+    y3 = (1.0 - 0.3) * y2 + 0.3 * 10.0
+    assert got[(1, base)] == y1
+    assert got[(1, base + dt.timedelta(minutes=1))] == y2
+    assert got[(1, base + dt.timedelta(minutes=2))] == y3
+    assert got[(2, base)] == 5.0

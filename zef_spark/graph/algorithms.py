@@ -262,3 +262,30 @@ def bfs_levels(edges: DataFrame, sources: DataFrame,
             .localCheckpoint())
         frontier = nxt
     return visited
+
+
+def clustering_coefficient(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst",
+                           digits: int = 6) -> DataFrame:
+    """(id, degree, n_triangles, coefficient): local clustering
+    coefficient 2T / d(d-1) per node (0 for degree < 2). Reuses the
+    skew-proof oriented triangle listing; degrees come from the same
+    canonical edge set, so multi-edges/self-loops can't skew either
+    term. One extra broadcast-size join over triangle_count."""
+    canon = (edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .where(F.col("a") != F.col("b")).distinct())
+    deg = (canon.select(F.col("a").alias("id"))
+           .unionAll(canon.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_count(canon, "a", "b", per_node=True)
+    return (deg.join(tri, "id", "left")
+            .select("id", "degree",
+                    F.coalesce("n_triangles", F.lit(0))
+                    .alias("n_triangles"))
+            .withColumn("coefficient", F.when(
+                F.col("degree") >= 2,
+                F.round(2.0 * F.col("n_triangles")
+                        / (F.col("degree") * (F.col("degree") - 1)),
+                        digits)).otherwise(F.lit(0.0))))

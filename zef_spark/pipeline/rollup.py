@@ -148,3 +148,51 @@ def rollup_pick(granularities: tuple[str, ...], window: str) -> str:
         raise ValueError(f"no granularity in {granularities} divides "
                          f"{window}")
     return max(fits, key=_bucket_width_us)
+
+
+def ewma(df, key, ts_col: str, value_col: str, alpha: float,
+         out_col: str = "ewma", digits: int | None = None):
+    """Per-key exponentially weighted moving average:
+    y_1 = x_1; y_t = (1-alpha)*y_{t-1} + alpha*x_t. A linear
+    recursion — NOT expressible as a Spark window function, and the
+    closed-form rewrite overflows double for long series — so it runs
+    as a grouped Arrow kernel: one shuffle on the key, each key's
+    series folds inside its pandas batch.
+
+    The fold is written as literally `(1-a)*y + a*x` (not pandas
+    .ewm(), whose internal weighted-average form differs in final
+    ulps) so an engine replaying the same IEEE expression — e.g. a
+    recursive-CTE oracle — reproduces it bit-for-bit before the
+    `digits` round."""
+    from pyspark.sql import functions as F  # noqa: F811
+    keys = [key] if isinstance(key, str) else list(key)
+    fields = ", ".join(f"{c} {t}" for c, t in df.dtypes) \
+        + f", {out_col} double"
+    one_minus, a = 1.0 - alpha, alpha
+
+    def fold(pdf):
+        pdf = pdf.sort_values(ts_col).copy()
+        out, y = [], None
+        for x in pdf[value_col].astype(float):
+            y = x if y is None else one_minus * y + a * x
+            out.append(y)
+        pdf[out_col] = out
+        return pdf
+
+    res = df.groupBy(*keys).applyInPandas(fold, fields)
+    # digits=None (default) returns the raw fold doubles — they are
+    # bit-identical to any engine replaying the same IEEE expression,
+    # while ROUND paths differ near decimal boundaries (Spark rounds
+    # the shortest decimal repr, DuckDB the scaled binary value).
+    if digits is None:
+        return res
+    return res.withColumn(out_col, F.round(F.col(out_col), digits))
+
+
+from ..ops.core import register_op as _reg_rollup  # noqa: E402
+
+
+@_reg_rollup("ewma", "df")
+def _ewma_op(df, key, ts_col, value_col, alpha, out_col="ewma",
+             digits=6):
+    return ewma(df, key, ts_col, value_col, alpha, out_col, digits)
