@@ -3698,6 +3698,70 @@ def e_scd2_event_type(spark, sf_dir):
         .orderBy("user_id", "valid_from"))
 
 
+@query("e_json_props_sum", """
+SELECT event_type,
+       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def e_json_props_sum(spark, sf_dir):
+    """Semi-structured column handling (ops/df_ops.py json_extract):
+    row-local JSON path extraction straight off the scan — no schema
+    inference pass, no UDF — then a plain hash aggregate."""
+    from zef_spark import ops as z
+    ev = _events(spark, sf_dir)
+    out = ev | z.json_extract["props", "$.k", "k"]
+    return (out.groupBy("event_type")
+            .agg(F.sum(F.col("k").cast("long")).alias("sum_k"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))
+
+
+@query("p_histogram_totalprice", """
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 30000.0)
+                             AS BIGINT), 0), 19) AS bin
+  FROM orders
+)
+SELECT bin, 0.0 + bin * 30000.0 AS bin_lo,
+       0.0 + (bin + 1) * 30000.0 AS bin_hi, COUNT(*) AS n
+FROM b GROUP BY bin ORDER BY bin
+""")
+def p_histogram_totalprice(spark, sf_dir):
+    """Equi-width histogram (ops/df_ops.py histogram) with explicit
+    bounds: one hash aggregate, out-of-range clamps to edge bins —
+    identical double bucket math on both engines."""
+    from zef_spark import ops as z
+    o = _t(spark, sf_dir, "orders")
+    return ((o | z.histogram["o_totalprice", 20, 0.0, 600000.0])
+            .orderBy("bin"))
+
+
+@query("p_corr_lineitem", """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount',
+         ROUND(CORR(l_quantity, l_discount), 4) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_discount',
+         ROUND(CORR(l_extendedprice, l_discount), 4) FROM lineitem
+) ORDER BY col_a, col_b
+""")
+def p_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (ops/df_ops.py
+    corr_matrix): all pairs in ONE aggregate pass over one scan;
+    rounded to 4 digits (correlation accumulation order differs
+    across engines in low digits)."""
+    from zef_spark import ops as z
+    li = _t(spark, sf_dir, "lineitem")
+    return (li | z.corr_matrix[
+        ["l_quantity", "l_extendedprice", "l_discount"]]) \
+        .orderBy("col_a", "col_b")
+
+
 _EWMA_ALPHA = 0.3
 
 @query("e_ewma_user_value", f"""
@@ -4082,7 +4146,8 @@ _FRONT = [
     # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply,
     # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family,
     # p_profile_documents, p_diff_orders, e_scd2_event_type,
-    # e_ewma_user_value, g_clustering_cosupply.
+    # e_ewma_user_value, g_clustering_cosupply, e_json_props_sum,
+    # p_histogram_totalprice, p_corr_lineitem.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -95,3 +95,41 @@ def test_ranking_chain_single_shuffle(spark):
     out = (df | z.rank_by[["-v"], "k"] | z.lag_by["v", "id", "k"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_json_ops(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5, "tag": "a"}'), (2, '{"k": 7}'), (3, None)],
+        "id long, props string")
+    one = df | z.json_extract["props", "$.k", "k"]
+    assert {r["id"]: r["k"] for r in one.collect()} == \
+        {1: "5", 2: "7", 3: None}
+    multi = df | z.json_fields["props", {"k": "$.k", "tag": "$.tag"}]
+    r1 = {r["id"]: (r["k"], r["tag"]) for r in multi.collect()}
+    assert r1[1] == ("5", "a") and r1[2] == ("7", None)
+    typed = df | z.json_parse["props", "k INT, tag STRING"]
+    r2 = {r["id"]: r["props_parsed"] for r in typed.collect()}
+    assert r2[1]["k"] == 5 and r2[1]["tag"] == "a"
+
+
+def test_histogram_clamps_edges(spark):
+    df = spark.createDataFrame([(x,) for x in
+                                [-5.0, 0.0, 9.9, 10.0, 95.0, 200.0]],
+                               "v double")
+    h = {r["bin"]: r["n"] for r in
+         (df | z.histogram["v", 10, 0.0, 100.0]).collect()}
+    assert h[0] == 3      # -5 clamps in, 0.0 and 9.9 in bin 0
+    assert h[1] == 1      # 10.0 opens bin 1
+    assert h[9] == 2      # 95 in last bin, 200 clamps to it
+
+
+def test_corr_matrix_single_pass(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i), float(-i)) for i in range(10)],
+        "a double, b double, c double")
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in (df | z.corr_matrix[["a", "b", "c"]]).collect()}
+    assert out[("a", "b")] == 1.0 and out[("a", "c")] == -1.0
+    plan = (df | z.corr_matrix[["a", "b", "c"]]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1

@@ -520,3 +520,68 @@ def _lead_by(df: DataFrame, col, order_by, partition_by=None,
              offset=1, default=None, out=None):
     return _rank_fam(df, F.lead(col, offset, default), order_by,
                      partition_by, out or f"{col}_lead")
+
+
+# -- semi-structured / profiling extras -------------------------------
+@register_op("json_extract", "df")
+def _json_extract(df: DataFrame, col, path, out=None):
+    """Extract one JSON path (e.g. '$.k') as a string column —
+    row-local get_json_object, no parse-schema needed. For repeated
+    multi-field extraction prefer json_parse (one parse, typed)."""
+    return df.withColumn(out or path.replace("$", "").strip("."),
+                         F.get_json_object(F.col(col), path))
+
+
+@register_op("json_fields", "df")
+def _json_fields(df: DataFrame, col, paths: dict):
+    """Extract several paths at once: json_tuple parses the document
+    ONCE per row for all root fields (vs one parse per
+    get_json_object call)."""
+    names = list(paths)
+    roots = [paths[n].replace("$.", "") for n in names]
+    return df.select(
+        "*", F.json_tuple(F.col(col), *roots).alias(*names))
+
+
+@register_op("json_parse", "df")
+def _json_parse(df: DataFrame, col, schema: str, out=None):
+    """Parse a JSON string column into a typed struct with an explicit
+    schema ('k INT, tag STRING') — NEVER schema inference at scale
+    (inference is an extra full scan and makes the output type
+    data-dependent)."""
+    return df.withColumn(out or f"{col}_parsed",
+                         F.from_json(F.col(col), schema))
+
+
+@register_op("histogram", "df")
+def _histogram(df: DataFrame, col, bins: int, lo: float, hi: float):
+    """Equi-width histogram with EXPLICIT bounds: (bin, bin_lo,
+    bin_hi, n) — one hash aggregate, out-of-range rows clamp to the
+    edge bins. Explicit bounds keep it one pass; bounds-from-data is
+    a separate 1-row aggregate the caller can run first."""
+    w = (hi - lo) / bins
+    b = F.least(F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(w))
+                           .cast("long"), F.lit(0)),
+                F.lit(bins - 1))
+    return (df.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(w))
+                    .alias("bin_hi"), "n"))
+
+
+@register_op("corr_matrix", "df")
+def _corr_matrix(df: DataFrame, cols: list, digits: int = 4):
+    """Pairwise Pearson correlations of numeric columns in ONE
+    aggregate pass (all pairs stack into a single row, then explode
+    row-locally). digits=4: correlation accumulation order differs
+    across engines in low digits."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    row = df.agg(*[F.round(F.corr(a, b), digits).alias(f"__c_{a}_{b}")
+                   for a, b in pairs])
+    per = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                    F.col(f"__c_{a}_{b}").alias("corr"))
+           for a, b in pairs]
+    return (row.select(F.explode(F.array(*per)).alias("p"))
+            .select("p.*"))
