@@ -3698,6 +3698,20 @@ def e_scd2_event_type(spark, sf_dir):
         .orderBy("user_id", "valid_from"))
 
 
+@query("w_explode_words", """
+SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')[1:5]) AS w
+FROM documents ORDER BY doc_id, w
+""")
+def w_explode_words(spark, sf_dir):
+    """Row-local array explode (ops/df_ops.py explode — GenerateExec,
+    zero shuffle): first five space-split tokens per document."""
+    from zef_spark import ops as z
+    docs = _t(spark, sf_dir, "documents")
+    arr = docs.select("doc_id",
+                      F.slice(F.split("text", " "), 1, 5).alias("ws"))
+    return (arr | z.explode["ws", "w"]).orderBy("doc_id", "w")
+
+
 @query("e_json_props_sum", """
 SELECT event_type,
        SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
@@ -4147,7 +4161,7 @@ _FRONT = [
     # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family,
     # p_profile_documents, p_diff_orders, e_scd2_event_type,
     # e_ewma_user_value, g_clustering_cosupply, e_json_props_sum,
-    # p_histogram_totalprice, p_corr_lineitem.
+    # p_histogram_totalprice, p_corr_lineitem, w_explode_words.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -133,3 +133,22 @@ def test_corr_matrix_single_pass(spark):
     plan = (df | z.corr_matrix[["a", "b", "c"]]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") == 1
+
+
+def test_convenience_verbs(spark):
+    df = spark.createDataFrame([(1, [10, 20], None), (2, [], 5)],
+                               "id long, xs array<int>, v int")
+    ex = (df | z.explode["xs", "x"]).collect()
+    assert sorted((r["id"], r["x"]) for r in ex) == [(1, 10), (1, 20)]
+    exo = (df | z.explode["xs", "x", True]).collect()
+    assert (2, None) in {(r["id"], r["x"]) for r in exo}
+    pe = (df | z.pos_explode["xs"]).collect()
+    assert {(r["pos"], r["value"]) for r in pe} == {(0, 10), (1, 20)}
+    wc = df | z.with_columns[{"d": F.col("id") * 2, "s": "id + 1"}]
+    r = {x["id"]: (x["d"], x["s"]) for x in wc.collect()}
+    assert r[2] == (4, 3)
+    assert (df | z.drop_columns["xs"]).columns == ["id", "v"]
+    assert (df | z.rename_columns[{"v": "val"}]).columns == \
+        ["id", "xs", "val"]
+    assert (df | z.fill_na[0, ["v"]]).where("v = 0").count() == 1
+    assert (df | z.drop_na["any", ["v"]]).count() == 1

@@ -585,3 +585,63 @@ def _corr_matrix(df: DataFrame, cols: list, digits: int = 4):
            for a, b in pairs]
     return (row.select(F.explode(F.array(*per)).alias("p"))
             .select("p.*"))
+
+
+# -- DataFrame conveniences (Spark-native verbs as chainables) --------
+@register_op("explode", "df")
+def _explode(df: DataFrame, col, out=None, outer: bool = False,
+             keep: bool = False):
+    """Explode an array column to rows; outer=True keeps empty/null
+    arrays as one null row; keep=True retains the source column.
+    Row-local (GenerateExec) — zero shuffle."""
+    gen = F.explode_outer if outer else F.explode
+    c = _cols([col])[0]
+    others = [x for x in df.columns
+              if keep or not (isinstance(col, str) and x == col)]
+    return df.select(*others, gen(c).alias(out or "value"))
+
+
+@register_op("pos_explode", "df")
+def _pos_explode(df: DataFrame, col, pos_out="pos", out="value",
+                 outer: bool = False):
+    gen = F.posexplode_outer if outer else F.posexplode
+    others = [x for x in df.columns
+              if not (isinstance(col, str) and x == col)]
+    return df.select(*others, gen(_cols([col])[0]).alias(pos_out, out))
+
+
+@register_op("with_column", "df")
+def _with_column(df: DataFrame, name, col):
+    return df.withColumn(name, col if isinstance(col, Column)
+                         else F.expr(col) if isinstance(col, str)
+                         else F.lit(col))
+
+
+@register_op("with_columns", "df")
+def _with_columns(df: DataFrame, cols: dict):
+    return df.withColumns({k: (v if isinstance(v, Column)
+                               else F.expr(v) if isinstance(v, str)
+                               else F.lit(v))
+                           for k, v in cols.items()})
+
+
+@register_op("drop_columns", "df")
+def _drop_columns(df: DataFrame, *cols):
+    return df.drop(*cols)
+
+
+@register_op("rename_columns", "df")
+def _rename_columns(df: DataFrame, mapping: dict):
+    return df.withColumnsRenamed(mapping)
+
+
+@register_op("fill_na", "df")
+def _fill_na(df: DataFrame, value, subset=None):
+    """Constant null fill (df.na.fill); for statistical fills
+    (mean/median/mode) use pipeline.wrangling.impute."""
+    return df.na.fill(value, subset=subset)
+
+
+@register_op("drop_na", "df")
+def _drop_na(df: DataFrame, how="any", subset=None):
+    return df.na.drop(how=how, subset=subset)
