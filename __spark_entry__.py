@@ -3698,6 +3698,32 @@ def e_scd2_event_type(spark, sf_dir):
         .orderBy("user_id", "valid_from"))
 
 
+@query("e_stream_interval_join", """
+SELECT v.user_id, v.ts, p.ts AS ts_r
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY v.user_id, v.ts, ts_r
+""")
+def e_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.py
+    stream_interval_join), run here in its batch form — the IDENTICAL
+    plan the watermarked streaming variant executes (equality proven
+    in tests/test_streaming.py): key equality + time band, so state
+    stays bounded on unbounded inputs."""
+    from zef_spark.streaming.joins import stream_interval_join
+    ev = _events(spark, sf_dir)
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts"))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select("user_id", "ts"))
+    out = stream_interval_join(views, buys, "user_id",
+                               within="30 minutes")
+    return (out.select("user_id", "ts", "ts_r")
+            .orderBy("user_id", "ts", "ts_r"))
+
+
 @query("w_explode_words", """
 SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')[1:5]) AS w
 FROM documents ORDER BY doc_id, w
@@ -4161,7 +4187,8 @@ _FRONT = [
     # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family,
     # p_profile_documents, p_diff_orders, e_scd2_event_type,
     # e_ewma_user_value, g_clustering_cosupply, e_json_props_sum,
-    # p_histogram_totalprice, p_corr_lineitem, w_explode_words.
+    # p_histogram_totalprice, p_corr_lineitem, w_explode_words,
+    # e_stream_interval_join.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -218,3 +218,36 @@ def test_session_window_batch_and_stream(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert {(r["id"], r["n_events"]) for r in out} == got
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join: streaming result over
+    the file source equals the identical batch-plan join."""
+    import datetime as dt
+    from zef_spark.streaming.events import subscribe
+    from zef_spark.streaming.joins import stream_interval_join
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    views = [(1, base), (1, base + dt.timedelta(minutes=50)),
+             (2, base + dt.timedelta(minutes=5))]
+    buys = [(1, base + dt.timedelta(minutes=10)),      # joins view 1
+            (1, base + dt.timedelta(minutes=55)),      # joins view 2of1
+            (2, base + dt.timedelta(hours=3)),         # outside band
+            (3, base)]                                 # no view
+    vdf = spark.createDataFrame(views, "user_id long, ts timestamp")
+    bdf = spark.createDataFrame(buys, "user_id long, ts timestamp")
+    batch = {(r["user_id"], r["ts"], r["ts_r"]) for r in
+             stream_interval_join(vdf, bdf, "user_id",
+                                  within="30 minutes").collect()}
+    assert len(batch) == 2  # view@12:00->buy@12:10, view@12:50->buy@12:55
+    vsrc, bsrc = str(tmp_path / "v"), str(tmp_path / "b")
+    vdf.write.parquet(vsrc)
+    bdf.write.parquet(bsrc)
+    schema = "user_id long, ts timestamp"
+    vs = spark.readStream.schema(schema).parquet(vsrc)
+    bs = spark.readStream.schema(schema).parquet(bsrc)
+    joined = stream_interval_join(vs, bs, "user_id",
+                                  within="30 minutes")
+    assert joined.isStreaming
+    got = []
+    subscribe(joined, lambda b, _i: got.extend(b.collect()), once=True)
+    assert {(r["user_id"], r["ts"], r["ts_r"]) for r in got} == batch
