@@ -58,3 +58,32 @@ def test_key_columns_exist(sf_dir):
         names = set(pq.read_schema(f"{sf_dir}/{table}.parquet").names)
         missing = cols - names
         assert not missing, f"{table}.parquet lost columns: {missing}"
+
+
+def test_critical_column_dtypes_pinned(sf_dir):
+    """Columns whose PHYSICAL type the engine's plans assume (decimal
+    discipline, embedding kernels, timestamp joins). A regeneration
+    that flips one should fail here with a named column, not as a
+    value-hash mismatch three layers down."""
+    expect = {
+        "lineitem": {"l_quantity": {"double"},
+                     "l_extendedprice": {"double"},
+                     "l_discount": {"double"},
+                     "l_shipdate": {"timestamp[us]", "timestamp[ns]"}},
+        "orders": {"o_totalprice": {"double"},
+                   "o_orderdate": {"timestamp[us]", "timestamp[ns]"}},
+        "documents": {"text": {"string", "large_string"},
+                      "n_chars": {"int64", "int32"}},
+        "embeddings": {"embedding": {"list<element: float>",
+                                     "list<element: double>"}},
+        "events": {"value": {"double"}, "user_id": {"int64"},
+                   "props": {"string", "large_string"}},
+    }
+    for table, cols in expect.items():
+        schema = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        types = {f.name: str(f.type) for f in schema}
+        for col, ok in cols.items():
+            assert types.get(col) in ok, (
+                f"{table}.{col} is now {types.get(col)!r} (handled: "
+                f"{sorted(ok)}) — audit every query touching it before "
+                "extending this set")
