@@ -402,3 +402,28 @@ def test_concurrent_transactions_fork_independently(spark):
         ns = g2.now() | z.all[ET.Forked]
         assert ns.df.count() == 1  # each lineage sees only its write
     assert base.now().all().df.count() == n_base  # base untouched
+
+
+def test_field_read_arithmetic_owner_fast_path(spark):
+    """Mapper-built graphs derive the field owner ARITHMETICALLY from
+    ae_id (shared key bits) — the field-read plan must contain ONE
+    join (values x node set) and no edge-table access; results equal
+    the general edge-join path."""
+    from zef_spark import ET, ops as z
+    from zef_spark.graph.mapper import graph_for
+    g = graph_for(spark, "/root/testdata/sf0.001")
+    ns = g | z.now | z.all[ET.Customer]
+    fast = ns.field("c_acctbal")
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1, plan
+    assert "edges" not in plan, "fast path still touches the edge table"
+    # equality vs the general path (edge hop), forced by masking the
+    # owner-code registry
+    saved = g.field_owner_code
+    try:
+        g.field_owner_code = {}
+        slow = ns.field("c_acctbal")
+    finally:
+        g.field_owner_code = saved
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))

@@ -18,7 +18,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .schema import VALUE_COLS, VALUE_COL_LIST
+from .schema import ID_KEY_BITS, VALUE_COLS, VALUE_COL_LIST
 
 
 def _alive(df: DataFrame, tx: int) -> DataFrame:
@@ -353,8 +353,31 @@ class NodeSet:
     def _field_df(self, rt_name: str) -> DataFrame:
         """owner id → field value at frame: entity -[rt]-> AE node
         -> latest alive assignment (ITF:9295 `field`, ITF:6701
-        `value`). Returns (id, value)."""
+        `value`). Returns (id, value).
+
+        Fast path (mapper-built graphs): AE ids share their KEY bits
+        with the owner id (mapper.py _mkid), so the owner derives
+        ARITHMETICALLY from ae_id — the edge hop costs zero joins.
+        Valid because mapper attr edges live exactly as long as their
+        owner node (created/terminated together), so edge liveness
+        adds nothing over the NodeSet's own frame filter."""
         g, t = self.frame.graph, self.frame.tx
+        owner_code = (getattr(g, "field_owner_code", None)
+                      or {}).get(rt_name)
+        if owner_code is not None and getattr(g, "single_assignment",
+                                              False):
+            av = g.attr_values.where(
+                (F.col("assigned_at_tx") <= F.lit(t)) &
+                (F.col("superseded_at_tx").isNull() |
+                 (F.col("superseded_at_tx") > F.lit(t))))
+            if "attr_rt" in av.columns:
+                av = av.where(F.col("attr_rt") == rt_name)
+            owner = (F.lit(owner_code * (1 << ID_KEY_BITS))
+                     + F.pmod(F.col("ae_id"),
+                              F.lit(1 << ID_KEY_BITS))).alias("id")
+            typed = av.select(owner, F.col("vrt"),
+                              *[F.col(c) for c in VALUE_COL_LIST])
+            return self.df.select("id").join(typed, "id")
         e = _alive(g.edges, t).where(F.col("rt") == rt_name) \
             .select(F.col("src_id").alias("id"),
                     F.col("dst_id").alias("__ae"))
@@ -431,6 +454,18 @@ class NodeSet:
         if not preds:
             raise TypeError(f"no value column matches {type(value)}")
         cond = reduce(lambda a, b: a | b, preds)
+        owner_code = (getattr(g, "field_owner_code", None)
+                      or {}).get(name)
+        if owner_code is not None and getattr(g, "single_assignment",
+                                              False):
+            # arithmetic owner ids (see _field_df fast path): the
+            # lookup is ONE semi-join, no edge hop
+            owners = av.where(cond).select(
+                (F.lit(owner_code * (1 << ID_KEY_BITS))
+                 + F.pmod(F.col("ae_id"),
+                          F.lit(1 << ID_KEY_BITS))).alias("id"))
+            return NodeSet(self.frame,
+                           self.df.join(owners, "id", "left_semi"))
         ae_ids = av.where(cond).select(F.col("ae_id").alias("__ae"))
         bc = F.broadcast if getattr(g, "interactive", False) \
             else (lambda d: d)

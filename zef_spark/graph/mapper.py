@@ -109,6 +109,11 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
 
     node_parts, edge_parts, attr_parts, attr_code = [], [], [], {}
     rt_vrt: dict[str, str] = {}
+    # colname -> owner entity's type code. AE ids share the KEY bits
+    # with their owner's id (ae_id = ae_code*2^K + key, owner id =
+    # ent_code*2^K + key), so field reads can derive the owner
+    # ARITHMETICALLY from ae_id and skip the edge join entirely.
+    field_owner_code: dict[str, int] = {}
     next_attr_code = 100
 
     for tname, (code, et, key_fn) in _TABLES.items():
@@ -127,6 +132,7 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
                 continue
             vrt = _SPARK_TO_VRT[dtype]
             rt_vrt[colname] = vrt
+            field_owner_code[colname] = code
             ae_code = next_attr_code
             attr_code[(tname, colname)] = ae_code
             next_attr_code += 2  # even: AE node code, odd: attr edge code
@@ -201,6 +207,7 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
               _union_all(attr_parts), txs)
     g.rt_vrt = rt_vrt  # static rt→VRT map: lets field() skip probing
     g.single_assignment = True  # one assignment per AE → no-shuffle reads
+    g.field_owner_code = field_owner_code  # arithmetic owner-id reads
     # max_tx without the txs dedup shuffle: datediff is monotonic, so
     # max(tx) = tx_of(max(date)) — two column maxes that parquet
     # aggregate pushdown answers from footer stats.
@@ -215,7 +222,7 @@ _GRAPH_CACHE: dict = {}
 
 # Bump when the mapper's output schema/ids change: invalidates the
 # on-disk materialized graphs.
-_CACHE_VERSION = 4  # v4: salted writer partitioning (>1 file/token)
+_CACHE_VERSION = 5  # v5: meta carries field_owner_code (arithmetic reads)
 
 
 def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
@@ -255,7 +262,8 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
         tmp = f"{path}.tmp.{os.getpid()}"
         built = build_graph(spark, key)
         built.materialize(tmp)
-        meta = {"rt_vrt": built.rt_vrt, "max_tx": built.max_tx()}
+        meta = {"rt_vrt": built.rt_vrt, "max_tx": built.max_tx(),
+                "field_owner_code": built.field_owner_code}
         with open(f"{tmp}/meta.json", "w") as f:
             json.dump(meta, f)
         try:
@@ -267,6 +275,7 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
         meta = json.load(f)
     g = Graph.load(spark, path)
     g.rt_vrt = meta["rt_vrt"]
+    g.field_owner_code = meta.get("field_owner_code") or {}
     g.single_assignment = True
     g._max_tx = meta["max_tx"]
     _GRAPH_CACHE[key] = g
