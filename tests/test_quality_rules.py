@@ -101,3 +101,28 @@ def test_scrub_never_cuts_mid_word(spark):
            for r in scrub_repeated_spans(docs, "text", "doc_id",
                                          k=8).collect()}
     assert got[3].startswith("xone two")
+
+
+def test_normalize_text_unicode_canon(spark):
+    """NFC vs decomposed sequences, accent strip, case, whitespace."""
+    import unicodedata
+    rows = [
+        (0, "Café  du   Monde"),      # e + combining acute
+        (1, "Ångström"),          # precomposed A-ring
+        (2, "ﬁle"),                    # fi ligature (NFKC-only)
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    from zef_spark.pipeline.text import normalize_text
+    out = {r["id"]: r["t"] for r in
+           normalize_text(df, "t", form="NFKC", strip_accents=True,
+                          lower=True, collapse_ws=True).collect()}
+    assert out[0] == "cafe du monde"
+    assert out[1] == "angstrom"
+    assert out[2] == "file"                  # ligature folded by NFKC
+    assert out[3] is None
+    # plain NFC: combining sequence composes, content preserved
+    nfc = {r["id"]: r["t"] for r in
+           normalize_text(df, "t", form="NFC").collect()}
+    assert nfc[0] == unicodedata.normalize("NFC", rows[0][1])
+    assert "́" not in nfc[0]

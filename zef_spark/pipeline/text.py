@@ -492,3 +492,46 @@ def _c4_op(df: DataFrame, *args, **kw):
 def _gapfill_op(df: DataFrame, *args, **kw):
     from .rollup import gapfill as _gf
     return _gf(df, *args, **kw)
+
+
+def normalize_text(df, text_col: str, form: str = "NFC",
+                   strip_accents: bool = False, lower: bool = False,
+                   collapse_ws: bool = False,
+                   out_col: str | None = None):
+    """Unicode-aware text canonicalization — the preprocessing step
+    every dedup/fingerprint pipeline needs before hashing (visually
+    identical strings with different codepoint sequences hash apart):
+    unicodedata normalization (NFC/NFKC/...), optional accent
+    stripping (NFD + combining-mark removal), lowercasing, and
+    whitespace collapse. Arrow-batched pandas kernel (the JVM has no
+    Unicode-normalization builtin); row-local, zero shuffle.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def norm_one(t):
+        if t is None:
+            return None
+        s = unicodedata.normalize(form, t)
+        if strip_accents:
+            s = "".join(c for c in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(c))
+            s = unicodedata.normalize(form, s)
+        if lower:
+            s = s.lower()
+        if collapse_ws:
+            s = " ".join(s.split())
+        return s
+
+    def norm_udf(texts):
+        return texts.map(norm_one)
+
+    norm_udf.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out_col or text_col,
+                         pandas_udf(norm_udf, "string")(F.col(text_col)))
+
+
+register_op("normalize_text", "df")(
+    lambda df, text_col, **kw: normalize_text(df, text_col, **kw))
