@@ -112,3 +112,21 @@ def test_make_request_effect_runs():
         assert resp["status"] == 200 and '"ok"' in resp["body"]
     finally:
         srv.shutdown()
+
+
+def test_plan_report(spark, sf_dir):
+    from zef_spark import ops as z
+    import pyspark.sql.functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rpt = (li.where(F.col("l_quantity") > 10)
+           .groupBy("l_returnflag").count()
+           | z.plan_report)
+    assert rpt["scans"] == 1 and rpt["aqe"]
+    assert rpt["shuffle_exchanges"] == 1
+    assert rpt["joins"]["nested_loop"] == 0 and not rpt["warnings"]
+    assert any("l_quantity" in p for p in rpt["pushed_filters"])
+    assert set(rpt["read_columns"]) == {"l_quantity", "l_returnflag"}
+    # the red flag fires on a genuine cartesian
+    bad = li.limit(3).crossJoin(li.limit(3).withColumnRenamed(
+        "l_orderkey", "ok2")) | z.plan_report
+    assert bad["warnings"]

@@ -159,3 +159,41 @@ def _parse(data: str, grammar: str):
 
     build(tree)
     return fg
+
+
+@register_op("plan_report", "df")
+def _plan_report(df) -> dict:
+    """Scale-hygiene X-ray of a DataFrame's physical plan: shuffle /
+    broadcast / scan counts, pushed parquet filters, read schema
+    width, whole-stage-codegen coverage, and the nested-loop red
+    flags. The same checks tests/test_plan_quality.py enforces on the
+    driver queries, exposed as an op so users can audit their OWN
+    chains (`df | z.plan_report`). Driver-side inspection only — the
+    plan is not executed."""
+    import re
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    read_schema = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    return {
+        "shuffle_exchanges": plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning"),
+        "broadcast_exchanges": plan.count(
+            "Exchange HashedRelationBroadcastMode"),
+        "scans": plan.count("Scan "),
+        "joins": {
+            "broadcast_hash": plan.count("BroadcastHashJoin"),
+            "sort_merge": plan.count("SortMergeJoin"),
+            "nested_loop": plan.count("BroadcastNestedLoopJoin")
+            + plan.count("CartesianProduct"),
+        },
+        "pushed_filters": [p for p in pushed if p],
+        "read_columns": sorted({c.split(":")[0]
+                                for s in read_schema
+                                for c in s.split(",") if c}),
+        "wholestage_codegen_spans": plan.count("WholeStageCodegen"),
+        "aqe": "AdaptiveSparkPlan" in plan,
+        "warnings": (["NESTED LOOP JOIN — unusable at scale"]
+                     if ("BroadcastNestedLoopJoin" in plan
+                         or "CartesianProduct" in plan) else []),
+    }
