@@ -724,6 +724,42 @@ def g_tx_events(spark, sf_dir):
                         .alias("o_orderkey")).orderBy("o_orderkey"))
 
 
+@query("g_frame_diff_counts", """
+SELECT * FROM (
+  SELECT 'instantiated' AS kind, 'Order' AS token, COUNT(*) AS n
+  FROM orders WHERE o_orderdate > TIMESTAMP '1995-06-01'
+                AND o_orderdate <= TIMESTAMP '1995-06-08'
+  UNION ALL
+  SELECT 'instantiated', 'Lineitem', COUNT(*)
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01'
+                  AND l_shipdate <= TIMESTAMP '1995-06-08'
+  UNION ALL
+  SELECT 'assigned', 'o_totalprice', COUNT(*)
+  FROM orders WHERE o_orderdate > TIMESTAMP '1995-06-01'
+                AND o_orderdate <= TIMESTAMP '1995-06-08'
+) ORDER BY kind, token
+""")
+def g_frame_diff_counts(spark, sf_dir):
+    """Frame diff (GraphSlice.diff): changes between two time-travel
+    frames one week apart, counted by (kind, token) — three
+    pushed-down interval scans, zero joins. The oracle derives the
+    same counts from the source tables' date windows (orders enter at
+    o_orderdate, lineitems at l_shipdate — FIXTURES.md §5)."""
+    import datetime
+    from zef_spark import graph_for
+    g = graph_for(spark, sf_dir)
+    f1 = g.at(datetime.datetime(1995, 6, 1, 23, 59, 59))
+    f2 = g.at(datetime.datetime(1995, 6, 8, 23, 59, 59))
+    d = f1.diff(f2)
+    keep = (((F.col("kind") == "instantiated")
+             & F.col("token").isin("Order", "Lineitem"))
+            | ((F.col("kind") == "assigned")
+               & (F.col("token") == "o_totalprice")))
+    return (d.where(keep).groupBy("kind", "token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("kind", "token"))
+
+
 @query("g_gather_closure", """
 SELECT et, cnt FROM (
   SELECT 'Region' AS et, COUNT(*) AS cnt FROM region WHERE r_name='ASIA'
@@ -4188,7 +4224,7 @@ _FRONT = [
     # p_profile_documents, p_diff_orders, e_scd2_event_type,
     # e_ewma_user_value, g_clustering_cosupply, e_json_props_sum,
     # p_histogram_totalprice, p_corr_lineitem, w_explode_words,
-    # e_stream_interval_join.
+    # e_stream_interval_join, g_frame_diff_counts.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

@@ -247,6 +247,31 @@ class GraphSlice:
         return NodeSet(self, _alive(g.nodes, self.tx)
                        .join(ids, "id", "left_semi"))
 
+    def diff(self, other: "GraphSlice") -> DataFrame:
+        """RAE-level changes between two frames of the SAME graph:
+        (kind, id, token) rows where kind ∈ {instantiated, terminated,
+        assigned} — the set-oriented form of the reference's
+        per-frame `events` stream (streaming/events.py), answered
+        directly from the bitemporal interval columns with three
+        pushed-down range scans and zero joins. `assigned` rows carry
+        the attribute's rt as token and the AE id."""
+        if other.graph is not self.graph:
+            raise ValueError("diff requires frames of the same graph")
+        t1, t2 = sorted((self.tx, other.tx))
+        g = self.graph
+        win = lambda c: (F.col(c) > F.lit(t1)) & (F.col(c) <= F.lit(t2))  # noqa: E731
+        inst = g.nodes.where(win("valid_from_tx")).select(
+            F.lit("instantiated").alias("kind"), "id",
+            F.col("et").alias("token"))
+        term = g.nodes.where(win("valid_to_tx")).select(
+            F.lit("terminated").alias("kind"), "id",
+            F.col("et").alias("token"))
+        assigned = g.attr_values.where(win("assigned_at_tx")).select(
+            F.lit("assigned").alias("kind"),
+            F.col("ae_id").alias("id"),
+            F.coalesce("attr_rt", F.col("vrt")).alias("token"))
+        return inst.unionByName(term).unionByName(assigned)
+
     def time_travel(self, delta) -> "GraphSlice":
         """Relative slice move (ITF:5493, full dispatch ITF:5518-5527):
         Int → move that many slices along the tx chain; Duration
