@@ -19,9 +19,11 @@ from .zef_functions import (GraphBox, func_versions,  # noqa: F401
 from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401
                    register_op)
 
-# ensure graph + pipeline op registrations load with the namespace
+# ensure graph + pipeline + streaming op registrations load with the
+# namespace
 from .. import graph as _graph         # noqa: F401
 from .. import pipeline as _pipeline   # noqa: F401
+from .. import streaming as _streaming  # noqa: F401
 
 
 def __getattr__(name: str) -> ZefOp:
