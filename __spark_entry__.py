@@ -3873,6 +3873,46 @@ def e_ewma_user_value(spark, sf_dir):
             .orderBy("user_id", "ts"))
 
 
+@query("w_topk_distinct_on", """
+WITH top3 AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey)
+             AS rn
+    FROM orders) WHERE rn <= 3
+), latest AS (
+  SELECT o_custkey, o_orderkey AS latest_order FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey)
+             AS rn
+    FROM orders) WHERE rn = 1
+)
+SELECT t.o_custkey, t.o_orderkey,
+       ROUND(t.o_totalprice, 2) AS price, l.latest_order
+FROM top3 t JOIN latest l ON t.o_custkey = l.o_custkey
+ORDER BY t.o_custkey, t.o_orderkey
+""")
+def w_topk_distinct_on(spark, sf_dir):
+    """top_k_by (3 priciest orders per customer) joined to
+    distinct_on (each customer's latest order) — both one shuffle on
+    the same key, so the join reuses the partitioning."""
+    from zef_spark import ops as z
+    o = _t(spark, sf_dir, "orders")
+    top3 = o | z.top_k_by[3, ["-o_totalprice", "o_orderkey"],
+                          "o_custkey"]
+    latest = ((o | z.distinct_on["o_custkey",
+                                 ["-o_orderdate", "o_orderkey"]])
+              .select("o_custkey",
+                      F.col("o_orderkey").alias("latest_order")))
+    return (top3.join(latest, "o_custkey")
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    "latest_order")
+            .orderBy("o_custkey", "o_orderkey"))
+
+
 @query("w_ranking_family", """
 SELECT o_custkey, o_orderkey,
        RANK() OVER w_price AS rnk,
@@ -4224,7 +4264,7 @@ _FRONT = [
     # p_profile_documents, p_diff_orders, e_scd2_event_type,
     # e_ewma_user_value, g_clustering_cosupply, e_json_props_sum,
     # p_histogram_totalprice, p_corr_lineitem, w_explode_words,
-    # e_stream_interval_join, g_frame_diff_counts.
+    # e_stream_interval_join, g_frame_diff_counts, w_topk_distinct_on.
     "e_funnel_counts", "e_cohort_retention",
     "p_curation_pipeline", "p_semantic_dup_pairs",
     # (2.E via the fixed event queries above; 2.C joins and 2.H

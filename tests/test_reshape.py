@@ -152,3 +152,18 @@ def test_convenience_verbs(spark):
         ["id", "xs", "val"]
     assert (df | z.fill_na[0, ["v"]]).where("v = 0").count() == 1
     assert (df | z.drop_na["any", ["v"]]).count() == 1
+
+
+def test_top_k_by_and_distinct_on(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 9.0), ("a", 3, 7.0), ("b", 4, 1.0)],
+        "k string, id long, v double")
+    top2 = (df | z.top_k_by[2, ["-v", "id"], "k"]).collect()
+    assert sorted((r["k"], r["id"]) for r in top2) == \
+        [("a", 2), ("a", 3), ("b", 4)]
+    one = (df | z.distinct_on["k", ["-v", "id"]]).collect()
+    assert sorted((r["k"], r["id"]) for r in one) == [("a", 2), ("b", 4)]
+    # global top-k plans as TakeOrdered, not a full sort
+    plan = (df | z.top_k_by[2, "-v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -645,3 +645,25 @@ def _fill_na(df: DataFrame, value, subset=None):
 @register_op("drop_na", "df")
 def _drop_na(df: DataFrame, how="any", subset=None):
     return df.na.drop(how=how, subset=subset)
+
+
+@register_op("top_k_by", "df")
+def _top_k_by(df: DataFrame, k: int, order_by, partition_by=None):
+    """Top-k rows per group (or globally) by sort order. Grouped form
+    is one shuffle + row_number; global form compiles to
+    TakeOrderedAndProject — never a full sort."""
+    if partition_by is None:
+        return df.orderBy(*_cols([order_by])).limit(k)
+    w = _window(order_by, partition_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+@register_op("distinct_on", "df")
+def _distinct_on(df: DataFrame, keys, order_by):
+    """SQL DISTINCT ON: ONE row per key — the first under ``order_by``
+    ('-col' for descending; deterministic, unlike dropDuplicates'
+    arbitrary pick). One shuffle on the keys (row_number window)."""
+    w = _window(order_by, keys)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
