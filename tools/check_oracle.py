@@ -66,10 +66,11 @@ def main():
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry.queries(), entry.oracle_sql()
-    failed = []
+    failed, checked = [], 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
@@ -85,7 +86,8 @@ def main():
         print(f"  {name:40s} {'PASS' if ok else 'FAIL'} {msg}")
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{checked - len(failed)}/{checked} pass"
+          + ("" if not only else f" (subset of {len(qs)} registered)"))
     sys.exit(1 if failed else 0)
 
 
