@@ -128,3 +128,21 @@ def test_web_ops_chainable(spark):
     out = (df | z.normalize_url | z.parse_url["url_norm"]
            | z.registered_domain)
     assert "domain" in out.columns
+
+
+def test_fuzzy_join_gram_cap_bounds_work(spark):
+    from zef_spark.pipeline.joins import fuzzy_join
+    # shared hot prefix "aaaaaaaa" everywhere; distinct tails
+    left = _names(spark, [f"aaaaaaaa{i:04d}" for i in range(30)])
+    capped = fuzzy_join(left, left, "name", max_distance=1,
+                        max_gram_df=5)
+    full = fuzzy_join(left, left, "name", max_distance=1)
+    # capped recall is a subset of full (documented trade)
+    got_c = {(r["name_l"], r["name_r"]) for r in capped.collect()}
+    got_f = {(r["name_l"], r["name_r"]) for r in full.collect()}
+    assert got_c < got_f
+    # a key with a LOW-frequency gram ('13' occurs once) still pairs…
+    assert ("aaaaaaaa0013", "aaaaaaaa0013") in got_c
+    # …while a key whose every gram is hot is lost — the recall cost
+    # the docstring warns about (so max_gram_df defaults to None)
+    assert ("aaaaaaaa0000", "aaaaaaaa0000") not in got_c

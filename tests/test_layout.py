@@ -63,3 +63,41 @@ def test_compact_parquet(spark, tmp_path):
     assert spark.read.parquet(p).count() == 1000
     # idempotent: already compact -> no-op
     assert compact_parquet(spark, p, target_mb=128) == 0
+
+
+def test_merge_rows_upsert_semantics(spark):
+    from zef_spark.pipeline.layout import merge_rows
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    upd = spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string")
+    got = {r["k"]: r["v"] for r in merge_rows(base, upd, "k").collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_merge_rows_tombstones(spark):
+    from zef_spark.pipeline.layout import merge_rows
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame(
+        [(1, "A", False), (2, None, True), (5, "e", False)],
+        "k long, v string, deleted boolean")
+    got = {r["k"]: r["v"] for r in
+           merge_rows(base, upd, "k", delete_col="deleted").collect()}
+    assert got == {1: "A", 5: "e"}      # key 2 tombstoned
+
+
+def test_upsert_parquet_atomic(spark, tmp_path):
+    from zef_spark.pipeline.layout import upsert_parquet
+    path = str(tmp_path / "tbl")
+    first = spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "k long, v string")
+    upsert_parquet(spark, path, first, "k")        # create
+    upd = spark.createDataFrame([(2, "B"), (3, "c")],
+                                "k long, v string")
+    upsert_parquet(spark, path, upd, "k")          # merge + swap
+    got = {r["k"]: r["v"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    import os
+    assert not os.path.exists(path + "__upsert_tmp")

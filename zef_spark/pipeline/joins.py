@@ -94,7 +94,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
 def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
                right_on: str | None = None, max_distance: int = 2,
-               q: int = 2, keep: list[str] | None = None) -> DataFrame:
+               q: int = 2, keep: list[str] | None = None,
+               max_gram_df: int | None = None) -> DataFrame:
     """Approximate string join: pair rows whose key strings are within
     ``max_distance`` Levenshtein edits (entity resolution / record
     linkage; the reference's `identify_entities` handles only exact
@@ -112,10 +113,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
     so the block provably covers all remaining pairs; it is a tiny,
     bounded slice in real corpora).
 
-    Scale: work is sum over grams of (left_count * right_count); cap
-    pathological grams upstream with a stop-gram filter if the key
-    distribution has giant shared substrings. One shuffle keyed by
-    gram + one distinct — no CartesianProduct in the plan.
+    Scale: work is sum over grams of (left_count * right_count).
+    ``max_gram_df`` drops grams appearing in more than that many LEFT
+    keys (stop-gram cap for key distributions with giant shared
+    substrings) — NOTE this trades the completeness guarantee for
+    bounded work: a pair whose only shared grams are all hot is lost.
+    Leave it None (default) when exact recall is required. One shuffle
+    keyed by gram + one distinct — no CartesianProduct in the plan.
     """
     right_on = right_on or left_on
     keep = keep or []
@@ -139,6 +143,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
         return g.unionByName(short_side)
 
     lg, rg = grams(left, left_on, "l"), grams(right, right_on, "r")
+    if max_gram_df is not None:
+        hot = (lg.groupBy("__g").count()
+               .where((F.col("count") > max_gram_df)
+                      & (F.col("__g") != "#short"))
+               .select("__g"))
+        lg = lg.join(hot, "__g", "left_anti")
+        rg = rg.join(hot, "__g", "left_anti")
     cand = (lg.join(rg, "__g").drop("__g").distinct())
     return (cand.where(
         F.levenshtein("__key_l", "__key_r") <= max_distance)

@@ -136,3 +136,53 @@ from ..ops.core import register_op
 @register_op("z_order", "df")
 def _z_order_op(df: DataFrame, *args, **kw):
     return z_order(df, *args, **kw)
+
+
+def merge_rows(existing: "DataFrame", updates: "DataFrame",
+               key: str | list[str],
+               delete_col: str | None = None) -> "DataFrame":
+    """Delta-style MERGE semantics as a pure transformation: rows from
+    `updates` replace same-key rows in `existing`, new keys append,
+    and (optionally) updates with ``delete_col = true`` tombstone the
+    key instead. ONE anti-join on the key + a union — the minimal
+    upsert plan."""
+    key = [key] if isinstance(key, str) else list(key)
+    from pyspark.sql import functions as F
+    if delete_col is not None:
+        keep = updates.where(~F.coalesce(F.col(delete_col),
+                                         F.lit(False)))
+        keep = keep.drop(delete_col)
+        touched = updates.select(*key).distinct()
+    else:
+        keep, touched = updates, updates.select(*key).distinct()
+    survivors = existing.join(touched, key, "left_anti")
+    return survivors.unionByName(keep)
+
+
+def upsert_parquet(spark, path: str, updates: "DataFrame",
+                   key: str | list[str],
+                   delete_col: str | None = None) -> None:
+    """MERGE INTO for a plain parquet directory: read, merge_rows,
+    rewrite via the same atomic temp-dir swap as compact_parquet (a
+    reader never sees a half-written table; a crash leaves the old
+    data intact). Plain parquet has no transaction log, so this is
+    last-writer-wins — at multi-writer scale use a table format with
+    a commit protocol (the graph's transact ledger is this engine's
+    own answer for its four tables)."""
+    import os
+    import shutil
+    if not os.path.exists(path):
+        (updates.drop(delete_col) if delete_col else updates) \
+            .write.mode("overwrite").parquet(path)
+        return
+    merged = merge_rows(spark.read.parquet(path), updates, key,
+                        delete_col)
+    tmp = f"{path}__upsert_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+@register_op("merge_rows", "df")
+def _merge_rows(df, updates, key, delete_col=None):
+    return merge_rows(df, updates, key, delete_col)
