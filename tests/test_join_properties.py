@@ -76,3 +76,16 @@ def test_rollup_refresh_equals_recompute_property(spark, data):
                      r["max_value"])
     assert {key(r): val(r) for r in refreshed.collect()} == \
         {key(r): val(r) for r in full.collect()}
+
+
+def test_skew_report_flags_hot_key(spark):
+    from zef_spark.pipeline.skew import skew_report
+    rows = [(1, "hot")] * 900 + [(i, "x") for i in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long, v string")
+    rpt = skew_report(df, "k")
+    assert rpt["rows"] == 1000 and rpt["distinct_keys"] == 101
+    assert rpt["top"][0][0] == 1 and rpt["top"][0][2] == 0.9
+    assert rpt["advice"] and "salted_join" in rpt["advice"]
+    # uniform keys -> no advice
+    uni = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    assert skew_report(uni, "k")["advice"] is None
