@@ -595,3 +595,20 @@ def test_http_server_with_jwt_auth(schema, load):
     conn.request("GET", "/")
     assert conn.getresponse().status == 200
     srv.shutdown()
+
+
+def test_sdl_of_graph_reverse_generation(spark):
+    """SDL generated FROM the live graph names every entity type with
+    its typed scalar fields and relation lists."""
+    from zef_spark.graph.mapper import graph_for
+    from zef_spark.graphql.schema import sdl_of_graph
+    g = graph_for(spark, "/root/testdata/sf0.001")
+    sdl = sdl_of_graph(g)
+    assert "type Customer {" in sdl
+    assert "  c_acctbal: Float" in sdl
+    assert "  c_name: String" in sdl
+    # relation edges render as lists toward the target entity
+    assert "MemberOf: [Region]" in sdl
+    assert "PlacedBy: [Customer]" in sdl
+    # AE helper nodes never become types
+    assert "type AET." not in sdl

@@ -201,3 +201,56 @@ type Lineitem @table(name: "lineitem", id: "l_orderkey") {
 
 def tpch_schema() -> GqlSchema:
     return schema_from_sdl(TPCH_SDL)
+
+
+#: VRT -> GraphQL scalar (Time renders as String — SimpleGQL has no
+#: built-in DateTime scalar; the reference serializes times as strings)
+_VRT_GQL = {"String": "String", "Int": "Int", "Float": "Float",
+            "Bool": "Boolean", "Time": "String", "Enum": "String",
+            "QuantityFloat": "Float", "QuantityInt": "Int",
+            "Serialized": "String"}
+
+
+def sdl_of_graph(g) -> str:
+    """Generate SimpleGQL SDL from a live graph's blueprint — the
+    REVERSE of schema_from_sdl, mirroring the reference's
+    schema-graph -> GraphQL API generation direction
+    (simplegql/generate_api2.py): entity types come from ET tokens,
+    scalar fields from attr edges typed by the rt->VRT registry,
+    relations from entity-to-entity edge tokens (rendered as lists —
+    cardinality is not stored at type level). The blueprint is a
+    bounded DISTINCT over type triples, so this is metadata-sized
+    regardless of graph volume."""
+    from ..graph.graph import Graph
+    from pyspark.sql import functions as F  # noqa: F811
+    gs = g.now() if isinstance(g, Graph) else g
+    graph = gs.graph
+    n = gs.nodes().select("id", "et")
+    e = gs.edges()
+    triples = (e.join(n.withColumnRenamed("id", "src_id")
+                      .withColumnRenamed("et", "src_et"), "src_id")
+               .join(n.withColumnRenamed("id", "dst_id")
+                     .withColumnRenamed("et", "dst_et"), "dst_id")
+               .select("src_et", "rt", "dst_et").distinct().collect())
+    rt_vrt = getattr(graph, "rt_vrt", None) or {}
+    fields: dict[str, dict[str, str]] = {}
+    for r in triples:
+        src, rt, dst = r["src_et"], r["rt"], r["dst_et"]
+        if src.startswith("AET."):
+            continue
+        if dst.startswith("AET."):
+            vrt = rt_vrt.get(rt) or dst[4:]
+            gql = _VRT_GQL.get(vrt, "String")
+            fields.setdefault(src, {})[rt] = gql
+        else:
+            fields.setdefault(src, {})[rt] = f"[{dst}]"
+            fields.setdefault(dst, {})
+    lines = []
+    for tname in sorted(fields):
+        lines.append(f"type {tname} {{")
+        lines.append("  id: ID!")
+        for fname in sorted(fields[tname]):
+            lines.append(f"  {fname}: {fields[tname][fname]}")
+        lines.append("}")
+        lines.append("")
+    return "\n".join(lines).rstrip() + "\n"
