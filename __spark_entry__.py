@@ -1412,7 +1412,7 @@ WITH tok AS (
 )
 SELECT doc_id, n_tokens,
        CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS pack_id,
-       (cum - n) % 512 AS pack_offset
+       CAST((cum - n) % 512 AS BIGINT) AS pack_offset
 FROM capped ORDER BY doc_id
 """)
 def p_pack_sequences(spark, sf_dir):
@@ -3776,7 +3776,7 @@ def w_explode_words(spark, sf_dir):
 
 @query("e_json_props_sum", """
 SELECT event_type,
-       SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """)
@@ -4217,61 +4217,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
 # Rotate the registration order each round so every query accumulates a
-# CORRECTNESS row: r04 front-loads (a) the 29 queries that had never
-# been inside the window in r01-r03 (TPC-H long tail, gql_*, the three
-# extra event queries, p_infer_types/p_identify_entities) and (b) the 7
-# event queries fixed this round, then fills the window with one
-# representative per SURVEY §2 family. Everything else stays registered
-# (rows r01-r03 already prove it) and remains runnable by name.
+# CORRECTNESS row: the driver windows the first 50 of queries(). r05
+# front-loads (a) all 39 queries that have never had a driver row in
+# r01-r04 — after this round every registered query has ≥1 green row —
+# plus (b) the three r03/r04 red rows for re-proof (the two stale
+# `_events` fails re-verified green by the r04 judge, and
+# p_pack_sequences whose r04 hash-fail was a HUGEINT dtype artifact in
+# the oracle SQL, now CASTed). Remaining slots carry queries NEW in
+# r05. Everything else rotates to the tail (r01-r04 rows prove it) and
+# stays runnable by name.
 _FRONT = [
-    # (a) never-oracle-checked before r04
-    "q2_min_cost_supplier", "q4_priority_exists", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_part_value_share", "q12_priority_lateness",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_variety", "q17_small_qty_revenue",
-    "q18_large_orders", "q19_bracketed_revenue", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    "gql_nested_filter_order", "gql_aggregate_orders",
-    "gql_list_size_filter", "gql_all_quantifier",
-    "gql_mutation_update", "gql_mutation_delete",
-    "e_hypertable_rollup", "e_split_on_purchase", "e_hourly_tumbling",
-    "p_infer_types", "p_identify_entities",
-    # (b) event queries fixed this round (ts dtype regression).
-    # frequencies_events / enumerate_stride_events rotate to the
-    # tail: both are green in r01 and their _events helper is proven
-    # on the new fixture by the five sibling event queries below.
-    "chunk_by_event_type_runs", "e_sessionize_30min",
-    "e_session_windows", "e_asof_last_purchase",
-    "e_range_purchase_window",
-    # (c) operators NEW in r04 (first oracle rows)
-    "p_dup_clusters", "p_hash_sample", "p_pack_sequences", "p_tf_idf",
-    "p_kmeans_clusters", "p_repetition_signals", "p_ann_pq_topk",
-    "p_domain_stats", "p_pii_redact", "p_contamination",
-    "p_unigram_logprob", "p_sketch_checks",
-    # (c') ops new in r04 — first oracle rows. q1_pricing_summary and
-    # g_hop2_revenue_by_customer rotate to the tail (three green rows
-    # r01-r03 each; q1 additionally runs every round via the entry()
-    # smoke check). Still queued for the r05 front: p_sketch_merge,
-    # p_theta_overlap, p_mixture_sample, p_chunk_documents,
-    # p_repeated_spans, p_split_corpus, p_nb_classifier, p_pagerank,
-    # p_incremental_dedup, p_gopher_rules, p_c4_line_clean,
-    # p_embed_pipeline, e_gapfill, p_heavy_hitters, p_scrub_spans,
-    # p_impute_winsorize, e_stream_ingest, p_fuzzy_supplier_pairs,
-    # p_url_canonical_domains, p_bpe_fixed_merges, e_merge_intervals,
-    # p_weighted_sample, g_triangle_cosupply, g_bfs_cosupply,
-    # p_pivot_lang_counts, p_rollup_order_status, w_ranking_family,
-    # p_profile_documents, p_diff_orders, e_scd2_event_type,
-    # e_ewma_user_value, g_clustering_cosupply, e_json_props_sum,
-    # p_histogram_totalprice, p_corr_lineitem, w_explode_words,
-    # e_stream_interval_join, g_frame_diff_counts, w_topk_distinct_on.
-    "e_funnel_counts", "e_cohort_retention",
-    "p_curation_pipeline", "p_semantic_dup_pairs",
-    # (2.E via the fixed event queries above; 2.C joins and 2.H
-    # scalar-function shapes via the TPC-H battery in (a);
-    # conditional_bucketing / sort_take_topk / concat_union_segments /
-    # g_all_type_counts / g_time_travel_duration rotate to the tail —
-    # each already has three green rows r01-r03)
+    # (a) never-driver-verified before r05
+    "p_sketch_merge", "p_theta_overlap", "p_mixture_sample",
+    "p_chunk_documents", "p_repeated_spans", "p_split_corpus",
+    "p_nb_classifier", "p_pagerank", "p_incremental_dedup",
+    "p_gopher_rules", "p_c4_line_clean", "p_embed_pipeline",
+    "e_gapfill", "p_heavy_hitters", "p_scrub_spans",
+    "p_impute_winsorize", "e_stream_ingest", "p_fuzzy_supplier_pairs",
+    "p_url_canonical_domains", "p_bpe_fixed_merges",
+    "e_merge_intervals", "p_weighted_sample", "g_triangle_cosupply",
+    "g_bfs_cosupply", "p_pivot_lang_counts", "p_rollup_order_status",
+    "w_ranking_family", "p_profile_documents", "p_diff_orders",
+    "e_scd2_event_type", "e_ewma_user_value", "g_clustering_cosupply",
+    "e_json_props_sum", "p_histogram_totalprice", "p_corr_lineitem",
+    "w_explode_words", "e_stream_interval_join", "g_frame_diff_counts",
+    "w_topk_distinct_on",
+    # (b) re-proof of the three historical red rows (see header)
+    "p_pack_sequences", "frequencies_events", "enumerate_stride_events",
+    # (c) queries NEW in r05 — first oracle rows
+    "p_minhash_dedup_pipeline", "p_quality_filter_pipeline",
+    "p_decontaminate", "p_cc_corpus", "e_rate_limit_events",
+    "p_bm25_search", "w_grouped_topk_arrays", "e_late_data_audit",
 ]
 
 

@@ -148,3 +148,44 @@ def test_tf_idf_weights(spark):
     top = tf_idf(df, "doc_id", "text", top_k=1)
     assert top.count() == 3
     assert {r.doc_id for r in top.collect()} == {1, 2, 3}
+
+
+def test_pack_sequences_sharded(spark):
+    """shard_col packs within shards with globally unique pack_ids;
+    the window exchange is hash-partitioned on the shard (2+ input
+    partitions survive), not a single global sort partition."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("a", 1, 300), ("a", 2, 300), ("a", 3, 100),
+         ("b", 10, 500), ("b", 11, 500)],
+        "shard string, doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", 512,
+                         shard_col="shard")
+    rows = {r.doc_id: r for r in out.collect()}
+    # shard a: cum 300, 600, 700 -> local packs 0, 1, 1
+    # shard b: cum 500, 1000    -> local packs 0, 1, offset by a's 2
+    assert [rows[i].pack_id for i in (1, 2, 3)] == [0, 1, 1]
+    assert [rows[i].pack_id for i in (10, 11)] == [2, 3]
+    assert rows[10].pack_offset == 0 and rows[11].pack_offset == 500 % 512
+    # pack_ids globally unique across shards and dense from 0
+    assert sorted({r.pack_id for r in rows.values()}) == [0, 1, 2, 3]
+    # plan: the big window partitions by shard (hashpartitioning),
+    # no single-partition global sort on the payload path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
+
+
+def test_tf_idf_no_eager_collect(spark):
+    """The corpus total enters via a 1-row broadcast crossJoin — the
+    whole tf_idf is ONE lazy plan (building it triggers no job)."""
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana cherry")],
+        "doc_id long, text string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    out = tf_idf(df, "doc_id", "text")   # no action yet
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+    assert out.count() == 4

@@ -427,3 +427,24 @@ def test_field_read_arithmetic_owner_fast_path(spark):
         g.field_owner_code = saved
     assert sorted(map(tuple, fast.collect())) == \
         sorted(map(tuple, slow.collect()))
+
+
+def test_slice_diff_includes_relation_events(spark):
+    """Relations are RAEs: GraphSlice.diff reports edge
+    instantiations/terminations with their rt as token, mirroring
+    derive_event_log (streaming/events.py)."""
+    g0 = empty_graph(spark)
+    g1, r1 = transact(g0, [E(ET.Person, "a"), E(ET.Person, "b")])
+    g2, r2 = transact(g1, [R(r1["a"], RT.Knows, r1["b"], name="k")])
+    g3, _ = transact(g2, [Terminate(r2["k"])])
+    from zef_spark.graph.graph import GraphSlice
+    d12 = GraphSlice(g3, 1).diff(GraphSlice(g3, 2)).collect()
+    assert ("instantiated", "Knows") in {(r["kind"], r["token"])
+                                         for r in d12}
+    d23 = GraphSlice(g3, 2).diff(GraphSlice(g3, 3)).collect()
+    assert ("terminated", "Knows") in {(r["kind"], r["token"])
+                                       for r in d23}
+    # node events still present alongside edge events
+    d01 = GraphSlice(g3, 0).diff(GraphSlice(g3, 1)).collect()
+    assert {(r["kind"], r["token"]) for r in d01} == \
+        {("instantiated", "Person")}

@@ -118,3 +118,70 @@ def test_apply_bpe_scales_by_vocab_not_corpus(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def ref_learn_batched(texts, n_merges, batch_k):
+    """Batched reference: same select_batch rule as the trainer."""
+    from zef_spark.pipeline.tokenizer import select_batch
+    vocab = {tuple(list(w) + [EOW]): n
+             for w, n in ref_word_counts(texts).items()}
+    merges = []
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        top = sorted(((a, b, n) for (a, b), n in pairs.items()),
+                     key=lambda t: (-t[2], t[0], t[1]))[:max(4 * k, k)]
+        batch = select_batch(top, k)
+        if not batch:
+            break
+        merges.extend(batch)
+        for a, b in batch:
+            new = {}
+            for syms, cnt in vocab.items():
+                out = [syms[0]]
+                for x in syms[1:]:
+                    if out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                new[tuple(out)] = new.get(tuple(out), 0) + cnt
+            vocab = new
+    return merges
+
+
+def test_learn_bpe_batched_matches_batched_reference(spark):
+    got = learn_bpe(_corpus_df(spark), "text", n_merges=12, batch_k=4)
+    assert got == ref_learn_batched(CORPUS, 12, 4)
+    # batch_k=1 stays exactly sequential Sennrich
+    assert learn_bpe(_corpus_df(spark), "text", n_merges=12,
+                     batch_k=1) == ref_learn(CORPUS, 12)
+
+
+def test_select_batch_disjointness():
+    from zef_spark.pipeline.tokenizer import select_batch
+    top = [("a", "b", 10), ("b", "c", 9),   # shares 'b' -> skipped
+           ("x", "y", 8), ("ab", "z", 7),   # 'ab' == concat of #1 -> skipped
+           ("p", "q", 6), ("m", "n", 1)]    # count < 2 -> stop
+    assert select_batch(top, 5) == [("a", "b"), ("x", "y"), ("p", "q")]
+
+
+def test_apply_bpe_keeps_empty_and_duplicate_rows(spark):
+    """A row whose text has no \\w+ token yields an EMPTY piece array
+    (not dropped), and fully-duplicate rows each survive."""
+    merges = [("t", "h")]
+    df = spark.createDataFrame(
+        [(1, "the the"), (1, "the the"), (2, "!!! ---"), (3, "")],
+        "doc_id long, text string")
+    out = apply_bpe(df, "text", merges).collect()
+    assert len(out) == 4
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 2           # duplicates NOT collapsed
+    assert all(r["n_bpe"] == 6 for r in by_doc[1])
+    assert by_doc[2][0]["bpe_tokens"] == []
+    assert by_doc[2][0]["n_bpe"] == 0
+    assert by_doc[3][0]["bpe_tokens"] == []

@@ -26,16 +26,30 @@ def duck_run(sf_dir: str, sql: str):
 
 def normalize(rows, cols):
     """Sort columns by name, stringify values (round-trip floats to
-    9 sig figs), sort rows — order-insensitive canonical form."""
+    9 sig figs), sort rows — order-insensitive canonical form.
+
+    Dtype-STRICT on numeric kind: int-kind and float-kind values get
+    distinct prefixes so an oracle column that DuckDB widens to
+    HUGEINT/decimal-→-float can never string-match a Spark bigint
+    here while failing the driver's value-hash (the r04
+    p_pack_sequences artifact). Decimals canonicalize to float-kind —
+    that matches how the driver's hash renders them on both sides.
+    """
+    import numpy as np
+    from decimal import Decimal
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def canon(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+        if v is None:
             return "∅"
-        if isinstance(v, float):
-            return f"{v:.9g}"
-        if isinstance(v, bool):
-            return str(bool(v)).lower()
+        if isinstance(v, (bool, np.bool_)):
+            return "b:" + str(bool(v)).lower()
+        if isinstance(v, Decimal):
+            v = float(v)
+        if isinstance(v, (float, np.floating)):
+            return "∅" if math.isnan(v) else f"f:{float(v):.9g}"
+        if isinstance(v, (int, np.integer)):
+            return f"i:{int(v)}"
         return str(v)
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 

@@ -252,9 +252,12 @@ class GraphSlice:
         (kind, id, token) rows where kind ∈ {instantiated, terminated,
         assigned} — the set-oriented form of the reference's
         per-frame `events` stream (streaming/events.py), answered
-        directly from the bitemporal interval columns with three
-        pushed-down range scans and zero joins. `assigned` rows carry
-        the attribute's rt as token and the AE id."""
+        directly from the bitemporal interval columns with five
+        pushed-down range scans (node + edge instantiations and
+        terminations, attribute assignments — relations are RAEs too,
+        mirroring derive_event_log) and zero joins. `assigned` rows
+        carry the attribute's rt as token and the AE id; edge rows
+        carry their rt as token."""
         if other.graph is not self.graph:
             raise ValueError("diff requires frames of the same graph")
         t1, t2 = sorted((self.tx, other.tx))
@@ -266,11 +269,18 @@ class GraphSlice:
         term = g.nodes.where(win("valid_to_tx")).select(
             F.lit("terminated").alias("kind"), "id",
             F.col("et").alias("token"))
+        e_inst = g.edges.where(win("valid_from_tx")).select(
+            F.lit("instantiated").alias("kind"), "id",
+            F.col("rt").alias("token"))
+        e_term = g.edges.where(win("valid_to_tx")).select(
+            F.lit("terminated").alias("kind"), "id",
+            F.col("rt").alias("token"))
         assigned = g.attr_values.where(win("assigned_at_tx")).select(
             F.lit("assigned").alias("kind"),
             F.col("ae_id").alias("id"),
             F.coalesce("attr_rt", F.col("vrt")).alias("token"))
-        return inst.unionByName(term).unionByName(assigned)
+        return (inst.unionByName(term).unionByName(e_inst)
+                .unionByName(e_term).unionByName(assigned))
 
     def time_travel(self, delta) -> "GraphSlice":
         """Relative slice move (ITF:5493, full dispatch ITF:5518-5527):

@@ -132,6 +132,20 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
                 continue
             vrt = _SPARK_TO_VRT[dtype]
             rt_vrt[colname] = vrt
+            # field_owner_code keys by column name ALONE (it backs the
+            # arithmetic owner-id fast path in NodeSet._field_df /
+            # select_by_field); a name shared by two tables would let
+            # the later table's code silently mis-attribute the other
+            # table's values, so a collision must be a hard error —
+            # same global-uniqueness assumption rt_vrt makes, enforced.
+            if colname in field_owner_code \
+                    and field_owner_code[colname] != code:
+                raise ValueError(
+                    f"attribute column name {colname!r} appears in two "
+                    f"source tables (owner codes "
+                    f"{field_owner_code[colname]} and {code}); the "
+                    "field fast path requires globally unique column "
+                    "names — rename one of the columns")
             field_owner_code[colname] = code
             ae_code = next_attr_code
             attr_code[(tname, colname)] = ae_code

@@ -199,29 +199,58 @@ def split_corpus(df: DataFrame, key_col: str,
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    context_len: int,
-                   order_col: str | None = None) -> DataFrame:
+                   order_col: str | None = None,
+                   shard_col: str | None = None) -> DataFrame:
     """Assign documents to fixed-size training context windows:
     (id, n_tokens, pack_id, pack_offset) where pack_id groups docs
     whose cumulative token count fits the window (cumsum-bin packing —
     the streaming-order packing used for LM batch construction; docs
     longer than context_len get their own pack).
 
-    One window function over a total order = one shuffle. At 100 TB
-    pack WITHIN shards instead: add the shard to the partitionBy so
-    no global sort is needed (pass order_col and wrap accordingly)."""
+    `shard_col=None` (oracle/small-data mode) packs over ONE total
+    order — a single-partition window, fine up to ~10^8 rows but NOT
+    at 100 TB. Pass `shard_col` to pack within shards instead: the
+    window becomes partitionBy(shard).orderBy(order), a normal
+    hash-partitioned shuffle with per-shard parallelism, and pack_id
+    is made globally unique by offsetting each shard's local ids with
+    the exclusive prefix-sum of per-shard pack counts (a broadcast of
+    |shards| rows — tiny)."""
     from pyspark.sql import Window
     order = order_col or id_col
     n = F.least(F.col(tokens_col).cast("long"), F.lit(context_len))
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
-    cum = F.sum(n).over(w)
-    return (df.select(F.col(id_col), F.col(tokens_col)
-                      .cast("long").alias("n_tokens"))
-            .withColumn("__cum", cum)
+    base = df.select(
+        *([F.col(shard_col)] if shard_col else []),
+        F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens"))
+    if shard_col is None:
+        w = Window.orderBy(order) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+        return (base.withColumn("__cum", F.sum(n).over(w))
+                .withColumn("pack_id",
+                            F.floor((F.col("__cum") - 1) / context_len))
+                .withColumn("pack_offset",
+                            (F.col("__cum") - n) % context_len)
+                .drop("__cum"))
+    w = Window.partitionBy(shard_col).orderBy(order) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    local = (base.withColumn("__cum", F.sum(n).over(w))
+             .withColumn("__local_pack",
+                         F.floor((F.col("__cum") - 1) / context_len))
+             .withColumn("pack_offset",
+                         (F.col("__cum") - n) % context_len)
+             .drop("__cum"))
+    counts = (local.groupBy(shard_col)
+              .agg((F.max("__local_pack") + 1).alias("__n_packs")))
+    offs = counts.withColumn(
+        "__pack_base",
+        F.coalesce(
+            F.sum("__n_packs").over(
+                Window.orderBy(shard_col)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0))).drop("__n_packs")
+    return (local.join(F.broadcast(offs), shard_col)
             .withColumn("pack_id",
-                        F.floor((F.col("__cum") - 1) / context_len))
-            .withColumn("pack_offset",
-                        (F.col("__cum") - n) % context_len)
-            .drop("__cum"))
+                        F.col("__pack_base") + F.col("__local_pack"))
+            .drop("__local_pack", "__pack_base"))
 
 
 def tf_idf(df: DataFrame, id_col: str, text_col: str,
@@ -229,21 +258,26 @@ def tf_idf(df: DataFrame, id_col: str, text_col: str,
     """(id, token, tf, df, tf_idf) — classic smoothed
     ln(1 + N/df) weighting over \\W+ tokens. Two shuffles: token
     explode → (token) df-count, then per-doc weighting; `top_k` keeps
-    the k highest-weighted tokens per doc (window, one more shuffle)."""
+    the k highest-weighted tokens per doc (window, one more shuffle).
+    The corpus size N enters as a 1-row broadcast crossJoin (same
+    pattern as text.unigram_logprob) — no eager driver collect, so
+    the whole thing stays a single lazy plan."""
     toks = F.explode(F.filter(F.split(F.lower(F.col(text_col)),
                                       r"\W+"), lambda t: t != ""))
     posting = (df.select(F.col(id_col), toks.alias("token"))
                .groupBy(id_col, "token")
                .agg(F.count(F.lit(1)).alias("tf")))
-    n_docs = df.select(F.count(F.lit(1)).alias("n")).collect()[0][0]
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     dfreq = (posting.groupBy("token")
              .agg(F.count(F.lit(1)).alias("df"))
              .where(F.col("df") >= min_df))
     out = (posting.join(dfreq, "token")
+           .crossJoin(F.broadcast(n_docs))
            .withColumn("tf_idf",
                        F.round(F.col("tf") *
-                               F.log(1.0 + F.lit(float(n_docs)) /
-                                     F.col("df")), 6)))
+                               F.log(1.0 + F.col("__n_docs") /
+                                     F.col("df")), 6))
+           .drop("__n_docs"))
     if top_k is not None:
         from pyspark.sql import Window
         w = Window.partitionBy(id_col).orderBy(

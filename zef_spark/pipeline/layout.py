@@ -163,12 +163,15 @@ def upsert_parquet(spark, path: str, updates: "DataFrame",
                    key: str | list[str],
                    delete_col: str | None = None) -> None:
     """MERGE INTO for a plain parquet directory: read, merge_rows,
-    rewrite via the same atomic temp-dir swap as compact_parquet (a
-    reader never sees a half-written table; a crash leaves the old
-    data intact). Plain parquet has no transaction log, so this is
-    last-writer-wins — at multi-writer scale use a table format with
-    a commit protocol (the graph's transact ledger is this engine's
-    own answer for its four tables)."""
+    rewrite into a temp dir, then swap via two renames (old → aside,
+    tmp → path) so the window with no directory at `path` is a single
+    rename, not a full recursive delete. A crash before the second
+    rename leaves the old data recoverable at ``path__old``; this is
+    crash-SAFE but not atomic for concurrent readers — plain parquet
+    has no transaction log, so this is last-writer-wins. At
+    multi-writer scale use a table format with a commit protocol (the
+    graph's transact ledger is this engine's own answer for its four
+    tables)."""
     import os
     import shutil
     if not os.path.exists(path):
@@ -179,8 +182,12 @@ def upsert_parquet(spark, path: str, updates: "DataFrame",
                         delete_col)
     tmp = f"{path}__upsert_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    old = f"{path}__old"
+    if os.path.exists(old):        # leftover from a prior crash
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
 
 
 @register_op("merge_rows", "df")

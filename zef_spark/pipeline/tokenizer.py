@@ -50,15 +50,69 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
+def _merge_expr(a: str, b: str):
+    """Row-local rewrite: left-to-right fold collapsing adjacent
+    (a, b) into a+b. Matches the reference greedy scan including
+    overlaps ([a,a,a] with merge (a,a) -> [aa, a]): after a merge the
+    new last symbol is a+b, which can never equal a again (b is
+    non-empty), so the fold can't double-consume. Symbols are \\w
+    chars or the EOW marker — no quoting needed."""
+    return F.expr(
+        "aggregate(slice(s, 2, size(s) - 1), array(s[0]), (acc, x) -> "
+        f"IF(element_at(acc, -1) = '{a}' AND x = '{b}', "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        f"array(concat('{a}', '{b}'))), concat(acc, array(x))))")
+
+
+def select_batch(top: list[tuple[str, str, int]],
+                 k: int) -> list[tuple[str, str]]:
+    """Greedy batched-merge selection: from pair-count rows sorted by
+    (count desc, a, b), accept up to ``k`` merges whose symbols are
+    mutually disjoint and whose concatenation doesn't collide with any
+    accepted symbol — so each accepted pair's count is provably
+    unchanged by applying the others, and they can merge in one pass
+    in any order. Shared by the Spark trainer and the pure-Python
+    reference in tests so both batch identically."""
+    accepted: list[tuple[str, str]] = []
+    symbols: set[str] = set()
+    for a, b, n in top:
+        if len(accepted) >= k:
+            break
+        if n < 2:
+            break
+        concat = a + b
+        if {a, b, concat} & symbols:
+            continue
+        if any(a == x + y or b == x + y for x, y in accepted):
+            continue
+        accepted.append((a, b))
+        symbols |= {a, b, concat}
+    return accepted
+
+
 def learn_bpe(df: DataFrame, text_col: str, n_merges: int = 50,
-              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+              checkpoint_every: int = 8,
+              batch_k: int = 1) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
     ordered merge list [(left_symbol, right_symbol), ...].
 
-    The per-iteration aggregate is vocabulary-sized; the driver pulls
-    back ONE row per iteration (the argmax pair) — no .collect() of
-    data tables. Deterministic: ties on count break on the pair's
-    lexicographic order.
+    The per-round aggregate is vocabulary-sized; the driver pulls back
+    a handful of rows per round (the top pair candidates) — no
+    .collect() of data tables. Deterministic: ties on count break on
+    the pair's lexicographic order.
+
+    COST MODEL: every round is one Spark job over the distinct-word
+    table, so training runs ~n_merges/batch_k driver round-trips.
+    ``batch_k=1`` (default) is exactly Sennrich sequential BPE — and
+    exactly n_merges jobs, which at a real 32k-merge vocabulary means
+    32k scheduler round-trips. For real vocab sizes set ``batch_k``
+    (8-64): each round accepts up to batch_k merges whose symbols are
+    mutually disjoint (see select_batch — their counts are invariant
+    under each other, so they merge in one pass), cutting rounds by
+    ~batch_k. Batched order can differ from strictly-sequential BPE
+    when a merge would have created a new pair outranking a later
+    batch member — the standard scalable-BPE trade; use batch_k=1
+    when bit-exact Sennrich order matters.
     """
     vocab = _word_counts(df, text_col)
     # word -> its current symbol sequence: chars + end-of-word marker
@@ -68,33 +122,27 @@ def learn_bpe(df: DataFrame, text_col: str, n_merges: int = 50,
                  F.array(F.lit(EOW))).alias("s"))
     syms = syms.localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        k = min(batch_k, n_merges - len(merges))
         # adjacent-pair counts, weighted by word frequency
         pairs = syms.select(
             "freq", F.explode(F.expr(
                 "transform(slice(s, 1, size(s) - 1), "
                 "(x, i) -> struct(x as a, s[i + 1] as b))")).alias("p"))
-        best = (pairs.groupBy("p.a", "p.b")
-                .agg(F.sum("freq").alias("n"))
-                .orderBy(F.col("n").desc(), "a", "b")
-                .limit(1).collect())
-        if not best or best[0]["n"] < 2:
+        # over-fetch 4x: disjointness filtering skips some candidates
+        top = (pairs.groupBy("p.a", "p.b")
+               .agg(F.sum("freq").alias("n"))
+               .orderBy(F.col("n").desc(), "a", "b")
+               .limit(max(4 * k, k)).collect())
+        batch = select_batch([(r["a"], r["b"], r["n"]) for r in top], k)
+        if not batch:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        # row-local rewrite: left-to-right fold collapsing adjacent
-        # (a, b) into a+b. Matches the reference greedy scan including
-        # overlaps ([a,a,a] with merge (a,a) -> [aa, a]): after a
-        # merge the new last symbol is a+b, which can never equal a
-        # again (b is non-empty), so the fold can't double-consume.
-        # Symbols are \w chars or the EOW marker — no quoting needed.
-        merged = F.expr(
-            "aggregate(slice(s, 2, size(s) - 1), array(s[0]), (acc, x) -> "
-            f"IF(element_at(acc, -1) = '{a}' AND x = '{b}', "
-            "concat(slice(acc, 1, size(acc) - 1), "
-            f"array(concat('{a}', '{b}'))), concat(acc, array(x))))")
-        syms = syms.select("freq", merged.alias("s"))
-        if (i + 1) % checkpoint_every == 0:
+        merges.extend(batch)
+        for a, b in batch:   # disjoint => one composed row-local pass
+            syms = syms.select("freq", _merge_expr(a, b).alias("s"))
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             syms = syms.localCheckpoint()
     return merges
 
@@ -140,16 +188,32 @@ def apply_bpe(df: DataFrame, text_col: str,
     tokenized once (vocab-sized pandas work), then the corpus maps
     through a broadcast word→pieces join and a row-local re-assembly
     in original word order. Adds ``out_col`` array<string> and
-    ``n_bpe`` count."""
-    words = df.select(F.posexplode(F.expr(
-        rf"filter(split(lower({text_col}), '\\W+'), x -> x <> '')"
-    ).alias("word")).alias("pos", "word"), "*")
-    vocab = tokenize_words(words.select("word").distinct(), merges)
-    keys = [c for c in df.columns]
-    joined = words.join(F.broadcast(vocab), "word")
-    return (joined.groupBy(*keys)
-            .agg(F.flatten(F.array_sort(F.collect_list(
-                F.struct("pos", "pieces"))).pieces).alias(out_col))
+    ``n_bpe`` count.
+
+    Every input row survives exactly once: re-assembly is keyed on a
+    per-row id (so fully-duplicate rows stay distinct rows), and the
+    explode/join are OUTER (a row whose text yields no \\w+ token
+    comes back with an empty piece array, not dropped). One shuffle
+    (the groupBy on the row id); the vocab side is broadcast."""
+    packed = df.select(F.struct(*df.columns).alias("__row"),
+                       F.monotonically_increasing_id().alias("__rid"))
+    words = packed.select(
+        "__rid", "__row",
+        F.posexplode_outer(F.expr(
+            rf"filter(split(lower(__row.{text_col}), '\\W+'), "
+            "x -> x <> '')")).alias("pos", "word"))
+    vocab = tokenize_words(
+        words.where(F.col("word").isNotNull())
+        .select("word").distinct(), merges)
+    joined = words.join(F.broadcast(vocab), "word", "left")
+    empty = F.array().cast("array<string>")
+    return (joined.groupBy("__rid")
+            .agg(F.first("__row").alias("__row"),
+                 F.coalesce(
+                     F.flatten(F.array_sort(F.collect_list(
+                         F.struct("pos", "pieces"))).pieces),
+                     empty).alias(out_col))
+            .select("__row.*", out_col)
             .withColumn("n_bpe", F.size(out_col)))
 
 

@@ -43,7 +43,7 @@ def parse_url(df: DataFrame, col: str = "url") -> DataFrame:
             .withColumn("host", F.lower(F.regexp_extract(u, r"^[^:]+://([^/:?#]+)", 1)))
             .withColumn("port", F.regexp_extract(u, r"^[^:]+://[^/:?#]+:([0-9]+)", 1))
             .withColumn("path", F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1))
-            .withColumn("query", F.regexp_extract(u, r"\?([^#]*)", 1))
+            .withColumn("query", F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1))
             .withColumn("fragment", F.regexp_extract(u, r"#(.*)$", 1)))
 
 
@@ -80,7 +80,7 @@ def normalize_url(df: DataFrame, col: str = "url",
             .otherwise(host)
     path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = _clean_query(F.regexp_extract(u, r"\?([^#]*)", 1))
+    query = _clean_query(F.regexp_extract(u, r"^[^#]*?\?([^#]*)", 1))
     norm = F.concat(scheme, F.lit("://"), host, path,
                     F.when(query == "", F.lit(""))
                     .otherwise(F.concat(F.lit("?"), query)))

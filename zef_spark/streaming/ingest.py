@@ -73,6 +73,199 @@ class StreamTransactor:
         return True
 
 
+class BatchEntityMap:
+    """Declarative batch→graph mapping for the DISTRIBUTED ingest
+    path: each batch row becomes one entity of ``et`` whose id derives
+    arithmetically from ``key_col`` (id = type_code·2^K + key — the
+    same deterministic scheme as graph/mapper.py:_mkid, so replays and
+    regenerations mint identical ids), and each listed field column
+    becomes an AE + attr edge + value row. Codes must not collide with
+    an existing mapper layout on the same graph (mapper tables use
+    1-99, attrs 100+, relations 600+)."""
+
+    def __init__(self, et, key_col: str, type_code: int,
+                 fields: dict[str, int], uid_prefix: str | None = None):
+        for col, code in fields.items():
+            if code % 2:
+                raise ValueError(
+                    f"field code for {col!r} must be even (odd code "
+                    "is reserved for the attr edge)")
+        self.et = et if isinstance(et, str) else et.name
+        self.key_col = key_col
+        self.type_code = type_code
+        self.fields = dict(fields)
+        self.uid_prefix = uid_prefix or f"{self.et.lower()}-"
+
+
+class MappedStreamTransactor:
+    """Distributed foreachBatch sink: one micro-batch == one atomic tx,
+    with the PAYLOAD mapped to nodes/edges/attr_values rows entirely
+    as DataFrame selects — no driver-side row materialization (the
+    wish-based StreamTransactor funnels every row through
+    ``batch_df.collect()``; at a high-volume stream that driver hop is
+    the bottleneck, so it is reserved for control-plane volumes).
+
+    Exactly-once like StreamTransactor: the applied-batch ledger rides
+    on the graph as a ZefSparkStreamBatch entity whose node/AE/edge/
+    value rows carry the SAME tx id as the payload rows — apply and
+    mark are one atomic graph value, a replayed batch is skipped.
+    Append-oriented: batch keys are expected to be new entities (the
+    firehose case); re-keying an existing id appends a second open
+    assignment row — dedupe upstream (e.g. pipeline/dedup.py
+    incremental_dedup) or via merge semantics in a wish tx.
+
+    ``checkpoint_every``: localCheckpoint the four tables every N
+    batches so a long-running stream doesn't accrete an unbounded
+    union lineage."""
+
+    LEDGER_ET = StreamTransactor.LEDGER_ET
+
+    def __init__(self, g: Graph, mapping: BatchEntityMap,
+                 stream_id: str, checkpoint_every: int = 16):
+        self.graph = g
+        self.mapping = mapping
+        self.stream_id = stream_id
+        self.checkpoint_every = checkpoint_every
+        self._applied = StreamTransactor._load_ledger(self, g)
+        self._n_applied = 0
+
+    def _batch_key(self, batch_id: int) -> str:
+        return f"{self.stream_id}:{batch_id}"
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        import datetime
+        from pyspark.sql import functions as F
+        from ..graph.delta import _local_df
+        from ..graph.schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA,
+                                    ID_KEY_BITS, NODES_SCHEMA,
+                                    TXS_SCHEMA)
+        key = self._batch_key(batch_id)
+        if key in self._applied:
+            return False
+        g, m = self.graph, self.mapping
+        spark = g.spark
+        tx = g.max_tx() + 1
+        time = (datetime.datetime(2000, 1, 1)
+                + datetime.timedelta(days=tx))
+
+        def mkid(code: int, c):
+            assert 0 < code < (1 << (63 - ID_KEY_BITS))
+            return (F.lit(code).cast("long") * (1 << ID_KEY_BITS)
+                    + c.cast("long"))
+
+        vfrom = F.lit(tx).cast("long")
+        vto = F.lit(None).cast("long")
+        k = F.col(m.key_col)
+        ent_id = mkid(m.type_code, k)
+        node_parts = [batch_df.select(
+            ent_id.alias("id"), F.lit(m.et).alias("et"),
+            F.concat(F.lit(m.uid_prefix), k.cast("string")).alias("uid"),
+            vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx"))]
+        edge_parts, av_parts = [], []
+        dtypes = dict(batch_df.dtypes)
+        from ..graph.mapper import _SPARK_TO_VRT
+        for colname, ae_code in m.fields.items():
+            vrt = _SPARK_TO_VRT[dtypes[colname]]
+            ae_id = mkid(ae_code, k)
+            node_parts.append(batch_df.select(
+                ae_id.alias("id"), F.lit(f"AET.{vrt}").alias("et"),
+                F.lit(None).cast("string").alias("uid"),
+                vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx")))
+            edge_parts.append(batch_df.select(
+                mkid(ae_code + 1, k).alias("id"),
+                F.lit(colname).alias("rt"),
+                F.lit(None).cast("string").alias("uid"),
+                ent_id.alias("src_id"), ae_id.alias("dst_id"),
+                vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx")))
+            c = F.col(colname)
+            av_parts.append(batch_df.select(
+                ae_id.alias("ae_id"),
+                F.lit(colname).alias("attr_rt"),
+                F.lit(vrt).alias("vrt"),
+                (c.cast("string") if vrt == "String"
+                 else F.lit(None).cast("string")).alias("value_str"),
+                (c.cast("long") if vrt == "Int"
+                 else F.lit(None).cast("long")).alias("value_int"),
+                (c.cast("double") if vrt == "Float"
+                 else F.lit(None).cast("double")).alias("value_float"),
+                (c.cast("boolean") if vrt == "Bool"
+                 else F.lit(None).cast("boolean")).alias("value_bool"),
+                (c.cast("timestamp_ntz") if vrt == "Time"
+                 else F.lit(None).cast("timestamp_ntz"))
+                .alias("value_time"),
+                F.lit(None).cast("struct<value:double,unit:string>")
+                .alias("value_quantity"),
+                F.lit(None).cast("string").alias("value_enum"),
+                vfrom.alias("assigned_at_tx"),
+                vto.alias("superseded_at_tx")))
+
+        # ledger rows (driver-side, 3+1 rows — control-plane volume):
+        # entity + batch_key AE + attr edge + value row, all at tx
+        cached = getattr(g, "_max_rae_id", None)
+        if cached is None:
+            cached = max(
+                g.nodes.select(F.max("id")).collect()[0][0] or 0,
+                g.edges.select(F.max("id")).collect()[0][0] or 0)
+        base = max(cached, 1 << 60)
+        led_ent, led_ae, led_edge = base + 1, base + 2, base + 3
+        et_name = (self.LEDGER_ET if isinstance(self.LEDGER_ET, str)
+                   else self.LEDGER_ET.name)
+        node_parts.append(_local_df(spark, [
+            (led_ent, et_name, f"__ledger_{key}", tx, None),
+            (led_ae, "AET.String", None, tx, None)], NODES_SCHEMA))
+        edge_parts.append(_local_df(spark, [
+            (led_edge, "batch_key", None, led_ent, led_ae, tx, None)],
+            EDGES_SCHEMA))
+        av_parts.append(_local_df(spark, [
+            (led_ae, "batch_key", "String", key, None, None, None,
+             None, None, None, tx, None)], ATTR_VALUES_SCHEMA))
+
+        nodes = g.nodes
+        for p in node_parts:
+            nodes = nodes.unionByName(p)
+        edges = g.edges
+        for p in edge_parts:
+            edges = edges.unionByName(p)
+        avs = g.attr_values
+        for p in av_parts:
+            avs = avs.unionByName(p)
+        txs = g.txs.unionByName(_local_df(spark, [(tx, time)],
+                                          TXS_SCHEMA))
+        out = Graph(nodes, edges, avs, txs, g.tags)
+        out._max_tx = tx
+        out._max_rae_id = led_edge
+        out.schema_validator = getattr(g, "schema_validator", None)
+        out.rt_vrt = g.rt_vrt
+        out.interactive = getattr(g, "interactive", False)
+        self._n_applied += 1
+        if self._n_applied % self.checkpoint_every == 0:
+            out.nodes = out.nodes.localCheckpoint()
+            out.edges = out.edges.localCheckpoint()
+            out.attr_values = out.attr_values.localCheckpoint()
+            out.txs = out.txs.localCheckpoint()
+        self.graph = out
+        self._applied.add(key)
+        return True
+
+
+def stream_transact_mapped(g: Graph, stream_df: DataFrame,
+                           mapping: BatchEntityMap,
+                           stream_id: str = "s1", once: bool = True,
+                           checkpoint: str | None = None):
+    """Distributed counterpart of stream_transact: payload rows map to
+    graph rows as DataFrame selects (MappedStreamTransactor), never
+    through the driver. Same return convention."""
+    st = MappedStreamTransactor(g, mapping, stream_id)
+    writer = stream_df.writeStream.foreachBatch(st.apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return st
+    return st, writer.start()
+
+
 def stream_transact(g: Graph, stream_df: DataFrame,
                     wish_fn: Callable, stream_id: str = "s1",
                     once: bool = True,
