@@ -4206,6 +4206,315 @@ def p_url_canonical_domains(spark, sf_dir):
 
 
 # =====================================================================
+# r05 additions: dedup pipeline, curation funnel, decontamination,
+# lexical diversity, rate limiting, BM25 search, array top-k,
+# late-data audit
+# =====================================================================
+
+_MINHASH_PAIRS_CTE = """
+sh AS (
+  SELECT doc_id,
+    LIST_DISTINCT(LIST_TRANSFORM(
+      GENERATE_SERIES(1, LEN(text)-4),
+      i -> (ORD(text[i])*4362470401 + ORD(text[i+1])*16974593 +
+            ORD(text[i+2])*66049 + ORD(text[i+3])*257 + ORD(text[i+4]))
+           % 2147483647)) AS hs
+  FROM documents WHERE LEN(COALESCE(text,'')) >= 5
+), sizes AS (SELECT doc_id, LEN(hs) AS n FROM sh),
+posting AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM posting a JOIN posting b USING (h)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), mh_pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ni/(sa.n + sb.n - ni) >= 0.4
+)"""
+
+
+@query("p_minhash_dedup_pipeline", """
+WITH RECURSIVE """ + _MINHASH_PAIRS_CTE + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+), walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+), dropped AS (
+  SELECT id FROM walk GROUP BY id HAVING id > MIN(lbl)
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id FROM dropped)
+ORDER BY doc_id
+""")
+def p_minhash_dedup_pipeline(spark, sf_dir):
+    """End-to-end near-dedup: MinHash+LSH candidate pairs (exact-
+    verified, banding tuned as p_minhash_lsh_pairs) → connected
+    components → drop everything but each cluster's min-id
+    representative (pipeline/dedup.py + corpus.py). One composed lazy
+    plan; the oracle replays exact all-pairs shingle Jaccard +
+    recursive-CTE reachability, so equality proves pair recall AND
+    cluster/representative semantics in one row."""
+    from zef_spark.pipeline.corpus import dedup_keep_representative
+    from zef_spark.pipeline.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=60,
+                              bands=12, jaccard_threshold=0.4)
+    return (dedup_keep_representative(docs, pairs, "doc_id")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@query("p_quality_filter_pipeline", """
+SELECT 0 AS stage_idx, 'input' AS stage, COUNT(*) AS n_docs
+FROM documents
+UNION ALL
+SELECT 1, 'lang_en', COUNT(*) FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 2, 'min_length', COUNT(*) FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+UNION ALL
+SELECT 3, 'has_stopword', COUNT(*) FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+  AND REGEXP_MATCHES(LOWER(text), '\\b(?:the|and|of)\\b')
+UNION ALL
+SELECT 4, 'punct_ok', COUNT(*) FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+  AND REGEXP_MATCHES(LOWER(text), '\\b(?:the|and|of)\\b')
+  AND LENGTH(REGEXP_REPLACE(text, '[^[:punct:]]', '', 'g')) * 1.0
+      / LENGTH(text) < 0.1
+ORDER BY stage_idx
+""")
+def p_quality_filter_pipeline(spark, sf_dir):
+    """Curation funnel report (pipeline/corpus.py filter_funnel):
+    survivor counts through language → length → stopword → punct
+    filters, computed as ONE scan of conditional aggregates (a
+    10-stage funnel at 100 TB is one pass, not 10 filtered counts) —
+    vs. the oracle's 5 independent scans."""
+    import string as _string
+    from zef_spark.pipeline.corpus import filter_funnel
+    docs = _t(spark, sf_dir, "documents")
+    punct = (F.length("text")
+             - F.length(F.translate(F.col("text"),
+                                    _string.punctuation, "")))
+    stages = [
+        ("lang_en", F.col("lang") == "en"),
+        ("min_length", F.col("n_chars") >= 200),
+        ("has_stopword",
+         F.lower(F.col("text")).rlike(r"\b(?:the|and|of)\b")),
+        ("punct_ok", punct / F.length("text") < 0.1),
+    ]
+    return filter_funnel(docs, stages).orderBy("stage_idx")
+
+
+@query("p_decontaminate", """
+WITH words AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM words, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS t(i)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0
+), scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM grams g LEFT JOIN bench b USING (gram)
+  WHERE g.doc_id % 10 <> 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 10 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM scored
+                     WHERE n_hit * 1.0 / n_grams > 0.05)
+ORDER BY doc_id
+""")
+def p_decontaminate(spark, sf_dir):
+    """Benchmark decontamination ENFORCEMENT (pipeline/dedup.py
+    decontaminate): p_contamination scores the overlap; this drops
+    every corpus doc whose distinct-trigram overlap with the held-out
+    benchmark (every 10th doc) exceeds 5% — anti-join against the
+    contaminated-id set; too-short docs have nothing to leak and are
+    kept."""
+    from zef_spark.pipeline.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = decontaminate(corpus, bench, "text", "doc_id", n=3,
+                        max_contamination=0.05)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@query("p_type_token_ratio", """
+WITH toks AS (
+  SELECT source,
+         UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                            t -> t <> '')) AS token
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT token) AS n_types,
+       ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr
+FROM toks GROUP BY source ORDER BY source
+""")
+def p_type_token_ratio(spark, sf_dir):
+    """Per-source lexical diversity (pipeline/text.py
+    type_token_ratio): a collapsing TTR flags template/boilerplate
+    domains in a crawl. One explode + one keyed agg with distinct
+    counting — the standard partial-agg shuffle."""
+    from zef_spark.pipeline.text import type_token_ratio
+    docs = _t(spark, sf_dir, "documents")
+    return type_token_ratio(docs, "text", by="source") \
+        .orderBy("source")
+
+
+@query("e_rate_limit_events", """
+SELECT event_id, user_id,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY EPOCH_US(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_in_window,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY EPOCH_US(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) > 5
+         AS limited
+FROM events ORDER BY event_id
+""")
+def e_rate_limit_events(spark, sf_dir):
+    """Trailing-hour per-user rate limiting (pipeline/rollup.py
+    rate_limit): event-time sliding count as ONE native RANGE window
+    in microseconds — no self-join, no per-second explode; the same
+    frame runs incrementally under a streaming watermark."""
+    from zef_spark.pipeline.rollup import rate_limit
+    ev = _events(spark, sf_dir)
+    out = rate_limit(ev, "ts", "user_id", window_seconds=3600,
+                     max_events=5)
+    return (out.select("event_id", "user_id", "n_in_window", "limited")
+            .orderBy("event_id"))
+
+
+@query("p_bm25_search", """
+WITH base AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), dl AS (SELECT doc_id, LEN(toks) AS dl FROM base),
+totals AS (
+  SELECT COUNT(*) * 1.0 AS n, AVG(dl) AS avgdl FROM dl
+), posting AS (
+  SELECT doc_id, t.token, COUNT(*) AS tf
+  FROM base, UNNEST(toks) AS t(token)
+  WHERE t.token IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, t.token
+), dfreq AS (
+  SELECT token, COUNT(*) AS df FROM posting GROUP BY token
+)
+SELECT p.doc_id, COUNT(*) AS n_matched,
+       ROUND(SUM(
+         LN(1.0 + (t.n - f.df + 0.5) / (f.df + 0.5))
+         * p.tf * 2.2
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / t.avgdl))
+       ), 6) AS score
+FROM posting p
+JOIN dfreq f USING (token)
+JOIN dl d USING (doc_id)
+CROSS JOIN totals t
+GROUP BY p.doc_id ORDER BY p.doc_id
+""")
+def p_bm25_search(spark, sf_dir):
+    """Okapi BM25 corpus scoring against a fixed query bag
+    (pipeline/corpus.py bm25, k1=1.2 b=0.75): the posting is filtered
+    to the query terms BEFORE any shuffle, per-term df and the corpus
+    totals ride in as broadcast sides — zero driver collects."""
+    from zef_spark.pipeline.corpus import bm25
+    docs = _t(spark, sf_dir, "documents")
+    return bm25(docs, "doc_id", "text",
+                ["spark", "merge", "window"]).orderBy("doc_id")
+
+
+@query("w_grouped_topk_arrays", """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey)
+           AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       ARRAY_TO_STRING(LIST(CAST(o_orderkey AS VARCHAR) ORDER BY rn),
+                       ',') AS top_orderkeys,
+       ROUND(SUM(o_totalprice), 2) AS top_revenue
+FROM ranked WHERE rn <= 3
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""")
+def w_grouped_topk_arrays(spark, sf_dir):
+    """Per-group top-k materialized as an ORDERED LIST per group (the
+    array-aggregation family: collect_list + array_sort over rank
+    structs, rendered as a CSV string for the cross-engine hash):
+    rank window (one shuffle) → group agg. Deterministic: price ties
+    break on the order key."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("c_mktsegment") \
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    top = j.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") <= 3)
+    keys_csv = F.concat_ws(",", F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "o_orderkey"))),
+        lambda s: s.o_orderkey.cast("string")))
+    return (top.groupBy("c_mktsegment")
+            .agg(keys_csv.alias("top_orderkeys"),
+                 F.round(F.sum("o_totalprice"), 2).alias("top_revenue"))
+            .orderBy("c_mktsegment"))
+
+
+@query("e_late_data_audit", """
+WITH w AS (
+  SELECT event_type, EPOCH_US(ts) AS us,
+         MAX(EPOCH_US(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high
+  FROM events
+), lagged AS (
+  SELECT event_type,
+         GREATEST(COALESCE(high - us, 0), 0) AS lag_us
+  FROM w
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN lag_us > 1800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(MAX(lag_us // 1000000) AS BIGINT) AS max_lag_seconds
+FROM lagged GROUP BY event_type ORDER BY event_type
+""")
+def e_late_data_audit(spark, sf_dir):
+    """Out-of-orderness audit for watermark design (pipeline/rollup.py
+    late_data_audit): replay events in ARRIVAL order (event_id),
+    track the per-user event-time high-water mark, measure each
+    event's lag behind it — the rows a 30-min watermark would drop.
+    One shuffle on the user key; running max is a native cumulative
+    window."""
+    from zef_spark.pipeline.rollup import late_data_audit
+    ev = _events(spark, sf_dir)
+    out = late_data_audit(ev, "ts", "event_id", by="user_id",
+                          late_seconds=1800)
+    return (out.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+                 .cast("long").alias("n_late"),
+                 F.max("lag_seconds").alias("max_lag_seconds"))
+            .orderBy("event_type"))
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 
@@ -4246,7 +4555,7 @@ _FRONT = [
     "p_pack_sequences", "frequencies_events", "enumerate_stride_events",
     # (c) queries NEW in r05 — first oracle rows
     "p_minhash_dedup_pipeline", "p_quality_filter_pipeline",
-    "p_decontaminate", "p_cc_corpus", "e_rate_limit_events",
+    "p_decontaminate", "p_type_token_ratio", "e_rate_limit_events",
     "p_bm25_search", "w_grouped_topk_arrays", "e_late_data_audit",
 ]
 

@@ -341,3 +341,83 @@ from ..ops.core import register_op  # noqa: E402
 @register_op("weighted_sample", "df")
 def _weighted_sample(df, weight_col, k, key_col, salt="", by=None):
     return weighted_sample(df, weight_col, k, key_col, salt, by)
+
+
+def bm25(df: DataFrame, id_col: str, text_col: str,
+         query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+         digits: int = 6) -> DataFrame:
+    """(id, n_matched, score) — Okapi BM25 of each document against a
+    fixed bag of query terms (Robertson & Zaragoza 2009):
+
+        score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                        · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Plan shape (the search-index scoring pass, run corpus-wide):
+    one explode → posting agg keyed by (doc, token), FILTERED to the
+    query terms before any shuffle (the posting that reaches the agg
+    is |terms|-bounded per doc, not vocabulary-sized); per-term df
+    and the corpus totals (N, avgdl) ride in as broadcast 1-row /
+    |terms|-row sides — zero driver collects, one lazy plan. Only
+    docs matching ≥1 term survive (score of the rest is 0)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # per-doc length over ALL tokens (dl), before the term filter
+    dl = base.select(id_col, F.size("__toks").alias("dl"))
+    totals = dl.agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                    F.avg("dl").alias("__avgdl"))
+    posting = (base.select(
+        F.col(id_col),
+        F.explode(F.filter("__toks",
+                           lambda t: t.isin(*query_terms)))
+        .alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (posting.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df")))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = (F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                   / F.col("__avgdl"))))
+    return (posting.join(F.broadcast(dfreq), "token")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(totals))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_matched"),
+                 F.round(F.sum(idf * norm), digits).alias("score")))
+
+
+def filter_funnel(df: DataFrame,
+                  stages: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """(stage_idx, stage, n_docs) — survivor counts through a chain of
+    curation filters, where each stage's predicate is applied ON TOP
+    of all previous ones (the standard corpus-curation funnel report).
+
+    ONE scan, zero joins: every stage count is a conditional
+    aggregate of the cumulative AND of predicates, so a 10-stage
+    funnel over 100 TB costs exactly one pass — not 10 filtered
+    counts. The wide 1-row aggregate is unpivoted row-locally."""
+    aggs = [F.count(F.lit(1)).alias("n_0")]
+    acc = F.lit(True)
+    for i, (_, pred) in enumerate(stages, start=1):
+        acc = acc & pred
+        aggs.append(F.sum(F.when(acc, 1).otherwise(0))
+                    .cast("long").alias(f"n_{i}"))
+    wide = df.agg(*aggs)
+    names = ["input"] + [n for n, _ in stages]
+    stack = ", ".join(
+        f"{i}, '{n}', n_{i}" for i, n in enumerate(names))
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) AS "
+        "(stage_idx, stage, n_docs)")
+
+
+@register_op("bm25", "df")
+def _bm25(df, id_col, text_col, query_terms, k1=1.2, b=0.75):
+    return bm25(df, id_col, text_col, query_terms, k1, b)
+
+
+@register_op("filter_funnel", "df")
+def _filter_funnel(df, stages):
+    return filter_funnel(df, stages)

@@ -574,3 +574,19 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
             .select(id_col, "n_grams", "n_hit",
                     F.round(F.col("n_hit") / F.col("n_grams"), 6)
                     .alias("contamination")))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3,
+                  max_contamination: float = 0.0) -> DataFrame:
+    """Drop documents whose benchmark n-gram overlap exceeds
+    ``max_contamination`` — the enforcement half of
+    ngram_contamination (which only scores). Documents too short to
+    have an n-gram are kept (nothing to leak). One anti-join against
+    the contaminated-id set; the scoring plan is the same
+    gram-posting join, so cost is O(grams) + two keyed aggs."""
+    scores = ngram_contamination(df, benchmark, text_col, id_col, n)
+    bad = (scores.where(F.col("contamination") > max_contamination)
+           .select(id_col))
+    return df.join(bad, id_col, "left_anti")

@@ -196,3 +196,78 @@ from ..ops.core import register_op as _reg_rollup  # noqa: E402
 def _ewma_op(df, key, ts_col, value_col, alpha, out_col="ewma",
              digits=6):
     return ewma(df, key, ts_col, value_col, alpha, out_col, digits)
+
+
+def sliding_count(df, ts_col: str, by, window_seconds: int,
+                  out_col: str = "n_in_window"):
+    """Per-row count of same-key rows inside the trailing time window
+    (event-time sliding count): RANGE BETWEEN window over the epoch
+    seconds — ONE shuffle on the key, executed as a native window
+    (no self-join, no explode-per-second). The window frame is
+    streaming-friendly: the same semantics run incrementally under a
+    watermark with a ragged state buffer. The frame is computed in
+    MICROSECONDS (unix_micros) so sub-second event times land on the
+    exact boundary an interval comparison would give."""
+    from pyspark.sql import Window, functions as F
+    by = [by] if isinstance(by, str) else list(by)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(*by).orderBy(us.asc())
+         .rangeBetween(-window_seconds * 1_000_000, 0))
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+def rate_limit(df, ts_col: str, by, window_seconds: int,
+               max_events: int, out_col: str = "limited"):
+    """Flag rows that exceed ``max_events`` per key within any
+    trailing ``window_seconds`` (API-gateway / abuse-control audit,
+    run in batch over the event log). Adds the trailing count and a
+    boolean; same single-shuffle RANGE window as sliding_count."""
+    from pyspark.sql import functions as F
+    out = sliding_count(df, ts_col, by, window_seconds,
+                        out_col="n_in_window")
+    return out.withColumn(out_col,
+                          F.col("n_in_window") > F.lit(max_events))
+
+
+def late_data_audit(df, ts_col: str, arrival_col: str, by=None,
+                    late_seconds: int = 1800):
+    """Out-of-orderness audit for watermark design: replay events in
+    ARRIVAL order (``arrival_col`` — an ingest sequence/offset), track
+    the running event-time high-water mark per key, and measure how
+    far each event lags it. Adds ``lag_seconds`` (0 for in-order
+    rows) and ``is_late`` (lag > late_seconds — the rows a streaming
+    watermark of that bound would drop). One shuffle on the key; the
+    running max is a native cumulative window. Lag is measured in
+    microseconds internally (sub-second event times count), reported
+    as floored whole seconds."""
+    from pyspark.sql import Window, functions as F
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(*keys).orderBy(F.col(arrival_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    high = F.max(us).over(w)
+    lag_us = F.greatest(F.coalesce(high - us, F.lit(0)), F.lit(0))
+    return (df.withColumn("lag_seconds",
+                          F.floor(lag_us / 1_000_000).cast("long"))
+            .withColumn("is_late",
+                        lag_us > F.lit(late_seconds * 1_000_000)))
+
+
+@_reg_rollup("sliding_count", "df")
+def _sliding_count_op(df, ts_col, by, window_seconds,
+                      out_col="n_in_window"):
+    return sliding_count(df, ts_col, by, window_seconds, out_col)
+
+
+@_reg_rollup("rate_limit", "df")
+def _rate_limit_op(df, ts_col, by, window_seconds, max_events,
+                   out_col="limited"):
+    return rate_limit(df, ts_col, by, window_seconds, max_events,
+                      out_col)
+
+
+@_reg_rollup("late_data_audit", "df")
+def _late_audit_op(df, ts_col, arrival_col, by=None,
+                   late_seconds=1800):
+    return late_data_audit(df, ts_col, arrival_col, by, late_seconds)

@@ -535,3 +535,20 @@ def normalize_text(df, text_col: str, form: str = "NFC",
 
 register_op("normalize_text", "df")(
     lambda df, text_col, **kw: normalize_text(df, text_col, **kw))
+
+
+def type_token_ratio(df, text_col: str, by=None,
+                     digits: int = 6):
+    """(by..., n_tokens, n_types, ttr) — type-token ratio, the
+    classic lexical-diversity signal (a collapsing TTR flags
+    template/boilerplate domains in a crawl). One explode + one
+    two-level agg keyed by the grouping columns; distinct-token
+    counting is the usual partial-agg shuffle, nothing quadratic."""
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    toks = F.explode(_tokens(F.col(text_col)))
+    posting = df.select(*by, toks.alias("token"))
+    return (posting.groupBy(*by)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("token").alias("n_types"))
+            .withColumn("ttr", F.round(F.col("n_types")
+                                       / F.col("n_tokens"), digits)))
