@@ -612,3 +612,92 @@ def test_sdl_of_graph_reverse_generation(spark):
     assert "PlacedBy: [Customer]" in sdl
     # AE helper nodes never become types
     assert "type AET." not in sdl
+
+
+def test_subscription_over_sse_transport(schema, store):
+    """The wire half of per-type subscriptions: a subscription
+    document opened as GET /graphql/stream (Server-Sent Events)
+    receives the event published by an addT mutation POSTed over
+    plain HTTP — end-to-end through make_server."""
+    import http.client
+    import json as _json
+    import threading
+
+    from zef_spark.graphql import (GraphQLEngine, SubscriptionManager,
+                                   make_server, serve_in_thread)
+    subs = SubscriptionManager()
+    eng = GraphQLEngine(schema, store=store, subscriptions=subs)
+    srv = make_server(eng)
+    serve_in_thread(srv)
+    host, port = srv.server_address
+
+    frames, ready = [], threading.Event()
+
+    def listen():
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        q = ('subscription { onRegion(kinds: ["added"]) { name } }'
+             .replace(" ", "%20").replace('"', "%22"))
+        conn.request("GET", f"/graphql/stream?query={q}")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "text/event-stream"
+        ready.set()
+        while True:
+            line = r.fp.readline().decode()
+            if line.startswith("data: "):
+                frames.append(_json.loads(line[len("data: "):]))
+                break
+        conn.close()
+
+    t = threading.Thread(target=listen, daemon=True)
+    t.start()
+    assert ready.wait(timeout=30)
+
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("POST", "/graphql", _json.dumps({"query": """
+      mutation {
+        addRegion(input: [{regionkey: 97, name: "LEMURIA"}]) { count }
+      }"""}), {"Content-Type": "application/json"})
+    resp = _json.loads(conn.getresponse().read())
+    assert resp["data"]["addRegion"]["count"] == 1
+
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert frames and frames[0]["rows"] == [{"name": "LEMURIA"}]
+    assert frames[0]["kind"] == "added"
+    # listener thread exited -> its connection closed; the server-side
+    # keep-alive probe cancels the registration shortly after
+    import time as _t
+    for _ in range(40):
+        if not subs._subs:
+            break
+        _t.sleep(0.25)
+    assert not subs._subs
+    srv.shutdown()
+
+
+def test_sse_rejects_bad_document_and_auth(schema, store):
+    import http.client
+
+    from zef_spark.graphql import (AuthConfig, GraphQLEngine,
+                                   SubscriptionManager, make_server,
+                                   serve_in_thread)
+    eng = GraphQLEngine(schema, store=store,
+                        subscriptions=SubscriptionManager())
+    srv = make_server(eng)
+    serve_in_thread(srv)
+    host, port = srv.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.request("GET", "/graphql/stream?query=%7B%20queryRegion%20%7B"
+                 "%20name%20%7D%20%7D")   # a query doc, not subscription
+    assert conn.getresponse().status == 400
+    srv.shutdown()
+
+    authed = make_server(eng, AuthConfig(secret="s", audience="a"))
+    serve_in_thread(authed)
+    host, port = authed.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=30)
+    conn.request("GET", "/graphql/stream?query=subscription%20%7B%20"
+                 "onRegion%20%7B%20name%20%7D%20%7D")
+    assert conn.getresponse().status == 401   # no token
+    authed.shutdown()

@@ -156,7 +156,15 @@ class AuthedEngine:
 
 def make_server(engine, auth: AuthConfig | None = None,
                 host: str = "127.0.0.1", port: int = 0):
-    """ThreadingHTTPServer serving POST /graphql {query, variables}.
+    """ThreadingHTTPServer serving POST /graphql {query, variables}
+    and — the over-the-wire half of per-type subscriptions (reference
+    generates onT subscription fields per type, simplegql/
+    generate_api2.py:80-292) — GET /graphql/stream?query=... as a
+    Server-Sent-Events stream: the subscription document registers
+    through engine.execute_subscription and every published change
+    event is written as one ``event: next`` SSE frame; client
+    disconnect cancels the registration. Auth (when configured)
+    gates the stream with the same Bearer-token resolution as POST.
     Returns the server object (``.server_address`` has the bound
     port); call ``serve_forever`` / ``shutdown`` yourself or use
     ``serve_in_thread``."""
@@ -179,8 +187,54 @@ def make_server(engine, auth: AuthConfig | None = None,
             self.wfile.write(data)
 
         def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+            parsed = urlparse(self.path)
+            if parsed.path.rstrip("/") == "/graphql/stream":
+                q = parse_qs(parsed.query)
+                self._sse(q.get("query", [""])[0],
+                          json.loads(q.get("variables", ["null"])[0]
+                                     or "null"))
+                return
             # health check (reference returns a waiting banner)
             self._send(200, "Server waiting for GraphQL requests")
+
+        def _sse(self, query: str, variables):
+            import queue as _queue
+            if auth is not None:
+                try:
+                    auth.resolve(dict(self.headers))
+                except AuthError as e:
+                    self._send(401, {"errors": [{"message": str(e)}]})
+                    return
+            events: _queue.Queue = _queue.Queue()
+            try:
+                handles = engine.execute_subscription(
+                    query, events.put, variables)
+            except Exception as e:
+                self._send(400, {"errors": [{"message": str(e)}]})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            try:
+                while True:
+                    try:
+                        ev = events.get(timeout=0.5)
+                    except _queue.Empty:
+                        # keep-alive doubles as the disconnect probe
+                        self.wfile.write(b": keep-alive\n\n")
+                        self.wfile.flush()
+                        continue
+                    frame = json.dumps(ev, default=str)
+                    self.wfile.write(
+                        f"event: next\ndata: {frame}\n\n".encode())
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                pass                        # client went away
+            finally:
+                for h in handles.values():
+                    h.cancel()
 
         def do_POST(self):
             if self.path.rstrip("/") not in ("", "/graphql", "/gql"):
