@@ -4208,8 +4208,46 @@ def p_url_canonical_domains(spark, sf_dir):
 # =====================================================================
 # r05 additions: dedup pipeline, curation funnel, decontamination,
 # lexical diversity, rate limiting, BM25 search, array top-k,
-# late-data audit
+# late-data audit, distributed stream ingest
 # =====================================================================
+
+
+@query("e_stream_ingest_mapped", """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events WHERE event_id < 200
+GROUP BY event_type ORDER BY event_type
+""")
+def e_stream_ingest_mapped(spark, sf_dir):
+    """DISTRIBUTED streaming graph ingestion (streaming/ingest.py
+    MappedStreamTransactor): the same 200-event sample as
+    e_stream_ingest, but batch rows map to node/edge/attr rows as
+    DataFrame selects with deterministic arithmetic ids — the payload
+    never materializes on the driver (vs the wish path's
+    batch collect). The result aggregates the GRAPH's entities;
+    equal to aggregating the source events, which the oracle does."""
+    import tempfile
+    from zef_spark import ET
+    from zef_spark.graph.delta import empty_graph
+    from zef_spark.streaming.ingest import (BatchEntityMap,
+                                            stream_transact_mapped)
+    ev = (_events(spark, sf_dir).where("event_id < 200")
+          .select("event_id", "event_type", "value"))
+    d = tempfile.mkdtemp(prefix="zef_stream_ingest_m_")
+    ev.coalesce(4).write.mode("overwrite").parquet(f"{d}/src")
+    stream = (spark.readStream
+              .schema("event_id long, event_type string, value double")
+              .parquet(f"{d}/src"))
+    m = BatchEntityMap(ET.StreamEvent, key_col="event_id",
+                       type_code=90,
+                       fields={"event_type": 700, "value": 702})
+    st = stream_transact_mapped(empty_graph(spark), stream, m,
+                                checkpoint=f"{d}/cp")
+    ns = st.graph.now().all(ET.StreamEvent)
+    vals = ns.fields(event_type="event_type", value="value")
+    return (vals.groupBy(F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total"))
+            .orderBy("event_type"))
 
 _MINHASH_PAIRS_CTE = """
 sh AS (

@@ -37,6 +37,9 @@ HEADLINE = [
     "p_minhash_lsh_pairs",
     "p_ann_cosine_topk",
     "p_text_quality",
+    # r05 additions: search scoring + sliding-window rate limiting
+    "p_bm25_search",
+    "e_rate_limit_events",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Multi-process shared-graph sync (graph/sync.py): tx-segment log
+with optimistic atomic-rename commits — the engine's ZefHub analogue
+(reference robot suite shares one graph across 10 processes)."""
+
+import os
+
+from zef_spark import ET, RT
+from zef_spark.graph.delta import (Assign, E, R, Terminate,
+                                   empty_graph, transact)
+from zef_spark.graph.sync import GraphStore
+
+
+def _store(spark, tmp_path):
+    g0 = empty_graph(spark)
+    g1, _ = transact(g0, [E(ET.Person, "alice",
+                            fields={"age": 30})])
+    return GraphStore.init(g1, str(tmp_path / "shared"))
+
+
+def test_second_instance_sees_commits(spark, tmp_path):
+    a = _store(spark, tmp_path)
+    # a SECOND store over the same path = another process's view
+    b = GraphStore(spark, a.path)
+    assert b.head().now().all(ET.Person).df.count() == 1
+
+    a.commit([E(ET.Person, "bob", fields={"age": 25})])
+    # b has a stale head until refresh; refresh picks up a's segment
+    gb = b.refresh()
+    assert gb.now().all(ET.Person).df.count() == 2
+    ages = sorted(r[1] for r in
+                  gb.now().all(ET.Person).field("age").collect())
+    assert ages == [25, 30]
+
+
+def test_closures_cross_process(spark, tmp_path):
+    a = _store(spark, tmp_path)
+    b = GraphStore(spark, a.path)
+    ga = a.head()
+    alice = ga.now().all(ET.Person).df.collect()[0]["id"]
+    # terminate + re-assign in separate commits
+    a.commit([Assign(alice, "age", 31)])
+    a.commit([Terminate(alice)])
+    gb = b.refresh()
+    assert gb.now().all(ET.Person).df.count() == 0        # terminated
+    # time travel still works on the shared history: frame before the
+    # terminate sees the updated value
+    tx = gb.max_tx()
+    from zef_spark.graph.graph import GraphSlice
+    frame = GraphSlice(gb, tx - 1)
+    vals = [r[1] for r in
+            frame.all(ET.Person).field("age").collect()]
+    assert vals == [31]
+
+
+def test_commit_race_retries(spark, tmp_path):
+    a = _store(spark, tmp_path)
+    b = GraphStore(spark, a.path)
+    # b commits first; then a (whose head is stale) commits — a's
+    # first claim of tx collides with b's segment and must retry on
+    # the refreshed head, not fail and not overwrite
+    a.refresh()
+    b.commit([E(ET.Person, "bob")])
+    g2, receipt = a.commit([E(ET.Person, "carol")])
+    assert "carol" in receipt
+    assert g2.now().all(ET.Person).df.count() == 3
+    # serializable chain: tx numbers are dense and unique
+    segs = sorted(int(n) for n in
+                  os.listdir(os.path.join(a.path, "txlog"))
+                  if n.isdigit())
+    assert segs == list(range(segs[0], segs[0] + len(segs)))
+
+
+def test_relations_and_receipt_across_store(spark, tmp_path):
+    a = _store(spark, tmp_path)
+    alice = a.head().now().all(ET.Person).df.collect()[0]["id"]
+    g, r = a.commit([E(ET.Pet, "rex"), R(alice, RT.Owns, "rex")])
+    b = GraphStore(spark, a.path)
+    gb = b.refresh()
+    assert gb.now().all(ET.Pet).df.count() == 1
+    # the relation traverses from the OTHER store's view
+    import zef_spark.ops as z
+    pets = gb.now().all(ET.Person) | z.Outs[RT.Owns]
+    assert (pets | z.count | z.collect) == 1
+
+
+def test_compact_checkpoint(spark, tmp_path):
+    a = _store(spark, tmp_path)
+    for name in ("bob", "carol", "dave"):
+        a.commit([E(ET.Person, name)])
+    g = a.compact()
+    assert g.now().all(ET.Person).df.count() == 4
+    # a fresh reader starts from the checkpoint, not the full chain,
+    # and still sees everything (including commits AFTER compaction)
+    a.commit([E(ET.Person, "erin")])
+    b = GraphStore(spark, a.path)
+    gb = b.refresh()
+    assert gb.now().all(ET.Person).df.count() == 5
+    # tx chain stayed gapless through the checkpoint's empty tx
+    txs = sorted(r[0] for r in gb.txs.collect())
+    assert txs == list(range(txs[0], txs[0] + len(txs)))
+    # history before the checkpoint survives (fold, not truncation)
+    from zef_spark.graph.graph import GraphSlice
+    assert GraphSlice(gb, 2).all(ET.Person).df.count() == 2

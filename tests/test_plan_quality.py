@@ -32,7 +32,9 @@ GUARDED = [
     # r04 additions
     "p_hash_sample",
     "p_pack_sequences",
-    "p_tf_idf",
+    # p_tf_idf moved to the SCALAR_CROSS allowlist below: its corpus
+    # total is now a deliberate 1-row broadcast crossJoin (replaced an
+    # eager driver collect in r05)
     "p_repetition_signals",
     "p_ann_pq_topk",
     "p_semantic_dup_pairs",
@@ -98,7 +100,10 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     "e_gapfill",
                     # two stacked 1-row scalar broadcasts (mean fill
                     # value, then the two winsor cut points)
-                    "p_impute_winsorize"}
+                    "p_impute_winsorize",
+                    # r05: corpus totals (N / avgdl) as 1-row
+                    # broadcast crossJoins — replaced eager collects
+                    "p_tf_idf", "p_bm25_search"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
@@ -185,3 +190,23 @@ def test_sketch_checks_single_shuffle_per_agg(spark, entry):
     # keyed by event_type — what must NOT appear is a nested loop
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_r05_queries_plan_quality(spark, entry):
+    """r05 additions: single-scan funnel, pre-shuffle term filtering
+    in BM25, RANGE-window rate limiting — the scale claims in their
+    docstrings, checked against the executed plans."""
+    q = entry.queries()
+    # filter_funnel: one aggregate, no join/union
+    plan = q["p_quality_filter_pipeline"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    # rate limit: exactly one exchange (the user-key window shuffle)
+    plan = q["e_rate_limit_events"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # bm25: no cartesian beyond the 1-row totals broadcast; the
+    # posting filter runs before the (doc, token) aggregate
+    plan = q["p_bm25_search"](spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

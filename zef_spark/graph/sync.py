@@ -1,0 +1,305 @@
+"""Multi-process shared-graph sync: a storage-coordinated transaction
+log with optimistic commits.
+
+The reference syncs a graph between processes through ZefHub (its
+robot suite drives 10 processes sharing one graph,
+python/tests/robot/tests/test.robot; ``g | sync`` subscribes to
+durable replication, ITF:7436). A Spark engine has no broker daemon —
+the idiomatic replacement is a *table-format commit protocol* on
+shared storage (the shape Delta Lake's transaction log made standard):
+
+- ``GraphStore.init(g, path)`` materializes a base snapshot
+  (token-partitioned parquet — Graph.materialize) plus an empty
+  ``txlog/`` directory.
+- ``store.commit(wishes)`` runs the normal wish ``transact`` against
+  the current head, extracts the tx's DELTA (new interval rows + the
+  closures it stamped on existing rows), writes it to a temp segment
+  dir, and claims the tx number with ONE atomic ``os.rename`` to
+  ``txlog/<tx>``. If another process claimed that tx first the rename
+  fails, the local tx is discarded and the commit retries against the
+  refreshed head — optimistic concurrency, last-committer-retries.
+- ``store.head()`` / ``store.refresh()`` reconstruct the graph as
+  base ∪ segment appends, with closures applied as ONE broadcast
+  join per table (segments are wish-sized — control-plane volume;
+  bulk data enters through graph/mapper.py or the distributed
+  streaming ingest, not through wishes).
+
+Any number of processes (or Spark drivers) pointing at the same path
+observe the same serializable tx chain; a reader is never blocked by
+a writer and vice versa. Crash safety: a temp segment that never got
+renamed is invisible garbage; the rename is the commit point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import functions as F
+
+from .graph import Graph
+from .schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA, NODES_SCHEMA,
+                     TXS_SCHEMA)
+
+_SEG_FMT = "{:012d}"
+
+
+def _seg_dirs(path: str) -> list[tuple[int, str]]:
+    log = os.path.join(path, "txlog")
+    out = []
+    for name in os.listdir(log):
+        if name.isdigit():
+            out.append((int(name), os.path.join(log, name)))
+    return sorted(out)
+
+
+class GraphStore:
+    """A shared, durable graph: base snapshot + committed tx segments.
+    One instance per process; all instances on the same ``path`` see
+    one serializable history."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self._head: Graph | None = None
+        self._head_seg = -1          # highest applied segment tx
+
+    # -- lifecycle ----------------------------------------------------
+
+    @classmethod
+    def init(cls, g: Graph, path: str) -> "GraphStore":
+        """Materialize ``g`` as the base snapshot and open the store.
+        The base graph's max_tx seeds the tx chain."""
+        os.makedirs(os.path.join(path, "txlog"), exist_ok=True)
+        g.materialize(os.path.join(path, "base"))
+        meta = {"base_max_tx": g.max_tx(),
+                "rt_vrt": getattr(g, "rt_vrt", None),
+                "single_assignment": getattr(g, "single_assignment",
+                                             False)}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        store = cls(g.spark, path)
+        return store
+
+    def _meta(self) -> dict:
+        with open(os.path.join(self.path, "meta.json")) as f:
+            return json.load(f)
+
+    # -- read side ----------------------------------------------------
+
+    def refresh(self) -> Graph:
+        """Re-list the tx log and rebuild the head if new segments
+        landed (what another process committed becomes visible here).
+        Cheap when nothing changed (one listdir)."""
+        segs = _seg_dirs(self.path)
+        top = segs[-1][0] if segs else -1
+        if self._head is not None and top == self._head_seg:
+            return self._head
+        self._head = self._build(segs)
+        self._head_seg = top
+        return self._head
+
+    head = refresh
+
+    def _build(self, segs: list[tuple[int, str]]) -> Graph:
+        spark = self.spark
+        meta = self._meta()
+        # start from the newest checkpoint at or below the head: a
+        # checkpoint segment folds all earlier history into a fresh
+        # base snapshot (Delta-checkpoint shape), so rebuild cost is
+        # O(segments since last compact), not O(all history)
+        base = os.path.join(self.path, "base")
+        start, ck_seg = 0, None
+        top_tx = segs[-1][0] if segs else meta["base_max_tx"]
+        for tx, sp in segs:
+            ck = os.path.join(sp, "checkpoint.json")
+            if os.path.exists(ck):
+                with open(ck) as f:
+                    base = os.path.join(self.path, json.load(f)["base"])
+                start, ck_seg = tx, sp
+        segs = [(t, p) for t, p in segs if t > start]
+        g = Graph.load(spark, base)
+
+        def rd(seg_path, name, schema):
+            p = os.path.join(seg_path, name)
+            if os.path.exists(p):
+                return spark.read.schema(schema).parquet(p)
+            return None
+
+        def apply(table, key_cols, close_col, news, closes):
+            for n in news:
+                table = table.unionByName(n)
+            if closes:
+                cl = closes[0]
+                for c in closes[1:]:
+                    cl = cl.unionByName(c)
+                cl = cl.groupBy(*key_cols).agg(
+                    F.min("__closed_at").alias("__closed_at"))
+                table = (table.join(F.broadcast(cl), key_cols, "left")
+                         .withColumn(close_col,
+                                     F.coalesce(close_col,
+                                                "__closed_at"))
+                         .drop("__closed_at"))
+            return table
+
+        n_new, n_cl, e_new, e_cl, a_new, a_cl, t_new = \
+            [], [], [], [], [], [], []
+        if ck_seg is not None:
+            # the checkpoint's own (empty) tx row isn't in its folded
+            # base — carry it so the txs dimension stays gapless
+            if (x := rd(ck_seg, "txs", TXS_SCHEMA)) is not None:
+                t_new.append(x)
+        close_schema = "id long, valid_from_tx long, __closed_at long"
+        av_close_schema = ("ae_id long, assigned_at_tx long, "
+                          "__closed_at long")
+        for _, sp in segs:
+            if (x := rd(sp, "nodes", NODES_SCHEMA)) is not None:
+                n_new.append(x)
+            if (x := rd(sp, "edges", EDGES_SCHEMA)) is not None:
+                e_new.append(x)
+            if (x := rd(sp, "attr_values",
+                        ATTR_VALUES_SCHEMA)) is not None:
+                a_new.append(x)
+            if (x := rd(sp, "txs", TXS_SCHEMA)) is not None:
+                t_new.append(x)
+            p = os.path.join(sp, "node_closures")
+            if os.path.exists(p):
+                n_cl.append(spark.read.schema(close_schema).parquet(p))
+            p = os.path.join(sp, "edge_closures")
+            if os.path.exists(p):
+                e_cl.append(spark.read.schema(close_schema).parquet(p))
+            p = os.path.join(sp, "av_closures")
+            if os.path.exists(p):
+                a_cl.append(spark.read.schema(av_close_schema)
+                            .parquet(p))
+        nodes = apply(g.nodes, ["id", "valid_from_tx"], "valid_to_tx",
+                      n_new, n_cl)
+        edges = apply(g.edges, ["id", "valid_from_tx"], "valid_to_tx",
+                      e_new, e_cl)
+        avs = apply(g.attr_values, ["ae_id", "assigned_at_tx"],
+                    "superseded_at_tx", a_new, a_cl)
+        txs = g.txs
+        for t in t_new:
+            txs = txs.unionByName(t)
+        out = Graph(nodes, edges, avs, txs, g.tags)
+        out.rt_vrt = meta.get("rt_vrt")
+        out.single_assignment = bool(meta.get("single_assignment"))
+        out._max_tx = top_tx
+        return out
+
+    # -- write side ---------------------------------------------------
+
+    def commit(self, wishes: list, time=None,
+               max_retries: int = 10) -> tuple[Graph, dict]:
+        """Apply wishes as the next tx on the SHARED chain. Retries
+        against a refreshed head when another process claims the tx
+        number first (the atomic-rename race). Returns (head graph
+        after commit, receipt)."""
+        from .delta import Tag, Untag, transact
+        if any(isinstance(w_, (Tag, Untag)) for w_ in wishes):
+            raise NotImplementedError(
+                "GraphStore segments don't carry tag deltas yet — "
+                "tag on the in-memory graph or extend _write_segment")
+        last_err = None
+        for _ in range(max_retries):
+            g = self.refresh()
+            tx = g.max_tx() + 1
+            g2, receipt = transact(g, wishes, time)
+            tmp = os.path.join(self.path, "txlog",
+                               f".tmp-{uuid.uuid4().hex}")
+            self._write_segment(g, g2, tx, tmp)
+            final = os.path.join(self.path, "txlog", _SEG_FMT.format(tx))
+            try:
+                os.rename(tmp, final)
+            except OSError as e:              # lost the race: retry
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
+                last_err = e
+                self._head = None             # force re-list
+                continue
+            self._head, self._head_seg = g2, tx
+            return g2, receipt
+        raise RuntimeError(
+            f"commit lost the tx-claim race {max_retries} times "
+            f"(last: {last_err}); the store is under heavy write "
+            "contention — batch wishes or add retries")
+
+    def compact(self, max_retries: int = 5) -> Graph:
+        """Fold the current head (base + all segments) into a fresh
+        base snapshot and claim the next tx number as a CHECKPOINT
+        segment — subsequent rebuilds start there instead of replaying
+        the whole segment chain (the unbounded-small-files fix for a
+        long-lived store). Concurrency-safe via the same atomic-rename
+        claim as commit: a writer that lands a segment mid-compaction
+        wins the slot and compaction retries on the refreshed head.
+        Old segments/bases are left for in-flight readers; delete them
+        out-of-band once no reader can be older than the checkpoint."""
+        for _ in range(max_retries):
+            g = self.refresh()
+            tx = g.max_tx() + 1
+            base_name = f"base-{tx:012d}"
+            g.materialize(os.path.join(self.path, base_name))
+            tmp = os.path.join(self.path, "txlog",
+                               f".tmp-{uuid.uuid4().hex}")
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, "checkpoint.json"), "w") as f:
+                json.dump({"base": base_name}, f)
+            # the checkpoint claims tx; it carries no delta rows, but
+            # max_tx must stay monotonic — record an empty tx row
+            import datetime
+            self.spark.createDataFrame(
+                [(tx, datetime.datetime(2000, 1, 1)
+                  + datetime.timedelta(days=tx))], TXS_SCHEMA) \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(tmp, "txs"))
+            final = os.path.join(self.path, "txlog",
+                                 _SEG_FMT.format(tx))
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                import shutil
+                shutil.rmtree(tmp, ignore_errors=True)
+                shutil.rmtree(os.path.join(self.path, base_name),
+                              ignore_errors=True)
+                self._head = None
+                continue
+            self._head = None            # rebuild from the checkpoint
+            return self.refresh()
+        raise RuntimeError("compact lost the tx-claim race repeatedly")
+
+    def _write_segment(self, before: Graph, after: Graph, tx: int,
+                       seg: str) -> None:
+        """Extract tx's delta from the before/after pair. All four
+        extracts filter on the tx literal, so they only materialize
+        wish-sized row sets; writes are single-file parquet."""
+        os.makedirs(seg, exist_ok=True)
+
+        def w(df, name):
+            rows = df.limit(1).collect()
+            if not rows:
+                return
+            df.coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(seg, name))
+
+        w(after.nodes.where(F.col("valid_from_tx") == tx), "nodes")
+        w(after.edges.where(F.col("valid_from_tx") == tx), "edges")
+        w(after.attr_values.where(F.col("assigned_at_tx") == tx),
+          "attr_values")
+        w(after.txs.where(F.col("tx_id") == tx), "txs")
+        # closures: rows that existed BEFORE tx and were closed AT tx
+        w(after.nodes.where((F.col("valid_to_tx") == tx)
+                            & (F.col("valid_from_tx") < tx))
+          .select("id", "valid_from_tx",
+                  F.lit(tx).cast("long").alias("__closed_at")),
+          "node_closures")
+        w(after.edges.where((F.col("valid_to_tx") == tx)
+                            & (F.col("valid_from_tx") < tx))
+          .select("id", "valid_from_tx",
+                  F.lit(tx).cast("long").alias("__closed_at")),
+          "edge_closures")
+        w(after.attr_values.where((F.col("superseded_at_tx") == tx)
+                                  & (F.col("assigned_at_tx") < tx))
+          .select("ae_id", "assigned_at_tx",
+                  F.lit(tx).cast("long").alias("__closed_at")),
+          "av_closures")

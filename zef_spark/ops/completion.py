@@ -388,7 +388,11 @@ def _sync(g, *args):
     ``g | sync[path]`` — materialize the graph (token-partitioned
     parquet, Graph.materialize) and return the DISK-BACKED graph, so
     subsequent queries read pruned scans instead of the transact
-    lineage. Carries rt_vrt / single_assignment metadata over."""
+    lineage. Carries rt_vrt / single_assignment metadata over.
+    For MULTI-PROCESS shared-graph sync (the reference's ZefHub robot
+    scenario) use ``graph.sync.GraphStore`` — a tx-segment log with
+    optimistic atomic-rename commits; any number of processes on the
+    same path share one serializable history."""
     if not args:
         return g
     path = args[0]
