@@ -4149,6 +4149,28 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("p_top_bigrams", """
+WITH words AS (
+  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT w[i] || ' ' || w[i+1] AS gram
+  FROM words, UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS t(i)
+)
+SELECT gram, COUNT(*) AS cnt FROM grams
+GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+""")
+def p_top_bigrams(spark, sf_dir):
+    """Corpus top-k n-gram stats (pipeline/text.py ngram_counts —
+    the first artifact of a contamination/boilerplate investigation):
+    row-local gram construction → one keyed agg → TakeOrdered top-k
+    (no full sort). Count ties break on the gram for determinism."""
+    from zef_spark.pipeline.text import ngram_counts
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, k=20)
+
+
 @query("p_fuzzy_supplier_pairs", """
 SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
        levenshtein(a.s_name, b.s_name) AS distance

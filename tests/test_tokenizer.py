@@ -185,3 +185,33 @@ def test_apply_bpe_keeps_empty_and_duplicate_rows(spark):
     assert by_doc[2][0]["bpe_tokens"] == []
     assert by_doc[2][0]["n_bpe"] == 0
     assert by_doc[3][0]["bpe_tokens"] == []
+
+
+def test_piece_vocab_and_encode_ids(spark):
+    from zef_spark.pipeline.tokenizer import encode_ids, piece_vocab
+    merges = [("t", "h")]
+    df = spark.createDataFrame(
+        [(1, "the the cat"), (2, "that hat")],
+        "doc_id long, text string")
+    vocab = {r.piece: (r.piece_id, r.freq)
+             for r in piece_vocab(df, "text", merges).collect()}
+    # pieces: the->[th,e,</w>]x2, cat->[c,a,t,</w>],
+    # that->[th,a,t,</w>], hat->[h,a,t,</w>]  (EOW merges only when a
+    # learned merge joins it)
+    assert vocab["th"][1] == 3 and vocab["a"][1] == 3
+    assert vocab[EOW][1] == 5   # the(2)+cat+that+hat
+    # ids dense from 0, ordered by (freq desc, piece)
+    ids = sorted(v[0] for v in vocab.values())
+    assert ids == list(range(len(vocab)))
+    out = {r.doc_id: r for r in
+           encode_ids(df, "text", merges).collect()}
+    # ids decode back to the exact piece sequence
+    rev = {v[0]: p for p, v in vocab.items()}
+    assert [rev[i] for i in out[1].token_ids] == \
+        ["th", "e", EOW, "th", "e", EOW, "c", "a", "t", EOW]
+    # frozen external vocab: unknown pieces -> -1
+    from pyspark.sql import functions as F
+    frozen = piece_vocab(df.where("doc_id = 1"), "text", merges)
+    out2 = {r.doc_id: r for r in
+            encode_ids(df, "text", merges, vocab=frozen).collect()}
+    assert -1 in out2[2].token_ids          # 'h' never seen in doc 1

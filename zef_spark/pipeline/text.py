@@ -552,3 +552,30 @@ def type_token_ratio(df, text_col: str, by=None,
                  F.countDistinct("token").alias("n_types"))
             .withColumn("ttr", F.round(F.col("n_types")
                                        / F.col("n_tokens"), digits)))
+
+
+def ngram_counts(df, text_col: str, n: int = 2, k: int = 20,
+                 by=None):
+    """(by..., gram, cnt) — the corpus's top-k word n-grams (the
+    first artifact of a contamination/boilerplate investigation).
+    Row-local gram construction (same transform as
+    ngram_contamination) → one keyed agg → top-k. Global top-k is a
+    TakeOrdered (no full sort); grouped top-k is one more window on
+    the group key. Deterministic: count ties break on the gram."""
+    from pyspark.sql import functions as F
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    words = _tokens(F.col(text_col))
+    grams = (df.select(*by, words.alias("__w"))
+             .where(F.size("__w") >= n)
+             .select(*by, F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("__w") - n + 1),
+                 lambda i: F.concat_ws(" ", F.slice("__w", i, n))))
+                 .alias("gram")))
+    counts = grams.groupBy(*by, "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    if not by:
+        return counts.orderBy(F.col("cnt").desc(), "gram").limit(k)
+    from pyspark.sql import Window
+    w = Window.partitionBy(*by).orderBy(F.col("cnt").desc(), "gram")
+    return (counts.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))

@@ -220,3 +220,51 @@ def apply_bpe(df: DataFrame, text_col: str,
 @register_op("apply_bpe", "df")
 def _apply_bpe(df, text_col, merges, out_col="bpe_tokens"):
     return apply_bpe(df, text_col, merges, out_col)
+
+
+def piece_vocab(df: DataFrame, text_col: str,
+                merges: list[tuple[str, str]]) -> DataFrame:
+    """(piece, piece_id, freq) — the tokenizer's id table: tokenize
+    the corpus's distinct words, explode to pieces, aggregate
+    frequencies, assign ids by (freq desc, piece) rank so the mapping
+    is deterministic and engine-portable. Vocabulary-sized work after
+    the one corpus shuffle."""
+    from pyspark.sql import Window
+    words = _word_counts(df, text_col)
+    toks = tokenize_words(words, merges)
+    pieces = (toks.select("freq", F.explode("pieces").alias("piece"))
+              .groupBy("piece").agg(F.sum("freq").alias("freq")))
+    w = Window.orderBy(F.col("freq").desc(), "piece")
+    # the vocab is vocabulary-sized (≪ corpus): a single-partition
+    # rank window over it is fine at any corpus scale
+    return pieces.withColumn(
+        "piece_id", F.row_number().over(w).cast("long") - 1)
+
+
+def encode_ids(df: DataFrame, text_col: str,
+               merges: list[tuple[str, str]],
+               vocab: DataFrame | None = None,
+               out_col: str = "token_ids") -> DataFrame:
+    """Adds ``out_col`` array<long> — the end of the tokenize chain:
+    text → BPE pieces (apply_bpe: distinct-word kernel + broadcast
+    join) → ids via the broadcast piece_vocab map. Unknown pieces
+    (when a frozen external vocab is passed) map to -1. One extra
+    row-local transform over apply_bpe's plan — the id lookup rides
+    the same broadcast pattern, no new shuffle on the corpus."""
+    vocab = piece_vocab(df, text_col, merges) if vocab is None \
+        else vocab
+    mapping = F.map_from_entries(F.collect_list(
+        F.struct("piece", "piece_id")))
+    vmap = vocab.agg(mapping.alias("__vmap"))
+    toks = apply_bpe(df, text_col, merges)
+    return (toks.crossJoin(F.broadcast(vmap))
+            .withColumn(out_col, F.transform(
+                F.col("bpe_tokens"),
+                lambda p: F.coalesce(F.element_at("__vmap", p),
+                                     F.lit(-1).cast("long"))))
+            .drop("__vmap"))
+
+
+@register_op("encode_ids", "df")
+def _encode_ids(df, text_col, merges, vocab=None, out_col="token_ids"):
+    return encode_ids(df, text_col, merges, vocab, out_col)
