@@ -101,3 +101,33 @@ def test_compact_checkpoint(spark, tmp_path):
     # history before the checkpoint survives (fold, not truncation)
     from zef_spark.graph.graph import GraphSlice
     assert GraphSlice(gb, 2).all(ET.Person).df.count() == 2
+
+
+def test_true_multiprocess_sync(spark, tmp_path):
+    """A REAL second process (own JVM/SparkSession) commits to the
+    shared store; this process sees it after refresh — the reference's
+    robot scenario (N processes, one graph) minus the broker."""
+    import subprocess
+    import sys
+    a = _store(spark, tmp_path)
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from zef_spark import ET, get_spark
+from zef_spark.graph.delta import E
+from zef_spark.graph.sync import GraphStore
+spark = get_spark("zef_sync_proc_b")
+spark.sparkContext.setLogLevel("ERROR")
+store = GraphStore(spark, {a.path!r})
+g, r = store.commit([E(ET.Person, "from_proc_b", fields={{"age": 99}})])
+assert "from_proc_b" in r
+print("COMMITTED", g.max_tx())
+"""
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, timeout=300)
+    assert "COMMITTED" in out.stdout, out.stderr[-2000:]
+    gb = a.refresh()
+    assert gb.now().all(ET.Person).df.count() == 2
+    ages = sorted(r[1] for r in
+                  gb.now().all(ET.Person).field("age").collect())
+    assert ages == [30, 99]
