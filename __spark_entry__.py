@@ -4149,6 +4149,72 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("g_cheapest_supply_paths", """
+WITH e AS (
+  SELECT l_suppkey AS s, l_partkey AS p,
+         MIN(l_extendedprice / l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+), edges AS (
+  SELECT 'S' || s AS src, 'P' || p AS dst, w FROM e
+  UNION ALL
+  SELECT 'P' || p, 'S' || s, w FROM e
+), d0 AS (
+  SELECT DISTINCT 'S' || s_suppkey AS id, 0.0 AS dist
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'GERMANY'
+), d1 AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT * FROM d0
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d0 d JOIN edges e ON e.src = d.id
+  ) GROUP BY id
+), d2 AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT * FROM d1
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d1 d JOIN edges e ON e.src = d.id
+  ) GROUP BY id
+), d3 AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d2 d JOIN edges e ON e.src = d.id
+  ) GROUP BY id
+)
+SELECT id, ROUND(dist, 4) AS dist FROM d3
+WHERE id LIKE 'P%' ORDER BY id
+""")
+def g_cheapest_supply_paths(spark, sf_dir):
+    """Weighted shortest paths (graph/algorithms.py shortest_paths —
+    bounded-round Bellman-Ford): cheapest ≤3-edge path cost from
+    GERMANY's suppliers to every part over the bipartite
+    supplier↔part network (edge weight = cheapest observed unit
+    price). Each round is ONE frontier-sized keyed join + a min-agg;
+    the oracle unrolls the identical three rounds as SQL joins, so
+    equality proves the min-plus fold exactly (per-path IEEE sums
+    accumulate left-to-right on both engines)."""
+    from zef_spark.graph.algorithms import shortest_paths
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    e = (li.groupBy("l_suppkey", "l_partkey")
+         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+              .alias("w")))
+    sid = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    pid = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    edges = e.select(sid.alias("src"), pid.alias("dst"), "w")
+    srcs = (su.join(F.broadcast(na.where(F.col("n_name") == "GERMANY")),
+                    su.s_nationkey == na.n_nationkey)
+            .select(F.concat(F.lit("S"),
+                             F.col("s_suppkey").cast("string"))
+                    .alias("id")))
+    dist = shortest_paths(edges, srcs, "src", "dst", "w",
+                          max_hops=3, directed=False)
+    return (dist.where(F.col("id").startswith("P"))
+            .select("id", F.round("dist", 4).alias("dist"))
+            .orderBy("id"))
+
+
 @query("p_top_bigrams", """
 WITH words AS (
   SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),

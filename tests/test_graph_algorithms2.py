@@ -82,3 +82,27 @@ def test_clustering_coefficient_matches_networkx(spark):
         d, t, c = got[node]
         assert d == g.degree(node) and t == ref_t[node]
         assert abs(c - ref_c[node]) < 1e-6
+
+
+def test_shortest_paths_bellman_ford(spark):
+    from zef_spark.graph.algorithms import shortest_paths
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0),
+         ("c", "d", 1.0)],
+        "src string, dst string, w double")
+    srcs = spark.createDataFrame([("a",)], "id string")
+    d = {r.id: r.dist for r in
+         shortest_paths(edges, srcs, weight_col="w",
+                        max_hops=3).collect()}
+    assert d == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+    # hop bound semantics: with 1 hop, c keeps the direct (worse) edge
+    d1 = {r.id: r.dist for r in
+          shortest_paths(edges, srcs, weight_col="w",
+                         max_hops=1).collect()}
+    assert d1 == {"a": 0.0, "b": 1.0, "c": 5.0}
+    # unit weights == hop count; undirected reaches back
+    du = {r.id: r.dist for r in
+          shortest_paths(edges, spark.createDataFrame([("d",)],
+                                                      "id string"),
+                         max_hops=5, directed=False).collect()}
+    assert du == {"d": 0.0, "c": 1.0, "b": 2.0, "a": 2.0}

@@ -289,3 +289,42 @@ def clustering_coefficient(edges: DataFrame, src_col: str = "src",
                 F.round(2.0 * F.col("n_triangles")
                         / (F.col("degree") * (F.col("degree") - 1)),
                         digits)).otherwise(F.lit(0.0))))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   src_col: str = "src", dst_col: str = "dst",
+                   weight_col: str | None = None,
+                   id_col: str = "id", max_hops: int = 10,
+                   directed: bool = True) -> DataFrame:
+    """(id, dist) — cheapest path cost from a SET of source nodes
+    within ``max_hops`` edges (bounded-round Bellman-Ford / min-plus
+    BFS; ``weight_col=None`` means unit weights, i.e. hop distance as
+    a double). Bulk-synchronous: each round relaxes the CURRENT
+    distance table through the static edge table (one keyed join) and
+    folds with a min-agg — O(max_hops) rounds, each a frontier-sized
+    join, lineage cut per round. With a fixed ``max_hops`` the result
+    is "min cost using ≤K edges", deterministic and replayable by K
+    unrolled SQL joins (the oracle shape); raise max_hops past the
+    graph diameter for the converged SSSP. Each path's cost
+    accumulates left-to-right, so the IEEE sum per path is
+    reproducible across engines; min over paths is order-free."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("t"), w.alias("w"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("t").alias("s"),
+                                F.col("s").alias("t"), "w"))
+    e = e.localCheckpoint()
+    dist = (sources.select(F.col(id_col).alias("id")).distinct()
+            .withColumn("dist", F.lit(0.0)).localCheckpoint())
+    for i in range(max_hops):
+        relaxed = (dist.join(e, dist.id == e.s)
+                   .select(F.col("t").alias("id"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionAll(relaxed)
+                .groupBy("id").agg(F.min("dist").alias("dist")))
+        if (i + 1) % 4 == 0:
+            dist = dist.localCheckpoint()
+    return dist
+
