@@ -52,3 +52,53 @@ def test_groups_fill_independently(spark):
     assert got[("a", 1)] == 2.0
     assert got[("b", 1)] == 100.0
     assert len(rows) == 6
+
+
+# ------------------------------------------------- streaming rollup
+
+def test_streaming_rollup_exactly_once(spark, tmp_path):
+    """Continuous aggregate sink: drains a stream into a persisted
+    multi-granularity rollup; equals the batch rollup over the same
+    events; replays are skipped; more data merges algebraically."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from zef_spark.pipeline.rollup import (StreamingRollup,
+                                           hypertable_rollup,
+                                           stream_rollup)
+
+    def rows(n0, n):
+        base = datetime.datetime(2024, 1, 1)
+        return [(base + datetime.timedelta(minutes=17 * i),
+                 f"u{i % 2}", float(i)) for i in range(n0, n0 + n)]
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    sch = "ts timestamp, dim string, v double"
+    spark.createDataFrame(rows(0, 40), sch).coalesce(2) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(sch).parquet(src)
+    r = stream_rollup(stream, str(tmp_path / "agg"), "ts", ["dim"],
+                      "v", checkpoint=cp)
+    got = r.read(spark)
+    exp = hypertable_rollup(spark.createDataFrame(rows(0, 40), sch),
+                            "ts", ["dim"], "v")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # replay the same batch id -> skipped before any aggregation
+    batch = spark.createDataFrame(rows(0, 40), sch)
+    assert r.apply_batch(batch, 0) is False
+
+    # late-arriving data merges algebraically (no raw-history rescan)
+    spark.createDataFrame(rows(40, 10), sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(sch).parquet(src)
+    r2 = stream_rollup(stream2, str(tmp_path / "agg"), "ts", ["dim"],
+                       "v", checkpoint=cp)
+    got2 = r2.read(spark)
+    exp2 = hypertable_rollup(spark.createDataFrame(rows(0, 50), sch),
+                             "ts", ["dim"], "v")
+    assert got2.exceptAll(exp2).count() == 0
+    assert exp2.exceptAll(got2).count() == 0
+    # ledger is hidden from data readers (underscore path)
+    assert "batch_key" not in got2.columns

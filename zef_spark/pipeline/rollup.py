@@ -271,3 +271,103 @@ def _rate_limit_op(df, ts_col, by, window_seconds, max_events,
 def _late_audit_op(df, ts_col, arrival_col, by=None,
                    late_seconds=1800):
     return late_data_audit(df, ts_col, arrival_col, by, late_seconds)
+
+
+class StreamingRollup:
+    """Continuous hypertable rollup: a foreachBatch sink that keeps a
+    persisted multi-granularity aggregate table up to date as events
+    stream in — the streaming half of hypertable_rollup, with
+    exactly-once semantics on top of foreachBatch's at-least-once.
+
+    Per micro-batch: roll up the batch (one shuffle over BATCH rows
+    only), algebraically merge into the stored partials (union +
+    re-aggregate — partial aggregates are algebraic, so replay-free
+    merge is exact), and rewrite the rollup table, which is
+    bucket-count-sized — granularities × buckets × dims, METADATA
+    scale, not event scale, so the rewrite stays cheap at any event
+    volume.
+
+    Exactly-once: the applied-batch ledger lives INSIDE the table
+    directory as ``_applied/`` (the underscore prefix hides it from
+    Spark's data readers), so the directory swap commits the merged
+    partials AND the batch mark in one atomic rename — a crash at any
+    point leaves either the old table without the mark (clean retry)
+    or the new table with it (replay skipped); double-merge is
+    impossible."""
+
+    def __init__(self, path: str, time_col: str, dims: list[str],
+                 value_col: str,
+                 granularities: tuple[str, ...] = ("1 hour", "1 day"),
+                 stream_id: str = "r1"):
+        self.path = path
+        self.time_col = time_col
+        self.dims = list(dims)
+        self.value_col = value_col
+        self.granularities = tuple(granularities)
+        self.stream_id = stream_id
+
+    def _applied(self, spark) -> set:
+        import os
+        p = f"{self.path}/rollup/_applied"
+        if not os.path.exists(p):
+            return set()
+        return {r[0] for r in spark.read.parquet(p).collect()}
+
+    def apply_batch(self, batch_df, batch_id: int) -> bool:
+        import os
+        import shutil
+        from pyspark.sql import functions as F  # noqa: F811
+        spark = batch_df.sparkSession
+        key = f"{self.stream_id}:{batch_id}"
+        applied = self._applied(spark)
+        if key in applied:
+            return False
+        fresh = hypertable_rollup(batch_df, self.time_col, self.dims,
+                                  self.value_col, self.granularities)
+        table = f"{self.path}/rollup"
+        if os.path.exists(table):
+            stored = spark.read.parquet(table)
+            merged = (stored.unionByName(fresh)
+                      .groupBy("gran", "bucket", *self.dims)
+                      .agg(F.sum("n").alias("n"),
+                           F.sum("sum_value").alias("sum_value"),
+                           F.min("min_value").alias("min_value"),
+                           F.max("max_value").alias("max_value")))
+        else:
+            merged = fresh
+        tmp = f"{table}__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        # the mark commits WITH the data in one rename (see class doc)
+        spark.createDataFrame([(k,) for k in applied | {key}],
+                              "batch_key string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{tmp}/_applied")
+        old = f"{table}__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(table):
+            os.rename(table, old)
+        os.rename(tmp, table)
+        shutil.rmtree(old, ignore_errors=True)
+        return True
+
+    def read(self, spark):
+        return spark.read.parquet(f"{self.path}/rollup")
+
+
+def stream_rollup(stream_df, path: str, time_col: str,
+                  dims: list[str], value_col: str,
+                  granularities: tuple[str, ...] = ("1 hour", "1 day"),
+                  checkpoint: str | None = None, once: bool = True):
+    """Run a stream into a StreamingRollup sink. once=True drains all
+    available input and returns the StreamingRollup (read() for the
+    table); otherwise returns (rollup, StreamingQuery)."""
+    r = StreamingRollup(path, time_col, dims, value_col, granularities)
+    writer = stream_df.writeStream.foreachBatch(r.apply_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return r
+    return r, writer.start()
