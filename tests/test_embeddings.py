@@ -66,3 +66,47 @@ def test_jl_preserves_relative_distance(spark):
     def d(a, b):
         return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
     assert d(proj[1], proj[2]) < d(proj[1], proj[3])
+
+
+def test_ann_index_add_incremental(spark, sf_dir, tmp_path):
+    """Appending new vectors lands them in the SAME cell space: a
+    probe after the append returns exactly the brute-force top-k over
+    the UNION corpus restricted to the probed cells."""
+    from zef_spark.pipeline.similarity import (ann_index_add,
+                                               ann_topk_indexed,
+                                               materialize_ann_index)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    old = emb.where("vec_id % 2 = 0")
+    new = emb.where("vec_id % 2 = 1")
+    path = str(tmp_path / "ann")
+    materialize_ann_index(old, path, "embedding", dim, n_cells=8)
+    q = [float((i * 7) % 5 - 2) for i in range(dim)]
+    before = ann_topk_indexed(spark, path, "embedding", "vec_id", q,
+                              k=5, n_cells=8).collect()
+    ann_index_add(new, path, "embedding", dim, n_cells=8)
+    after = ann_topk_indexed(spark, path, "embedding", "vec_id", q,
+                             k=5, n_cells=8)
+    got = {r["vec_id"] for r in after.collect()}
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()       # nothing lost on append
+    # index-FREE recomputation: same quantizer over the raw union,
+    # same 2 nearest probe cells, brute-force rerank — must match the
+    # probed index exactly
+    import pyspark.sql.functions as F
+    from zef_spark.pipeline.similarity import (_centroid,
+                                               brute_force_topk,
+                                               ivf_cell)
+    probes = sorted(range(1, 9),
+                    key=lambda c: (-sum(a * b for a, b in
+                                        zip(q, _centroid(dim, c - 1,
+                                                         7))), c))[:2]
+    celled = emb.withColumn("__cell",
+                            ivf_cell(F.col("embedding"), dim, 8, 7))
+    exp = brute_force_topk(celled.where(F.col("__cell").isin(probes)),
+                           "embedding", "vec_id", q, 5)
+    assert got == {r["vec_id"] for r in exp.collect()}
+    # the probe universe only GREW: pre-append results still present
+    # in the index (the append moved no existing vector's cell)
+    assert {r["vec_id"] for r in before} <= \
+        {r["vec_id"] for r in idx.select("vec_id").collect()}

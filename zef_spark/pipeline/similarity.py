@@ -343,3 +343,26 @@ def cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
     return (joined.withColumn("cosine", F.round(sim, 6))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def ann_index_add(new_df: DataFrame, path: str, vec_col: str,
+                  dim: int, method: str = "ivf", n_cells: int = 16,
+                  n_planes: int = 8, seed: int | None = None) -> None:
+    """Incrementally grow a materialized ANN index: assign the NEW
+    vectors to their cells (row-local — the quantizer is
+    deterministic hash-derived literals, so new data lands in the
+    same cell space as the original build) and APPEND into the
+    partitioned layout. No rebuild, no read of the existing index —
+    the append only touches the partitions the new vectors hash to.
+    Probes keep pruning identically; periodic compact_parquet bounds
+    the per-partition file count on a long-running ingest."""
+    if method == "ivf":
+        cell = ivf_cell(F.col(vec_col), dim, n_cells,
+                        7 if seed is None else seed)
+    elif method == "lsh":
+        cell = lsh_bucket(F.col(vec_col), dim, n_planes,
+                          42 if seed is None else seed)
+    else:
+        raise ValueError("method must be 'ivf' or 'lsh'")
+    new_df.withColumn("__cell", cell).write.mode("append") \
+        .partitionBy("__cell").parquet(path)
