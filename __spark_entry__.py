@@ -4149,6 +4149,50 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("p_bigram_logprob", """
+WITH words AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS a, w[i+1] AS b
+  FROM words, UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS t(i)
+  WHERE LEN(w) >= 2
+), posting AS (
+  SELECT doc_id, a, b, COUNT(*) AS tf FROM grams GROUP BY 1, 2, 3
+), big AS (
+  SELECT a, b, SUM(tf) AS c_ab FROM posting GROUP BY a, b
+), ctx AS (
+  SELECT a, SUM(c_ab) AS c_a FROM big GROUP BY a
+), vsize AS (
+  SELECT COUNT(DISTINCT x) * 1.0 AS v
+  FROM (SELECT UNNEST(w) AS x FROM words)
+)
+SELECT p.doc_id,
+       ROUND(SUM(p.tf * LN((g.c_ab + 0.5) / (c.c_a + 0.5 * vs.v)))
+             / SUM(p.tf), 4) AS avg_logprob2,
+       CAST(SUM(p.tf) AS BIGINT) AS n_bigrams
+FROM posting p
+JOIN big g USING (a, b)
+JOIN ctx c USING (a)
+CROSS JOIN vsize vs
+GROUP BY p.doc_id ORDER BY p.doc_id
+""")
+def p_bigram_logprob(spark, sf_dir):
+    """Second-order LM quality scoring (pipeline/text.py
+    bigram_logprob): add-k bigram log-likelihood per doc — catches
+    word-salad docs a unigram model misses. Posting/LM-count joins
+    with a 1-row broadcast |V|; no driver collects."""
+    from zef_spark.pipeline.text import bigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "doc_id", "text")
+    return (out.select("doc_id", "avg_logprob2",
+                       F.col("n_bigrams").cast("long")
+                       .alias("n_bigrams"))
+            .orderBy("doc_id"))
+
+
 @query("g_cheapest_supply_paths", """
 WITH e AS (
   SELECT l_suppkey AS s, l_partkey AS p,

@@ -579,3 +579,47 @@ def ngram_counts(df, text_col: str, n: int = 2, k: int = 20,
     w = Window.partitionBy(*by).orderBy(F.col("cnt").desc(), "gram")
     return (counts.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                   k: float = 0.5, out_col: str = "avg_logprob2",
+                   digits: int = 4) -> DataFrame:
+    """Second-order perplexity proxy: mean ln P(w_i | w_{i-1}) under
+    the corpus's own bigram LM with add-k smoothing —
+    P(b|a) = (c(a,b) + k) / (c(a·) + k·V), context counts c(a·)
+    derived from the bigram table itself and V = |vocab|. Catches the
+    word-salad documents a unigram model scores well (every token
+    common, no token ORDER).
+
+    Plan shape mirrors unigram_logprob one order up: row-local bigram
+    construction → (doc, a, b) posting (one shuffle) → global bigram
+    counts + context counts (two aggs on the posting, vocabulary²-
+    bounded but natural-language-sparse) → broadcast-friendly joins →
+    per-doc weighted mean. V enters as a 1-row broadcast crossJoin.
+    Documents with fewer than 2 tokens have no bigram and are
+    excluded (same convention as ngram_contamination)."""
+    words = _tokens(F.col(text_col))
+    grams = (df.select(F.col(id_col), words.alias("__w"))
+             .where(F.size("__w") >= 2)
+             .select(id_col, F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("__w") - 1),
+                 lambda i: F.struct(
+                     F.element_at("__w", i).alias("a"),
+                     F.element_at("__w", i + 1).alias("b"))))
+                 .alias("g")))
+    posting = (grams.groupBy(id_col, "g.a", "g.b")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    big = posting.groupBy("a", "b").agg(F.sum("tf").alias("c_ab"))
+    ctx = big.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    toks = df.select(F.explode(words).alias("token"))
+    vsize = toks.agg(F.countDistinct("token").cast("double")
+                     .alias("__v"))
+    lp = F.log((F.col("c_ab") + F.lit(k))
+               / (F.col("c_a") + F.lit(k) * F.col("__v")))
+    scored = (posting.join(big, ["a", "b"]).join(ctx, "a")
+              .crossJoin(F.broadcast(vsize))
+              .select(id_col, "tf", lp.alias("__lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum(F.col("tf") * F.col("__lp"))
+                         / F.sum("tf"), digits).alias(out_col),
+                 F.sum("tf").alias("n_bigrams")))
