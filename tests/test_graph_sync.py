@@ -131,3 +131,20 @@ print("COMMITTED", g.max_tx())
     ages = sorted(r[1] for r in
                   gb.now().all(ET.Person).field("age").collect())
     assert ages == [30, 99]
+
+
+def test_clean_after_compact(spark, tmp_path):
+    import os
+    a = _store(spark, tmp_path)
+    a.commit([E(ET.Person, "bob")])
+    a.compact()
+    a.commit([E(ET.Person, "carol")])
+    removed = a.clean()
+    assert removed                              # pre-checkpoint history gone
+    # post-clean reads still serve the full current state
+    b = GraphStore(spark, a.path)
+    assert b.refresh().now().all(ET.Person).df.count() == 3
+    # original base dir removed, checkpoint base kept
+    names = set(os.listdir(a.path))
+    assert "base" not in names
+    assert any(n.startswith("base-") for n in names)

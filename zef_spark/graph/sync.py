@@ -268,6 +268,37 @@ class GraphStore:
             return self.refresh()
         raise RuntimeError("compact lost the tx-claim race repeatedly")
 
+    def clean(self) -> list[str]:
+        """Delete history made redundant by the newest checkpoint:
+        segments at or below it (except the checkpoint itself) and
+        superseded base snapshots. Run this only once no reader can be
+        holding a head older than the checkpoint (same contract as
+        Delta's VACUUM retention). Returns the removed paths."""
+        import shutil
+        segs = _seg_dirs(self.path)
+        ck_tx, ck_base = None, None
+        for tx, sp in segs:
+            ck = os.path.join(sp, "checkpoint.json")
+            if os.path.exists(ck):
+                with open(ck) as f:
+                    ck_tx, ck_base = tx, json.load(f)["base"]
+        if ck_tx is None:
+            return []
+        removed = []
+        for tx, sp in segs:
+            if tx < ck_tx:
+                shutil.rmtree(sp)
+                removed.append(sp)
+        for name in os.listdir(self.path):
+            if name == ck_base or not (name == "base"
+                                       or name.startswith("base-")):
+                continue
+            p = os.path.join(self.path, name)
+            shutil.rmtree(p)
+            removed.append(p)
+        self._head = None
+        return removed
+
     def _write_segment(self, before: Graph, after: Graph, tx: int,
                        seg: str) -> None:
         """Extract tx's delta from the before/after pair. All four
