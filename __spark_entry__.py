@@ -4149,6 +4149,30 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("p_standardize_balances", """
+WITH stats AS (
+  SELECT c_mktsegment, AVG(c_acctbal) AS m, STDDEV_SAMP(c_acctbal) AS s
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       CASE WHEN s > 0 THEN ROUND((c_acctbal - m) / s, 6) END
+         AS c_acctbal_z
+FROM customer c JOIN stats USING (c_mktsegment)
+ORDER BY c_custkey
+""")
+def p_standardize_balances(spark, sf_dir):
+    """Per-group feature scaling (pipeline/wrangling.py standardize):
+    z-score of customer balances within each market segment — ONE
+    aggregate + a broadcast join back (|keys| rows), never a window
+    over the full table."""
+    from zef_spark.pipeline.wrangling import standardize
+    c = _t(spark, sf_dir, "customer")
+    out = standardize(c, ["c_acctbal"], by="c_mktsegment")
+    return (out.select("c_custkey", "c_mktsegment",
+                       F.col("c_acctbal_z"))
+            .orderBy("c_custkey"))
+
+
 @query("p_bigram_logprob", """
 WITH words AS (
   SELECT doc_id,

@@ -36,3 +36,24 @@ def test_impute_mode_deterministic_tie(spark):
         "id long, s string")
     [r] = impute(df, {"s": "mode"}).where("id = 5").collect()
     assert r.s == "a"          # tie between a/b -> smallest value
+
+
+def test_standardize_and_min_max(spark):
+    from zef_spark.pipeline.wrangling import min_max_scale, standardize
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)],
+        "k string, v double")
+    z = {(r.k, r.v): r.v_z for r in
+         standardize(df, ["v"], by="k").collect()}
+    assert z[("a", 2.0)] == 0.0
+    assert z[("a", 3.0)] == 1.0          # stddev_samp([1,2,3]) = 1
+    assert z[("b", 5.0)] is None         # zero variance -> NULL
+    s = {(r.k, r.v): r.v_scaled for r in
+         min_max_scale(df, ["v"], by="k").collect()}
+    assert s[("a", 1.0)] == 0.0 and s[("a", 3.0)] == 1.0
+    assert s[("a", 2.0)] == 0.5
+    assert s[("b", 5.0)] is None         # constant -> NULL
+    # global form: 1-row broadcast, no window exchange on the table
+    plan = (standardize(df, ["v"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan

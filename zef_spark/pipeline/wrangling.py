@@ -317,3 +317,66 @@ def _diff_tables_op(df, other, key, compare=None):
 @register_op("scd2_from_events", "df")
 def _scd2_op(df, key, ts_col, value_cols):
     return scd2_from_events(df, key, ts_col, value_cols)
+
+
+def standardize(df: DataFrame, cols: list[str], by=None,
+                digits: int = 6) -> DataFrame:
+    """Adds ``<col>_z`` per listed column: (v - mean) / stddev_samp,
+    the feature-scaling step before clustering/classification.
+    Grouped form computes the moments per ``by`` key. ONE aggregate
+    over the input + a broadcast join back (global: 1-row cross;
+    grouped: |keys| rows) — never a window over the full table, so
+    nothing forces a single partition. Zero-variance columns yield
+    NULL z (not a divide-by-zero)."""
+    from pyspark.sql import functions as F
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"__m_{c}"),
+                 F.stddev_samp(c).alias(f"__s_{c}")]
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    out = (df.join(F.broadcast(stats), keys) if keys
+           else df.crossJoin(F.broadcast(stats)))
+    for c in cols:
+        z = F.when(F.col(f"__s_{c}") > 0,
+                   F.round((F.col(c) - F.col(f"__m_{c}"))
+                           / F.col(f"__s_{c}"), digits))
+        out = out.withColumn(f"{c}_z", z)
+    return out.drop(*[f"__m_{c}" for c in cols],
+                    *[f"__s_{c}" for c in cols])
+
+
+def min_max_scale(df: DataFrame, cols: list[str], by=None,
+                  digits: int = 6) -> DataFrame:
+    """Adds ``<col>_scaled`` in [0,1] per listed column:
+    (v - min) / (max - min), same one-agg + broadcast-join shape as
+    standardize. Constant columns yield NULL (undefined range)."""
+    from pyspark.sql import functions as F
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"),
+                 F.max(c).alias(f"__hi_{c}")]
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    out = (df.join(F.broadcast(stats), keys) if keys
+           else df.crossJoin(F.broadcast(stats)))
+    for c in cols:
+        rng = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+        out = out.withColumn(
+            f"{c}_scaled",
+            F.when(rng > 0, F.round((F.col(c) - F.col(f"__lo_{c}"))
+                                    / rng, digits)))
+    return out.drop(*[f"__lo_{c}" for c in cols],
+                    *[f"__hi_{c}" for c in cols])
+
+
+@register_op("standardize", "df")
+def _standardize_op(df, cols, by=None, digits=6):
+    return standardize(df, cols, by, digits)
+
+
+@register_op("min_max_scale", "df")
+def _min_max_op(df, cols, by=None, digits=6):
+    return min_max_scale(df, cols, by, digits)
