@@ -701,3 +701,57 @@ def test_sse_rejects_bad_document_and_auth(schema, store):
                  "onRegion%20%7B%20name%20%7D%20%7D")
     assert conn.getresponse().status == 401   # no token
     authed.shutdown()
+
+
+def test_required_unique_dynamic_directives(spark):
+    """@required / @unique / @search / @dynamic — the SimpleGQL field
+    directives (reference schema_file_parser.py:142-172). Validation
+    is batch-level; @dynamic resolves inside the ONE projection plan
+    via a registered Column hook."""
+    import pytest
+    from pyspark.sql import functions as F
+    from zef_spark.graphql import GraphQLEngine, schema_from_sdl
+    from zef_spark.graphql.mutations import TableStore
+    sdl = """
+    type Account @table(name: "account", id: "a_id") {
+      id: Int @col(name: "a_id") @required
+      email: String @col(name: "a_email") @required @unique @search
+      nick: String @col(name: "a_nick")
+      shout: String @dynamic(hook: "shout_nick")
+    }
+    """
+    schema = schema_from_sdl(sdl)
+    t = schema["Account"]
+    assert t.required == {"id", "email"} and t.unique == {"email"}
+    assert t.search == {"email"}
+    assert t.dynamic_fields == {"shout": "shout_nick"}
+    store = TableStore({"account": spark.createDataFrame(
+        [(1, "a@x.io", "al")], "a_id int, a_email string, a_nick string")})
+    eng = GraphQLEngine(
+        schema, store=store,
+        field_hooks={"shout_nick": lambda df: F.upper(F.col("a_nick"))})
+    # dynamic field computes in-plan
+    out = eng.execute("{ queryAccount { nick shout } }")
+    assert out["queryAccount"][0]["shout"] == "AL"
+    # @required: missing/null field refused
+    with pytest.raises(Exception, match="required"):
+        eng.execute('mutation { addAccount(input: [{id: 2}]) { count } }')
+    # @unique: duplicate vs stored refused; fresh value fine
+    with pytest.raises(Exception, match="unique"):
+        eng.execute("""mutation { addAccount(
+          input: [{id: 2, email: "a@x.io"}]) { count } }""")
+    ok = eng.execute("""mutation { addAccount(
+      input: [{id: 2, email: "b@x.io"}]) { count } }""")
+    assert ok["addAccount"]["count"] == 1
+    # @unique within one batch
+    with pytest.raises(Exception, match="unique"):
+        eng.execute("""mutation { addAccount(input: [
+          {id: 3, email: "c@x.io"}, {id: 4, email: "c@x.io"}])
+          { count } }""")
+    # update: can't null a @required field; can't steal a @unique value
+    with pytest.raises(Exception, match="unique"):
+        eng.execute("""mutation { updateAccount(input: {
+          filter: {id: [2]}, set: {email: "a@x.io"}}) { count } }""")
+    moved = eng.execute("""mutation { updateAccount(input: {
+      filter: {id: [2]}, set: {email: "z@x.io"}}) { count } }""")
+    assert moved["updateAccount"]["count"] == 1

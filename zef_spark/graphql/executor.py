@@ -114,7 +114,8 @@ class GraphQLEngine:
 
     def __init__(self, schema: GqlSchema, load=None, store=None,
                  max_rows: int | None = DEFAULT_MAX_ROWS,
-                 subscriptions=None, hooks: dict | None = None):
+                 subscriptions=None, hooks: dict | None = None,
+                 field_hooks: dict | None = None):
         self.schema = schema
         self.store = store
         self.max_rows = max_rows
@@ -123,6 +124,11 @@ class GraphQLEngine:
         #: per-type OnCreate/OnUpdate/OnRemove mutation hooks
         #: ({type: {"create"|"update"|"remove": fn}}, mutations.py)
         self.hooks = hooks
+        #: @dynamic(hook:) computed-field resolvers: {name: fn(df) ->
+        #: Column} — the Spark-first analogue of the reference's
+        #: per-object zef-function resolution (dynamic fields resolve
+        #: INSIDE the one projection plan, no per-row calls)
+        self.field_hooks = field_hooks or {}
         if load is None:
             if store is None:
                 raise ValueError("need a loader or a TableStore")
@@ -329,6 +335,15 @@ class GraphQLEngine:
                 cols.append(F.lit(tname).alias(alias))
             elif fname in t.fields:
                 cols.append(F.col(t.fields[fname]).alias(alias))
+            elif fname in t.dynamic_fields:
+                hook_name = t.dynamic_fields[fname]
+                hook = self.field_hooks.get(hook_name)
+                if hook is None:
+                    raise ValueError(
+                        f"dynamic field {tname}.{fname}: hook "
+                        f"{hook_name!r} not registered (pass "
+                        "field_hooks= to GraphQLEngine)")
+                cols.append(hook(df).alias(alias))
             elif fname in t.relations:
                 rel = t.relations[fname]
                 rk = f"__gql_rk_{tname}_{rk_ids}"

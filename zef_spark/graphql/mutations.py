@@ -88,14 +88,54 @@ class MutationExecutor:
 
     # -- add ----------------------------------------------------------
 
+    def _check_required(self, t, inputs):
+        for item in inputs:
+            missing = sorted(f for f in t.required
+                             if item.get(f) is None)
+            if missing:
+                raise ValueError(
+                    f"add{t.name}: @required field(s) {missing} "
+                    "missing or null in input")
+
+    def _check_unique(self, t, inputs, cur, exclude_ids=None):
+        """One bounded scan per @unique field: incoming values must
+        not collide among themselves or with stored rows (minus rows
+        an upsert is about to replace)."""
+        for f in sorted(t.unique):
+            vals = [item[f] for item in inputs
+                    if item.get(f) is not None]
+            if len(vals) != len(set(vals)):
+                raise ValueError(
+                    f"add{t.name}: duplicate @unique {f!r} values "
+                    "within one input batch")
+            if not vals:
+                continue
+            scan = cur.where(F.col(t.fields[f]).isin(vals))
+            if exclude_ids:
+                scan = scan.where(~F.col(t.id_col).isin(exclude_ids))
+            hit = scan.select(t.fields[f]).limit(1).take(1)
+            if hit:
+                raise ValueError(
+                    f"add{t.name}: @unique {f!r} value "
+                    f"{hit[0][0]!r} already exists")
+
     def add(self, tname: str, inputs, upsert: bool = False) -> DataFrame:
         """addT(input, upsert) — append rows (gql field names); with
         upsert, incoming ids replace existing rows (generate_api2.py:
-        525 semantics: merge on id when upsert else always create)."""
+        525 semantics: merge on id when upsert else always create).
+        @required fields must be present and non-null; @unique fields
+        are enforced against the batch and the stored table."""
         t = self.schema[tname]
         if isinstance(inputs, dict):
             inputs = [inputs]
         cur = self.store.load(t.table)
+        self._check_required(t, inputs)
+        id_field = next((f for f, c in t.fields.items()
+                         if c == t.id_col), None)
+        excl = ([item[id_field] for item in inputs
+                 if item.get(id_field) is not None]
+                if upsert and id_field else None)
+        self._check_unique(t, inputs, cur, exclude_ids=excl)
         rows = [{t.fields[k]: v for k, v in item.items()}
                 for item in inputs]
         given = list(dict.fromkeys(c for r in rows for c in r))
@@ -172,9 +212,38 @@ class MutationExecutor:
         projection: matched rows get set-values / NULLed removed
         fields, unmatched pass through untouched (generate_api2.py:633;
         the reference walks matches and issues per-object assigns —
-        here it is a single column-wise plan, no row iteration)."""
+        here it is a single column-wise plan, no row iteration).
+        @required fields can't be removed or set null; setting a
+        @unique field checks the target value is free and the filter
+        matches at most one row."""
         t = self.schema[tname]
         cur = self.store.load(t.table)
+        bad_rm = sorted(set(remove or []) & t.required)
+        if bad_rm:
+            raise ValueError(
+                f"update{tname}: can't remove @required {bad_rm}")
+        bad_set = sorted(f for f, v in (set_arg or {}).items()
+                         if f in t.required and v is None)
+        if bad_set:
+            raise ValueError(
+                f"update{tname}: can't null @required {bad_set}")
+        uniq_sets = {f: v for f, v in (set_arg or {}).items()
+                     if f in t.unique and v is not None}
+        if uniq_sets:
+            ids = self._matched_ids(tname, cur, filter_arg)
+            n = ids.limit(2).count()
+            if n > 1:
+                raise ValueError(
+                    f"update{tname}: setting @unique "
+                    f"{sorted(uniq_sets)} on {n}+ matched rows")
+            for f, v in sorted(uniq_sets.items()):
+                clash = (cur.join(ids, t.id_col, "left_anti")
+                         .where(F.col(t.fields[f]) == F.lit(v))
+                         .limit(1).take(1))
+                if clash:
+                    raise ValueError(
+                        f"update{tname}: @unique {f!r} value {v!r} "
+                        "already exists on another row")
         flagged, match = self._flagged(tname, cur, filter_arg)
         touched = {}
         for k, v in (set_arg or {}).items():

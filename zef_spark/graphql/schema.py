@@ -48,6 +48,22 @@ class GqlType:
     #: _OnCreate/_OnUpdate/_OnRemove fields pointing at zef functions
     #: on the schema graph (schema_file_parser.py:317-322)
     hook_names: dict = field(default_factory=dict)
+    #: gql names of @required fields — addT validates presence,
+    #: updateT refuses to remove (reference schema_file_parser.py:142)
+    required: set = field(default_factory=set)
+    #: gql names of @unique fields — addT/updateT enforce no duplicate
+    #: values (reference schema_file_parser.py:156; its checks carry a
+    #: "should probably be done post change" TODO — here they run as
+    #: one bounded scan per mutation)
+    unique: set = field(default_factory=set)
+    #: gql names of @search fields — accepted and recorded; Spark has
+    #: no secondary index, the analogue is Z-order/partition layout
+    #: (pipeline/layout.py), so this is metadata only
+    search: set = field(default_factory=set)
+    #: gql name -> hook NAME for @dynamic(hook: "...") computed fields
+    #: (reference schema_file_parser.py:169-172: resolved zef function;
+    #: here: a registered callable(df) -> Column, engine field_hooks)
+    dynamic_fields: dict = field(default_factory=dict)
 
     def numeric_fields(self, df) -> dict:
         numeric = {"bigint", "int", "double", "float", "decimal"}
@@ -114,13 +130,34 @@ def schema_from_sdl(sdl: str) -> GqlSchema:
                     target=target, is_list=is_list,
                     local_key=rel["local"], remote_key=rel["remote"])
             else:
-                col = (dir_args(f, "col") or {}).get("name", f.name.value)
-                t.fields[f.name.value] = col
+                fname = f.name.value
+                dyn = dir_args(f, "dynamic")
+                if dyn is not None:
+                    if rel is not None or dir_args(f, "col"):
+                        raise ValueError(
+                            f"{t.name}.{fname}: @dynamic can't combine "
+                            "with @col/@rel (reference "
+                            "schema_file_parser.py:345)")
+                    t.dynamic_fields[fname] = dyn["hook"]
+                    continue
+                col = (dir_args(f, "col") or {}).get("name", fname)
+                t.fields[fname] = col
                 if dir_args(f, "upfetch") is not None:
                     if t.upfetch_field is not None:
                         raise ValueError(
                             f"{t.name}: only one @upfetch field allowed")
-                    t.upfetch_field = f.name.value
+                    t.upfetch_field = fname
+                if dir_args(f, "required") is not None:
+                    t.required.add(fname)
+                if dir_args(f, "unique") is not None:
+                    t.unique.add(fname)
+                if dir_args(f, "search") is not None:
+                    t.search.add(fname)
+        # the reference requires the upfetch field to be unique
+        # (schema_file_parser.py:325) — imply it rather than assert,
+        # so plain @upfetch SDL keeps working
+        if t.upfetch_field is not None:
+            t.unique.add(t.upfetch_field)
         schema.add(t)
     return schema
 
