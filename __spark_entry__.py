@@ -1411,7 +1411,7 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id, n_tokens,
-       CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS pack_id,
+       CAST(GREATEST(FLOOR((cum - 1) / 512), 0) AS BIGINT) AS pack_id,
        CAST((cum - n) % 512 AS BIGINT) AS pack_offset
 FROM capped ORDER BY doc_id
 """)

@@ -189,3 +189,24 @@ def test_tf_idf_no_eager_collect(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
     assert out.count() == 4
+
+
+def test_pack_sequences_zero_token_leading_docs(spark):
+    """Zero-token docs before the first real token land in pack 0
+    (not -1), and sharded pack counts stay collision-free."""
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 0), ("a", 3, 600),
+         ("b", 10, 0), ("b", 11, 100)],
+        "shard string, doc_id long, n_tokens long")
+    g = {r.doc_id: r.pack_id for r in
+         pack_sequences(df, "doc_id", "n_tokens", 512).collect()}
+    assert g[1] == 0 and g[2] == 0 and min(g.values()) >= 0
+    s = {r.doc_id: r.pack_id for r in
+         pack_sequences(df, "doc_id", "n_tokens", 512,
+                        shard_col="shard").collect()}
+    assert min(s.values()) >= 0
+    # shard a spans packs {0}, so shard b starts at 1 — no collision
+    assert s[10] == s[11] and s[10] > max(s[1], s[2], s[3]) - 1
+    a_packs = {s[1], s[2], s[3]}
+    b_packs = {s[10], s[11]}
+    assert a_packs.isdisjoint(b_packs)

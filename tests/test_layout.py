@@ -101,3 +101,23 @@ def test_upsert_parquet_atomic(spark, tmp_path):
     assert got == {1: "a", 2: "B", 3: "c"}
     import os
     assert not os.path.exists(path + "__upsert_tmp")
+
+
+def test_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash window between the two swap renames: `path` missing,
+    data at `path__old`. The next upsert must RESTORE, not
+    re-initialize from the updates alone."""
+    import os
+    from zef_spark.pipeline.layout import upsert_parquet
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .write.parquet(path)
+    upd = spark.createDataFrame([(2, "B")], "k long, v string")
+    upsert_parquet(spark, path, upd, "k")
+    # simulate the crash: path renamed aside, new never installed
+    os.rename(path, f"{path}__old")
+    upd2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    upsert_parquet(spark, path, upd2, "k")
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}   # old rows survived
+    assert not os.path.exists(f"{path}__old")

@@ -117,3 +117,11 @@ def test_late_data_audit(spark):
     assert out[1].lag_seconds == 2400 and out[1].is_late
     assert out[2].lag_seconds == 0
     assert out[3].lag_seconds == 60 and not out[3].is_late
+
+
+def test_filter_funnel_quoted_stage_name(spark):
+    df = spark.createDataFrame([(1,)], "n long")
+    out = filter_funnel(df, [("doesn't_match", F.col("n") > 99)]) \
+        .orderBy("stage_idx").collect()
+    assert [(r.stage, r.n_docs) for r in out] == \
+        [("input", 1), ("doesn't_match", 0)]

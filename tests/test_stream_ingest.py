@@ -134,3 +134,25 @@ def test_mapped_stream_end_to_end(spark, tmp_path):
     vals = sorted(r[1] for r in st2.graph.now().all(ET.Purchase)
                   .field("amount").collect())
     assert vals == [10.0, 20.0, 30.0]
+
+
+def test_mapped_ingest_key_guard_and_ledger_band(spark):
+    """Out-of-range keys fail LOUDLY (they would alias into a
+    neighboring code band); ledger ids always mint above the whole
+    payload band even for codes past 2^(60-K)."""
+    import pytest
+    from zef_spark.graph.schema import ID_KEY_BITS
+    g = empty_graph(spark)
+    st = MappedStreamTransactor(g, _MAP, "s1")
+    bad = spark.createDataFrame([(-1, 1.0)], "user long, amount double")
+    with pytest.raises(Exception, match="out of"):
+        st.apply_batch(bad, 0)
+    # high codes (700/702 > 256): payload ids sit above 2^60; the
+    # ledger must still be disjoint from every payload id
+    st2 = MappedStreamTransactor(empty_graph(spark), _MAP, "s1")
+    batch = spark.createDataFrame([(1, 2.0), (2, 3.0)],
+                                  "user long, amount double")
+    assert st2.apply_batch(batch, 0) is True
+    ids = [r[0] for r in st2.graph.nodes.select("id").collect()]
+    assert len(ids) == len(set(ids)), "duplicate graph ids"
+    assert max(ids) >= _MAP.max_payload_id   # ledger above the band

@@ -57,3 +57,16 @@ def test_standardize_and_min_max(spark):
     plan = (standardize(df, ["v"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_standardize_keeps_null_group_keys(spark):
+    from zef_spark.pipeline.wrangling import min_max_scale, standardize
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)],
+        "k string, v double")
+    out = standardize(df, ["v"], by="k").collect()
+    assert len(out) == 4                   # NULL-key rows NOT dropped
+    z = {(r.k, r.v): r.v_z for r in out}
+    assert z[(None, 10.0)] is not None     # scored within their group
+    assert z[(None, 10.0)] == -z[(None, 20.0)]
+    assert len(min_max_scale(df, ["v"], by="k").collect()) == 4

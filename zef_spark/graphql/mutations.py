@@ -236,6 +236,8 @@ class MutationExecutor:
                 raise ValueError(
                     f"update{tname}: setting @unique "
                     f"{sorted(uniq_sets)} on {n}+ matched rows")
+            if n == 0:                 # no-op update: nothing to check
+                uniq_sets = {}
             for f, v in sorted(uniq_sets.items()):
                 clash = (cur.join(ids, t.id_col, "left_anti")
                          .where(F.col(t.fields[f]) == F.lit(v))

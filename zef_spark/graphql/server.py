@@ -191,9 +191,14 @@ def make_server(engine, auth: AuthConfig | None = None,
             parsed = urlparse(self.path)
             if parsed.path.rstrip("/") == "/graphql/stream":
                 q = parse_qs(parsed.query)
-                self._sse(q.get("query", [""])[0],
-                          json.loads(q.get("variables", ["null"])[0]
-                                     or "null"))
+                try:
+                    variables = json.loads(
+                        q.get("variables", ["null"])[0] or "null")
+                except json.JSONDecodeError as e:
+                    self._send(400, {"errors": [
+                        {"message": f"bad variables: {e}"}]})
+                    return
+                self._sse(q.get("query", [""])[0], variables)
                 return
             # health check (reference returns a waiting banner)
             self._send(200, "Server waiting for GraphQL requests")
@@ -213,11 +218,11 @@ def make_server(engine, auth: AuthConfig | None = None,
             except Exception as e:
                 self._send(400, {"errors": [{"message": str(e)}]})
                 return
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
             try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
                 while True:
                     try:
                         ev = events.get(timeout=0.5)

@@ -225,16 +225,26 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         w = Window.orderBy(order) \
                   .rowsBetween(Window.unboundedPreceding, 0)
         return (base.withColumn("__cum", F.sum(n).over(w))
+                # GREATEST(..., 0): zero-token docs BEFORE the first
+                # real token have cum=0 and would floor to pack -1
                 .withColumn("pack_id",
-                            F.floor((F.col("__cum") - 1) / context_len))
+                            F.greatest(
+                                F.floor((F.col("__cum") - 1)
+                                        / context_len), F.lit(0)))
                 .withColumn("pack_offset",
                             (F.col("__cum") - n) % context_len)
                 .drop("__cum"))
     w = Window.partitionBy(shard_col).orderBy(order) \
               .rowsBetween(Window.unboundedPreceding, 0)
     local = (base.withColumn("__cum", F.sum(n).over(w))
+             # same GREATEST clamp as the global mode: a shard whose
+             # leading docs have zero tokens would otherwise span
+             # packs -1..m, making __n_packs off by one and COLLIDING
+             # the next shard's first global pack id
              .withColumn("__local_pack",
-                         F.floor((F.col("__cum") - 1) / context_len))
+                         F.greatest(
+                             F.floor((F.col("__cum") - 1)
+                                     / context_len), F.lit(0)))
              .withColumn("pack_offset",
                          (F.col("__cum") - n) % context_len)
              .drop("__cum"))
@@ -397,7 +407,9 @@ def filter_funnel(df: DataFrame,
     ONE scan, zero joins: every stage count is a conditional
     aggregate of the cumulative AND of predicates, so a 10-stage
     funnel over 100 TB costs exactly one pass — not 10 filtered
-    counts. The wide 1-row aggregate is unpivoted row-locally."""
+    counts. The wide 1-row aggregate is unpivoted row-locally via
+    explode-of-structs (Column literals, so a stage name with quotes
+    can't break or inject into any SQL string)."""
     aggs = [F.count(F.lit(1)).alias("n_0")]
     acc = F.lit(True)
     for i, (_, pred) in enumerate(stages, start=1):
@@ -406,11 +418,12 @@ def filter_funnel(df: DataFrame,
                     .cast("long").alias(f"n_{i}"))
     wide = df.agg(*aggs)
     names = ["input"] + [n for n, _ in stages]
-    stack = ", ".join(
-        f"{i}, '{n}', n_{i}" for i, n in enumerate(names))
-    return wide.selectExpr(
-        f"stack({len(names)}, {stack}) AS "
-        "(stage_idx, stage, n_docs)")
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("stage_idx"),
+                 F.lit(n).alias("stage"),
+                 F.col(f"n_{i}").alias("n_docs"))
+        for i, n in enumerate(names)])).alias("r")
+    return wide.select(rows).select("r.*")
 
 
 @register_op("bm25", "df")

@@ -159,21 +159,52 @@ def merge_rows(existing: "DataFrame", updates: "DataFrame",
     return survivors.unionByName(keep)
 
 
+def recover_dir_swap(path: str) -> bool:
+    """Heal a directory that crashed mid-swap: if `path` is missing
+    but the `path__old` recovery copy exists, restore it. Returns
+    True when a recovery happened. Every swap-based writer calls this
+    before deciding `path` doesn't exist — otherwise a crashed swap
+    would silently re-initialize the table from fresh data alone and
+    a LATER swap would delete the only copy of the old rows."""
+    import os
+    old = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
+def atomic_dir_swap(tmp: str, path: str) -> None:
+    """Install `tmp` at `path` via two renames (old → aside, tmp →
+    path): the no-directory window is one rename, not a recursive
+    delete, and a crash between the renames leaves the old data
+    recoverable at ``path__old`` (recover_dir_swap heals it). The ONE
+    shared swap implementation — upsert_parquet and StreamingRollup
+    both use it, so the recovery contract lives in one place."""
+    import os
+    import shutil
+    old = f"{path}__old"
+    if os.path.exists(old):        # leftover from a prior crash
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def upsert_parquet(spark, path: str, updates: "DataFrame",
                    key: str | list[str],
                    delete_col: str | None = None) -> None:
     """MERGE INTO for a plain parquet directory: read, merge_rows,
-    rewrite into a temp dir, then swap via two renames (old → aside,
-    tmp → path) so the window with no directory at `path` is a single
-    rename, not a full recursive delete. A crash before the second
-    rename leaves the old data recoverable at ``path__old``; this is
-    crash-SAFE but not atomic for concurrent readers — plain parquet
-    has no transaction log, so this is last-writer-wins. At
+    rewrite into a temp dir, then atomic_dir_swap. Crash-SAFE
+    (recover_dir_swap heals a half-finished swap before any decision
+    is made on `path`) but not atomic for concurrent readers — plain
+    parquet has no transaction log, so this is last-writer-wins. At
     multi-writer scale use a table format with a commit protocol (the
     graph's transact ledger is this engine's own answer for its four
     tables)."""
     import os
-    import shutil
+    recover_dir_swap(path)
     if not os.path.exists(path):
         (updates.drop(delete_col) if delete_col else updates) \
             .write.mode("overwrite").parquet(path)
@@ -182,12 +213,7 @@ def upsert_parquet(spark, path: str, updates: "DataFrame",
                         delete_col)
     tmp = f"{path}__upsert_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old"
-    if os.path.exists(old):        # leftover from a prior crash
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    atomic_dir_swap(tmp, path)
 
 
 @register_op("merge_rows", "df")

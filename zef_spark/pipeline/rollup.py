@@ -290,10 +290,12 @@ class StreamingRollup:
     Exactly-once: the applied-batch ledger lives INSIDE the table
     directory as ``_applied/`` (the underscore prefix hides it from
     Spark's data readers), so the directory swap commits the merged
-    partials AND the batch mark in one atomic rename — a crash at any
-    point leaves either the old table without the mark (clean retry)
-    or the new table with it (replay skipped); double-merge is
-    impossible."""
+    partials AND the batch mark together (layout.atomic_dir_swap). A
+    crash mid-swap leaves the old table recoverable at ``__old``;
+    every apply_batch heals that first (layout.recover_dir_swap), so
+    any crash point resolves to either the old table without the mark
+    (clean retry) or the new table with it (replay skipped) —
+    double-merge is impossible."""
 
     def __init__(self, path: str, time_col: str, dims: list[str],
                  value_col: str,
@@ -308,6 +310,8 @@ class StreamingRollup:
 
     def _applied(self, spark) -> set:
         import os
+        from .layout import recover_dir_swap
+        recover_dir_swap(f"{self.path}/rollup")
         p = f"{self.path}/rollup/_applied"
         if not os.path.exists(p):
             return set()
@@ -315,11 +319,11 @@ class StreamingRollup:
 
     def apply_batch(self, batch_df, batch_id: int) -> bool:
         import os
-        import shutil
         from pyspark.sql import functions as F  # noqa: F811
+        from .layout import atomic_dir_swap
         spark = batch_df.sparkSession
         key = f"{self.stream_id}:{batch_id}"
-        applied = self._applied(spark)
+        applied = self._applied(spark)     # also heals a crashed swap
         if key in applied:
             return False
         fresh = hypertable_rollup(batch_df, self.time_col, self.dims,
@@ -337,18 +341,12 @@ class StreamingRollup:
             merged = fresh
         tmp = f"{table}__tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        # the mark commits WITH the data in one rename (see class doc)
+        # the mark commits WITH the data in one swap (see class doc)
         spark.createDataFrame([(k,) for k in applied | {key}],
                               "batch_key string") \
             .coalesce(1).write.mode("overwrite") \
             .parquet(f"{tmp}/_applied")
-        old = f"{table}__old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(table):
-            os.rename(table, old)
-        os.rename(tmp, table)
-        shutil.rmtree(old, ignore_errors=True)
+        atomic_dir_swap(tmp, table)
         return True
 
     def read(self, spark):

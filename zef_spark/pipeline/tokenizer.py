@@ -81,9 +81,10 @@ def select_batch(top: list[tuple[str, str, int]],
         if n < 2:
             break
         concat = a + b
+        # symbols holds every accepted a, b AND a+b, so this single
+        # intersection also rejects a candidate whose side equals an
+        # accepted pair's concatenation
         if {a, b, concat} & symbols:
-            continue
-        if any(a == x + y or b == x + y for x, y in accepted):
             continue
         accepted.append((a, b))
         symbols |= {a, b, concat}

@@ -319,15 +319,36 @@ def _scd2_op(df, key, ts_col, value_cols):
     return scd2_from_events(df, key, ts_col, value_cols)
 
 
+def _join_stats(df: DataFrame, stats: DataFrame,
+                keys: list[str]) -> DataFrame:
+    """Broadcast the per-group stats back onto the rows. NULL-SAFE on
+    the keys (eqNullSafe) — a plain equi-join would silently DROP
+    every row whose group key is NULL, turning a column-adding
+    transform into a row filter."""
+    from pyspark.sql import functions as F
+    if not keys:
+        return df.crossJoin(F.broadcast(stats))
+    renamed = stats
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__k_{k}")
+    cond = None
+    for k in keys:
+        c = df[k].eqNullSafe(renamed[f"__k_{k}"])
+        cond = c if cond is None else (cond & c)
+    return (df.join(F.broadcast(renamed), cond)
+            .drop(*[f"__k_{k}" for k in keys]))
+
+
 def standardize(df: DataFrame, cols: list[str], by=None,
                 digits: int = 6) -> DataFrame:
     """Adds ``<col>_z`` per listed column: (v - mean) / stddev_samp,
     the feature-scaling step before clustering/classification.
     Grouped form computes the moments per ``by`` key. ONE aggregate
     over the input + a broadcast join back (global: 1-row cross;
-    grouped: |keys| rows) — never a window over the full table, so
-    nothing forces a single partition. Zero-variance columns yield
-    NULL z (not a divide-by-zero)."""
+    grouped: |keys| rows, NULL-safe so NULL-key rows keep their own
+    group's stats instead of vanishing) — never a window over the
+    full table, so nothing forces a single partition. Zero-variance
+    columns yield NULL z (not a divide-by-zero)."""
     from pyspark.sql import functions as F
     keys = ([] if by is None
             else [by] if isinstance(by, str) else list(by))
@@ -336,8 +357,7 @@ def standardize(df: DataFrame, cols: list[str], by=None,
         aggs += [F.avg(c).alias(f"__m_{c}"),
                  F.stddev_samp(c).alias(f"__s_{c}")]
     stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-    out = (df.join(F.broadcast(stats), keys) if keys
-           else df.crossJoin(F.broadcast(stats)))
+    out = _join_stats(df, stats, keys)
     for c in cols:
         z = F.when(F.col(f"__s_{c}") > 0,
                    F.round((F.col(c) - F.col(f"__m_{c}"))
@@ -350,8 +370,9 @@ def standardize(df: DataFrame, cols: list[str], by=None,
 def min_max_scale(df: DataFrame, cols: list[str], by=None,
                   digits: int = 6) -> DataFrame:
     """Adds ``<col>_scaled`` in [0,1] per listed column:
-    (v - min) / (max - min), same one-agg + broadcast-join shape as
-    standardize. Constant columns yield NULL (undefined range)."""
+    (v - min) / (max - min), same one-agg + NULL-safe broadcast-join
+    shape as standardize. Constant columns yield NULL (undefined
+    range)."""
     from pyspark.sql import functions as F
     keys = ([] if by is None
             else [by] if isinstance(by, str) else list(by))
@@ -360,8 +381,7 @@ def min_max_scale(df: DataFrame, cols: list[str], by=None,
         aggs += [F.min(c).alias(f"__lo_{c}"),
                  F.max(c).alias(f"__hi_{c}")]
     stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-    out = (df.join(F.broadcast(stats), keys) if keys
-           else df.crossJoin(F.broadcast(stats)))
+    out = _join_stats(df, stats, keys)
     for c in cols:
         rng = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
         out = out.withColumn(

@@ -85,11 +85,26 @@ class BatchEntityMap:
 
     def __init__(self, et, key_col: str, type_code: int,
                  fields: dict[str, int], uid_prefix: str | None = None):
+        from ..graph.schema import ID_KEY_BITS
+        # the int64 overflow bound (same as mapper._mkid): every code
+        # incl. the +1 attr-edge code must fit above the key bits
+        cap = 1 << (63 - ID_KEY_BITS)
+        codes = {key_col: type_code}
         for col, code in fields.items():
             if code % 2:
                 raise ValueError(
                     f"field code for {col!r} must be even (odd code "
                     "is reserved for the attr edge)")
+            codes[col] = code + 1            # the edge code is minted too
+        for col, code in codes.items():
+            if not (0 < code < cap):
+                raise ValueError(
+                    f"code for {col!r} must be in (0, {cap}) "
+                    f"(int64 id arithmetic; got {code})")
+        #: exclusive upper bound of this mapping's arithmetic id band —
+        #: ledger/wish ids must mint ABOVE it (codes ≥ 256 reach past
+        #: 2^60, so the fixed wish floor alone is not enough)
+        self.max_payload_id = (max(codes.values()) + 1) << ID_KEY_BITS
         self.et = et if isinstance(et, str) else et.name
         self.key_col = key_col
         self.type_code = type_code
@@ -150,12 +165,35 @@ class MappedStreamTransactor:
 
         def mkid(code: int, c):
             assert 0 < code < (1 << (63 - ID_KEY_BITS))
-            return (F.lit(code).cast("long") * (1 << ID_KEY_BITS)
-                    + c.cast("long"))
+            k = c.cast("long")
+            # out-of-range keys alias into a NEIGHBORING code band
+            # (key -1 under code c == code c-1's top id) — fail the
+            # batch loudly instead; the guard is a row-local codegen
+            # branch, no extra pass
+            ok = (k >= 0) & (k < F.lit(1 << ID_KEY_BITS))
+            return F.when(ok, F.lit(code).cast("long")
+                          * (1 << ID_KEY_BITS) + k) \
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"BatchEntityMap key out of "
+                          f"[0, 2^{ID_KEY_BITS}): "),
+                    c.cast("string"))))
 
         vfrom = F.lit(tx).cast("long")
         vto = F.lit(None).cast("long")
         k = F.col(m.key_col)
+        # eager bounded probe (LIMIT 1): the graph tables are lazy, so
+        # the in-plan raise_error would only fire at first READ — a
+        # bad key must instead fail the batch NOW, before the ledger
+        # marks it applied. One row crosses the driver, never payload.
+        kl = k.cast("long")
+        bad = batch_df.where(kl.isNull() | (kl < 0)
+                             | (kl >= F.lit(1 << ID_KEY_BITS))) \
+            .select(k).limit(1).take(1)
+        if bad:
+            raise ValueError(
+                f"batch {batch_id}: key {m.key_col}={bad[0][0]!r} out "
+                f"of [0, 2^{ID_KEY_BITS}) — would alias into a "
+                "neighboring id code band")
         ent_id = mkid(m.type_code, k)
         node_parts = [batch_df.select(
             ent_id.alias("id"), F.lit(m.et).alias("et"),
@@ -206,7 +244,10 @@ class MappedStreamTransactor:
             cached = max(
                 g.nodes.select(F.max("id")).collect()[0][0] or 0,
                 g.edges.select(F.max("id")).collect()[0][0] or 0)
-        base = max(cached, 1 << 60)
+        # ledger ids mint above the wish floor AND above the whole
+        # payload id band, so no payload key can ever collide with a
+        # ledger row (codes ≥ 2^(60-K) reach past the 2^60 floor)
+        base = max(cached, 1 << 60, m.max_payload_id)
         led_ent, led_ae, led_edge = base + 1, base + 2, base + 3
         et_name = (self.LEDGER_ET if isinstance(self.LEDGER_ET, str)
                    else self.LEDGER_ET.name)
