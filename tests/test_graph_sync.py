@@ -148,3 +148,34 @@ def test_clean_after_compact(spark, tmp_path):
     names = set(os.listdir(a.path))
     assert "base" not in names
     assert any(n.startswith("base-") for n in names)
+
+
+def test_commit_mapped_distributed_bulk(spark, tmp_path):
+    """Data-plane commits: a whole DataFrame enters the shared graph
+    as one tx segment written DISTRIBUTED (no payload collect), and
+    another process sees entities + fields + the tx on refresh."""
+    from pyspark.sql import functions as F
+    from zef_spark.streaming.ingest import BatchEntityMap
+    a = _store(spark, tmp_path)
+    batch = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("amount"))
+
+    def poisoned(*args, **kw):
+        raise AssertionError("payload collected on the driver")
+    batch.collect = poisoned
+    batch.toPandas = poisoned
+    m = BatchEntityMap("Purchase", key_col="k", type_code=91,
+                       fields={"amount": 710})
+    g = a.commit_mapped(batch, m)
+    from zef_spark import ET
+    assert g.now().all(ET.Purchase).df.count() == 100
+    b = GraphStore(spark, a.path)
+    gb = b.refresh()
+    vals = [r[1] for r in gb.now().all(ET.Purchase)
+            .field("amount").collect()]
+    assert sorted(vals)[:3] == [2.0, 4.0, 6.0] and len(vals) == 100
+    # wish commits interleave with mapped commits on one tx chain
+    b.commit([E(ET.Person, "bob")])
+    ga = a.refresh()
+    assert ga.now().all(ET.Person).df.count() == 2
+    assert ga.max_tx() == gb.max_tx() + 1

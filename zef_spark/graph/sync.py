@@ -268,6 +268,61 @@ class GraphStore:
             return self.refresh()
         raise RuntimeError("compact lost the tx-claim race repeatedly")
 
+    def commit_mapped(self, batch_df, mapping,
+                      max_retries: int = 10) -> Graph:
+        """DISTRIBUTED bulk commit into the shared graph: map the
+        batch to node/edge/attr rows as DataFrame selects
+        (streaming.ingest.mapped_parts — deterministic arithmetic
+        ids, payload never driver-materialized), write them straight
+        into a tx segment with distributed parquet writes, and claim
+        the tx with the same atomic rename as commit(). This is how
+        DATA-plane volume enters a multi-process graph; wish commits
+        stay the control plane. On a lost claim race the segment is
+        rewritten against the refreshed head's tx (the mapping's ids
+        are tx-independent, so retry is cheap and safe)."""
+        import datetime
+        import shutil
+        from ..streaming.ingest import mapped_parts
+        for _ in range(max_retries):
+            g = self.refresh()
+            tx = g.max_tx() + 1
+            time = (datetime.datetime(2000, 1, 1)
+                    + datetime.timedelta(days=tx))
+            node_parts, edge_parts, av_parts = mapped_parts(
+                batch_df, mapping, tx, batch_label=f"tx {tx}")
+            tmp = os.path.join(self.path, "txlog",
+                               f".tmp-{uuid.uuid4().hex}")
+            os.makedirs(tmp, exist_ok=True)
+
+            def wr(parts, name):
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+                df.write.mode("overwrite") \
+                    .parquet(os.path.join(tmp, name))
+
+            wr(node_parts, "nodes")
+            if edge_parts:
+                wr(edge_parts, "edges")
+            if av_parts:
+                wr(av_parts, "attr_values")
+            self.spark.createDataFrame([(tx, time)], TXS_SCHEMA) \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(os.path.join(tmp, "txs"))
+            final = os.path.join(self.path, "txlog",
+                                 _SEG_FMT.format(tx))
+            try:
+                os.rename(tmp, final)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                self._head = None
+                continue
+            self._head = None          # rebuild picks up the segment
+            return self.refresh()
+        raise RuntimeError(
+            f"commit_mapped lost the tx-claim race {max_retries} "
+            "times; the store is under heavy write contention")
+
     def clean(self) -> list[str]:
         """Delete history made redundant by the newest checkpoint:
         segments at or below it (except the checkpoint itself) and

@@ -112,6 +112,92 @@ class BatchEntityMap:
         self.uid_prefix = uid_prefix or f"{self.et.lower()}-"
 
 
+def mapped_parts(batch_df: DataFrame, m: BatchEntityMap, tx: int,
+                 batch_label: str = "batch"):
+    """Map a batch of rows to (node_parts, edge_parts, av_parts)
+    DataFrame lists at tx — the distributed ingest kernel shared by
+    MappedStreamTransactor (streaming) and GraphStore.commit_mapped
+    (multi-process bulk commits). Entirely DataFrame selects with
+    deterministic arithmetic ids; the only driver work is a 1-row
+    key-range probe."""
+    from pyspark.sql import functions as F
+    from ..graph.mapper import _SPARK_TO_VRT
+    from ..graph.schema import ID_KEY_BITS
+
+    def mkid(code: int, c):
+        assert 0 < code < (1 << (63 - ID_KEY_BITS))
+        k = c.cast("long")
+        # out-of-range keys alias into a NEIGHBORING code band
+        # (key -1 under code c == code c-1's top id) — fail loudly
+        # instead; the guard is a row-local codegen branch
+        ok = (k >= 0) & (k < F.lit(1 << ID_KEY_BITS))
+        return F.when(ok, F.lit(code).cast("long")
+                      * (1 << ID_KEY_BITS) + k) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"BatchEntityMap key out of "
+                      f"[0, 2^{ID_KEY_BITS}): "),
+                c.cast("string"))))
+
+    vfrom = F.lit(tx).cast("long")
+    vto = F.lit(None).cast("long")
+    k = F.col(m.key_col)
+    # eager bounded probe (LIMIT 1): the graph tables are lazy, so
+    # the in-plan raise_error would only fire at first READ — a bad
+    # key must instead fail the batch NOW, before any ledger mark.
+    # One row crosses the driver, never payload.
+    kl = k.cast("long")
+    bad = batch_df.where(kl.isNull() | (kl < 0)
+                         | (kl >= F.lit(1 << ID_KEY_BITS))) \
+        .select(k).limit(1).take(1)
+    if bad:
+        raise ValueError(
+            f"{batch_label}: key {m.key_col}={bad[0][0]!r} out of "
+            f"[0, 2^{ID_KEY_BITS}) — would alias into a neighboring "
+            "id code band")
+    ent_id = mkid(m.type_code, k)
+    node_parts = [batch_df.select(
+        ent_id.alias("id"), F.lit(m.et).alias("et"),
+        F.concat(F.lit(m.uid_prefix), k.cast("string")).alias("uid"),
+        vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx"))]
+    edge_parts, av_parts = [], []
+    dtypes = dict(batch_df.dtypes)
+    for colname, ae_code in m.fields.items():
+        vrt = _SPARK_TO_VRT[dtypes[colname]]
+        ae_id = mkid(ae_code, k)
+        node_parts.append(batch_df.select(
+            ae_id.alias("id"), F.lit(f"AET.{vrt}").alias("et"),
+            F.lit(None).cast("string").alias("uid"),
+            vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx")))
+        edge_parts.append(batch_df.select(
+            mkid(ae_code + 1, k).alias("id"),
+            F.lit(colname).alias("rt"),
+            F.lit(None).cast("string").alias("uid"),
+            ent_id.alias("src_id"), ae_id.alias("dst_id"),
+            vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx")))
+        c = F.col(colname)
+        av_parts.append(batch_df.select(
+            ae_id.alias("ae_id"),
+            F.lit(colname).alias("attr_rt"),
+            F.lit(vrt).alias("vrt"),
+            (c.cast("string") if vrt == "String"
+             else F.lit(None).cast("string")).alias("value_str"),
+            (c.cast("long") if vrt == "Int"
+             else F.lit(None).cast("long")).alias("value_int"),
+            (c.cast("double") if vrt == "Float"
+             else F.lit(None).cast("double")).alias("value_float"),
+            (c.cast("boolean") if vrt == "Bool"
+             else F.lit(None).cast("boolean")).alias("value_bool"),
+            (c.cast("timestamp_ntz") if vrt == "Time"
+             else F.lit(None).cast("timestamp_ntz"))
+            .alias("value_time"),
+            F.lit(None).cast("struct<value:double,unit:string>")
+            .alias("value_quantity"),
+            F.lit(None).cast("string").alias("value_enum"),
+            vfrom.alias("assigned_at_tx"),
+            vto.alias("superseded_at_tx")))
+    return node_parts, edge_parts, av_parts
+
+
 class MappedStreamTransactor:
     """Distributed foreachBatch sink: one micro-batch == one atomic tx,
     with the PAYLOAD mapped to nodes/edges/attr_values rows entirely
@@ -152,8 +238,7 @@ class MappedStreamTransactor:
         from pyspark.sql import functions as F
         from ..graph.delta import _local_df
         from ..graph.schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA,
-                                    ID_KEY_BITS, NODES_SCHEMA,
-                                    TXS_SCHEMA)
+                                    NODES_SCHEMA, TXS_SCHEMA)
         key = self._batch_key(batch_id)
         if key in self._applied:
             return False
@@ -162,80 +247,8 @@ class MappedStreamTransactor:
         tx = g.max_tx() + 1
         time = (datetime.datetime(2000, 1, 1)
                 + datetime.timedelta(days=tx))
-
-        def mkid(code: int, c):
-            assert 0 < code < (1 << (63 - ID_KEY_BITS))
-            k = c.cast("long")
-            # out-of-range keys alias into a NEIGHBORING code band
-            # (key -1 under code c == code c-1's top id) — fail the
-            # batch loudly instead; the guard is a row-local codegen
-            # branch, no extra pass
-            ok = (k >= 0) & (k < F.lit(1 << ID_KEY_BITS))
-            return F.when(ok, F.lit(code).cast("long")
-                          * (1 << ID_KEY_BITS) + k) \
-                .otherwise(F.raise_error(F.concat(
-                    F.lit(f"BatchEntityMap key out of "
-                          f"[0, 2^{ID_KEY_BITS}): "),
-                    c.cast("string"))))
-
-        vfrom = F.lit(tx).cast("long")
-        vto = F.lit(None).cast("long")
-        k = F.col(m.key_col)
-        # eager bounded probe (LIMIT 1): the graph tables are lazy, so
-        # the in-plan raise_error would only fire at first READ — a
-        # bad key must instead fail the batch NOW, before the ledger
-        # marks it applied. One row crosses the driver, never payload.
-        kl = k.cast("long")
-        bad = batch_df.where(kl.isNull() | (kl < 0)
-                             | (kl >= F.lit(1 << ID_KEY_BITS))) \
-            .select(k).limit(1).take(1)
-        if bad:
-            raise ValueError(
-                f"batch {batch_id}: key {m.key_col}={bad[0][0]!r} out "
-                f"of [0, 2^{ID_KEY_BITS}) — would alias into a "
-                "neighboring id code band")
-        ent_id = mkid(m.type_code, k)
-        node_parts = [batch_df.select(
-            ent_id.alias("id"), F.lit(m.et).alias("et"),
-            F.concat(F.lit(m.uid_prefix), k.cast("string")).alias("uid"),
-            vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx"))]
-        edge_parts, av_parts = [], []
-        dtypes = dict(batch_df.dtypes)
-        from ..graph.mapper import _SPARK_TO_VRT
-        for colname, ae_code in m.fields.items():
-            vrt = _SPARK_TO_VRT[dtypes[colname]]
-            ae_id = mkid(ae_code, k)
-            node_parts.append(batch_df.select(
-                ae_id.alias("id"), F.lit(f"AET.{vrt}").alias("et"),
-                F.lit(None).cast("string").alias("uid"),
-                vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx")))
-            edge_parts.append(batch_df.select(
-                mkid(ae_code + 1, k).alias("id"),
-                F.lit(colname).alias("rt"),
-                F.lit(None).cast("string").alias("uid"),
-                ent_id.alias("src_id"), ae_id.alias("dst_id"),
-                vfrom.alias("valid_from_tx"), vto.alias("valid_to_tx")))
-            c = F.col(colname)
-            av_parts.append(batch_df.select(
-                ae_id.alias("ae_id"),
-                F.lit(colname).alias("attr_rt"),
-                F.lit(vrt).alias("vrt"),
-                (c.cast("string") if vrt == "String"
-                 else F.lit(None).cast("string")).alias("value_str"),
-                (c.cast("long") if vrt == "Int"
-                 else F.lit(None).cast("long")).alias("value_int"),
-                (c.cast("double") if vrt == "Float"
-                 else F.lit(None).cast("double")).alias("value_float"),
-                (c.cast("boolean") if vrt == "Bool"
-                 else F.lit(None).cast("boolean")).alias("value_bool"),
-                (c.cast("timestamp_ntz") if vrt == "Time"
-                 else F.lit(None).cast("timestamp_ntz"))
-                .alias("value_time"),
-                F.lit(None).cast("struct<value:double,unit:string>")
-                .alias("value_quantity"),
-                F.lit(None).cast("string").alias("value_enum"),
-                vfrom.alias("assigned_at_tx"),
-                vto.alias("superseded_at_tx")))
+        node_parts, edge_parts, av_parts = mapped_parts(
+            batch_df, m, tx, batch_label=str(batch_id))
 
         # ledger rows (driver-side, 3+1 rows — control-plane volume):
         # entity + batch_key AE + attr edge + value row, all at tx
