@@ -101,9 +101,9 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # two stacked 1-row scalar broadcasts (mean fill
                     # value, then the two winsor cut points)
                     "p_impute_winsorize",
-                    # r05: corpus totals (N / avgdl) as 1-row
+                    # r05: corpus totals (N / avgdl / |V|) as 1-row
                     # broadcast crossJoins — replaced eager collects
-                    "p_tf_idf", "p_bm25_search"}
+                    "p_tf_idf", "p_bm25_search", "p_bigram_logprob"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
