@@ -4149,6 +4149,57 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("p_pack_sharded", """
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), capped AS (
+  SELECT doc_id, lang, n_tokens, LEAST(n_tokens, 512) AS n,
+         SUM(LEAST(n_tokens, 512)) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+), local AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(GREATEST(FLOOR((cum - 1) / 512), 0) AS BIGINT) AS lp,
+         CAST((cum - n) % 512 AS BIGINT) AS pack_offset
+  FROM capped
+), counts AS (
+  SELECT lang, MAX(lp) + 1 AS np FROM local GROUP BY lang
+), offs AS (
+  SELECT lang, CAST(COALESCE(SUM(np) OVER (
+    ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+    0) AS BIGINT) AS base
+  FROM counts
+)
+SELECT doc_id, lang, n_tokens, lp + base AS pack_id, pack_offset
+FROM local JOIN offs USING (lang)
+ORDER BY doc_id
+""")
+def p_pack_sharded(spark, sf_dir):
+    """SHARDED sequence packing (pipeline/corpus.py pack_sequences
+    with shard_col): per-language windows — a normal hash-partitioned
+    shuffle with per-shard parallelism instead of p_pack_sequences'
+    single global-order partition — with globally unique pack ids via
+    the broadcast prefix-sum of per-shard pack counts. The 100 TB
+    mode, proven against an oracle that replays the same per-shard
+    cumsum + shard-offset arithmetic."""
+    from zef_spark.pipeline.corpus import pack_sequences
+    from zef_spark.pipeline.text import token_count
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count(docs, "text")
+    out = pack_sequences(toks, "doc_id", "n_tokens", 512,
+                         shard_col="lang")
+    return (out.select("doc_id", "lang",
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       F.col("pack_id").cast("long").alias("pack_id"),
+                       F.col("pack_offset").cast("long")
+                       .alias("pack_offset"))
+            .orderBy("doc_id"))
+
+
 @query("p_standardize_balances", """
 WITH stats AS (
   SELECT c_mktsegment, AVG(c_acctbal) AS m, STDDEV_SAMP(c_acctbal) AS s
