@@ -448,3 +448,34 @@ def test_slice_diff_includes_relation_events(spark):
     d01 = GraphSlice(g3, 0).diff(GraphSlice(g3, 1)).collect()
     assert {(r["kind"], r["token"]) for r in d01} == \
         {("instantiated", "Person")}
+
+
+def test_dual_projection_colocates_in_traversal(spark, persons):
+    """dual_projection writes the dst-major edge clone; In-traversals
+    probe it, so a reverse hop join (edges.dst_id = nodes.id) runs
+    exchange-free on the bucketed sides — the schema.py scale note
+    made real."""
+    g, ids = persons
+    g.materialize_bucketed("tgd", buckets=4, dual_projection=True)
+    gb = Graph.load_bucketed(spark, "tgd")
+    assert gb.edges_dst is not None
+    # correctness: reverse traversal equals the plain layout's
+    owners = GraphAt(gb, gb.max_tx()) | z.all[ET.Pet] | z.Ins[RT.HasPet]
+    assert [r[1] for r in owners.field("Name").collect()] == ["Joe"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        def petjoin(edges, nodes):
+            e = edges.where(F.col("rt") == "HasPet") \
+                .select(F.col("dst_id").alias("id"), "src_id")
+            return nodes.join(e, "id")
+        nx_dst = petjoin(gb.edges_dst, gb.nodes)._jdf.queryExecution() \
+            .executedPlan().toString().count("Exchange")
+        nx_src = petjoin(gb.edges, gb.nodes)._jdf.queryExecution() \
+            .executedPlan().toString().count("Exchange")
+        assert nx_dst == 0, f"dst-major probe has {nx_dst} exchanges"
+        assert nx_src >= 1      # src-major clone must shuffle for this
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -66,6 +66,12 @@ class Graph:
         # True when every AE has exactly one assignment row ever
         # (bulk-ingested graphs): enables no-shuffle field reads
         self.single_assignment = False
+        # optional dst-major edge PROJECTION (same rows as edges,
+        # bucketed/sorted by dst_id): In-traversals probe it so the
+        # join co-locates without a shuffle. Maintained by
+        # materialize_bucketed(dual_projection=True); a transact
+        # result drops it (the union isn't bucketed anymore).
+        self.edges_dst = None
         # True for driver-built in-memory graphs (empty_graph +
         # transact chains): point-lookup joins hint broadcast —
         # their sides are wish-list-sized by construction, and the
@@ -123,7 +129,8 @@ class Graph:
             self.tags.write.mode("overwrite").parquet(f"{path}/tags")
 
     def materialize_bucketed(self, prefix: str, buckets: int = 64,
-                             token_partitions: bool = True):
+                             token_partitions: bool = True,
+                             dual_projection: bool = False):
         """Persist as BUCKETED tables (nodes by id, edges by src_id,
         attr_values by ae_id, all sorted within buckets): hop joins
         (edges.src_id = nodes.id) and field reads co-locate with ZERO
@@ -139,13 +146,17 @@ class Graph:
         LOCAL default in graph_for because bucketed scans cap read
         parallelism at `buckets` files per token, which dominates at
         toy scale and vanishes on a cluster. Src-major bucketing
-        optimizes Out-traversal; an In-heavy workload would maintain
-        the dst-major projection (schema.py scale notes). Uses the
-        session catalog (saveAsTable — plain parquet + bucket
+        optimizes Out-traversal; ``dual_projection=True`` ALSO writes
+        the dst-major edge projection (same rows bucketed by dst_id —
+        the schema.py scale note made real): In-traversals probe it
+        and co-locate too, at the cost of storing edges twice — the
+        standard trade for a graph with heavy reverse traversals.
+        Uses the session catalog (saveAsTable — plain parquet + bucket
         metadata, no Hive needed)."""
         spark = self.spark
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         for tbl in (f"{prefix}_nodes", f"{prefix}_edges",
+                    f"{prefix}_edges_dst",
                     f"{prefix}_attr_values", f"{prefix}_txs",
                     f"{prefix}_tags"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -172,6 +183,8 @@ class Graph:
 
         _write(self.nodes, "et", "id", f"{prefix}_nodes")
         _write(self.edges, "rt", "src_id", f"{prefix}_edges")
+        if dual_projection:
+            _write(self.edges, "rt", "dst_id", f"{prefix}_edges_dst")
         _write(self.attr_values, "attr_rt", "ae_id",
                f"{prefix}_attr_values")
         self.txs.write.mode("overwrite").saveAsTable(f"{prefix}_txs")
@@ -184,10 +197,13 @@ class Graph:
         tags = None
         if spark.catalog.tableExists(f"{prefix}_tags"):
             tags = spark.table(f"{prefix}_tags")
-        return Graph(spark.table(f"{prefix}_nodes"),
-                     spark.table(f"{prefix}_edges"),
-                     spark.table(f"{prefix}_attr_values"),
-                     spark.table(f"{prefix}_txs"), tags=tags)
+        g = Graph(spark.table(f"{prefix}_nodes"),
+                  spark.table(f"{prefix}_edges"),
+                  spark.table(f"{prefix}_attr_values"),
+                  spark.table(f"{prefix}_txs"), tags=tags)
+        if spark.catalog.tableExists(f"{prefix}_edges_dst"):
+            g.edges_dst = spark.table(f"{prefix}_edges_dst")
+        return g
 
     @staticmethod
     def load(spark, path: str) -> "Graph":
@@ -331,7 +347,14 @@ class NodeSet:
     # -- traversal (SURVEY §2.J: hop = equi-join through edges) ------
     def _hop(self, rt, direction: str) -> "NodeSet":
         g, t = self.frame.graph, self.frame.tx
-        e = _alive(g.edges, t)
+        # In-traversals probe on dst_id: prefer the dst-major edge
+        # projection when the graph maintains one (schema.py scale
+        # notes; materialize_bucketed dual_projection) — same rows,
+        # bucketed/sorted by dst_id so the probe co-locates
+        src = (g.edges_dst if direction == "in"
+               and getattr(g, "edges_dst", None) is not None
+               else g.edges)
+        e = _alive(src, t)
         if rt is not None:
             e = e.where(F.col("rt") == _rt_name(rt))
         here, there = (("src_id", "dst_id") if direction == "out"
@@ -362,7 +385,9 @@ class NodeSet:
 
     def in_rels(self, rt=None) -> "EdgeSet":
         g, t = self.frame.graph, self.frame.tx
-        e = _alive(g.edges, t)
+        src = (g.edges_dst if getattr(g, "edges_dst", None) is not None
+               else g.edges)
+        e = _alive(src, t)
         if rt is not None:
             e = e.where(F.col("rt") == _rt_name(rt))
         ids = self.df.select(F.col("id").alias("__from"))
