@@ -4149,6 +4149,38 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("p_epoch_shuffle", """
+WITH ranked AS (
+  SELECT doc_id, e.epoch,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.epoch
+           ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':epoch' ||
+                        CAST(e.epoch AS VARCHAR)), doc_id) - 1
+           AS epoch_pos
+  FROM documents
+  CROSS JOIN (SELECT UNNEST([1, 2]) AS epoch) e
+)
+SELECT epoch, epoch_pos, doc_id FROM ranked
+WHERE epoch_pos < 20 ORDER BY epoch, epoch_pos
+""")
+def p_epoch_shuffle(spark, sf_dir):
+    """Deterministic between-epoch reshuffle (pipeline/corpus.py
+    epoch_shuffle): every epoch is a different but fully reproducible
+    md5-rank permutation — a restarted dataloader (or another engine)
+    replays the same order. First 20 positions of epochs 1 and 2;
+    equality also proves the two epochs differ (different hash
+    salts)."""
+    from zef_spark.pipeline.corpus import epoch_shuffle
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for ep in (1, 2):
+        outs.append(epoch_shuffle(docs, "doc_id", ep)
+                    .where(F.col("epoch_pos") < 20)
+                    .select(F.lit(ep).cast("long").alias("epoch"),
+                            "epoch_pos", "doc_id"))
+    return outs[0].unionByName(outs[1]).orderBy("epoch", "epoch_pos")
+
+
 @query("p_pack_sharded", """
 WITH tok AS (
   SELECT doc_id, lang,

@@ -434,3 +434,29 @@ def _bm25(df, id_col, text_col, query_terms, k1=1.2, b=0.75):
 @register_op("filter_funnel", "df")
 def _filter_funnel(df, stages):
     return filter_funnel(df, stages)
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, epoch: int,
+                  out_col: str = "epoch_pos") -> DataFrame:
+    """Deterministic training-epoch shuffle: a dense position per row
+    from the md5 rank of (key, epoch) — every epoch is a DIFFERENT
+    but fully reproducible permutation (the standard between-epoch
+    reshuffle of a pretraining dataloader, engine-portable so a
+    restarted job or a different engine replays the same order).
+
+    One rank window over the hash — at 100 TB don't materialize a
+    global dense position: sort shard FILES by the same hash instead
+    (write with sortWithinPartitions + ordered listing) or shuffle
+    within shards (partitionBy(shard) windows, like pack_sequences).
+    The global window is the small/oracle mode."""
+    from pyspark.sql import Window
+    h = F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(f":epoch{epoch}")))
+    w = Window.orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(out_col,
+                         F.row_number().over(w).cast("long") - 1)
+
+
+@register_op("epoch_shuffle", "df")
+def _epoch_shuffle(df, key_col, epoch, out_col="epoch_pos"):
+    return epoch_shuffle(df, key_col, epoch, out_col)
