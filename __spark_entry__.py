@@ -4149,6 +4149,37 @@ def p_bpe_fixed_merges(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@query("g_field_history_price", """
+SELECT o_orderkey,
+       ROUND(o_totalprice, 2) AS price,
+       CAST(DATEDIFF('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) + 2 AS BIGINT)
+         AS assigned_at_tx
+FROM orders WHERE o_custkey < 10
+ORDER BY o_orderkey, assigned_at_tx
+""")
+def g_field_history_price(spark, sf_dir):
+    """Per-node field assignment TIME-SERIES (NodeSet.field_history —
+    the set-oriented walk of the reference's value-assignment chain,
+    blobs.h:284): every o_totalprice interval of a small customer
+    cohort's orders with its assigned-at tx. The oracle derives the
+    intervals analytically from the generator's date→tx mapping
+    (mapper._tx_of_date), so equality proves the history plumbing AND
+    the tx arithmetic."""
+    from zef_spark import ET, RT, ops as z
+    gs = _gs(spark, sf_dir)
+    orders = (gs | z.all[ET.Order] | z.out_rels[RT.PlacedBy]).df \
+        .where((F.col("dst_id").bitwiseAND(F.lit(_KEY_MASK))) < 10) \
+        .select(F.col("src_id").alias("id"))
+    from zef_spark.graph.graph import NodeSet
+    cohort = NodeSet(gs, gs.nodes().join(orders, "id", "left_semi"))
+    hist = cohort.field_history("o_totalprice", alias="price")
+    return (hist.select(
+        (F.col("id").bitwiseAND(F.lit(_KEY_MASK))).alias("o_orderkey"),
+        F.round("price", 2).alias("price"), "assigned_at_tx")
+        .orderBy("o_orderkey", "assigned_at_tx"))
+
+
 @query("p_epoch_shuffle", """
 WITH ranked AS (
   SELECT doc_id, e.epoch,

@@ -479,3 +479,19 @@ def test_dual_projection_colocates_in_traversal(spark, persons):
         assert nx_src >= 1      # src-major clone must shuffle for this
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_field_history(spark, persons):
+    """Full assignment time-series per node: Joe's Age was 42 from
+    tx1 (superseded at tx3), 43 from tx3 (open). A frame BEFORE the
+    re-assign sees only the first interval."""
+    g, ids = persons
+    hist = (GraphAt(g, g.max_tx()) | z.all[ET.Person]) \
+        .field_history("Age").orderBy("assigned_at_tx").collect()
+    assert [(r.Age, r.assigned_at_tx, r.superseded_at_tx)
+            for r in hist] == [(42, 1, 3), (43, 3, None)]
+    # the frame at tx2 must NOT see the tx3 supersede (future
+    # knowledge): the interval reads as still open
+    early = (GraphAt(g, 2) | z.all[ET.Person]) \
+        .field_history("Age").collect()
+    assert [(r.Age, r.superseded_at_tx) for r in early] == [(42, None)]

@@ -485,6 +485,54 @@ class NodeSet:
         col = VALUE_COLS.get(vrt, "value_str")
         return fdf.select("id", F.col(col).alias(alias or name))
 
+    def field_history(self, rt, alias: str | None = None) -> DataFrame:
+        """(id, <alias>, assigned_at_tx, superseded_at_tx) — the FULL
+        assignment time-series of a field up to this frame, one row
+        per value interval (the set-oriented form of walking the
+        reference's ATTRIBUTE_VALUE_ASSIGNMENT_EDGE chain,
+        blobs.h:284; per-frame reads use ``field``). Rows assigned
+        after the frame are excluded; an interval still open at the
+        frame keeps its NULL end. Same typed-column resolution and
+        edge/arithmetic owner plumbing as ``field``, WITHOUT the
+        latest-alive filter."""
+        name = _rt_name(rt)
+        g, t = self.frame.graph, self.frame.tx
+        owner_code = (getattr(g, "field_owner_code", None)
+                      or {}).get(name)
+        av = g.attr_values.where(F.col("assigned_at_tx") <= F.lit(t))
+        if "attr_rt" in av.columns:
+            av = av.where(F.col("attr_rt") == name)
+        if owner_code is not None:
+            owner = (F.lit(owner_code * (1 << ID_KEY_BITS))
+                     + F.pmod(F.col("ae_id"),
+                              F.lit(1 << ID_KEY_BITS))).alias("id")
+            hist = av.select(owner, "vrt", *VALUE_COL_LIST,
+                             "assigned_at_tx", "superseded_at_tx")
+            hist = self.df.select("id").join(hist, "id")
+        else:
+            e = _alive(g.edges, t).where(F.col("rt") == name) \
+                .select(F.col("src_id").alias("id"),
+                        F.col("dst_id").alias("__ae"))
+            ids = self.df.select("id")
+            hist = (ids.join(e, "id")
+                    .join(av.withColumnRenamed("ae_id", "__ae"), "__ae")
+                    .select("id", "vrt", *VALUE_COL_LIST,
+                            "assigned_at_tx", "superseded_at_tx"))
+        vrt = (g.rt_vrt or {}).get(name) if getattr(g, "rt_vrt",
+                                                    None) else None
+        if vrt is None:
+            vrts = [r[0] for r in
+                    hist.select("vrt").distinct().limit(2).collect()]
+            vrt = vrts[0] if vrts else "String"
+        col = VALUE_COLS.get(vrt, "value_str")
+        # an end-tx AFTER the frame is future knowledge: from this
+        # frame's point of view the interval is still open
+        end = F.when(F.col("superseded_at_tx") <= F.lit(t),
+                     F.col("superseded_at_tx"))
+        return hist.select("id", F.col(col).alias(alias or name),
+                           "assigned_at_tx",
+                           end.alias("superseded_at_tx"))
+
     def fields(self, *rts, **aliased) -> DataFrame:
         """(id, f1, f2, ...) — one join per field; Catalyst prunes each
         attr branch by its rt literal."""
