@@ -3583,6 +3583,32 @@ def p_pagerank(spark, sf_dir):
 ORACLE["p_pagerank"] = _pr_oracle()
 
 
+@query("p_personalized_pagerank", None)
+def p_personalized_pagerank(spark, sf_dir):
+    """PERSONALIZED PageRank (random walk with restart to a seed
+    set): teleport mass returns to the low-key customers instead of
+    spreading uniformly — 'supplier relevance to THESE customers'.
+    Same decimal-exact unrolled-iteration discipline as p_pagerank;
+    the oracle replays the seed-masked teleport."""
+    from zef_spark.graph.algorithms import pagerank
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1000000).alias("dst")))
+    return pagerank(edges, n_iter=3,
+                    seed_pred=F.col("id") < 20).orderBy("id")
+
+
+def _ppr_oracle() -> str:
+    from zef_spark.graph.algorithms import pagerank_oracle_sql
+    return pagerank_oracle_sql(_PR_EDGES_SQL, n_iter=3,
+                               seed_pred_sql="id < 20")
+
+
+ORACLE["p_personalized_pagerank"] = _ppr_oracle()
+
+
 _LANGS = ["de", "en", "es", "fr", "zh"]
 
 

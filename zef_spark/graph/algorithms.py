@@ -46,10 +46,19 @@ def _dec12(col):
 
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              n_iter: int = 3, damping: float = 0.85,
-             digits: int = 6, checkpoint_every: int = 0) -> DataFrame:
+             digits: int = 6, checkpoint_every: int = 0,
+             seed_pred=None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
     Returns (id, rank) for every node appearing as source or target;
-    rank rounded to `digits`. Duplicate edges count once."""
+    rank rounded to `digits`. Duplicate edges count once.
+
+    ``seed_pred`` (a boolean Column over ``id``) switches to
+    PERSONALIZED PageRank: the teleport mass (1-d) returns to the
+    seed set instead of spreading uniformly, and ranks start at
+    1/|seeds| on seeds / 0 elsewhere — random-walk-with-restart
+    relevance to the seeds (Page et al. 1999 §6 personalized vector).
+    Same per-iteration cost (the rank vector shuffles, nothing
+    else)."""
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct())
@@ -58,12 +67,23 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              .distinct())
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg"))
-    n = nodes.count()  # scalar: drives the teleport constant only
-    teleport = _dec12(F.lit(1.0 - damping) / F.lit(float(n)))
     damp = F.lit(damping).cast("decimal(4,3)")
-
-    ranks = nodes.select("id", _dec12(F.lit(1.0) / F.lit(float(n)))
-                         .alias("rank"))
+    if seed_pred is None:
+        n = nodes.count()  # scalar: drives the teleport constant only
+        teleport = _dec12(F.lit(1.0 - damping) / F.lit(float(n)))
+        ranks = nodes.select("id", _dec12(F.lit(1.0) / F.lit(float(n)))
+                             .alias("rank"))
+    else:
+        ns = nodes.where(seed_pred).count()
+        if ns == 0:
+            raise ValueError("personalized pagerank: empty seed set")
+        tele_val = _dec12(F.lit(1.0 - damping) / F.lit(float(ns)))
+        zero = F.lit(0).cast(_DEC)
+        teleport = F.when(seed_pred, tele_val).otherwise(zero)
+        ranks = nodes.select(
+            "id", F.when(seed_pred,
+                         _dec12(F.lit(1.0) / F.lit(float(ns))))
+            .otherwise(zero).alias("rank"))
     if checkpoint_every:
         e = e.localCheckpoint()
         deg = deg.localCheckpoint()
@@ -126,22 +146,41 @@ def degrees(edges: DataFrame, src_col: str = "src",
 
 
 def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3,
-                        damping: float = 0.85, digits: int = 6) -> str:
+                        damping: float = 0.85, digits: int = 6,
+                        seed_pred_sql: str | None = None) -> str:
     """DuckDB SQL replaying `pagerank` exactly: same decimal scale,
     same explicit ROUND at every precision boundary, iterations
     unrolled (recursive CTEs cannot aggregate). `edges_cte` must
     select columns (src, dst). Float literals are repr()'d so both
-    engines start from bit-identical doubles."""
+    engines start from bit-identical doubles. ``seed_pred_sql`` (a
+    boolean SQL expression over ``id``) replays the personalized
+    variant — teleport/init mass on the seed set only."""
     d = damping
     one_minus_d = repr(1.0 - damping)  # Python double, verbatim
     dec = f"DECIMAL(26,{_SCALE})"
+    if seed_pred_sql is None:
+        n_cte = ("n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+                 "FROM nodes)")
+        r0 = (f"r0 AS (SELECT id, CAST(ROUND(1.0 / (SELECT n FROM n),"
+              f" {_SCALE}) AS {dec}) AS rank FROM nodes)")
+        tele = (f"CAST(ROUND({one_minus_d} / (SELECT n FROM n), "
+                f"{_SCALE}) AS {dec})")
+    else:
+        n_cte = (f"n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+                 f"FROM nodes WHERE {seed_pred_sql})")
+        r0 = (f"r0 AS (SELECT id, CASE WHEN {seed_pred_sql} THEN "
+              f"CAST(ROUND(1.0 / (SELECT n FROM n), {_SCALE}) AS "
+              f"{dec}) ELSE CAST(0 AS {dec}) END AS rank FROM nodes)")
+        tele = (f"CASE WHEN nodes.id IN (SELECT id FROM nodes WHERE "
+                f"{seed_pred_sql}) THEN CAST(ROUND({one_minus_d} / "
+                f"(SELECT n FROM n), {_SCALE}) AS {dec}) "
+                f"ELSE CAST(0 AS {dec}) END")
     sql = [f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY src),
-n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-r0 AS (SELECT id, CAST(ROUND(1.0 / (SELECT n FROM n), {_SCALE})
-                       AS {dec}) AS rank FROM nodes)"""]
+{n_cte},
+{r0}"""]
     for i in range(n_iter):
         sql.append(f""",
 c{i} AS (
@@ -152,8 +191,7 @@ c{i} AS (
   GROUP BY e.dst
 ), r{i + 1} AS (
   SELECT nodes.id,
-         CAST(ROUND(CAST(ROUND({one_minus_d} / (SELECT n FROM n),
-                               {_SCALE}) AS {dec})
+         CAST(ROUND({tele}
                     + CAST({d} AS DECIMAL(4,3)) * COALESCE(
                         c{i}.in_sum, CAST(0 AS {dec})),
                     {_SCALE}) AS {dec}) AS rank
