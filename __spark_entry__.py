@@ -4022,6 +4022,44 @@ def g_triangle_cosupply(spark, sf_dir):
     return triangle_count(_cosupply_edges(spark, sf_dir))
 
 
+def _kcore_oracle(k: int, rounds: int = 10) -> str:
+    """Unrolled iterative peeling in SQL (fixed rounds ≥ the fixture
+    graphs' peel depth — the Spark side runs to fixpoint; verified
+    converged at all three fixture scales)."""
+    # AS MATERIALIZED: each round references the previous round's
+    # edge set three times (via d/k and directly) — without
+    # materialization DuckDB inlines the chain 3^rounds times
+    sql = [f"""
+WITH pr AS MATERIALIZED ({_COSUPPLY_SQL}),
+s0 AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM pr
+       UNION SELECT s2, s1 FROM pr)"""]
+    for i in range(rounds):
+        sql.append(f""",
+d{i} AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM s{i} GROUP BY a),
+k{i} AS MATERIALIZED (SELECT a AS id FROM d{i} WHERE d >= {k}),
+s{i + 1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM s{i} s
+  JOIN k{i} x ON s.a = x.id JOIN k{i} y ON s.b = y.id
+)""")
+    sql.append(f"""
+SELECT DISTINCT a AS id FROM s{rounds} ORDER BY id""")
+    return "".join(sql)
+
+
+@query("g_kcore_cosupply", None)
+def g_kcore_cosupply(spark, sf_dir):
+    """k-core decomposition (graph/algorithms.py k_core, Seidman
+    1983): the maximal subgraph of the supplier co-supply network
+    where every supplier shares orders with ≥ 4 others — iterative
+    peeling, one degree agg + two semi-joins per round, fixpoint
+    detected by a one-row count. Oracle unrolls the same peeling."""
+    from zef_spark.graph.algorithms import k_core
+    return k_core(_cosupply_edges(spark, sf_dir), k=4).orderBy("id")
+
+
+ORACLE["g_kcore_cosupply"] = _kcore_oracle(4)
+
+
 @query("g_clustering_cosupply", f"""
 WITH pr AS ({_COSUPPLY_SQL}),
 tri AS (

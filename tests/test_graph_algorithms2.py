@@ -106,3 +106,19 @@ def test_shortest_paths_bellman_ford(spark):
                                                       "id string"),
                          max_hops=5, directed=False).collect()}
     assert du == {"d": 0.0, "c": 1.0, "b": 2.0, "a": 2.0}
+
+
+def test_k_core_peeling(spark):
+    from zef_spark.graph.algorithms import k_core
+    # triangle a-b-c (each degree 2) + pendant d attached to a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "src string, dst string")
+    core2 = sorted(r.id for r in k_core(edges, 2).collect())
+    assert core2 == ["a", "b", "c"]          # d peels (degree 1)
+    # k=3: removing d makes everyone degree 2 -> empty 3-core
+    assert k_core(edges, 3).count() == 0
+    # cascade: a chain a-b-c-d has NO 2-core (peeling cascades)
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    assert k_core(chain, 2).count() == 0

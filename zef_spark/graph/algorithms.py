@@ -366,3 +366,33 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
             dist = dist.localCheckpoint()
     return dist
 
+
+
+def k_core(edges: DataFrame, k: int, src_col: str = "src",
+           dst_col: str = "dst", max_rounds: int = 50) -> DataFrame:
+    """(id,) — the k-core: the maximal subgraph where every node has
+    degree ≥ k (undirected view of the edge list). Iterative peeling:
+    each round drops nodes below k and the edges touching them —
+    O(peel depth) rounds, each one degree aggregate + two semi-joins;
+    lineage cut per round. The driver sees only a one-row count per
+    round. Standard community-density primitive (Seidman 1983)."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("a").alias("id"))
+        nxt = (sym.join(keep.withColumnRenamed("id", "a"), "a",
+                        "left_semi")
+               .join(keep.select(F.col("id").alias("b")), "b",
+                     "left_semi")
+               .localCheckpoint())
+        before = sym.count()
+        after = nxt.count()
+        sym = nxt
+        if after == before:
+            break
+    return (sym.select(F.col("a").alias("id")).distinct())
