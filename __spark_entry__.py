@@ -3600,6 +3600,31 @@ def p_personalized_pagerank(spark, sf_dir):
                     seed_pred=F.col("id") < 20).orderBy("id")
 
 
+@query("p_hits_purchase", None)
+def p_hits_purchase(spark, sf_dir):
+    """HITS hubs/authorities (graph/algorithms.py hits, Kleinberg
+    1999) over the customer→supplier purchase graph: hub = a customer
+    buying from authoritative suppliers, authority = a supplier
+    bought by hubby customers. Decimal-exact per-iteration sums, L1
+    normalization re-rounded half-up; the oracle unrolls the same 3
+    iterations."""
+    from zef_spark.graph.algorithms import hits
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + 1000000).alias("dst")))
+    return hits(edges, n_iter=3).orderBy("id")
+
+
+def _hits_oracle() -> str:
+    from zef_spark.graph.algorithms import hits_oracle_sql
+    return hits_oracle_sql(_PR_EDGES_SQL, n_iter=3)
+
+
+ORACLE["p_hits_purchase"] = _hits_oracle()
+
+
 def _ppr_oracle() -> str:
     from zef_spark.graph.algorithms import pagerank_oracle_sql
     return pagerank_oracle_sql(_PR_EDGES_SQL, n_iter=3,

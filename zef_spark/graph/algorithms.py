@@ -396,3 +396,101 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
         if after == before:
             break
     return (sym.select(F.col("a").alias("id")).distinct())
+
+
+def hits(edges: DataFrame, src_col: str = "src",
+         dst_col: str = "dst", n_iter: int = 3,
+         digits: int = 6) -> DataFrame:
+    """(id, hub, authority) — fixed-iteration HITS (Kleinberg 1999):
+    authority = Σ hub over in-edges, hub = Σ authority over
+    out-edges, each L1-normalized per half-step. Same determinism
+    discipline as pagerank: scores carry as DECIMAL (exact,
+    partition-order-independent sums); the only float steps are the
+    normalizing divisions, immediately re-rounded half-up into
+    DECIMAL — bit-reproducible and replayable by the unrolled SQL
+    oracle. Per iteration: two rank-vector shuffles; the edge table
+    never moves."""
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint())
+    one = _dec12(F.lit(1.0))
+    h = nodes.select("id", one.alias("score"))
+
+    def _norm(scored):
+        """L1-normalize a (id, score) decimal vector: exact decimal
+        total → one double division per row → back to dec12."""
+        total = scored.agg(F.sum("score").cast("double")
+                           .alias("__t"))
+        return (scored.crossJoin(F.broadcast(total))
+                .select("id", _dec12(F.col("score").cast("double")
+                                     / F.col("__t")).alias("score")))
+
+    for _ in range(n_iter):
+        a = (e.join(h.withColumnRenamed("id", "src")
+                    .withColumnRenamed("score", "__h"), "src")
+             .groupBy(F.col("dst").alias("id"))
+             .agg(F.sum("__h").alias("score")))
+        a = _norm(nodes.join(a, "id", "left")
+                  .select("id", F.coalesce(F.col("score"),
+                                           F.lit(0).cast(_DEC))
+                          .alias("score")))
+        h = (e.join(a.withColumnRenamed("id", "dst")
+                    .withColumnRenamed("score", "__a"), "dst")
+             .groupBy(F.col("src").alias("id"))
+             .agg(F.sum("__a").alias("score")))
+        h = _norm(nodes.join(h, "id", "left")
+                  .select("id", F.coalesce(F.col("score"),
+                                           F.lit(0).cast(_DEC))
+                          .alias("score")))
+    return (h.withColumnRenamed("score", "__hub")
+            .join(a.withColumnRenamed("score", "__auth"), "id")
+            .select("id",
+                    F.round(F.col("__hub").cast("double"), digits)
+                    .alias("hub"),
+                    F.round(F.col("__auth").cast("double"), digits)
+                    .alias("authority")))
+
+
+def hits_oracle_sql(edges_cte: str, n_iter: int = 3,
+                    digits: int = 6) -> str:
+    """DuckDB SQL replaying `hits` exactly (unrolled iterations,
+    MATERIALIZED CTEs, same decimal scale and ROUND points)."""
+    dec = f"DECIMAL(26,{_SCALE})"
+    sql = [f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_cte})),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT id, CAST(ROUND(1.0, {_SCALE}) AS {dec})
+                    AS score FROM nodes)"""]
+    for i in range(n_iter):
+        sql.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(s.score, CAST(0 AS {dec})) AS score
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.score) AS score
+    FROM e JOIN h{i} h ON e.src = h.id GROUP BY e.dst) s
+  ON nodes.id = s.id
+), a{i + 1} AS MATERIALIZED (
+  SELECT id, CAST(ROUND(CAST(score AS DOUBLE) /
+    (SELECT CAST(SUM(score) AS DOUBLE) FROM ar{i}), {_SCALE})
+    AS {dec}) AS score
+  FROM ar{i}
+), hr{i} AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(s.score, CAST(0 AS {dec})) AS score
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS id, SUM(a.score) AS score
+    FROM e JOIN a{i + 1} a ON e.dst = a.id GROUP BY e.src) s
+  ON nodes.id = s.id
+), h{i + 1} AS MATERIALIZED (
+  SELECT id, CAST(ROUND(CAST(score AS DOUBLE) /
+    (SELECT CAST(SUM(score) AS DOUBLE) FROM hr{i}), {_SCALE})
+    AS {dec}) AS score
+  FROM hr{i}
+)""")
+    sql.append(f"""
+SELECT h.id, ROUND(CAST(h.score AS DOUBLE), {digits}) AS hub,
+       ROUND(CAST(a.score AS DOUBLE), {digits}) AS authority
+FROM h{n_iter} h JOIN a{n_iter} a ON h.id = a.id ORDER BY h.id""")
+    return "".join(sql)
