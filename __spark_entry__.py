@@ -4954,6 +4954,12 @@ _FRONT = [
     "p_minhash_dedup_pipeline", "p_quality_filter_pipeline",
     "p_decontaminate", "p_type_token_ratio", "e_rate_limit_events",
     "p_bm25_search", "w_grouped_topk_arrays", "e_late_data_audit",
+    # Queued for the r06 front (registered + tri-scale-verified
+    # locally this round, window already full): p_top_bigrams,
+    # g_cheapest_supply_paths, p_bigram_logprob,
+    # p_standardize_balances, e_stream_ingest_mapped, p_pack_sharded,
+    # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
+    # g_kcore_cosupply, p_hits_purchase.
 ]
 
 
