@@ -4085,6 +4085,35 @@ def g_kcore_cosupply(spark, sf_dir):
 ORACLE["g_kcore_cosupply"] = _kcore_oracle(4)
 
 
+@query("g_similar_suppliers", f"""
+WITH pr AS MATERIALIZED ({_COSUPPLY_SQL}),
+sym AS MATERIALIZED (
+  SELECT s1 AS a, s2 AS b FROM pr UNION SELECT s2, s1 FROM pr
+), post AS (SELECT b AS n, a AS v FROM sym),
+deg AS (SELECT v, COUNT(*) AS d FROM post GROUP BY v),
+common AS (
+  SELECT x.v AS id_a, y.v AS id_b, COUNT(*) AS n_common
+  FROM post x JOIN post y ON x.n = y.n AND x.v < y.v
+  GROUP BY x.v, y.v
+)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common * 1.0 / (da.d + db.d - n_common), 6) AS jaccard
+FROM common
+JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b
+WHERE n_common * 1.0 / (da.d + db.d - n_common) >= 0.5
+ORDER BY id_a, id_b
+""")
+def g_similar_suppliers(spark, sf_dir):
+    """Node similarity / link prediction (graph/algorithms.py
+    neighborhood_jaccard): supplier pairs whose co-supply
+    neighborhoods overlap ≥50% — inverted-index self-join on the
+    shared neighbor, never all-pairs."""
+    from zef_spark.graph.algorithms import neighborhood_jaccard
+    return (neighborhood_jaccard(_cosupply_edges(spark, sf_dir),
+                                 min_sim=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 @query("g_clustering_cosupply", f"""
 WITH pr AS ({_COSUPPLY_SQL}),
 tri AS (

@@ -494,3 +494,40 @@ SELECT h.id, ROUND(CAST(h.score AS DOUBLE), {digits}) AS hub,
        ROUND(CAST(a.score AS DOUBLE), {digits}) AS authority
 FROM h{n_iter} h JOIN a{n_iter} a ON h.id = a.id ORDER BY h.id""")
     return "".join(sql)
+
+
+def neighborhood_jaccard(edges: DataFrame, src_col: str = "src",
+                         dst_col: str = "dst",
+                         min_sim: float = 0.0,
+                         digits: int = 6) -> DataFrame:
+    """(id_a, id_b, n_common, jaccard) — neighborhood overlap of every
+    node pair sharing ≥1 neighbor (undirected view): THE link-
+    prediction / node-similarity primitive. Inverted-index shape, not
+    all-pairs: posting (neighbor → node) self-joined on the neighbor
+    gives common-neighbor counts, degrees come from one aggregate —
+    cost is Σ deg(v)² over neighbors (skew-capped the same way
+    ngram_jaccard_pairs caps hot tokens; pass a pre-filtered edge
+    list to bound hub fan-out)."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a") != F.col("b")))
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b"))).distinct())
+    # posting: neighbor n -> node v  (v adjacent to n)
+    post = sym.select(F.col("b").alias("n"), F.col("a").alias("v"))
+    deg = post.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    x, y = post.alias("x"), post.alias("y")
+    common = (x.join(y, (F.col("x.n") == F.col("y.n"))
+                     & (F.col("x.v") < F.col("y.v")))
+              .groupBy(F.col("x.v").alias("id_a"),
+                       F.col("y.v").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    da = deg.select(F.col("v").alias("id_a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("v").alias("id_b"), F.col("d").alias("__db"))
+    out = (common.join(da, "id_a").join(db, "id_b")
+           .withColumn("jaccard", F.round(
+               F.col("n_common")
+               / (F.col("__da") + F.col("__db") - F.col("n_common")),
+               digits))
+           .drop("__da", "__db"))
+    return out.where(F.col("jaccard") >= min_sim)
