@@ -4988,7 +4988,7 @@ _FRONT = [
     # g_cheapest_supply_paths, p_bigram_logprob,
     # p_standardize_balances, e_stream_ingest_mapped, p_pack_sharded,
     # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
-    # g_kcore_cosupply, p_hits_purchase.
+    # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers.
 ]
 
 
