@@ -103,7 +103,9 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     "p_impute_winsorize",
                     # r05: corpus totals (N / avgdl / |V|) as 1-row
                     # broadcast crossJoins — replaced eager collects
-                    "p_tf_idf", "p_bm25_search", "p_bigram_logprob"}
+                    "p_tf_idf", "p_bm25_search", "p_bigram_logprob",
+                    # HITS: per-iteration 1-row L1-norm broadcasts
+                    "p_hits_purchase"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
