@@ -4114,6 +4114,48 @@ def g_similar_suppliers(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _lp_oracle(n_rounds: int = 3) -> str:
+    sql = [f"""
+WITH pr AS MATERIALIZED ({_COSUPPLY_SQL}),
+sym AS MATERIALIZED (
+  SELECT s1 AS a, s2 AS b FROM pr UNION SELECT s2, s1 FROM pr
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM sym)"""]
+    for i in range(n_rounds):
+        sql.append(f""",
+n{i} AS MATERIALIZED (
+  SELECT sym.a AS id, l.label AS nl, COUNT(*) AS cnt
+  FROM sym JOIN l{i} l ON sym.b = l.id
+  GROUP BY sym.a, l.label
+), b{i} AS MATERIALIZED (
+  SELECT id, nl AS label FROM (
+    SELECT id, nl, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY cnt DESC, nl ASC) AS rk
+    FROM n{i}) WHERE rk = 1
+), l{i + 1} AS MATERIALIZED (
+  SELECT l.id, COALESCE(b.label, l.id) AS label
+  FROM (SELECT id FROM l{i}) l LEFT JOIN b{i} b ON l.id = b.id
+)""")
+    sql.append(f"""
+SELECT id, label FROM l{n_rounds} ORDER BY id""")
+    return "".join(sql)
+
+
+@query("g_communities_cosupply", None)
+def g_communities_cosupply(spark, sf_dir):
+    """Community detection (graph/algorithms.py label_propagation,
+    Raghavan et al. 2007, determinized: most-frequent neighbor label,
+    ties to the smallest): 3 fixed synchronous rounds over the
+    supplier co-supply graph — exactly replayable by the oracle's 3
+    unrolled join+argmax rounds."""
+    from zef_spark.graph.algorithms import label_propagation
+    return label_propagation(_cosupply_edges(spark, sf_dir),
+                             n_rounds=3).orderBy("id")
+
+
+ORACLE["g_communities_cosupply"] = _lp_oracle(3)
+
+
 @query("g_clustering_cosupply", f"""
 WITH pr AS ({_COSUPPLY_SQL}),
 tri AS (
@@ -4988,7 +5030,8 @@ _FRONT = [
     # g_cheapest_supply_paths, p_bigram_logprob,
     # p_standardize_balances, e_stream_ingest_mapped, p_pack_sharded,
     # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
-    # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers.
+    # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers,
+    # g_communities_cosupply.
 ]
 
 

@@ -531,3 +531,44 @@ def neighborhood_jaccard(edges: DataFrame, src_col: str = "src",
                digits))
            .drop("__da", "__db"))
     return out.where(F.col("jaccard") >= min_sim)
+
+
+def label_propagation(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst",
+                      n_rounds: int = 3) -> DataFrame:
+    """(id, label) — community detection by synchronous label
+    propagation (Raghavan et al. 2007), made DETERMINISTIC: labels
+    start as own id; each round every node adopts the most frequent
+    label among its neighbors (ties → smallest label; isolated rounds
+    keep the current label). Fixed n_rounds, so the run is exactly
+    replayable by n_rounds unrolled SQL joins — the oracle shape.
+    Each round: one edge-keyed join + one (node, label) count agg +
+    one per-node argmax window partitioned by node (same key — the
+    exchanges line up). Synchronous updates oscillate on bipartite
+    structures — fixed rounds bound that by construction; pick odd/
+    even rounds or a final components pass when stability matters."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    from pyspark.sql import Window
+    for _ in range(n_rounds):
+        nbr = (sym.join(labels.withColumnRenamed("id", "b")
+                        .withColumnRenamed("label", "nl"), "b")
+               .groupBy(F.col("a").alias("id"), F.col("nl"))
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(),
+                                             F.col("nl").asc())
+        best = (nbr.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") == 1)
+                .select("id", F.col("nl").alias("label")))
+        labels = (labels.select("id")
+                  .join(best, "id", "left")
+                  .select("id", F.coalesce("label", F.col("id"))
+                          .alias("label"))
+                  .localCheckpoint())
+    return labels
