@@ -4447,6 +4447,32 @@ def p_standardize_balances(spark, sf_dir):
             .orderBy("c_custkey"))
 
 
+@query("p_robust_scale_balances", """
+WITH stats AS (
+  SELECT c_mktsegment,
+         QUANTILE_CONT(c_acctbal, 0.5) AS md,
+         QUANTILE_CONT(c_acctbal, 0.25) AS q1,
+         QUANTILE_CONT(c_acctbal, 0.75) AS q3
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       CASE WHEN q3 - q1 > 0
+            THEN ROUND((c_acctbal - md) / (q3 - q1), 6) END
+         AS c_acctbal_robust
+FROM customer c JOIN stats USING (c_mktsegment)
+ORDER BY c_custkey
+""")
+def p_robust_scale_balances(spark, sf_dir):
+    """Robust (median/IQR) per-group scaling (pipeline/wrangling.py
+    robust_scale) — outlier-insensitive standardize; EXACT linearly-
+    interpolated percentiles match DuckDB's QUANTILE_CONT."""
+    from zef_spark.pipeline.wrangling import robust_scale
+    c = _t(spark, sf_dir, "customer")
+    out = robust_scale(c, ["c_acctbal"], by="c_mktsegment")
+    return (out.select("c_custkey", "c_mktsegment", "c_acctbal_robust")
+            .orderBy("c_custkey"))
+
+
 @query("p_bigram_logprob", """
 WITH words AS (
   SELECT doc_id,
@@ -5031,7 +5057,7 @@ _FRONT = [
     # p_standardize_balances, e_stream_ingest_mapped, p_pack_sharded,
     # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
     # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers,
-    # g_communities_cosupply.
+    # g_communities_cosupply, p_robust_scale_balances.
 ]
 
 

@@ -70,3 +70,20 @@ def test_standardize_keeps_null_group_keys(spark):
     assert z[(None, 10.0)] is not None     # scored within their group
     assert z[(None, 10.0)] == -z[(None, 20.0)]
     assert len(min_max_scale(df, ["v"], by="k").collect()) == 4
+
+
+def test_robust_scale(spark):
+    from zef_spark.pipeline.wrangling import robust_scale
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 1000.0),
+         ("b", 5.0), ("b", 5.0)],
+        "k string, v double")
+    r = {(row.k, row.v): row.v_robust
+         for row in robust_scale(df, ["v"], by="k").collect()}
+    # group a: median 2.5, q1 1.75, q3 252.25 (linear interp) —
+    # the OUTLIER moves the quartiles but bounded-ly; median centered
+    assert r[("a", 2.0)] is not None and abs(r[("a", 2.0)]) < 0.01
+    assert r[("b", 5.0)] is None        # zero IQR -> NULL
+    # outlier insensitivity vs z-score: robust score of the normal
+    # points stays small even with the 1000.0 present
+    assert abs(r[("a", 1.0)]) < 1 and abs(r[("a", 3.0)]) < 1

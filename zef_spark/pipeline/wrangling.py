@@ -400,3 +400,39 @@ def _standardize_op(df, cols, by=None, digits=6):
 @register_op("min_max_scale", "df")
 def _min_max_op(df, cols, by=None, digits=6):
     return min_max_scale(df, cols, by, digits)
+
+
+def robust_scale(df: DataFrame, cols: list[str], by=None,
+                 digits: int = 6) -> DataFrame:
+    """Adds ``<col>_robust`` per listed column: (v - median) / IQR —
+    the outlier-insensitive cousin of standardize (a single extreme
+    value drags mean/stddev but not the quartiles). EXACT percentiles
+    (Spark `percentile`, DuckDB `quantile_cont` — same linear
+    interpolation), same one-agg + NULL-safe broadcast-join shape.
+    Zero-IQR columns yield NULL. Exact grouped percentiles buffer
+    each group's values in the agg — fine for the report/feature
+    scale this targets; at 100 TB use approx_quantiles' KLL sketches
+    and accept the epsilon."""
+    from pyspark.sql import functions as F
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    aggs = []
+    for c in cols:
+        aggs += [F.expr(f"percentile({c}, 0.5)").alias(f"__md_{c}"),
+                 F.expr(f"percentile({c}, 0.25)").alias(f"__q1_{c}"),
+                 F.expr(f"percentile({c}, 0.75)").alias(f"__q3_{c}")]
+    stats = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    out = _join_stats(df, stats, keys)
+    for c in cols:
+        iqr = F.col(f"__q3_{c}") - F.col(f"__q1_{c}")
+        out = out.withColumn(
+            f"{c}_robust",
+            F.when(iqr > 0, F.round((F.col(c) - F.col(f"__md_{c}"))
+                                    / iqr, digits)))
+    return out.drop(*[f"__{p}_{c}" for c in cols
+                      for p in ("md", "q1", "q3")])
+
+
+@register_op("robust_scale", "df")
+def _robust_scale_op(df, cols, by=None, digits=6):
+    return robust_scale(df, cols, by, digits)
