@@ -4971,6 +4971,38 @@ def w_grouped_topk_arrays(spark, sf_dir):
             .orderBy("c_mktsegment"))
 
 
+@query("e_time_weighted_avg", """
+WITH base AS (
+  SELECT user_id, EPOCH_US(ts) AS us,
+         (EPOCH_US(ts) - EPOCH_US(ts) % 86400000000)::BIGINT AS b,
+         value AS v
+  FROM events
+), holds AS (
+  SELECT user_id, b, v,
+         COALESCE(LEAD(us) OVER (PARTITION BY user_id, b ORDER BY us),
+                  b + 86400000000) - us
+         + CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY user_id, b ORDER BY us) = 1
+                THEN us - b ELSE 0 END AS w
+  FROM base
+)
+SELECT user_id, MAKE_TIMESTAMP(b) AS bucket,
+       ROUND(SUM(v * w) / SUM(w), 6) AS twa,
+       COUNT(*) AS n_points
+FROM holds GROUP BY user_id, b ORDER BY user_id, bucket
+""")
+def e_time_weighted_avg(spark, sf_dir):
+    """TIME-weighted daily average per user (pipeline/rollup.py
+    time_weighted_avg — the TimescaleDB time_weight LOCF shape):
+    each observation holds until the next; bursts of samples don't
+    overweight. One key+bucket window sharing the final agg's
+    partitioning; microsecond arithmetic replayed by the oracle."""
+    from zef_spark.pipeline.rollup import time_weighted_avg
+    ev = _events(spark, sf_dir)
+    return (time_weighted_avg(ev, "ts", "value", "user_id", "1 day")
+            .orderBy("user_id", "bucket"))
+
+
 @query("e_late_data_audit", """
 WITH w AS (
   SELECT event_type, EPOCH_US(ts) AS us,
@@ -5057,7 +5089,8 @@ _FRONT = [
     # p_standardize_balances, e_stream_ingest_mapped, p_pack_sharded,
     # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
     # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers,
-    # g_communities_cosupply, p_robust_scale_balances.
+    # g_communities_cosupply, p_robust_scale_balances,
+    # e_time_weighted_avg.
 ]
 
 

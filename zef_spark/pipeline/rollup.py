@@ -369,3 +369,45 @@ def stream_rollup(stream_df, path: str, time_col: str,
         q.awaitTermination()
         return r
     return r, writer.start()
+
+
+def time_weighted_avg(df, ts_col: str, value_col: str, by,
+                      gran: str = "1 day", digits: int = 6):
+    """(by..., bucket, twa, n_points) — TIME-weighted average per
+    bucket (TimescaleDB time_weight, LOCF form): each observation
+    holds until the next one in the same key+bucket; the last holds
+    to the bucket's end; the first observation's value also covers
+    the bucket from its start (LOCF back-extension, matching a gauge
+    that had that value when the bucket opened). Equal-weighting
+    AVG overweights bursts of samples — a sensor that reports 100×/s
+    for one minute must not dominate the day. ONE shuffle (the
+    key+bucket window and the final agg share partitioning);
+    microsecond arithmetic, engine-replayable."""
+    from pyspark.sql import Window, functions as F
+    keys = [by] if isinstance(by, str) else list(by)
+    width = _bucket_width_us(gran)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_us = (us - F.pmod(us, F.lit(width))).cast("long")
+    base = df.select(*keys, us.alias("__us"),
+                     bucket_us.alias("__b"),
+                     F.col(value_col).cast("double").alias("__v"))
+    w = Window.partitionBy(*keys, "__b").orderBy("__us")
+    nxt = F.lead("__us").over(w)
+    first = F.row_number().over(w) == 1
+    hold = (F.coalesce(nxt, F.col("__b") + F.lit(width))
+            - F.col("__us")
+            # LOCF back-extension: the first point also covers
+            # [bucket_start, first_ts)
+            + F.when(first, F.col("__us") - F.col("__b"))
+            .otherwise(F.lit(0)))
+    weighted = base.withColumn("__w", hold.cast("double"))
+    return (weighted.groupBy(*keys, F.timestamp_micros(F.col("__b"))
+                             .cast("timestamp_ntz").alias("bucket"))
+            .agg(F.round(F.sum(F.col("__v") * F.col("__w"))
+                         / F.sum("__w"), digits).alias("twa"),
+                 F.count(F.lit(1)).alias("n_points")))
+
+
+@_reg_rollup("time_weighted_avg", "df")
+def _twa_op(df, ts_col, value_col, by, gran="1 day", digits=6):
+    return time_weighted_avg(df, ts_col, value_col, by, gran, digits)
