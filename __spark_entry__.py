@@ -5003,6 +5003,32 @@ def e_time_weighted_avg(spark, sf_dir):
             .orderBy("user_id", "bucket"))
 
 
+@query("e_ohlc_daily", """
+WITH base AS (
+  SELECT user_id,
+         (EPOCH_US(ts) - EPOCH_US(ts) % 86400000000)::BIGINT AS b,
+         EPOCH_US(ts) AS us, value AS v
+  FROM events
+)
+SELECT user_id, MAKE_TIMESTAMP(b) AS bucket,
+       ROUND(ARG_MIN(v, us), 6) AS open,
+       ROUND(MAX(v), 6) AS high,
+       ROUND(MIN(v), 6) AS low,
+       ROUND(ARG_MAX(v, us), 6) AS close,
+       COUNT(*) AS n
+FROM base GROUP BY user_id, b ORDER BY user_id, bucket
+""")
+def e_ohlc_daily(spark, sf_dir):
+    """OHLC candlestick bars (pipeline/rollup.py ohlc_bars): daily
+    open/high/low/close per user as ONE hash aggregate via
+    min_by/max_by on (ts, value) — no window, no sort. The
+    finance-rollup shape equal-weight aggregates can't express."""
+    from zef_spark.pipeline.rollup import ohlc_bars
+    ev = _events(spark, sf_dir)
+    return (ohlc_bars(ev, "ts", "value", "user_id", "1 day")
+            .orderBy("user_id", "bucket"))
+
+
 @query("e_late_data_audit", """
 WITH w AS (
   SELECT event_type, EPOCH_US(ts) AS us,
@@ -5090,7 +5116,7 @@ _FRONT = [
     # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
     # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers,
     # g_communities_cosupply, p_robust_scale_balances,
-    # e_time_weighted_avg.
+    # e_time_weighted_avg, e_ohlc_daily.
 ]
 
 

@@ -411,3 +411,36 @@ def time_weighted_avg(df, ts_col: str, value_col: str, by,
 @_reg_rollup("time_weighted_avg", "df")
 def _twa_op(df, ts_col, value_col, by, gran="1 day", digits=6):
     return time_weighted_avg(df, ts_col, value_col, by, gran, digits)
+
+
+def ohlc_bars(df, ts_col: str, value_col: str, by,
+              gran: str = "1 day", digits: int = 6):
+    """(by..., bucket, open, high, low, close, n) — OHLC candlestick
+    bars per time bucket: open/close are the first/last observation
+    by (event time, then arrival order via the original row position
+    is NOT used — ties break on value for engine determinism), as
+    ONE hash aggregate with min_by/max_by — no window, no sort, one
+    shuffle keyed by (key, bucket). The financial-rollup shape that
+    equal-weight aggregates can't express."""
+    from pyspark.sql import functions as F
+    keys = [by] if isinstance(by, str) else list(by)
+    width = _bucket_width_us(gran)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = (us - F.pmod(us, F.lit(width))).cast("long")
+    v = F.col(value_col).cast("double")
+    base = df.select(*keys, b.alias("__b"), us.alias("__us"),
+                     v.alias("__v"))
+    # deterministic even with ts ties: order by (ts, value)
+    ordkey = F.struct(F.col("__us"), F.col("__v"))
+    return (base.groupBy(*keys, F.timestamp_micros(F.col("__b"))
+                         .cast("timestamp_ntz").alias("bucket"))
+            .agg(F.round(F.min_by("__v", ordkey), digits).alias("open"),
+                 F.round(F.max("__v"), digits).alias("high"),
+                 F.round(F.min("__v"), digits).alias("low"),
+                 F.round(F.max_by("__v", ordkey), digits).alias("close"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@_reg_rollup("ohlc_bars", "df")
+def _ohlc_op(df, ts_col, value_col, by, gran="1 day", digits=6):
+    return ohlc_bars(df, ts_col, value_col, by, gran, digits)
