@@ -5003,6 +5003,43 @@ def e_time_weighted_avg(spark, sf_dir):
             .orderBy("user_id", "bucket"))
 
 
+@query("e_rolling_anomalies", """
+WITH base AS (
+  SELECT event_id, user_id, EPOCH_US(ts) AS us, value AS v
+  FROM events
+), scored AS (
+  SELECT event_id, user_id,
+         AVG(v) OVER w AS m,
+         STDDEV_SAMP(v) OVER w AS s,
+         COUNT(v) OVER w AS np, v
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CASE WHEN np >= 5 THEN ROUND(m, 6) END AS roll_mean,
+       CASE WHEN np >= 5 AND s > 0 THEN ROUND(s, 6) END AS roll_std,
+       CASE WHEN np >= 5 AND s > 0
+            THEN ROUND((v - m) / s, 6) END AS z,
+       COALESCE(ABS(CASE WHEN np >= 5 AND s > 0
+                         THEN ROUND((v - m) / s, 6) END) > 3.0,
+                FALSE) AS is_anomaly
+FROM scored ORDER BY event_id
+""")
+def e_rolling_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection (pipeline/rollup.py
+    rolling_anomalies): each event scored against its user's PRIOR
+    trailing hour (current row excluded; <5 points of history →
+    NULL, no false flag) — one native RANGE window in microseconds,
+    the monitoring shape that runs identically under a watermark."""
+    from zef_spark.pipeline.rollup import rolling_anomalies
+    ev = _events(spark, sf_dir)
+    out = rolling_anomalies(ev, "ts", "value", "user_id")
+    return (out.select("event_id", "user_id", "roll_mean", "roll_std",
+                       "z", "is_anomaly")
+            .orderBy("event_id"))
+
+
 @query("e_ohlc_daily", """
 WITH base AS (
   SELECT user_id,
@@ -5116,7 +5153,7 @@ _FRONT = [
     # p_epoch_shuffle, g_field_history_price, p_personalized_pagerank,
     # g_kcore_cosupply, p_hits_purchase, g_similar_suppliers,
     # g_communities_cosupply, p_robust_scale_balances,
-    # e_time_weighted_avg, e_ohlc_daily.
+    # e_time_weighted_avg, e_ohlc_daily, e_rolling_anomalies.
 ]
 
 

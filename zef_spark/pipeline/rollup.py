@@ -444,3 +444,44 @@ def ohlc_bars(df, ts_col: str, value_col: str, by,
 @_reg_rollup("ohlc_bars", "df")
 def _ohlc_op(df, ts_col, value_col, by, gran="1 day", digits=6):
     return ohlc_bars(df, ts_col, value_col, by, gran, digits)
+
+
+def rolling_anomalies(df, ts_col: str, value_col: str, by,
+                      window_seconds: int = 3600,
+                      z_threshold: float = 3.0,
+                      min_points: int = 5, digits: int = 6):
+    """Adds ``roll_mean``, ``roll_std``, ``z`` and ``is_anomaly``:
+    each observation scored against the TRAILING window of its key's
+    PRIOR observations (the current row is excluded — scoring a point
+    against a baseline that contains it shrinks every spike). ONE
+    native RANGE window in microseconds, one shuffle on the key;
+    rows with fewer than ``min_points`` of history score NULL (no
+    baseline, no false flag). The streaming-monitoring shape that
+    runs identically under a watermark."""
+    from pyspark.sql import Window, functions as F
+    keys = [by] if isinstance(by, str) else list(by)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    w = (Window.partitionBy(*keys).orderBy(us.asc())
+         .rangeBetween(-window_seconds * 1_000_000, -1))
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    npts = F.count(v).over(w)
+    ok = (npts >= min_points) & (std > 0)
+    z = F.when(ok, F.round((v - mean) / std, digits))
+    return (df.withColumn("roll_mean",
+                          F.when(npts >= min_points,
+                                 F.round(mean, digits)))
+            .withColumn("roll_std", F.when(ok, F.round(std, digits)))
+            .withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(z) > z_threshold,
+                                   F.lit(False))))
+
+
+@_reg_rollup("rolling_anomalies", "df")
+def _roll_anom_op(df, ts_col, value_col, by, window_seconds=3600,
+                  z_threshold=3.0, min_points=5, digits=6):
+    return rolling_anomalies(df, ts_col, value_col, by,
+                             window_seconds, z_threshold, min_points,
+                             digits)
