@@ -102,3 +102,47 @@ def test_streaming_rollup_exactly_once(spark, tmp_path):
     assert exp2.exceptAll(got2).count() == 0
     # ledger is hidden from data readers (underscore path)
     assert "batch_key" not in got2.columns
+
+
+def test_time_weighted_avg_holds(spark):
+    """A value that holds for 23h dominates over a 100x burst of
+    short-lived samples — that's the point of TIME weighting."""
+    import datetime
+    from zef_spark.pipeline.rollup import time_weighted_avg
+    d = datetime.datetime(2024, 1, 1)
+    rows = [(1, d, 1.0)]                       # holds 1h (until 01:00)
+    rows += [(1, d + datetime.timedelta(hours=1, seconds=i), 100.0)
+             for i in range(60)]               # 60 samples in 1 min
+    # last sample holds to day end -> ~23h of value 100? No: the
+    # burst STARTS at 01:00 and the last holds to 24:00
+    out = time_weighted_avg(
+        spark.createDataFrame(rows, "user long, ts timestamp, v double"),
+        "ts", "v", "user", "1 day").collect()
+    assert len(out) == 1
+    # 1h at 1.0 + 23h at 100.0 => ~95.875
+    assert abs(out[0].twa - (1 * 1.0 + 23 * 100.0) / 24) < 0.01
+    assert out[0].n_points == 61
+
+
+def test_ohlc_and_anomalies(spark):
+    import datetime
+    from zef_spark.pipeline.rollup import ohlc_bars, rolling_anomalies
+    d = datetime.datetime(2024, 1, 1)
+    rows = [(1, d + datetime.timedelta(minutes=i), float(v))
+            for i, v in enumerate([5, 9, 2, 7])]
+    bar = ohlc_bars(spark.createDataFrame(
+        rows, "user long, ts timestamp, v double"),
+        "ts", "v", "user", "1 day").collect()[0]
+    assert (bar.open, bar.high, bar.low, bar.close, bar.n) == \
+        (5.0, 9.0, 2.0, 7.0, 4)
+    # anomalies: 10 calm points then a spike; spike flagged, the calm
+    # points (incl. the first 5 with no baseline) are not
+    rows = [(1, d + datetime.timedelta(minutes=i),
+             10.0 + (i % 2) * 0.5) for i in range(10)]
+    rows.append((1, d + datetime.timedelta(minutes=10), 50.0))
+    out = {r.ts.minute: r for r in rolling_anomalies(
+        spark.createDataFrame(rows, "user long, ts timestamp, v double"),
+        "ts", "v", "user").collect()}
+    assert out[10].is_anomaly is True
+    assert all(not out[m].is_anomaly for m in range(10))
+    assert out[3].z is None           # < 5 points of prior history
