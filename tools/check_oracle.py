@@ -14,6 +14,12 @@ sys.path.insert(0, "/root/repo")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Vacuity guard (r05 verdict §2): a PASS on 0 rows proves nothing —
+# empty==empty let a dead literal ('GERMANY' vs NATION_* fixtures) sit
+# green through three tri-scale sweeps. Queries whose EXPECTED result
+# is empty must be allowlisted here; everything else fails on 0 rows.
+INTENTIONALLY_EMPTY: set[str] = set()
+
 
 def duck_run(sf_dir: str, sql: str):
     import duckdb
@@ -69,6 +75,10 @@ def check(name: str, fn, sql: str, spark, sf_dir: str) -> tuple[bool, str]:
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         return False, f"value mismatch, first diffs: {diffs}"
+    if not srows and name not in INTENTIONALLY_EMPTY:
+        return False, ("VACUOUS: 0 rows on both sides — allowlist in "
+                       "INTENTIONALLY_EMPTY only if empty is the "
+                       "intended result")
     return True, f"OK ({len(srows)} rows)"
 
 
@@ -88,7 +98,11 @@ def main():
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
-                print(f"  {name:40s} rows-only ({n} rows)")
+                if n == 0 and name not in INTENTIONALLY_EMPTY:
+                    failed.append(name)
+                    print(f"  {name:40s} FAIL VACUOUS (0 rows)")
+                else:
+                    print(f"  {name:40s} rows-only ({n} rows)")
             except Exception as e:
                 failed.append(name)
                 print(f"  {name:40s} ERROR {type(e).__name__}: {e}")
