@@ -179,3 +179,44 @@ def test_commit_mapped_distributed_bulk(spark, tmp_path):
     ga = a.refresh()
     assert ga.now().all(ET.Person).df.count() == 2
     assert ga.max_tx() == gb.max_tx() + 1
+
+
+def test_wish_ids_mint_above_mapped_band(spark, tmp_path):
+    """ADVICE r05 (sync.py): interleaving wish commits with
+    commit_mapped must NOT mint colliding RAE ids. Field code 710's
+    edge band (711·2^52) reaches past the fixed 2^60 wish floor, so
+    without a persisted floor a wish id would equal the arithmetic id
+    the NEXT mapped batch deterministically mints for its next
+    sequential key. Prove: wish after mapped mints above the band, a
+    later mapped batch extends the band, and every id in the head is
+    unique — including through a rebuilt (other-process) head."""
+    from pyspark.sql import functions as F
+    from zef_spark.streaming.ingest import BatchEntityMap
+    a = _store(spark, tmp_path)
+    m = BatchEntityMap("Purchase", key_col="k", type_code=91,
+                       fields={"amount": 710})
+    batch1 = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("amount"))
+    a.commit_mapped(batch1, m)
+
+    # a SECOND process's wish commit: its head is rebuilt from the
+    # segment log, so the floor must come from the persisted idmax
+    b = GraphStore(spark, a.path)
+    gb, receipt = b.commit([E(ET.Person, "carol")])
+    wish_id = receipt["carol"]
+    assert wish_id > m.max_payload_id, (
+        f"wish id {wish_id} minted inside/below the mapped band "
+        f"(bound {m.max_payload_id})")
+
+    # the next mapped batch mints key 101's ids — the exact ids a
+    # floorless wish allocation would have collided with
+    batch2 = spark.range(101, 111).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("amount"))
+    ga = a.commit_mapped(batch2, m)
+    for df, col in ((ga.nodes, "id"), (ga.edges, "id")):
+        alive = df.where(F.col("valid_to_tx").isNull())
+        n = alive.count()
+        nd = alive.select(col).distinct().count()
+        assert n == nd, f"duplicate alive {col}s: {n} rows, {nd} distinct"
+    assert ga.now().all(ET.Purchase).df.count() == 110
+    assert ga.now().all(ET.Person).df.count() == 2

@@ -219,6 +219,15 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
 
     g = Graph(_union_all(node_parts), _union_all(edge_parts),
               _union_all(attr_parts), txs)
+    # id floor = exclusive upper bound of every arithmetic code band
+    # this mapper minted. transact() must mint ABOVE it: the max id
+    # actually present in a band is NOT a safe floor, because the band
+    # grows deterministically with new keys (code·2^K + key), so a
+    # wish id at scan-max+1 would equal the id a later mapped batch
+    # mints for the next sequential key (ADVICE r05, sync.py:271).
+    max_code = max(next_attr_code, rel_code,
+                   max(c for c, _, _ in _TABLES.values()) + 1)
+    g._max_rae_id = max_code << ID_KEY_BITS
     g.rt_vrt = rt_vrt  # static rt→VRT map: lets field() skip probing
     g.single_assignment = True  # one assignment per AE → no-shuffle reads
     g.field_owner_code = field_owner_code  # arithmetic owner-id reads
@@ -236,7 +245,7 @@ _GRAPH_CACHE: dict = {}
 
 # Bump when the mapper's output schema/ids change: invalidates the
 # on-disk materialized graphs.
-_CACHE_VERSION = 5  # v5: meta carries field_owner_code (arithmetic reads)
+_CACHE_VERSION = 6  # v6: meta carries id_floor (band-safe wish minting)
 
 
 def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
@@ -277,7 +286,8 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
         built = build_graph(spark, key)
         built.materialize(tmp)
         meta = {"rt_vrt": built.rt_vrt, "max_tx": built.max_tx(),
-                "field_owner_code": built.field_owner_code}
+                "field_owner_code": built.field_owner_code,
+                "id_floor": built._max_rae_id}
         with open(f"{tmp}/meta.json", "w") as f:
             json.dump(meta, f)
         try:
@@ -292,5 +302,6 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
     g.field_owner_code = meta.get("field_owner_code") or {}
     g.single_assignment = True
     g._max_tx = meta["max_tx"]
+    g._max_rae_id = meta.get("id_floor")
     _GRAPH_CACHE[key] = g
     return g

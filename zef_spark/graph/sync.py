@@ -76,7 +76,13 @@ class GraphStore:
         meta = {"base_max_tx": g.max_tx(),
                 "rt_vrt": getattr(g, "rt_vrt", None),
                 "single_assignment": getattr(g, "single_assignment",
-                                             False)}
+                                             False),
+                # id floor of the base: every later commit (wish OR
+                # mapped) must mint RAE ids above this. A mapper-built
+                # base carries its arithmetic-band bound here; without
+                # it a wish id could equal the id a later mapped batch
+                # deterministically mints for its next key.
+                "base_id_floor": getattr(g, "_max_rae_id", None) or 0}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         store = cls(g.spark, path)
@@ -105,6 +111,17 @@ class GraphStore:
     def _build(self, segs: list[tuple[int, str]]) -> Graph:
         spark = self.spark
         meta = self._meta()
+        # id floor = max over the base's floor and every segment's
+        # recorded high-water mark (wish segments record their last
+        # minted id; mapped segments record the mapping's band bound
+        # max_payload_id). The rebuilt head inherits it so transact in
+        # ANY process mints above every band ever committed here.
+        id_floor = meta.get("base_id_floor", 0) or 0
+        for _, sp in segs:
+            im = os.path.join(sp, "idmax.json")
+            if os.path.exists(im):
+                with open(im) as f:
+                    id_floor = max(id_floor, json.load(f)["idmax"])
         # start from the newest checkpoint at or below the head: a
         # checkpoint segment folds all earlier history into a fresh
         # base snapshot (Delta-checkpoint shape), so rebuild cost is
@@ -186,6 +203,7 @@ class GraphStore:
         out.rt_vrt = meta.get("rt_vrt")
         out.single_assignment = bool(meta.get("single_assignment"))
         out._max_tx = top_tx
+        out._max_rae_id = id_floor or None
         return out
 
     # -- write side ---------------------------------------------------
@@ -209,6 +227,8 @@ class GraphStore:
             tmp = os.path.join(self.path, "txlog",
                                f".tmp-{uuid.uuid4().hex}")
             self._write_segment(g, g2, tx, tmp)
+            with open(os.path.join(tmp, "idmax.json"), "w") as f:
+                json.dump({"idmax": g2._max_rae_id or 0}, f)
             final = os.path.join(self.path, "txlog", _SEG_FMT.format(tx))
             try:
                 os.rename(tmp, final)
@@ -245,6 +265,10 @@ class GraphStore:
             os.makedirs(tmp, exist_ok=True)
             with open(os.path.join(tmp, "checkpoint.json"), "w") as f:
                 json.dump({"base": base_name}, f)
+            # carry the folded history's id floor: clean() may delete
+            # the pre-checkpoint segments whose idmax records it
+            with open(os.path.join(tmp, "idmax.json"), "w") as f:
+                json.dump({"idmax": g._max_rae_id or 0}, f)
             # the checkpoint claims tx; it carries no delta rows, but
             # max_tx must stay monotonic — record an empty tx row
             import datetime
@@ -309,6 +333,13 @@ class GraphStore:
             self.spark.createDataFrame([(tx, time)], TXS_SCHEMA) \
                 .coalesce(1).write.mode("overwrite") \
                 .parquet(os.path.join(tmp, "txs"))
+            # record the mapping's band bound: wish commits in ANY
+            # process (now or after restart) must mint above it, or a
+            # wish id equals the arithmetic id this mapping mints for
+            # its next sequential key (ADVICE r05)
+            with open(os.path.join(tmp, "idmax.json"), "w") as f:
+                json.dump({"idmax": max(mapping.max_payload_id,
+                                        g._max_rae_id or 0)}, f)
             final = os.path.join(self.path, "txlog",
                                  _SEG_FMT.format(tx))
             try:
