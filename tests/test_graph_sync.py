@@ -220,3 +220,32 @@ def test_wish_ids_mint_above_mapped_band(spark, tmp_path):
         assert n == nd, f"duplicate alive {col}s: {n} rows, {nd} distinct"
     assert ga.now().all(ET.Purchase).df.count() == 110
     assert ga.now().all(ET.Person).df.count() == 2
+
+
+def test_tag_deltas_cross_process(spark, tmp_path):
+    """r05 verdict §3: tag/untag survive multi-process sync. Process
+    A tags, process B resolves by_tag after refresh; a re-tag moves
+    the name and the old interval stays time-travelable."""
+    from zef_spark.graph.delta import Tag, Untag
+    from zef_spark.graph.graph import GraphSlice
+    a = _store(spark, tmp_path)
+    alice = a.head().now().all(ET.Person).df.collect()[0]["id"]
+    a.commit([Tag("boss", alice)])
+
+    b = GraphStore(spark, a.path)
+    gb = b.refresh()
+    assert gb.now().by_tag("boss").df.collect()[0]["id"] == alice
+
+    # B re-tags to a new person; A sees the move after refresh
+    gb2, receipt = b.commit([E(ET.Person, "bob"), Tag("boss", "bob")])
+    ga = a.refresh()
+    assert ga.now().by_tag("boss").df.collect()[0]["id"] \
+        == receipt["bob"]
+    # the pre-move frame still resolves the OLD target (temporal tag)
+    old = GraphSlice(ga, ga.max_tx() - 1)
+    assert old.by_tag("boss").df.collect()[0]["id"] == alice
+
+    # untag closes the interval everywhere
+    b.commit([Untag("boss")])
+    ga = a.refresh()
+    assert ga.now().by_tag("boss").df.count() == 0

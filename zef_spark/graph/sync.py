@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .graph import Graph
 from .schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA, NODES_SCHEMA,
-                     TXS_SCHEMA)
+                     TAGS_SCHEMA, TXS_SCHEMA)
 
 _SEG_FMT = "{:012d}"
 
@@ -162,6 +162,7 @@ class GraphStore:
 
         n_new, n_cl, e_new, e_cl, a_new, a_cl, t_new = \
             [], [], [], [], [], [], []
+        tg_new, tg_cl = [], []
         if ck_seg is not None:
             # the checkpoint's own (empty) tx row isn't in its folded
             # base — carry it so the txs dimension stays gapless
@@ -190,6 +191,13 @@ class GraphStore:
             if os.path.exists(p):
                 a_cl.append(spark.read.schema(av_close_schema)
                             .parquet(p))
+            if (x := rd(sp, "tags", TAGS_SCHEMA)) is not None:
+                tg_new.append(x)
+            p = os.path.join(sp, "tag_closures")
+            if os.path.exists(p):
+                tg_cl.append(spark.read.schema(
+                    "name string, valid_from_tx long, __closed_at long"
+                ).parquet(p))
         nodes = apply(g.nodes, ["id", "valid_from_tx"], "valid_to_tx",
                       n_new, n_cl)
         edges = apply(g.edges, ["id", "valid_from_tx"], "valid_to_tx",
@@ -199,7 +207,13 @@ class GraphStore:
         txs = g.txs
         for t in t_new:
             txs = txs.unionByName(t)
-        out = Graph(nodes, edges, avs, txs, g.tags)
+        tags = g.tags
+        if tg_new or tg_cl:
+            if tags is None:
+                tags = spark.createDataFrame([], TAGS_SCHEMA)
+            tags = apply(tags, ["name", "valid_from_tx"],
+                         "valid_to_tx", tg_new, tg_cl)
+        out = Graph(nodes, edges, avs, txs, tags)
         out.rt_vrt = meta.get("rt_vrt")
         out.single_assignment = bool(meta.get("single_assignment"))
         out._max_tx = top_tx
@@ -214,11 +228,7 @@ class GraphStore:
         against a refreshed head when another process claims the tx
         number first (the atomic-rename race). Returns (head graph
         after commit, receipt)."""
-        from .delta import Tag, Untag, transact
-        if any(isinstance(w_, (Tag, Untag)) for w_ in wishes):
-            raise NotImplementedError(
-                "GraphStore segments don't carry tag deltas yet — "
-                "tag on the in-memory graph or extend _write_segment")
+        from .delta import transact
         last_err = None
         for _ in range(max_retries):
             g = self.refresh()
@@ -420,3 +430,12 @@ class GraphStore:
           .select("ae_id", "assigned_at_tx",
                   F.lit(tx).cast("long").alias("__closed_at")),
           "av_closures")
+        # tag deltas: temporal names follow the same interval model
+        # as RAEs (Tag opens, Untag/re-Tag closes at tx)
+        if after.tags is not None:
+            w(after.tags.where(F.col("valid_from_tx") == tx), "tags")
+            w(after.tags.where((F.col("valid_to_tx") == tx)
+                               & (F.col("valid_from_tx") < tx))
+              .select("name", "valid_from_tx",
+                      F.lit(tx).cast("long").alias("__closed_at")),
+              "tag_closures")
