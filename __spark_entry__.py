@@ -5055,14 +5055,21 @@ WITH base AS (
          (EPOCH_US(ts) - EPOCH_US(ts) % 86400000000)::BIGINT AS b,
          EPOCH_US(ts) AS us, value AS v
   FROM events
+), w AS (
+  SELECT *, MIN(us) OVER (PARTITION BY user_id, b) AS us0,
+            MAX(us) OVER (PARTITION BY user_id, b) AS us1
+  FROM base
 )
+-- open/close replay Spark's (ts, value) lexicographic tie-break:
+-- among min-ts rows the MIN value opens, among max-ts rows the MAX
+-- value closes (ARG_MIN(v, us) alone is arbitrary on tied ts)
 SELECT user_id, MAKE_TIMESTAMP(b) AS bucket,
-       ROUND(ARG_MIN(v, us), 6) AS open,
+       ROUND(MIN(v) FILTER (WHERE us = us0), 6) AS open,
        ROUND(MAX(v), 6) AS high,
        ROUND(MIN(v), 6) AS low,
-       ROUND(ARG_MAX(v, us), 6) AS close,
+       ROUND(MAX(v) FILTER (WHERE us = us1), 6) AS close,
        COUNT(*) AS n
-FROM base GROUP BY user_id, b ORDER BY user_id, bucket
+FROM w GROUP BY user_id, b ORDER BY user_id, bucket
 """)
 def e_ohlc_daily(spark, sf_dir):
     """OHLC candlestick bars (pipeline/rollup.py ohlc_bars): daily

@@ -122,3 +122,41 @@ def test_k_core_peeling(spark):
     chain = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
     assert k_core(chain, 2).count() == 0
+
+
+def test_pagerank_convergence_mode(spark):
+    """tol= early-stops on max rank delta and reaches the same
+    fixpoint the long fixed-iteration run reaches (r05 verdict §4)."""
+    from zef_spark.graph.algorithms import pagerank
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)], "src long, dst long")
+    fixed = {r["id"]: r["rank"]
+             for r in pagerank(edges, n_iter=60).collect()}
+    conv = {r["id"]: r["rank"]
+            for r in pagerank(edges, n_iter=60, tol=1e-9).collect()}
+    assert set(conv) == set(fixed)
+    for i in fixed:
+        assert abs(conv[i] - fixed[i]) < 1e-6
+    # early-stop proof: jobs-per-round would be invisible here, so
+    # assert via the cheap invariant instead — a ridiculous cap with
+    # a loose tol returns after very few rounds (wall-clock sanity)
+    import time
+    t0 = time.time()
+    pagerank(edges, n_iter=500, tol=1e-3).collect()
+    assert time.time() - t0 < 60
+
+
+def test_hits_convergence_and_niter_guard(spark):
+    from zef_spark.graph.algorithms import hits
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="n_iter"):
+        hits(edges, n_iter=0)
+    fixed = {r["id"]: (r["hub"], r["authority"])
+             for r in hits(edges, n_iter=40).collect()}
+    conv = {r["id"]: (r["hub"], r["authority"])
+            for r in hits(edges, n_iter=40, tol=1e-9).collect()}
+    assert set(conv) == set(fixed)
+    for i in fixed:
+        assert abs(conv[i][0] - fixed[i][0]) < 1e-5
+        assert abs(conv[i][1] - fixed[i][1]) < 1e-5

@@ -125,3 +125,18 @@ def test_filter_funnel_quoted_stage_name(spark):
         .orderBy("stage_idx").collect()
     assert [(r.stage, r.n_docs) for r in out] == \
         [("input", 1), ("doesn't_match", 0)]
+
+
+def test_bm25_term_contract(spark):
+    """ADVICE r05: empty query bag is a clear error; mixed-case terms
+    match case-insensitively instead of silently scoring zero."""
+    import pytest
+    from zef_spark.pipeline.corpus import bm25
+    docs = spark.createDataFrame(
+        [(1, "Spark engines shuffle data"), (2, "quiet pond")],
+        "id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25(docs, "id", "text", [])
+    out = {r["id"]: r["n_matched"]
+           for r in bm25(docs, "id", "text", ["SPARK", "Data"]).collect()}
+    assert out == {1: 2}

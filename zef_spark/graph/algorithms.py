@@ -47,10 +47,18 @@ def _dec12(col):
 def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              n_iter: int = 3, damping: float = 0.85,
              digits: int = 6, checkpoint_every: int = 0,
-             seed_pred=None) -> DataFrame:
+             seed_pred=None, tol: float | None = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
     Returns (id, rank) for every node appearing as source or target;
     rank rounded to `digits`. Duplicate edges count once.
+
+    ``tol`` switches to CONVERGENCE mode: iterate until the max
+    absolute rank delta between rounds drops below ``tol`` (checked
+    with ONE scalar agg per round — rank-vector sized, no edge
+    traffic), capped at ``n_iter`` rounds. The fixed-iteration oracle
+    path (tol=None) is unchanged and stays bit-replayable by
+    pagerank_oracle_sql. In convergence mode each round's ranks are
+    localCheckpoint'd so the growing lineage never re-plans.
 
     ``seed_pred`` (a boolean Column over ``id``) switches to
     PERSONALIZED PageRank: the teleport mass (1-d) returns to the
@@ -88,6 +96,8 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         e = e.localCheckpoint()
         deg = deg.localCheckpoint()
 
+    if tol is not None:
+        ranks = ranks.localCheckpoint()
     for i in range(n_iter):
         contribs = (e.join(ranks.join(deg, "id"),
                            e.src == F.col("id"))
@@ -98,13 +108,23 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
                     .agg(F.sum("contrib").alias("in_sum")))
         # teleport + d*in_sum is exact decimal arithmetic (scale 15);
         # the explicit ROUND brings it back to scale 12 half-up.
+        prev = ranks
         ranks = (nodes.join(contribs, "id", "left")
                  .select("id",
                          F.round(teleport + damp
                                  * F.coalesce(F.col("in_sum"),
                                               F.lit(0).cast(_DEC)),
                                  _SCALE).cast(_DEC).alias("rank")))
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        if tol is not None:
+            ranks = ranks.localCheckpoint()
+            delta = (ranks.join(prev.withColumnRenamed("rank", "__p"),
+                                "id")
+                     .agg(F.max(F.abs(F.col("rank") - F.col("__p"))
+                                .cast("double")).alias("d"))
+                     .collect()[0]["d"])
+            if delta is not None and delta < tol:
+                break
+        elif checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
 
     return ranks.select("id", F.round(F.col("rank").cast("double"),
@@ -382,6 +402,9 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
     sym = (e.unionByName(e.select(F.col("b").alias("a"),
                                   F.col("a").alias("b")))
            .distinct().localCheckpoint())
+    # ONE count per round: carry the previous round's size forward
+    # instead of re-counting the pre-peel table (r05 verdict §4)
+    before = sym.count()
     for _ in range(max_rounds):
         deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.where(F.col("d") >= k).select(F.col("a").alias("id"))
@@ -390,17 +413,17 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
                .join(keep.select(F.col("id").alias("b")), "b",
                      "left_semi")
                .localCheckpoint())
-        before = sym.count()
         after = nxt.count()
         sym = nxt
         if after == before:
             break
+        before = after
     return (sym.select(F.col("a").alias("id")).distinct())
 
 
 def hits(edges: DataFrame, src_col: str = "src",
          dst_col: str = "dst", n_iter: int = 3,
-         digits: int = 6) -> DataFrame:
+         digits: int = 6, tol: float | None = None) -> DataFrame:
     """(id, hub, authority) — fixed-iteration HITS (Kleinberg 1999):
     authority = Σ hub over in-edges, hub = Σ authority over
     out-edges, each L1-normalized per half-step. Same determinism
@@ -409,7 +432,16 @@ def hits(edges: DataFrame, src_col: str = "src",
     normalizing divisions, immediately re-rounded half-up into
     DECIMAL — bit-reproducible and replayable by the unrolled SQL
     oracle. Per iteration: two rank-vector shuffles; the edge table
-    never moves."""
+    never moves.
+
+    ``tol`` switches to CONVERGENCE mode: stop when the max absolute
+    hub delta between rounds drops below tol (one scalar agg per
+    round), capped at ``n_iter`` rounds; the fixed-iteration oracle
+    path is unchanged."""
+    if n_iter < 1:
+        raise ValueError(f"hits: n_iter must be >= 1 (got {n_iter}); "
+                         "the hub/authority vectors are defined by at "
+                         "least one propagation round")
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct().localCheckpoint())
@@ -428,6 +460,8 @@ def hits(edges: DataFrame, src_col: str = "src",
                 .select("id", _dec12(F.col("score").cast("double")
                                      / F.col("__t")).alias("score")))
 
+    if tol is not None:
+        h = h.localCheckpoint()
     for _ in range(n_iter):
         a = (e.join(h.withColumnRenamed("id", "src")
                     .withColumnRenamed("score", "__h"), "src")
@@ -437,6 +471,7 @@ def hits(edges: DataFrame, src_col: str = "src",
                   .select("id", F.coalesce(F.col("score"),
                                            F.lit(0).cast(_DEC))
                           .alias("score")))
+        prev_h = h
         h = (e.join(a.withColumnRenamed("id", "dst")
                     .withColumnRenamed("score", "__a"), "dst")
              .groupBy(F.col("src").alias("id"))
@@ -445,6 +480,16 @@ def hits(edges: DataFrame, src_col: str = "src",
                   .select("id", F.coalesce(F.col("score"),
                                            F.lit(0).cast(_DEC))
                           .alias("score")))
+        if tol is not None:
+            h = h.localCheckpoint()
+            a = a.localCheckpoint()
+            delta = (h.join(prev_h.withColumnRenamed("score", "__p"),
+                            "id")
+                     .agg(F.max(F.abs(F.col("score") - F.col("__p"))
+                                .cast("double")).alias("d"))
+                     .collect()[0]["d"])
+            if delta is not None and delta < tol:
+                break
     return (h.withColumnRenamed("score", "__hub")
             .join(a.withColumnRenamed("score", "__auth"), "id")
             .select("id",

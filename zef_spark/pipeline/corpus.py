@@ -368,7 +368,14 @@ def bm25(df: DataFrame, id_col: str, text_col: str,
     is |terms|-bounded per doc, not vocabulary-sized); per-term df
     and the corpus totals (N, avgdl) ride in as broadcast 1-row /
     |terms|-row sides — zero driver collects, one lazy plan. Only
-    docs matching ≥1 term survive (score of the rest is 0)."""
+    docs matching ≥1 term survive (score of the rest is 0).
+
+    Terms are matched case-insensitively: documents tokenize
+    lowercased, so the query bag is lowercased here too (a
+    mixed-case term would otherwise silently score zero)."""
+    if not query_terms:
+        raise ValueError("bm25: query_terms must be a non-empty list")
+    query_terms = [t.lower() for t in query_terms]
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
                     lambda t: t != "")
     base = df.select(F.col(id_col), toks.alias("__toks"))

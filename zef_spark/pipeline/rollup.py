@@ -417,11 +417,12 @@ def ohlc_bars(df, ts_col: str, value_col: str, by,
               gran: str = "1 day", digits: int = 6):
     """(by..., bucket, open, high, low, close, n) — OHLC candlestick
     bars per time bucket: open/close are the first/last observation
-    by (event time, then arrival order via the original row position
-    is NOT used — ties break on value for engine determinism), as
-    ONE hash aggregate with min_by/max_by — no window, no sort, one
-    shuffle keyed by (key, bucket). The financial-rollup shape that
-    equal-weight aggregates can't express."""
+    ordered by (event time, value) — the value component breaks
+    tied timestamps deterministically, since arrival order is not
+    reproducible across engines. ONE hash aggregate with
+    min_by/max_by — no window, no sort, one shuffle keyed by
+    (key, bucket). The financial-rollup shape that equal-weight
+    aggregates can't express."""
     from pyspark.sql import functions as F
     keys = [by] if isinstance(by, str) else list(by)
     width = _bucket_width_us(gran)
