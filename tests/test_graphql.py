@@ -645,7 +645,10 @@ def test_subscription_over_sse_transport(schema, store):
         while True:
             line = r.fp.readline().decode()
             if line.startswith("data: "):
-                frames.append(_json.loads(line[len("data: "):]))
+                payload = _json.loads(line[len("data: "):])
+                if payload == {}:          # heartbeat frame
+                    continue
+                frames.append(payload)
                 break
         conn.close()
 
@@ -755,3 +758,64 @@ def test_required_unique_dynamic_directives(spark):
     moved = eng.execute("""mutation { updateAccount(input: {
       filter: {id: [2]}, set: {email: "z@x.io"}}) { count } }""")
     assert moved["updateAccount"]["count"] == 1
+
+
+def test_sse_heartbeat_and_stream_limit(schema, store):
+    """r05 verdict §7: the stream emits an observable heartbeat frame
+    during silence; a slow client's disconnect frees the stream slot
+    (thread + subscription); connects past max_streams get 503 +
+    Retry-After instead of an unbounded thread pile-up."""
+    import http.client
+    import time as _t
+
+    from zef_spark.graphql import (GraphQLEngine, SubscriptionManager,
+                                   make_server, serve_in_thread)
+    subs = SubscriptionManager()
+    eng = GraphQLEngine(schema, store=store, subscriptions=subs)
+    srv = make_server(eng, max_streams=1, heartbeat_seconds=0.5)
+    serve_in_thread(srv)
+    host, port = srv.server_address
+    q = ('subscription { onRegion(kinds: ["added"]) { name } }'
+         .replace(" ", "%20").replace('"', "%22"))
+
+    # stream 1: observe retry hint + a heartbeat frame, then vanish
+    c1 = http.client.HTTPConnection(host, port, timeout=30)
+    c1.request("GET", f"/graphql/stream?query={q}")
+    r1 = c1.getresponse()
+    assert r1.status == 200
+    seen_retry = seen_beat = False
+    deadline = _t.monotonic() + 20
+    while _t.monotonic() < deadline and not (seen_retry and seen_beat):
+        line = r1.fp.readline().decode()
+        if line.startswith("retry:"):
+            seen_retry = True
+        if line.startswith("event: heartbeat"):
+            seen_beat = True
+    assert seen_retry and seen_beat
+
+    # the slot is taken: a second stream is turned away with 503
+    c2 = http.client.HTTPConnection(host, port, timeout=30)
+    c2.request("GET", f"/graphql/stream?query={q}")
+    r2 = c2.getresponse()
+    assert r2.status == 503
+    assert r2.getheader("Retry-After") is not None
+    c2.close()
+
+    # slow client disconnects -> heartbeat write fails server-side,
+    # the slot frees and the subscription cancels (close the response
+    # too: it holds the underlying socket fd via makefile)
+    r1.close()
+    c1.close()
+    for _ in range(60):
+        if srv._stream_count[0] == 0 and not subs._subs:
+            break
+        _t.sleep(0.25)
+    assert srv._stream_count[0] == 0
+    assert not subs._subs
+
+    # freed slot accepts a new stream
+    c3 = http.client.HTTPConnection(host, port, timeout=30)
+    c3.request("GET", f"/graphql/stream?query={q}")
+    assert c3.getresponse().status == 200
+    c3.close()
+    srv.shutdown()

@@ -271,9 +271,11 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
     import json
     import os
 
+    layout = os.environ.get("ZEF_SPARK_GRAPH_LAYOUT", "partitioned")
     key = sf_dir.rstrip("/")
-    if key in _GRAPH_CACHE:
-        return _GRAPH_CACHE[key]
+    ckey = (key, layout)
+    if ckey in _GRAPH_CACHE:
+        return _GRAPH_CACHE[ckey]
     root = os.environ.get("ZEF_SPARK_GRAPH_CACHE",
                           "/root/repo/.graph_cache")
     tag = key.strip("/").replace("/", "_")
@@ -298,10 +300,21 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
     with open(meta_path) as f:
         meta = json.load(f)
     g = Graph.load(spark, path)
+    # ZEF_SPARK_GRAPH_LAYOUT=bucketed: serve the cluster-posture
+    # layout (hybrid token-partition + bucketBy, dual edge
+    # projection) so the bench can put a number on it — see
+    # graph_for's layout note. Bucketed tables ride the session
+    # catalog, so they're (re)built once per session from the plain
+    # parquet cache; the build is ingest time, not query time.
+    if os.environ.get("ZEF_SPARK_GRAPH_LAYOUT") == "bucketed":
+        prefix = f"zsb_{tag.replace('.', '_').replace('-', '_')}"
+        if not spark.catalog.tableExists(f"{prefix}_nodes"):
+            g.materialize_bucketed(prefix, dual_projection=True)
+        g = Graph.load_bucketed(spark, prefix)
     g.rt_vrt = meta["rt_vrt"]
     g.field_owner_code = meta.get("field_owner_code") or {}
     g.single_assignment = True
     g._max_tx = meta["max_tx"]
     g._max_rae_id = meta.get("id_floor")
-    _GRAPH_CACHE[key] = g
+    _GRAPH_CACHE[ckey] = g
     return g

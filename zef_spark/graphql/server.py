@@ -155,7 +155,9 @@ class AuthedEngine:
 # -- HTTP server ------------------------------------------------------
 
 def make_server(engine, auth: AuthConfig | None = None,
-                host: str = "127.0.0.1", port: int = 0):
+                host: str = "127.0.0.1", port: int = 0,
+                max_streams: int = 64,
+                heartbeat_seconds: float = 10.0):
     """ThreadingHTTPServer serving POST /graphql {query, variables}
     and — the over-the-wire half of per-type subscriptions (reference
     generates onT subscription fields per type, simplegql/
@@ -167,10 +169,22 @@ def make_server(engine, auth: AuthConfig | None = None,
     gates the stream with the same Bearer-token resolution as POST.
     Returns the server object (``.server_address`` has the bound
     port); call ``serve_forever`` / ``shutdown`` yourself or use
-    ``serve_in_thread``."""
+    ``serve_in_thread``.
+
+    Stream resilience (the reference rides a resilient WebSocket,
+    generate_api2.py): each stream opens with an SSE ``retry:``
+    reconnect hint, emits an ``event: heartbeat`` frame after
+    ``heartbeat_seconds`` of silence (liveness signal AND disconnect
+    probe — a dead client raises on the write, freeing the handler
+    thread and cancelling its subscription), and at most
+    ``max_streams`` streams run concurrently: excess connects get
+    503 + Retry-After instead of a silently-queued thread."""
+    import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     authed = AuthedEngine(engine, auth) if auth is not None else None
+    stream_count = [0]
+    stream_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):          # silence test noise
@@ -205,17 +219,32 @@ def make_server(engine, auth: AuthConfig | None = None,
 
         def _sse(self, query: str, variables):
             import queue as _queue
+            import time as _time
             if auth is not None:
                 try:
                     auth.resolve(dict(self.headers))
                 except AuthError as e:
                     self._send(401, {"errors": [{"message": str(e)}]})
                     return
+            with stream_lock:
+                if stream_count[0] >= max_streams:
+                    self.send_response(503)
+                    self.send_header("Retry-After", "5")
+                    self.send_header("Content-Type", "application/json")
+                    body = json.dumps({"errors": [{"message":
+                        f"stream limit {max_streams} reached"}]}).encode()
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                stream_count[0] += 1
             events: _queue.Queue = _queue.Queue()
             try:
                 handles = engine.execute_subscription(
                     query, events.put, variables)
             except Exception as e:
+                with stream_lock:
+                    stream_count[0] -= 1
                 self._send(400, {"errors": [{"message": str(e)}]})
                 return
             try:
@@ -223,21 +252,37 @@ def make_server(engine, auth: AuthConfig | None = None,
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
+                # SSE reconnect hint: a dropped client retries itself
+                self.wfile.write(b"retry: 3000\n\n")
+                self.wfile.flush()
+                last_beat = _time.monotonic()
                 while True:
                     try:
                         ev = events.get(timeout=0.5)
                     except _queue.Empty:
-                        # keep-alive doubles as the disconnect probe
-                        self.wfile.write(b": keep-alive\n\n")
+                        now = _time.monotonic()
+                        if now - last_beat >= heartbeat_seconds:
+                            # typed heartbeat frame: liveness signal
+                            # clients can observe (comments are
+                            # invisible to EventSource handlers)
+                            self.wfile.write(
+                                b"event: heartbeat\ndata: {}\n\n")
+                            last_beat = now
+                        else:
+                            # cheap disconnect probe between beats
+                            self.wfile.write(b": keep-alive\n\n")
                         self.wfile.flush()
                         continue
                     frame = json.dumps(ev, default=str)
                     self.wfile.write(
                         f"event: next\ndata: {frame}\n\n".encode())
                     self.wfile.flush()
+                    last_beat = _time.monotonic()
             except (BrokenPipeError, ConnectionResetError, OSError):
                 pass                        # client went away
             finally:
+                with stream_lock:
+                    stream_count[0] -= 1
                 for h in handles.values():
                     h.cancel()
 
@@ -272,7 +317,9 @@ def make_server(engine, auth: AuthConfig | None = None,
             except Exception as e:  # GraphQL errors -> error payload
                 self._send(200, {"errors": [{"message": str(e)}]})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv._stream_count = stream_count   # observability/test hook
+    return srv
 
 
 def serve_in_thread(server):
