@@ -5119,6 +5119,31 @@ def e_late_data_audit(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("p_kmeans_clusters", None)
+def p_kmeans_clusters(spark, sf_dir):
+    """Lloyd's k-means over the embeddings table
+    (pipeline/similarity.py kmeans_assign) — the SemDeDup-style
+    coarse clustering step for semantic dedup. ALL arithmetic is
+    scaled-integer (quantize → literal-centroid row-local assign →
+    SUM DIV n update), so the unrolled DuckDB oracle matches
+    EXACTLY: no FP summation order anywhere. Per round: one map +
+    one k×dim aggregate; assignment never shuffles."""
+    from zef_spark.pipeline.similarity import kmeans_assign
+    emb = _t(spark, sf_dir, "embeddings")
+    return (kmeans_assign(emb, "embedding", "vec_id",
+                          k=8, n_iter=3)
+            .orderBy("id"))
+
+
+def _kmeans_oracle() -> str:
+    from zef_spark.pipeline.similarity import kmeans_oracle_sql
+    return kmeans_oracle_sql("embeddings", "vec_id", "embedding",
+                             k=8, n_iter=3)
+
+
+ORACLE["p_kmeans_clusters"] = _kmeans_oracle()
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -5153,6 +5178,7 @@ _FRONT = [
     # (b) r05 proof-defect re-checks
     "e_scd2_event_type",
     # (c) NEW in r06 — first oracle rows (names appended as built)
+    "p_kmeans_clusters",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5166,7 +5192,6 @@ _FRONT = [
     "g_time_travel_relative", "g_tx_instantiated_events",
     "g_gather_closure", "p_dedup_exact_groups", "p_token_counts",
     "p_text_quality", "p_lang_id", "p_fingerprint",
-    "p_ann_cosine_topk",
 ]
 
 

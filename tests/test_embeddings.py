@@ -110,3 +110,28 @@ def test_ann_index_add_incremental(spark, sf_dir, tmp_path):
     # in the index (the append moved no existing vector's cell)
     assert {r["vec_id"] for r in before} <= \
         {r["vec_id"] for r in idx.select("vec_id").collect()}
+
+
+def test_kmeans_assign_separable_and_ties(spark):
+    """kmeans_assign recovers trivially separable clusters and is
+    invariant to input row order (engine-exact integer arithmetic)."""
+    from zef_spark.pipeline.similarity import kmeans_assign
+    rows = ([(i, [10.0 + (i % 3) * 0.01, 10.0]) for i in range(10)]
+            + [(i, [-10.0, -10.0 - (i % 3) * 0.01])
+               for i in range(10, 20)])
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r["id"]: r["cluster"]
+           for r in kmeans_assign(df, "v", "id", k=2,
+                                  n_iter=3).collect()}
+    a = {out[i] for i in range(10)}
+    b = {out[i] for i in range(10, 20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # row order / partitioning invariance
+    out2 = {r["id"]: r["cluster"]
+            for r in kmeans_assign(df.orderBy(F.desc("id"))
+                                   .repartition(7), "v", "id",
+                                   k=2, n_iter=3).collect()}
+    assert out2 == out
+    import pytest
+    with pytest.raises(ValueError):
+        kmeans_assign(df, "v", "id", k=0)

@@ -366,3 +366,136 @@ def ann_index_add(new_df: DataFrame, path: str, vec_col: str,
         raise ValueError("method must be 'ivf' or 'lsh'")
     new_df.withColumn("__cell", cell).write.mode("append") \
         .partitionBy("__cell").parquet(path)
+
+
+def kmeans_assign(df: DataFrame, vec_col: str, id_col: str,
+                  k: int = 8, n_iter: int = 3,
+                  scale: int = 1_000_000) -> DataFrame:
+    """(id, cluster) — Lloyd's k-means over an embedding column,
+    ENGINE-EXACT: all arithmetic happens in scaled-integer space so
+    every engine replays it bit-identically (the SemDeDup-style
+    coarse clustering step; reference analogue is `deduplicate`'s
+    grouping generalized to embedding space).
+
+    - Quantize: X_j = floor(x_j·scale + 0.5) as int64 (pure IEEE ops
+      on identical doubles — deterministic across engines; ±4e6 per
+      coordinate leaves 64-dim squared distances < 2^52).
+    - Init: the k vectors with the smallest md5(id) string become
+      centroids 0..k-1 (md5 rank is the engine-portable shuffle this
+      codebase uses for reproducible sampling, see epoch_shuffle).
+    - Assign (ROW-LOCAL, zero shuffle): centroids ride into the plan
+      as k·dim literals (metadata-sized — the k-rows collect is the
+      same control-plane trade as a broadcast-join build side);
+      nearest = array_min over (dist², cid) structs, so ties break
+      on cluster id deterministically.
+    - Update (ONE narrow shuffle): dim positional sums in a single
+      groupBy with map-side combine — no explode, the shuffle
+      carries k·dim partials per mapper, not N·dim rows.
+      New centroid: C_j = SUM(X_j) DIV n (exact integer division).
+
+    n_iter = number of ASSIGN passes (n_iter-1 updates between
+    them). Scale posture at 100 TB: per round, one map over the data
+    + one k×dim-sized aggregate; nothing quadratic, no vector ever
+    leaves its row."""
+    if k < 1 or n_iter < 1:
+        raise ValueError("kmeans_assign: k and n_iter must be >= 1")
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col).cast("array<double>"),
+                    lambda v: F.floor(v * scale + F.lit(0.5))
+                    .cast("long")).alias("x"))
+    dim = len(q.select("x").first()["x"])
+    q = q.localCheckpoint()  # scanned once per round; cut re-plan cost
+
+    # deterministic init: k smallest md5(id) → centroid ids 0..k-1
+    init = (q.select("id", "x",
+                     F.md5(F.col("id").cast("string")).alias("h"))
+            .orderBy("h").limit(k).collect())
+    cents = [list(r["x"]) for r in sorted(init, key=lambda r: r["h"])]
+
+    assigned = None
+    for it in range(n_iter):
+        # row-local argmin over literal centroids
+        choices = []
+        for cid, c in enumerate(cents):
+            cvec = F.array(*[F.lit(int(v)) for v in c])
+            d = F.aggregate(
+                F.zip_with(F.col("x"), cvec,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            choices.append(F.struct(d.alias("d"),
+                                    F.lit(cid).alias("cid")))
+        assigned = q.select(
+            "id", "x",
+            F.array_min(F.array(*choices))["cid"].alias("cluster"))
+        if it == n_iter - 1:
+            break
+        # positional integer means, one hash agg (map-side combine)
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("x")[j]).alias(f"s{j}") for j in range(dim)])
+        rows = {r["cluster"]: r for r in sums.collect()}
+
+        def tdiv(s: int, n: int) -> int:
+            # TRUNCATING integer division (SQL DIV semantics; Python
+            # // floors, which differs on negative sums)
+            return -(-s // n) if s < 0 else s // n
+
+        cents = [
+            [tdiv(int(rows[cid][f"s{j}"]), int(rows[cid]["n"]))
+             if cid in rows else cents[cid][j]      # empty cluster:
+             for j in range(dim)]                   # keep old centroid
+            for cid in range(k)]
+    return assigned.select("id", "cluster")
+
+
+def kmeans_oracle_sql(table: str = "embeddings", id_sql: str = "vec_id",
+                      vec_sql: str = "embedding", k: int = 8,
+                      n_iter: int = 3, scale: int = 1_000_000) -> str:
+    """DuckDB SQL replaying `kmeans_assign` exactly: the same
+    scaled-integer quantization, md5-rank init, (dist², cid)
+    tie-break, and SUM DIV n centroid update, iterations unrolled in
+    long (id, pos, v) form. Integer arithmetic end to end — no FP
+    summation order anywhere — so equality is exact."""
+    # Python floor-div on positive ints == SQL DIV on positive n
+    parts = [f"""q AS (
+  SELECT {id_sql} AS id,
+         list_transform(CAST({vec_sql} AS DOUBLE[]),
+                        x -> CAST(FLOOR(x*{float(scale)}+0.5) AS BIGINT)) AS x
+  FROM {table}
+), qL AS (
+  SELECT id, i AS pos, x[i] AS v
+  FROM q, UNNEST(GENERATE_SERIES(1, len(x))) AS t(i)
+), c0 AS (
+  SELECT cid, pos, v FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY MD5(CAST(id AS VARCHAR)))
+           - 1 AS cid
+    FROM q ORDER BY MD5(CAST(id AS VARCHAR)) LIMIT {k}
+  ) s JOIN qL USING (id)
+)"""]
+    for it in range(n_iter):
+        parts.append(f"""d{it} AS (
+  SELECT qL.id, c{it}.cid,
+         SUM((qL.v - c{it}.v) * (qL.v - c{it}.v)) AS d
+  FROM qL JOIN c{it} USING (pos) GROUP BY qL.id, c{it}.cid
+), a{it} AS (
+  SELECT id, cid AS cluster FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)""")
+        if it < n_iter - 1:
+            # empty clusters keep their previous centroid (COALESCE
+            # over a full join against the prior round)
+            parts.append(f"""u{it} AS (
+  SELECT a{it}.cluster AS cid, qL.pos,
+         SUM(qL.v) // COUNT(DISTINCT qL.id) AS v
+  FROM a{it} JOIN qL USING (id) GROUP BY 1, 2
+), c{it + 1} AS (
+  SELECT c{it}.cid, c{it}.pos, COALESCE(u{it}.v, c{it}.v) AS v
+  FROM c{it} LEFT JOIN u{it}
+    ON u{it}.cid = c{it}.cid AND u{it}.pos = c{it}.pos
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, cluster FROM a{n_iter - 1} ORDER BY id")
