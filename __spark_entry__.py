@@ -5144,6 +5144,100 @@ def _kmeans_oracle() -> str:
 ORACLE["p_kmeans_clusters"] = _kmeans_oracle()
 
 
+@query("e_attribution_last_touch", """
+WITH scored AS (
+  SELECT user_id AS user, ts AS conv_ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_ts
+  FROM events
+)
+SELECT "user", conv_ts,
+       COALESCE(STRFTIME(CASE WHEN touch_ts >= conv_ts
+                                   - INTERVAL 7200 SECOND
+                              THEN touch_ts END,
+                         '%Y-%m-%d %H:%M:%S.%f'),
+                'direct') AS touch,
+       value AS credit
+FROM scored WHERE event_type = 'purchase'
+ORDER BY "user", conv_ts
+""")
+def e_attribution_last_touch(spark, sf_dir):
+    """Last-touch conversion attribution (pipeline/funnel.py
+    attribution): each purchase credits the user's most recent prior
+    view within a 2 h horizon — ONE user-keyed window pass
+    (last-ignorenulls over the ordered prefix), no self-join.
+    Purchases with no eligible view keep full credit as the
+    'direct' bucket, so Σcredit == Σ converted value."""
+    from zef_spark.pipeline.funnel import attribution
+    ev = _events(spark, sf_dir)
+    out = attribution(ev, "ts", "user_id", "event_type", "value",
+                      touch_type="view", convert_type="purchase",
+                      model="last_touch", horizon_seconds=7200)
+    # nullable timestamp -> string: NULL ts canonicalizes differently
+    # across client stacks (None vs NaT), so the 'direct' bucket is
+    # spelled out on both sides
+    return (out.select(
+        "user", "conv_ts",
+        F.coalesce(F.date_format("touch_ts",
+                                 "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                   F.lit("direct")).alias("touch"),
+        F.col("credit"))
+        .orderBy("user", "conv_ts"))
+
+
+@query("e_attribution_linear", """
+WITH conv AS (
+  SELECT user_id AS u, ts AS conv_ts, value AS v
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id AS u, ts AS touch_ts
+  FROM events WHERE event_type = 'view'
+), pairs AS (
+  SELECT conv.u, conv_ts, touch_ts, v
+  FROM conv JOIN touch ON conv.u = touch.u
+   AND touch_ts < conv_ts
+   AND touch_ts >= conv_ts - INTERVAL 7200 SECOND
+), shared AS (
+  SELECT u, conv_ts, touch_ts,
+         v / COUNT(*) OVER (PARTITION BY u, conv_ts) AS credit
+  FROM pairs
+), direct AS (
+  SELECT u, conv_ts, CAST(NULL AS TIMESTAMP) AS touch_ts, v AS credit
+  FROM conv
+  WHERE NOT EXISTS (SELECT 1 FROM pairs
+                    WHERE pairs.u = conv.u
+                      AND pairs.conv_ts = conv.conv_ts)
+)
+SELECT u AS "user", conv_ts,
+       COALESCE(STRFTIME(touch_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                'direct') AS touch,
+       ROUND(credit, 6) AS credit
+FROM (SELECT * FROM shared UNION ALL SELECT * FROM direct)
+ORDER BY "user", conv_ts, touch
+""")
+def e_attribution_linear(spark, sf_dir):
+    """Linear (equal-split) attribution: each purchase divides its
+    value across ALL views in the 2 h lookback — a bounded interval
+    self-join (the stream-joinable shape: state is horizon-bounded),
+    plus the zero-touch 'direct' bucket via one anti-join. Work
+    scales with touches-in-horizon, never |events|²."""
+    from zef_spark.pipeline.funnel import attribution
+    ev = _events(spark, sf_dir)
+    out = attribution(ev, "ts", "user_id", "event_type", "value",
+                      touch_type="view", convert_type="purchase",
+                      model="linear", horizon_seconds=7200)
+    return (out.select(
+        "user", "conv_ts",
+        F.coalesce(F.date_format("touch_ts",
+                                 "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                   F.lit("direct")).alias("touch"),
+        F.round("credit", 6).alias("credit"))
+        .orderBy("user", "conv_ts", "touch"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -5178,7 +5272,8 @@ _FRONT = [
     # (b) r05 proof-defect re-checks
     "e_scd2_event_type",
     # (c) NEW in r06 — first oracle rows (names appended as built)
-    "p_kmeans_clusters",
+    "p_kmeans_clusters", "e_attribution_last_touch",
+    "e_attribution_linear",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5191,7 +5286,7 @@ _FRONT = [
     "g_point_lookup_by_field", "g_asof_order_count",
     "g_time_travel_relative", "g_tx_instantiated_events",
     "g_gather_closure", "p_dedup_exact_groups", "p_token_counts",
-    "p_text_quality", "p_lang_id", "p_fingerprint",
+    "p_text_quality",
 ]
 
 

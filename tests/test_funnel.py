@@ -68,3 +68,49 @@ def test_cohort_retention(events):
     # u4 active in week of Jan 8 (purchase on the 11th) and Jan 15
     assert got[("2024-01-01", 1)] == 1
     assert got[("2024-01-01", 2)] == 1
+
+
+def test_attribution_models_conserve_credit(spark):
+    """Σcredit == Σ converted value in every model; last/first touch
+    pick the right view; linear splits equally; horizon excludes
+    stale touches (they fall to the direct bucket)."""
+    import datetime as dt
+    from zef_spark.pipeline.funnel import attribution
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    rows = [
+        (1, s(0), "view", 0.0), (1, s(10), "view", 0.0),
+        (1, s(20), "purchase", 100.0),
+        (2, s(0), "view", 0.0), (2, s(90000), "purchase", 50.0),
+        (3, s(5), "purchase", 30.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, "
+              "value double")
+    kw = dict(touch_type="view", convert_type="purchase",
+              horizon_seconds=3600)
+    last = attribution(ev, "ts", "user_id", "event_type", "value",
+                       model="last_touch", **kw).collect()
+    by_user = {r["user"]: r for r in last}
+    assert by_user[1]["touch_ts"] == s(10)
+    assert by_user[2]["touch_ts"] is None      # outside horizon
+    assert by_user[3]["touch_ts"] is None      # no view at all
+    assert sum(r["credit"] for r in last) == 180.0
+
+    first = attribution(ev, "ts", "user_id", "event_type", "value",
+                        model="first_touch", **kw).collect()
+    assert {r["user"]: r["touch_ts"] for r in first}[1] == s(0)
+
+    lin = attribution(ev, "ts", "user_id", "event_type", "value",
+                      model="linear", **kw).collect()
+    u1 = [r for r in lin if r["user"] == 1]
+    assert len(u1) == 2 and all(r["credit"] == 50.0 for r in u1)
+    assert abs(sum(r["credit"] for r in lin) - 180.0) < 1e-9
+
+    import pytest
+    with pytest.raises(ValueError, match="horizon"):
+        attribution(ev, "ts", "user_id", "event_type", "value",
+                    model="linear")
+    with pytest.raises(ValueError, match="model"):
+        attribution(ev, "ts", "user_id", "event_type", "value",
+                    model="nope", horizon_seconds=10)

@@ -48,6 +48,9 @@ def normalize(rows, cols):
     def canon(v):
         if v is None:
             return "∅"
+        import pandas as pd
+        if v is pd.NaT:
+            return "∅"
         if isinstance(v, (bool, np.bool_)):
             return "b:" + str(bool(v)).lower()
         if isinstance(v, Decimal):

@@ -127,3 +127,90 @@ def _funnel_op(df: DataFrame, steps, *args, **kw):
 @register_op("cohort_retention", "df")
 def _cohort_op(df: DataFrame, *args, **kw):
     return cohort_retention(df, *args, **kw)
+
+
+def attribution(events: DataFrame, ts_col: str = "ts",
+                user_col: str = "user_id",
+                type_col: str = "event_type",
+                value_col: str = "value",
+                touch_type: str = "view",
+                convert_type: str = "purchase",
+                model: str = "last_touch",
+                horizon_seconds: int | None = None) -> DataFrame:
+    """Marketing-style conversion attribution over an event log.
+
+    ``last_touch`` / ``first_touch``: each conversion row credits the
+    latest / earliest preceding touch of the same user — ONE window
+    pass over the user-keyed shuffle (last/first with ignorenulls
+    over the ordered prefix), no self-join. With ``horizon_seconds``
+    the credited touch must also fall inside the lookback horizon
+    (filtered after the carry — same plan shape).
+
+    ``linear``: each conversion splits its value EQUALLY across all
+    touches in the horizon — one bounded self-join on (user, time
+    band), the stream-joinable interval shape
+    (streaming/joins.py stream_interval_join); state is
+    horizon-bounded, never unbounded.
+
+    Returns (user, conv_ts, touch_ts, credit): conversions with no
+    eligible touch surface with NULL touch_ts and full credit
+    (the 'direct' bucket) so Σcredit == Σ converted value exactly.
+    """
+    from pyspark.sql import Window
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    v = F.col(value_col)
+    if model in ("last_touch", "first_touch"):
+        w = (Window.partitionBy(user_col).orderBy(ts_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        touch_ts = F.when(ty == touch_type, t)
+        pick = (F.last(touch_ts, ignorenulls=True).over(w)
+                if model == "last_touch"
+                else F.first(touch_ts, ignorenulls=True).over(w))
+        out = (events.select(u.alias("user"), t.alias("conv_ts"),
+                             ty.alias("__ty"), v.alias("__v"),
+                             pick.alias("touch_ts"))
+               .where(F.col("__ty") == convert_type))
+        if horizon_seconds is not None:
+            out = out.withColumn(
+                "touch_ts",
+                F.when(F.col("touch_ts") >=
+                       F.col("conv_ts")
+                       - F.expr(f"INTERVAL {int(horizon_seconds)} "
+                                "SECOND"),
+                       F.col("touch_ts")))
+        return out.select("user", "conv_ts", "touch_ts",
+                          F.col("__v").alias("credit"))
+    if model != "linear":
+        raise ValueError(
+            f"model must be last_touch/first_touch/linear, got {model!r}")
+    if horizon_seconds is None:
+        raise ValueError("linear attribution requires horizon_seconds "
+                         "(unbounded lookback would be unbounded "
+                         "join state)")
+    conv = (events.where(ty == convert_type)
+            .select(u.alias("user"), t.alias("conv_ts"),
+                    v.alias("__v")))
+    touch = (events.where(ty == touch_type)
+             .select(u.alias("user"), t.alias("touch_ts")))
+    h = F.expr(f"INTERVAL {int(horizon_seconds)} SECOND")
+    pairs = conv.join(
+        touch, (conv.user == touch.user)
+        & (touch.touch_ts < conv.conv_ts)
+        & (touch.touch_ts >= conv.conv_ts - h)) \
+        .select(conv.user, "conv_ts", "touch_ts", "__v")
+    w = Window.partitionBy("user", "conv_ts")
+    shared = pairs.select(
+        "user", "conv_ts", "touch_ts",
+        (F.col("__v") / F.count(F.lit(1)).over(w)).alias("credit"))
+    direct = (conv.join(pairs.select("user", "conv_ts").distinct(),
+                        ["user", "conv_ts"], "left_anti")
+              .select("user", "conv_ts",
+                      F.lit(None).cast("timestamp_ntz")
+                      .alias("touch_ts"),
+                      F.col("__v").alias("credit")))
+    return shared.unionByName(direct)
+
+
+@register_op("attribution", "df")
+def _attribution_op(df, *args, **kw):
+    return attribution(df, *args, **kw)
