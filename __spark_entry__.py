@@ -5144,6 +5144,102 @@ def _kmeans_oracle() -> str:
 ORACLE["p_kmeans_clusters"] = _kmeans_oracle()
 
 
+@query("p_token_entropy", """
+WITH counts AS (
+  SELECT doc_id, t.token, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                              x -> x <> '')) AS token
+    FROM documents
+  ) t GROUP BY doc_id, t.token
+), agg AS (
+  SELECT doc_id, SUM(c) AS n_tokens,
+         SUM(CAST(ROUND(c * LN(c), 10) AS DECIMAL(38,10))) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(LN(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6)
+         AS entropy
+FROM agg ORDER BY doc_id
+""")
+def p_token_entropy(spark, sf_dir):
+    """Shannon token entropy per document (pipeline/text.py
+    token_entropy): the information-theoretic lexical-diversity
+    filter (low = boilerplate/repeated spans). Decimal-exact term
+    sums — partition-order-independent — with one (doc, token) hash
+    agg; the oracle replays the identical rounding discipline."""
+    from zef_spark.pipeline.text import token_entropy
+    docs = _t(spark, sf_dir, "documents")
+    return (token_entropy(docs, "doc_id", "text")
+            .select("doc_id", F.col("n_tokens").cast("long")
+                    .alias("n_tokens"), "entropy")
+            .orderBy("doc_id"))
+
+
+@query("p_tfidf_topterms", """
+WITH posting AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                              x -> x <> '')) AS term
+    FROM documents
+  ) t GROUP BY doc_id, t.term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM posting GROUP BY term
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT doc_id, posting.term,
+         tf * LN(n.n / dfreq.df) AS score
+  FROM posting JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, rank, ROUND(score, 6) AS score FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
+""")
+def p_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (pipeline/corpus.py
+    tfidf_topterms) — the keyword-extraction baseline. One posting
+    agg, a vocabulary-sized df agg, a 1-row broadcast N, and a
+    per-doc rank window with (score desc, term) deterministic
+    ties."""
+    from zef_spark.pipeline.corpus import tfidf_topterms
+    docs = _t(spark, sf_dir, "documents")
+    return (tfidf_topterms(docs, "doc_id", "text", k=3)
+            .orderBy("doc_id", "rank"))
+
+
+@query("e_event_transitions", """
+WITH pairs AS (
+  SELECT event_type AS prev,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events
+), counts AS (
+  SELECT prev, next, COUNT(*) AS n FROM pairs
+  WHERE next IS NOT NULL GROUP BY prev, next
+)
+SELECT prev, next, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev), 6) AS p
+FROM counts ORDER BY prev, next
+""")
+def e_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream
+    (pipeline/funnel.py event_transitions): per-user consecutive
+    event-type pairs → corpus-wide counts + row-normalized
+    probabilities. One user-keyed lead window + a |types|²-bounded
+    hash agg — the behavioral model funnels can't express."""
+    from zef_spark.pipeline.funnel import event_transitions
+    ev = _events(spark, sf_dir)
+    return (event_transitions(ev, "ts", "user_id", "event_type",
+                              tiebreak_col="event_id")
+            .orderBy("prev", "next"))
+
+
 @query("e_attribution_last_touch", """
 WITH scored AS (
   SELECT user_id AS user, ts AS conv_ts, event_type, value,
@@ -5273,7 +5369,8 @@ _FRONT = [
     "e_scd2_event_type",
     # (c) NEW in r06 — first oracle rows (names appended as built)
     "p_kmeans_clusters", "e_attribution_last_touch",
-    "e_attribution_linear",
+    "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
+    "e_event_transitions",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5285,8 +5382,7 @@ _FRONT = [
     "g_hop2_revenue_by_customer", "g_has_order_customers",
     "g_point_lookup_by_field", "g_asof_order_count",
     "g_time_travel_relative", "g_tx_instantiated_events",
-    "g_gather_closure", "p_dedup_exact_groups", "p_token_counts",
-    "p_text_quality",
+    "g_gather_closure",
 ]
 
 

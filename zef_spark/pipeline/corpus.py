@@ -467,3 +467,40 @@ def epoch_shuffle(df: DataFrame, key_col: str, epoch: int,
 @register_op("epoch_shuffle", "df")
 def _epoch_shuffle(df, key_col, epoch, out_col="epoch_pos"):
     return epoch_shuffle(df, key_col, epoch, out_col)
+
+
+def tfidf_topterms(df: DataFrame, id_col: str, text_col: str,
+                   k: int = 3, digits: int = 6) -> DataFrame:
+    """(id, term, rank, score) — each document's top-k terms by
+    TF-IDF (tf · ln(N/df), the keyword-extraction baseline every
+    search/labeling pipeline starts from). Plan: one (doc, token)
+    posting agg → document frequencies as a second agg over the
+    posting (vocabulary-sized, broadcastable) → row_number window
+    per doc ordered by (score desc, term) so ties are
+    deterministic. N rides in as a 1-row broadcast; nothing driver-
+    side, nothing quadratic."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
+                    lambda t: t != "")
+    posting = (df.select(F.col(id_col),
+                         F.explode(toks).alias("term"))
+               .groupBy(id_col, "term")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    score = F.col("tf") * F.log(F.col("__n") / F.col("df"))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.desc("__score"), F.asc("term")))
+    return (posting.join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .withColumn("__score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "rank",
+                    F.round("__score", digits).alias("score")))
+
+
+@register_op("tfidf_topterms", "df")
+def _tfidf_topterms_op(df, *args, **kw):
+    return tfidf_topterms(df, *args, **kw)

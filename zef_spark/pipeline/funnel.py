@@ -214,3 +214,37 @@ def attribution(events: DataFrame, ts_col: str = "ts",
 @register_op("attribution", "df")
 def _attribution_op(df, *args, **kw):
     return attribution(df, *args, **kw)
+
+
+def event_transitions(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      tiebreak_col: str | None = None,
+                      digits: int = 6) -> DataFrame:
+    """(prev, next, n, p) — the first-order Markov transition matrix
+    of the event stream: per user, consecutive event-type pairs in
+    time order, counted corpus-wide; p = n / Σn over the same prev
+    (a window over the |types|²-sized result, not the data).
+
+    ONE user-keyed shuffle (the lead window); the pair count is a
+    map-side-combined hash agg on a |types|²-bounded key space. The
+    behavioral-model primitive funnels don't give you (what happens
+    AFTER any state, not along one fixed path)."""
+    from pyspark.sql import Window
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (events.select(
+        F.col(type_col).alias("prev"),
+        F.lead(type_col).over(w).alias("next"))
+        .where(F.col("next").isNotNull()))
+    counts = pairs.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev")
+    return counts.select(
+        "prev", "next", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), digits).alias("p"))
+
+
+@register_op("event_transitions", "df")
+def _event_transitions_op(df, *args, **kw):
+    return event_transitions(df, *args, **kw)

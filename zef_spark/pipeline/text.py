@@ -623,3 +623,41 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str,
             .agg(F.round(F.sum(F.col("tf") * F.col("__lp"))
                          / F.sum("tf"), digits).alias(out_col),
                  F.sum("tf").alias("n_bigrams")))
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str,
+                  digits: int = 6) -> DataFrame:
+    """(id, n_tokens, entropy) — Shannon entropy of each document's
+    token distribution in nats: H = ln N − (Σ c·ln c)/N over the
+    per-doc token counts. The lexical-diversity gibberish filter
+    complementing type_token_ratio (TTR is scale-sensitive; entropy
+    is the information-theoretic version) — low entropy = boilerplate
+    / repeated spans, max entropy = all tokens distinct.
+
+    Determinism: each c·ln(c) term rounds half-up to scale-10
+    DECIMAL before the per-doc sum, so the fold is exact and
+    partition-order-independent (the same discipline as the decimal
+    rank sums in graph/algorithms.py); only the final ln(N) − S/N is
+    FP, on bit-identical inputs. Plan: explode → ONE (doc, token)
+    hash agg → per-doc agg; empty docs are excluded (entropy of an
+    empty distribution is undefined)."""
+    term = F.round(F.col("c") * F.log(F.col("c")), 10) \
+        .cast("decimal(38,10)")
+    counts = (df.select(F.col(id_col),
+                        F.explode(_tokens(F.col(text_col)))
+                        .alias("token"))
+              .groupBy(id_col, "token")
+              .agg(F.count(F.lit(1)).alias("c")))
+    return (counts.groupBy(id_col)
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.sum(term).alias("__s"))
+            .select(id_col, "n_tokens",
+                    F.round(F.log(F.col("n_tokens"))
+                            - F.col("__s").cast("double")
+                            / F.col("n_tokens"), digits)
+                    .alias("entropy")))
+
+
+@register_op("token_entropy", "df")
+def _token_entropy_op(df, *args, **kw):
+    return token_entropy(df, *args, **kw)
