@@ -5177,6 +5177,49 @@ def p_token_entropy(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+_CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
+
+
+@query("e_cusum_drift", f"""
+WITH RECURSIVE src AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+r(user_id, rn, ts, sp, sn) AS (
+  SELECT user_id, rn, ts,
+         GREATEST(0.0, value - {_CUSUM['target']!r}
+                       - {_CUSUM['slack']!r}),
+         LEAST(0.0, value - {_CUSUM['target']!r}
+                    + {_CUSUM['slack']!r})
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts,
+         GREATEST(0.0, r.sp + (s.value - {_CUSUM['target']!r}
+                               - {_CUSUM['slack']!r})),
+         LEAST(0.0, r.sn + (s.value - {_CUSUM['target']!r}
+                            + {_CUSUM['slack']!r}))
+  FROM r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts, sp AS s_pos, sn AS s_neg,
+       (sp > {_CUSUM['threshold']!r}
+        OR -sn > {_CUSUM['threshold']!r}) AS alarm
+FROM r ORDER BY user_id, ts
+""")
+def e_cusum_drift(spark, sf_dir):
+    """Per-user CUSUM drift detection (pipeline/rollup.py cusum,
+    Page 1954): clamped cumulative-sum recursions no window function
+    expresses — grouped Arrow fold, one key shuffle, raw IEEE
+    doubles out (the ewma discipline: the oracle's recursive CTE
+    replays the identical expressions with repr()'d constants, so
+    both engines are bit-equal with NO rounding)."""
+    from zef_spark.pipeline.rollup import cusum
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = cusum(ev, "user_id", "ts", "value", **_CUSUM)
+    return (out.select("user_id", "ts", "s_pos", "s_neg", "alarm")
+            .orderBy("user_id", "ts"))
+
+
 @query("p_tfidf_topterms", """
 WITH posting AS (
   SELECT doc_id, t.term, COUNT(*) AS tf
@@ -5370,7 +5413,7 @@ _FRONT = [
     # (c) NEW in r06 — first oracle rows (names appended as built)
     "p_kmeans_clusters", "e_attribution_last_touch",
     "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
-    "e_event_transitions",
+    "e_event_transitions", "e_cusum_drift",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5382,7 +5425,6 @@ _FRONT = [
     "g_hop2_revenue_by_customer", "g_has_order_customers",
     "g_point_lookup_by_field", "g_asof_order_count",
     "g_time_travel_relative", "g_tx_instantiated_events",
-    "g_gather_closure",
 ]
 
 

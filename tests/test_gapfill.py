@@ -146,3 +146,28 @@ def test_ohlc_and_anomalies(spark):
     assert out[10].is_anomaly is True
     assert all(not out[m].is_anomaly for m in range(10))
     assert out[3].z is None           # < 5 points of prior history
+
+
+def test_cusum_detects_level_shift(spark):
+    """CUSUM alarms after a sustained upward shift, not on single
+    outliers inside the slack band; reset_on_alarm restarts."""
+    import datetime as dt
+    from zef_spark.pipeline.rollup import cusum
+    t0 = dt.datetime(2024, 1, 1)
+    rows = ([(1, t0 + dt.timedelta(seconds=i), 10.0) for i in range(5)]
+            + [(1, t0 + dt.timedelta(seconds=5 + i), 30.0)
+               for i in range(5)])
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    out = (cusum(df, "user_id", "ts", "value", target=10.0,
+                 slack=2.0, threshold=40.0)
+           .orderBy("ts").collect())
+    assert not any(r["alarm"] for r in out[:5])     # flat segment
+    assert out[-1]["alarm"]                          # after the shift
+    # s_pos accumulates (30-10-2)=18 per step after the shift
+    assert abs(out[6]["s_pos"] - 36.0) < 1e-12
+    reset = (cusum(df, "user_id", "ts", "value", target=10.0,
+                   slack=2.0, threshold=40.0, reset_on_alarm=True)
+             .orderBy("ts").collect())
+    first_alarm = next(i for i, r in enumerate(reset) if r["alarm"])
+    assert reset[first_alarm + 1]["s_pos"] < reset[first_alarm]["s_pos"]

@@ -486,3 +486,57 @@ def _roll_anom_op(df, ts_col, value_col, by, window_seconds=3600,
     return rolling_anomalies(df, ts_col, value_col, by,
                              window_seconds, z_threshold, min_points,
                              digits)
+
+
+def cusum(df, key, ts_col: str, value_col: str, target: float,
+          slack: float, threshold: float,
+          reset_on_alarm: bool = False):
+    """Per-key CUSUM change-point detection (Page 1954): the
+    one-sided cumulative-sum recursions
+
+        s⁺_t = max(0, s⁺_{t-1} + (x_t − target − slack))
+        s⁻_t = min(0, s⁻_{t-1} + (x_t − target + slack))
+
+    with ``alarm`` = |s| > threshold — drift detection windows can't
+    express (each step clamps, so it is a NON-linear recursion; same
+    regime as ewma). Grouped Arrow kernel: one shuffle on the key,
+    each key's series folds in its pandas batch, raw IEEE doubles
+    out (bit-replayable by a recursive-CTE oracle — no rounding).
+    ``reset_on_alarm`` restarts the statistic after each alarm (the
+    classic sequential-test protocol); default keeps accumulating so
+    the statistic is a pure fold of the series.
+
+    ``target``/``slack``/``threshold`` are explicit constants: derive
+    them from a reference window (e.g. mean/σ of last week's data)
+    OUTSIDE the fold so the detector is reproducible and the fold
+    stays engine-exact."""
+    from pyspark.sql import functions as F  # noqa: F811
+    keys = [key] if isinstance(key, str) else list(key)
+    fields = ", ".join(f"{c} {t}" for c, t in df.dtypes) \
+        + ", s_pos double, s_neg double, alarm boolean"
+    t0, k0, h0 = float(target), float(slack), float(threshold)
+
+    def fold(pdf):
+        pdf = pdf.sort_values(ts_col).copy()
+        sp = sn = 0.0
+        pos, neg, alarms = [], [], []
+        for x in pdf[value_col].astype(float):
+            sp = max(0.0, sp + (x - t0 - k0))
+            sn = min(0.0, sn + (x - t0 + k0))
+            a = sp > h0 or -sn > h0
+            pos.append(sp)
+            neg.append(sn)
+            alarms.append(a)
+            if a and reset_on_alarm:
+                sp = sn = 0.0
+        pdf["s_pos"] = pos
+        pdf["s_neg"] = neg
+        pdf["alarm"] = alarms
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fold, fields)
+
+
+@_reg_rollup("cusum", "df")
+def _cusum_op(df, *args, **kw):
+    return cusum(df, *args, **kw)
