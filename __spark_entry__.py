@@ -4051,6 +4051,33 @@ def g_triangle_cosupply(spark, sf_dir):
     return triangle_count(_cosupply_edges(spark, sf_dir))
 
 
+@query("g_wcc_cosupply", f"""
+WITH RECURSIVE pr AS MATERIALIZED ({_COSUPPLY_SQL}),
+sym AS MATERIALIZED (
+  SELECT s1 AS a, s2 AS b FROM pr
+  UNION SELECT s2, s1 FROM pr
+),
+r(id, reach) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.id, sym.b FROM r JOIN sym ON sym.a = r.reach
+)
+SELECT id, MIN(reach) AS component
+FROM r GROUP BY id ORDER BY id
+""")
+def g_wcc_cosupply(spark, sf_dir):
+    """Weakly-connected components (graph/algorithms.py
+    connected_components — min-label propagation, O(diameter)
+    rounds, one edge-keyed join + min-agg per round with lineage
+    cut) over the supplier co-supply graph. The oracle computes the
+    same labels as MIN over the recursive reachability closure —
+    fine at gate scale; the propagation form is the 100 TB
+    formulation (never materializes the closure)."""
+    from zef_spark.graph.algorithms import connected_components
+    return (connected_components(_cosupply_edges(spark, sf_dir))
+            .orderBy("id"))
+
+
 def _kcore_oracle(k: int, rounds: int = 10) -> str:
     """Unrolled iterative peeling in SQL (fixed rounds ≥ the fixture
     graphs' peel depth — the Spark side runs to fixpoint; verified
@@ -5175,6 +5202,53 @@ def p_token_entropy(spark, sf_dir):
             .select("doc_id", F.col("n_tokens").cast("long")
                     .alias("n_tokens"), "entropy")
             .orderBy("doc_id"))
+
+
+@query("p_ann_kmeans_topk", None)
+def p_ann_kmeans_topk(spark, sf_dir):
+    """IVF ANN with a TRAINED k-means coarse quantizer
+    (pipeline/similarity.py ivf_kmeans_topk — the FAISS IVF-Flat
+    shape): integer-exact Lloyd cells, query probes its 2 nearest
+    cells, exact cosine rerank within them. The oracle replays the
+    kmeans CTE, derives the SAME probes in SQL, and reranks with
+    LIST_COSINE_SIMILARITY — approximate recall is thus proven
+    EXACTLY equal, not just 'close'."""
+    from zef_spark.pipeline.similarity import ivf_kmeans_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return ivf_kmeans_topk(emb, "embedding", "vec_id", q,
+                           k=10, n_clusters=8, n_iter=3, n_probe=2)
+
+
+def _ann_kmeans_oracle() -> str:
+    from zef_spark.pipeline.similarity import kmeans_oracle_parts
+    parts = kmeans_oracle_parts("embeddings", "vec_id", "embedding",
+                                k=8, n_iter=3)
+    parts.append("""qv AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(FLOOR(x*1000000.0+0.5) AS BIGINT))
+           AS x,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id = 0
+), qpos AS (
+  SELECT i AS pos, x[i] AS v
+  FROM qv, UNNEST(GENERATE_SERIES(1, len(x))) AS t(i)
+), pd AS (
+  SELECT c2.cid, SUM((qpos.v - c2.v) * (qpos.v - c2.v)) AS d
+  FROM qpos JOIN c2 USING (pos) GROUP BY c2.cid
+), probes AS (SELECT cid FROM pd ORDER BY d, cid LIMIT 2),
+cand AS (
+  SELECT a2.id FROM a2 JOIN probes ON a2.cluster = probes.cid
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT e.vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                    (SELECT v FROM qv)), 4) AS cosine
+FROM embeddings e JOIN cand ON cand.id = e.vec_id
+ORDER BY cosine DESC, vec_id LIMIT 10""")
+
+
+ORACLE["p_ann_kmeans_topk"] = _ann_kmeans_oracle()
 
 
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)

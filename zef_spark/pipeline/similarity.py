@@ -370,7 +370,8 @@ def ann_index_add(new_df: DataFrame, path: str, vec_col: str,
 
 def kmeans_assign(df: DataFrame, vec_col: str, id_col: str,
                   k: int = 8, n_iter: int = 3,
-                  scale: int = 1_000_000) -> DataFrame:
+                  scale: int = 1_000_000,
+                  with_centroids: bool = False):
     """(id, cluster) — Lloyd's k-means over an embedding column,
     ENGINE-EXACT: all arithmetic happens in scaled-integer space so
     every engine replays it bit-identically (the SemDeDup-style
@@ -446,17 +447,18 @@ def kmeans_assign(df: DataFrame, vec_col: str, id_col: str,
              if cid in rows else cents[cid][j]      # empty cluster:
              for j in range(dim)]                   # keep old centroid
             for cid in range(k)]
-    return assigned.select("id", "cluster")
+    out = assigned.select("id", "cluster")
+    return (out, cents) if with_centroids else out
 
 
-def kmeans_oracle_sql(table: str = "embeddings", id_sql: str = "vec_id",
-                      vec_sql: str = "embedding", k: int = 8,
-                      n_iter: int = 3, scale: int = 1_000_000) -> str:
-    """DuckDB SQL replaying `kmeans_assign` exactly: the same
-    scaled-integer quantization, md5-rank init, (dist², cid)
-    tie-break, and SUM DIV n centroid update, iterations unrolled in
-    long (id, pos, v) form. Integer arithmetic end to end — no FP
-    summation order anywhere — so equality is exact."""
+def kmeans_oracle_parts(table: str = "embeddings",
+                        id_sql: str = "vec_id",
+                        vec_sql: str = "embedding", k: int = 8,
+                        n_iter: int = 3,
+                        scale: int = 1_000_000) -> list[str]:
+    """The CTE parts of the kmeans oracle (shared by the standalone
+    assignment oracle and the IVF-probe oracle): final assignment is
+    a{n_iter-1}, final centroids (long form) c{n_iter-1}."""
     # Python floor-div on positive ints == SQL DIV on positive n
     parts = [f"""q AS (
   SELECT {id_sql} AS id,
@@ -497,5 +499,51 @@ def kmeans_oracle_sql(table: str = "embeddings", id_sql: str = "vec_id",
   FROM c{it} LEFT JOIN u{it}
     ON u{it}.cid = c{it}.cid AND u{it}.pos = c{it}.pos
 )""")
+    return parts
+
+
+def kmeans_oracle_sql(table: str = "embeddings", id_sql: str = "vec_id",
+                      vec_sql: str = "embedding", k: int = 8,
+                      n_iter: int = 3, scale: int = 1_000_000) -> str:
+    """DuckDB SQL replaying `kmeans_assign` exactly: the same
+    scaled-integer quantization, md5-rank init, (dist², cid)
+    tie-break, and SUM DIV n centroid update, iterations unrolled in
+    long (id, pos, v) form. Integer arithmetic end to end — no FP
+    summation order anywhere — so equality is exact."""
+    parts = kmeans_oracle_parts(table, id_sql, vec_sql, k, n_iter,
+                                scale)
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT id, cluster FROM a{n_iter - 1} ORDER BY id")
+
+
+def ivf_kmeans_topk(df: DataFrame, vec_col: str, id_col: str,
+                    query: list[float], k: int = 10,
+                    n_clusters: int = 8, n_iter: int = 3,
+                    n_probe: int = 2, scale: int = 1_000_000,
+                    digits: int = 4) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means cells
+    (kmeans_assign — engine-exact integer Lloyd's) instead of the
+    hash centroids ivf_topk uses; the standard FAISS IVF-Flat shape.
+    The query probes its ``n_probe`` nearest cells (decided
+    driver-side from the k×dim integer centroids — pure-int
+    arithmetic, deterministic), candidates are the rows assigned to
+    those cells, reranked with exact cosine.
+
+    Recall/efficiency: touches ~n_probe/k of the corpus. The
+    assignment is the clustered-layout build step — at 100 TB
+    materialize (id, cluster) partitioned by cluster once and this
+    probe becomes a partition-pruned scan."""
+    assigned, cents = kmeans_assign(df, vec_col, id_col,
+                                    k=n_clusters, n_iter=n_iter,
+                                    scale=scale, with_centroids=True)
+    qi = [int(math.floor(x * scale + 0.5)) for x in query]
+    dists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qi, c)), cid)
+        for cid, c in enumerate(cents))
+    probes = [cid for _, cid in dists[:n_probe]]
+    cand = (df.join(assigned.where(F.col("cluster").isin(probes))
+                    .withColumnRenamed("id", id_col), id_col))
+    return brute_force_topk(
+        cand.withColumn(vec_col,
+                        F.col(vec_col).cast("array<double>")),
+        vec_col, id_col, query, k, digits)
