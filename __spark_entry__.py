@@ -5251,6 +5251,48 @@ ORDER BY cosine DESC, vec_id LIMIT 10""")
 ORACLE["p_ann_kmeans_topk"] = _ann_kmeans_oracle()
 
 
+@query("e_rfm_segments", """
+WITH conv AS (
+  SELECT user_id AS u, ts, value FROM events
+  WHERE event_type = 'purchase'
+), per_user AS (
+  SELECT u AS "user", MAX(ts) AS last_ts,
+         COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+  FROM conv GROUP BY u
+), asof_t AS (SELECT MAX(ts) AS a FROM conv),
+scored AS (
+  SELECT "user", DATEDIFF('day', CAST(last_ts AS DATE),
+                          CAST(asof_t.a AS DATE)) AS recency_days,
+         frequency, monetary
+  FROM per_user CROSS JOIN asof_t
+), tiled AS (
+  SELECT *,
+    NTILE(5) OVER (ORDER BY recency_days DESC, "user") AS r,
+    NTILE(5) OVER (ORDER BY frequency, "user") AS f,
+    NTILE(5) OVER (ORDER BY monetary, "user") AS m
+  FROM scored
+)
+SELECT "user", CAST(recency_days AS INT) AS recency_days,
+       frequency, monetary, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment
+FROM tiled ORDER BY "user"
+""")
+def e_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (pipeline/funnel.py rfm_segments):
+    recency/frequency/monetary quintiles with (metric, user)
+    deterministic tile ordering. One user-keyed agg; the ntile
+    windows run over the |users|-sized aggregate only."""
+    from zef_spark.pipeline.funnel import rfm_segments
+    ev = _events(spark, sf_dir)
+    return (rfm_segments(ev)
+            .select("user", F.col("recency_days").cast("int")
+                    .alias("recency_days"), "frequency", "monetary",
+                    "r", "f", "m", "segment")
+            .orderBy("user"))
+
+
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
 
 

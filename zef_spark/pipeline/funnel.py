@@ -248,3 +248,62 @@ def event_transitions(events: DataFrame, ts_col: str = "ts",
 @register_op("event_transitions", "df")
 def _event_transitions_op(df, *args, **kw):
     return event_transitions(df, *args, **kw)
+
+
+def rfm_segments(events: DataFrame, ts_col: str = "ts",
+                 user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 value_col: str = "value",
+                 convert_type: str = "purchase",
+                 n_tiles: int = 5, as_of=None) -> DataFrame:
+    """(user, recency_days, frequency, monetary, r, f, m, segment) —
+    RFM customer segmentation: per-user recency (days since last
+    conversion, against ``as_of`` or the corpus max), frequency
+    (conversion count) and monetary (summed value), each scored into
+    ``n_tiles`` quantile tiles via ntile, concatenated into the
+    classic 'rfm' segment code (r tiles ordered so HIGH = recent).
+
+    Plan: ONE user-keyed aggregate (+ a 1-row broadcast max when
+    as_of is derived) + three ntile windows over the |users|-sized
+    aggregate — windows run on the small aggregate, never the event
+    log. Ties order deterministically by (metric, user) so the tile
+    boundaries are engine-reproducible. Monetary sums in DECIMAL —
+    partition-order-exact.
+
+    The ntile windows are GLOBAL (one task over |users| rows) —
+    right up to ~10⁸ users; past that swap ntile for
+    approx-quantile bucket edges (pipeline/sketches.py) the same way
+    zorder_layout does for its range ranks."""
+    from pyspark.sql import Window
+    conv = events.where(F.col(type_col) == convert_type)
+    per_user = conv.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .alias("monetary"))
+    if as_of is None:
+        mx = conv.agg(F.max(ts_col).alias("__asof"))
+        per_user = per_user.crossJoin(F.broadcast(mx))
+    else:
+        per_user = per_user.withColumn("__asof", F.lit(as_of)
+                                       .cast("timestamp_ntz"))
+    scored = per_user.withColumn(
+        "recency_days",
+        F.datediff(F.col("__asof").cast("date"),
+                   F.col("__last").cast("date")))
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("user"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("user"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("user"))
+    out = (scored
+           .withColumn("r", F.ntile(n_tiles).over(r_w))
+           .withColumn("f", F.ntile(n_tiles).over(f_w))
+           .withColumn("m", F.ntile(n_tiles).over(m_w)))
+    return out.select(
+        "user", "recency_days", "frequency", "monetary", "r", "f", "m",
+        F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
+        .alias("segment"))
+
+
+@register_op("rfm_segments", "df")
+def _rfm_op(df, *args, **kw):
+    return rfm_segments(df, *args, **kw)
