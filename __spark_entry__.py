@@ -5529,7 +5529,8 @@ _FRONT = [
     # (c) NEW in r06 — first oracle rows (names appended as built)
     "p_kmeans_clusters", "e_attribution_last_touch",
     "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
-    "e_event_transitions", "e_cusum_drift",
+    "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
+    "p_ann_kmeans_topk", "e_rfm_segments",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5539,8 +5540,7 @@ _FRONT = [
     "concat_union_segments", "string_functions", "datetime_functions",
     "hash_functions", "g_all_type_counts", "g_hop_customer_nation",
     "g_hop2_revenue_by_customer", "g_has_order_customers",
-    "g_point_lookup_by_field", "g_asof_order_count",
-    "g_time_travel_relative", "g_tx_instantiated_events",
+    "g_point_lookup_by_field",
 ]
 
 
