@@ -5293,6 +5293,34 @@ def e_rfm_segments(spark, sf_dir):
             .orderBy("user"))
 
 
+@query("p_benford_totalprice", """
+WITH base AS (
+  SELECT CAST(SUBSTRING(REGEXP_REPLACE(
+           FORMAT('{:.10f}', ABS(CAST(o_totalprice AS DOUBLE))),
+           '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM base
+  WHERE digit IS NOT NULL GROUP BY digit
+), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+SELECT digit, n,
+       ROUND(n / tot.t, 6) AS observed_p,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS expected_p,
+       ROUND(ABS(n / tot.t - LOG10(1.0 + 1.0 / digit)), 6) AS abs_dev
+FROM counts CROSS JOIN tot ORDER BY digit
+""")
+def p_benford_totalprice(spark, sf_dir):
+    """Benford first-digit screen over order totals
+    (pipeline/wrangling.py benford_check) — the fabricated-data
+    detector of a profiling pass. Digit extraction is string-wise
+    (exact for every double; no log on the data path); ONE aggregate
+    to a 9-row result."""
+    from zef_spark.pipeline.wrangling import benford_check
+    o = _t(spark, sf_dir, "orders")
+    return benford_check(o, "o_totalprice").orderBy("digit")
+
+
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
 
 
@@ -5530,7 +5558,7 @@ _FRONT = [
     "p_kmeans_clusters", "e_attribution_last_touch",
     "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
     "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
-    "p_ann_kmeans_topk", "e_rfm_segments",
+    "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",

@@ -436,3 +436,42 @@ def robust_scale(df: DataFrame, cols: list[str], by=None,
 @register_op("robust_scale", "df")
 def _robust_scale_op(df, cols, by=None, digits=6):
     return robust_scale(df, cols, by, digits)
+
+
+def benford_check(df: DataFrame, value_col: str,
+                  digits: int = 6) -> DataFrame:
+    """(digit, n, observed_p, expected_p, abs_dev) — first-significant-
+    digit distribution of a positive numeric column against Benford's
+    law (expected_p = log10(1 + 1/d)), the standard screen for
+    fabricated or truncated numeric data in a profiling pass
+    (complements profile_table's null/distinct stats).
+
+    First digit extracted STRING-wise (first char of the absolute
+    value's decimal rendering that is 1-9) — no log/pow on the data
+    path, so the digit is exact for every representable double; the
+    only FP is the 9-row probability arithmetic. ONE aggregate over a
+    9-row output; non-positive and non-finite rows are excluded (no
+    leading significant digit)."""
+    v = F.col(value_col).cast("double")
+    s = F.regexp_replace(
+        F.format_number(F.abs(v), 10), r"[^1-9]", "")
+    digit = F.substring(s, 1, 1).cast("int")
+    base = (df.where(v.isNotNull() & (v > 0) & ~F.isnan(v))
+            .select(digit.alias("digit"))
+            .where(F.col("digit").isNotNull())
+            .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    tot = base.agg(F.sum("n").cast("double").alias("__t"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (base.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("__t"), digits)
+                    .alias("observed_p"),
+                    F.round(expected, digits).alias("expected_p"),
+                    F.round(F.abs(F.col("n") / F.col("__t")
+                                  - expected), digits)
+                    .alias("abs_dev")))
+
+
+@register_op("benford_check", "df")
+def _benford_op(df, *args, **kw):
+    return benford_check(df, *args, **kw)
