@@ -5568,7 +5568,6 @@ _FRONT = [
     "concat_union_segments", "string_functions", "datetime_functions",
     "hash_functions", "g_all_type_counts", "g_hop_customer_nation",
     "g_hop2_revenue_by_customer", "g_has_order_customers",
-    "g_point_lookup_by_field",
 ]
 
 
