@@ -5321,6 +5321,43 @@ def p_benford_totalprice(spark, sf_dir):
     return benford_check(o, "o_totalprice").orderBy("digit")
 
 
+@query("e_session_paths", """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                   > 1800000000
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), paths AS (
+  SELECT user_id, sid,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rn <= 5 GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path ORDER BY path
+""")
+def e_session_paths(spark, sf_dir):
+    """Top user-journey paths (pipeline/funnel.py session_paths):
+    lag-gap sessions (30 min), each session's first-5 event-type
+    sequence, counted corpus-wide. ONE user-keyed shuffle does lag +
+    session numbering + rank; paths assemble row-locally; final
+    count is paths-bounded."""
+    from zef_spark.pipeline.funnel import session_paths
+    ev = _events(spark, sf_dir)
+    return (session_paths(ev, "ts", "user_id", "event_type",
+                          gap_seconds=1800, max_len=5,
+                          tiebreak_col="event_id")
+            .orderBy("path"))
+
+
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
 
 
@@ -5559,6 +5596,7 @@ _FRONT = [
     "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
     "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
     "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
+    "e_session_paths",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5567,7 +5605,7 @@ _FRONT = [
     "scan_cumulative_revenue", "sliding_moving_avg",
     "concat_union_segments", "string_functions", "datetime_functions",
     "hash_functions", "g_all_type_counts", "g_hop_customer_nation",
-    "g_hop2_revenue_by_customer", "g_has_order_customers",
+    "g_hop2_revenue_by_customer",
 ]
 
 

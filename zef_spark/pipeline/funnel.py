@@ -307,3 +307,48 @@ def rfm_segments(events: DataFrame, ts_col: str = "ts",
 @register_op("rfm_segments", "df")
 def _rfm_op(df, *args, **kw):
     return rfm_segments(df, *args, **kw)
+
+
+def session_paths(events: DataFrame, ts_col: str = "ts",
+                  user_col: str = "user_id",
+                  type_col: str = "event_type",
+                  gap_seconds: int = 1800, max_len: int = 5,
+                  tiebreak_col: str | None = None) -> DataFrame:
+    """(path, n_sessions) — the corpus-wide frequency of each
+    session's opening event-type sequence (first ``max_len`` events,
+    joined with '>'): the "top user journeys" report product
+    analytics builds on top of sessionization.
+
+    Sessions are the deterministic lag-gap form (new session when the
+    gap to the previous event exceeds ``gap_seconds``; same shape as
+    the sessionize query family). Plan: ONE user-keyed shuffle does
+    the lag + session numbering + per-session rank; the path
+    assembles row-locally (sorted struct collect per session — each
+    session's events are already co-partitioned), and the final count
+    is a paths-bounded hash agg. Ties inside a session order by
+    (ts, tiebreak_col) so the path string is engine-reproducible."""
+    from pyspark.sql import Window
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp")))
+    new_s = F.when(gap.isNull()
+                   | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    sess = (events.withColumn("__s", F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__rn", F.row_number().over(
+            Window.partitionBy(user_col, "__s").orderBy(*order))))
+    keep = sess.where(F.col("__rn") <= max_len)
+    entry = F.struct(*[F.col(c) for c in order],
+                     F.col(type_col).alias("__ty"))
+    paths = (keep.groupBy(user_col, "__s")
+             .agg(F.array_join(
+                 F.transform(F.array_sort(F.collect_list(entry)),
+                             lambda s: s["__ty"]), ">").alias("path")))
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register_op("session_paths", "df")
+def _session_paths_op(df, *args, **kw):
+    return session_paths(df, *args, **kw)
