@@ -5358,6 +5358,50 @@ def e_session_paths(spark, sf_dir):
             .orderBy("path"))
 
 
+@query("e_concurrency_hourly", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                   > 1800000000
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s GROUP BY user_id, sid
+), deltas AS (
+  SELECT EPOCH_US(t0) AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT EPOCH_US(t1), -1 FROM sess
+), run AS (
+  SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas
+)
+SELECT MAKE_TIMESTAMP((t - t % 3600000000)::BIGINT) AS bucket,
+       CAST(MAX(c) AS BIGINT) AS max_concurrency
+FROM run GROUP BY 1 ORDER BY bucket
+""")
+def e_concurrency_hourly(spark, sf_dir):
+    """Peak concurrent sessions per hour (pipeline/rollup.py
+    concurrency_profile): sweep-line ±1 deltas over lag-gap sessions
+    with a DISTRIBUTED two-phase prefix sum — range partitions
+    compute local running sums, per-range totals come back as a
+    broadcast offset table (n_ranges scalars of driver traffic, no
+    global sort task). The oracle replays the sweep with one global
+    window at gate scale."""
+    from zef_spark.pipeline.funnel import sessions_table
+    from zef_spark.pipeline.rollup import concurrency_profile
+    ev = _events(spark, sf_dir)
+    sess = sessions_table(ev, "ts", "user_id", gap_seconds=1800,
+                          tiebreak_col="event_id")
+    return (concurrency_profile(sess, "session_start", "session_end",
+                                gran="1 hour")
+            .orderBy("bucket"))
+
+
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
 
 
@@ -5596,7 +5640,7 @@ _FRONT = [
     "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
     "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
     "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
-    "e_session_paths",
+    "e_session_paths", "e_concurrency_hourly",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5605,7 +5649,6 @@ _FRONT = [
     "scan_cumulative_revenue", "sliding_moving_avg",
     "concat_union_segments", "string_functions", "datetime_functions",
     "hash_functions", "g_all_type_counts", "g_hop_customer_nation",
-    "g_hop2_revenue_by_customer",
 ]
 
 

@@ -114,3 +114,25 @@ def test_attribution_models_conserve_credit(spark):
     with pytest.raises(ValueError, match="model"):
         attribution(ev, "ts", "user_id", "event_type", "value",
                     model="nope", horizon_seconds=10)
+
+
+def test_concurrency_profile_two_phase_prefix_sum(spark):
+    """The distributed sweep equals the obvious single-window sweep,
+    including the half-open convention (end == start of another
+    interval does not overlap)."""
+    import datetime as dt
+    from zef_spark.pipeline.rollup import concurrency_profile
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    iv = spark.createDataFrame(
+        [(s(0), s(90)), (s(30), s(60)), (s(60), s(120)),
+         (s(200), s(210))],
+        "a timestamp_ntz, b timestamp_ntz")
+    out = {r["bucket"]: r["max_concurrency"]
+           for r in concurrency_profile(iv, "a", "b", "1 hour",
+                                        n_ranges=4).collect()}
+    # hour 0: [0,90) and [30,60) and [60,120): at t=30 conc=2; at
+    # t=60 the second ends before the third starts -> still 2
+    assert out[t0] == 2
+    assert out[t0 + dt.timedelta(hours=1)] == 2   # 90 end, 60 start alive
+    assert out[t0 + dt.timedelta(hours=3)] == 1

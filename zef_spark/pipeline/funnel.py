@@ -352,3 +352,29 @@ def session_paths(events: DataFrame, ts_col: str = "ts",
 @register_op("session_paths", "df")
 def _session_paths_op(df, *args, **kw):
     return session_paths(df, *args, **kw)
+
+
+def sessions_table(events: DataFrame, ts_col: str = "ts",
+                   user_col: str = "user_id",
+                   gap_seconds: int = 1800,
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """(user, session_start, session_end, n_events) — lag-gap
+    sessionization as a TABLE (the deterministic batch twin of
+    streaming/events.py sessionized): new session when the gap to
+    the previous event exceeds ``gap_seconds``. One user-keyed
+    shuffle (lag + running session number + the closing agg share
+    it)."""
+    from pyspark.sql import Window
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp")))
+    new_s = F.when(gap.isNull()
+                   | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return (events.withColumn("__s", F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(F.col(user_col).alias("user"), "__s")
+        .agg(F.min(ts_col).alias("session_start"),
+             F.max(ts_col).alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .drop("__s"))

@@ -540,3 +540,70 @@ def cusum(df, key, ts_col: str, value_col: str, target: float,
 @_reg_rollup("cusum", "df")
 def _cusum_op(df, *args, **kw):
     return cusum(df, *args, **kw)
+
+
+def concurrency_profile(intervals, start_col: str, end_col: str,
+                        gran: str = "1 hour",
+                        n_ranges: int | None = None):
+    """(bucket, max_concurrency) — peak simultaneous open intervals
+    per time bucket (concurrent sessions, open connections, parallel
+    jobs), computed by the classic sweep line: ±1 deltas at interval
+    starts/ends, a GLOBAL running sum over time order, then a
+    per-bucket max. Intervals are half-open [start, end): an
+    interval ending exactly when another starts does not overlap it
+    (deltas at equal timestamps apply −1 before +1).
+
+    The global prefix sum is DISTRIBUTED, not a single sort task:
+    deltas range-partition on time (repartitionByRange), each range
+    computes its local running sum with an in-range window, and the
+    per-range totals — one number per range — come back as a
+    broadcast-joined offset table (the same two-phase prefix-sum
+    shape as pack_sequences' shard offsets). Driver traffic is
+    n_ranges scalars; no stage ever sees a global sort."""
+    from pyspark.sql import Window
+    spark = intervals.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    width = _bucket_width_us(gran)
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    deltas = (intervals.select(s_us.alias("t"),
+                               F.lit(1).alias("d"))
+              .unionByName(intervals.select(e_us.alias("t"),
+                                            F.lit(-1).alias("d"))))
+    # PIN the range partitioning: the ranged frame is read by two
+    # jobs (offset totals, then the final join), and without a
+    # materialization the range exchange re-plans per job (AQE
+    # coalescing + boundary sampling), so __rid would not agree
+    # between them. localCheckpoint freezes both the boundaries and
+    # the partition ids.
+    ranged = (deltas.repartitionByRange(n_ranges, "t", "d")
+              .withColumn("__rid", F.spark_partition_id())
+              .localCheckpoint())
+    w_in = (Window.partitionBy("__rid").orderBy("t", "d")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("__run", F.sum("d").over(w_in))
+    totals = (local.groupBy("__rid")
+              .agg(F.sum("d").alias("__tot")))
+    # offsets: prefix sum over the (n_ranges)-row totals — driver math
+    rows = sorted((r["__rid"], r["__tot"]) for r in totals.collect())
+    off, acc = {}, 0
+    for rid, tot in rows:
+        off[rid] = acc
+        acc += int(tot)
+    off_df = spark.createDataFrame(
+        [(rid, o) for rid, o in off.items()], "__rid int, __off long")
+    bucket = F.timestamp_micros(
+        (F.col("t") - F.pmod(F.col("t"), F.lit(width))).cast("long")) \
+        .cast("timestamp_ntz")
+    return (local.join(F.broadcast(off_df), "__rid")
+            .select(bucket.alias("bucket"),
+                    (F.col("__run") + F.col("__off"))
+                    .alias("__c"))
+            .groupBy("bucket")
+            .agg(F.max("__c").cast("long").alias("max_concurrency")))
+
+
+@_reg_rollup("concurrency_profile", "df")
+def _concurrency_op(df, *args, **kw):
+    return concurrency_profile(df, *args, **kw)
