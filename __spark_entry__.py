@@ -5402,6 +5402,33 @@ def e_concurrency_hourly(spark, sf_dir):
             .orderBy("bucket"))
 
 
+@query("w_group_percentiles", """
+WITH base AS (
+  SELECT o_orderstatus,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, MAX(n) AS n,
+       MAX(CASE WHEN rn = CEIL(0.5 * n) THEN o_totalprice END) AS p5,
+       MAX(CASE WHEN rn = CEIL(0.9 * n) THEN o_totalprice END) AS p9,
+       MAX(CASE WHEN rn = CEIL(0.99 * n) THEN o_totalprice END) AS p99
+FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def w_group_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (ops/df_ops.py group_percentiles):
+    PERCENTILE_DISC by integer rank arithmetic — no interpolation,
+    tie-independent, engine-exact. One group-keyed shuffle shared by
+    the rank window, the count window, and the pivot agg."""
+    from zef_spark.ops.df_ops import group_percentiles
+    o = _t(spark, sf_dir, "orders")
+    return (group_percentiles(o, "o_orderstatus", "o_totalprice",
+                              ps=(0.5, 0.9, 0.99))
+            .orderBy("o_orderstatus"))
+
+
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
 
 
@@ -5641,6 +5668,7 @@ _FRONT = [
     "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
     "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
     "e_session_paths", "e_concurrency_hourly",
+    "w_group_percentiles",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5648,7 +5676,7 @@ _FRONT = [
     "group_agg_customer_orders", "max_by_top_order_per_cust",
     "scan_cumulative_revenue", "sliding_moving_avg",
     "concat_union_segments", "string_functions", "datetime_functions",
-    "hash_functions", "g_all_type_counts", "g_hop_customer_nation",
+    "hash_functions", "g_all_type_counts",
 ]
 
 

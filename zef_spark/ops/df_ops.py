@@ -667,3 +667,36 @@ def _distinct_on(df: DataFrame, keys, order_by):
     w = _window(order_by, keys)
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def group_percentiles(df, key_cols, value_col,
+                      ps: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """(keys..., n, p<NN>...) — EXACT per-group percentiles by the
+    rank-of-sorted-multiset definition (PERCENTILE_DISC): p-th
+    percentile = the value at row ceil(p·n) of the group's sorted
+    values. Integer rank arithmetic — no interpolation, no FP
+    averaging — so any engine computing the same definition matches
+    bit-for-bit, and ties need no ordering convention (the value at
+    a sorted position is unique even when row order among equals is
+    not).
+
+    ONE shuffle: the rank window and the count window share the
+    group-key partitioning, and the final pivot is a conditional agg
+    over the same keys (map-side combinable). The sort is per-group
+    (inside partitions), never global."""
+    from pyspark.sql import Window
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    wn = Window.partitionBy(*keys)
+    base = (df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    aggs = [F.max("__n").alias("n")]
+    for p in ps:
+        target = F.ceil(F.lit(float(p)) * F.col("__n"))
+        name = f"p{str(p)[2:] or '100'}"
+        aggs.append(F.max(F.when(F.col("__rn") == target,
+                                 F.col(value_col))).alias(name))
+    return base.groupBy(*keys).agg(*aggs)
+
+
+register_op("group_percentiles", "df")(group_percentiles)
