@@ -105,7 +105,11 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # broadcast crossJoins — replaced eager collects
                     "p_tf_idf", "p_bm25_search", "p_bigram_logprob",
                     # HITS: per-iteration 1-row L1-norm broadcasts
-                    "p_hits_purchase"}
+                    "p_hits_purchase",
+                    # r06: 1-row scalar broadcasts — TF-IDF corpus N,
+                    # Benford digit total, RFM as-of max timestamp
+                    "p_tfidf_topterms", "p_benford_totalprice",
+                    "e_rfm_segments"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
