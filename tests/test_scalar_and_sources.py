@@ -123,3 +123,33 @@ def test_networkx_import_end_to_end(spark):
     assert hops == 1
     pops = dict(cities.field("Population").collect())
     assert sorted(pops.values()) == [10, 20]
+
+
+def test_toml_writer_roundtrip():
+    """to_toml (dependency-free writer) round-trips through stdlib
+    tomllib: scalars, arrays, nested tables, skipped Nones, quoted
+    keys/strings with special characters."""
+    import tomllib
+    from zef_spark.sources import to_toml
+    doc = {
+        "name": "zef spark", "port": 8080, "ratio": 0.25,
+        "debug": True, "tags": ["a", "b c", "d\"e"],
+        "skip_me": None,
+        "db": {"host": "localhost", "retries": 3,
+               "weights": [1.5, 2.5]},
+        "weird key!": "v",
+    }
+    out = to_toml(doc)
+    back = tomllib.loads(out)
+    assert back["name"] == "zef spark" and back["port"] == 8080
+    assert back["ratio"] == 0.25 and back["debug"] is True
+    assert back["tags"] == ["a", "b c", 'd"e']
+    assert "skip_me" not in back
+    assert back["db"] == {"host": "localhost", "retries": 3,
+                          "weights": [1.5, 2.5]}
+    assert back["weird key!"] == "v"
+    import pytest
+    with pytest.raises(NotImplementedError, match="top level"):
+        to_toml([1, 2])
+    with pytest.raises(NotImplementedError, match="one level"):
+        to_toml({"a": {"b": {"c": 1}}})

@@ -181,8 +181,57 @@ def from_yaml(s: str):
     return yaml.safe_load(s)
 
 
+def _toml_scalar(v) -> str:
+    import datetime
+    import json as _json
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, str):
+        return _json.dumps(v)          # TOML basic strings are JSON-compatible
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
+    raise NotImplementedError(
+        f"to_toml: unsupported scalar type {type(v).__name__}")
+
+
 def to_toml(value) -> str:
-    raise NotImplementedError("no toml writer in this environment")
+    """Minimal dependency-free TOML writer for the shapes the codec
+    family serializes (reference serialization.py parity for config
+    round-trips): a top-level dict of scalars/arrays plus nested
+    dicts as [tables] (one level of nesting — TOML's common case).
+    Values round-trip through tomllib (stdlib) — proven in tests.
+    None values are SKIPPED (TOML has no null). For DataFrames use
+    the json codec; TOML is a config format, not a data format."""
+    value = _jsonable(value)
+    if not isinstance(value, dict):
+        raise NotImplementedError(
+            "to_toml serializes a dict at top level (TOML documents "
+            "are tables); wrap scalars, or use to_json")
+    lines, tables = [], []
+    for k, v in value.items():
+        if v is None:
+            continue
+        key = k if k.replace("_", "").replace("-", "").isalnum() \
+            else _toml_scalar(str(k))
+        if isinstance(v, dict):
+            tbl = [f"[{key}]"]
+            for k2, v2 in v.items():
+                if v2 is None:
+                    continue
+                if isinstance(v2, dict):
+                    raise NotImplementedError(
+                        "to_toml supports one level of table nesting")
+                key2 = k2 if k2.replace("_", "").replace("-", "") \
+                    .isalnum() else _toml_scalar(str(k2))
+                tbl.append(f"{key2} = {_toml_scalar(v2)}")
+            tables.append("\n".join(tbl))
+        else:
+            lines.append(f"{key} = {_toml_scalar(v)}")
+    return "\n".join(lines + tables) + "\n"
 
 
 def from_toml(s: str):
