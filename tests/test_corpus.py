@@ -210,3 +210,18 @@ def test_pack_sequences_zero_token_leading_docs(spark):
     a_packs = {s[1], s[2], s[3]}
     b_packs = {s[10], s[11]}
     assert a_packs.isdisjoint(b_packs)
+
+
+def test_tfidf_topterms_ranks_rare_terms(spark):
+    from zef_spark.pipeline.corpus import tfidf_topterms
+    docs = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common other"),
+         (3, "common thing")],
+        "doc_id long, text string")
+    out = tfidf_topterms(docs, "doc_id", "text", k=2).collect()
+    d1 = {r["rank"]: r["term"] for r in out if r["doc_id"] == 1}
+    # 'rare' (df=1) outranks 'common' (df=3 -> idf 0) despite tf=2
+    assert d1[1] == "rare"
+    # idf of an everywhere-term is ln(1)=0 -> score 0
+    z = [r for r in out if r["term"] == "common"]
+    assert all(r["score"] == 0.0 for r in z)

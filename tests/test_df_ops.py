@@ -82,3 +82,15 @@ def test_max_by_first_last(spark, sf_dir):
     f = orders | z.first["o_orderkey"] | z.collect
     l = orders | z.last["o_orderkey"] | z.collect
     assert f[0] != l[0]
+
+
+def test_group_percentiles_exact_disc(spark):
+    from zef_spark.ops.df_ops import group_percentiles
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r for r in
+           group_percentiles(df, "k", "v", ps=(0.5, 0.9)).collect()}
+    # PERCENTILE_DISC: value at ceil(p*n) of the sorted list
+    assert out["a"]["p5"] == 5.0 and out["a"]["p9"] == 9.0
+    assert out["a"]["n"] == 10
+    assert out["b"]["p5"] == 5.0 and out["b"]["p9"] == 5.0

@@ -136,3 +136,39 @@ def test_concurrency_profile_two_phase_prefix_sum(spark):
     assert out[t0] == 2
     assert out[t0 + dt.timedelta(hours=1)] == 2   # 90 end, 60 start alive
     assert out[t0 + dt.timedelta(hours=3)] == 1
+
+
+def test_event_transitions_counts_and_probs(spark):
+    import datetime as dt
+    from zef_spark.pipeline.funnel import event_transitions
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    ev = spark.createDataFrame(
+        [(1, s(0), "a"), (1, s(1), "b"), (1, s(2), "a"),
+         (2, s(0), "a"), (2, s(1), "b")],
+        "user_id long, ts timestamp_ntz, event_type string")
+    out = {(r["prev"], r["next"]): (r["n"], r["p"])
+           for r in event_transitions(ev).collect()}
+    assert out[("a", "b")] == (2, 1.0)     # a always followed by b
+    assert out[("b", "a")] == (1, 1.0)     # the only b-successor
+    assert ("a", "a") not in out           # never adjacent
+    # cross-user boundaries never pair up
+    assert sum(n for n, _ in out.values()) == 3
+
+
+def test_session_paths_order_and_cap(spark):
+    import datetime as dt
+    from zef_spark.pipeline.funnel import session_paths
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    rows = ([(1, s(i), i, f"e{i}") for i in range(7)]          # 1 session
+            + [(1, s(10000), 99, "z")]                          # new session
+            + [(2, s(0), 0, "a")])
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, "
+              "event_type string")
+    out = {r["path"]: r["n_sessions"]
+           for r in session_paths(ev, gap_seconds=1800, max_len=5,
+                                  tiebreak_col="event_id").collect()}
+    assert out["e0>e1>e2>e3>e4"] == 1      # capped at 5, in order
+    assert out["z"] == 1 and out["a"] == 1

@@ -87,3 +87,18 @@ def test_robust_scale(spark):
     # outlier insensitivity vs z-score: robust score of the normal
     # points stays small even with the 1000.0 present
     assert abs(r[("a", 1.0)]) < 1 and abs(r[("a", 3.0)]) < 1
+
+
+def test_benford_check_digits_and_probs(spark):
+    from zef_spark.pipeline.wrangling import benford_check
+    df = spark.createDataFrame(
+        [(1.0,), (19.5,), (0.002,), (250.0,), (2.5,), (-3.0,),
+         (0.0,), (None,), (900.0,)],
+        "v double")
+    out = {r["digit"]: r for r in benford_check(df, "v").collect()}
+    # digits: 1,1,2,2,2,9 (negatives/zero/null excluded)
+    assert out[1]["n"] == 2 and out[2]["n"] == 3 and out[9]["n"] == 1
+    assert abs(out[1]["observed_p"] - 2 / 6) < 1e-6
+    import math
+    assert abs(out[1]["expected_p"] - math.log10(2)) < 1e-6
+    assert set(out) == {1, 2, 9}
