@@ -170,7 +170,7 @@ SELECT p_partkey, p_name, p_brand, p_size
 FROM part
 WHERE p_size BETWEEN 10 AND 40
   AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-  AND p_type LIKE '%BRASS%'
+  AND p_type LIKE '%AND%'
 ORDER BY p_partkey
 """)
 def q_filter_predicates(spark, sf_dir):
@@ -179,7 +179,7 @@ def q_filter_predicates(spark, sf_dir):
     return (part
             | z.filter[lambda r: r.p_size.between(10, 40) &
                        r.p_brand.isin("Brand#1", "Brand#2", "Brand#3") &
-                       r.p_type.contains("BRASS")]
+                       r.p_type.contains("AND")]
             | z.map[{"p_partkey": F.col("p_partkey"),
                      "p_name": F.col("p_name"),
                      "p_brand": F.col("p_brand"),
@@ -211,15 +211,22 @@ def q_sort_take(spark, sf_dir):
 
 @query("without_anti_join", """
 SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """)
 def q_without(spark, sf_dir):
+    """`without` as an anti-join: customers minus urgent-order
+    placers. (The original right side — ALL buyers — proved vacuous
+    at every scale: this fixture gives every customer at least one
+    order, so empty==empty was a no-op proof. The urgent-buyer
+    subset leaves a non-empty remainder at all three scales.)"""
     from zef_spark import ops as z
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey"))
-    buyers = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"))
+    buyers = (_t(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
     return (cust | z.without[buyers] | z.sort["c_custkey"])
 
 
