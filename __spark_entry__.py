@@ -5658,6 +5658,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # NEW in r06, and (d) backfill with the oldest green rows (r01) so
 # their proofs stay fresh. Everything else rotates to the tail
 # (r02-r05 rows prove it) and stays runnable by name.
+# r06 note: the new vacuity guard (tools/check_oracle.py) flagged two
+# MORE empty==empty proofs in the r01 backfill — filter_predicates
+# (no BRASS-typed parts in this fixture) and without_anti_join (every
+# customer has orders) — both de-vacuized this round with
+# fixture-real predicates; full local sweep is 172/172 with >0 rows.
 _FRONT = [
     # (a) registered in r05 after the window froze — first driver rows
     "p_top_bigrams", "g_cheapest_supply_paths", "p_bigram_logprob",
