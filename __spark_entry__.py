@@ -5436,6 +5436,84 @@ def w_group_percentiles(spark, sf_dir):
             .orderBy("o_orderstatus"))
 
 
+_CODE_KW = (r"\b(def|class|import|return|function|const|var|let|"
+            r"void|int|public|static|elif|lambda|printf|include)\b")
+
+
+@query("p_code_detect", f"""
+WITH q AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         LENGTH(text) - LENGTH(TRANSLATE(text, '{{}}();=<>[]', ''))
+           AS n_sym,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{_CODE_KW}')) AS kw,
+         LEN(REGEXP_EXTRACT_ALL(text, '(?m)^(    |\t)')) AS ind
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN n_sym / n_chars
+              ELSE 0.0 END AS sym_ratio,
+         kw, ind
+  FROM q
+)
+SELECT doc_id, ROUND(sym_ratio, 6) AS sym_ratio,
+       CAST(kw AS BIGINT) AS n_code_kw,
+       CAST(ind AS BIGINT) AS indent_lines,
+       (sym_ratio >= 0.03 AND kw >= 2) AS is_code
+FROM r ORDER BY doc_id
+""")
+def p_code_detect(spark, sf_dir):
+    """Code-vs-prose detection (pipeline/text.py code_detect): symbol
+    density + programming-keyword hits + indented-line count, all
+    row-local regexp/length arithmetic (zero shuffle, zero UDF).
+    The corpus-routing gate code-mix pipelines put before
+    tokenization."""
+    from zef_spark.pipeline.text import code_detect
+    docs = _t(spark, sf_dir, "documents")
+    return code_detect(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+@query("e_holt_forecast", f"""
+WITH RECURSIVE src AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+r(user_id, rn, ts, l, b) AS (
+  SELECT user_id, rn, ts, value, CAST(NULL AS DOUBLE) FROM src
+  WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.ts,
+         {_HOLT_A!r} * s.value + {1.0 - _HOLT_A!r}
+           * (r.l + COALESCE(r.b, s.value - r.l)),
+         {_HOLT_B!r} * (({_HOLT_A!r} * s.value + {1.0 - _HOLT_A!r}
+                         * (r.l + COALESCE(r.b, s.value - r.l)))
+                        - r.l)
+           + {1.0 - _HOLT_B!r} * COALESCE(r.b, s.value - r.l)
+  FROM r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, ts, l AS level, COALESCE(b, 0.0) AS trend,
+       l + 3 * COALESCE(b, 0.0) AS forecast
+FROM r ORDER BY user_id, ts
+""")
+def e_holt_forecast(spark, sf_dir):
+    """Per-user Holt double exponential smoothing
+    (pipeline/rollup.py holt_linear): level+trend recursions with a
+    3-step-ahead forecast — the trending twin of ewma, same grouped
+    Arrow fold + recursive-CTE oracle discipline (raw IEEE doubles,
+    NO rounding: both engines replay the literal expressions
+    bit-for-bit; COALESCE(b, x−l) folds the second-observation
+    trend seed into one recursion arm)."""
+    from zef_spark.pipeline.rollup import holt_linear
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = holt_linear(ev, "user_id", "ts", "value",
+                      alpha=_HOLT_A, beta=_HOLT_B, horizon_steps=3)
+    return (out.select("user_id", "ts", "level", "trend", "forecast")
+            .orderBy("user_id", "ts"))
+
+
 _CUSUM = dict(target=50.0, slack=25.0, threshold=400.0)
 
 
@@ -5680,7 +5758,7 @@ _FRONT = [
     "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
     "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
     "e_session_paths", "e_concurrency_hourly",
-    "w_group_percentiles",
+    "w_group_percentiles", "e_holt_forecast", "p_code_detect",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
@@ -5688,7 +5766,6 @@ _FRONT = [
     "group_agg_customer_orders", "max_by_top_order_per_cust",
     "scan_cumulative_revenue", "sliding_moving_avg",
     "concat_union_segments", "string_functions", "datetime_functions",
-    "hash_functions", "g_all_type_counts",
 ]
 
 

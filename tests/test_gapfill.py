@@ -171,3 +171,25 @@ def test_cusum_detects_level_shift(spark):
              .orderBy("ts").collect())
     first_alarm = next(i for i, r in enumerate(reset) if r["alarm"])
     assert reset[first_alarm + 1]["s_pos"] < reset[first_alarm]["s_pos"]
+
+
+def test_holt_linear_level_trend_forecast(spark):
+    """Holt recursion: constant-slope series converges to exact
+    trend; forecast extrapolates level + h·trend."""
+    import datetime as dt
+    from zef_spark.pipeline.rollup import holt_linear
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=i), 10.0 + 2.0 * i)
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double")
+    out = (holt_linear(df, "user_id", "ts", "value",
+                       alpha=0.5, beta=0.3, horizon_steps=2)
+           .orderBy("ts").collect())
+    assert out[0]["level"] == 10.0 and out[0]["trend"] == 0.0
+    # a perfectly linear series: level tracks x, trend -> slope 2
+    last = out[-1]
+    assert abs(last["level"] - (10.0 + 2.0 * 19)) < 0.2
+    assert abs(last["trend"] - 2.0) < 0.1
+    assert abs(last["forecast"]
+               - (last["level"] + 2 * last["trend"])) < 1e-12

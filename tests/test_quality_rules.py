@@ -126,3 +126,18 @@ def test_normalize_text_unicode_canon(spark):
            normalize_text(df, "t", form="NFC").collect()}
     assert nfc[0] == unicodedata.normalize("NFC", rows[0][1])
     assert "́" not in nfc[0]
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    from zef_spark.pipeline.text import code_detect
+    code = ("def main():\n    import os\n    return os.getcwd();\n"
+            "    x = {1: 2};\n    print(x)\n")
+    prose = ("The afternoon light fell across the valley and the "
+             "river moved slowly toward the distant sea.")
+    df = spark.createDataFrame([(1, code), (2, prose)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           code_detect(df, "doc_id", "text").collect()}
+    assert out[1]["is_code"] and not out[2]["is_code"]
+    assert out[1]["n_code_kw"] >= 3 and out[1]["indent_lines"] >= 3
+    assert out[2]["n_code_kw"] == 0 and out[2]["sym_ratio"] < 0.01

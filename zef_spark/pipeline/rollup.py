@@ -607,3 +607,57 @@ def concurrency_profile(intervals, start_col: str, end_col: str,
 @_reg_rollup("concurrency_profile", "df")
 def _concurrency_op(df, *args, **kw):
     return concurrency_profile(df, *args, **kw)
+
+
+def holt_linear(df, key, ts_col: str, value_col: str,
+                alpha: float, beta: float,
+                horizon_steps: int = 1):
+    """Per-key Holt double exponential smoothing (level + trend):
+
+        l_t = α·x_t + (1−α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t − l_{t-1}) + (1−β)·b_{t-1}
+
+    seeded l_1 = x_1, b_1 = x_2 − x_1 (trend defined from the second
+    observation; the first row's forecast is just its level). Adds
+    ``level``, ``trend`` and ``forecast`` (= level +
+    horizon_steps·trend — the h-step-ahead point forecast) columns.
+
+    The trending twin of ewma, same engine posture: a linear
+    recursion no window expresses → grouped Arrow kernel, ONE key
+    shuffle, raw IEEE doubles out. Each expression is written
+    literally so a recursive-CTE oracle replays it bit-for-bit."""
+    keys = [key] if isinstance(key, str) else list(key)
+    fields = ", ".join(f"{c} {t}" for c, t in df.dtypes) \
+        + ", level double, trend double, forecast double"
+    a, b_, h = float(alpha), float(beta), int(horizon_steps)
+
+    def fold(pdf):
+        pdf = pdf.sort_values(ts_col).copy()
+        lv = tr = None
+        levels, trends, fcs = [], [], []
+        for x in pdf[value_col].astype(float):
+            if lv is None:
+                lv, tr = x, None
+            elif tr is None:
+                prev = lv
+                tr0 = x - prev
+                lv = a * x + (1.0 - a) * (prev + tr0)
+                tr = b_ * (lv - prev) + (1.0 - b_) * tr0
+            else:
+                prev = lv
+                lv = a * x + (1.0 - a) * (prev + tr)
+                tr = b_ * (lv - prev) + (1.0 - b_) * tr
+            levels.append(lv)
+            trends.append(tr if tr is not None else 0.0)
+            fcs.append(lv + h * (tr if tr is not None else 0.0))
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast"] = fcs
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fold, fields)
+
+
+@_reg_rollup("holt_linear", "df")
+def _holt_op(df, *args, **kw):
+    return holt_linear(df, *args, **kw)

@@ -661,3 +661,42 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str,
 @register_op("token_entropy", "df")
 def _token_entropy_op(df, *args, **kw):
     return token_entropy(df, *args, **kw)
+
+
+def code_detect(df: DataFrame, id_col: str, text_col: str,
+                sym_threshold: float = 0.03,
+                kw_threshold: int = 2, digits: int = 6) -> DataFrame:
+    """(id, sym_ratio, n_code_kw, indent_lines, is_code) — code-vs-
+    prose detection for corpus routing (code wants different dedup,
+    tokenization, and mixing weights than prose): density of
+    code-y symbols ({}();=<>[]), programming-keyword hits
+    (def/class/import/return/function/const/...), and
+    indentation-led line count. Entirely row-local column
+    expressions — regexp + length arithmetic, zero shuffle, zero
+    UDF (the p_text_quality discipline).
+
+    ``is_code`` = sym_ratio ≥ sym_threshold AND keyword hits ≥
+    kw_threshold — a deliberately simple, auditable rule; feed the
+    raw signals to pipeline/classifier.py for a trained gate."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_sym = F.length(t) - F.length(
+        F.translate(t, "{}();=<>[]", ""))
+    kw = F.regexp_count(
+        F.lower(t),
+        F.lit(r"\b(def|class|import|return|function|const|var|let|"
+              r"void|int|public|static|elif|lambda|printf|include)\b"))
+    indent = F.regexp_count(t, F.lit(r"(?m)^(    |\t)"))
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(0.0)
+    return df.select(
+        F.col(id_col),
+        F.round(sym_ratio, digits).alias("sym_ratio"),
+        kw.cast("long").alias("n_code_kw"),
+        indent.cast("long").alias("indent_lines"),
+        ((sym_ratio >= sym_threshold)
+         & (kw >= kw_threshold)).alias("is_code"))
+
+
+@register_op("code_detect", "df")
+def _code_detect_op(df, *args, **kw):
+    return code_detect(df, *args, **kw)
