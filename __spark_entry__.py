@@ -5436,6 +5436,31 @@ def w_group_percentiles(spark, sf_dir):
             .orderBy("o_orderstatus"))
 
 
+@query("g_walk_cooccurrence", None)
+def g_walk_cooccurrence(spark, sf_dir):
+    """DeepWalk-style skip-gram co-occurrence counts from
+    DETERMINISTIC md5-choice random walks over the supplier
+    co-supply graph (graph/algorithms.py random_walk_cooccurrence) —
+    the graph-embedding preprocessing step. Every walk replays
+    identically on any engine with md5; the oracle unrolls the SAME
+    3 steps in SQL, so walk equality is value-proven, not sampled.
+    Per step: ONE frontier-sized equi-join; edges never move."""
+    from zef_spark.graph.algorithms import random_walk_cooccurrence
+    return (random_walk_cooccurrence(_cosupply_edges(spark, sf_dir),
+                                     n_walks=2, walk_len=3, window=2)
+            .orderBy("a", "b"))
+
+
+def _walk_oracle() -> str:
+    from zef_spark.graph.algorithms import walk_cooccurrence_oracle_sql
+    return walk_cooccurrence_oracle_sql(
+        f"SELECT s1 AS src, s2 AS dst FROM ({_COSUPPLY_SQL})",
+        n_walks=2, walk_len=3, window=2)
+
+
+ORACLE["g_walk_cooccurrence"] = _walk_oracle()
+
+
 _CODE_KW = (r"\b(def|class|import|return|function|const|var|let|"
             r"void|int|public|static|elif|lambda|printf|include)\b")
 

@@ -154,3 +154,24 @@ def test_hits_convergence_and_niter_guard(spark):
     fixed = {r["id"]: (r["hub"], r["authority"])
              for r in hits(edges, n_iter=3).collect()}
     assert conv == fixed
+
+
+def test_random_walk_cooccurrence_deterministic(spark):
+    """Walks are a pure function of (start, walk, step, cur): two
+    runs and a repartitioned input give identical counts; pairs stay
+    within the window; every walk node is a graph node."""
+    from zef_spark.graph.algorithms import random_walk_cooccurrence
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)],
+        "src long, dst long")
+    a = {(r["a"], r["b"]): r["n"]
+         for r in random_walk_cooccurrence(edges, n_walks=2,
+                                           walk_len=3).collect()}
+    b = {(r["a"], r["b"]): r["n"]
+         for r in random_walk_cooccurrence(edges.repartition(5),
+                                           n_walks=2,
+                                           walk_len=3).collect()}
+    assert a == b and a
+    assert all(x < y for x, y in a)          # normalized unordered
+    nodes = {0, 1, 2, 3}
+    assert all(x in nodes and y in nodes for x, y in a)

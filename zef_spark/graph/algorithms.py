@@ -617,3 +617,128 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
                           .alias("label"))
                   .localCheckpoint())
     return labels
+
+
+def random_walk_cooccurrence(edges: DataFrame, src_col: str = "src",
+                             dst_col: str = "dst", n_walks: int = 2,
+                             walk_len: int = 3, window: int = 2,
+                             directed: bool = False) -> DataFrame:
+    """(a, b, n) — skip-gram co-occurrence counts from DETERMINISTIC
+    random walks (the DeepWalk/node2vec preprocessing step, Perozzi
+    et al. 2014): every node starts ``n_walks`` walks of
+    ``walk_len`` steps; at each step the walker moves to neighbor
+    number ``H(start, walk, step, cur) mod degree(cur)`` where H is
+    the md5-rank hash this codebase uses for engine-portable
+    pseudo-randomness (corpus.py _md5_rank) — so the exact same
+    walks replay on ANY engine with md5, and an unrolled SQL oracle
+    proves them value-equal. Unordered node pairs within ``window``
+    hops of each other in a walk are counted corpus-wide; feed the
+    counts to any embedding trainer (GloVe-style factorization, or
+    pipeline/embeddings.py projections).
+
+    Plan: the neighbor INDEX (cur, idx, nbr) + degree table build
+    once (one shuffle); each step is one equi-join of the frontier
+    against the index on (cur, idx) — walk_len joins total, frontier
+    stays |nodes|·n_walks rows; the final pair count is one hash
+    agg. Nothing quadratic, no RNG state."""
+    e = (edges.select(F.col(src_col).alias("a"),
+                      F.col(dst_col).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    if not directed:
+        e = (e.unionByName(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+             .distinct())
+    from pyspark.sql import Window
+    idx_w = Window.partitionBy("cur").orderBy("nbr")
+    index = (e.select(F.col("a").alias("cur"),
+                      F.col("b").alias("nbr"))
+             .withColumn("idx", F.row_number().over(idx_w))
+             .localCheckpoint())
+    deg = index.groupBy("cur").agg(F.max("idx").alias("deg"))
+
+    def md5_long(*cols):
+        return F.conv(F.substring(
+            F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10) \
+            .cast("long")
+
+    starts = index.select(F.col("cur").alias("start")).distinct()
+    walks = starts.select(
+        "start", F.explode(F.array(*[F.lit(w) for w in
+                                     range(n_walks)])).alias("w"))
+    # pos0 = start; each step joins the frontier to the index row
+    # selected by the hash choice
+    frontier = walks.select("start", "w",
+                            F.col("start").alias("p0"))
+    for t in range(1, walk_len + 1):
+        cur = F.col(f"p{t - 1}")
+        choice = frontier.join(deg, deg.cur == cur) \
+            .withColumn("__pick",
+                        F.pmod(md5_long(F.col("start"), F.col("w"),
+                                        F.lit(t), cur),
+                               F.col("deg")) + 1) \
+            .drop("cur", "deg")
+        frontier = (choice.join(
+            index,
+            (index.cur == F.col(f"p{t - 1}"))
+            & (index.idx == F.col("__pick")))
+            .drop("cur", "idx", "__pick")
+            .withColumnRenamed("nbr", f"p{t}"))
+    pairs = []
+    for i in range(walk_len + 1):
+        for j in range(i + 1, min(i + window, walk_len) + 1):
+            x, y = F.col(f"p{i}"), F.col(f"p{j}")
+            pairs.append(frontier.select(
+                F.least(x, y).alias("a"), F.greatest(x, y).alias("b")))
+    from functools import reduce
+    allp = reduce(lambda u, v: u.unionByName(v), pairs)
+    return (allp.where(F.col("a") != F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n")))
+
+
+def walk_cooccurrence_oracle_sql(edges_cte: str, n_walks: int = 2,
+                                 walk_len: int = 3, window: int = 2
+                                 ) -> str:
+    """DuckDB SQL replaying random_walk_cooccurrence exactly:
+    identical md5-choice arithmetic (first 15 hex digits as a
+    BIGINT), identical neighbor indexing (row_number by neighbor
+    id), steps unrolled. ``edges_cte`` must select (src, dst);
+    the undirected view is built here."""
+    h = ("(('0x' || SUBSTR(MD5(CAST({s} AS VARCHAR) || ':' || "
+         "CAST({w} AS VARCHAR) || ':' || CAST({t} AS VARCHAR) || "
+         "':' || CAST({c} AS VARCHAR)), 1, 15))::BIGINT)")
+    parts = [f"""e0 AS ({edges_cte}),
+sym AS (
+  SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+  UNION SELECT dst, src FROM e0 WHERE src <> dst
+), idx AS (
+  SELECT a AS cur, b AS nbr,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS idx
+  FROM sym
+), deg AS (SELECT cur, MAX(idx) AS deg FROM idx GROUP BY cur),
+f0 AS (
+  SELECT s.start, t.w, s.start AS p0
+  FROM (SELECT DISTINCT cur AS start FROM idx) s,
+       UNNEST(GENERATE_SERIES(0, {n_walks - 1})) AS t(w)
+)"""]
+    for t in range(1, walk_len + 1):
+        hh = h.format(s="f.start", w="f.w", t=t, c=f"f.p{t - 1}")
+        cols = ", ".join(f"f.p{i}" for i in range(t))
+        parts.append(f"""f{t} AS (
+  SELECT f.start, f.w, {cols}, idx.nbr AS p{t}
+  FROM f{t - 1} f
+  JOIN deg ON deg.cur = f.p{t - 1}
+  JOIN idx ON idx.cur = f.p{t - 1}
+         AND idx.idx = {hh} % deg.deg + 1
+)""")
+    pair_sel = []
+    for i in range(walk_len + 1):
+        for j in range(i + 1, min(i + window, walk_len) + 1):
+            pair_sel.append(
+                f"SELECT LEAST(p{i}, p{j}) AS a, "
+                f"GREATEST(p{i}, p{j}) AS b FROM f{walk_len}")
+    union = "\nUNION ALL\n".join(pair_sel)
+    return ("WITH " + ",\n".join(parts)
+            + f""",
+pairs AS ({union})
+SELECT a, b, COUNT(*) AS n FROM pairs WHERE a <> b
+GROUP BY a, b ORDER BY a, b""")
