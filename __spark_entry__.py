@@ -5784,13 +5784,14 @@ _FRONT = [
     "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
     "e_session_paths", "e_concurrency_hourly",
     "w_group_percentiles", "e_holt_forecast", "p_code_detect",
+    "g_walk_cooccurrence",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
     "sort_take_topk", "without_anti_join", "conditional_bucketing",
     "group_agg_customer_orders", "max_by_top_order_per_cust",
     "scan_cumulative_revenue", "sliding_moving_avg",
-    "concat_union_segments", "string_functions", "datetime_functions",
+    "concat_union_segments", "string_functions",
 ]
 
 
