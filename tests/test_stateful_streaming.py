@@ -57,3 +57,40 @@ def test_split_on_next_stream_state_across_runs(spark, tmp_path):
         .coalesce(1).write.mode("append").parquet(d)
     rows = run_once("seg_r2")                # marker closes the buffer
     assert [list(r.segment) for r in rows] == [["a", "b"]]
+
+
+def test_cusum_stream_equals_batch(spark, tmp_path):
+    """Streaming CUSUM over a real file-source stream equals the
+    batch Arrow fold exactly (identical IEEE recursion, state
+    carried in the store between micro-batches)."""
+    import datetime as dt
+    from zef_spark.streaming.stateful import cusum_stream
+    from zef_spark.pipeline.rollup import cusum
+
+    d = str(tmp_path / "cin")
+    os.makedirs(d)
+    schema = "key string, seq long, value double"
+    rows1 = [("a", i, 10.0 + i) for i in range(5)]
+    rows2 = [("a", 5 + i, 40.0) for i in range(3)] \
+        + [("b", i, 5.0) for i in range(4)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = cusum_stream(stream, target=10.0, slack=2.0,
+                       threshold=30.0)
+    q = (out.writeStream.format("memory").queryName("cusum_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.seq): (r.s_pos, r.s_neg, r.alarm)
+           for r in spark.sql("SELECT * FROM cusum_t").collect()}
+
+    batch_in = spark.createDataFrame(rows1 + rows2, schema)
+    want = {(r["key"], r["seq"]): (r["s_pos"], r["s_neg"], r["alarm"])
+            for r in cusum(batch_in, "key", "seq", "value",
+                           target=10.0, slack=2.0,
+                           threshold=30.0).collect()}
+    assert got == want and len(got) == 12
+    assert any(a for _, _, a in got.values())      # the shift alarms

@@ -17,8 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (ArrayType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 SEGMENT_SCHEMA = StructType([
     StructField("key", StringType()),
@@ -75,3 +76,51 @@ def run_segments_once(spark, input_dir: str, schema: str, marker: str,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     return spark.sql(f"SELECT * FROM {out_table}").collect()
+
+
+CUSUM_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("seq", LongType()),
+    StructField("s_pos", DoubleType()),
+    StructField("s_neg", DoubleType()),
+    StructField("alarm", BooleanType()),
+])
+
+_CUSUM_STATE = StructType([
+    StructField("sp", DoubleType()),
+    StructField("sn", DoubleType()),
+])
+
+
+def cusum_stream(events: DataFrame, target: float, slack: float,
+                 threshold: float, key_col: str = "key",
+                 seq_col: str = "seq",
+                 value_col: str = "value") -> DataFrame:
+    """Streaming CUSUM drift detection: the batch fold
+    (pipeline/rollup.py cusum) carried across micro-batches in the
+    state store — per key, state is TWO doubles (s⁺, s⁻) no matter
+    how long the stream runs; each row emits its statistic + alarm
+    flag. Works on streaming or batch frames; stream==batch equality
+    is proven in tests (identical IEEE fold, identical ordering by
+    seq)."""
+    import pandas as pd
+    t0, k0, h0 = float(target), float(slack), float(threshold)
+
+    def fold(key, pdf_iter, state: GroupState):
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(seq_col)
+            for seq, x in zip(pdf[seq_col], pdf[value_col]):
+                x = float(x)
+                sp = max(0.0, sp + (x - t0 - k0))
+                sn = min(0.0, sn + (x - t0 + k0))
+                out.append((key[0], int(seq), sp, sn,
+                            sp > h0 or -sn > h0))
+        state.update((sp, sn))
+        yield pd.DataFrame(
+            out, columns=["key", "seq", "s_pos", "s_neg", "alarm"])
+
+    return (events.groupBy(key_col).applyInPandasWithState(
+        fold, CUSUM_SCHEMA, _CUSUM_STATE, "append",
+        GroupStateTimeout.NoTimeout))
