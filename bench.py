@@ -40,6 +40,9 @@ HEADLINE = [
     # r05 additions: search scoring + sliding-window rate limiting
     "p_bm25_search",
     "e_rate_limit_events",
+    # r06 addition: sessionized journey paths (window + row-local
+    # assemble + bounded agg — the event-analytics family)
+    "e_session_paths",
 ]
 
 
