@@ -5461,6 +5461,62 @@ def _walk_oracle() -> str:
 ORACLE["g_walk_cooccurrence"] = _walk_oracle()
 
 
+@query("e_weekly_seasonality", """
+WITH b AS (
+  SELECT DAYOFWEEK(ts) * 24 + HOUR(ts) AS how,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT how, COUNT(*) AS n,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_value
+FROM b GROUP BY how ORDER BY how
+""")
+def e_weekly_seasonality(spark, sf_dir):
+    """Weekly seasonality profile: mean event value per
+    hour-of-week (0..167) — the baseline table seasonal anomaly
+    detection and load forecasting divide through by. ONE
+    168-key hash agg; decimal sums make the means
+    partition-order-exact. (Spark dayofweek is 1=Sunday..7=Saturday;
+    −1 maps to DuckDB's 0=Sunday..6=Saturday convention.)"""
+    ev = _events(spark, sf_dir)
+    how = ((F.dayofweek("ts") - 1) * 24 + F.hour("ts")).alias("how")
+    return (ev.select(how, F.col("value").cast("decimal(18,2)")
+                      .alias("v"))
+            .groupBy("how")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("v").cast("double")
+                         / F.count(F.lit(1)), 6).alias("mean_value"))
+            .orderBy("how"))
+
+
+@query("g_degree_distribution", f"""
+WITH pr AS ({_COSUPPLY_SQL}),
+sym AS (
+  SELECT s1 AS a, s2 AS b FROM pr UNION SELECT s2, s1 FROM pr
+), deg AS (
+  SELECT a, COUNT(*) AS d FROM sym GROUP BY a
+)
+SELECT CAST(FLOOR(LOG2(d)) AS BIGINT) AS bin,
+       COUNT(*) AS n_nodes, MIN(d) AS min_deg, MAX(d) AS max_deg
+FROM deg GROUP BY 1 ORDER BY bin
+""")
+def g_degree_distribution(spark, sf_dir):
+    """Log-binned degree distribution of the co-supply graph
+    (graph/algorithms.py degrees feeding a log2 histogram) — the
+    first diagnostic of any graph workload (skew → salting / hot-key
+    strategy). Two aggregates, output bounded by log2(max degree)."""
+    from zef_spark.graph.algorithms import degrees
+    deg = degrees(_cosupply_edges(spark, sf_dir))
+    d = F.col("deg")
+    return (deg.select(F.floor(F.log2(d)).cast("long").alias("bin"),
+                       d)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("deg").alias("min_deg"),
+                 F.max("deg").alias("max_deg"))
+            .orderBy("bin"))
+
+
 _CODE_KW = (r"\b(def|class|import|return|function|const|var|let|"
             r"void|int|public|static|elif|lambda|printf|include)\b")
 
@@ -5784,14 +5840,14 @@ _FRONT = [
     "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
     "e_session_paths", "e_concurrency_hourly",
     "w_group_percentiles", "e_holt_forecast", "p_code_detect",
-    "g_walk_cooccurrence",
+    "g_walk_cooccurrence", "e_weekly_seasonality",
+    "g_degree_distribution",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
     "sort_take_topk", "without_anti_join", "conditional_bucketing",
     "group_agg_customer_orders", "max_by_top_order_per_cust",
     "scan_cumulative_revenue", "sliding_moving_avg",
-    "concat_union_segments", "string_functions",
 ]
 
 
