@@ -2794,14 +2794,18 @@ WITH qty AS (
   GROUP BY 1, 2)
 SELECT s_name, n_name
 FROM supplier JOIN nation ON n_nationkey = s_nationkey
-WHERE n_name = 'NATION_16' AND s_suppkey IN (
+WHERE s_suppkey IN (
   SELECT l_suppkey FROM qty JOIN part ON p_partkey = l_partkey
   WHERE p_name LIKE '%widget%' AND total_qty > 60)
 ORDER BY s_name
 """)
 def q20(spark, sf_dir):
     """TPC-H Q20 shape: nested IN chain compiled to semi joins —
-    suppliers who shipped >100 units of widget parts in 1997."""
+    suppliers who shipped excess widget volume in 1997. (The
+    original single-nation filter made the result empty at sf0.001 —
+    a vacuous proof the r06 guard flags — so the output keeps every
+    qualifying supplier WITH its nation; the semi-join chain, Q20's
+    point, is unchanged.)"""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1997-01-01") &
         (F.col("l_shipdate") < "1998-01-01"))
@@ -2815,7 +2819,7 @@ def q20(spark, sf_dir):
            .where(F.col("total_qty") > 60)
            .select("l_suppkey").distinct())
     s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_16")
+    n = _t(spark, sf_dir, "nation")
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(qty), s.s_suppkey == qty.l_suppkey,
                   "left_semi")
@@ -4567,7 +4571,7 @@ WITH e AS (
 ), d0 AS (
   SELECT DISTINCT 'S' || s_suppkey AS id, 0.0 AS dist
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
+  WHERE n_name = 'NATION_3'
 ), d1 AS (
   SELECT id, MIN(dist) AS dist FROM (
     SELECT * FROM d0
@@ -4593,7 +4597,9 @@ WHERE id LIKE 'P%' ORDER BY id
 def g_cheapest_supply_paths(spark, sf_dir):
     """Weighted shortest paths (graph/algorithms.py shortest_paths —
     bounded-round Bellman-Ford): cheapest ≤3-edge path cost from
-    NATION_7's suppliers to every part over the bipartite
+    NATION_3's suppliers to every part over the bipartite (a
+    nation with suppliers at EVERY fixture scale — NATION_7 has
+    none at sf0.001, which the vacuity guard flags)
     supplier↔part network (edge weight = cheapest observed unit
     price). Each round is ONE frontier-sized keyed join + a min-agg;
     the oracle unrolls the identical three rounds as SQL joins, so
@@ -4609,7 +4615,7 @@ def g_cheapest_supply_paths(spark, sf_dir):
     sid = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
     pid = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
     edges = e.select(sid.alias("src"), pid.alias("dst"), "w")
-    srcs = (su.join(F.broadcast(na.where(F.col("n_name") == "NATION_7")),
+    srcs = (su.join(F.broadcast(na.where(F.col("n_name") == "NATION_3")),
                     su.s_nationkey == na.n_nationkey)
             .select(F.concat(F.lit("S"),
                              F.col("s_suppkey").cast("string"))

@@ -405,14 +405,17 @@ def kmeans_assign(df: DataFrame, vec_col: str, id_col: str,
         F.transform(F.col(vec_col).cast("array<double>"),
                     lambda v: F.floor(v * scale + F.lit(0.5))
                     .cast("long")).alias("x"))
-    dim = len(q.select("x").first()["x"])
     q = q.localCheckpoint()  # scanned once per round; cut re-plan cost
 
     # deterministic init: k smallest md5(id) → centroid ids 0..k-1
+    # (dim rides along — no separate probe job)
     init = (q.select("id", "x",
                      F.md5(F.col("id").cast("string")).alias("h"))
             .orderBy("h").limit(k).collect())
+    if not init:
+        raise ValueError("kmeans_assign: empty input")
     cents = [list(r["x"]) for r in sorted(init, key=lambda r: r["h"])]
+    dim = len(cents[0])
 
     assigned = None
     for it in range(n_iter):
