@@ -5847,13 +5847,13 @@ _FRONT = [
     "e_session_paths", "e_concurrency_hourly",
     "w_group_percentiles", "e_holt_forecast", "p_code_detect",
     "g_walk_cooccurrence", "e_weekly_seasonality",
-    "g_degree_distribution",
+    "g_degree_distribution", "q20_excess_suppliers",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
     "sort_take_topk", "without_anti_join", "conditional_bucketing",
     "group_agg_customer_orders", "max_by_top_order_per_cust",
-    "scan_cumulative_revenue", "sliding_moving_avg",
+    "scan_cumulative_revenue",
 ]
 
 
