@@ -5467,6 +5467,49 @@ def _walk_oracle() -> str:
 ORACLE["g_walk_cooccurrence"] = _walk_oracle()
 
 
+@query("p_data_expectations", """
+WITH base AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v0,
+    SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+      AS v1,
+    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+             THEN 0 ELSE 1 END) AS v2,
+    SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v3
+  FROM orders
+), dup AS (
+  SELECT COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS dups
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       ROUND(n_violations * 100.0 / GREATEST(n, 1), 6) AS pct
+FROM base CROSS JOIN dup CROSS JOIN (VALUES
+  ('totalprice_positive', 0), ('status_enum', 1),
+  ('orderdate_range', 2), ('custkey_not_null', 3),
+  ('unique(o_orderkey)', 4)) r(rule, i)
+CROSS JOIN LATERAL (SELECT CASE r.i WHEN 0 THEN v0 WHEN 1 THEN v1
+  WHEN 2 THEN v2 WHEN 3 THEN v3 ELSE dups END AS n_violations) v
+ORDER BY rule
+""")
+def p_data_expectations(spark, sf_dir):
+    """Dataset-expectation report (pipeline/wrangling.py
+    validate_expectations — the Great-Expectations shape): N
+    row-level rules in ONE conditional-aggregate scan + a keyed
+    uniqueness check; wide result unpivots row-locally."""
+    from zef_spark.pipeline.wrangling import validate_expectations
+    o = _t(spark, sf_dir, "orders")
+    out = validate_expectations(o, [
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("status_enum", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("orderdate_range",
+         (F.col("o_orderdate") >= "1992-01-01")
+         & (F.col("o_orderdate") < "1999-01-01")),
+        ("custkey_not_null", F.col("o_custkey").isNotNull()),
+    ], unique=["o_orderkey"])
+    return out.orderBy("rule")
+
+
 @query("e_weekly_seasonality", """
 WITH b AS (
   SELECT DAYOFWEEK(ts) * 24 + HOUR(ts) AS how,
@@ -5848,12 +5891,12 @@ _FRONT = [
     "w_group_percentiles", "e_holt_forecast", "p_code_detect",
     "g_walk_cooccurrence", "e_weekly_seasonality",
     "g_degree_distribution", "q20_excess_suppliers",
+    "p_data_expectations",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
     "sort_take_topk", "without_anti_join", "conditional_bucketing",
     "group_agg_customer_orders", "max_by_top_order_per_cust",
-    "scan_cumulative_revenue",
 ]
 
 

@@ -102,3 +102,21 @@ def test_benford_check_digits_and_probs(spark):
     import math
     assert abs(out[1]["expected_p"] - math.log10(2)) < 1e-6
     assert set(out) == {1, 2, 9}
+
+
+def test_validate_expectations_one_scan(spark):
+    from pyspark.sql import functions as F
+    from zef_spark.pipeline.wrangling import validate_expectations
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (2, 3.0, "B"),
+         (4, None, "C")],
+        "k long, v double, cat string")
+    out = {r["rule"]: r["n_violations"]
+           for r in validate_expectations(df, [
+               ("v_positive", F.col("v") > 0),
+               ("cat_enum", F.col("cat").isin("A", "B")),
+           ], unique=["k"]).collect()}
+    # null v counts as a violation (expectation not satisfied)
+    assert out["v_positive"] == 2
+    assert out["cat_enum"] == 1
+    assert out["unique(k)"] == 2      # both rows of the dup key

@@ -475,3 +475,49 @@ def benford_check(df: DataFrame, value_col: str,
 @register_op("benford_check", "df")
 def _benford_op(df, *args, **kw):
     return benford_check(df, *args, **kw)
+
+
+def validate_expectations(df: DataFrame,
+                          rules: list[tuple[str, "F.Column"]],
+                          unique: list[str] | None = None
+                          ) -> DataFrame:
+    """(rule, n_violations, pct) — dataset-expectation report (the
+    Great-Expectations shape, engine-native): each rule is
+    (name, boolean Column that is True when the row SATISFIES the
+    expectation); violations count rows where it's false/null.
+
+    ALL row-level rules evaluate in ONE scan as conditional
+    aggregates — a 20-rule contract over 100 TB costs one pass, not
+    20 filtered counts (the filter_funnel discipline). ``unique``
+    adds a key-uniqueness expectation, the one rule that genuinely
+    needs its own keyed aggregate (count-distinct vs count on the
+    key columns). The wide 1-row result unpivots row-locally."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, pred) in enumerate(rules):
+        aggs.append(F.sum(F.when(F.coalesce(pred, F.lit(False)),
+                                 0).otherwise(1))
+                    .cast("long").alias(f"__v{i}"))
+    wide = df.agg(*aggs)
+    names = [n for n, _ in rules]
+    if unique:
+        dup = (df.groupBy(*unique).agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.coalesce(F.sum(F.when(F.col("c") > 1,
+                                            F.col("c"))), F.lit(0))
+                    .cast("long").alias("__dups")))
+        wide = wide.crossJoin(F.broadcast(dup))
+        names = names + [f"unique({','.join(unique)})"]
+    entries = []
+    for i, n in enumerate(names):
+        src = (F.col("__dups") if unique and i == len(names) - 1
+               else F.col(f"__v{i}"))
+        entries.append(F.struct(
+            F.lit(n).alias("rule"), src.alias("n_violations"),
+            F.round(src * 100.0 / F.greatest(F.col("__n"), F.lit(1)),
+                    6).alias("pct")))
+    return (wide.select(F.explode(F.array(*entries)).alias("r"))
+            .select("r.*"))
+
+
+@register_op("validate_expectations", "df")
+def _validate_op(df, *args, **kw):
+    return validate_expectations(df, *args, **kw)
