@@ -109,7 +109,9 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # r06: 1-row scalar broadcasts — TF-IDF corpus N,
                     # Benford digit total, RFM as-of max timestamp
                     "p_tfidf_topterms", "p_benford_totalprice",
-                    "e_rfm_segments"}
+                    "e_rfm_segments",
+                    # 1-row uniqueness-check broadcast
+                    "p_data_expectations"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
