@@ -94,3 +94,32 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
                            threshold=30.0).collect()}
     assert got == want and len(got) == 12
     assert any(a for _, _, a in got.values())      # the shift alarms
+
+
+def test_holt_stream_equals_batch(spark, tmp_path):
+    from zef_spark.streaming.stateful import holt_stream
+    from zef_spark.pipeline.rollup import holt_linear
+    d = str(tmp_path / "hin")
+    os.makedirs(d)
+    schema = "key string, seq long, value double"
+    rows1 = [("a", i, 10.0 + 2.0 * i) for i in range(4)]
+    rows2 = [("a", 4 + i, 30.0 - i) for i in range(4)] \
+        + [("b", i, 7.0) for i in range(3)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = holt_stream(stream, alpha=0.5, beta=0.3, horizon_steps=2)
+    q = (out.writeStream.format("memory").queryName("holt_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.key, r.seq): (r.level, r.trend, r.forecast)
+           for r in spark.sql("SELECT * FROM holt_t").collect()}
+    batch = holt_linear(
+        spark.createDataFrame(rows1 + rows2, schema),
+        "key", "seq", "value", alpha=0.5, beta=0.3,
+        horizon_steps=2).collect()
+    want = {(r["key"], r["seq"]): (r["level"], r["trend"],
+                                   r["forecast"]) for r in batch}
+    assert got == want and len(got) == 11

@@ -124,3 +124,65 @@ def cusum_stream(events: DataFrame, target: float, slack: float,
     return (events.groupBy(key_col).applyInPandasWithState(
         fold, CUSUM_SCHEMA, _CUSUM_STATE, "append",
         GroupStateTimeout.NoTimeout))
+
+
+HOLT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("seq", LongType()),
+    StructField("level", DoubleType()),
+    StructField("trend", DoubleType()),
+    StructField("forecast", DoubleType()),
+])
+
+_HOLT_STATE = StructType([
+    StructField("l", DoubleType()),
+    StructField("b", DoubleType()),
+    StructField("has_b", BooleanType()),
+])
+
+
+def holt_stream(events: DataFrame, alpha: float, beta: float,
+                horizon_steps: int = 1, key_col: str = "key",
+                seq_col: str = "seq",
+                value_col: str = "value") -> DataFrame:
+    """Streaming Holt level+trend smoothing: the batch fold
+    (pipeline/rollup.py holt_linear) carried across micro-batches —
+    per-key state is (level, trend, seeded?) forever. Emits the
+    h-step-ahead forecast per observation; stream==batch equality
+    proven in tests (identical IEEE recursion, the three-phase
+    seeding included)."""
+    import pandas as pd
+    a, b_, h = float(alpha), float(beta), int(horizon_steps)
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            lv, tr, has_b = state.get
+            tr = tr if has_b else None
+        else:
+            lv = tr = None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(seq_col)
+            for seq, x in zip(pdf[seq_col], pdf[value_col]):
+                x = float(x)
+                if lv is None:
+                    lv = x
+                elif tr is None:
+                    prev = lv
+                    tr0 = x - prev
+                    lv = a * x + (1.0 - a) * (prev + tr0)
+                    tr = b_ * (lv - prev) + (1.0 - b_) * tr0
+                else:
+                    prev = lv
+                    lv = a * x + (1.0 - a) * (prev + tr)
+                    tr = b_ * (lv - prev) + (1.0 - b_) * tr
+                t = tr if tr is not None else 0.0
+                out.append((key[0], int(seq), lv, t, lv + h * t))
+        state.update((lv, tr if tr is not None else 0.0,
+                      tr is not None))
+        yield pd.DataFrame(
+            out, columns=["key", "seq", "level", "trend", "forecast"])
+
+    return (events.groupBy(key_col).applyInPandasWithState(
+        fold, HOLT_SCHEMA, _HOLT_STATE, "append",
+        GroupStateTimeout.NoTimeout))
