@@ -4142,18 +4142,23 @@ SELECT id_a, id_b, n_common,
        ROUND(n_common * 1.0 / (da.d + db.d - n_common), 6) AS jaccard
 FROM common
 JOIN deg da ON da.v = id_a JOIN deg db ON db.v = id_b
-WHERE n_common * 1.0 / (da.d + db.d - n_common) >= 0.5
-ORDER BY id_a, id_b
+ORDER BY ROUND(n_common * 1.0 / (da.d + db.d - n_common), 6) DESC,
+         id_a, id_b
+LIMIT 100
 """)
 def g_similar_suppliers(spark, sf_dir):
     """Node similarity / link prediction (graph/algorithms.py
-    neighborhood_jaccard): supplier pairs whose co-supply
-    neighborhoods overlap ≥50% — inverted-index self-join on the
-    shared neighbor, never all-pairs."""
+    neighborhood_jaccard): the TOP-100 most-overlapping supplier
+    pairs — inverted-index self-join on the shared neighbor, never
+    all-pairs; deterministic (jaccard desc, id) order. (Was a ≥0.5
+    threshold, which the r06 vacuity guard showed matches NOTHING at
+    sf0.1 — the denser graph's max jaccard is 0.17; top-k is
+    non-vacuous at every scale.)"""
     from zef_spark.graph.algorithms import neighborhood_jaccard
-    return (neighborhood_jaccard(_cosupply_edges(spark, sf_dir),
-                                 min_sim=0.5)
-            .orderBy("id_a", "id_b"))
+    sim = neighborhood_jaccard(_cosupply_edges(spark, sf_dir),
+                               min_sim=0.0)
+    return (sim.orderBy(F.desc("jaccard"), "id_a", "id_b")
+            .limit(100))
 
 
 def _lp_oracle(n_rounds: int = 3) -> str:
@@ -4875,22 +4880,25 @@ WITH words AS (
 SELECT doc_id, lang FROM documents
 WHERE doc_id % 10 <> 0
   AND doc_id NOT IN (SELECT doc_id FROM scored
-                     WHERE n_hit * 1.0 / n_grams > 0.05)
+                     WHERE n_hit * 1.0 / n_grams > 0.5)
 ORDER BY doc_id
 """)
 def p_decontaminate(spark, sf_dir):
     """Benchmark decontamination ENFORCEMENT (pipeline/dedup.py
     decontaminate): p_contamination scores the overlap; this drops
     every corpus doc whose distinct-trigram overlap with the held-out
-    benchmark (every 10th doc) exceeds 5% — anti-join against the
+    benchmark (every 10th doc) exceeds 50% — anti-join against the
     contaminated-id set; too-short docs have nothing to leak and are
-    kept."""
+    kept. (Threshold raised from 5% in r06: the sf0.1 corpus's
+    templated docs ALL overlap >12%, so 5% kept nothing — a vacuous
+    proof the guard flagged; 50% = near-copy enforcement keeps and
+    drops docs at every scale.)"""
     from zef_spark.pipeline.dedup import decontaminate
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     out = decontaminate(corpus, bench, "text", "doc_id", n=3,
-                        max_contamination=0.05)
+                        max_contamination=0.5)
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
@@ -5891,12 +5899,12 @@ _FRONT = [
     "w_group_percentiles", "e_holt_forecast", "p_code_detect",
     "g_walk_cooccurrence", "e_weekly_seasonality",
     "g_degree_distribution", "q20_excess_suppliers",
-    "p_data_expectations",
+    "p_data_expectations", "p_decontaminate",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
     "sort_take_topk", "without_anti_join", "conditional_bucketing",
-    "group_agg_customer_orders", "max_by_top_order_per_cust",
+    "group_agg_customer_orders",
 ]
 
 
