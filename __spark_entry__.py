@@ -5518,6 +5518,52 @@ def p_data_expectations(spark, sf_dir):
     return out.orderBy("rule")
 
 
+@query("e_ks_drift", """
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 'a' ELSE 'b' END
+           AS s,
+         value AS v
+  FROM events
+), counts AS (
+  SELECT event_type,
+         SUM(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS n_b
+  FROM base GROUP BY event_type
+), cum AS (
+  SELECT event_type, v,
+         SUM(CASE WHEN s = 'a' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY v, s
+                 ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(CASE WHEN s = 'b' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY v, s
+                 ROWS UNBOUNDED PRECEDING) AS cb
+  FROM base
+), stepped AS (
+  SELECT event_type, v, MAX(ca) AS ca, MAX(cb) AS cb
+  FROM cum GROUP BY event_type, v
+)
+SELECT s.event_type, CAST(c.n_a AS BIGINT) AS n_a,
+       CAST(c.n_b AS BIGINT) AS n_b,
+       ROUND(MAX(ABS(s.ca * 1.0 / c.n_a - s.cb * 1.0 / c.n_b)), 6)
+         AS ks
+FROM stepped s JOIN counts c USING (event_type)
+GROUP BY s.event_type, c.n_a, c.n_b ORDER BY s.event_type
+""")
+def e_ks_drift(spark, sf_dir):
+    """Distribution drift per event type (pipeline/wrangling.py
+    ks_distance): exact two-sample Kolmogorov–Smirnov D between
+    week-1 and later event values — one key shuffle, per-key pooled
+    CDF window, tie-correct (CDF step completes after all equal
+    values). The drift gate corpus-refresh pipelines run between
+    snapshots."""
+    from zef_spark.pipeline.wrangling import ks_distance
+    ev = _events(spark, sf_dir).withColumn(
+        "s", F.when(F.col("ts") < "2024-01-08", "a").otherwise("b"))
+    return (ks_distance(ev, "event_type", "s", "value")
+            .orderBy("event_type"))
+
+
 @query("e_weekly_seasonality", """
 WITH b AS (
   SELECT DAYOFWEEK(ts) * 24 + HOUR(ts) AS how,
@@ -5899,12 +5945,11 @@ _FRONT = [
     "w_group_percentiles", "e_holt_forecast", "p_code_detect",
     "g_walk_cooccurrence", "e_weekly_seasonality",
     "g_degree_distribution", "q20_excess_suppliers",
-    "p_data_expectations", "p_decontaminate",
+    "p_data_expectations", "p_decontaminate", "e_ks_drift",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
     "sort_take_topk", "without_anti_join", "conditional_bucketing",
-    "group_agg_customer_orders",
 ]
 
 

@@ -120,3 +120,19 @@ def test_validate_expectations_one_scan(spark):
     assert out["v_positive"] == 2
     assert out["cat_enum"] == 1
     assert out["unique(k)"] == 2      # both rows of the dup key
+
+
+def test_ks_distance_exact_with_ties(spark):
+    """KS D equals the hand-computed statistic, ties absorbed before
+    the step evaluates; identical samples give D=0."""
+    from zef_spark.pipeline.wrangling import ks_distance
+    rows = ([("k", "a", v) for v in [1.0, 2.0, 3.0, 4.0]]
+            + [("k", "b", v) for v in [3.0, 4.0, 5.0, 6.0]]
+            + [("t", "a", 1.0), ("t", "b", 1.0)])
+    df = spark.createDataFrame(rows, "g string, s string, v double")
+    out = {r["g"]: r for r in
+           ks_distance(df, "g", "s", "v").collect()}
+    # F_a jumps to .5 at 2 while F_b still 0 -> D = 0.5
+    assert out["k"]["ks"] == 0.5
+    assert out["k"]["n_a"] == 4 and out["k"]["n_b"] == 4
+    assert out["t"]["ks"] == 0.0          # tie absorbed: 1/1 vs 1/1
