@@ -249,3 +249,23 @@ def test_tag_deltas_cross_process(spark, tmp_path):
     b.commit([Untag("boss")])
     ga = a.refresh()
     assert ga.now().by_tag("boss").df.count() == 0
+
+
+def test_tags_survive_compaction(spark, tmp_path):
+    """compact() folds history (tags included, via materialize) into
+    a fresh base; a rebuilt head in another process still resolves
+    the tag, and clean() removing pre-checkpoint segments doesn't
+    lose it."""
+    from zef_spark.graph.delta import Tag
+    a = _store(spark, tmp_path)
+    alice = a.head().now().all(ET.Person).df.collect()[0]["id"]
+    a.commit([Tag("boss", alice)])
+    a.compact()
+    a.clean()
+    b = GraphStore(spark, a.path)
+    gb = b.refresh()
+    assert gb.now().by_tag("boss").df.collect()[0]["id"] == alice
+    # and the floor survived the clean too: a post-compact wish in
+    # the OTHER process mints a fresh id (no reuse of alice's)
+    _, receipt = b.commit([E(ET.Person, "dan")])
+    assert receipt["dan"] != alice
