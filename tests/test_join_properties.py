@@ -89,3 +89,45 @@ def test_skew_report_flags_hot_key(spark):
     # uniform keys -> no advice
     uni = spark.createDataFrame([(i,) for i in range(500)], "k long")
     assert skew_report(uni, "k")["advice"] is None
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketized overlap join equals the naive inequality join for
+    random interval sets (half-open semantics; touching intervals do
+    not overlap), keyed and unkeyed."""
+    import datetime as dt
+    import random
+    from pyspark.sql import functions as F
+    from zef_spark.pipeline.joins import interval_overlap_join
+    rnd = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(n, tag):
+        rows = []
+        for i in range(n):
+            a = rnd.randint(0, 5000)
+            b = a + rnd.randint(1, 400)
+            rows.append((tag * 100 + i, rnd.choice(["x", "y"]),
+                         t0 + dt.timedelta(minutes=a),
+                         t0 + dt.timedelta(minutes=b)))
+        return spark.createDataFrame(
+            rows, "id long, k string, s timestamp_ntz, e timestamp_ntz")
+
+    L, R = mk(40, 1), mk(40, 2)
+    got = {(r["id"], r["id_r"]) for r in interval_overlap_join(
+        L, R, "s", "e", "s", "e", by="k", bucket="2 hours").collect()}
+    naive = {(r["id"], r["id_r"]) for r in
+             L.join(R.withColumnRenamed("id", "id_r")
+                    .withColumnRenamed("s", "s_r")
+                    .withColumnRenamed("e", "e_r"), "k")
+             .where((F.col("s") < F.col("e_r"))
+                    & (F.col("s_r") < F.col("e"))).collect()}
+    assert got == naive and naive
+    # touching intervals excluded (half-open)
+    A = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=1))],
+        "id long, s timestamp_ntz, e timestamp_ntz")
+    B = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2))],
+        "id long, s timestamp_ntz, e timestamp_ntz")
+    assert interval_overlap_join(A, B, "s", "e", "s", "e").count() == 0

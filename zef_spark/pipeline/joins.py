@@ -205,3 +205,51 @@ def _range_join(df, intervals, point_col, start_col, end_col, **kw):
 @register_op("fuzzy_join", "df")
 def _fuzzy_join(df, other, left_on, right_on=None, **kw):
     return fuzzy_join(df, other, left_on, right_on, **kw)
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          by: str | list[str] | None = None,
+                          bucket: str = "1 hour",
+                          suffix: str = "_r") -> DataFrame:
+    """Join interval rows whose [start, end) ranges OVERLAP
+    (`l_start < r_end AND r_start < l_end`), optionally keyed — the
+    genomics/temporal overlap-join primitive (downtime vs incident
+    windows, session vs campaign flights). Same bucketization as
+    range_join: both sides explode to covered buckets, the join is
+    an equi-join on (key, bucket) + exact overlap filter, duplicates
+    from shared buckets dropped with ONE distinct — no nested-loop,
+    no all-pairs. Right-side columns that collide get ``suffix``."""
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    import pandas as pd
+
+    def micros(c):
+        return F.unix_micros(c.cast("timestamp"))
+    bucket_us = F.lit(int(pd.Timedelta(bucket).total_seconds()
+                          * 1_000_000))
+
+    def bucketize(df, s, e):
+        return df.withColumn("__b", F.explode(F.sequence(
+            (micros(F.col(s)) / bucket_us).cast("long"),
+            (micros(F.col(e)) / bucket_us).cast("long"))))
+
+    rren = {c: c + suffix for c in right.columns
+            if c in left.columns and c not in by}
+    r = right
+    for old, new in rren.items():
+        r = r.withColumnRenamed(old, new)
+    rs, re_ = rren.get(r_start, r_start), rren.get(r_end, r_end)
+    lb = bucketize(left, l_start, l_end)
+    rb = bucketize(r, rs, re_)
+    out = (lb.join(rb, by + ["__b"])
+           .where((F.col(l_start) < F.col(re_))
+                  & (F.col(rs) < F.col(l_end)))
+           .drop("__b"))
+    return out.distinct()
+
+
+@register_op("interval_overlap_join", "df")
+def _overlap_join(df, other, *args, **kw):
+    return interval_overlap_join(df, other, *args, **kw)
