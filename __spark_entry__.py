@@ -5564,6 +5564,59 @@ def e_ks_drift(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("e_session_overlaps", """
+WITH g AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                   > 14400000000
+                OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type IN ('view', 'purchase')
+  WINDOW w AS (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, event_type, sid, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s GROUP BY user_id, event_type, sid
+)
+SELECT v.user_id, COUNT(*) AS n_overlaps
+FROM sess v JOIN sess p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.t0 < p.t1 AND p.t0 < v.t1
+GROUP BY v.user_id ORDER BY v.user_id
+""")
+def e_session_overlaps(spark, sf_dir):
+    """Per-user counts of view-sessions overlapping purchase-
+    sessions (pipeline/joins.py interval_overlap_join over
+    sessions_table output, keyed by user): the temporal overlap-join
+    primitive on real session intervals — bucketized equi-join +
+    exact half-open filter, never a nested loop (the oracle's
+    inequality join is the gate-scale replay). Strict overlap:
+    single-point sessions (t0 == t1) can only match if strictly
+    inside the other interval... they can't — both sides half-open —
+    so ordering conventions never flake."""
+    from zef_spark.pipeline.funnel import sessions_table
+    from zef_spark.pipeline.joins import interval_overlap_join
+    ev = _events(spark, sf_dir)
+    # 4 h gap: the sparse sf0.001 fixture has no cross-type session
+    # overlap at 30 min (vacuity-guard finding) — 4 h sessions
+    # overlap at every scale
+    views = sessions_table(ev.where(F.col("event_type") == "view"),
+                           "ts", "user_id", 14400, "event_id")
+    buys = sessions_table(ev.where(F.col("event_type") == "purchase"),
+                          "ts", "user_id", 14400, "event_id")
+    ov = interval_overlap_join(
+        views, buys, "session_start", "session_end",
+        "session_start", "session_end", by="user", bucket="6 hours")
+    return (ov.groupBy(F.col("user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_overlaps"))
+            .orderBy("user_id"))
+
+
 @query("e_weekly_seasonality", """
 WITH b AS (
   SELECT DAYOFWEEK(ts) * 24 + HOUR(ts) AS how,
@@ -5946,10 +5999,11 @@ _FRONT = [
     "g_walk_cooccurrence", "e_weekly_seasonality",
     "g_degree_distribution", "q20_excess_suppliers",
     "p_data_expectations", "p_decontaminate", "e_ks_drift",
+    "e_session_overlaps",
     # (d) backfill: oldest green rows (r01) for re-proof
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
-    "sort_take_topk", "without_anti_join", "conditional_bucketing",
+    "sort_take_topk", "without_anti_join",
 ]
 
 
