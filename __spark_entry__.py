@@ -5295,7 +5295,7 @@ scored AS (
   FROM scored
 )
 SELECT "user", CAST(recency_days AS INT) AS recency_days,
-       frequency, monetary, r, f, m,
+       frequency, CAST(monetary AS DOUBLE) AS monetary, r, f, m,
        CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
          AS segment
 FROM tiled ORDER BY "user"
@@ -5309,7 +5309,8 @@ def e_rfm_segments(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (rfm_segments(ev)
             .select("user", F.col("recency_days").cast("int")
-                    .alias("recency_days"), "frequency", "monetary",
+                    .alias("recency_days"), "frequency",
+                    F.col("monetary").cast("double").alias("monetary"),
                     "r", "f", "m", "segment")
             .orderBy("user"))
 
