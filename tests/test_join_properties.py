@@ -131,3 +131,36 @@ def test_interval_overlap_join_matches_naive(spark):
         [(2, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2))],
         "id long, s timestamp_ntz, e timestamp_ntz")
     assert interval_overlap_join(A, B, "s", "e", "s", "e").count() == 0
+
+
+def test_interval_overlap_join_multiplicity_and_plan(spark):
+    """r06 verdict order #4: pairs are emitted in exactly ONE shared
+    bucket (first-shared-bucket filter), not deduped with a full-row
+    distinct — so (a) genuinely duplicate input rows keep their join
+    multiplicity, and (b) the plan carries no Deduplicate/Exchange
+    from a distinct over the joined output."""
+    import datetime as dt
+    from collections import Counter
+    from zef_spark.pipeline.joins import interval_overlap_join
+    t0 = dt.datetime(2024, 1, 1)
+    # left has a DUPLICATE row (same id, same interval) spanning many
+    # buckets; a full-row distinct would collapse its two matches to 1
+    L = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=30)),
+         (1, t0, t0 + dt.timedelta(hours=30)),
+         (2, t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=6))],
+        "id long, s timestamp_ntz, e timestamp_ntz")
+    R = spark.createDataFrame(
+        [(9, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=20))],
+        "id long, s timestamp_ntz, e timestamp_ntz")
+    out = interval_overlap_join(L, R, "s", "e", "s", "e",
+                                bucket="1 hour")
+    counts = Counter((r["id"], r["id_r"]) for r in out.collect())
+    assert counts == {(1, 9): 2, (2, 9): 1}
+    # plan assert: no distinct-style dedup stage survives
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Deduplicate" not in opt
+    # and the whole join is shuffle-join + row-local filter only: the
+    # executed plan must not aggregate the joined output
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in phys

@@ -218,9 +218,15 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     genomics/temporal overlap-join primitive (downtime vs incident
     windows, session vs campaign flights). Same bucketization as
     range_join: both sides explode to covered buckets, the join is
-    an equi-join on (key, bucket) + exact overlap filter, duplicates
-    from shared buckets dropped with ONE distinct — no nested-loop,
-    no all-pairs. Right-side columns that collide get ``suffix``."""
+    an equi-join on (key, bucket) + exact overlap filter. A pair of
+    overlapping intervals shares every bucket between
+    max(start_l, start_r) and min(end_l, end_r); we emit it exactly
+    once by keeping only the FIRST shared bucket
+    (``__b == greatest(floor(l_start), floor(r_start))`` in bucket
+    units) — a row-local filter, so no dedup shuffle and genuine
+    duplicate input rows keep their join multiplicity (unlike a
+    full-row distinct). No nested-loop, no all-pairs. Right-side
+    columns that collide get ``suffix``."""
     by = [] if by is None else ([by] if isinstance(by, str)
                                 else list(by))
     import pandas as pd
@@ -243,11 +249,14 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     rs, re_ = rren.get(r_start, r_start), rren.get(r_end, r_end)
     lb = bucketize(left, l_start, l_end)
     rb = bucketize(r, rs, re_)
-    out = (lb.join(rb, by + ["__b"])
-           .where((F.col(l_start) < F.col(re_))
-                  & (F.col(rs) < F.col(l_end)))
-           .drop("__b"))
-    return out.distinct()
+    first_shared = F.greatest(
+        (micros(F.col(l_start)) / bucket_us).cast("long"),
+        (micros(F.col(rs)) / bucket_us).cast("long"))
+    return (lb.join(rb, by + ["__b"])
+            .where((F.col(l_start) < F.col(re_))
+                   & (F.col(rs) < F.col(l_end))
+                   & (F.col("__b") == first_shared))
+            .drop("__b"))
 
 
 @register_op("interval_overlap_join", "df")
