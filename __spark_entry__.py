@@ -5318,7 +5318,7 @@ def e_rfm_segments(spark, sf_dir):
 @query("p_benford_totalprice", """
 WITH base AS (
   SELECT CAST(SUBSTRING(REGEXP_REPLACE(
-           FORMAT('{:.10f}', ABS(CAST(o_totalprice AS DOUBLE))),
+           CAST(ABS(CAST(o_totalprice AS DOUBLE)) AS VARCHAR),
            '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
   FROM orders
   WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
@@ -5336,8 +5336,8 @@ def p_benford_totalprice(spark, sf_dir):
     """Benford first-digit screen over order totals
     (pipeline/wrangling.py benford_check) — the fabricated-data
     detector of a profiling pass. Digit extraction is string-wise
-    (exact for every double; no log on the data path); ONE aggregate
-    to a 9-row result."""
+    from the round-trip rendering (exact at every magnitude; no log
+    on the data path); ONE aggregate to a 9-row result."""
     from zef_spark.pipeline.wrangling import benford_check
     o = _t(spark, sf_dir, "orders")
     return benford_check(o, "o_totalprice").orderBy("digit")
@@ -5434,8 +5434,8 @@ WITH base AS (
   FROM orders
 )
 SELECT o_orderstatus, MAX(n) AS n,
-       MAX(CASE WHEN rn = CEIL(0.5 * n) THEN o_totalprice END) AS p5,
-       MAX(CASE WHEN rn = CEIL(0.9 * n) THEN o_totalprice END) AS p9,
+       MAX(CASE WHEN rn = CEIL(0.5 * n) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CEIL(0.9 * n) THEN o_totalprice END) AS p90,
        MAX(CASE WHEN rn = CEIL(0.99 * n) THEN o_totalprice END) AS p99
 FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
 """)

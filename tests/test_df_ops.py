@@ -91,6 +91,10 @@ def test_group_percentiles_exact_disc(spark):
     out = {r["k"]: r for r in
            group_percentiles(df, "k", "v", ps=(0.5, 0.9)).collect()}
     # PERCENTILE_DISC: value at ceil(p*n) of the sorted list
-    assert out["a"]["p5"] == 5.0 and out["a"]["p9"] == 9.0
+    assert out["a"]["p50"] == 5.0 and out["a"]["p90"] == 9.0
     assert out["a"]["n"] == 10
-    assert out["b"]["p5"] == 5.0 and out["b"]["p9"] == 5.0
+    assert out["b"]["p50"] == 5.0 and out["b"]["p90"] == 5.0
+    # naming from the percentage, not str(p)[2:] — p=0.5 is p50 (the
+    # median), never 'p5'; p=0.05 and p=1.0 get distinct sane names
+    cols = group_percentiles(df, "k", "v", ps=(0.05, 1.0)).columns
+    assert "p5" in cols and "p100" in cols

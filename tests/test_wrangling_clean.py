@@ -104,6 +104,20 @@ def test_benford_check_digits_and_probs(spark):
     assert set(out) == {1, 2, 9}
 
 
+def test_benford_check_extreme_magnitudes(spark):
+    """Round-trip-rendering digit extraction is exact at every
+    magnitude — the former format_number(·,10) path dropped values
+    below ~5e-11 and could carry 0.0999…9 renderings to digit 1."""
+    from zef_spark.pipeline.wrangling import benford_check
+    df = spark.createDataFrame(
+        [(5e-11,), (7e-300,), (9.99e307,), (0.09999999999999999,),
+         (1e-5,), (3.0,)], "v double")
+    out = {r["digit"]: r["n"] for r in benford_check(df, "v").collect()}
+    # 5e-11→5, 7e-300→7, 9.99e307→9, 0.0999…9 renders "0.09999…"→9,
+    # 1e-5→1, 3.0→3 — nothing dropped, nothing mis-carried
+    assert out == {5: 1, 7: 1, 9: 2, 1: 1, 3: 1}
+
+
 def test_validate_expectations_one_scan(spark):
     from pyspark.sql import functions as F
     from zef_spark.pipeline.wrangling import validate_expectations

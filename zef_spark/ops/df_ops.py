@@ -693,7 +693,7 @@ def group_percentiles(df, key_cols, value_col,
     aggs = [F.max("__n").alias("n")]
     for p in ps:
         target = F.ceil(F.lit(float(p)) * F.col("__n"))
-        name = f"p{str(p)[2:] or '100'}"
+        name = f"p{int(round(float(p) * 100))}"
         aggs.append(F.max(F.when(F.col("__rn") == target,
                                  F.col(value_col))).alias(name))
     return base.groupBy(*keys).agg(*aggs)

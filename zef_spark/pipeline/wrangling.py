@@ -446,15 +446,19 @@ def benford_check(df: DataFrame, value_col: str,
     fabricated or truncated numeric data in a profiling pass
     (complements profile_table's null/distinct stats).
 
-    First digit extracted STRING-wise (first char of the absolute
-    value's decimal rendering that is 1-9) — no log/pow on the data
-    path, so the digit is exact for every representable double; the
-    only FP is the 9-row probability arithmetic. ONE aggregate over a
-    9-row output; non-positive and non-finite rows are excluded (no
-    leading significant digit)."""
+    First digit extracted STRING-wise from the double's round-trip
+    decimal rendering (CAST to string, then first char that is 1-9)
+    — no log/pow on the data path and no fixed-decimal formatting, so
+    the digit is exact at EVERY magnitude (1e-300 to 1e308; the
+    former format_number(·, 10) approach silently dropped values
+    below ~5e-11 and mis-carried 0.0999…9-style renderings). Both
+    plain ("123.45") and scientific ("1.0E-7") renderings lead with
+    the first significant digit, so stripping non-1-9 chars and
+    taking char 1 is exact. ONE aggregate over a 9-row output;
+    non-positive and non-finite rows are excluded (no leading
+    significant digit)."""
     v = F.col(value_col).cast("double")
-    s = F.regexp_replace(
-        F.format_number(F.abs(v), 10), r"[^1-9]", "")
+    s = F.regexp_replace(F.abs(v).cast("string"), r"[^1-9]", "")
     digit = F.substring(s, 1, 1).cast("int")
     base = (df.where(v.isNotNull() & (v > 0) & ~F.isnan(v))
             .select(digit.alias("digit"))
