@@ -116,6 +116,40 @@ def test_attribution_models_conserve_credit(spark):
                     model="nope", horizon_seconds=10)
 
 
+def test_attribution_first_touch_within_horizon(spark):
+    """ADVICE r06: first_touch + horizon credits the EARLIEST touch
+    inside the lookback window — a user whose first-ever touch is
+    stale but who has a fresh touch must not fall to direct."""
+    import datetime as dt
+    from zef_spark.pipeline.funnel import attribution
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    ev = spark.createDataFrame(
+        [(1, s(0), "view", 0.0),        # stale: 7000 s before conv
+         (1, s(4600), "view", 0.0),     # inside horizon (2400 s old)
+         (1, s(5000), "view", 0.0),     # inside horizon (2000 s old)
+         (1, s(7000), "purchase", 10.0)],
+        "user_id long, ts timestamp_ntz, event_type string, "
+        "value double")
+    first = attribution(ev, "ts", "user_id", "event_type", "value",
+                        touch_type="view", convert_type="purchase",
+                        model="first_touch",
+                        horizon_seconds=3600).collect()
+    assert len(first) == 1 and first[0]["touch_ts"] == s(4600)
+    last = attribution(ev, "ts", "user_id", "event_type", "value",
+                       touch_type="view", convert_type="purchase",
+                       model="last_touch",
+                       horizon_seconds=3600).collect()
+    assert last[0]["touch_ts"] == s(5000)
+    # horizon lower bound is inclusive: a touch exactly horizon
+    # seconds before the conversion is still credited
+    edge = attribution(ev, "ts", "user_id", "event_type", "value",
+                       touch_type="view", convert_type="purchase",
+                       model="first_touch",
+                       horizon_seconds=2400).collect()
+    assert edge[0]["touch_ts"] == s(4600)
+
+
 def test_concurrency_profile_two_phase_prefix_sum(spark):
     """The distributed sweep equals the obvious single-window sweep,
     including the half-open convention (end == start of another

@@ -143,8 +143,11 @@ def attribution(events: DataFrame, ts_col: str = "ts",
     latest / earliest preceding touch of the same user — ONE window
     pass over the user-keyed shuffle (last/first with ignorenulls
     over the ordered prefix), no self-join. With ``horizon_seconds``
-    the credited touch must also fall inside the lookback horizon
-    (filtered after the carry — same plan shape).
+    the pick runs over a RANGE frame bounded to the horizon
+    ``[conv_ts - horizon, conv_ts)`` — so ``first_touch`` credits the
+    earliest touch WITHIN the lookback window (standard
+    first-touch-with-lookback semantics), not "earliest touch ever,
+    nulled if stale"; same plan shape, still one window pass.
 
     ``linear``: each conversion splits its value EQUALLY across all
     touches in the horizon — one bounded self-join on (user, time
@@ -160,26 +163,30 @@ def attribution(events: DataFrame, ts_col: str = "ts",
     u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
     v = F.col(value_col)
     if model in ("last_touch", "first_touch"):
-        w = (Window.partitionBy(user_col).orderBy(ts_col)
-             .rowsBetween(Window.unboundedPreceding, -1))
         touch_ts = F.when(ty == touch_type, t)
+        if horizon_seconds is None:
+            w = (Window.partitionBy(user_col).orderBy(ts_col)
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        else:
+            # bound the frame to the horizon itself so first_touch
+            # picks the earliest touch INSIDE the window, not the
+            # earliest ever (ADVICE r06). Range frame on microsecond
+            # offsets: [conv - horizon, conv) — inclusive lower bound
+            # matches the former post-filter's >=; the -1 upper bound
+            # excludes same-instant touches deterministically.
+            h_us = int(horizon_seconds) * 1_000_000
+            w = (Window.partitionBy(user_col)
+                 .orderBy(F.unix_micros(t.cast("timestamp")))
+                 .rangeBetween(-h_us, -1))
         pick = (F.last(touch_ts, ignorenulls=True).over(w)
                 if model == "last_touch"
                 else F.first(touch_ts, ignorenulls=True).over(w))
-        out = (events.select(u.alias("user"), t.alias("conv_ts"),
-                             ty.alias("__ty"), v.alias("__v"),
-                             pick.alias("touch_ts"))
-               .where(F.col("__ty") == convert_type))
-        if horizon_seconds is not None:
-            out = out.withColumn(
-                "touch_ts",
-                F.when(F.col("touch_ts") >=
-                       F.col("conv_ts")
-                       - F.expr(f"INTERVAL {int(horizon_seconds)} "
-                                "SECOND"),
-                       F.col("touch_ts")))
-        return out.select("user", "conv_ts", "touch_ts",
-                          F.col("__v").alias("credit"))
+        return (events.select(u.alias("user"), t.alias("conv_ts"),
+                              ty.alias("__ty"), v.alias("__v"),
+                              pick.alias("touch_ts"))
+                .where(F.col("__ty") == convert_type)
+                .select("user", "conv_ts", "touch_ts",
+                        F.col("__v").alias("credit")))
     if model != "linear":
         raise ValueError(
             f"model must be last_touch/first_touch/linear, got {model!r}")
