@@ -5398,22 +5398,31 @@ WITH g AS (
   SELECT EPOCH_US(t0) AS t, 1 AS d FROM sess
   UNION ALL
   SELECT EPOCH_US(t1), -1 FROM sess
-), run AS (
-  SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
-  FROM deltas
+), net AS (
+  SELECT t, SUM(d) AS d FROM deltas GROUP BY t
+), lvl AS (
+  SELECT t, SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS c,
+         LEAD(t) OVER (ORDER BY t) AS nt
+  FROM net
+), seg AS (SELECT * FROM lvl WHERE c > 0), buckets AS (
+  SELECT UNNEST(GENERATE_SERIES(t // 3600000000,
+                                (nt - 1) // 3600000000)) AS b, c
+  FROM seg
 )
-SELECT MAKE_TIMESTAMP((t - t % 3600000000)::BIGINT) AS bucket,
+SELECT MAKE_TIMESTAMP((b * 3600000000)::BIGINT) AS bucket,
        CAST(MAX(c) AS BIGINT) AS max_concurrency
-FROM run GROUP BY 1 ORDER BY bucket
+FROM buckets GROUP BY 1 ORDER BY bucket
 """)
 def e_concurrency_hourly(spark, sf_dir):
     """Peak concurrent sessions per hour (pipeline/rollup.py
-    concurrency_profile): sweep-line ±1 deltas over lag-gap sessions
-    with a DISTRIBUTED two-phase prefix sum — range partitions
-    compute local running sums, per-range totals come back as a
-    broadcast offset table (n_ranges scalars of driver traffic, no
-    global sort task). The oracle replays the sweep with one global
-    window at gate scale."""
+    concurrency_profile): segment-form sweep line — net deltas per
+    instant, a DISTRIBUTED two-phase prefix sum (range partitions
+    compute local running sums; per-range totals + first timestamps
+    come back as a broadcast offset table — no global sort task), and
+    each level segment [t, next_t) exploded to every bucket it covers
+    so carried-in levels and interior buckets of long sessions are
+    reported. The oracle replays the sweep with one global window at
+    gate scale."""
     from zef_spark.pipeline.funnel import sessions_table
     from zef_spark.pipeline.rollup import concurrency_profile
     ev = _events(spark, sf_dir)

@@ -170,6 +170,35 @@ def test_concurrency_profile_two_phase_prefix_sum(spark):
     assert out[t0] == 2
     assert out[t0 + dt.timedelta(hours=1)] == 2   # 90 end, 60 start alive
     assert out[t0 + dt.timedelta(hours=3)] == 1
+    # hour 2 ([120,180)): level is 0 throughout -> absent, not a 0-row
+    assert t0 + dt.timedelta(hours=2) not in out
+
+
+def test_concurrency_profile_carried_and_interior(spark):
+    """ADVICE r06: (a) a bucket whose only delta is a −1 still
+    reports the level carried in at bucket start; (b) buckets lying
+    wholly inside a long interval are gap-filled from the running
+    level, not silently read as 0."""
+    import datetime as dt
+    from zef_spark.pipeline.rollup import concurrency_profile
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    h = lambda k: t0 + dt.timedelta(hours=k)
+    # one 5-hour interval + a short one ending mid-hour-1
+    iv = spark.createDataFrame(
+        [(s(0), s(300)), (s(10), s(70))],
+        "a timestamp_ntz, b timestamp_ntz")
+    out = {r["bucket"]: r["max_concurrency"]
+           for r in concurrency_profile(iv, "a", "b", "1 hour",
+                                        n_ranges=3).collect()}
+    assert out[h(0)] == 2                 # both open at [10,60)
+    assert out[h(1)] == 2                 # carried-in 2 until t=70
+    assert out[h(2)] == 1 and out[h(3)] == 1 and out[h(4)] == 1
+    assert h(5) not in out                # ends exactly at 300 (half-open)
+    # zero-width interval occupies nothing
+    z = spark.createDataFrame([(s(0), s(0))],
+                              "a timestamp_ntz, b timestamp_ntz")
+    assert concurrency_profile(z, "a", "b", "1 hour").count() == 0
 
 
 def test_event_transitions_counts_and_probs(spark):

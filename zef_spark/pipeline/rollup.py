@@ -547,19 +547,26 @@ def concurrency_profile(intervals, start_col: str, end_col: str,
                         n_ranges: int | None = None):
     """(bucket, max_concurrency) — peak simultaneous open intervals
     per time bucket (concurrent sessions, open connections, parallel
-    jobs), computed by the classic sweep line: ±1 deltas at interval
-    starts/ends, a GLOBAL running sum over time order, then a
-    per-bucket max. Intervals are half-open [start, end): an
-    interval ending exactly when another starts does not overlap it
-    (deltas at equal timestamps apply −1 before +1).
+    jobs), computed by the classic sweep line in SEGMENT form: net
+    ±deltas per distinct instant, a global running level, then each
+    level segment ``[t, next_t)`` explodes to every bucket it covers
+    (ADVICE r06: the former delta-point max under-reported a bucket
+    whose first delta was a −1 — the carried-in level was invisible —
+    and emitted nothing at all for buckets lying wholly inside a long
+    interval). Buckets no interval touches are absent (= concurrency
+    0). Intervals are half-open [start, end): an interval ending
+    exactly when another starts does not overlap it, and zero-width
+    intervals occupy nothing (their net delta is 0).
 
     The global prefix sum is DISTRIBUTED, not a single sort task:
-    deltas range-partition on time (repartitionByRange), each range
-    computes its local running sum with an in-range window, and the
-    per-range totals — one number per range — come back as a
-    broadcast-joined offset table (the same two-phase prefix-sum
-    shape as pack_sequences' shard offsets). Driver traffic is
-    n_ranges scalars; no stage ever sees a global sort."""
+    net deltas range-partition on time (repartitionByRange), each
+    range computes its local running sum with an in-range window, and
+    the per-range totals + first timestamps — two scalars per range —
+    come back as a broadcast-joined offset table (the same two-phase
+    prefix-sum shape as pack_sequences' shard offsets). Segment ends
+    are an in-range lead() patched at range boundaries by the
+    broadcast next-range-first column. Driver traffic is 2·n_ranges
+    scalars; no stage ever sees a global sort."""
     from pyspark.sql import Window
     spark = intervals.sparkSession
     if n_ranges is None:
@@ -571,36 +578,57 @@ def concurrency_profile(intervals, start_col: str, end_col: str,
                                F.lit(1).alias("d"))
               .unionByName(intervals.select(e_us.alias("t"),
                                             F.lit(-1).alias("d"))))
+    # net delta per distinct instant: the level between instants is
+    # what occupancy means; intra-instant transients (−1 applied
+    # before +1 under half-open ordering) never exceed
+    # max(carried, final) so collapsing loses no peak — and it
+    # shrinks the sweep stream before the range exchange.
+    net = deltas.groupBy("t").agg(F.sum("d").alias("d"))
     # PIN the range partitioning: the ranged frame is read by two
     # jobs (offset totals, then the final join), and without a
     # materialization the range exchange re-plans per job (AQE
     # coalescing + boundary sampling), so __rid would not agree
     # between them. localCheckpoint freezes both the boundaries and
     # the partition ids.
-    ranged = (deltas.repartitionByRange(n_ranges, "t", "d")
+    ranged = (net.repartitionByRange(n_ranges, "t")
               .withColumn("__rid", F.spark_partition_id())
               .localCheckpoint())
-    w_in = (Window.partitionBy("__rid").orderBy("t", "d")
+    w_in = (Window.partitionBy("__rid").orderBy("t")
             .rowsBetween(Window.unboundedPreceding, 0))
     local = ranged.withColumn("__run", F.sum("d").over(w_in))
-    totals = (local.groupBy("__rid")
-              .agg(F.sum("d").alias("__tot")))
-    # offsets: prefix sum over the (n_ranges)-row totals — driver math
-    rows = sorted((r["__rid"], r["__tot"]) for r in totals.collect())
+    stats = (ranged.groupBy("__rid")
+             .agg(F.sum("d").alias("__tot"), F.min("t").alias("__ft")))
+    # offsets: prefix sum over the (n_ranges)-row totals — driver
+    # math; next-range-first patches the lead() at range boundaries
+    rows = sorted((r["__rid"], r["__tot"], r["__ft"])
+                  for r in stats.collect())
     off, acc = {}, 0
-    for rid, tot in rows:
-        off[rid] = acc
+    for i, (rid, tot, _ft) in enumerate(rows):
+        nf = rows[i + 1][2] if i + 1 < len(rows) else None
+        off[rid] = (acc, nf)
         acc += int(tot)
     off_df = spark.createDataFrame(
-        [(rid, o) for rid, o in off.items()], "__rid int, __off long")
-    bucket = F.timestamp_micros(
-        (F.col("t") - F.pmod(F.col("t"), F.lit(width))).cast("long")) \
+        [(rid, o, nf) for rid, (o, nf) in off.items()],
+        "__rid int, __off long, __nf long")
+    w_lead = Window.partitionBy("__rid").orderBy("t")
+    lvl = (local.join(F.broadcast(off_df), "__rid")
+           .select("t", (F.col("__run") + F.col("__off")).alias("__c"),
+                   F.coalesce(F.lead("t").over(w_lead),
+                              F.col("__nf")).alias("__nt")))
+    # run-level segments [t, __nt) with __c open intervals; the last
+    # global segment always has __c == 0 (Σdeltas = 0), so __nt is
+    # never NULL where it matters — coalesce is belt-and-braces.
+    fdiv = lambda c: ((c - F.pmod(c, F.lit(width))) / width) \
+        .cast("long")
+    seg = (lvl.where(F.col("__c") > 0)
+           .select("__c",
+                   F.explode(F.sequence(
+                       fdiv(F.col("t")),
+                       fdiv(F.coalesce(F.col("__nt") - 1,
+                                       F.col("t"))))).alias("__b")))
+    bucket = F.timestamp_micros(F.col("__b") * F.lit(width)) \
         .cast("timestamp_ntz")
-    return (local.join(F.broadcast(off_df), "__rid")
-            .select(bucket.alias("bucket"),
-                    (F.col("__run") + F.col("__off"))
-                    .alias("__c"))
-            .groupBy("bucket")
+    return (seg.groupBy(bucket.alias("bucket"))
             .agg(F.max("__c").cast("long").alias("max_concurrency")))
 
 
