@@ -819,3 +819,51 @@ def test_sse_heartbeat_and_stream_limit(schema, store):
     assert c3.getresponse().status == 200
     c3.close()
     srv.shutdown()
+
+
+def test_search_directive_materializes_index_layout(spark, tmp_path):
+    """r06 verdict order #6: @search is wired to the physical layout,
+    not just recorded — GraphQLEngine.materialize checkpoints the
+    type's table through write_search_clustered, and footer min/max
+    stats measurably prune a searched-field point query
+    (skipping_ratio) vs the un-clustered layout."""
+    from zef_spark.graphql import GraphQLEngine, schema_from_sdl
+    from zef_spark.graphql.mutations import TableStore
+    from zef_spark.pipeline.layout import skipping_ratio
+    sdl = """
+    type Order @table(name: "orders", id: "o_orderkey") {
+      id: Int @col(name: "o_orderkey")
+      total: Float @col(name: "o_totalprice") @search
+      custkey: Int @col(name: "o_custkey") @search
+    }
+    """
+    schema = schema_from_sdl(sdl)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    store = TableStore({"orders": orders})
+    eng = GraphQLEngine(schema, store=store)
+
+    idx = str(tmp_path / "orders_idx")
+    cols = eng.materialize("Order", idx)
+    assert sorted(cols) == ["o_custkey", "o_totalprice"]
+
+    plain = str(tmp_path / "orders_plain")
+    orders.repartition(32).write.parquet(plain)
+    lo, hi = 50_000.0, 60_000.0
+    r_idx = skipping_ratio(spark, idx, "o_totalprice", lo, hi)
+    r_plain = skipping_ratio(spark, plain, "o_totalprice", lo, hi)
+    assert r_idx > 0.4 and r_idx > r_plain
+    # both searched fields prune — z-order keeps files narrow on
+    # every clustered column, not just the leading one
+    assert skipping_ratio(spark, idx, "o_custkey", 100, 120) > 0.4
+    # the store now serves the materialized version; queries still run
+    out = eng.execute("{ queryOrder(first: 3) { id total } }")
+    assert len(out["queryOrder"]) == 3
+
+    # string searched field -> lexicographic range-cluster strategy
+    from zef_spark.pipeline.layout import write_search_clustered
+    sdir = str(tmp_path / "orders_str")
+    strat = write_search_clustered(
+        orders, sdir, ["o_orderpriority"], n_files=8)
+    assert strat == "range"
+    st = spark.read.parquet(sdir)
+    assert st.count() == orders.count()

@@ -157,6 +157,25 @@ class GraphQLEngine:
         df = apply_pagination(df, first, args.get("offset"))
         return self._project(tname, df, selection)
 
+    def materialize(self, tname: str, path: str) -> list[str]:
+        """Checkpoint the type's table with its ``@search`` layout
+        (r06 verdict order #6): searched fields map to physical
+        columns and the write goes through
+        pipeline/layout.py write_search_clustered, so per-file
+        min/max stats prune point/range probes on every searched
+        field — the Spark-first analogue of the reference's indexed
+        per-type query fields (generate_api2.py:785-837). Returns
+        the physical columns the layout clustered on (empty = plain
+        checkpoint, no @search fields declared)."""
+        if self.store is None:
+            raise ValueError("materialize needs a TableStore")
+        t = self.schema[tname]
+        cols = [t.fields[f] for f in sorted(t.search)
+                if f in t.fields]
+        self.store.checkpoint(t.table, path,
+                              search_cols=cols or None)
+        return cols
+
     def execute(self, query: str, variables: dict | None = None) -> dict:
         from graphql import parse
         from graphql.language import ast as A

@@ -45,11 +45,23 @@ class TableStore:
         self.history.setdefault(name, []).append(self.tables.get(name))
         self.tables[name] = df
 
-    def checkpoint(self, name: str, path: str) -> None:
+    def checkpoint(self, name: str, path: str,
+                   search_cols: list[str] | None = None) -> None:
         """Materialize the current version (cuts plan lineage after
-        many stacked mutations; at scale: the committed table)."""
+        many stacked mutations; at scale: the committed table). With
+        ``search_cols`` the write is search-clustered
+        (pipeline/layout.py write_search_clustered) so parquet
+        footer stats become the secondary index for those columns —
+        the physical half of GraphQL ``@search``. Engine callers use
+        GraphQLEngine.materialize, which passes the type's @search
+        fields automatically."""
         spark = self.tables[name].sparkSession
-        self.tables[name].write.mode("overwrite").parquet(path)
+        if search_cols:
+            from ..pipeline.layout import write_search_clustered
+            write_search_clustered(self.tables[name], path,
+                                   search_cols)
+        else:
+            self.tables[name].write.mode("overwrite").parquet(path)
         self.tables[name] = spark.read.parquet(path)
 
 

@@ -56,9 +56,13 @@ class GqlType:
     #: "should probably be done post change" TODO — here they run as
     #: one bounded scan per mutation)
     unique: set = field(default_factory=set)
-    #: gql names of @search fields — accepted and recorded; Spark has
-    #: no secondary index, the analogue is Z-order/partition layout
-    #: (pipeline/layout.py), so this is metadata only
+    #: gql names of @search fields — Spark has no secondary index;
+    #: the analogue is the search-clustered parquet layout:
+    #: GraphQLEngine.materialize(tname, path) checkpoints the type's
+    #: table through pipeline/layout.py write_search_clustered
+    #: (Z-order for numeric searched fields, lexicographic range
+    #: clustering otherwise) so footer min/max stats prune probes on
+    #: every searched field
     search: set = field(default_factory=set)
     #: gql name -> hook NAME for @dynamic(hook: "...") computed fields
     #: (reference schema_file_parser.py:169-172: resolved zef function;

@@ -81,6 +81,37 @@ def write_z_ordered(df: DataFrame, path: str, cols: list[str],
         .write.mode(mode).parquet(path))
 
 
+def write_search_clustered(df: DataFrame, path: str, cols: list[str],
+                           n_files: int = 0, bits: int = 10,
+                           mode: str = "overwrite") -> str:
+    """Physical layout for searched fields (GraphQL ``@search``,
+    r06 verdict order #6): Spark has no secondary index — the
+    analogue is a layout whose per-file min/max stats PRUNE probes on
+    the searched columns (the reference exposes per-type query fields
+    with filter pushdown, generate_api2.py:785-837; here the
+    "index" is the parquet footer). Strategy by column type:
+
+    - all searched columns numeric → Z-order (``write_z_ordered``):
+      files stay narrow on every searched column at once;
+    - any string/other column → lexicographic range-cluster on the
+      searched columns (repartitionByRange + sortWithinPartitions):
+      min/max string stats prune equality and prefix probes.
+
+    Returns the strategy used ("zorder" | "range")."""
+    numeric = {"bigint", "int", "smallint", "tinyint", "double",
+               "float"}
+    types = dict(df.dtypes)
+    if all(types.get(c, "").split("(")[0] in numeric for c in cols):
+        write_z_ordered(df, path, cols, n_files=n_files, bits=bits,
+                        mode=mode)
+        return "zorder"
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (df.repartitionByRange(n, *[F.col(c) for c in cols])
+       .sortWithinPartitions(*cols)
+       .write.mode(mode).parquet(path))
+    return "range"
+
+
 def file_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     """Per-file min/max of `cols` — the exact information the reader's
     row-group pruner sees. Used to measure clustering quality."""
