@@ -5961,6 +5961,223 @@ def e_attribution_linear(spark, sf_dir):
         .orderBy("user", "conv_ts", "touch"))
 
 
+
+@query("p_pmi_collocations", r"""
+WITH toks AS (
+  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                     t -> t <> '') AS w
+  FROM documents
+), g AS (
+  SELECT w[i] AS a, w[i+1] AS b
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w)-1)) AS t(i)
+  WHERE LEN(w) >= 2
+), big AS (SELECT a, b, COUNT(*) AS n FROM g GROUP BY a, b),
+la AS (SELECT a, SUM(n) AS ca FROM big GROUP BY a),
+rb AS (SELECT b, SUM(n) AS cb FROM big GROUP BY b),
+tot AS (SELECT SUM(n) AS tn FROM big)
+SELECT a, b, n,
+       ROUND(LN(CAST(n AS DOUBLE) * tn / (ca * cb)), 6) AS pmi
+FROM big JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+WHERE n >= 10
+ORDER BY pmi DESC, a, b LIMIT 20
+""")
+def p_pmi_collocations(spark, sf_dir):
+    """Top-20 word collocations by pointwise mutual information over
+    the documents corpus (pipeline/text.py pmi_collocations): one
+    (a,b) hash agg + vocabulary-bounded marginal aggs + broadcast N;
+    TakeOrdered top-k. The phrase-mining primitive next to raw
+    top-k n-grams."""
+    from zef_spark.pipeline.text import pmi_collocations
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=10, k=20)
+
+
+@query("p_zipf_profile", r"""
+WITH toks AS (
+  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                     t -> t <> '') AS w
+  FROM documents
+), tok AS (SELECT UNNEST(w) AS token FROM toks),
+counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+  FROM counts
+), terms AS (
+  SELECT c,
+    ROUND(LN(CAST(r AS DOUBLE)), 12) AS x,
+    ROUND(LN(CAST(c AS DOUBLE)), 12) AS y
+  FROM ranked
+), st AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    SUM(CAST(x AS DECIMAL(38,12)))::DOUBLE AS sx,
+    SUM(CAST(y AS DECIMAL(38,12)))::DOUBLE AS sy,
+    SUM(CAST(ROUND(x*x,12) AS DECIMAL(38,12)))::DOUBLE AS sxx,
+    SUM(CAST(ROUND(y*y,12) AS DECIMAL(38,12)))::DOUBLE AS syy,
+    SUM(CAST(ROUND(x*y,12) AS DECIMAL(38,12)))::DOUBLE AS sxy
+  FROM terms
+)
+SELECT CAST(m AS BIGINT) AS n_types, n_tokens,
+  ROUND((m*sxy - sx*sy) / (m*sxx - sx*sx), 6) AS slope,
+  ROUND((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m, 6)
+    AS intercept,
+  ROUND(((m*sxy - sx*sy) * (m*sxy - sx*sy))
+        / ((m*sxx - sx*sx) * (m*syy - sy*sy)), 6) AS r2
+FROM st
+""")
+def p_zipf_profile(spark, sf_dir):
+    """Zipf rank-frequency OLS fit over the documents corpus
+    (pipeline/text.py zipf_profile): one token hash agg, a
+    vocabulary-sized rank window, and a closed-form regression from
+    decimal-exact sums — the one-number corpus-health gauge."""
+    from zef_spark.pipeline.text import zipf_profile
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_profile(docs, "text")
+
+
+@query("e_acf_hourly", """
+WITH s AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), led AS (
+  SELECT event_type, x,
+         LEAD(x,1) OVER w AS l1,
+         LEAD(x,2) OVER w AS l2,
+         LEAD(x,3) OVER w AS l3,
+         LEAD(x,4) OVER w AS l4,
+         LEAD(x,5) OVER w AS l5,
+         LEAD(x,6) OVER w AS l6
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY h)
+), st AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(ROUND(x,12) AS DECIMAL(38,12)))::DOUBLE AS s,
+    SUM(CAST(ROUND(x*x,12) AS DECIMAL(38,12)))::DOUBLE AS ss,
+    COUNT(l1) AS m1,
+    SUM(CAST(ROUND(x*l1,12) AS DECIMAL(38,12)))::DOUBLE AS a1,
+    SUM(CASE WHEN l1 IS NOT NULL THEN
+        CAST(ROUND(x+l1,12) AS DECIMAL(38,12)) END)::DOUBLE AS b1,
+    COUNT(l2) AS m2,
+    SUM(CAST(ROUND(x*l2,12) AS DECIMAL(38,12)))::DOUBLE AS a2,
+    SUM(CASE WHEN l2 IS NOT NULL THEN
+        CAST(ROUND(x+l2,12) AS DECIMAL(38,12)) END)::DOUBLE AS b2,
+    COUNT(l3) AS m3,
+    SUM(CAST(ROUND(x*l3,12) AS DECIMAL(38,12)))::DOUBLE AS a3,
+    SUM(CASE WHEN l3 IS NOT NULL THEN
+        CAST(ROUND(x+l3,12) AS DECIMAL(38,12)) END)::DOUBLE AS b3,
+    COUNT(l4) AS m4,
+    SUM(CAST(ROUND(x*l4,12) AS DECIMAL(38,12)))::DOUBLE AS a4,
+    SUM(CASE WHEN l4 IS NOT NULL THEN
+        CAST(ROUND(x+l4,12) AS DECIMAL(38,12)) END)::DOUBLE AS b4,
+    COUNT(l5) AS m5,
+    SUM(CAST(ROUND(x*l5,12) AS DECIMAL(38,12)))::DOUBLE AS a5,
+    SUM(CASE WHEN l5 IS NOT NULL THEN
+        CAST(ROUND(x+l5,12) AS DECIMAL(38,12)) END)::DOUBLE AS b5,
+    COUNT(l6) AS m6,
+    SUM(CAST(ROUND(x*l6,12) AS DECIMAL(38,12)))::DOUBLE AS a6,
+    SUM(CASE WHEN l6 IS NOT NULL THEN
+        CAST(ROUND(x+l6,12) AS DECIMAL(38,12)) END)::DOUBLE AS b6
+  FROM led GROUP BY event_type
+)
+SELECT * FROM (
+  SELECT event_type, 1 AS lag, m1 AS n_pairs,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a1 - (s/n)*b1 + m1*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 6) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 2 AS lag, m2 AS n_pairs,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a2 - (s/n)*b2 + m2*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 6) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 3 AS lag, m3 AS n_pairs,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a3 - (s/n)*b3 + m3*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 6) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 4 AS lag, m4 AS n_pairs,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a4 - (s/n)*b4 + m4*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 6) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 5 AS lag, m5 AS n_pairs,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a5 - (s/n)*b5 + m5*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 6) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 6 AS lag, m6 AS n_pairs,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a6 - (s/n)*b6 + m6*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 6) END AS r
+  FROM st
+) ORDER BY event_type, lag
+""")
+def e_acf_hourly(spark, sf_dir):
+    """Sample autocorrelation (lags 1-6) of each event type's hourly
+    count series (pipeline/rollup.py acf): one key-ordered window
+    shuffle computes all lead columns, one hash agg per key computes
+    every lag's decimal-exact sums at once — seasonality detection
+    without declaring the period up front."""
+    from zef_spark.pipeline.rollup import acf
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts"))
+                         .cast("timestamp_ntz").alias("h"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return (acf(series, "h", "x", max_lag=6, by="event_type")
+            .orderBy("event_type", "lag"))
+
+
+@query("p_leakage_safe_split", """
+WITH RECURSIVE """ + _MINHASH_PAIRS_CTE + """,
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM mh_pairs
+  UNION SELECT id_b, id_a FROM mh_pairs
+), walk(id, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b
+), rep AS (SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, COALESCE(r.cluster, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN rep r ON r.id = d.doc_id
+), b AS (
+  SELECT doc_id, split_key,
+         ('0x' || SUBSTR(MD5(CAST(split_key AS VARCHAR) || 'split_v1'),
+                         1, 15))::BIGINT % 1000000 AS bkt
+  FROM keyed)
+SELECT doc_id, split_key,
+       CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+""")
+def p_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (pipeline/corpus.py
+    leakage_safe_split): near-duplicate documents (MinHash+LSH pairs,
+    exact-verified — same setting as p_minhash_dedup_pipeline) key
+    their split on the dedup-cluster representative, so a test doc's
+    near-copy can never sit in train. The oracle replays all-pairs
+    shingle Jaccard + recursive-CTE components + the md5 bucket split
+    — equality proves pair recall, component labels, AND assignment
+    in one row."""
+    from zef_spark.pipeline.corpus import leakage_safe_split
+    from zef_spark.pipeline.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=60,
+                              bands=12, jaccard_threshold=0.4)
+    return (leakage_safe_split(docs, pairs, "doc_id",
+                               {"train": 0.8, "val": 0.1,
+                                 "test": 0.1}, salt="split_v1")
+            .select("doc_id", "split_key", "split")
+            .orderBy("doc_id"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

@@ -93,14 +93,44 @@ def main():
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # r06 verdict order #3: put a tracked number on the bucketed /
+    # dual-projection graph layout (the cluster posture — hybrid
+    # token-partition + bucketBy, 3 fewer exchanges on the 2-hop
+    # plan). Re-run the graph headline queries with
+    # ZEF_SPARK_GRAPH_LAYOUT=bucketed; the one-time bucketed-table
+    # build is ingest time and runs before the timed loop. Opt out
+    # with SPARK_GRAFT_LAYOUT=plain.
+    bucketed: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_LAYOUT", "both") != "plain":
+        g_queries = [n for n in HEADLINE if n.startswith("g_")]
+        os.environ["ZEF_SPARK_GRAPH_LAYOUT"] = "bucketed"
+        try:
+            graph_for(spark, sf_dir)          # build/serve, untimed
+            for name in g_queries:
+                fn, best = qs[name], None
+                for _rep in range(2):
+                    spark.catalog.clearCache()
+                    spark._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite") \
+                        .format("noop").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                bucketed[name] = round(best, 3)
+        finally:
+            os.environ.pop("ZEF_SPARK_GRAPH_LAYOUT", None)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if bucketed:
+        out["layout_bucketed"] = bucketed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

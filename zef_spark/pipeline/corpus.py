@@ -504,3 +504,36 @@ def tfidf_topterms(df: DataFrame, id_col: str, text_col: str,
 @register_op("tfidf_topterms", "df")
 def _tfidf_topterms_op(df, *args, **kw):
     return tfidf_topterms(df, *args, **kw)
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, key_col: str,
+                       fracs: dict[str, float], salt: str = "",
+                       out_col: str = "split") -> DataFrame:
+    """Train/val/test assignment in which near-duplicate documents
+    can NEVER straddle a split boundary — the benchmark-leakage
+    failure mode of a naive per-doc hash split (a test doc's
+    near-copy in train inflates eval). The split key is the row's
+    dedup-cluster representative (``dup_clusters`` min-id over the
+    near-dup ``pairs``; rows in no cluster key on themselves), fed
+    through the same md5-bucket assignment as ``split_corpus`` — so
+    singleton rows get bit-identical labels to a plain split and
+    whole clusters move together.
+
+    Scale: one broadcast-or-shuffle join of df against the cluster
+    table (|clusters| ≤ |near-dup rows|, typically ≪ |corpus|), then
+    the row-local md5 bucket; the component computation itself is
+    min-label propagation over the PAIR list only (dup_clusters —
+    never touches payloads). Adds (out_col, split_key) columns."""
+    clusters = dup_clusters(pairs).withColumnRenamed("id", "__cid")
+    keyed = (df.join(clusters, df[key_col] == F.col("__cid"), "left")
+             .drop("__cid")
+             .withColumn("__skey",
+                         F.coalesce(F.col("cluster"), F.col(key_col)))
+             .drop("cluster"))
+    return (split_corpus(keyed, "__skey", fracs, salt, out_col)
+            .withColumnRenamed("__skey", "split_key"))
+
+
+@register_op("leakage_safe_split", "df")
+def _leakage_safe_split_op(df, pairs, *args, **kw):
+    return leakage_safe_split(df, pairs, *args, **kw)

@@ -689,3 +689,68 @@ def holt_linear(df, key, ts_col: str, value_col: str,
 @_reg_rollup("holt_linear", "df")
 def _holt_op(df, *args, **kw):
     return holt_linear(df, *args, **kw)
+
+
+def acf(df, ts_col: str, value_col: str, max_lag: int = 6,
+        by=None, digits: int = 6):
+    """(by..., lag, n_pairs, r) — the sample autocorrelation function
+    at lags 1..max_lag over each key's time-ordered series:
+
+        r_l = Σ (x_t − x̄)(x_{t+l} − x̄) / Σ (x_t − x̄)²
+
+    with x̄ the FULL-series mean (the standard ACF normalization).
+    The seasonality-detection companion to the fixed-bucket weekly
+    profile: a daily cycle shows as a peak at the 24-bucket lag
+    without declaring the period up front.
+
+    Plan: ONE key-ordered window shuffle produces all max_lag lead
+    columns (shared window spec), then one hash agg per key computes
+    every lag's sums at once — max_lag never multiplies shuffles.
+    Determinism: every aggregate term (x, x², x·lead) rounds half-up
+    to scale-12 DECIMAL before summation, so the sums are exact and
+    partition-order-independent; the final mean/ratio arithmetic is
+    FP on bit-identical aggregates in any engine (token_entropy
+    discipline). Constant series (zero variance) yield NULL r."""
+    from pyspark.sql import Window
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    dec = "decimal(38,12)"
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*by).orderBy(ts_col) if by else \
+        Window.orderBy(ts_col)
+    cols = [F.lead(x, lag).over(w).alias(f"__lead{lag}")
+            for lag in range(1, max_lag + 1)]
+    staged = df.select(*by, x.alias("__x"), *cols)
+    term = lambda c: F.round(c, 12).cast(dec)
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(term(F.col("__x"))).cast("double").alias("__s"),
+            F.sum(term(F.col("__x") * F.col("__x"))).cast("double")
+            .alias("__ss")]
+    for lag in range(1, max_lag + 1):
+        ld = F.col(f"__lead{lag}")
+        aggs += [
+            F.count(ld).alias(f"__m{lag}"),
+            F.sum(term(F.col("__x") * ld)).cast("double")
+            .alias(f"__a{lag}"),
+            F.sum(F.when(ld.isNotNull(),
+                         term(F.col("__x") + ld))).cast("double")
+            .alias(f"__b{lag}")]
+    stats = staged.groupBy(*by).agg(*aggs)
+    mean = F.col("__s") / F.col("__n")
+    den = F.col("__ss") - F.col("__n") * mean * mean
+    parts = []
+    for lag in range(1, max_lag + 1):
+        num = (F.col(f"__a{lag}") - mean * F.col(f"__b{lag}")
+               + F.col(f"__m{lag}") * mean * mean)
+        parts.append(F.struct(
+            F.lit(lag).alias("lag"),
+            F.col(f"__m{lag}").alias("n_pairs"),
+            F.when(den != 0, F.round(num / den, digits))
+            .alias("r")))
+    return (stats.select(*by, F.explode(F.array(*parts)).alias("__e"))
+            .select(*by, "__e.lag", "__e.n_pairs", "__e.r"))
+
+
+@_reg_rollup("acf", "df")
+def _acf_op(df, *args, **kw):
+    return acf(df, *args, **kw)

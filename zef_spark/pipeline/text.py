@@ -700,3 +700,113 @@ def code_detect(df: DataFrame, id_col: str, text_col: str,
 @register_op("code_detect", "df")
 def _code_detect_op(df, *args, **kw):
     return code_detect(df, *args, **kw)
+
+
+def pmi_collocations(df: DataFrame, text_col: str,
+                     min_count: int = 5, k: int = 20,
+                     digits: int = 6) -> DataFrame:
+    """(a, b, n, pmi) — the corpus's top-k word collocations by
+    pointwise mutual information over the bigram distribution:
+    PMI(a,b) = ln( c_ab · N / (c_a· · c_·b) ), with left/right
+    marginals and N all derived from the bigram table itself (the
+    self-consistent formulation — no separate unigram pass). The
+    phrase-mining primitive the count-based top-k (ngram_counts)
+    can't give you: "new york" scores high even though "of the"
+    outcounts it.
+
+    Plan: row-local bigram construction (same transform as
+    bigram_logprob) → ONE (a,b) hash agg (map-side combinable) →
+    two marginal aggs on the vocabulary²-bounded bigram table →
+    broadcast 1-row N → TakeOrdered top-k (no full sort).
+    Determinism: ln over exact integer counts on both engines; ties
+    break (pmi desc, a, b)."""
+    words = _tokens(F.col(text_col))
+    grams = (df.select(words.alias("__w"))
+             .where(F.size("__w") >= 2)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("__w") - 1),
+                 lambda i: F.struct(
+                     F.element_at("__w", i).alias("a"),
+                     F.element_at("__w", i + 1).alias("b"))))
+                 .alias("g")))
+    big = grams.groupBy("g.a", "g.b").agg(
+        F.count(F.lit(1)).alias("n"))
+    la = big.groupBy("a").agg(F.sum("n").alias("__ca"))
+    rb = big.groupBy("b").agg(F.sum("n").alias("__cb"))
+    tot = big.agg(F.sum("n").alias("__N"))
+    pmi = F.round(F.log(F.col("n").cast("double") * F.col("__N")
+                        / (F.col("__ca") * F.col("__cb"))),
+                  digits)
+    return (big.where(F.col("n") >= min_count)
+            .join(la, "a").join(rb, "b")
+            .crossJoin(F.broadcast(tot))
+            .select("a", "b", "n", pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "a", "b").limit(k))
+
+
+@register_op("pmi_collocations", "df")
+def _pmi_collocations_op(df, *args, **kw):
+    return pmi_collocations(df, *args, **kw)
+
+
+def zipf_profile(df: DataFrame, text_col: str,
+                 max_rank: int | None = None,
+                 digits: int = 6) -> DataFrame:
+    """One-row (n_types, n_tokens, slope, intercept, r2) — the
+    least-squares fit of ln(count) against ln(rank) over the corpus's
+    token rank-frequency table. Natural text sits near slope ≈ −1
+    (Zipf's law); heavy boilerplate/templating flattens the head,
+    gibberish flattens the tail — a one-number corpus-health gauge
+    next to domain_stats.
+
+    Plan: ONE (token) hash agg → rank by (count desc, token) — a
+    window over the VOCABULARY-sized table only, never the corpus —
+    → closed-form OLS from six aggregate sums. ``max_rank`` fits just
+    the head. Determinism: each ln term rounds half-up to scale-12
+    DECIMAL before the sums (the token_entropy discipline), so every
+    aggregate is EXACT and partition-order-independent; only the
+    final slope/intercept/r² arithmetic is FP, on bit-identical
+    inputs in any engine."""
+    from pyspark.sql import Window
+    counts = (df.select(F.explode(_tokens(F.col(text_col)))
+                        .alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy(F.col("c").desc(), "token")
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    if max_rank is not None:
+        ranked = ranked.where(F.col("r") <= max_rank)
+    dec = "decimal(38,12)"
+    # rounded-double terms; products stay in IEEE double (identical
+    # operands → identical product in any engine) and only the SUMS
+    # run in exact decimal
+    x = F.round(F.log(F.col("r").cast("double")), 12)
+    y = F.round(F.log(F.col("c").cast("double")), 12)
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(x * x, 12).cast(dec)).cast("double")
+        .alias("sxx"),
+        F.sum(F.round(y * y, 12).cast(dec)).cast("double")
+        .alias("syy"),
+        F.sum(F.round(x * y, 12).cast(dec)).cast("double")
+        .alias("sxy"))
+    slope = ((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("m")
+    r2 = (((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+           * (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")))
+          / ((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return stats.select(
+        F.col("m").cast("long").alias("n_types"),
+        F.col("n_tokens"),
+        F.round(slope, digits).alias("slope"),
+        F.round(intercept, digits).alias("intercept"),
+        F.round(r2, digits).alias("r2"))
+
+
+@register_op("zipf_profile", "df")
+def _zipf_profile_op(df, *args, **kw):
+    return zipf_profile(df, *args, **kw)
