@@ -6190,47 +6190,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
 # Rotate the registration order each round so every query accumulates a
-# CORRECTNESS row. r06 window (per the r05 verdict order): (a) the 17
-# queries registered after the r05 window froze (judge-verified green
-# live in r05, but no driver row yet), (b) the two r05 proof-defect
-# re-checks — e_scd2_event_type (valid_to sentinel now emitted as a
-# string on both sides so the driver's pandas conversion can't
-# overflow) and g_cheapest_supply_paths (now seeded from the
-# fixture-real NATION_7, returns rows at every scale), (c) queries
-# NEW in r06, and (d) backfill with the oldest green rows (r01) so
-# their proofs stay fresh. Everything else rotates to the tail
-# (r02-r05 rows prove it) and stays runnable by name.
-# r06 note: the new vacuity guard (tools/check_oracle.py) flagged two
-# MORE empty==empty proofs in the r01 backfill — filter_predicates
-# (no BRASS-typed parts in this fixture) and without_anti_join (every
-# customer has orders) — both de-vacuized this round with
-# fixture-real predicates; full local sweep is 172/172 with >0 rows.
+# CORRECTNESS row. r07 window: (a) the four queries NEW this round
+# (PMI collocations, Zipf profile, hourly ACF, leakage-safe split),
+# (b) e_rfm_segments — the single red r06 row, fixed by casting the
+# DECIMAL monetary aggregate to DOUBLE on both sides (the driver
+# hashes raw renderings: "1166.10" != "1166.1"), (c) every query
+# whose semantics or oracle changed in r07 (group-percentile column
+# naming, Benford round-trip digit extraction, segment-form
+# concurrency sweep, attribution range-frame horizon, overlap-join
+# first-shared-bucket dedup), and (d) the staleness rotation: the
+# whole r03-checked cohort plus the four oldest r04 rows — keeping
+# every row's most recent driver proof <=3 rounds old. Everything
+# else rotates to the tail (r04-r06 rows prove it) and stays
+# runnable by name.
 _FRONT = [
-    # (a) registered in r05 after the window froze — first driver rows
-    "p_top_bigrams", "g_cheapest_supply_paths", "p_bigram_logprob",
-    "p_standardize_balances", "e_stream_ingest_mapped",
-    "p_pack_sharded", "p_epoch_shuffle", "g_field_history_price",
-    "p_personalized_pagerank", "g_kcore_cosupply", "p_hits_purchase",
-    "g_similar_suppliers", "g_communities_cosupply",
-    "p_robust_scale_balances", "e_time_weighted_avg", "e_ohlc_daily",
-    "e_rolling_anomalies",
-    # (b) r05 proof-defect re-checks
-    "e_scd2_event_type",
-    # (c) NEW in r06 — first oracle rows (names appended as built)
-    "p_kmeans_clusters", "e_attribution_last_touch",
-    "e_attribution_linear", "p_token_entropy", "p_tfidf_topterms",
-    "e_event_transitions", "e_cusum_drift", "g_wcc_cosupply",
-    "p_ann_kmeans_topk", "e_rfm_segments", "p_benford_totalprice",
-    "e_session_paths", "e_concurrency_hourly",
-    "w_group_percentiles", "e_holt_forecast", "p_code_detect",
-    "g_walk_cooccurrence", "e_weekly_seasonality",
-    "g_degree_distribution", "q20_excess_suppliers",
-    "p_data_expectations", "p_decontaminate", "e_ks_drift",
-    "e_session_overlaps",
-    # (d) backfill: oldest green rows (r01) for re-proof
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "filter_predicates", "distinct_pairs",
-    "sort_take_topk", "without_anti_join",
+    # (a) NEW in r07 — first driver rows
+    "p_pmi_collocations", "p_zipf_profile", "e_acf_hourly",
+    "p_leakage_safe_split",
+    # (b) the r06 red row, re-proof after the DOUBLE cast fix
+    "e_rfm_segments",
+    # (c) semantics/oracle changed in r07 — re-proof: percentile
+    # naming, benford rendering, concurrency segment sweep,
+    # attribution range-frame horizon, overlap-join first-bucket
+    "w_group_percentiles", "p_benford_totalprice",
+    "e_concurrency_hourly", "e_attribution_last_touch",
+    "e_attribution_linear", "e_session_overlaps",
+    # (d) staleness rotation: every row last driver-checked in r03
+    # (the oldest cohort — keeps every proof <=3 rounds old), plus
+    # the four oldest r04 rows that fit the 50-query window
+    "concat_union_segments", "conditional_bucketing",
+    "datetime_functions", "g_all_type_counts", "g_asof_order_count",
+    "g_gather_closure", "g_has_order_customers",
+    "g_hop2_revenue_by_customer", "g_hop_customer_nation",
+    "g_point_lookup_by_field", "g_quantity_fields",
+    "g_relation_fields_meta", "g_time_travel_duration",
+    "g_time_travel_relative", "g_tx_instantiated_events",
+    "group_agg_customer_orders", "hash_functions", "math_functions",
+    "max_by_top_order_per_cust", "p_ann_cosine_topk",
+    "p_ann_topk_ivf", "p_ann_topk_lsh", "p_cosine_pairs_blocked",
+    "p_dedup_exact_groups", "p_fingerprint", "p_lang_id",
+    "p_minhash_lsh_pairs", "p_multimodal_meta",
+    "p_ngram_jaccard_pairs", "p_simhash_pairs", "p_text_quality",
+    "p_token_counts", "scan_cumulative_revenue",
+    "sliding_moving_avg", "string_functions",
+    "chunk_by_event_type_runs", "e_asof_last_purchase",
+    "e_cohort_retention", "e_funnel_counts",
 ]
 
 

@@ -111,7 +111,9 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     "p_tfidf_topterms", "p_benford_totalprice",
                     "e_rfm_segments",
                     # 1-row uniqueness-check broadcast
-                    "p_data_expectations"}
+                    "p_data_expectations",
+                    # r07: bigram-total N as a 1-row scalar broadcast
+                    "p_pmi_collocations"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
