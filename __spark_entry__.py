@@ -6178,6 +6178,153 @@ def p_leakage_safe_split(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+
+@query("p_ngram_novelty", r"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\W+'),
+                             t -> t <> '') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(w)-2)) AS t(i)
+  WHERE LEN(w) >= 3
+), dpg AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN dpg USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+""")
+def p_ngram_novelty(spark, sf_dir):
+    """Per-document trigram novelty (pipeline/text.py ngram_novelty):
+    fraction of a doc's distinct trigrams appearing in no other doc —
+    the smooth memorization/boilerplate gauge. Two gram-keyed
+    shuffles, nothing all-pairs."""
+    from zef_spark.pipeline.text import ngram_novelty
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+@query("e_psi_drift", """
+WITH base AS (
+  SELECT CASE WHEN o_orderdate < DATE '1995-06-01' THEN 'a'
+              ELSE 'b' END AS s,
+         CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders
+), ref AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+         COUNT(*) OVER () AS n
+  FROM base WHERE s = 'a'
+), ed AS (
+  SELECT
+    MAX(CASE WHEN rn = CEIL(0.1 * n) THEN v END) AS e1,
+    MAX(CASE WHEN rn = CEIL(0.2 * n) THEN v END) AS e2,
+    MAX(CASE WHEN rn = CEIL(0.3 * n) THEN v END) AS e3,
+    MAX(CASE WHEN rn = CEIL(0.4 * n) THEN v END) AS e4,
+    MAX(CASE WHEN rn = CEIL(0.5 * n) THEN v END) AS e5,
+    MAX(CASE WHEN rn = CEIL(0.6 * n) THEN v END) AS e6,
+    MAX(CASE WHEN rn = CEIL(0.7 * n) THEN v END) AS e7,
+    MAX(CASE WHEN rn = CEIL(0.8 * n) THEN v END) AS e8,
+    MAX(CASE WHEN rn = CEIL(0.9 * n) THEN v END) AS e9
+  FROM ref
+), binned AS (
+  SELECT b.s,
+         LEN(LIST_FILTER([e1, e2, e3, e4, e5, e6, e7, e8, e9], e -> e < b.v)) AS bin
+  FROM base b CROSS JOIN ed
+), c AS (
+  SELECT bin,
+         SUM(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b FROM c
+)
+SELECT n_a, n_b,
+  ROUND(SUM(CAST(ROUND(
+      (GREATEST(cb / CAST(n_b AS DOUBLE), 1e-06)
+       - GREATEST(ca / CAST(n_a AS DOUBLE), 1e-06))
+      * LN(GREATEST(cb / CAST(n_b AS DOUBLE), 1e-06)
+           / GREATEST(ca / CAST(n_a AS DOUBLE), 1e-06)), 12)
+    AS DECIMAL(38,12)))::DOUBLE, 6) AS psi
+FROM c CROSS JOIN tot GROUP BY n_a, n_b
+""")
+def e_psi_drift(spark, sf_dir):
+    """Population Stability Index between early and late order totals
+    (pipeline/wrangling.py psi_drift): decile bins frozen on the
+    reference window via exact integer-rank percentiles, bin counts
+    in one conditional agg, decimal-exact PSI sum — the binned,
+    magnitude-weighted drift gate next to e_ks_drift."""
+    from zef_spark.pipeline.wrangling import psi_drift
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderdate") < F.lit("1995-06-01").cast("date"),
+               "a").otherwise("b").alias("s"),
+        F.col("o_totalprice").alias("v"))
+    return psi_drift(base, "s", "v", bins=10)
+
+
+@query("e_seasonal_decompose", """
+WITH s AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT event_type, d, x,
+         ROW_NUMBER() OVER w AS rn,
+         SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) OVER
+           (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)::DOUBLE AS sma,
+         COUNT(x) OVER
+           (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d)
+), t AS (
+  SELECT *, CASE WHEN cnt = 7 THEN sma / 7.0 END AS trend,
+         (rn - 1) % 7 AS phase
+  FROM b
+), ph AS (
+  SELECT event_type, phase,
+         SUM(CAST(ROUND(x - trend, 12) AS DECIMAL(38,12)))::DOUBLE
+           / COUNT(*) AS pm
+  FROM t WHERE trend IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         SUM(CAST(ROUND(pm, 12) AS DECIMAL(38,12)))::DOUBLE
+           / COUNT(*) AS gm
+  FROM ph GROUP BY 1
+), pc AS (
+  SELECT ph.event_type, phase, pm - gm AS seasonal
+  FROM ph JOIN g USING (event_type)
+)
+SELECT t.event_type, t.d, t.x,
+       ROUND(trend, 6) AS trend,
+       ROUND(seasonal, 6) AS seasonal,
+       ROUND(x - trend - seasonal, 6) AS resid
+FROM t JOIN pc ON pc.event_type = t.event_type
+              AND pc.phase = t.phase
+ORDER BY t.event_type, t.d
+""")
+def e_seasonal_decompose(spark, sf_dir):
+    """Weekly additive decomposition of each event type's daily count
+    series (pipeline/rollup.py seasonal_decompose): centered 7-day MA
+    trend, phase-mean seasonal centered to zero, residual — one
+    key-ordered window shuffle + a (keys x 7)-bounded phase agg. The
+    STL-lite companion to e_acf_hourly and e_weekly_seasonality."""
+    from zef_spark.pipeline.rollup import seasonal_decompose
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts"))
+                         .cast("timestamp_ntz").alias("d"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return (seasonal_decompose(series, "d", "x", period=7,
+                               by="event_type")
+            .orderBy("event_type", "d"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -6190,8 +6337,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
 # Rotate the registration order each round so every query accumulates a
-# CORRECTNESS row. r07 window: (a) the four queries NEW this round
-# (PMI collocations, Zipf profile, hourly ACF, leakage-safe split),
+# CORRECTNESS row. r07 window: (a) the seven queries NEW this round
+# (PMI collocations, Zipf profile, hourly ACF, leakage-safe split,
+# trigram novelty, PSI drift, weekly seasonal decomposition),
 # (b) e_rfm_segments — the single red r06 row, fixed by casting the
 # DECIMAL monetary aggregate to DOUBLE on both sides (the driver
 # hashes raw renderings: "1166.10" != "1166.1"), (c) every query
@@ -6199,14 +6347,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # naming, Benford round-trip digit extraction, segment-form
 # concurrency sweep, attribution range-frame horizon, overlap-join
 # first-shared-bucket dedup), and (d) the staleness rotation: the
-# whole r03-checked cohort plus the four oldest r04 rows — keeping
+# whole r03-checked cohort plus the oldest r04 row — keeping
 # every row's most recent driver proof <=3 rounds old. Everything
 # else rotates to the tail (r04-r06 rows prove it) and stays
 # runnable by name.
 _FRONT = [
     # (a) NEW in r07 — first driver rows
     "p_pmi_collocations", "p_zipf_profile", "e_acf_hourly",
-    "p_leakage_safe_split",
+    "p_leakage_safe_split", "p_ngram_novelty", "e_psi_drift",
+    "e_seasonal_decompose",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -6233,8 +6382,7 @@ _FRONT = [
     "p_ngram_jaccard_pairs", "p_simhash_pairs", "p_text_quality",
     "p_token_counts", "scan_cumulative_revenue",
     "sliding_moving_avg", "string_functions",
-    "chunk_by_event_type_runs", "e_asof_last_purchase",
-    "e_cohort_retention", "e_funnel_counts",
+    "chunk_by_event_type_runs",
 ]
 
 

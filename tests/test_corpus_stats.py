@@ -101,3 +101,81 @@ def test_acf_detects_period_and_matches_numpy(spark):
         "k string, ts timestamp_ntz, x double")
     assert all(r["r"] is None for r in
                acf(const, "ts", "x", max_lag=2, by="k").collect())
+
+
+def test_psi_drift_zero_for_identical_and_detects_shift(spark):
+    from zef_spark.pipeline.wrangling import psi_drift
+    rows_a = [("a", float(v % 100)) for v in range(1000)]
+    same = rows_a + [("b", float(v % 100)) for v in range(1000)]
+    df = spark.createDataFrame(same, "s string, v double")
+    out = psi_drift(df, "s", "v", bins=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 1000 and r["n_b"] == 1000
+    assert abs(r["psi"]) < 1e-9                    # identical -> 0
+    # shifted current sample -> large PSI
+    shifted = rows_a + [("b", float(v % 100) + 50.0)
+                        for v in range(1000)]
+    df2 = spark.createDataFrame(shifted, "s string, v double")
+    r2 = psi_drift(df2, "s", "v", bins=10).collect()[0]
+    assert r2["psi"] > 0.25                        # "significant" gate
+    # keyed path: per-key rows
+    keyed = [(k, s_, v) for k in ("x", "y") for s_, v in same]
+    df3 = spark.createDataFrame(keyed, "k string, s string, v double")
+    outs = psi_drift(df3, "s", "v", by="k", bins=5).collect()
+    assert {r["k"] for r in outs} == {"x", "y"}
+    assert all(abs(r["psi"]) < 1e-9 for r in outs)
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """x = 10 + phase_pattern: trend ~ 10 flat, seasonal recovers the
+    pattern (centered), resid ~ 0; even-period branch also exact."""
+    import datetime as dt
+    from zef_spark.pipeline.rollup import seasonal_decompose
+    t0 = dt.datetime(2024, 1, 1)
+    pattern = [3.0, -1.0, 0.0, 2.0, -4.0, 1.0, -1.0]       # sums to 0
+    rows = [("k", t0 + dt.timedelta(days=i), 10.0 + pattern[i % 7])
+            for i in range(35)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp_ntz, x double")
+    out = {r["ts"]: r for r in seasonal_decompose(
+        df, "ts", "x", period=7, by="k").collect()}
+    assert len(out) == 35
+    mid = out[t0 + dt.timedelta(days=10)]
+    assert mid["trend"] == pytest.approx(10.0, abs=1e-6)
+    assert mid["seasonal"] == pytest.approx(pattern[10 % 7], abs=1e-6)
+    assert mid["resid"] == pytest.approx(0.0, abs=1e-6)
+    # edges: first/last half-period rows have no trend
+    assert out[t0]["trend"] is None
+    assert out[t0 + dt.timedelta(days=34)]["trend"] is None
+    # even period: 2x4 MA with half-weighted endpoints is exact on a
+    # linear series (trend == the line, seasonal ~ 0)
+    lin = [("k", t0 + dt.timedelta(days=i), float(i)) for i in range(20)]
+    df2 = spark.createDataFrame(
+        lin, "k string, ts timestamp_ntz, x double")
+    out2 = {r["ts"]: r for r in seasonal_decompose(
+        df2, "ts", "x", period=4, by="k").collect()}
+    mid2 = out2[t0 + dt.timedelta(days=10)]
+    assert mid2["trend"] == pytest.approx(10.0, abs=1e-6)
+    assert abs(mid2["seasonal"]) < 1e-6
+
+
+def test_ngram_novelty_scores(spark):
+    from zef_spark.pipeline.text import ngram_novelty
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),         # unique trigrams
+         (2, "alpha beta gamma delta"),          # exact copy of 1
+         (3, "one two three four five"),         # unique
+         (4, "six seven"),                       # too short: no row
+         (5, "one two three nine ten")],         # shares 1 of 3
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert 4 not in out
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["n_grams"] == 3 and out[3]["novelty"] < 1.0
+    # doc 5: trigrams {one two three, two three nine, three nine ten}
+    # -> 'one two three' shared with doc 3, other 2 novel
+    assert out[5]["n_novel"] == 2
+    assert out[5]["novelty"] == pytest.approx(round(2 / 3, 6))
+    assert out[3]["n_novel"] == 2   # 'one two three' shared

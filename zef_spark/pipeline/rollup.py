@@ -754,3 +754,87 @@ def acf(df, ts_col: str, value_col: str, max_lag: int = 6,
 @_reg_rollup("acf", "df")
 def _acf_op(df, *args, **kw):
     return acf(df, *args, **kw)
+
+
+def seasonal_decompose(df, ts_col: str, value_col: str, period: int,
+                       by=None, digits: int = 6):
+    """Classical additive seasonal decomposition per key —
+    (by..., ts, value, trend, seasonal, resid) with
+    value = trend + seasonal + resid:
+
+    - ``trend``: centered moving average over one full period
+      (rows-window of ±period/2; for even periods the two half-weight
+      endpoints of the textbook 2×m MA are folded as 0.5-weights) —
+      NULL inside the first/last half-period (no extrapolation);
+    - ``seasonal``: the mean detrended value of each phase
+      (t mod period over the key's row sequence), centered so the
+      seasonal components sum to ~0 over one period;
+    - ``resid``: what's left.
+
+    The STL-lite companion to acf (acf DETECTS the period; this
+    splits the series once you name it) and holt_linear (which
+    models trend but not seasonality).
+
+    Plan: ONE key-ordered window shuffle covers the row-number, the
+    MA frame, and the final assembly; the phase means are a
+    (keys × period)-bounded hash agg broadcast back. Determinism:
+    MA and phase-mean numerators are decimal-exact sums of
+    round-12 terms (token_entropy discipline); divisions happen in
+    double on bit-identical aggregates."""
+    from pyspark.sql import Window
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    p = int(period)
+    half = p // 2
+    dec = "decimal(38,12)"
+    x = F.col(value_col).cast("double")
+    term = lambda c: F.round(c, 12).cast(dec)
+    base = (df.select(*by, F.col(ts_col).alias("__ts"),
+                      x.alias("__x"))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy(*by).orderBy("__ts") if by
+                else Window.orderBy("__ts"))))
+    wb = (Window.partitionBy(*by).orderBy("__rn") if by
+          else Window.orderBy("__rn"))
+    frame = wb.rowsBetween(-half, half)
+    cnt = F.count("__x").over(frame)
+    if p % 2 == 0:
+        # 2×m MA: the ±half frame holds p+1 rows; the textbook even-
+        # period centered MA half-weights the two endpoints — full
+        # frame sum minus half of each endpoint, over p
+        s_all = F.sum(term(F.col("__x"))).over(frame).cast("double")
+        v_lo = F.lag("__x", half).over(wb)
+        v_hi = F.lead("__x", half).over(wb)
+        trend = F.when(
+            (v_lo.isNotNull()) & (v_hi.isNotNull()),
+            (s_all - 0.5 * v_lo - 0.5 * v_hi) / F.lit(float(p)))
+    else:
+        s_all = F.sum(term(F.col("__x"))).over(frame).cast("double")
+        trend = F.when(cnt == p, s_all / F.lit(float(p)))
+    staged = base.withColumn("__trend", trend) \
+        .withColumn("__phase", F.pmod(F.col("__rn") - 1, F.lit(p)))
+    det = term(F.col("__x") - F.col("__trend"))
+    phase = (staged.where(F.col("__trend").isNotNull())
+             .groupBy(*by, "__phase")
+             .agg((F.sum(det).cast("double")
+                   / F.count(F.lit(1))).alias("__pm")))
+    grand = (phase.groupBy(*by)
+             .agg((F.sum(term(F.col("__pm"))).cast("double")
+                   / F.count(F.lit(1))).alias("__gm")))
+    phase_c = (phase.join(grand, by) if by
+               else phase.crossJoin(F.broadcast(grand))) \
+        .select(*by, "__phase",
+                (F.col("__pm") - F.col("__gm")).alias("__seasonal"))
+    out = (staged.join(F.broadcast(phase_c), by + ["__phase"]))
+    return out.select(
+        *by, F.col("__ts").alias(ts_col),
+        F.col("__x").alias(value_col),
+        F.round("__trend", digits).alias("trend"),
+        F.round("__seasonal", digits).alias("seasonal"),
+        F.round(F.col("__x") - F.col("__trend")
+                - F.col("__seasonal"), digits).alias("resid"))
+
+
+@_reg_rollup("seasonal_decompose", "df")
+def _seasonal_decompose_op(df, *args, **kw):
+    return seasonal_decompose(df, *args, **kw)

@@ -810,3 +810,44 @@ def zipf_profile(df: DataFrame, text_col: str,
 @register_op("zipf_profile", "df")
 def _zipf_profile_op(df, *args, **kw):
     return zipf_profile(df, *args, **kw)
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3, digits: int = 6) -> DataFrame:
+    """(id, n_grams, n_novel, novelty) — the fraction of each
+    document's DISTINCT word n-grams that appear in no other
+    document. The memorization/boilerplate gauge at n-gram
+    resolution: templated or near-duplicated docs score near 0,
+    genuinely original text near 1 — complements repetition_signals
+    (which looks WITHIN a doc) and the near-dup pair detectors
+    (which need a counterpart above threshold; novelty degrades
+    smoothly).
+
+    Plan: row-local gram construction (ngram_counts transform) →
+    per-doc DISTINCT grams → ONE (gram) hash agg counting how many
+    docs carry each gram → join back on the gram posting → per-doc
+    ratio. Two shuffles total, both on the gram key; nothing
+    all-pairs. Docs with fewer than n tokens emit no row (no gram,
+    same convention as bigram_logprob)."""
+    words = _tokens(F.col(text_col))
+    grams = (df.select(F.col(id_col), words.alias("__w"))
+             .where(F.size("__w") >= n)
+             .select(id_col, F.explode(F.array_distinct(F.transform(
+                 F.sequence(F.lit(1), F.size("__w") - n + 1),
+                 lambda i: F.concat_ws(" ", F.slice("__w", i, n)))))
+                 .alias("gram")))
+    docs_per_gram = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("__nd"))
+    return (grams.join(docs_per_gram, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("__nd") == 1).cast("int"))
+                 .alias("n_novel"))
+            .select(id_col, "n_grams", "n_novel",
+                    F.round(F.col("n_novel") / F.col("n_grams"),
+                            digits).alias("novelty")))
+
+
+@register_op("ngram_novelty", "df")
+def _ngram_novelty_op(df, *args, **kw):
+    return ngram_novelty(df, *args, **kw)

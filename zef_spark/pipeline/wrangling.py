@@ -577,3 +577,78 @@ def ks_distance(df: DataFrame, key_cols, sample_col: str,
 @register_op("ks_distance", "df")
 def _ks_op(df, *args, **kw):
     return ks_distance(df, *args, **kw)
+
+
+def psi_drift(df: DataFrame, sample_col: str, value_col: str,
+              by=None, bins: int = 10, eps: float = 1e-6,
+              digits: int = 6) -> DataFrame:
+    """(by..., n_a, n_b, psi) — the Population Stability Index
+    between reference sample 'a' and current sample 'b' of a numeric
+    column (sample_col ∈ {'a','b'}):
+
+        PSI = Σ_bins (q_i − p_i) · ln(q_i / p_i)
+
+    over quantile bins DERIVED FROM THE REFERENCE (the monitoring
+    convention: bin edges freeze on the baseline; the score reads
+    how far today's distribution drifted). The binned,
+    magnitude-weighted companion to ks_distance (KS reads the max
+    CDF gap; PSI reads total reweighting — the model-monitoring
+    standard with its 0.1/0.25 rule-of-thumb gates).
+
+    Bin edges are EXACT reference percentiles by the same integer
+    rank arithmetic as group_percentiles (value at row ceil(p·n) of
+    the sorted reference) — no approxQuantile, so any engine derives
+    identical edges. A value x lands in bin = #edges < x (strict:
+    edge values stay in the lower bin, matching PERCENTILE_DISC's
+    closed upper edge). Zero-count bins clamp to ``eps`` before the
+    log (the standard smoothing).
+
+    Plan: ONE key shuffle shared by the reference rank window and
+    the edge pivot; edges come back as a per-key ARRAY (bins−1
+    values, bounded by `bins`) broadcast-joined to the data; bin
+    assignment is a row-local array fold; the final agg is
+    (keys × bins)-bounded."""
+    from pyspark.sql import Window
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    s, v = F.col(sample_col), F.col(value_col).cast("double")
+    base = df.select(*by, s.alias("__s"), v.alias("__v"))
+    ref = base.where(F.col("__s") == "a")
+    w = Window.partitionBy(*by).orderBy("__v")
+    wn = Window.partitionBy(*by) if by else \
+        Window.partitionBy(F.lit(1))
+    ranked = (ref.withColumn("__rn", F.row_number().over(
+        w if by else Window.partitionBy(F.lit(1)).orderBy("__v")))
+        .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    edge_vals = [F.max(F.when(
+        F.col("__rn") == F.ceil(F.lit(i / bins) * F.col("__n")),
+        F.col("__v"))).alias(f"__e{i}") for i in range(1, bins)]
+    edges = (ranked.groupBy(*by).agg(*edge_vals)
+             .select(*by, F.array(*[F.col(f"__e{i}")
+                                    for i in range(1, bins)])
+                     .alias("__edges")))
+    joined = (base.join(F.broadcast(edges), by) if by
+              else base.crossJoin(F.broadcast(edges)))
+    bin_ = F.aggregate("__edges", F.lit(0),
+                       lambda acc, e: acc + (e < F.col("__v"))
+                       .cast("int"))
+    binned = (joined.select(*by, "__s", bin_.alias("__bin"))
+              .groupBy(*by, "__bin")
+              .agg(F.sum(F.when(F.col("__s") == "a", 1).otherwise(0))
+                   .alias("ca"),
+                   F.sum(F.when(F.col("__s") == "b", 1).otherwise(0))
+                   .alias("cb")))
+    tot = binned.groupBy(*by).agg(F.sum("ca").alias("n_a"),
+                                  F.sum("cb").alias("n_b"))
+    p = F.greatest(F.col("ca") / F.col("n_a"), F.lit(float(eps)))
+    q = F.greatest(F.col("cb") / F.col("n_b"), F.lit(float(eps)))
+    term = F.round((q - p) * F.log(q / p), 12).cast("decimal(38,12)")
+    return (binned.join(tot, by) if by
+            else binned.crossJoin(F.broadcast(tot))) \
+        .groupBy(*by, "n_a", "n_b") \
+        .agg(F.round(F.sum(term).cast("double"), digits).alias("psi"))
+
+
+@register_op("psi_drift", "df")
+def _psi_drift_op(df, *args, **kw):
+    return psi_drift(df, *args, **kw)
