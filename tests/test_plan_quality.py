@@ -113,7 +113,11 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # 1-row uniqueness-check broadcast
                     "p_data_expectations",
                     # r07: bigram-total N as a 1-row scalar broadcast
-                    "p_pmi_collocations"}
+                    "p_pmi_collocations",
+                    # r07: global PSI — the decile-edge ARRAY and the
+                    # bin totals are 1-row broadcasts (keyed PSI uses
+                    # hash joins; test_new_op_plans asserts it)
+                    "e_psi_drift"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
