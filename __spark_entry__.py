@@ -6325,6 +6325,93 @@ def e_seasonal_decompose(spark, sf_dir):
             .orderBy("event_type", "d"))
 
 
+
+@query("w_mutual_info", u"""
+WITH base AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '\u2205') AS a,
+         COALESCE(CAST(HOUR(ts) AS VARCHAR), '\u2205') AS b
+  FROM events
+), joint AS (SELECT a, b, COUNT(*) AS c FROM base GROUP BY a, b),
+ma AS (SELECT a, SUM(c) AS ca FROM joint GROUP BY a),
+mb AS (SELECT b, SUM(c) AS cb FROM joint GROUP BY b),
+tot AS (SELECT SUM(c) AS nn FROM joint),
+mi AS (
+  SELECT MAX(nn) AS nn,
+    SUM(CAST(ROUND((c / CAST(nn AS DOUBLE))
+        * LN(CAST(nn AS DOUBLE) * c / (ca * cb)), 12)
+      AS DECIMAL(38,12)))::DOUBLE AS mi
+  FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+), ha AS (
+  SELECT SUM(CAST(ROUND(-(ca / CAST(nn AS DOUBLE))
+        * LN(ca / CAST(nn AS DOUBLE)), 12)
+      AS DECIMAL(38,12)))::DOUBLE AS h
+  FROM ma CROSS JOIN tot
+), hb AS (
+  SELECT SUM(CAST(ROUND(-(cb / CAST(nn AS DOUBLE))
+        * LN(cb / CAST(nn AS DOUBLE)), 12)
+      AS DECIMAL(38,12)))::DOUBLE AS h
+  FROM mb CROSS JOIN tot
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       ROUND(ha.h, 6) AS h_a, ROUND(hb.h, 6) AS h_b,
+       ROUND(mi, 6) AS mi,
+       CASE WHEN ha.h > 0 AND hb.h > 0
+            THEN ROUND(mi / SQRT(ha.h * hb.h), 6) END AS nmi
+FROM mi CROSS JOIN ha CROSS JOIN hb
+""")
+def w_mutual_info(spark, sf_dir):
+    """Mutual information between event type and hour-of-day
+    (pipeline/wrangling.py mutual_info): the dependence half of a
+    profiling pass — one |A|x|B|-bounded joint agg, marginals on the
+    joint table, decimal-exact nat sums, sqrt-normalized NMI."""
+    from zef_spark.pipeline.wrangling import mutual_info
+    ev = _events(spark, sf_dir)
+    base = ev.select("event_type", F.hour("ts").alias("hod"))
+    return mutual_info(base, "event_type", "hod")
+
+
+@query("w_chi2_independence", u"""
+WITH base AS (
+  SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), '\u2205') AS a,
+         COALESCE(CAST(o_orderpriority AS VARCHAR), '\u2205') AS b
+  FROM orders
+), joint AS (SELECT a, b, COUNT(*) AS c FROM base GROUP BY a, b),
+ma AS (SELECT a, SUM(c) AS ca FROM joint GROUP BY a),
+mb AS (SELECT b, SUM(c) AS cb FROM joint GROUP BY b),
+tot AS (SELECT SUM(c) AS nn FROM joint),
+st AS (
+  SELECT MAX(nn) AS nn,
+    SUM(CAST(ROUND(
+        (c - ca * cb / CAST(nn AS DOUBLE))
+        * (c - ca * cb / CAST(nn AS DOUBLE))
+        / (ca * cb / CAST(nn AS DOUBLE))
+        - ca * cb / CAST(nn AS DOUBLE), 12)
+      AS DECIMAL(38,12)))::DOUBLE AS s
+  FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot
+), ks AS (
+  SELECT (SELECT COUNT(*) FROM ma) AS ka,
+         (SELECT COUNT(*) FROM mb) AS kb
+)
+SELECT CAST(nn AS BIGINT) AS n,
+       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       ROUND(nn + s, 6) AS chi2,
+       CASE WHEN (ka - 1) * (kb - 1) > 0 THEN
+         ROUND(SQRT(GREATEST(nn + s, 0.0)
+                    / (nn * LEAST(ka - 1, kb - 1))), 6) END
+         AS cramers_v
+FROM st CROSS JOIN ks
+""")
+def w_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence of order status vs priority
+    (pipeline/wrangling.py chi2_independence) with Cramer's V effect
+    size: one joint agg; absent grid cells fold algebraically
+    (chi2 = n + sum over observed of (o-e)^2/e - e), so the dense
+    |A|x|B| grid never materializes."""
+    from zef_spark.pipeline.wrangling import chi2_independence
+    o = _t(spark, sf_dir, "orders")
+    return chi2_independence(o, "o_orderstatus", "o_orderpriority")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -6337,9 +6424,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
 # Rotate the registration order each round so every query accumulates a
-# CORRECTNESS row. r07 window: (a) the seven queries NEW this round
+# CORRECTNESS row. r07 window: (a) the nine queries NEW this round
 # (PMI collocations, Zipf profile, hourly ACF, leakage-safe split,
-# trigram novelty, PSI drift, weekly seasonal decomposition),
+# trigram novelty, PSI drift, weekly seasonal decomposition, mutual
+# information, chi-square independence),
 # (b) e_rfm_segments — the single red r06 row, fixed by casting the
 # DECIMAL monetary aggregate to DOUBLE on both sides (the driver
 # hashes raw renderings: "1166.10" != "1166.1"), (c) every query
@@ -6347,7 +6435,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # naming, Benford round-trip digit extraction, segment-form
 # concurrency sweep, attribution range-frame horizon, overlap-join
 # first-shared-bucket dedup), and (d) the staleness rotation: the
-# whole r03-checked cohort plus the oldest r04 row — keeping
+# r03-checked cohort (minus sliding_moving_avg, which rotates to
+# r08 to make room for the nine new rows) — keeping
 # every row's most recent driver proof <=3 rounds old. Everything
 # else rotates to the tail (r04-r06 rows prove it) and stays
 # runnable by name.
@@ -6355,7 +6444,7 @@ _FRONT = [
     # (a) NEW in r07 — first driver rows
     "p_pmi_collocations", "p_zipf_profile", "e_acf_hourly",
     "p_leakage_safe_split", "p_ngram_novelty", "e_psi_drift",
-    "e_seasonal_decompose",
+    "e_seasonal_decompose", "w_mutual_info", "w_chi2_independence",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -6381,8 +6470,7 @@ _FRONT = [
     "p_minhash_lsh_pairs", "p_multimodal_meta",
     "p_ngram_jaccard_pairs", "p_simhash_pairs", "p_text_quality",
     "p_token_counts", "scan_cumulative_revenue",
-    "sliding_moving_avg", "string_functions",
-    "chunk_by_event_type_runs",
+    "string_functions",
 ]
 
 

@@ -179,3 +179,51 @@ def test_ngram_novelty_scores(spark):
     assert out[5]["n_novel"] == 2
     assert out[5]["novelty"] == pytest.approx(round(2 / 3, 6))
     assert out[3]["n_novel"] == 2   # 'one two three' shared
+
+
+def test_mutual_info_independent_vs_dependent(spark):
+    import math
+    from zef_spark.pipeline.wrangling import mutual_info
+    # perfectly dependent: b == a -> MI == H(a), NMI == 1
+    dep = spark.createDataFrame(
+        [(c, c) for c in "xxyyzz"], "a string, b string")
+    r = mutual_info(dep, "a", "b").collect()[0]
+    assert r["n"] == 6
+    assert r["mi"] == pytest.approx(r["h_a"], abs=1e-6)
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert r["h_a"] == pytest.approx(math.log(3), abs=1e-6)
+    # independent uniform grid -> MI == 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string")
+    r2 = mutual_info(ind, "a", "b").collect()[0]
+    assert abs(r2["mi"]) < 1e-9 and abs(r2["nmi"]) < 1e-9
+    # nulls are their own category, not dropped
+    withnull = spark.createDataFrame(
+        [("x", None), ("x", None), ("y", "p"), ("y", "p")],
+        "a string, b string")
+    r3 = mutual_info(withnull, "a", "b").collect()[0]
+    assert r3["n"] == 4 and r3["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_chi2_independence_matches_textbook(spark):
+    from zef_spark.pipeline.wrangling import chi2_independence
+    # classic 2x2: rows [[10, 20], [20, 10]]
+    rows = ([("a", "p")] * 10 + [("a", "q")] * 20
+            + [("b", "p")] * 20 + [("b", "q")] * 10)
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, "x", "y").collect()[0]
+    assert r["n"] == 60 and r["dof"] == 1
+    # e = 15 everywhere; chi2 = 4 * 25/15 = 20/3
+    assert r["chi2"] == pytest.approx(20 / 3, abs=1e-6)
+    import math
+    assert r["cramers_v"] == pytest.approx(
+        math.sqrt((20 / 3) / 60), abs=1e-6)
+    # absent cells fold correctly: a never pairs with q
+    rows2 = [("a", "p")] * 6 + [("b", "p")] * 3 + [("b", "q")] * 3
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = chi2_independence(df2, "x", "y").collect()[0]
+    # manual: n=12, ca={a:6,b:6}, cb={p:9,q:3}; e(a,p)=4.5 e(a,q)=1.5
+    # e(b,p)=4.5 e(b,q)=1.5; chi2 = (6-4.5)^2/4.5 + (0-1.5)^2/1.5
+    #                              + (3-4.5)^2/4.5 + (3-1.5)^2/1.5 = 4
+    assert r2["chi2"] == pytest.approx(4.0, abs=1e-6)

@@ -652,3 +652,123 @@ def psi_drift(df: DataFrame, sample_col: str, value_col: str,
 @register_op("psi_drift", "df")
 def _psi_drift_op(df, *args, **kw):
     return psi_drift(df, *args, **kw)
+
+
+def mutual_info(df: DataFrame, col_a: str, col_b: str,
+                digits: int = 6) -> DataFrame:
+    """One-row (n, h_a, h_b, mi, nmi) — mutual information between
+    two categorical columns in nats, plus both marginal entropies and
+    the sqrt-normalized NMI ∈ [0,1]. The dependence half of a
+    profiling pass: validate_expectations checks values, MI answers
+    "is this column redundant given that one" (feature selection,
+    leakage hunting — a label-correlated feature shows up as high
+    NMI).
+
+        MI = Σ_ab (c_ab/n) · ln(n·c_ab / (c_a·c_b))
+
+    Plan: ONE (a,b) hash agg (map-side combinable, |A|×|B|-bounded),
+    marginals as two aggs ON the joint table, totals as a 1-row
+    broadcast. Determinism: every term derives from exact integer
+    counts (identical doubles in any engine) and rounds half-up to
+    scale-12 DECIMAL before the sum (token_entropy discipline).
+    Null category values count as their own category (the profiling
+    convention — nulls carry dependence information too)."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("∅"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("∅"))
+    joint = (df.select(a.alias("__a"), b.alias("__b"))
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    ma = joint.groupBy("__a").agg(F.sum("c_ab").alias("c_a"))
+    mb = joint.groupBy("__b").agg(F.sum("c_ab").alias("c_b"))
+    tot = joint.agg(F.sum("c_ab").alias("n"))
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    n = F.col("n").cast("double")
+    mi_t = term((F.col("c_ab") / n)
+                * F.log(n * F.col("c_ab")
+                        / (F.col("c_a") * F.col("c_b"))))
+    ha_t = term(-(F.col("c_a") / n) * F.log(F.col("c_a") / n))
+    hb_t = term(-(F.col("c_b") / n) * F.log(F.col("c_b") / n))
+    stats = (joint.join(ma, "__a").join(mb, "__b")
+             .crossJoin(F.broadcast(tot))
+             .agg(F.max("n").alias("__n"),
+                  F.sum(mi_t).cast("double").alias("__mi")))
+    ents = (ma.crossJoin(F.broadcast(tot))
+            .agg(F.sum(ha_t).cast("double").alias("__ha")))
+    entsb = (mb.crossJoin(F.broadcast(tot))
+             .agg(F.sum(hb_t).cast("double").alias("__hb")))
+    nmi = F.when((F.col("__ha") > 0) & (F.col("__hb") > 0),
+                 F.round(F.col("__mi")
+                         / F.sqrt(F.col("__ha") * F.col("__hb")),
+                         digits))
+    return (stats.crossJoin(F.broadcast(ents))
+            .crossJoin(F.broadcast(entsb))
+            .select(F.col("__n").cast("long").alias("n"),
+                    F.round("__ha", digits).alias("h_a"),
+                    F.round("__hb", digits).alias("h_b"),
+                    F.round("__mi", digits).alias("mi"),
+                    nmi.alias("nmi")))
+
+
+@register_op("mutual_info", "df")
+def _mutual_info_op(df, *args, **kw):
+    return mutual_info(df, *args, **kw)
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str,
+                      digits: int = 6) -> DataFrame:
+    """One-row (n, dof, chi2, cramers_v) — Pearson's χ² test of
+    independence between two categorical columns plus Cramér's V
+    (the [0,1] effect size, comparable across table shapes):
+
+        χ² = Σ_ab (o_ab − e_ab)² / e_ab,  e_ab = c_a·c_b / n
+
+    computed over the FULL |A|×|B| grid (absent cells contribute
+    e_ab, not 0 — the joint table is sparse but the expected side is
+    dense: the zero-cell terms telescope to n − Σ_observed e'). The
+    frequentist companion to mutual_info; p-values need the χ²
+    CDF — gate on the statistic vs a looked-up critical value, or on
+    V directly.
+
+    Plan: same ONE joint agg + marginal aggs as mutual_info; the
+    dense-grid correction runs on the |A|+|B|-sized marginals, never
+    materializing absent cells. Decimal-exact term sums."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("∅"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("∅"))
+    joint = (df.select(a.alias("__a"), b.alias("__b"))
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    ma = joint.groupBy("__a").agg(F.sum("c_ab").alias("c_a"))
+    mb = joint.groupBy("__b").agg(F.sum("c_ab").alias("c_b"))
+    tot = joint.agg(F.sum("c_ab").alias("n"))
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    n = F.col("n").cast("double")
+    e = F.col("c_a") * F.col("c_b") / n
+    # observed cells: (o-e)²/e − e  (the −e folds the dense-grid
+    # zero cells: Σ_dense e = n, so χ² = n + Σ_obs [(o−e)²/e − e])
+    obs_t = term((F.col("c_ab") - e) * (F.col("c_ab") - e) / e - e)
+    ka = ma.agg(F.count(F.lit(1)).alias("ka"))
+    kb = mb.agg(F.count(F.lit(1)).alias("kb"))
+    stats = (joint.join(ma, "__a").join(mb, "__b")
+             .crossJoin(F.broadcast(tot))
+             .agg(F.max("n").alias("__n"),
+                  F.sum(obs_t).cast("double").alias("__s")))
+    chi2 = F.col("__n") + F.col("__s")
+    out = (stats.crossJoin(F.broadcast(ka))
+           .crossJoin(F.broadcast(kb)))
+    dof = (F.col("ka") - 1) * (F.col("kb") - 1)
+    v = F.when(dof > 0, F.round(F.sqrt(
+        F.greatest(chi2, F.lit(0.0)) / (F.col("__n")
+                                        * F.least(F.col("ka") - 1,
+                                                  F.col("kb") - 1))),
+        digits))
+    return out.select(F.col("__n").cast("long").alias("n"),
+                      dof.cast("long").alias("dof"),
+                      F.round(chi2, digits).alias("chi2"),
+                      v.alias("cramers_v"))
+
+
+@register_op("chi2_independence", "df")
+def _chi2_op(df, *args, **kw):
+    return chi2_independence(df, *args, **kw)
