@@ -6412,6 +6412,52 @@ def w_chi2_independence(spark, sf_dir):
     return chi2_independence(o, "o_orderstatus", "o_orderpriority")
 
 
+
+@query("e_funnel_time_stats", """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1, MIN(s0.t0) AS t0
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1,
+         MIN(s1.t0) AS t0
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), g AS (
+  SELECT 1 AS step, 'click' AS step_name,
+         EPOCH_US(t1) - EPOCH_US(t0) AS us FROM s2
+  UNION ALL
+  SELECT 2, 'purchase', EPOCH_US(t2) - EPOCH_US(t1) FROM s2
+), r AS (
+  SELECT step, step_name, us, us / 1000000.0 AS gs,
+         ROW_NUMBER() OVER (PARTITION BY step ORDER BY us) AS rn,
+         COUNT(*) OVER (PARTITION BY step) AS n
+  FROM g
+)
+SELECT step, step_name, MAX(n) AS n,
+  MAX(CASE WHEN rn = CEIL(0.5 * n) THEN gs END) AS p50,
+  MAX(CASE WHEN rn = CEIL(0.9 * n) THEN gs END) AS p90,
+  ROUND(SUM(us) / CAST(MAX(n) AS DOUBLE) / 1000000.0, 6)
+    AS mean_seconds
+FROM r GROUP BY step, step_name ORDER BY step
+""")
+def e_funnel_time_stats(spark, sf_dir):
+    """Time-to-convert per funnel transition among whole-funnel
+    completers (pipeline/funnel.py funnel_time_stats): exact
+    PERCENTILE_DISC gaps + integer-microsecond-exact means over the
+    view->click->purchase funnel — where surviving users stall, not
+    just how many drop."""
+    from zef_spark.pipeline.funnel import funnel_time_stats
+    ev = _events(spark, sf_dir)
+    return (funnel_time_stats(ev, ["view", "click", "purchase"])
+            .orderBy("step"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -6424,10 +6470,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
 # Rotate the registration order each round so every query accumulates a
-# CORRECTNESS row. r07 window: (a) the nine queries NEW this round
+# CORRECTNESS row. r07 window: (a) the ten queries NEW this round
 # (PMI collocations, Zipf profile, hourly ACF, leakage-safe split,
 # trigram novelty, PSI drift, weekly seasonal decomposition, mutual
-# information, chi-square independence),
+# information, chi-square independence, funnel time-to-convert),
 # (b) e_rfm_segments — the single red r06 row, fixed by casting the
 # DECIMAL monetary aggregate to DOUBLE on both sides (the driver
 # hashes raw renderings: "1166.10" != "1166.1"), (c) every query
@@ -6435,8 +6481,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # naming, Benford round-trip digit extraction, segment-form
 # concurrency sweep, attribution range-frame horizon, overlap-join
 # first-shared-bucket dedup), and (d) the staleness rotation: the
-# r03-checked cohort (minus sliding_moving_avg, which rotates to
-# r08 to make room for the nine new rows) — keeping
+# r03-checked cohort (minus sliding_moving_avg and p_token_counts,
+# which rotate to r08 to make room for the ten new rows) — keeping
 # every row's most recent driver proof <=3 rounds old. Everything
 # else rotates to the tail (r04-r06 rows prove it) and stays
 # runnable by name.
@@ -6445,6 +6491,7 @@ _FRONT = [
     "p_pmi_collocations", "p_zipf_profile", "e_acf_hourly",
     "p_leakage_safe_split", "p_ngram_novelty", "e_psi_drift",
     "e_seasonal_decompose", "w_mutual_info", "w_chi2_independence",
+    "e_funnel_time_stats",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -6469,8 +6516,7 @@ _FRONT = [
     "p_dedup_exact_groups", "p_fingerprint", "p_lang_id",
     "p_minhash_lsh_pairs", "p_multimodal_meta",
     "p_ngram_jaccard_pairs", "p_simhash_pairs", "p_text_quality",
-    "p_token_counts", "scan_cumulative_revenue",
-    "string_functions",
+    "scan_cumulative_revenue", "string_functions",
 ]
 
 

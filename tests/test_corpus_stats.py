@@ -158,6 +158,16 @@ def test_seasonal_decompose_recovers_components(spark):
     mid2 = out2[t0 + dt.timedelta(days=10)]
     assert mid2["trend"] == pytest.approx(10.0, abs=1e-6)
     assert abs(mid2["seasonal"]) < 1e-6
+    # series shorter than one period: rows survive with NULL parts
+    # (trend undefined everywhere -> empty phase table, LEFT join)
+    short = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(days=i), 1.0) for i in range(3)],
+        "k string, ts timestamp_ntz, x double")
+    srows = seasonal_decompose(short, "ts", "x", period=7,
+                               by="k").collect()
+    assert len(srows) == 3
+    assert all(r["trend"] is None and r["seasonal"] is None
+               for r in srows)
 
 
 def test_ngram_novelty_scores(spark):

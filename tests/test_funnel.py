@@ -235,3 +235,29 @@ def test_session_paths_order_and_cap(spark):
                                   tiebreak_col="event_id").collect()}
     assert out["e0>e1>e2>e3>e4"] == 1      # capped at 5, in order
     assert out["z"] == 1 and out["a"] == 1
+
+
+def test_funnel_time_stats_exact_gaps(spark):
+    import datetime as dt
+    from zef_spark.pipeline.funnel import funnel_time_stats
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda x: t0 + dt.timedelta(seconds=x)
+    rows = []
+    # three completers with step gaps (a->b, b->c):
+    #   u1: 10s, 100s; u2: 20s, 200s; u3: 30s, 300s
+    for u, (g1, g2) in enumerate([(10, 100), (20, 200), (30, 300)],
+                                 start=1):
+        rows += [(u, s(0), "a"), (u, s(g1), "b"), (u, s(g1 + g2), "c")]
+    rows += [(9, s(0), "a"), (9, s(5), "b")]      # drops before c
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string")
+    out = {r["step"]: r for r in funnel_time_stats(
+        ev, ["a", "b", "c"]).collect()}
+    assert set(out) == {1, 2}
+    # only the 3 completers count (user 9 excluded from BOTH steps)
+    assert out[1]["n"] == 3 and out[2]["n"] == 3
+    # PERCENTILE_DISC: p50 = value at ceil(.5*3)=2nd of sorted
+    assert out[1]["p50"] == 20.0 and out[2]["p50"] == 200.0
+    assert out[1]["p90"] == 30.0 and out[2]["p90"] == 300.0
+    assert out[1]["mean_seconds"] == 20.0
+    assert out[2]["mean_seconds"] == 200.0

@@ -385,3 +385,49 @@ def sessions_table(events: DataFrame, ts_col: str = "ts",
              F.max(ts_col).alias("session_end"),
              F.count(F.lit(1)).alias("n_events"))
         .drop("__s"))
+
+
+def funnel_time_stats(events: DataFrame, steps: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      within_seconds: int | None = None,
+                      ps: tuple[float, ...] = (0.5, 0.9)) -> DataFrame:
+    """(step, step_name, n, p50, p90, ..., mean_seconds) — how long
+    each funnel transition takes among users who completed the WHOLE
+    funnel in order: per adjacent step pair, exact percentiles
+    (PERCENTILE_DISC integer-rank — engine-exact, tie-independent)
+    and the mean of the step-to-step gap in seconds. The question
+    funnel_counts can't answer: not how many users drop, but where
+    the surviving users stall.
+
+    Plan: the funnel_users frontier chain (k type-pruned scans over a
+    shrinking user key), then ONE (step)-keyed window + agg over the
+    completer gaps — |completers|·(k−1) rows, far smaller than the
+    log. Gaps are integer microseconds (exact sums for the mean)
+    surfaced as double seconds."""
+    from functools import reduce
+    from ..ops.df_ops import group_percentiles
+    fu = funnel_users(events, steps, user_col, ts_col, type_col,
+                      within_seconds)
+    parts = []
+    for i in range(1, len(steps)):
+        us = (F.unix_micros(F.col(f"t{i}").cast("timestamp"))
+              - F.unix_micros(F.col(f"t{i-1}").cast("timestamp")))
+        parts.append(fu.select(
+            F.lit(i).alias("step"),
+            F.lit(steps[i]).alias("step_name"),
+            us.alias("__us"),
+            (us / F.lit(1_000_000.0)).alias("gap_seconds")))
+    longf = reduce(lambda a, b: a.unionByName(b), parts)
+    pct = group_percentiles(longf, ["step", "step_name"],
+                            "gap_seconds", ps)
+    mean = (longf.groupBy("step", "step_name")
+            .agg(F.round((F.sum("__us").cast("double")
+                          / F.count(F.lit(1))) / 1_000_000.0, 6)
+                 .alias("mean_seconds")))
+    return pct.join(mean, ["step", "step_name"])
+
+
+@register_op("funnel_time_stats", "df")
+def _funnel_time_stats_op(df, steps, *args, **kw):
+    return funnel_time_stats(df, list(steps), *args, **kw)

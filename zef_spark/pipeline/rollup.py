@@ -825,7 +825,10 @@ def seasonal_decompose(df, ts_col: str, value_col: str, period: int,
                else phase.crossJoin(F.broadcast(grand))) \
         .select(*by, "__phase",
                 (F.col("__pm") - F.col("__gm")).alias("__seasonal"))
-    out = (staged.join(F.broadcast(phase_c), by + ["__phase"]))
+    # LEFT join: a series shorter than one period has no non-null
+    # trend anywhere, so the phase table is empty — rows must still
+    # surface (with NULL trend/seasonal/resid), not vanish
+    out = staged.join(F.broadcast(phase_c), by + ["__phase"], "left")
     return out.select(
         *by, F.col("__ts").alias(ts_col),
         F.col("__x").alias(value_col),
