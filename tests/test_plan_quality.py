@@ -117,7 +117,12 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # r07: global PSI — the decile-edge ARRAY and the
                     # bin totals are 1-row broadcasts (keyed PSI uses
                     # hash joins; test_new_op_plans asserts it)
-                    "e_psi_drift"}
+                    "e_psi_drift",
+                    # r07: MI/χ² — grand total n, marginal-entropy
+                    # sums, and category counts ka/kb are all 1-row
+                    # scalar broadcasts over an |A|×|B|-bounded joint
+                    # table; the joint/marginal joins are hash joins
+                    "w_mutual_info", "w_chi2_independence"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
