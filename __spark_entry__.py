@@ -6458,6 +6458,324 @@ def e_funnel_time_stats(spark, sf_dir):
             .orderBy("step"))
 
 
+@query("p_association_rules", """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), pairs AS (
+  SELECT a.it AS ia, b.it AS ib, COUNT(*) AS pair_count
+  FROM items a JOIN items b USING (bk)
+  WHERE a.it < b.it GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), rules AS (
+  SELECT ia AS antecedent, ib AS consequent, pair_count FROM pairs
+  UNION ALL
+  SELECT ib, ia, pair_count FROM pairs
+), supp AS (
+  SELECT it, COUNT(*) AS cnt FROM items GROUP BY it
+), nb AS (
+  SELECT COUNT(DISTINCT bk) AS nb FROM items
+)
+SELECT r.antecedent, r.consequent, r.pair_count,
+       ROUND(r.pair_count / CAST(nb.nb AS DOUBLE), 6)  AS support,
+       ROUND(r.pair_count / CAST(sa.cnt AS DOUBLE), 6) AS confidence,
+       ROUND(nb.nb * r.pair_count
+             / CAST(sa.cnt * sb.cnt AS DOUBLE), 6)     AS lift
+FROM rules r
+JOIN supp sa ON sa.it = r.antecedent
+JOIN supp sb ON sb.it = r.consequent
+CROSS JOIN nb
+ORDER BY antecedent, consequent
+""")
+def p_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets
+    (pipeline/market.py association_rules): co-purchased part pairs
+    with support/confidence/lift. Pair generation is a basket-key
+    equi-join (fan-out bounded by basket size, never |corpus|²); item
+    supports join by hash; the basket total is the only 1-row
+    broadcast. Reference assembles this from frequencies +
+    combinations (ITF combinations); here it is one lazy plan."""
+    from zef_spark.pipeline.market import association_rules
+    li = _t(spark, sf_dir, "lineitem")
+    return (association_rules(li, "l_orderkey", "l_partkey",
+                              min_count=2)
+            .orderBy("antecedent", "consequent"))
+
+
+_REV_CTE = """rev AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice, 12) AS DECIMAL(38,12)))::DOUBLE
+           AS x
+  FROM orders GROUP BY o_custkey
+)"""
+
+
+@query("w_gini_revenue", """
+WITH """ + _REV_CTE + """, r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rnk FROM rev
+), a AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE     AS sx,
+    SUM(CAST(ROUND(rnk*x, 12) AS DECIMAL(38,12)))::DOUBLE AS srx
+  FROM r
+)
+SELECT n, ROUND(sx, 6) AS total,
+  ROUND(2.0*srx / (CAST(n AS DOUBLE)*sx)
+        - (CAST(n AS DOUBLE)+1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM a
+""")
+def w_gini_revenue(spark, sf_dir):
+    """Gini concentration of customer revenue (pipeline/wrangling.py
+    gini_coefficient): G = 2Σr·x/(nΣx) − (n+1)/n over ascending-rank
+    customer totals. The global rank is the DISTRIBUTED two-phase
+    prefix sum (range partitions + 2-scalars-per-range broadcast
+    offsets — concurrency_profile's sweep shape), never a
+    single-partition sort; sums are decimal-exact."""
+    from zef_spark.pipeline.wrangling import gini_coefficient
+    dec = "decimal(38,12)"
+    rev = (_t(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice"), 12).cast(dec))
+                .cast("double").alias("x")))
+    return gini_coefficient(rev, "x", "o_custkey")
+
+
+@query("w_lorenz_revenue", """
+WITH """ + _REV_CTE + """, tot AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS t FROM rev
+), r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rnk,
+         SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+           OVER (ORDER BY x, o_custkey ROWS UNBOUNDED PRECEDING)
+           AS cum
+  FROM rev
+)
+SELECT k.point, r.rnk AS cum_count,
+       ROUND(CAST(r.cum AS DOUBLE), 6)         AS cum_value,
+       ROUND(CAST(r.cum AS DOUBLE) / tot.t, 6) AS cum_share
+FROM (SELECT UNNEST(generate_series(1, 10)) AS point) k
+CROSS JOIN tot
+JOIN r ON r.rnk = (k.point * tot.n + 9) // 10
+ORDER BY k.point
+""")
+def w_lorenz_revenue(spark, sf_dir):
+    """Lorenz curve deciles of customer revenue (pipeline/wrangling.py
+    lorenz_points): point k reads "the bottom k/10 of customers hold
+    cum_share of revenue" — the curve behind w_gini_revenue. Curve
+    points are the entities at rank ⌈k·n/10⌉, selected by exact
+    integer-division intervals on the distributed global rank."""
+    from zef_spark.pipeline.wrangling import lorenz_points
+    dec = "decimal(38,12)"
+    rev = (_t(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice"), 12).cast(dec))
+                .cast("double").alias("x")))
+    return lorenz_points(rev, "x", "o_custkey").orderBy("point")
+
+
+@query("e_survival_sessions", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, sid, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM s GROUP BY 1, 2
+), mx AS (SELECT MAX(t1) AS m FROM sess),
+subj AS (
+  SELECT (EPOCH_US(t1) - EPOCH_US(t0)) // 60000000 AS duration,
+         CASE WHEN EPOCH_US((SELECT m FROM mx)) - EPOCH_US(t1)
+                   >= 1800000000 THEN 1 ELSE 0 END AS observed
+  FROM sess
+), km AS (
+  SELECT duration, CAST(SUM(observed) AS BIGINT) AS n_deaths,
+         COUNT(*) AS tot
+  FROM subj GROUP BY duration
+), r AS (
+  SELECT duration, n_deaths, tot,
+    CAST(SUM(tot) OVER (ORDER BY duration DESC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS at_risk
+  FROM km
+), f AS (
+  SELECT duration, n_deaths, tot, at_risk,
+    1.0 - n_deaths / CAST(at_risk AS DOUBLE) AS ratio
+  FROM r
+), z AS (
+  SELECT duration, n_deaths, tot, at_risk,
+    MAX(CASE WHEN ratio = 0 THEN 1 ELSE 0 END) OVER wa AS zs,
+    SUM(CASE WHEN ratio > 0 THEN
+        CAST(ROUND(LN(ratio), 12) AS DECIMAL(38,12)) END) OVER wa
+      AS ls
+  FROM f WINDOW wa AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+)
+SELECT duration, at_risk AS n_at_risk, n_deaths,
+       tot - n_deaths AS n_censored,
+       CASE WHEN zs = 1 THEN 0.0
+            ELSE ROUND(EXP(CAST(ls AS DOUBLE)), 6) END AS survival
+FROM z ORDER BY duration
+""")
+def e_survival_sessions(spark, sf_dir):
+    """Kaplan-Meier survival curve of session durations in minutes
+    (pipeline/funnel.py kaplan_meier over sessions_table): sessions
+    still open at the observation edge (ending within one 30-min gap
+    of the global max) are right-censored — they leave the risk set
+    without counting as an ended session, exactly what a naive ECDF
+    gets wrong. One duration-keyed agg + metadata-sized duration-
+    table windows; exp∘Σln product with decimal-12 terms."""
+    from zef_spark.pipeline.funnel import sessions_table, kaplan_meier
+    ev = _events(spark, sf_dir)
+    sess = sessions_table(ev, "ts", "user_id", 1800,
+                          tiebreak_col="event_id")
+    en = F.unix_micros(F.col("session_end").cast("timestamp"))
+    st = F.unix_micros(F.col("session_start").cast("timestamp"))
+    mx = sess.agg(F.max(en).alias("__mx"))
+    d_us = en - st
+    dur = ((d_us - F.pmod(d_us, F.lit(60_000_000)))
+           / 60_000_000).cast("long")
+    subj = (sess.crossJoin(F.broadcast(mx))
+            .select(dur.alias("duration"),
+                    (F.col("__mx") - en >= 1_800_000_000)
+                    .cast("int").alias("observed")))
+    return (kaplan_meier(subj, "duration", "observed")
+            .orderBy("duration"))
+
+
+def _ccf_oracle(max_lag: int = 3) -> str:
+    """Mirror of pipeline/rollup.py ccf for the hourly view/purchase
+    series: one led CTE + one stats CTE + a per-lag UNION ALL, every
+    sum decimal-12-rounded exactly as the Spark side."""
+    d = "CAST(ROUND({}, 12) AS DECIMAL(38,12))"
+    cols, aggs, sels = [], [], []
+    for lag in range(0, max_lag + 1):
+        cols.append(f"LEAD(y, {lag}) OVER w AS ly{lag}")
+        aggs += [f"COUNT(ly{lag}) AS pm{lag}",
+                 f"SUM({d.format(f'x*ly{lag}')})::DOUBLE AS pa{lag}",
+                 "SUM(CASE WHEN ly%d IS NOT NULL THEN %s END)"
+                 "::DOUBLE AS pbx%d" % (lag, d.format('x'), lag),
+                 f"SUM({d.format(f'ly{lag}')})::DOUBLE AS pby{lag}"]
+    for lag in range(1, max_lag + 1):
+        cols.append(f"LEAD(x, {lag}) OVER w AS lx{lag}")
+        aggs += [f"COUNT(lx{lag}) AS nm{lag}",
+                 f"SUM({d.format(f'y*lx{lag}')})::DOUBLE AS na{lag}",
+                 f"SUM({d.format(f'lx{lag}')})::DOUBLE AS nbx{lag}",
+                 "SUM(CASE WHEN lx%d IS NOT NULL THEN %s END)"
+                 "::DOUBLE AS nby%d" % (lag, d.format('y'), lag)]
+    den = ("(sxx - n*(sx/n)*(sx/n)) * (syy - n*(sy/n)*(sy/n))")
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            m, num = f"pm{lag}", (f"pa{lag} - (sx/n)*pby{lag} "
+                                  f"- (sy/n)*pbx{lag} "
+                                  f"+ pm{lag}*(sx/n)*(sy/n)")
+        else:
+            al = -lag
+            m, num = f"nm{al}", (f"na{al} - (sx/n)*nbx{al} "
+                                 f"- (sy/n)*nby{al} "
+                                 f"+ nm{al}*(sx/n)*(sy/n)")
+        sels.append(
+            f"SELECT {lag} AS lag, {m} AS n_pairs,\n"
+            f"  CASE WHEN {den} > 0 THEN\n"
+            f"    ROUND(({num}) / SQRT({den}), 6) END AS r\nFROM st")
+    return f"""
+WITH s AS (
+  SELECT DATE_TRUNC('hour', ts) AS h,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), led AS (
+  SELECT x, y, {', '.join(cols)}
+  FROM s WINDOW w AS (ORDER BY h)
+), st AS (
+  SELECT COUNT(*) AS n,
+    SUM({d.format('x')})::DOUBLE AS sx,
+    SUM({d.format('x*x')})::DOUBLE AS sxx,
+    SUM({d.format('y')})::DOUBLE AS sy,
+    SUM({d.format('y*y')})::DOUBLE AS syy,
+    {', '.join(aggs)}
+  FROM led
+)
+SELECT * FROM (
+{' UNION ALL '.join(sels)}
+) ORDER BY lag
+"""
+
+
+@query("e_ccf_view_purchase", _ccf_oracle(3))
+def e_ccf_view_purchase(spark, sf_dir):
+    """Cross-correlation (lags −3..3) between the hourly view-count
+    and purchase-count series (pipeline/rollup.py ccf): positive lag
+    = purchases FOLLOW views; the peak-|r| lag estimates the
+    conversion lead time. One global-ordered window (the series is
+    hour-bucketed — metadata-sized) + one agg computing all 7 lags'
+    decimal-exact sums at once; r_0 is plain Pearson."""
+    from zef_spark.pipeline.rollup import ccf
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy(F.date_trunc("hour", F.col("ts"))
+                         .cast("timestamp_ntz").alias("h"))
+              .agg(F.sum((F.col("event_type") == "view")
+                         .cast("int")).cast("double").alias("x"),
+                   F.sum((F.col("event_type") == "purchase")
+                         .cast("int")).cast("double").alias("y")))
+    return ccf(series, "h", "x", "y", max_lag=3).orderBy("lag")
+
+
+@query("e_changepoint_daily", """
+WITH s AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS d,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE
+      / COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, d, x,
+    ROW_NUMBER() OVER wo AS i,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))
+      OVER (PARTITION BY event_type ORDER BY d
+            ROWS UNBOUNDED PRECEDING)::DOUBLE AS ps,
+    COUNT(*) OVER wp AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) OVER wp::DOUBLE AS s1
+  FROM s WINDOW wo AS (PARTITION BY event_type ORDER BY d),
+              wp AS (PARTITION BY event_type)
+), cand AS (
+  SELECT event_type, d, i, n,
+    ROUND((ps*ps/i + (s1-ps)*(s1-ps)/(n-i)) - s1*s1/n, 6) AS g,
+    ROUND(ps/i, 6) AS ml,
+    ROUND((s1-ps)/(n-i), 6) AS mr
+  FROM st WHERE i >= 2 AND i <= n - 2
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY g DESC, i ASC) AS rn
+  FROM cand
+)
+SELECT event_type, n, i AS split_index, d AS split_ts,
+       ml AS mean_left, mr AS mean_right, g AS gain
+FROM rk WHERE rn = 1 ORDER BY event_type
+""")
+def e_changepoint_daily(spark, sf_dir):
+    """Best mean-shift changepoint in each event type's daily
+    mean-value series (pipeline/rollup.py changepoint): binary-
+    segmentation step 1 via prefix-sum gain — ONE key shuffle, O(1)
+    gain per row, argmax by rounded-gain struct max (ties to the
+    earliest split). The offline complement of e_cusum_drift."""
+    from zef_spark.pipeline.rollup import changepoint
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("day", F.col("ts"))
+                         .cast("timestamp_ntz").alias("d"))
+              .agg((F.sum(F.round(F.col("value"), 12).cast(dec))
+                    .cast("double") / F.count(F.lit(1))).alias("x")))
+    return (changepoint(series, "d", "x", by="event_type")
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -6492,6 +6810,12 @@ _FRONT = [
     "p_leakage_safe_split", "p_ngram_novelty", "e_psi_drift",
     "e_seasonal_decompose", "w_mutual_info", "w_chi2_independence",
     "e_funnel_time_stats",
+    # (a2) the r07 closing tier — association rules, concentration,
+    # survival, cross-correlation, changepoint (first driver rows;
+    # displaces six judge-r06-verified rotation rows to r08)
+    "p_association_rules", "w_gini_revenue", "w_lorenz_revenue",
+    "e_survival_sessions", "e_ccf_view_purchase",
+    "e_changepoint_daily",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile

@@ -122,7 +122,13 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # sums, and category counts ka/kb are all 1-row
                     # scalar broadcasts over an |A|×|B|-bounded joint
                     # table; the joint/marginal joins are hash joins
-                    "w_mutual_info", "w_chi2_independence"}
+                    "w_mutual_info", "w_chi2_independence",
+                    # r07 closing tier: basket-count scalar
+                    # (association rules), rank/total offsets scalar
+                    # (lorenz), global-max-ts censoring scalar (KM) —
+                    # all 1-row broadcasts; the heavy joins are hash
+                    "p_association_rules", "w_lorenz_revenue",
+                    "e_survival_sessions"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

@@ -1,3 +1,3 @@
 from . import classifier, clustering, corpus, dedup, embeddings, \
-    funnel, intervals, joins, layout, multimodal, rollup, similarity, \
+    funnel, intervals, joins, layout, market, multimodal, rollup, similarity, \
     sketches, skew, text, tokenizer, web, wrangling  # noqa: F401

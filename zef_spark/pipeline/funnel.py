@@ -431,3 +431,59 @@ def funnel_time_stats(events: DataFrame, steps: list[str],
 @register_op("funnel_time_stats", "df")
 def _funnel_time_stats_op(df, steps, *args, **kw):
     return funnel_time_stats(df, list(steps), *args, **kw)
+
+
+def kaplan_meier(subjects: DataFrame, duration_col: str,
+                 observed_col: str, digits: int = 6) -> DataFrame:
+    """(duration, n_at_risk, n_deaths, n_censored, survival) — the
+    Kaplan-Meier product-limit survival estimate over right-censored
+    subjects: each input row is one subject with a ``duration`` and
+    ``observed`` (1 = the event happened at that duration, 0 =
+    censored — observation ended while the subject was still alive).
+
+        S(d) = Π_{dᵢ ≤ d} (1 − deaths_i / at_risk_i)
+
+    at_risk_i counts subjects with duration ≥ dᵢ (censored subjects
+    leave the risk set after their censor time — exactly what naive
+    ECDFs get wrong). Retention/churn/session-length curves under
+    partial observation; reference analogue: hand-assembled
+    group_by + scan chains (ITF `scan`).
+
+    Plan: ONE duration-keyed hash agg collapses subjects (map-side
+    combinable), then two windows over the DURATION table — whose
+    cardinality is bounded by distinct duration values, metadata-
+    sized by construction, so the single-partition window is not a
+    subject-volume sort. The product is exp∘Σln with per-term
+    decimal-12 rounding (cross-engine bit-stable); a zero factor
+    (risk set exhausted by deaths) pins survival to exactly 0 from
+    that duration on, avoiding ln(0)."""
+    from pyspark.sql import Window
+    dec = "decimal(38,12)"
+    km = (subjects.groupBy(F.col(duration_col).alias("duration"))
+          .agg(F.sum(F.col(observed_col).cast("long"))
+               .alias("n_deaths"),
+               F.count(F.lit(1)).alias("__tot")))
+    w_desc = Window.orderBy(F.col("duration").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_asc = Window.orderBy("duration") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    r = km.withColumn("at_risk", F.sum("__tot").over(w_desc))
+    ratio = F.lit(1.0) - F.col("n_deaths") \
+        / F.col("at_risk").cast("double")
+    term = F.when(ratio > 0,
+                  F.round(F.log(ratio), 12).cast(dec))
+    zero_seen = F.max((ratio == 0).cast("int")).over(w_asc)
+    logsum = F.sum(term).over(w_asc)
+    surv = F.when(zero_seen == 1, F.lit(0.0)) \
+        .otherwise(F.round(F.exp(logsum.cast("double")), digits))
+    return (r.select("duration",
+                     F.col("at_risk").alias("n_at_risk"),
+                     "n_deaths",
+                     (F.col("__tot") - F.col("n_deaths"))
+                     .alias("n_censored"),
+                     surv.alias("survival")))
+
+
+@register_op("kaplan_meier", "df")
+def _km_op(df, *args, **kw):
+    return kaplan_meier(df, *args, **kw)

@@ -841,3 +841,168 @@ def seasonal_decompose(df, ts_col: str, value_col: str, period: int,
 @_reg_rollup("seasonal_decompose", "df")
 def _seasonal_decompose_op(df, *args, **kw):
     return seasonal_decompose(df, *args, **kw)
+
+
+def ccf(df, ts_col: str, x_col: str, y_col: str, max_lag: int = 3,
+        by=None, digits: int = 6):
+    """(by..., lag, n_pairs, r) — the sample cross-correlation
+    function between two aligned series at lags −max_lag..max_lag:
+
+        r_l = Σ (x_t − x̄)(y_{t+l} − ȳ) / √(Σ(x−x̄)² · Σ(y−ȳ)²)
+
+    with full-series means/variances (the standard CCF
+    normalization). Positive lag = y FOLLOWS x (x leads); the lag of
+    the peak |r| estimates the lead time between the two signals
+    (views→purchases, deploys→errors). The two-series companion of
+    acf; r_0 is plain Pearson correlation.
+
+    Plan: ONE key-ordered window shuffle produces lead(y, l) AND
+    lead(x, l) columns (shared window spec — negative lags are
+    corr(y_t, x_{t+l}) read from the led x), then one hash agg per
+    key computes every lag's sums at once. Determinism: decimal-12
+    term rounding before every sum (acf discipline); zero-variance
+    series yield NULL r."""
+    from pyspark.sql import Window
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w = Window.partitionBy(*by).orderBy(ts_col) if by else \
+        Window.orderBy(ts_col)
+    cols = []
+    for lag in range(0, max_lag + 1):
+        cols.append(F.lead(y, lag).over(w).alias(f"__ly{lag}"))
+    for lag in range(1, max_lag + 1):
+        cols.append(F.lead(x, lag).over(w).alias(f"__lx{lag}"))
+    staged = df.select(*by, x.alias("__x"), y.alias("__y"), *cols)
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(term(F.col("__x"))).cast("double").alias("__sx"),
+            F.sum(term(F.col("__x") * F.col("__x"))).cast("double")
+            .alias("__sxx"),
+            F.sum(term(F.col("__y"))).cast("double").alias("__sy"),
+            F.sum(term(F.col("__y") * F.col("__y"))).cast("double")
+            .alias("__syy")]
+    for lag in range(0, max_lag + 1):
+        ld = F.col(f"__ly{lag}")
+        aggs += [
+            F.count(ld).alias(f"__pm{lag}"),
+            F.sum(term(F.col("__x") * ld)).cast("double")
+            .alias(f"__pa{lag}"),
+            F.sum(F.when(ld.isNotNull(), term(F.col("__x"))))
+            .cast("double").alias(f"__pbx{lag}"),
+            F.sum(term(ld)).cast("double").alias(f"__pby{lag}")]
+    for lag in range(1, max_lag + 1):
+        ld = F.col(f"__lx{lag}")
+        aggs += [
+            F.count(ld).alias(f"__nm{lag}"),
+            F.sum(term(F.col("__y") * ld)).cast("double")
+            .alias(f"__na{lag}"),
+            F.sum(term(ld)).cast("double").alias(f"__nbx{lag}"),
+            F.sum(F.when(ld.isNotNull(), term(F.col("__y"))))
+            .cast("double").alias(f"__nby{lag}")]
+    stats = staged.groupBy(*by).agg(*aggs)
+    n = F.col("__n").cast("double")
+    mx = F.col("__sx") / n
+    my = F.col("__sy") / n
+    den_sq = (F.col("__sxx") - n * mx * mx) \
+        * (F.col("__syy") - n * my * my)
+    parts = []
+    for lag in range(-max_lag, max_lag + 1):
+        if lag >= 0:
+            m = F.col(f"__pm{lag}")
+            num = (F.col(f"__pa{lag}") - mx * F.col(f"__pby{lag}")
+                   - my * F.col(f"__pbx{lag}") + m * mx * my)
+        else:
+            al = -lag
+            m = F.col(f"__nm{al}")
+            num = (F.col(f"__na{al}") - mx * F.col(f"__nbx{al}")
+                   - my * F.col(f"__nby{al}") + m * mx * my)
+        parts.append(F.struct(
+            F.lit(lag).alias("lag"),
+            m.alias("n_pairs"),
+            F.when(den_sq > 0,
+                   F.round(num / F.sqrt(den_sq), digits))
+            .alias("r")))
+    return (stats.select(*by,
+                         F.explode(F.array(*parts)).alias("__e"))
+            .select(*by, "__e.lag", "__e.n_pairs", "__e.r"))
+
+
+@_reg_rollup("ccf", "df")
+def _ccf_op(df, *args, **kw):
+    return ccf(df, *args, **kw)
+
+
+def changepoint(df, ts_col: str, value_col: str, by=None,
+                min_seg: int = 2, digits: int = 6):
+    """(by..., n, split_index, split_ts, mean_left, mean_right,
+    gain) — the single best mean-shift changepoint per key (binary
+    segmentation step 1): the split k maximizing the SSE reduction
+
+        gain(k) = s1ₖ²/k + (S1−s1ₖ)²/(n−k) − S1²/n
+
+    (algebraically SSE_unsplit − SSE_split; ≥ 0 always — the peak,
+    not the sign, carries the signal: compare gain across keys or
+    recurse on the segments for multi-changepoint). ``split_index``
+    is the LAST row of the left segment; segments shorter than
+    ``min_seg`` are not considered. The offline batch complement of
+    the streaming CUSUM drift detector.
+
+    Plan: ONE key shuffle — an ordered window builds the decimal-
+    exact prefix sum, a full-frame window the per-key totals, and a
+    keyed max-of-struct agg picks the argmax row-locally (gain is
+    rounded to ``digits`` BEFORE the comparison so cross-engine ulp
+    noise cannot flip the argmax; ties break to the earliest k via a
+    negated-index struct field). Nothing quadratic: gain(k) is O(1)
+    per row off the prefix sums."""
+    from pyspark.sql import Window
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    x = F.col(value_col).cast("double")
+    w_ord = Window.partitionBy(*by).orderBy("__ts") if by else \
+        Window.orderBy("__ts")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = (Window.partitionBy(*by) if by else
+             Window.partitionBy()) \
+        .rowsBetween(Window.unboundedPreceding,
+                     Window.unboundedFollowing)
+    staged = (df.select(*by, F.col(ts_col).alias("__ts"),
+                        x.alias("__x"))
+              .withColumn("__i", F.row_number().over(w_ord))
+              .withColumn("__ps", F.sum(term(F.col("__x")))
+                          .over(w_cum).cast("double"))
+              .withColumn("__n", F.count(F.lit(1)).over(w_all))
+              .withColumn("__s1", F.sum(term(F.col("__x")))
+                          .over(w_all).cast("double")))
+    k = F.col("__i")
+    nn = F.col("__n")
+    s1k = F.col("__ps")
+    S1 = F.col("__s1")
+    gain = (s1k * s1k / k + (S1 - s1k) * (S1 - s1k) / (nn - k)) \
+        - S1 * S1 / nn
+    cand = staged.where((k >= int(min_seg))
+                        & (k <= nn - int(min_seg)))
+    best = cand.groupBy(*by).agg(F.max(F.struct(
+        F.round(gain, digits).alias("g"),
+        (-k).alias("__negk"),
+        k.cast("long").alias("k"),
+        F.col("__ts").alias("split_ts"),
+        F.round(s1k / k, digits).alias("ml"),
+        F.round((S1 - s1k) / (nn - k), digits).alias("mr"),
+        nn.alias("n"))).alias("b"))
+    return best.select(*by,
+                       F.col("b.n").alias("n"),
+                       F.col("b.k").alias("split_index"),
+                       F.col("b.split_ts").alias("split_ts"),
+                       F.col("b.ml").alias("mean_left"),
+                       F.col("b.mr").alias("mean_right"),
+                       F.col("b.g").alias("gain"))
+
+
+@_reg_rollup("changepoint", "df")
+def _changepoint_op(df, *args, **kw):
+    return changepoint(df, *args, **kw)

@@ -772,3 +772,140 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str,
 @register_op("chi2_independence", "df")
 def _chi2_op(df, *args, **kw):
     return chi2_independence(df, *args, **kw)
+
+
+def _global_ranked(df: DataFrame, value_col: str, tiebreak_col: str,
+                   n_ranges: int | None = None):
+    """Internal: global ascending rank + decimal-exact cumulative sum
+    of ``value_col`` WITHOUT a single-partition sort — the two-phase
+    distributed prefix sum (range partitions + broadcast per-range
+    offsets; same shape as concurrency_profile's sweep line in
+    pipeline/rollup.py). Returns (rows, totals): rows carries
+    ``__rank`` (1-based over (value, tiebreak) order) and ``__cum``
+    (inclusive decimal cumsum of round(value,12)); totals is the
+    1-row (n, sum) aggregate. Driver traffic: 2 scalars per range.
+
+    localCheckpoint pins the range boundaries AND partition ids so
+    the offset job and the final join see the same __rid mapping
+    (AQE would otherwise re-sample boundaries per job)."""
+    from pyspark.sql import Window
+    from decimal import Decimal
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    dec = "decimal(38,12)"
+    x = F.col(value_col).cast("double")
+    base = df.select(x.alias("__x"),
+                     F.col(tiebreak_col).alias("__tb"),
+                     F.round(x, 12).cast(dec).alias("__xd"))
+    ranged = (base.repartitionByRange(n_ranges, "__x", "__tb")
+              .withColumn("__rid", F.spark_partition_id())
+              .localCheckpoint())
+    w_in = Window.partitionBy("__rid").orderBy("__x", "__tb") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    local = (ranged
+             .withColumn("__ln", F.row_number().over(
+                 Window.partitionBy("__rid").orderBy("__x", "__tb")))
+             .withColumn("__lc", F.sum("__xd").over(w_in)))
+    stats = (ranged.groupBy("__rid")
+             .agg(F.count(F.lit(1)).alias("__cnt"),
+                  F.sum("__xd").alias("__sx")))
+    rows = sorted((r["__rid"], r["__cnt"], r["__sx"] or Decimal(0))
+                  for r in stats.collect())
+    off, acc_n, acc_x = {}, 0, Decimal(0)
+    for rid, cnt, sx in rows:
+        off[rid] = (acc_n, acc_x)
+        acc_n += int(cnt)
+        acc_x += sx
+    off_df = spark.createDataFrame(
+        [(rid, o_n, o_x) for rid, (o_n, o_x) in off.items()],
+        f"__rid int, __offn long, __offx {dec}")
+    ranked = (local.join(F.broadcast(off_df), "__rid")
+              .select("__x", "__tb",
+                      (F.col("__ln") + F.col("__offn")).alias("__rank"),
+                      (F.col("__lc") + F.col("__offx")).alias("__cum")))
+    totals = spark.createDataFrame(
+        [(acc_n, acc_x)], f"__n long, __sx {dec}")
+    return ranked, totals
+
+
+def gini_coefficient(df: DataFrame, value_col: str,
+                     tiebreak_col: str, n_ranges: int | None = None,
+                     digits: int = 6) -> DataFrame:
+    """One row (n, total, gini) — the Gini concentration coefficient
+    of a non-negative value column (revenue concentration, token
+    ownership, degree inequality):
+
+        G = 2·Σᵢ rᵢ·xᵢ / (n·Σx) − (n+1)/n
+
+    with rᵢ the 1-based ascending rank. Tie order does not affect the
+    statistic (tied x contribute x·Σranks over the tied block, which
+    is permutation-invariant), so any total tiebreak yields identical
+    values — ``tiebreak_col`` only makes the rank assignment itself
+    reproducible.
+
+    Plan: the global rank is the DISTRIBUTED two-phase prefix sum
+    (range partitions + 2-scalars-per-range broadcast offsets), never
+    a single-partition sort; then ONE hash agg. Decimal-exact sums,
+    FP only on the final bit-identical aggregates."""
+    ranked, totals = _global_ranked(df, value_col, tiebreak_col,
+                                    n_ranges)
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    agg = (ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(term(F.col("__x"))).cast("double").alias("__sx"),
+        F.sum(term(F.col("__rank") * F.col("__x"))).cast("double")
+        .alias("__srx")))
+    n = F.col("__n").cast("double")
+    gini = (F.lit(2.0) * F.col("__srx") / (n * F.col("__sx"))
+            - (n + F.lit(1.0)) / n)
+    return agg.select(F.col("__n").alias("n"),
+                      F.round("__sx", digits).alias("total"),
+                      F.round(gini, digits).alias("gini"))
+
+
+def lorenz_points(df: DataFrame, value_col: str, tiebreak_col: str,
+                  points: int = 10, n_ranges: int | None = None,
+                  digits: int = 6) -> DataFrame:
+    """(point, cum_count, cum_value, cum_share) — the Lorenz curve
+    sampled at k/points population quantiles: row k reads "the bottom
+    k/points of entities hold cum_share of the total". The curve
+    behind gini_coefficient; (k/points − cum_share) gaps ARE the Gini
+    integrand.
+
+    Each curve point is the entity at global rank ⌈k·n/points⌉; a row
+    serves every k with ⌈k·n/P⌉ == rank (exact integer-division
+    interval: k ∈ [⌊P(rank−1)/n⌋+1, ⌊P·rank/n⌋]), so tiny inputs
+    (n < points) still emit all P points. Same distributed-rank
+    machinery as gini_coefficient — no global sort task, decimal-exact
+    cumulative sums."""
+    ranked, totals = _global_ranked(df, value_col, tiebreak_col,
+                                    n_ranges)
+    P = int(points)
+    # exact long floor-division (a − a mod n)/n: the quotient is an
+    # exact integer ≤ P, so the double division cannot round
+    fdiv = lambda a: ((a - F.pmod(a, F.col("__n")))
+                      / F.col("__n")).cast("long")
+    k_lo = fdiv(F.lit(P) * (F.col("__rank") - 1)) + 1
+    k_hi = fdiv(F.lit(P) * F.col("__rank"))
+    pts = (ranked.crossJoin(F.broadcast(totals))
+           .where(k_hi >= k_lo)
+           .select(F.explode(F.sequence(k_lo, k_hi)).alias("point"),
+                   F.col("__rank").alias("cum_count"),
+                   F.col("__cum").cast("double").alias("__cv"),
+                   F.col("__sx").cast("double").alias("__t")))
+    return (pts.select("point", "cum_count",
+                       F.round("__cv", digits).alias("cum_value"),
+                       F.round(F.col("__cv") / F.col("__t"),
+                               digits).alias("cum_share")))
+
+
+@register_op("gini_coefficient", "df")
+def _gini_op(df, *args, **kw):
+    return gini_coefficient(df, *args, **kw)
+
+
+@register_op("lorenz_points", "df")
+def _lorenz_op(df, *args, **kw):
+    return lorenz_points(df, *args, **kw)
