@@ -6824,9 +6824,13 @@ _FRONT = [
     "w_group_percentiles", "p_benford_totalprice",
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
-    # (d) staleness rotation: every row last driver-checked in r03
-    # (the oldest cohort — keeps every proof <=3 rounds old), plus
-    # the four oldest r04 rows that fit the 50-query window
+    # (d) staleness rotation: the r03-driver-checked cohort, trimmed
+    # to fill the 50-query window exactly. Six cohort rows
+    # (p_multimodal_meta, p_ngram_jaccard_pairs, p_simhash_pairs,
+    # p_text_quality, scan_cumulative_revenue, string_functions)
+    # rotate to the r08 front instead — safe, because the r06 judge's
+    # independent 130-query sweep re-proved every row outside the r06
+    # driver window, so their most recent proof is r06, not r03.
     "concat_union_segments", "conditional_bucketing",
     "datetime_functions", "g_all_type_counts", "g_asof_order_count",
     "g_gather_closure", "g_has_order_customers",
@@ -6838,9 +6842,7 @@ _FRONT = [
     "max_by_top_order_per_cust", "p_ann_cosine_topk",
     "p_ann_topk_ivf", "p_ann_topk_lsh", "p_cosine_pairs_blocked",
     "p_dedup_exact_groups", "p_fingerprint", "p_lang_id",
-    "p_minhash_lsh_pairs", "p_multimodal_meta",
-    "p_ngram_jaccard_pairs", "p_simhash_pairs", "p_text_quality",
-    "scan_cumulative_revenue", "string_functions",
+    "p_minhash_lsh_pairs",
 ]
 
 
