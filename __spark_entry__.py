@@ -6776,6 +6776,225 @@ def e_changepoint_daily(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("w_welch_acctbal", """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+             THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+             THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN
+        CAST(ROUND(CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS sa,
+    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN
+        CAST(ROUND(CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS sb,
+    SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN
+        CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS qa,
+    SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN
+        CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS qb
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+), s AS (
+  SELECT na, nb,
+    sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,
+    (qa - sa * sa / CAST(na AS DOUBLE))
+      / (CAST(na AS DOUBLE) - 1) AS va,
+    (qb - sb * sb / CAST(nb AS DOUBLE))
+      / (CAST(nb AS DOUBLE) - 1) AS vb,
+    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+  FROM a
+), e AS (
+  SELECT s.*, va / nad AS sea, vb / nbd AS seb,
+         va / nad + vb / nbd AS se2,
+         ((nad - 1) * va + (nbd - 1) * vb)
+           / (nad + nbd - 2) AS pooled
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+  ROUND(ma - mb, 6) AS diff,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+       THEN ROUND((ma - mb) / SQRT(se2), 6) END AS t_stat,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+       THEN ROUND(se2 * se2 / (sea * sea / (nad - 1)
+                               + seb * seb / (nbd - 1)), 6)
+  END AS dof,
+  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 AND pooled > 0
+       THEN ROUND((ma - mb) / SQRT(pooled), 6) END AS cohens_d
+FROM e
+""")
+def w_welch_acctbal(spark, sf_dir):
+    """Welch's unequal-variance t-test of customer account balance,
+    BUILDING vs AUTOMOBILE segments (pipeline/abtest.py
+    welch_ttest): ONE conditional-aggregation scan — both groups'
+    n/Σx/Σx² from the same map-side-combinable hash agg, no join.
+    Emits t, Welch-Satterthwaite dof, and Cohen's d; p-values are a
+    critical-value lookup (no t CDF in either engine). Reference
+    assembles this from mean/variance zefops (ITF mean/variance)."""
+    from zef_spark.pipeline.abtest import welch_ttest
+    cust = _t(spark, sf_dir, "customer")
+    return welch_ttest(cust, "c_mktsegment", "c_acctbal",
+                       "BUILDING", "AUTOMOBILE")
+
+
+@query("w_mann_whitney_price", """
+WITH vt AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+             THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), c AS (
+  SELECT ca, cnt,
+    SUM(cnt) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) - cnt AS cb
+  FROM vt
+), a AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+    SUM(CAST(ca AS HUGEINT) * (2 * CAST(cb AS HUGEINT)
+                               + cnt + 1)) AS r2,
+    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+  FROM c
+), s AS (
+  SELECT na, n, CAST(na AS DOUBLE) AS nad,
+    CAST(n AS DOUBLE) AS nd,
+    CAST(n AS DOUBLE) - CAST(na AS DOUBLE) AS nbd,
+    (CAST(r2 AS DOUBLE) - CAST(na AS DOUBLE)
+       * (CAST(na AS DOUBLE) + 1)) / 2.0 AS ua,
+    CAST(ties AS DOUBLE) AS tiesd
+  FROM a
+), e AS (
+  SELECT s.*,
+    nad * nbd / 12 * (nd + 1 - tiesd / (nd * (nd - 1))) AS var
+  FROM s
+)
+SELECT na AS n_a, CAST(n - na AS BIGINT) AS n_b,
+  ROUND(ua, 6) AS u_a, ROUND(nad * nbd - ua, 6) AS u_b,
+  CASE WHEN na > 0 AND nbd > 0 AND var > 0
+       THEN ROUND((ua - nad * nbd / 2) / SQRT(var), 6) END AS z
+FROM e
+""")
+def w_mann_whitney_price(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) test of order totalprice, URGENT vs
+    LOW priority (pipeline/abtest.py mann_whitney_u): the input
+    collapses to the distinct-value table in one hash agg, the
+    count-below prefix runs as the range-partitioned two-phase
+    distributed prefix sum (2 scalars per range to the driver, no
+    single-partition sort), and rank arithmetic is exact ×2-scaled
+    integers — midrank ties and the tie-corrected z included."""
+    from zef_spark.pipeline.abtest import mann_whitney_u
+    orders = _t(spark, sf_dir, "orders")
+    return mann_whitney_u(orders, "o_orderpriority", "o_totalprice",
+                          "1-URGENT", "5-LOW")
+
+
+@query("w_conversion_ztest", """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN user_id % 2 = 0
+                   AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+    CAST(SUM(CASE WHEN user_id % 2 = 1
+                   AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS sb
+  FROM events
+), s AS (
+  SELECT na, nb,
+    sa / CAST(na AS DOUBLE) AS pa, sb / CAST(nb AS DOUBLE) AS pb,
+    (sa + sb) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS pp,
+    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+  FROM a
+), e AS (
+  SELECT s.*,
+    pp * (1 - pp) * (1 / nad + 1 / nbd) AS se2
+  FROM s
+)
+SELECT na AS n_a, nb AS n_b,
+  ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+  ROUND(pa - pb, 6) AS diff,
+  CASE WHEN na > 0 AND nb > 0 AND se2 > 0
+       THEN ROUND((pa - pb) / SQRT(se2), 6) END AS z
+FROM e
+""")
+def w_conversion_ztest(spark, sf_dir):
+    """Pooled two-proportion z-test of purchase rate between an
+    even/odd user-id split (pipeline/abtest.py
+    two_proportion_ztest) — the canonical conversion A/B gate. ONE
+    conditional-aggregation scan; four longs total cross the wire."""
+    from zef_spark.pipeline.abtest import two_proportion_ztest
+    ev = _events(spark, sf_dir) \
+        .withColumn("__grp", F.pmod(F.col("user_id"), F.lit(2)))
+    return two_proportion_ztest(ev, "__grp",
+                                F.col("event_type") == "purchase",
+                                0, 1)
+
+
+@query("e_periodicity_value", """
+WITH s AS (
+  SELECT event_type,
+    DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS tick,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), ex AS (
+  SELECT s.*, p.period
+  FROM s CROSS JOIN (SELECT UNNEST(generate_series(2, 7))
+                     AS period) p
+), ph AS (
+  SELECT event_type, period, tick % period AS phv,
+    COUNT(*) AS ng,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS sgd,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS qgd
+  FROM ex GROUP BY 1, 2, 3
+), per AS (
+  SELECT event_type, period,
+    CAST(SUM(ng) AS BIGINT) AS n,
+    SUM(sgd)::DOUBLE AS sm, SUM(qgd)::DOUBLE AS q,
+    SUM(CAST(ROUND(sgd::DOUBLE * sgd::DOUBLE / ng, 12)
+             AS DECIMAL(38,12)))::DOUBLE AS b
+  FROM ph GROUP BY 1, 2
+)
+SELECT event_type, period, n,
+  CASE WHEN (q - sm * sm / CAST(n AS DOUBLE)) > 0
+       THEN ROUND((b - sm * sm / CAST(n AS DOUBLE))
+                  / (q - sm * sm / CAST(n AS DOUBLE)), 6)
+  END AS strength
+FROM per ORDER BY event_type, period
+""")
+def e_periodicity_value(spark, sf_dir):
+    """ANOVA-style periodicity profile of each event type's daily
+    value series at candidate periods 2..7 (pipeline/rollup.py
+    periodicity_strength): variance share explained by the t mod p
+    phase grouping — a trig-free periodogram, so the oracle is
+    bit-exact (cross-engine libm cos/sin is not ulp-stable). Tick is
+    the epoch DAY NUMBER by date arithmetic — no row-number rank, no
+    global sort; the explode fan-out is ×6, documented."""
+    from zef_spark.pipeline.rollup import periodicity_strength
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01"))
+                         .alias("tick"))
+              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                   .cast("double").alias("x")))
+    return (periodicity_strength(series, "tick", "x", max_period=7,
+                                 by="event_type")
+            .orderBy("event_type", "period"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -6816,6 +7035,9 @@ _FRONT = [
     "p_association_rules", "w_gini_revenue", "w_lorenz_revenue",
     "e_survival_sessions", "e_ccf_view_purchase",
     "e_changepoint_daily",
+    # (a3) the r07 hypothesis-testing tier (first driver rows)
+    "w_welch_acctbal", "w_mann_whitney_price", "w_conversion_ztest",
+    "e_periodicity_value",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -6825,12 +7047,14 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Six cohort rows
-    # (p_multimodal_meta, p_ngram_jaccard_pairs, p_simhash_pairs,
-    # p_text_quality, scan_cumulative_revenue, string_functions)
-    # rotate to the r08 front instead — safe, because the r06 judge's
-    # independent 130-query sweep re-proved every row outside the r06
-    # driver window, so their most recent proof is r06, not r03.
+    # to fill the 50-query window exactly. Ten cohort rows
+    # (p_dedup_exact_groups, p_fingerprint, p_lang_id,
+    # p_minhash_lsh_pairs, p_multimodal_meta, p_ngram_jaccard_pairs,
+    # p_simhash_pairs, p_text_quality, scan_cumulative_revenue,
+    # string_functions) rotate to the r08 front instead — safe,
+    # because the r06 judge's independent 130-query sweep re-proved
+    # every row outside the r06 driver window, so their most recent
+    # proof is r06, not r03.
     "concat_union_segments", "conditional_bucketing",
     "datetime_functions", "g_all_type_counts", "g_asof_order_count",
     "g_gather_closure", "g_has_order_customers",
@@ -6841,8 +7065,6 @@ _FRONT = [
     "group_agg_customer_orders", "hash_functions", "math_functions",
     "max_by_top_order_per_cust", "p_ann_cosine_topk",
     "p_ann_topk_ivf", "p_ann_topk_lsh", "p_cosine_pairs_blocked",
-    "p_dedup_exact_groups", "p_fingerprint", "p_lang_id",
-    "p_minhash_lsh_pairs",
 ]
 
 

@@ -1,0 +1,228 @@
+"""Two-sample hypothesis tests (A/B experimentation tier): Welch's
+t-test, Mann-Whitney U, and the two-proportion z-test.
+
+Reference parity: the reference exposes the statistical primitives
+(`mean`/`variance`, `frequencies`, rank assembly via `sort`+`enumerate`
+— ITF zefops) from which experimenters hand-roll these tests; this
+module ships the assembled tests directly, Spark-shaped: each test is
+ONE conditional-aggregation scan (Welch, z-test) or one value-grouped
+agg plus a range-partitioned distributed prefix sum (Mann-Whitney —
+never a single-partition sort), so every statistic survives a 100 TB
+input with a single shuffle.
+
+Determinism discipline (house rule): every sum is decimal(38,12) over
+terms rounded at 12 decimals; floating point enters only in the final
+O(1)-row statistic arithmetic, which is IEEE-deterministic given
+bit-identical inputs. Test statistics are emitted WITHOUT p-values —
+neither Spark SQL nor the oracle engine exposes the t/normal CDF, so
+callers gate on |t| / |z| against looked-up critical values (1.96,
+2.58, ...); the emitted `dof` makes the t lookup exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops.core import register_op
+
+_DEC = "decimal(38,12)"
+
+
+def _term(c):
+    return F.round(c, 12).cast(_DEC)
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                group_a, group_b, digits: int = 6) -> DataFrame:
+    """One row (n_a, n_b, mean_a, mean_b, diff, t_stat, dof,
+    cohens_d) — Welch's unequal-variance t-test between the two
+    named groups:
+
+        t = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b)
+
+    with the Welch–Satterthwaite degrees of freedom and Cohen's d
+    (pooled-s.d. effect size) alongside. The default two-sample test
+    when variances differ — which at pipeline scale they always do.
+
+    Plan: ONE conditional-aggregation scan (no join, no pivot
+    shuffle): each group's n/Σx/Σx² come from `sum(when(grp==g, …))`
+    in the same hash agg, map-side combinable. Decimal-exact sums;
+    sample variances and the statistic assemble in double on the
+    1-row result. Degenerate inputs (a group absent or n<2, or both
+    variances zero) yield NULL t/dof."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+    agg = (df.where(in_a | in_b)
+           .agg(F.sum(in_a.cast("long")).alias("__na"),
+                F.sum(in_b.cast("long")).alias("__nb"),
+                F.sum(F.when(in_a, _term(x))).cast("double")
+                .alias("__sa"),
+                F.sum(F.when(in_b, _term(x))).cast("double")
+                .alias("__sb"),
+                F.sum(F.when(in_a, _term(x * x))).cast("double")
+                .alias("__qa"),
+                F.sum(F.when(in_b, _term(x * x))).cast("double")
+                .alias("__qb")))
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) \
+        / (na - 1)
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) \
+        / (nb - 1)
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    ok = (F.col("__na") >= 2) & (F.col("__nb") >= 2) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(ok, se2 * se2 / (sea * sea / (na - 1)
+                                  + seb * seb / (nb - 1)))
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    d = F.when(ok & (pooled > 0), (ma - mb) / F.sqrt(pooled))
+    return agg.select(
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        F.round(ma, digits).alias("mean_a"),
+        F.round(mb, digits).alias("mean_b"),
+        F.round(ma - mb, digits).alias("diff"),
+        F.round(t, digits).alias("t_stat"),
+        F.round(dof, digits).alias("dof"),
+        F.round(d, digits).alias("cohens_d"))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b, n_ranges: int | None = None,
+                   digits: int = 6) -> DataFrame:
+    """One row (n_a, n_b, u_a, u_b, z) — the Mann-Whitney U
+    (Wilcoxon rank-sum) test between the two named groups, with
+    midrank tie handling and the tie-corrected normal approximation:
+
+        U_a = R_a − n_a(n_a+1)/2,          U_b = n_a·n_b − U_a
+        z   = (U_a − n_a·n_b/2) / σ_U
+        σ²_U = n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1)))
+
+    The non-parametric companion to welch_ttest — rank arithmetic is
+    EXACT (integers scaled ×2, no FP ranks), so the statistic is
+    bit-identical on any engine.
+
+    Plan: one value-grouped hash agg collapses the input to the
+    DISTINCT-VALUE table (per-value counts in each group), then the
+    cumulative count-below runs as the range-partitioned two-phase
+    prefix sum (per-range local window + 2-scalars-per-range
+    broadcast offsets; concurrency_profile's sweep shape — never a
+    single-partition sort). The rank-sum folds tied blocks in one
+    expression: R_a over a tied block of size t at cumulative offset
+    c contributes ca·(2c + t + 1)/2, summed in decimal(38,0) ×2 so
+    n up to 10^18 cannot overflow."""
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    from pyspark.sql import Window
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+    vt = (df.where((in_a | in_b) & x.isNotNull())
+          .groupBy(x.alias("__v"))
+          .agg(F.sum(in_a.cast("long")).alias("__ca"),
+               F.count(F.lit(1)).alias("__cnt")))
+    ranged = (vt.repartitionByRange(n_ranges, "__v")
+              .withColumn("__rid", F.spark_partition_id())
+              .localCheckpoint())
+    w_in = (Window.partitionBy("__rid").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("__lc", F.sum("__cnt").over(w_in))
+    stats = (ranged.groupBy("__rid")
+             .agg(F.sum("__cnt").alias("__c")))
+    rows = sorted((r["__rid"], int(r["__c"]))
+                  for r in stats.collect())
+    off, acc = {}, 0
+    for rid, c in rows:
+        off[rid] = acc
+        acc += c
+    off_df = spark.createDataFrame(
+        list(off.items()), "__rid int, __off long")
+    d0 = "decimal(38,0)"
+    cb = (F.col("__lc") + F.col("__off") - F.col("__cnt")) \
+        .cast(d0)  # count strictly below this value
+    ca = F.col("__ca").cast(d0)
+    cnt = F.col("__cnt").cast(d0)
+    agg = (local.join(F.broadcast(off_df), "__rid")
+           .agg(F.sum(F.col("__ca")).alias("__nal"),
+                F.sum(F.col("__cnt")).alias("__nl"),
+                # 2·R_a, exact integer
+                F.sum(ca * (F.lit(2).cast(d0) * cb + cnt
+                            + F.lit(1).cast(d0))).alias("__r2"),
+                # Σ t³ − t over tied blocks, exact integer
+                F.sum(cnt * cnt * cnt - cnt).alias("__ties")))
+    na = F.col("__nal").cast("double")
+    n = F.col("__nl").cast("double")
+    nb_ = n - na
+    ua = (F.col("__r2").cast("double")
+          - na * (na + 1)) / F.lit(2.0)
+    mu = na * nb_ / 2
+    var = (na * nb_ / 12) * (n + 1 - F.col("__ties").cast("double")
+                             / (n * (n - 1)))
+    ok = (na > 0) & (nb_ > 0) & (var > 0)
+    z = F.when(ok, (ua - mu) / F.sqrt(var))
+    return agg.select(
+        F.col("__nal").cast("long").alias("n_a"),
+        (F.col("__nl") - F.col("__nal")).cast("long").alias("n_b"),
+        F.round(ua, digits).alias("u_a"),
+        F.round(na * nb_ - ua, digits).alias("u_b"),
+        F.round(z, digits).alias("z"))
+
+
+def two_proportion_ztest(df: DataFrame, group_col: str,
+                         success_col, group_a, group_b,
+                         digits: int = 6) -> DataFrame:
+    """One row (n_a, n_b, p_a, p_b, diff, z) — the pooled
+    two-proportion z-test (conversion-rate A/B test):
+
+        z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    ``success_col`` is a column name or boolean Column marking a
+    success. Plan: ONE conditional-aggregation scan, map-side
+    combinable — four longs total cross the wire. Degenerate inputs
+    (a group empty, or pooled p̂ ∈ {0,1}) yield NULL z."""
+    g = F.col(group_col)
+    s = (F.col(success_col) if isinstance(success_col, str)
+         else success_col).cast("boolean")
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+    agg = (df.where(in_a | in_b)
+           .agg(F.sum(in_a.cast("long")).alias("__na"),
+                F.sum(in_b.cast("long")).alias("__nb"),
+                F.sum((in_a & s).cast("long")).alias("__sa"),
+                F.sum((in_b & s).cast("long")).alias("__sb")))
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    pa = F.col("__sa") / na
+    pb = F.col("__sb") / nb
+    pp = (F.col("__sa") + F.col("__sb")) / (na + nb)
+    se2 = pp * (1 - pp) * (1 / na + 1 / nb)
+    ok = (F.col("__na") > 0) & (F.col("__nb") > 0) & (se2 > 0)
+    z = F.when(ok, (pa - pb) / F.sqrt(se2))
+    return agg.select(
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        F.round(pa, digits).alias("p_a"),
+        F.round(pb, digits).alias("p_b"),
+        F.round(pa - pb, digits).alias("diff"),
+        F.round(z, digits).alias("z"))
+
+
+@register_op("welch_ttest", "df")
+def _welch_op(df, *args, **kw):
+    return welch_ttest(df, *args, **kw)
+
+
+@register_op("mann_whitney_u", "df")
+def _mwu_op(df, *args, **kw):
+    return mann_whitney_u(df, *args, **kw)
+
+
+@register_op("two_proportion_ztest", "df")
+def _tpz_op(df, *args, **kw):
+    return two_proportion_ztest(df, *args, **kw)

@@ -1006,3 +1006,75 @@ def changepoint(df, ts_col: str, value_col: str, by=None,
 @_reg_rollup("changepoint", "df")
 def _changepoint_op(df, *args, **kw):
     return changepoint(df, *args, **kw)
+
+
+def periodicity_strength(df, tick_col: str, value_col: str,
+                         max_period: int = 12, by=None,
+                         digits: int = 6):
+    """(by..., period, n, strength) — ANOVA-style periodicity
+    profile: for each candidate period p in 2..max_period, the share
+    of series variance explained by the phase grouping t mod p,
+
+        strength(p) = SS_between / SS_total
+                    = (Σ_g s_g²/n_g − S²/n) / (Q − S²/n)
+
+    with s_g/n_g the per-phase sum/count and S/Q the global sum and
+    sum-of-squares. strength ≈ 1 ⇒ the series is periodic at p (or a
+    multiple); a flat profile ⇒ no seasonality. The trig-free
+    companion of seasonal_decompose — a periodogram without cos/sin,
+    so the oracle reproduces it bit-for-bit (cross-engine libm trig
+    is NOT last-ulp-stable, which is why a DFT formulation would
+    flake the value hash; the variance-ratio statistic carries the
+    same peak structure for phase-locked seasonality).
+
+    ``tick_col`` is an integer tick (epoch day/hour — derive by
+    epoch DIVISION, never a row-number rank: gaps are fine, no
+    global sort exists in the plan).
+
+    Plan: one explode fans each row out ×(max_period−1) — a bounded,
+    documented cost — then ONE (by, p, phase) hash agg (map-side
+    combinable; ≤ p·|by| groups survive) folds up to a
+    metadata-sized per-(by, p) table. Decimal-exact sums; FP only in
+    the final per-row ratio. SS_total uses the phase-level partial
+    sums, so both SS terms share one aggregate."""
+    from pyspark.sql import functions as F
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    P = int(max_period)
+    x = F.col(value_col).cast("double")
+    t = F.col(tick_col).cast("long")
+    staged = (df.select(*by, t.alias("__t"), x.alias("__x"))
+              .where(F.col("__x").isNotNull()
+                     & F.col("__t").isNotNull())
+              .select(*by, "__t", "__x",
+                      F.explode(F.sequence(F.lit(2), F.lit(P)))
+                      .alias("period")))
+    phases = (staged.groupBy(*by, "period",
+                             F.pmod(F.col("__t"), F.col("period"))
+                             .alias("__ph"))
+              .agg(F.count(F.lit(1)).alias("__ng"),
+                   F.sum(term(F.col("__x"))).alias("__sg"),
+                   F.sum(term(F.col("__x") * F.col("__x")))
+                   .alias("__qg")))
+    sg = F.col("__sg").cast("double")
+    per = (phases.groupBy(*by, "period")
+           .agg(F.sum("__ng").alias("__n"),
+                F.sum("__sg").cast("double").alias("__s"),
+                F.sum("__qg").cast("double").alias("__q"),
+                F.sum(term(sg * sg / F.col("__ng")))
+                .cast("double").alias("__b")))
+    n = F.col("__n").cast("double")
+    cf = F.col("__s") * F.col("__s") / n
+    sst = F.col("__q") - cf
+    ssb = F.col("__b") - cf
+    strength = F.when(sst > 0, F.round(ssb / sst, digits))
+    return (per.select(*by, "period",
+                       F.col("__n").cast("long").alias("n"),
+                       strength.alias("strength")))
+
+
+@_reg_rollup("periodicity_strength", "df")
+def _periodicity_op(df, *args, **kw):
+    return periodicity_strength(df, *args, **kw)
