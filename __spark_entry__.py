@@ -6995,6 +6995,168 @@ def e_periodicity_value(spark, sf_dir):
             .orderBy("event_type", "period"))
 
 
+@query("p_auc_value", """
+WITH vt AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+    CAST(SUM(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), c AS (
+  SELECT ca, cnt,
+    SUM(cnt) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) - cnt AS cb
+  FROM vt
+), a AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+    SUM(CAST(ca AS HUGEINT) * (2 * CAST(cb AS HUGEINT)
+                               + cnt + 1)) AS r2
+  FROM c
+), s AS (
+  SELECT na, n, CAST(na AS DOUBLE) AS nad,
+    CAST(n AS DOUBLE) - CAST(na AS DOUBLE) AS nbd,
+    (CAST(r2 AS DOUBLE) - CAST(na AS DOUBLE)
+       * (CAST(na AS DOUBLE) + 1)) / 2.0 AS ua
+  FROM a
+)
+SELECT na AS n_pos, CAST(n - na AS BIGINT) AS n_neg,
+  CASE WHEN nad > 0 AND nbd > 0
+       THEN ROUND(ua / (nad * nbd), 6) END AS auc
+FROM s
+""")
+def p_auc_value(spark, sf_dir):
+    """Exact ROC-AUC of the event `value` as a purchase predictor
+    (pipeline/evaluation.py binary_auc): the rank-sum identity
+    AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with midrank ties — shared
+    distributed-rank engine with mann_whitney_u (distinct-value
+    collapse + two-phase range-partitioned prefix sum, exact
+    ×2-scaled integer ranks). Scale-free: no score normalization."""
+    from zef_spark.pipeline.evaluation import binary_auc
+    ev = _events(spark, sf_dir)
+    return binary_auc(ev, "value", F.col("event_type") == "purchase")
+
+
+@query("p_calibration_value", """
+WITH mm AS (
+  SELECT MIN(CAST(value AS DOUBLE)) AS mn,
+         MAX(CAST(value AS DOUBLE)) AS mx
+  FROM events
+), sc AS (
+  SELECT (CAST(value AS DOUBLE) - mn) / (mx - mn) AS s,
+         (event_type = 'purchase') AS y
+  FROM events CROSS JOIN mm
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS INT), 0), 9) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(s, 12) AS DECIMAL(38,12)))::DOUBLE AS ss,
+    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM sc GROUP BY 1
+)
+SELECT bin, n, ROUND(ss / CAST(n AS DOUBLE), 6) AS mean_score,
+       ROUND(pos / CAST(n AS DOUBLE), 6) AS pos_rate
+FROM b ORDER BY bin
+""")
+def p_calibration_value(spark, sf_dir):
+    """Reliability diagram of the min-max-normalized event value as
+    a purchase 'probability' (pipeline/evaluation.py
+    calibration_bins): 10 equal-width bins, mean predicted score vs
+    realized positive rate per bin. The min/max normalizer is a
+    1-row broadcast scalar; the binning is ONE 10-ary hash agg."""
+    from zef_spark.pipeline.evaluation import calibration_bins
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("double")
+    mm = ev.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
+    scored = (ev.crossJoin(F.broadcast(mm))
+              .select(((v - F.col("__mn"))
+                       / (F.col("__mx") - F.col("__mn"))).alias("s"),
+                      (F.col("event_type") == "purchase").alias("y")))
+    return calibration_bins(scored, "s", "y").orderBy("bin")
+
+
+@query("p_confusion_value", """
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN CAST(value AS DOUBLE) >= 35.0
+                   AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN CAST(value AS DOUBLE) >= 35.0
+                   AND NOT event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT CAST(value AS DOUBLE) >= 35.0
+                   AND NOT event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN NOT CAST(value AS DOUBLE) >= 35.0
+                   AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+  SELECT tp, fp, tn, fn,
+    CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+    CAST(tn AS DOUBLE) AS tnd, CAST(fn AS DOUBLE) AS fnd
+  FROM a
+)
+SELECT tp, fp, tn, fn,
+  CASE WHEN tpd + fpd > 0
+       THEN ROUND(tpd / (tpd + fpd), 6) END AS precision,
+  CASE WHEN tpd + fnd > 0
+       THEN ROUND(tpd / (tpd + fnd), 6) END AS recall,
+  CASE WHEN tpd + fpd > 0 AND tpd + fnd > 0 AND tpd > 0
+       THEN ROUND(2 * (tpd / (tpd + fpd)) * (tpd / (tpd + fnd))
+                  / (tpd / (tpd + fpd) + tpd / (tpd + fnd)), 6)
+  END AS f1,
+  ROUND((tpd + tnd) / (tpd + fpd + tnd + fnd), 6) AS accuracy
+FROM s
+""")
+def p_confusion_value(spark, sf_dir):
+    """Confusion matrix + precision/recall/F1/accuracy of the rule
+    'value >= 35 predicts purchase' (pipeline/evaluation.py
+    confusion_at_threshold): ONE conditional-aggregation scan, four
+    longs cross the wire."""
+    from zef_spark.pipeline.evaluation import confusion_at_threshold
+    ev = _events(spark, sf_dir)
+    return confusion_at_threshold(
+        ev, "value", F.col("event_type") == "purchase", 35.0)
+
+
+@query("p_brier_value", """
+WITH mm AS (
+  SELECT MIN(CAST(value AS DOUBLE)) AS mn,
+         MAX(CAST(value AS DOUBLE)) AS mx
+  FROM events
+), sc AS (
+  SELECT (CAST(value AS DOUBLE) - mn) / (mx - mn)
+           - (CASE WHEN event_type = 'purchase'
+                   THEN 1.0 ELSE 0.0 END) AS d
+  FROM events CROSS JOIN mm
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(SUM(CAST(ROUND(d * d, 12) AS DECIMAL(38,12)))::DOUBLE
+        / CAST(COUNT(*) AS DOUBLE), 6) AS brier
+FROM sc
+""")
+def p_brier_value(spark, sf_dir):
+    """Brier score of the min-max-normalized event value as a
+    purchase probability (pipeline/evaluation.py brier_score): mean
+    squared probability error — the proper polynomial scoring rule,
+    log-free so bit-exact cross-engine. 1-row normalizer broadcast +
+    ONE hash agg."""
+    from zef_spark.pipeline.evaluation import brier_score
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("double")
+    mm = ev.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
+    scored = (ev.crossJoin(F.broadcast(mm))
+              .select(((v - F.col("__mn"))
+                       / (F.col("__mx") - F.col("__mn"))).alias("s"),
+                      (F.col("event_type") == "purchase").alias("y")))
+    return brier_score(scored, "s", "y")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7038,6 +7200,9 @@ _FRONT = [
     # (a3) the r07 hypothesis-testing tier (first driver rows)
     "w_welch_acctbal", "w_mann_whitney_price", "w_conversion_ztest",
     "e_periodicity_value",
+    # (a4) the r07 model-evaluation tier (first driver rows)
+    "p_auc_value", "p_calibration_value", "p_confusion_value",
+    "p_brier_value",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7047,14 +7212,15 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Ten cohort rows
-    # (p_dedup_exact_groups, p_fingerprint, p_lang_id,
-    # p_minhash_lsh_pairs, p_multimodal_meta, p_ngram_jaccard_pairs,
-    # p_simhash_pairs, p_text_quality, scan_cumulative_revenue,
-    # string_functions) rotate to the r08 front instead — safe,
-    # because the r06 judge's independent 130-query sweep re-proved
-    # every row outside the r06 driver window, so their most recent
-    # proof is r06, not r03.
+    # to fill the 50-query window exactly. Fourteen cohort rows
+    # (p_ann_cosine_topk, p_ann_topk_ivf, p_ann_topk_lsh,
+    # p_cosine_pairs_blocked, p_dedup_exact_groups, p_fingerprint,
+    # p_lang_id, p_minhash_lsh_pairs, p_multimodal_meta,
+    # p_ngram_jaccard_pairs, p_simhash_pairs, p_text_quality,
+    # scan_cumulative_revenue, string_functions) rotate to the r08
+    # front instead — safe, because the r06 judge's independent
+    # 130-query sweep re-proved every row outside the r06 driver
+    # window, so their most recent proof is r06, not r03.
     "concat_union_segments", "conditional_bucketing",
     "datetime_functions", "g_all_type_counts", "g_asof_order_count",
     "g_gather_closure", "g_has_order_customers",
@@ -7063,8 +7229,7 @@ _FRONT = [
     "g_relation_fields_meta", "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",
     "group_agg_customer_orders", "hash_functions", "math_functions",
-    "max_by_top_order_per_cust", "p_ann_cosine_topk",
-    "p_ann_topk_ivf", "p_ann_topk_lsh", "p_cosine_pairs_blocked",
+    "max_by_top_order_per_cust",
 ]
 
 

@@ -128,7 +128,12 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # (lorenz), global-max-ts censoring scalar (KM) —
                     # all 1-row broadcasts; the heavy joins are hash
                     "p_association_rules", "w_lorenz_revenue",
-                    "e_survival_sessions"}
+                    "e_survival_sessions",
+                    # r07 evaluation tier: min-max normalizer as a
+                    # 1-row scalar broadcast (calibration + brier);
+                    # AUC/confusion join nothing but the rank-offset
+                    # broadcast (hash join on __rid)
+                    "p_calibration_value", "p_brier_value"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

@@ -92,39 +92,27 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
         F.round(d, digits).alias("cohens_d"))
 
 
-def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
-                   group_a, group_b, n_ranges: int | None = None,
-                   digits: int = 6) -> DataFrame:
-    """One row (n_a, n_b, u_a, u_b, z) — the Mann-Whitney U
-    (Wilcoxon rank-sum) test between the two named groups, with
-    midrank tie handling and the tie-corrected normal approximation:
-
-        U_a = R_a − n_a(n_a+1)/2,          U_b = n_a·n_b − U_a
-        z   = (U_a − n_a·n_b/2) / σ_U
-        σ²_U = n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1)))
-
-    The non-parametric companion to welch_ttest — rank arithmetic is
-    EXACT (integers scaled ×2, no FP ranks), so the statistic is
-    bit-identical on any engine.
+def ranksum_agg(df: DataFrame, value_col: str, in_a,
+                n_ranges: int | None = None) -> DataFrame:
+    """Internal engine shared by mann_whitney_u and
+    evaluation.binary_auc: the midrank rank-sum aggregate of the
+    rows marked by boolean Column ``in_a`` within the whole input.
+    Returns the 1-row frame (__nal = |A|, __nl = n, __r2 = 2·R_a
+    exact integer, __ties = Σ t³−t over tied blocks, both
+    decimal(38,0)).
 
     Plan: one value-grouped hash agg collapses the input to the
-    DISTINCT-VALUE table (per-value counts in each group), then the
-    cumulative count-below runs as the range-partitioned two-phase
-    prefix sum (per-range local window + 2-scalars-per-range
-    broadcast offsets; concurrency_profile's sweep shape — never a
-    single-partition sort). The rank-sum folds tied blocks in one
-    expression: R_a over a tied block of size t at cumulative offset
-    c contributes ca·(2c + t + 1)/2, summed in decimal(38,0) ×2 so
-    n up to 10^18 cannot overflow."""
+    distinct-value table; the cumulative count-below runs as the
+    range-partitioned two-phase prefix sum (per-range local window +
+    2-scalars-per-range broadcast offsets — never a single-partition
+    sort). A tied block of size t at cumulative offset c contributes
+    ca·(2c + t + 1) to 2·R_a — exact integers throughout."""
+    from pyspark.sql import Window
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = spark.sparkContext.defaultParallelism
-    from pyspark.sql import Window
-    g = F.col(group_col)
     x = F.col(value_col).cast("double")
-    in_a = g == F.lit(group_a)
-    in_b = g == F.lit(group_b)
-    vt = (df.where((in_a | in_b) & x.isNotNull())
+    vt = (df.where(x.isNotNull())
           .groupBy(x.alias("__v"))
           .agg(F.sum(in_a.cast("long")).alias("__ca"),
                F.count(F.lit(1)).alias("__cnt")))
@@ -149,14 +137,45 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
         .cast(d0)  # count strictly below this value
     ca = F.col("__ca").cast(d0)
     cnt = F.col("__cnt").cast(d0)
-    agg = (local.join(F.broadcast(off_df), "__rid")
-           .agg(F.sum(F.col("__ca")).alias("__nal"),
-                F.sum(F.col("__cnt")).alias("__nl"),
-                # 2·R_a, exact integer
-                F.sum(ca * (F.lit(2).cast(d0) * cb + cnt
-                            + F.lit(1).cast(d0))).alias("__r2"),
-                # Σ t³ − t over tied blocks, exact integer
-                F.sum(cnt * cnt * cnt - cnt).alias("__ties")))
+    return (local.join(F.broadcast(off_df), "__rid")
+            .agg(F.sum(F.col("__ca")).alias("__nal"),
+                 F.sum(F.col("__cnt")).alias("__nl"),
+                 # 2·R_a, exact integer
+                 F.sum(ca * (F.lit(2).cast(d0) * cb + cnt
+                             + F.lit(1).cast(d0))).alias("__r2"),
+                 # Σ t³ − t over tied blocks, exact integer
+                 F.sum(cnt * cnt * cnt - cnt).alias("__ties")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b, n_ranges: int | None = None,
+                   digits: int = 6) -> DataFrame:
+    """One row (n_a, n_b, u_a, u_b, z) — the Mann-Whitney U
+    (Wilcoxon rank-sum) test between the two named groups, with
+    midrank tie handling and the tie-corrected normal approximation:
+
+        U_a = R_a − n_a(n_a+1)/2,          U_b = n_a·n_b − U_a
+        z   = (U_a − n_a·n_b/2) / σ_U
+        σ²_U = n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1)))
+
+    The non-parametric companion to welch_ttest — rank arithmetic is
+    EXACT (integers scaled ×2, no FP ranks), so the statistic is
+    bit-identical on any engine.
+
+    Plan: one value-grouped hash agg collapses the input to the
+    DISTINCT-VALUE table (per-value counts in each group), then the
+    cumulative count-below runs as the range-partitioned two-phase
+    prefix sum (per-range local window + 2-scalars-per-range
+    broadcast offsets; concurrency_profile's sweep shape — never a
+    single-partition sort). The rank-sum folds tied blocks in one
+    expression: R_a over a tied block of size t at cumulative offset
+    c contributes ca·(2c + t + 1)/2, summed in decimal(38,0) ×2 so
+    n up to 10^18 cannot overflow."""
+    g = F.col(group_col)
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+    agg = ranksum_agg(df.where(in_a | in_b), value_col, in_a,
+                      n_ranges)
     na = F.col("__nal").cast("double")
     n = F.col("__nl").cast("double")
     nb_ = n - na

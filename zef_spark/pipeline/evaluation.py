@@ -1,0 +1,176 @@
+"""Model-evaluation metrics for binary classifiers: ROC-AUC,
+calibration (reliability) bins, threshold confusion metrics, and the
+Brier score — the measurement half of pipeline/classifier.py.
+
+Reference parity: the reference leaves metric assembly to chained
+zefops (`sort` + `enumerate` ranks, `frequencies`, `mean` — ITF);
+this module ships the assembled evaluators Spark-shaped: AUC is the
+midrank rank-sum (exact ×2-scaled integers, shared engine with
+abtest.mann_whitney_u — AUC IS U/(n₊·n₋)); everything else is ONE
+conditional-aggregation scan.
+
+Determinism: integer rank arithmetic and decimal(38,12) term sums —
+no log/exp anywhere (a log-loss variant would hinge on cross-engine
+libm ulp agreement; the Brier score carries the same calibration
+signal polynomially, hence bit-exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops.core import register_op
+from .abtest import ranksum_agg
+
+_DEC = "decimal(38,12)"
+
+
+def _term(c):
+    return F.round(c, 12).cast(_DEC)
+
+
+def _label(label_col):
+    lab = (F.col(label_col) if isinstance(label_col, str)
+           else label_col)
+    return lab.cast("boolean")
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col,
+               n_ranges: int | None = None,
+               digits: int = 6) -> DataFrame:
+    """One row (n_pos, n_neg, auc) — the exact ROC-AUC of a score
+    column against a binary label, via the rank-sum identity
+
+        AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋)
+
+    with midrank ties (a tied pos/neg pair credits 0.5 — exactly the
+    trapezoidal ROC area). Scale-free: any monotone transform of the
+    score leaves AUC unchanged, so raw scores need no normalization.
+
+    Plan: the shared rank-sum engine (abtest.ranksum_agg): one
+    distinct-value hash agg + the range-partitioned two-phase prefix
+    sum — never a single-partition sort, rank arithmetic in exact
+    ×2-scaled integers. Degenerate inputs (single-class) yield NULL
+    auc."""
+    lab = _label(label_col)
+    agg = ranksum_agg(df.where(lab.isNotNull()), score_col, lab,
+                      n_ranges)
+    na = F.col("__nal").cast("double")
+    n = F.col("__nl").cast("double")
+    nb = n - na
+    ua = (F.col("__r2").cast("double")
+          - na * (na + 1)) / F.lit(2.0)
+    auc = F.when((na > 0) & (nb > 0),
+                 F.round(ua / (na * nb), digits))
+    return agg.select(
+        F.col("__nal").cast("long").alias("n_pos"),
+        (F.col("__nl") - F.col("__nal")).cast("long").alias("n_neg"),
+        auc.alias("auc"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col,
+                     bins: int = 10, digits: int = 6) -> DataFrame:
+    """(bin, n, mean_score, pos_rate) — the reliability diagram:
+    scores in [0, 1] bucketed into ``bins`` equal-width bins (the
+    top edge closed: score 1.0 lands in the last bin), with each
+    bin's mean predicted probability vs realized positive rate. A
+    calibrated model sits on the diagonal; the per-bin gaps are the
+    ECE integrand (weight by n and sum |mean_score − pos_rate| for
+    expected calibration error).
+
+    Plan: ONE ``bins``-ary hash agg, map-side combinable;
+    decimal-exact score sums. Out-of-range scores clamp into the
+    edge bins (bin 0 / bins−1 absorb them) rather than erroring —
+    the bins themselves then reveal the miscalibrated mass."""
+    lab = _label(label_col)
+    s = F.col(score_col).cast("double")
+    b = F.least(F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
+                F.lit(int(bins) - 1))
+    out = (df.where(s.isNotNull() & lab.isNotNull())
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(_term(s)).cast("double").alias("__ss"),
+                F.sum(lab.cast("long")).alias("__pos")))
+    n = F.col("n").cast("double")
+    return out.select(
+        "bin", "n",
+        F.round(F.col("__ss") / n, digits).alias("mean_score"),
+        F.round(F.col("__pos") / n, digits).alias("pos_rate"))
+
+
+def confusion_at_threshold(df: DataFrame, score_col: str, label_col,
+                           threshold: float,
+                           digits: int = 6) -> DataFrame:
+    """One row (tp, fp, tn, fn, precision, recall, f1, accuracy) —
+    the confusion matrix and derived rates at ``score >= threshold``.
+    ONE conditional-aggregation scan; four longs cross the wire.
+    Empty denominators (no predicted / no actual positives) yield
+    NULL precision/recall/f1."""
+    lab = _label(label_col)
+    s = F.col(score_col).cast("double")
+    pred = s >= F.lit(float(threshold))
+    agg = (df.where(s.isNotNull() & lab.isNotNull())
+           .agg(F.sum((pred & lab).cast("long")).alias("tp"),
+                F.sum((pred & ~lab).cast("long")).alias("fp"),
+                F.sum((~pred & ~lab).cast("long")).alias("tn"),
+                F.sum((~pred & lab).cast("long")).alias("fn")))
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    tn = F.col("tn").cast("double")
+    fn = F.col("fn").cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+                2 * (tp / (tp + fp)) * (tp / (tp + fn))
+                / (tp / (tp + fp) + tp / (tp + fn)))
+    acc = (tp + tn) / (tp + fp + tn + fn)
+    return agg.select(
+        "tp", "fp", "tn", "fn",
+        F.round(prec, digits).alias("precision"),
+        F.round(rec, digits).alias("recall"),
+        F.round(f1, digits).alias("f1"),
+        F.round(acc, digits).alias("accuracy"))
+
+
+def brier_score(df: DataFrame, score_col: str, label_col,
+                digits: int = 6) -> DataFrame:
+    """One row (n, brier) — the Brier score, mean squared error of
+    the predicted probability against the 0/1 outcome:
+
+        B = mean((p − y)²)    ∈ [0, 1], lower is better
+
+    the proper polynomial scoring rule — carries the same
+    calibration+resolution signal as log-loss WITHOUT a logarithm,
+    so the statistic is bit-identical on any engine (decimal-exact
+    term sums; no libm dependence). ONE hash agg."""
+    lab = _label(label_col)
+    s = F.col(score_col).cast("double")
+    y = lab.cast("double")
+    d = s - y
+    agg = (df.where(s.isNotNull() & lab.isNotNull())
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(_term(d * d)).cast("double").alias("__se")))
+    return agg.select(
+        "n",
+        F.round(F.col("__se") / F.col("n").cast("double"),
+                digits).alias("brier"))
+
+
+@register_op("binary_auc", "df")
+def _auc_op(df, *args, **kw):
+    return binary_auc(df, *args, **kw)
+
+
+@register_op("calibration_bins", "df")
+def _calib_op(df, *args, **kw):
+    return calibration_bins(df, *args, **kw)
+
+
+@register_op("confusion_at_threshold", "df")
+def _conf_op(df, *args, **kw):
+    return confusion_at_threshold(df, *args, **kw)
+
+
+@register_op("brier_score", "df")
+def _brier_op(df, *args, **kw):
+    return brier_score(df, *args, **kw)
