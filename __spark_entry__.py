@@ -7157,6 +7157,153 @@ def p_brier_value(spark, sf_dir):
     return brier_score(scored, "s", "y")
 
 
+@query("w_target_encode_priority", """
+WITH cat AS (
+  SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '∅') AS c,
+    CAST(COUNT(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS nc,
+    SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sc
+  FROM orders GROUP BY 1
+), mu AS (
+  SELECT SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE
+         / COUNT(CAST(o_totalprice AS DOUBLE)) AS mu
+  FROM orders
+)
+SELECT c AS o_orderpriority,
+  ROUND((sc + 10.0 * mu) / (CAST(nc AS DOUBLE) + 10.0), 6)
+    AS te_o_orderpriority
+FROM cat CROSS JOIN mu ORDER BY 1
+""")
+def w_target_encode_priority(spark, sf_dir):
+    """Smoothed mean-target encoding of order priority against
+    order value (pipeline/wrangling.py target_encode, m=10):
+    vocabulary-sized category agg + 1-row global-mean broadcast,
+    joined back by hash join — the leakage-safe LOO form is
+    arithmetic on the same aggregate (unit-tested), no window. The
+    query distincts down to the category table for a compact
+    proof."""
+    from zef_spark.pipeline.wrangling import target_encode
+    orders = _t(spark, sf_dir, "orders")
+    return (target_encode(orders, "o_orderpriority", "o_totalprice",
+                          smoothing=10.0)
+            .select("o_orderpriority", "te_o_orderpriority")
+            .distinct().orderBy("o_orderpriority"))
+
+
+@query("w_corr_lineitem", """
+WITH b AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_extendedprice AS DOUBLE) AS x2,
+         CAST(l_discount AS DOUBLE) AS x3
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(x1, 12) AS DECIMAL(38,12)))::DOUBLE AS s1,
+    SUM(CAST(ROUND(x2, 12) AS DECIMAL(38,12)))::DOUBLE AS s2,
+    SUM(CAST(ROUND(x3, 12) AS DECIMAL(38,12)))::DOUBLE AS s3,
+    SUM(CAST(ROUND(x1 * x1, 12) AS DECIMAL(38,12)))::DOUBLE AS q1,
+    SUM(CAST(ROUND(x2 * x2, 12) AS DECIMAL(38,12)))::DOUBLE AS q2,
+    SUM(CAST(ROUND(x3 * x3, 12) AS DECIMAL(38,12)))::DOUBLE AS q3,
+    SUM(CAST(ROUND(x1 * x2, 12) AS DECIMAL(38,12)))::DOUBLE AS p12,
+    SUM(CAST(ROUND(x1 * x3, 12) AS DECIMAL(38,12)))::DOUBLE AS p13,
+    SUM(CAST(ROUND(x2 * x3, 12) AS DECIMAL(38,12)))::DOUBLE AS p23
+  FROM b
+), d AS (
+  SELECT a.*, CAST(n AS DOUBLE) AS nd FROM a
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+  CASE WHEN nd * q1 - s1 * s1 > 0 AND nd * q2 - s2 * s2 > 0
+       THEN ROUND((nd * p12 - s1 * s2)
+                  / SQRT((nd * q1 - s1 * s1)
+                         * (nd * q2 - s2 * s2)), 6) END AS r
+FROM d
+UNION ALL
+SELECT 'l_quantity', 'l_discount', n,
+  CASE WHEN nd * q1 - s1 * s1 > 0 AND nd * q3 - s3 * s3 > 0
+       THEN ROUND((nd * p13 - s1 * s3)
+                  / SQRT((nd * q1 - s1 * s1)
+                         * (nd * q3 - s3 * s3)), 6) END
+FROM d
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', n,
+  CASE WHEN nd * q2 - s2 * s2 > 0 AND nd * q3 - s3 * s3 > 0
+       THEN ROUND((nd * p23 - s2 * s3)
+                  / SQRT((nd * q2 - s2 * s2)
+                         * (nd * q3 - s3 * s3)), 6) END
+FROM d
+ORDER BY col_a, col_b
+""")
+def w_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation of lineitem quantity / extended
+    price / discount (pipeline/wrangling.py corr_matrix): all
+    k(k+1)/2 decimal-exact sums in ONE hash aggregate over ONE scan,
+    pair rows unfolded from the 1-row result by an inline array —
+    no per-pair jobs, no collect, listwise NULL deletion."""
+    from zef_spark.pipeline.wrangling import corr_matrix
+    li = _t(spark, sf_dir, "lineitem")
+    return (corr_matrix(li, ["l_quantity", "l_extendedprice",
+                             "l_discount"])
+            .orderBy("col_a", "col_b"))
+
+
+@query("e_linreg_trend", """
+WITH s AS (
+  SELECT event_type,
+    DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS tick,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(CAST(tick AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sx,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS sy,
+    SUM(CAST(ROUND(CAST(tick AS DOUBLE) * CAST(tick AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS qx,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS qy,
+    SUM(CAST(ROUND(CAST(tick AS DOUBLE) * x, 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sxy
+  FROM s
+  WHERE tick IS NOT NULL AND x IS NOT NULL
+  GROUP BY 1
+), d AS (
+  SELECT a.*, CAST(n AS DOUBLE) AS nd,
+    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+    CAST(n AS DOUBLE) * qx - sx * sx AS dx,
+    CAST(n AS DOUBLE) * qy - sy * sy AS dy
+  FROM a
+)
+SELECT event_type, n,
+  CASE WHEN n >= 2 AND dx > 0
+       THEN ROUND(num / dx, 6) END AS slope,
+  CASE WHEN n >= 2 AND dx > 0
+       THEN ROUND((sy - num / dx * sx) / nd, 6) END AS intercept,
+  CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+       THEN ROUND(num * num / (dx * dy), 6) END AS r2
+FROM d ORDER BY event_type
+""")
+def e_linreg_trend(spark, sf_dir):
+    """OLS trend line of each event type's daily value series
+    (pipeline/wrangling.py linreg): closed-form slope / intercept /
+    r² from ONE keyed hash agg of decimal-exact sums — the
+    trend-estimation primitive behind growth dashboards. Ticks by
+    epoch-day division, no rank, no sort."""
+    from zef_spark.pipeline.wrangling import linreg
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01"))
+                         .alias("tick"))
+              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                   .cast("double").alias("x")))
+    return (linreg(series, "tick", "x", by="event_type")
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7203,6 +7350,8 @@ _FRONT = [
     # (a4) the r07 model-evaluation tier (first driver rows)
     "p_auc_value", "p_calibration_value", "p_confusion_value",
     "p_brier_value",
+    # (a5) the r07 feature-stats tier (first driver rows)
+    "w_target_encode_priority", "w_corr_lineitem", "e_linreg_trend",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7212,8 +7361,9 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Fourteen cohort rows
-    # (p_ann_cosine_topk, p_ann_topk_ivf, p_ann_topk_lsh,
+    # to fill the 50-query window exactly. Seventeen cohort rows
+    # (hash_functions, math_functions, max_by_top_order_per_cust,
+    # p_ann_cosine_topk, p_ann_topk_ivf, p_ann_topk_lsh,
     # p_cosine_pairs_blocked, p_dedup_exact_groups, p_fingerprint,
     # p_lang_id, p_minhash_lsh_pairs, p_multimodal_meta,
     # p_ngram_jaccard_pairs, p_simhash_pairs, p_text_quality,
@@ -7228,8 +7378,7 @@ _FRONT = [
     "g_point_lookup_by_field", "g_quantity_fields",
     "g_relation_fields_meta", "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",
-    "group_agg_customer_orders", "hash_functions", "math_functions",
-    "max_by_top_order_per_cust",
+    "group_agg_customer_orders",
 ]
 
 

@@ -1,0 +1,116 @@
+"""Unit tests for target encoding, the one-scan correlation matrix,
+and grouped closed-form OLS (pipeline/wrangling.py additions)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_target_encode_smoothed(spark):
+    from zef_spark.pipeline.wrangling import target_encode
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = target_encode(df, "c", "y", smoothing=2.0).collect()
+    mu = 14.0 / 3
+    enc = {r["c"]: r["te_c"] for r in out}
+    assert enc["a"] == pytest.approx((4 + 2 * mu) / 4, abs=1e-6)
+    assert enc["b"] == pytest.approx((10 + 2 * mu) / 3, abs=1e-6)
+    # input columns survive
+    assert {c for c in out[0].asDict()} == {"c", "y", "te_c"}
+
+
+def test_target_encode_loo(spark):
+    from zef_spark.pipeline.wrangling import target_encode
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = target_encode(df, "c", "y", smoothing=0.0,
+                        loo=True).collect()
+    mu = 14.0 / 3
+    by_y = {r["y"]: r["te_c"] for r in out}
+    # row (a,1): (4-1)/(2-1) = 3; row (a,3): (4-3)/1 = 1
+    assert by_y[1.0] == 3.0 and by_y[3.0] == 1.0
+    # singleton (b,10) with m=0 degenerates to the global mean
+    assert by_y[10.0] == pytest.approx(mu, abs=1e-6)
+
+
+def test_target_encode_null_category(spark):
+    from zef_spark.pipeline.wrangling import target_encode
+    rows = [(None, 2.0), (None, 4.0), ("a", 6.0)]
+    df = spark.createDataFrame(rows, "c string, y double")
+    out = target_encode(df, "c", "y", smoothing=0.0).collect()
+    enc = {r["c"]: r["te_c"] for r in out}
+    assert enc[None] == 3.0 and enc["a"] == 6.0
+
+
+def test_corr_matrix_known_values(spark):
+    from zef_spark.pipeline.wrangling import corr_matrix
+    # y = 2x exactly → r=1; z anticorrelated with x → r=-1
+    rows = [(float(i), 2.0 * i, 10.0 - i) for i in range(8)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["r"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0 and out[("y", "z")] == -1.0
+
+
+def test_corr_matrix_listwise_and_constant(spark):
+    from zef_spark.pipeline.wrangling import corr_matrix
+    rows = [(1.0, 1.0, 5.0), (2.0, None, 5.0), (3.0, 2.0, 5.0),
+            (4.0, 4.0, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double, k double")
+    out = corr_matrix(df, ["x", "y", "k"]).collect()
+    ns = {r["n"] for r in out}
+    assert ns == {3}  # the NULL y row drops for ALL pairs
+    res = {(r["col_a"], r["col_b"]): r["r"] for r in out}
+    assert res[("x", "k")] is None  # zero variance
+    # hand Pearson on (1,1),(3,2),(4,4)
+    xs, ys = [1, 3, 4], [1, 2, 4]
+    n = 3
+    num = n * sum(a * b for a, b in zip(xs, ys)) \
+        - sum(xs) * sum(ys)
+    da = n * sum(a * a for a in xs) - sum(xs) ** 2
+    db = n * sum(b * b for b in ys) - sum(ys) ** 2
+    assert res[("x", "y")] == pytest.approx(
+        num / math.sqrt(da * db), abs=1e-6)
+
+
+def test_linreg_exact_line(spark):
+    from zef_spark.pipeline.wrangling import linreg
+    rows = [("g", float(i), 3.0 * i + 2.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = linreg(df, "x", "y", by="k").collect()[0]
+    assert r["slope"] == 3.0 and r["intercept"] == 2.0
+    assert r["r2"] == 1.0 and r["n"] == 10
+
+
+def test_linreg_degenerate(spark):
+    from zef_spark.pipeline.wrangling import linreg
+    rows = [("one", 1.0, 5.0),
+            ("flat", 2.0, 1.0), ("flat", 2.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in
+           linreg(df, "x", "y", by="k").collect()}
+    assert out["one"]["slope"] is None   # n < 2
+    assert out["flat"]["slope"] is None  # zero x-variance
+
+
+def test_linreg_hand_computed(spark):
+    from zef_spark.pipeline.wrangling import linreg
+    xs = [1.0, 2.0, 4.0, 7.0]
+    ys = [2.0, 3.0, 3.5, 8.0]
+    df = spark.createDataFrame(list(zip(xs, ys)),
+                               "x double, y double")
+    r = linreg(df, "x", "y").collect()[0]
+    n = 4
+    num = n * sum(a * b for a, b in zip(xs, ys)) \
+        - sum(xs) * sum(ys)
+    dx = n * sum(a * a for a in xs) - sum(xs) ** 2
+    dy = n * sum(b * b for b in ys) - sum(ys) ** 2
+    slope = num / dx
+    assert r["slope"] == pytest.approx(slope, abs=1e-6)
+    assert r["intercept"] == pytest.approx(
+        (sum(ys) - slope * sum(xs)) / n, abs=1e-6)
+    assert r["r2"] == pytest.approx(num * num / (dx * dy),
+                                    abs=1e-6)

@@ -133,7 +133,11 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # 1-row scalar broadcast (calibration + brier);
                     # AUC/confusion join nothing but the rank-offset
                     # broadcast (hash join on __rid)
-                    "p_calibration_value", "p_brier_value"}
+                    "p_calibration_value", "p_brier_value",
+                    # r07 feature-stats: global target mean as a
+                    # 1-row scalar broadcast (category agg itself is
+                    # a hash join)
+                    "w_target_encode_priority"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

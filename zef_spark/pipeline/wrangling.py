@@ -909,3 +909,156 @@ def _gini_op(df, *args, **kw):
 @register_op("lorenz_points", "df")
 def _lorenz_op(df, *args, **kw):
     return lorenz_points(df, *args, **kw)
+
+
+def target_encode(df: DataFrame, cat_col: str, target_col: str,
+                  smoothing: float = 10.0, loo: bool = False,
+                  out_col: str | None = None,
+                  digits: int = 6) -> DataFrame:
+    """Input + ``out_col`` (default ``te_<cat_col>``) — smoothed
+    mean-target encoding of a categorical column:
+
+        enc(c) = (Σ_c y + m·μ) / (n_c + m)          (loo=False)
+        enc_i  = (Σ_c y − y_i + m·μ) / (n_c − 1 + m) (loo=True)
+
+    with μ the global target mean and m the smoothing pseudo-count
+    (rare categories shrink toward μ). loo=True excludes each row's
+    OWN target — the leakage-safe form for training folds (a
+    category's singleton row degenerates to exactly μ). NULL
+    categories encode as their own category.
+
+    Plan: one cat-keyed hash agg (vocabulary-sized) joined back by
+    hash join (broadcast when the vocab fits), the global mean a
+    1-row broadcast. LOO needs NO window: the per-row exclusion is
+    arithmetic on the category aggregate. Decimal-exact sums."""
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    out_col = out_col or f"te_{cat_col}"
+    y = F.col(target_col).cast("double")
+    key = F.coalesce(F.col(cat_col).cast("string"), F.lit("∅"))
+    cat = (df.groupBy(key.alias("__cat"))
+           .agg(F.count(y).alias("__nc"),
+                F.sum(term(y)).cast("double").alias("__sc")))
+    tot = df.agg((F.sum(term(y)).cast("double")
+                  / F.count(y)).alias("__mu"))
+    m = float(smoothing)
+    joined = (df.withColumn("__cat", key)
+              .join(cat, "__cat")
+              .crossJoin(F.broadcast(tot)))
+    nc = F.col("__nc").cast("double")
+    if loo:
+        enc = F.when(
+            y.isNotNull() & (nc - 1 + m > 0),
+            (F.col("__sc") - y + m * F.col("__mu"))
+            / (nc - 1 + m)).otherwise(F.col("__mu"))
+    else:
+        enc = (F.col("__sc") + m * F.col("__mu")) / (nc + m)
+    return (joined.withColumn(out_col, F.round(enc, digits))
+            .drop("__cat", "__nc", "__sc", "__mu"))
+
+
+def corr_matrix(df: DataFrame, cols: list[str],
+                digits: int = 6) -> DataFrame:
+    """(col_a, col_b, n, r) — the Pearson correlation of every
+    unordered column pair (pair order follows the ``cols`` list
+    order), from ONE scan:
+    all k(k+1)/2 decimal-exact sums (Σxᵢ, Σxᵢ², Σxᵢxⱼ) land in a
+    single hash aggregate, and the pair rows unfold from the 1-row
+    result via an inline array — no per-pair jobs, no collect.
+    Rows with a NULL in ANY listed column are dropped (listwise
+    deletion) so every pair shares one n. Zero-variance columns
+    yield NULL r."""
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    cols = list(cols)
+    xs = {c: F.col(c).cast("double") for c in cols}
+    base = df.where(F.lit(True))
+    for c in cols:
+        base = base.where(xs[c].isNotNull())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(term(xs[c])).cast("double")
+                    .alias(f"__s_{c}"))
+        aggs.append(F.sum(term(xs[c] * xs[c])).cast("double")
+                    .alias(f"__q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(term(xs[a] * xs[b])).cast("double")
+                        .alias(f"__p_{a}_{b}"))
+    one = base.agg(*aggs)
+    n = F.col("__n").cast("double")
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = n * F.col(f"__p_{a}_{b}") \
+                - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            da = n * F.col(f"__q_{a}") \
+                - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            db = n * F.col(f"__q_{b}") \
+                - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            r = F.when((da > 0) & (db > 0),
+                       F.round(num / F.sqrt(da * db), digits))
+            pairs.append(F.struct(F.lit(a).alias("col_a"),
+                                  F.lit(b).alias("col_b"),
+                                  r.alias("r")))
+    return (one.select(F.col("__n").alias("n"),
+                       F.explode(F.array(*pairs)).alias("__pr"))
+            .select("__pr.col_a", "__pr.col_b", "n", "__pr.r"))
+
+
+def linreg(df: DataFrame, x_col: str, y_col: str, by=None,
+           digits: int = 6) -> DataFrame:
+    """(by..., n, slope, intercept, r2) — closed-form simple OLS of
+    y on x per key:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (nΣxy − ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+
+    The trend-line primitive (daily-revenue slope per segment,
+    latency growth per host). ONE keyed hash agg, map-side
+    combinable, decimal-exact sums; degenerate keys (n<2 or
+    zero x-variance) yield NULL slope/intercept/r2."""
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = (df.where(x.isNotNull() & y.isNotNull())
+           .groupBy(*by)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum(term(x)).cast("double").alias("__sx"),
+                F.sum(term(y)).cast("double").alias("__sy"),
+                F.sum(term(x * x)).cast("double").alias("__qx"),
+                F.sum(term(y * y)).cast("double").alias("__qy"),
+                F.sum(term(x * y)).cast("double").alias("__sxy")))
+    n = F.col("__n").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = n * F.col("__qx") - F.col("__sx") * F.col("__sx")
+    dy = n * F.col("__qy") - F.col("__sy") * F.col("__sy")
+    ok = (F.col("__n") >= 2) & (dx > 0)
+    slope = F.when(ok, num / dx)
+    intercept = F.when(ok, (F.col("__sy") - num / dx
+                            * F.col("__sx")) / n)
+    r2 = F.when(ok & (dy > 0), F.round(num * num / (dx * dy),
+                                       digits))
+    return agg.select(*by, F.col("__n").alias("n"),
+                      F.round(slope, digits).alias("slope"),
+                      F.round(intercept, digits).alias("intercept"),
+                      r2.alias("r2"))
+
+
+@register_op("target_encode", "df")
+def _target_encode_op(df, *args, **kw):
+    return target_encode(df, *args, **kw)
+
+
+@register_op("corr_matrix", "df")
+def _corr_matrix_op(df, *args, **kw):
+    return corr_matrix(df, *args, **kw)
+
+
+@register_op("linreg", "df")
+def _linreg_op(df, *args, **kw):
+    return linreg(df, *args, **kw)
