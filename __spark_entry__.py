@@ -7304,6 +7304,128 @@ def e_linreg_trend(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("p_embed_cov_pairs", """
+WITH b AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(embedding[3] AS DOUBLE) AS x2,
+         CAST(embedding[4] AS DOUBLE) AS x3
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 3
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(x0, 12) AS DECIMAL(38,12)))::DOUBLE AS s0,
+    SUM(CAST(ROUND(x1, 12) AS DECIMAL(38,12)))::DOUBLE AS s1,
+    SUM(CAST(ROUND(x2, 12) AS DECIMAL(38,12)))::DOUBLE AS s2,
+    SUM(CAST(ROUND(x3, 12) AS DECIMAL(38,12)))::DOUBLE AS s3,
+    SUM(CAST(ROUND(x0 * x0, 12) AS DECIMAL(38,12)))::DOUBLE AS p00,
+    SUM(CAST(ROUND(x0 * x1, 12) AS DECIMAL(38,12)))::DOUBLE AS p01,
+    SUM(CAST(ROUND(x1 * x2, 12) AS DECIMAL(38,12)))::DOUBLE AS p12,
+    SUM(CAST(ROUND(x3 * x3, 12) AS DECIMAL(38,12)))::DOUBLE AS p33
+  FROM b
+), d AS (SELECT a.*, CAST(n AS DOUBLE) AS nd FROM a)
+SELECT 0 AS dim_a, 0 AS dim_b, n,
+       ROUND((p00 - s0 * s0 / nd) / nd, 6) AS cov FROM d
+UNION ALL
+SELECT 0, 1, n, ROUND((p01 - s0 * s1 / nd) / nd, 6) FROM d
+UNION ALL
+SELECT 1, 2, n, ROUND((p12 - s1 * s2 / nd) / nd, 6) FROM d
+UNION ALL
+SELECT 3, 3, n, ROUND((p33 - s3 * s3 / nd) / nd, 6) FROM d
+ORDER BY dim_a, dim_b
+""")
+def p_embed_cov_pairs(spark, sf_dir):
+    """Exact population covariance of selected embedding-component
+    pairs (pipeline/embeddings.py covariance_pairs) — the cross-
+    engine-exact sufficient-statistics face of the PCA stack
+    (moment_partials/pca_fit/pca_project are property-tested: exact
+    path == numpy-BLAS mapInPandas path, orthonormal components,
+    Σλ = trace). ONE scan, one pairs-bounded hash agg, pair rows
+    unfolded from the 1-row result — nothing proportional to d²."""
+    from zef_spark.pipeline.embeddings import covariance_pairs
+    emb = _t(spark, sf_dir, "embeddings")
+    return (covariance_pairs(emb, "embedding",
+                             [(0, 0), (0, 1), (1, 2), (3, 3)])
+            .orderBy("dim_a", "dim_b"))
+
+
+@query("w_mad_outliers_acctbal", """
+WITH m1 AS (
+  SELECT c_mktsegment AS k, CAST(c_acctbal AS DOUBLE) AS x,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY CAST(c_acctbal AS DOUBLE)) AS rn,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer WHERE c_acctbal IS NOT NULL
+), m2 AS (
+  SELECT *, MAX(CASE WHEN rn = CEIL(n / 2.0) THEN x END)
+            OVER (PARTITION BY k) AS med
+  FROM m1
+), m3 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                               ORDER BY ABS(x - med)) AS rd
+  FROM m2
+), m4 AS (
+  SELECT *, MAX(CASE WHEN rd = CEIL(n / 2.0) THEN ABS(x - med) END)
+            OVER (PARTITION BY k) AS mad
+  FROM m3
+)
+SELECT k AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+  MAX(med) AS median, MAX(mad) AS mad,
+  CAST(SUM(CASE WHEN mad > 0 AND 0.6745 * ABS(x - med) / mad > 3.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM m4 GROUP BY 1 ORDER BY 1
+""")
+def w_mad_outliers_acctbal(spark, sf_dir):
+    """Robust outlier summary of customer balances per market segment
+    (pipeline/wrangling.py mad_outliers): median and MAD both exact
+    by integer-rank PERCENTILE_DISC, modified z-score (Iglewicz-
+    Hoaglin 0.6745·|x−med|/MAD) at 3.5 — bit-replayable in any
+    engine. Two key-ordered window shuffles + one shared-key agg."""
+    from zef_spark.pipeline.wrangling import mad_outliers
+    cust = _t(spark, sf_dir, "customer")
+    return (mad_outliers(cust, "c_acctbal", by="c_mktsegment",
+                         threshold=3.5)
+            .orderBy("c_mktsegment"))
+
+
+@query("w_rank_decile_price", """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+    NTILE(10) OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice) AS decile,
+    ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice), 6) AS pct
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderpriority, decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+  MAX(pct) AS max_pct
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def w_rank_decile_price(spark, sf_dir):
+    """Rank-based feature scaling (pipeline/wrangling.py
+    rank_transform) proven in both forms at once: NTILE(10) equal-
+    population deciles + PERCENT_RANK quantile-uniform transform of
+    order value per priority, aggregated per (priority, decile) —
+    count/min/max/max-pct are tie-permutation-invariant (per-tile
+    VALUE multisets don't depend on row order among equal values),
+    so the proof is stable under duplicate prices. Both windows
+    share one key-ordered shuffle."""
+    from zef_spark.pipeline.wrangling import rank_transform
+    o = _t(spark, sf_dir, "orders")
+    with_decile = rank_transform(o, "o_totalprice",
+                                 by="o_orderpriority", bins=10,
+                                 out_col="decile")
+    with_pct = rank_transform(with_decile, "o_totalprice",
+                              by="o_orderpriority", out_col="pct")
+    return (with_pct.groupBy("o_orderpriority", "decile")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_totalprice").alias("min_price"),
+                 F.max("o_totalprice").alias("max_price"),
+                 F.max("pct").alias("max_pct"))
+            .orderBy("o_orderpriority", "decile"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7352,6 +7474,11 @@ _FRONT = [
     "p_brier_value",
     # (a5) the r07 feature-stats tier (first driver rows)
     "w_target_encode_priority", "w_corr_lineitem", "e_linreg_trend",
+    # (a6) the r07 dimensionality/robust-stats tier (first driver
+    # rows; PCA fit/project itself is property-tested — the exact
+    # covariance face is the oracle-able part)
+    "p_embed_cov_pairs", "w_mad_outliers_acctbal",
+    "w_rank_decile_price",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7361,18 +7488,19 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Seventeen cohort rows
-    # (hash_functions, math_functions, max_by_top_order_per_cust,
-    # p_ann_cosine_topk, p_ann_topk_ivf, p_ann_topk_lsh,
-    # p_cosine_pairs_blocked, p_dedup_exact_groups, p_fingerprint,
-    # p_lang_id, p_minhash_lsh_pairs, p_multimodal_meta,
-    # p_ngram_jaccard_pairs, p_simhash_pairs, p_text_quality,
-    # scan_cumulative_revenue, string_functions) rotate to the r08
-    # front instead — safe, because the r06 judge's independent
-    # 130-query sweep re-proved every row outside the r06 driver
-    # window, so their most recent proof is r06, not r03.
-    "concat_union_segments", "conditional_bucketing",
-    "datetime_functions", "g_all_type_counts", "g_asof_order_count",
+    # to fill the 50-query window exactly. Twenty cohort rows
+    # (concat_union_segments, conditional_bucketing,
+    # datetime_functions, hash_functions, math_functions,
+    # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
+    # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
+    # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
+    # p_multimodal_meta, p_ngram_jaccard_pairs, p_simhash_pairs,
+    # p_text_quality, scan_cumulative_revenue, string_functions)
+    # rotate to the r08 front instead — safe, because the r06
+    # judge's independent 130-query sweep re-proved every row
+    # outside the r06 driver window, so their most recent proof is
+    # r06, not r03.
+    "g_all_type_counts", "g_asof_order_count",
     "g_gather_closure", "g_has_order_customers",
     "g_hop2_revenue_by_customer", "g_hop_customer_nation",
     "g_point_lookup_by_field", "g_quantity_fields",

@@ -97,6 +97,178 @@ def random_projection(df: DataFrame, vec_col: str, in_dim: int,
     return df.withColumn(out_col, F.array(*comps))
 
 
+def covariance_pairs(df: DataFrame, vec_col: str,
+                     pairs: list[tuple[int, int]],
+                     digits: int = 6) -> DataFrame:
+    """(dim_a, dim_b, n, cov) — POPULATION covariance of the requested
+    embedding-component pairs (0-based dims), cross-engine exact:
+
+        cov(a,b) = (Σ x_a·x_b − Σx_a · Σx_b / n) / n
+
+    with every term rounded at 12 dp and summed in DECIMAL(38,12), so
+    any engine applying the same definition matches bit-for-bit. ONE
+    scan, one pairs-bounded hash aggregate (map-side combinable), the
+    pair rows unfolded from the 1-row result via an inline array — no
+    explode, no per-pair job, nothing proportional to d². Rows whose
+    vector is NULL or too short for a requested dim are dropped
+    (listwise) so every pair shares one n."""
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    pairs = [(int(a), int(b)) for a, b in pairs]
+    dims = sorted({d for p in pairs for d in p})
+    v = F.col(vec_col)
+    base = df.where(v.isNotNull() & (F.size(v) > max(dims)))
+    x = {d: F.element_at(v, d + 1).cast("double") for d in dims}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for d in dims:
+        aggs.append(F.sum(term(x[d])).cast("double").alias(f"__s_{d}"))
+    for a, b in pairs:
+        aggs.append(F.sum(term(x[a] * x[b])).cast("double")
+                    .alias(f"__p_{a}_{b}"))
+    one = base.agg(*aggs)
+    n = F.col("__n").cast("double")
+    rows = []
+    for a, b in pairs:
+        cov = F.when(
+            F.col("__n") > 0,
+            F.round((F.col(f"__p_{a}_{b}")
+                     - F.col(f"__s_{a}") * F.col(f"__s_{b}") / n) / n,
+                    digits))
+        rows.append(F.struct(F.lit(a).alias("dim_a"),
+                             F.lit(b).alias("dim_b"),
+                             cov.alias("cov")))
+    return (one.select(F.col("__n").alias("n"),
+                       F.explode(F.array(*rows)).alias("__pr"))
+            .select("__pr.dim_a", "__pr.dim_b", "n", "__pr.cov"))
+
+
+def moment_partials(df: DataFrame, vec_col: str, dim: int,
+                    exact: bool = False) -> DataFrame:
+    """1-row DataFrame (n, s: d-array, m: d²-array row-major) of the
+    corpus moments Σx and Σx·xᵀ — the sufficient statistics for
+    mean/covariance/PCA.
+
+    exact=False (the SCALE path): mapInPandas — each Arrow batch
+    collapses to ONE partial row via numpy BLAS (syrk), then a d²-
+    bounded element sum. Work on the data is vectorized C; only
+    dim²-sized partials cross the wire (one per batch), never rows.
+    exact=True: row-local outer products exploded to (idx, value)
+    with 12-dp DECIMAL sums — d²× row expansion, cross-engine exact;
+    for oracle proofs and small-d audits, not the 100 TB path."""
+    v = F.col(vec_col)
+    base = df.where(v.isNotNull() & (F.size(v) == dim))
+    if exact:
+        dec = "decimal(38,12)"
+        xd = F.transform(v, lambda x: x.cast("double"))
+        outer = F.flatten(F.transform(
+            xd, lambda xi: F.transform(xd, lambda xj: xi * xj)))
+        both = F.concat(xd, outer)  # first d entries Σx, rest Σxxᵀ
+        ex = (base.select(F.posexplode(both).alias("__i", "__x"))
+              .groupBy("__i")
+              .agg(F.sum(F.round(F.col("__x"), 12).cast(dec))
+                   .cast("double").alias("__v")))
+        cnt = base.agg(F.count(F.lit(1)).alias("n"))
+        packed = (ex.agg(F.array_sort(F.collect_list(
+                      F.struct("__i", "__v"))).alias("__a"))
+                  .select(F.transform("__a", lambda s: s["__v"])
+                          .alias("__flat")))
+        return (cnt.crossJoin(F.broadcast(packed))
+                .select("n", F.slice("__flat", 1, dim).alias("s"),
+                        F.slice("__flat", dim + 1, dim * dim)
+                        .alias("m")))
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+        n, s, m = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype="float64")
+            n += X.shape[0]
+            s = X.sum(axis=0) + (s if s is not None else 0.0)
+            m = X.T @ X + (m if m is not None else 0.0)
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "m": [m.ravel().tolist()]})
+
+    schema = "n long, s array<double>, m array<double>"
+    partials = base.select(vec_col).mapInPandas(part, schema=schema)
+    # reduce the batch partials: d²-bounded, one tiny shuffle
+    ps = (partials.select("n", F.posexplode(F.concat("s", "m"))
+                          .alias("__i", "__x"))
+          .groupBy("__i").agg(F.sum("__x").alias("__v")))
+    cnt = partials.agg(F.sum("n").alias("n"))
+    packed = (ps.agg(F.array_sort(F.collect_list(
+                  F.struct("__i", "__v"))).alias("__a"))
+              .select(F.transform("__a", lambda s: s["__v"])
+                      .alias("__flat")))
+    return (cnt.crossJoin(F.broadcast(packed))
+            .select("n", F.slice("__flat", 1, dim).alias("s"),
+                    F.slice("__flat", dim + 1, dim * dim).alias("m")))
+
+
+def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int,
+            exact: bool = False) -> dict:
+    """Fit a k-component PCA on an embedding column. Distributed part
+    = ONE pass of sufficient statistics (`moment_partials`); the
+    eigendecomposition runs on the driver over the d×d covariance —
+    O(d³) with d the EMBEDDING dim, independent of row count, the
+    standard big-data PCA split (same shape as Spark MLlib's
+    RowMatrix.computePrincipalComponents).
+
+    Returns {n, mean (d), components (k×d, rows = eigenvectors,
+    descending eigenvalue, sign-normalized so each row's
+    largest-|x| entry is positive), explained_variance (k),
+    total_variance (= covariance trace = Σ ALL eigenvalues)}."""
+    import numpy as np
+    row = moment_partials(df, vec_col, dim, exact=exact).collect()[0]
+    n = row["n"]
+    s = np.asarray(row["s"])
+    m = np.asarray(row["m"]).reshape(dim, dim)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                   # k×d
+    for r in comps:                            # deterministic sign
+        if r[np.argmax(np.abs(r))] < 0:
+            r *= -1.0
+    return {"n": int(n), "mean": mean.tolist(),
+            "components": comps.tolist(),
+            "explained_variance": vals[order].tolist(),
+            "total_variance": float(np.trace(cov))}
+
+
+def pca_project(df: DataFrame, vec_col: str, model: dict,
+                out_col: str = "pca", digits: int = 6) -> DataFrame:
+    """Input + `out_col` = (x − mean) · componentsᵀ, the k-dim PCA
+    projection. The k×d model is a plan literal broadcast to every
+    task; the matmul runs in an Arrow-batched pandas UDF (numpy BLAS
+    per batch) — row-local, zero shuffle, pipelines with the scan.
+    (A higher-order-function form would run interpreted per element:
+    d×k mults/row in the plan interpreter — the UDF is the fast
+    path here, not the slow one.)"""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+    import numpy as np
+    mean = np.asarray(model["mean"])
+    comps = np.asarray(model["components"])   # k×d
+
+    def _proj(col):
+        X = np.asarray(list(col), dtype="float64")
+        Y = np.round((X - mean) @ comps.T, digits)
+        return pd.Series(list(Y))
+
+    # real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which the pandas_udf
+    # resolver can't evaluate against local imports
+    _proj.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    proj = pandas_udf(T.ArrayType(T.DoubleType()))(_proj)
+    return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
 from ..ops.core import register_op
 
 
@@ -113,3 +285,13 @@ def _pool_op(df: DataFrame, *args, **kw):
 @register_op("random_projection", "df")
 def _rp_op(df: DataFrame, *args, **kw):
     return random_projection(df, *args, **kw)
+
+
+@register_op("covariance_pairs", "df")
+def _cov_pairs_op(df: DataFrame, *args, **kw):
+    return covariance_pairs(df, *args, **kw)
+
+
+@register_op("pca_project", "df")
+def _pca_project_op(df: DataFrame, *args, **kw):
+    return pca_project(df, *args, **kw)

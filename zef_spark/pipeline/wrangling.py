@@ -1062,3 +1062,92 @@ def _corr_matrix_op(df, *args, **kw):
 @register_op("linreg", "df")
 def _linreg_op(df, *args, **kw):
     return linreg(df, *args, **kw)
+
+
+def mad_outliers(df: DataFrame, value_col: str, by=None,
+                 threshold: float = 3.5,
+                 summarize: bool = True) -> DataFrame:
+    """Robust outlier detection by the modified z-score
+    |0.6745·(x − median)| / MAD > threshold (Iglewicz-Hoaglin), with
+    median and MAD both EXACT by the integer-rank PERCENTILE_DISC
+    definition (value at row ceil(n/2) of the sorted multiset) — no
+    interpolation, tie-independent, engine-exact, so the whole
+    detector replays bit-for-bit in any engine.
+
+    summarize=True → (by..., n, median, mad, n_outliers) per key;
+    summarize=False → input rows + (median, mad, is_outlier).
+
+    Plan: TWO key-ordered window shuffles (one for the value rank,
+    one for the |x−median| rank — the second pass is data-dependent
+    on the first, irreducible for an exact MAD) + a final hash agg
+    sharing the same key partitioning. Nothing global, nothing
+    collected. MAD = 0 (≥half the group at the median) flags nothing
+    — the modified z is undefined there, documented behavior."""
+    from pyspark.sql import Window
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(x)
+    wn = Window.partitionBy(*keys)
+    med_t = (base
+             .withColumn("__rn", F.row_number().over(w))
+             .withColumn("__n", F.count(F.lit(1)).over(wn))
+             .withColumn("__med", F.max(F.when(
+                 F.col("__rn") == F.ceil(F.col("__n") / 2),
+                 x)).over(wn)))
+    dev = F.abs(x - F.col("__med"))
+    wd = Window.partitionBy(*keys).orderBy(dev)
+    mad_t = (med_t
+             .withColumn("__rd", F.row_number().over(wd))
+             .withColumn("__mad", F.max(F.when(
+                 F.col("__rd") == F.ceil(F.col("__n") / 2),
+                 dev)).over(wn)))
+    is_out = ((F.col("__mad") > 0)
+              & (0.6745 * dev / F.col("__mad") > F.lit(threshold)))
+    if not summarize:
+        return (mad_t.withColumn("median", F.col("__med"))
+                .withColumn("mad", F.col("__mad"))
+                .withColumn("is_outlier", is_out)
+                .drop("__rn", "__n", "__med", "__rd", "__mad"))
+    return (mad_t.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("__med").alias("median"),
+                 F.max("__mad").alias("mad"),
+                 F.sum(F.when(is_out, 1).otherwise(0))
+                 .cast("long").alias("n_outliers")))
+
+
+def rank_transform(df: DataFrame, value_col: str, by=None,
+                   out_col: str | None = None,
+                   bins: int | None = None,
+                   digits: int = 6) -> DataFrame:
+    """Input + `out_col` — rank-based feature scaling per key:
+    bins=None → PERCENT_RANK in [0,1] (the quantile-uniform
+    transform; rank-tied rows share a value); bins=k → NTILE(k)
+    bucket index in 1..k (equal-population binning, SQL NTILE
+    semantics). ONE key-ordered window shuffle; NULL values pass
+    through with NULL output (excluded from ranking)."""
+    from pyspark.sql import Window
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    out_col = out_col or (f"ntile_{value_col}" if bins
+                          else f"pct_rank_{value_col}")
+    x = F.col(value_col)
+    w = Window.partitionBy(*keys).orderBy(x)
+    ranked = (F.ntile(int(bins)).over(w) if bins
+              else F.round(F.percent_rank().over(w), digits))
+    nn = df.where(x.isNotNull()).withColumn(out_col, ranked)
+    nulls = df.where(x.isNull()).withColumn(
+        out_col, F.lit(None).cast("int" if bins else "double"))
+    return nn.unionByName(nulls)
+
+
+@register_op("mad_outliers", "df")
+def _mad_outliers_op(df, *args, **kw):
+    return mad_outliers(df, *args, **kw)
+
+
+@register_op("rank_transform", "df")
+def _rank_transform_op(df, *args, **kw):
+    return rank_transform(df, *args, **kw)
