@@ -7426,6 +7426,103 @@ def w_rank_decile_price(spark, sf_dir):
             .orderBy("o_orderpriority", "decile"))
 
 
+@query("w_one_hot_status", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_p
+FROM orders GROUP BY 1 ORDER BY 1
+""")
+def w_one_hot_status(spark, sf_dir):
+    """One-hot encoding of order status (pipeline/encoding.py
+    one_hot, explicit pinned vocabulary — plan-pure, train/serve
+    consistent) proven by summing the indicator columns per
+    priority: row-local CASE expressions, zero extra shuffle beyond
+    the final agg."""
+    from zef_spark.pipeline.encoding import one_hot
+    o = _t(spark, sf_dir, "orders")
+    enc = one_hot(o, "o_orderstatus", vocab=["F", "O", "P"])
+    return (enc.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("oh_o_orderstatus_F").cast("long").alias("n_f"),
+                 F.sum("oh_o_orderstatus_O").cast("long").alias("n_o"),
+                 F.sum("oh_o_orderstatus_P").cast("long").alias("n_p"))
+            .orderBy("o_orderpriority"))
+
+
+@query("p_feature_hash_profile", """
+WITH f AS (
+  SELECT doc_id,
+    ('0x' || SUBSTR(MD5('lang=' || lang), 1, 15))::BIGINT % 8
+      AS bucket,
+    CASE WHEN ('0x' || SUBSTR(MD5('lang=' || lang), 16, 1))::BIGINT
+              % 2 = 0 THEN 1 ELSE -1 END AS v
+  FROM documents WHERE lang IS NOT NULL
+  UNION ALL
+  SELECT doc_id,
+    ('0x' || SUBSTR(MD5('source=' || source), 1, 15))::BIGINT % 8,
+    CASE WHEN ('0x' || SUBSTR(MD5('source=' || source), 16, 1))
+              ::BIGINT % 2 = 0 THEN 1 ELSE -1 END
+  FROM documents WHERE source IS NOT NULL
+), g AS (
+  SELECT doc_id, bucket, SUM(v) AS value FROM f GROUP BY 1, 2
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(value) AS BIGINT) AS total
+FROM g WHERE value <> 0 GROUP BY 1 ORDER BY 1
+""")
+def p_feature_hash_profile(spark, sf_dir):
+    """Signed hashing trick (pipeline/encoding.py feature_hash,
+    sparse form) over document lang+source into dim=8, profiled per
+    bucket. Buckets and ±1 signs come from the repo's bit-portable
+    md5 idiom, so the oracle replays the exact same feature→bucket
+    mapping — this checks the hashing itself, not just the sums.
+    Dense form is property-tested equal to this sparse form."""
+    from zef_spark.pipeline.encoding import feature_hash
+    docs = _t(spark, sf_dir, "documents")
+    fh = feature_hash(docs, ["lang", "source"], 8,
+                      id_col="doc_id", sparse=True)
+    return (fh.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("value").cast("long").alias("total"))
+            .orderBy("bucket"))
+
+
+@query("w_count_encode_cross", """
+WITH t AS (
+  SELECT COALESCE(CAST(o_orderstatus AS VARCHAR), '∅') || '␟'
+         || COALESCE(CAST(o_orderpriority AS VARCHAR), '∅') AS x
+  FROM orders
+)
+SELECT x AS cross_val,
+  ROUND(CAST(COUNT(*) AS DOUBLE)
+        / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6) AS ce
+FROM t GROUP BY 1 ORDER BY 1
+""")
+def w_count_encode_cross(spark, sf_dir):
+    """Crossed categorical feature (pipeline/encoding.py
+    interaction_features — row-local string cross, NULLs kept
+    distinct) fed to normalized count/frequency encoding
+    (count_encode): one vocab-sized agg + broadcast total. The
+    distinct over (cross, ce) collapses to the category table for a
+    compact proof."""
+    from zef_spark.pipeline.encoding import (count_encode,
+                                             interaction_features)
+    o = _t(spark, sf_dir, "orders")
+    crossed = interaction_features(o, ["o_orderstatus",
+                                       "o_orderpriority"])
+    enc = count_encode(crossed, "x_o_orderstatus_o_orderpriority",
+                       normalize=True)
+    return (enc.select(F.col("x_o_orderstatus_o_orderpriority")
+                       .alias("cross_val"),
+                       F.col("ce_x_o_orderstatus_o_orderpriority")
+                       .alias("ce"))
+            .distinct().orderBy("cross_val"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7479,6 +7576,9 @@ _FRONT = [
     # covariance face is the oracle-able part)
     "p_embed_cov_pairs", "w_mad_outliers_acctbal",
     "w_rank_decile_price",
+    # (a7) the r07 categorical-encoding tier (first driver rows)
+    "w_one_hot_status", "p_feature_hash_profile",
+    "w_count_encode_cross",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7488,9 +7588,10 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Twenty cohort rows
+    # to fill the 50-query window exactly. Twenty-three cohort rows
     # (concat_union_segments, conditional_bucketing,
-    # datetime_functions, hash_functions, math_functions,
+    # datetime_functions, g_all_type_counts, g_asof_order_count,
+    # g_gather_closure, hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7500,8 +7601,7 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_all_type_counts", "g_asof_order_count",
-    "g_gather_closure", "g_has_order_customers",
+    "g_has_order_customers",
     "g_hop2_revenue_by_customer", "g_hop_customer_nation",
     "g_point_lookup_by_field", "g_quantity_fields",
     "g_relation_fields_meta", "g_time_travel_duration",

@@ -137,7 +137,10 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     # r07 feature-stats: global target mean as a
                     # 1-row scalar broadcast (category agg itself is
                     # a hash join)
-                    "w_target_encode_priority"}
+                    "w_target_encode_priority",
+                    # r07 encoding: normalized count_encode's total
+                    # is a 1-row scalar broadcast
+                    "w_count_encode_cross"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

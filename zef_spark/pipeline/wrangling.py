@@ -1054,7 +1054,10 @@ def _target_encode_op(df, *args, **kw):
     return target_encode(df, *args, **kw)
 
 
-@register_op("corr_matrix", "df")
+# registered as corr_matrix_exact: ops/df_ops.py already owns the
+# `corr_matrix` op name (built-in F.corr, per-pair NULL deletion,
+# digits=4); this one is the decimal-exact, shared-n, listwise form
+@register_op("corr_matrix_exact", "df")
 def _corr_matrix_op(df, *args, **kw):
     return corr_matrix(df, *args, **kw)
 
