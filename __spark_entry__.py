@@ -7523,6 +7523,95 @@ def w_count_encode_cross(spark, sf_dir):
             .distinct().orderBy("cross_val"))
 
 
+@query("w_bootstrap_mean_price", """
+WITH grp AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS g),
+slot AS (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS j),
+u AS (
+  SELECT g.g * 4 + s.j AS b, CAST(o_totalprice AS DOUBLE) AS x,
+    ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':'
+                        || CAST(g.g AS VARCHAR) || 'boot_v1'),
+             1 + 8 * s.j, 8))::BIGINT / 4294967296.0 AS uu
+  FROM orders CROSS JOIN grp g CROSS JOIN slot s
+  WHERE o_totalprice IS NOT NULL
+), wt AS (
+  SELECT b, x, CASE
+    WHEN uu < 0.36787944117144233 THEN 0
+    WHEN uu < 0.7357588823428847 THEN 1
+    WHEN uu < 0.9196986029286058 THEN 2
+    WHEN uu < 0.9810118431238463 THEN 3
+    WHEN uu < 0.9963401531726563 THEN 4
+    WHEN uu < 0.9994058151824183 THEN 5
+    WHEN uu < 0.999916758850712 THEN 6
+    WHEN uu < 0.9999897508033253 THEN 7
+    WHEN uu < 0.999998874797402 THEN 8
+    ELSE 9 END AS w
+  FROM u
+), ms AS (
+  SELECT b,
+    SUM(CAST(ROUND(CAST(w AS DOUBLE) * x, 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sx,
+    SUM(w) AS nw
+  FROM wt GROUP BY b
+), mm AS (SELECT sx / CAST(nw AS DOUBLE) AS m FROM ms WHERE nw > 0),
+rk AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r,
+         COUNT(*) OVER () AS bu
+  FROM mm
+), pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE), 12)
+              AS DECIMAL(38,12)))::DOUBLE / COUNT(*), 6) AS mean
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT pt.n, pt.mean,
+  (SELECT ROUND(MAX(CASE WHEN r = CEIL(0.05 * bu) THEN m END), 6)
+   FROM rk) AS lo,
+  (SELECT ROUND(MAX(CASE WHEN r = CEIL(0.95 * bu) THEN m END), 6)
+   FROM rk) AS hi,
+  (SELECT CAST(MAX(bu) AS BIGINT) FROM rk) AS b_used
+FROM pt
+""")
+def w_bootstrap_mean_price(spark, sf_dir):
+    """90% Poisson-bootstrap CI for the mean order value
+    (pipeline/abtest.py bootstrap_ci, B=40): per-row Poisson(1)
+    multiplicities from the bit-portable md5 inverse-CDF ladder, all
+    40 replicate sums in ONE hash aggregate over ONE scan — no
+    resample materialized, nothing data×B shuffles. The oracle
+    replays the exact draw (same md5, same hardcoded CDF literals),
+    so this checks the bootstrap mechanism itself."""
+    from zef_spark.pipeline.abtest import bootstrap_ci
+    o = _t(spark, sf_dir, "orders")
+    return bootstrap_ci(o, "o_totalprice", "o_orderkey",
+                        B=40, alpha=0.1)
+
+
+@query("p_token_cooccurrence", """
+WITH words AS (
+  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     x -> x <> '') AS w
+  FROM documents
+), pairs AS (
+  SELECT LEAST(w[i], w[i+o]) AS w1, GREATEST(w[i], w[i+o]) AS w2
+  FROM words,
+       UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS t(i),
+       UNNEST(GENERATE_SERIES(1, 2)) AS s(o)
+  WHERE LEN(w) >= 2 AND i + o <= LEN(w)
+)
+SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, w1, w2 LIMIT 20
+""")
+def p_token_cooccurrence(spark, sf_dir):
+    """Top-20 skip-gram co-occurrence pairs over the corpus
+    (pipeline/text.py token_cooccurrence, window=2) — the word2vec/
+    GloVe training statistic. Unordered pairs build row-locally
+    (nested index transforms, no self-join); the only shuffle is the
+    (w1,w2) count agg; top-k is a TakeOrdered with (cnt,w1,w2) ties
+    broken deterministically."""
+    from zef_spark.pipeline.text import token_cooccurrence
+    docs = _t(spark, sf_dir, "documents")
+    return token_cooccurrence(docs, "text", window=2, k=20)
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7579,6 +7668,8 @@ _FRONT = [
     # (a7) the r07 categorical-encoding tier (first driver rows)
     "w_one_hot_status", "p_feature_hash_profile",
     "w_count_encode_cross",
+    # (a8) the r07 bootstrap + co-occurrence pair (first driver rows)
+    "w_bootstrap_mean_price", "p_token_cooccurrence",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7588,10 +7679,11 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Twenty-three cohort rows
+    # to fill the 50-query window exactly. Twenty-five cohort rows
     # (concat_union_segments, conditional_bucketing,
     # datetime_functions, g_all_type_counts, g_asof_order_count,
-    # g_gather_closure, hash_functions, math_functions,
+    # g_gather_closure, g_has_order_customers,
+    # g_hop2_revenue_by_customer, hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7601,8 +7693,7 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_has_order_customers",
-    "g_hop2_revenue_by_customer", "g_hop_customer_nation",
+    "g_hop_customer_nation",
     "g_point_lookup_by_field", "g_quantity_fields",
     "g_relation_fields_meta", "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",

@@ -245,3 +245,133 @@ def _mwu_op(df, *args, **kw):
 @register_op("two_proportion_ztest", "df")
 def _tpz_op(df, *args, **kw):
     return two_proportion_ztest(df, *args, **kw)
+
+
+# Poisson(1) CDF, cumulative e^{-1}/k! for k = 0..8 — HARDCODED
+# literals shared verbatim with the oracle SQL so the inverse-CDF
+# weight ladder is bit-identical in any engine (P(w>8) ≈ 1.1e-6; the
+# ladder caps there).
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238463,
+                0.9963401531726563, 0.9994058151824183,
+                0.999916758850712, 0.9999897508033253,
+                0.999998874797402)
+
+_U32 = 4294967296.0  # 2^32: one 8-hex-digit chunk
+
+
+def _poisson_weight(u):
+    """Deterministic Poisson(1) draw: inverse CDF of a md5-uniform —
+    branch-free form w = Σ_k 1[u ≥ t_k] (count of CDF thresholds at
+    or below u), so `u` is referenced per threshold, never nested."""
+    w = F.lit(0)
+    for t in POISSON1_CDF:
+        w = w + F.when(u >= t, 1).otherwise(0)
+    return w
+
+
+def bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
+                 B: int = 100, alpha: float = 0.05,
+                 salt: str = "boot_v1", digits: int = 6) -> DataFrame:
+    """1-row (n, mean, lo, hi, b_used) — a (1−alpha) POISSON-bootstrap
+    confidence interval for the mean, the bootstrap that scales: each
+    row's multiplicity in replicate b is an independent Poisson(1)
+    draw (the B→∞ limit of multinomial resampling), so NO resample is
+    ever materialized. Draws are a pure function of the key —
+    md5(key:g:salt) supplies FOUR 32-bit uniforms (8 hex digits each,
+    replicates 4g..4g+3) pushed through the inverse-CDF ladder — so
+    any engine with md5 replays them bit-for-bit (same family as
+    corpus.hash_sample method='md5'), and the md5 cost is B/4 hashes
+    per row, evaluated ONCE in a projection (not per aggregate; the
+    naive per-replicate-hash agg form measured ~10x slower).
+
+    Plan: ONE scan → row-local weight array → posexplode to (b, w, x)
+    → ONE hash agg keyed by b (map-side combine leaves B partials
+    per partition — only B×partitions tiny rows cross the wire) →
+    integer-rank percentile over the B-row replicate-mean table
+    (PERCENTILE_DISC: lo = value at ceil(alpha/2·b), hi at
+    ceil((1−alpha/2)·b)). Decimal-exact sums throughout. Replicates
+    whose weights all landed 0 (only possible on tiny inputs) are
+    excluded; b_used reports the count. 32-bit uniform precision
+    changes nothing cross-engine (both compare identical doubles);
+    at any B the interval's own Monte-Carlo error dominates it."""
+    from pyspark.sql import Window
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    import hashlib
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull())
+    # The weight array comes from an Arrow-batched pandas UDF, NOT
+    # from built-in expressions: a B-slot md5 expression tree is
+    # pathological in Catalyst — the when-ladder duplicates the hash
+    # per branch (>64KB codegen → interpreted fallback), and
+    # InferFiltersFromGenerate clones the ENTIRE array expression
+    # into a scan-level size()>0 filter, evaluating it twice per
+    # row. Measured: 21-29 s at sf0.1 as expressions vs ~2 s as a
+    # UDF (1.5M hashlib md5 + one vectorized searchsorted ladder
+    # per batch). The UDF output is a materialized column, so the
+    # inferred filter references the attribute, not the computation.
+    G = (B + 3) // 4
+    cdf = np.asarray(POISSON1_CDF)
+
+    def _weights(keys):
+        out = []
+        for k in keys.astype(str):
+            us = np.empty(G * 4)
+            i = 0
+            for g in range(G):
+                h = hashlib.md5(f"{k}:{g}{salt}".encode()).hexdigest()
+                for j in range(4):
+                    us[i] = int(h[8 * j:8 * j + 8], 16) / _U32
+                    i += 1
+            out.append(us[:B])
+        # w = Σ_k 1[u ≥ t_k] == right-insertion index into the CDF
+        ws = np.searchsorted(cdf, np.asarray(out), side="right")
+        return pd.Series(list(ws.astype("float64")))
+
+    _weights.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    weights = pandas_udf(T.ArrayType(T.DoubleType()))(_weights)
+    # spread the md5 kernel across cores BEFORE the UDF: a compact
+    # parquet source can arrive as one partition, which would run
+    # the hash loop single-threaded (measured 8.7 s vs ~0.5 s at
+    # sf0.1); the shuffle moves only (key, x) — two narrow columns
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    exploded = (base.select(F.col(key_col), x.alias("__x"))
+                .repartition(npart, F.col(key_col))
+                .select("__x", F.posexplode(weights(F.col(key_col)))
+                        .alias("__b", "__w")))
+    per_b = (exploded.groupBy("__b")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.sum(term(F.col("__x"))).cast("double")
+                  .alias("__s"),
+                  F.sum(term(F.col("__w") * F.col("__x")))
+                  .cast("double").alias("__sx"),
+                  F.sum("__w").cast("long").alias("__nw"))
+             .where(F.col("__nw") > 0)
+             .withColumn("__m", F.col("__sx")
+                         / F.col("__nw").cast("double")))
+    wb = Window.orderBy("__m")
+    wa = Window.partitionBy()
+    ranked = (per_b
+              .withColumn("__r", F.row_number().over(wb))
+              .withColumn("__bu", F.count(F.lit(1)).over(wa)))
+    lo_r = F.ceil(F.lit(alpha / 2.0) * F.col("__bu"))
+    hi_r = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("__bu"))
+    return (ranked.agg(
+        F.max("__n").alias("n"),
+        F.round(F.max(F.col("__s") / F.col("__n").cast("double")),
+                digits).alias("mean"),
+        F.round(F.max(F.when(F.col("__r") == lo_r, F.col("__m"))),
+                digits).alias("lo"),
+        F.round(F.max(F.when(F.col("__r") == hi_r, F.col("__m"))),
+                digits).alias("hi"),
+        F.max("__bu").cast("long").alias("b_used")))
+
+
+@register_op("bootstrap_ci", "df")
+def _bootstrap_ci_op(df, *args, **kw):
+    return bootstrap_ci(df, *args, **kw)

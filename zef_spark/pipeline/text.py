@@ -851,3 +851,43 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
 @register_op("ngram_novelty", "df")
 def _ngram_novelty_op(df, *args, **kw):
     return ngram_novelty(df, *args, **kw)
+
+
+def token_cooccurrence(df, text_col: str, window: int = 2,
+                       k: int = 20):
+    """(w1, w2, cnt) — the corpus's top-k skip-gram co-occurrence
+    pairs: every unordered token pair within `window` positions
+    (window=1 ≡ adjacent bigrams, unordered) — the raw statistic
+    under word-vector objectives (word2vec/GloVe) and collocation
+    mining (pmi_collocations consumes the adjacent special case).
+
+    Pairs build ROW-LOCALLY (nested index transforms over the token
+    array, pair = (least, greatest) so direction never splits a
+    count) — no self-join, no (doc,pos)-keyed shuffle; the only
+    shuffle is the (w1,w2) count agg, vocabulary²-bounded in keys.
+    Global top-k is a TakeOrdered; ties break on the pair for
+    determinism. Fan-out is window× tokens, bounded and uniform."""
+    from pyspark.sql import functions as F
+    w = F.col("__w")
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(window), F.size(w) - i)),
+            lambda o: F.struct(
+                F.least(F.element_at(w, i),
+                        F.element_at(w, i + o)).alias("w1"),
+                F.greatest(F.element_at(w, i),
+                           F.element_at(w, i + o)).alias("w2")))))
+    toks = (df.select(_tokens(F.col(text_col)).alias("__w"))
+            .where(F.size("__w") >= 2))
+    return (toks.select(F.explode(pairs).alias("__p"))
+            .groupBy(F.col("__p.w1").alias("w1"),
+                     F.col("__p.w2").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "w1", "w2").limit(k))
+
+
+@register_op("token_cooccurrence", "df")
+def _token_cooccurrence_op(df, *args, **kw):
+    return token_cooccurrence(df, *args, **kw)
