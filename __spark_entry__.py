@@ -7612,6 +7612,59 @@ def p_token_cooccurrence(spark, sf_dir):
     return token_cooccurrence(docs, "text", window=2, k=20)
 
 
+@query("e_forecast_naive7", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, x,
+    LAG(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+  FROM daily
+), b AS (SELECT * FROM s WHERE x IS NOT NULL AND pred IS NOT NULL),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(ABS(x - pred), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sae,
+    SUM(CAST(ROUND((x - pred) * (x - pred), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sse,
+    SUM(CAST(ROUND(-(x - pred), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sbias,
+    SUM(CASE WHEN x <> 0 THEN CAST(ROUND(ABS(x - pred) / ABS(x), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS sape,
+    COUNT(CASE WHEN x <> 0 THEN 1 END) AS nmape,
+    SUM(CASE WHEN ABS(x) + ABS(pred) <> 0 THEN
+             CAST(ROUND(2 * ABS(x - pred) / (ABS(x) + ABS(pred)), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS ssm,
+    COUNT(CASE WHEN ABS(x) + ABS(pred) <> 0 THEN 1 END) AS nsm
+  FROM b GROUP BY 1
+)
+SELECT event_type, n,
+  ROUND(sae / n, 6) AS mae, ROUND(SQRT(sse / n), 6) AS rmse,
+  ROUND(sbias / n, 6) AS bias,
+  CASE WHEN nmape > 0 THEN ROUND(sape / nmape, 6) END AS mape,
+  CASE WHEN nsm > 0 THEN ROUND(ssm / nsm, 6) END AS smape
+FROM a ORDER BY event_type
+""")
+def e_forecast_naive7(spark, sf_dir):
+    """Forecast-accuracy scorecard (pipeline/rollup.py
+    forecast_metrics) of the seasonal-naive lag-7 forecast of each
+    event type's daily value: ONE key-ordered window for the lag,
+    then one conditional-agg scan for MAE/RMSE/bias/MAPE/sMAPE —
+    decimal-exact sums, standard nonzero-denominator conventions."""
+    from pyspark.sql import Window
+    from zef_spark.pipeline.rollup import forecast_metrics
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                  .cast("double").alias("x")))
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = daily.withColumn("pred", F.lag("x", 7).over(w))
+    return (forecast_metrics(scored, "x", "pred", by="event_type")
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7670,6 +7723,8 @@ _FRONT = [
     "w_count_encode_cross",
     # (a8) the r07 bootstrap + co-occurrence pair (first driver rows)
     "w_bootstrap_mean_price", "p_token_cooccurrence",
+    # (a9) forecast-accuracy scorecard (first driver row)
+    "e_forecast_naive7",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7679,11 +7734,12 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Twenty-five cohort rows
+    # to fill the 50-query window exactly. Twenty-six cohort rows
     # (concat_union_segments, conditional_bucketing,
     # datetime_functions, g_all_type_counts, g_asof_order_count,
     # g_gather_closure, g_has_order_customers,
-    # g_hop2_revenue_by_customer, hash_functions, math_functions,
+    # g_hop2_revenue_by_customer, g_hop_customer_nation,
+    # hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7693,7 +7749,6 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_hop_customer_nation",
     "g_point_lookup_by_field", "g_quantity_fields",
     "g_relation_fields_meta", "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",

@@ -87,3 +87,30 @@ def test_token_cooccurrence_short_and_punct(spark):
                                        k=10).collect()}
     # lowercased, punctuation split; single-token/empty docs drop
     assert out == {("hello", "hello"): 1, ("hello", "world"): 2}
+
+
+def test_forecast_metrics_known_values(spark):
+    from zef_spark.pipeline.rollup import forecast_metrics
+    rows = [("a", 10.0, 8.0), ("a", 0.0, 1.0), ("a", -4.0, -4.0),
+            ("a", None, 5.0), ("a", 2.0, None)]
+    df = spark.createDataFrame(rows, "k string, a double, p double")
+    r = forecast_metrics(df, "a", "p", by="k").collect()[0]
+    # kept rows: (10,8), (0,1), (-4,-4); e = a-p = 2, -1, 0
+    assert r["n"] == 3
+    assert r["mae"] == pytest.approx(1.0)
+    assert r["rmse"] == pytest.approx(math.sqrt(5 / 3), abs=1e-6)
+    assert r["bias"] == pytest.approx(-1 / 3, abs=1e-6)
+    # mape over a != 0: |2|/10, |0|/4 → mean 0.1
+    assert r["mape"] == pytest.approx(0.1, abs=1e-6)
+    # smape: 2*2/18, 2*1/1, 2*0/8 → mean of (0.2222.., 2, 0)
+    assert r["smape"] == pytest.approx((2 / 9 + 2.0 + 0.0) / 3,
+                                       abs=1e-6)
+
+
+def test_forecast_metrics_all_zero_actuals(spark):
+    from zef_spark.pipeline.rollup import forecast_metrics
+    df = spark.createDataFrame([("a", 0.0, 0.0)],
+                               "k string, a double, p double")
+    r = forecast_metrics(df, "a", "p", by="k").collect()[0]
+    assert r["mape"] is None and r["smape"] is None
+    assert r["mae"] == 0.0

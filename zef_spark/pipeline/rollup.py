@@ -1078,3 +1078,62 @@ def periodicity_strength(df, tick_col: str, value_col: str,
 @_reg_rollup("periodicity_strength", "df")
 def _periodicity_op(df, *args, **kw):
     return periodicity_strength(df, *args, **kw)
+
+
+def forecast_metrics(df, actual_col: str, pred_col: str, by=None,
+                     digits: int = 6):
+    """(by..., n, mae, rmse, bias, mape, smape) — forecast-accuracy
+    scorecard per key in ONE conditional-agg scan (map-side
+    combinable, decimal-exact sums; same moment-statistic posture as
+    abtest.welch_ttest):
+
+        mae   = mean |a−p|          rmse = sqrt(mean (a−p)²)
+        bias  = mean (p−a)          mape = mean |a−p|/|a|   (a ≠ 0)
+        smape = mean 2|a−p|/(|a|+|p|)   (denominator ≠ 0)
+
+    Rows with NULL actual or prediction are dropped; MAPE averages
+    only over nonzero actuals (n_mape tracks the divisor), sMAPE over
+    nonzero |a|+|p| — the standard conventions. MASE is deliberately
+    absent: it needs the TRAINING series' naive error; scale by your
+    own baseline (e.g. a lag-k naive forecast of the same frame)."""
+    from pyspark.sql import functions as F
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    e = a - p
+    base = df.where(a.isNotNull() & p.isNotNull())
+    agg = (base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(term(F.abs(e))).cast("double").alias("__sae"),
+        F.sum(term(e * e)).cast("double").alias("__sse"),
+        F.sum(term(-e)).cast("double").alias("__sbias"),
+        F.sum(F.when(a != 0, term(F.abs(e) / F.abs(a))))
+        .cast("double").alias("__sape"),
+        F.count(F.when(a != 0, F.lit(1))).alias("__nmape"),
+        F.sum(F.when(F.abs(a) + F.abs(p) != 0,
+                     term(2 * F.abs(e) / (F.abs(a) + F.abs(p)))))
+        .cast("double").alias("__ssm"),
+        F.count(F.when(F.abs(a) + F.abs(p) != 0, F.lit(1)))
+        .alias("__nsm")))
+    n = F.col("__n").cast("double")
+    return agg.select(
+        *by, F.col("__n").alias("n"),
+        F.round(F.col("__sae") / n, digits).alias("mae"),
+        F.round(F.sqrt(F.col("__sse") / n), digits).alias("rmse"),
+        F.round(F.col("__sbias") / n, digits).alias("bias"),
+        F.when(F.col("__nmape") > 0,
+               F.round(F.col("__sape")
+                       / F.col("__nmape").cast("double"), digits))
+        .alias("mape"),
+        F.when(F.col("__nsm") > 0,
+               F.round(F.col("__ssm")
+                       / F.col("__nsm").cast("double"), digits))
+        .alias("smape"))
+
+
+@_reg_rollup("forecast_metrics", "df")
+def _forecast_metrics_op(df, *args, **kw):
+    return forecast_metrics(df, *args, **kw)
