@@ -1,0 +1,130 @@
+"""Differential-privacy primitives for training-data pipelines:
+ε-DP aggregate release (count/sum/mean under bounded-contribution
+clipping, Laplace mechanism) and randomized response (local DP for a
+boolean flag).
+
+The noise is DETERMINISTIC — a pure function of (group key, statistic,
+salt) through the repo's bit-portable md5-uniform idiom (same family
+as corpus.hash_sample method='md5', weighted_sample's exponential
+trick at corpus.py:336) pushed through the Laplace inverse CDF. That
+buys three things: (a) releases are reproducible across runs/engines —
+re-running a report never re-spends budget on a different draw, (b)
+the DuckDB oracle replays the exact noise, so the mechanism itself is
+correctness-gated, not just the true aggregate under it, and (c) no
+RNG state exists to shuffle or synchronize at 1000 executors.
+Caveat, stated plainly: determinism means a repeated query returns
+the SAME noisy value (good — asking twice can't average the noise
+away), but the salt must be treated as part of the privacy budget —
+releasing the same statistic under k different salts spends k·ε.
+
+Scale: everything is ONE hash aggregate over ONE scan (clip is
+row-local, decimal-exact sums, map-side combinable); the noise
+attaches per GROUP — vocabulary-sized, never per row. Randomized
+response is row-local, zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..ops.core import register_op
+
+_U60 = 1152921504606846976.0  # 2^60: 15 hex digits
+
+
+def _uniform(key, salt: str):
+    """md5-uniform in (0,1): (first-15-hex + 0.5) / 2^60 — the +0.5
+    keeps it strictly inside the interval so ln never sees 0."""
+    h = F.md5(F.concat(key, F.lit(salt)))
+    return ((F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+             + F.lit(0.5)) / F.lit(_U60))
+
+
+def laplace_noise(key, scale_b: float, salt: str):
+    """Deterministic Laplace(b) draw via the inverse CDF:
+    x = −b·sign(u−½)·ln(1−2|u−½|), written branch-explicitly so any
+    engine reproduces the identical double."""
+    u = _uniform(key, salt)
+    d = u - F.lit(0.5)
+    b = F.lit(float(scale_b))
+    return F.when(d >= 0, -b * F.log(1.0 - 2.0 * d)) \
+            .otherwise(b * F.log(1.0 + 2.0 * d))
+
+
+def dp_aggregate(df: DataFrame, value_col: str, by=None,
+                 epsilon: float = 1.0, lo: float = 0.0,
+                 hi: float = 1.0, salt: str = "dp_v1",
+                 digits: int = 6) -> DataFrame:
+    """(by..., dp_count, dp_sum, dp_mean) — an ε-DP release of per-key
+    count/sum/mean under the standard bounded-contribution recipe:
+    values clip to [lo, hi] (row-local), the budget splits ε/2 to the
+    count (sensitivity 1) and ε/2 to the clipped sum (sensitivity
+    max(|lo|,|hi|)), each perturbed with deterministic Laplace noise
+    keyed by (group, statistic, salt); dp_mean is the ratio of the
+    two releases (post-processing — costs no extra budget).
+
+    TRUE n/sum never appear in the output. Assumes ONE row per
+    individual (contribution bounding upstream is the caller's
+    modeling decision, as in every DP-SQL system). NULL group keys
+    release as their own '∅' group."""
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    eps_half = float(epsilon) / 2.0
+    b_cnt = 1.0 / eps_half
+    b_sum = max(abs(float(lo)), abs(float(hi))) / eps_half
+    x = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(x, F.lit(float(lo))),
+                      F.lit(float(hi)))
+    dec = "decimal(38,12)"
+    agg = (df.where(x.isNotNull())
+           .groupBy(*by)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum(F.round(clipped, 12).cast(dec)).cast("double")
+                .alias("__s")))
+    gkey = F.concat_ws("␟", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in by])
+    dp_n = (F.col("__n").cast("double")
+            + laplace_noise(F.concat(gkey, F.lit("|count")),
+                            b_cnt, salt))
+    dp_s = F.col("__s") + laplace_noise(
+        F.concat(gkey, F.lit("|sum")), b_sum, salt)
+    out = (agg.withColumn("dp_count", F.round(dp_n, digits))
+           .withColumn("dp_sum", F.round(dp_s, digits))
+           .withColumn("dp_mean",
+                       F.when(F.round(dp_n, digits) != 0,
+                              F.round(F.round(dp_s, digits)
+                                      / F.round(dp_n, digits),
+                                      digits))))
+    return out.drop("__n", "__s")
+
+
+def randomized_response(df: DataFrame, flag_col, key_col: str,
+                        epsilon: float = 1.0,
+                        out_col: str = "rr_flag",
+                        salt: str = "rr_v1") -> DataFrame:
+    """Input + `out_col` — ε-local-DP randomized response for a
+    boolean: report the truth with probability p = e^ε/(1+e^ε), else
+    the complement, decided by a deterministic md5-uniform per key.
+    Row-local, zero shuffle. The unbiased population-rate estimator
+    is (rate_observed − (1−p)) / (2p − 1) — plain algebra on the
+    released column (see tests). NULL flags pass through as NULL."""
+    import math
+    p = math.exp(float(epsilon)) / (1.0 + math.exp(float(epsilon)))
+    flag = flag_col if not isinstance(flag_col, str) \
+        else F.col(flag_col)
+    u = _uniform(F.concat(F.col(key_col).cast("string"),
+                          F.lit("|rr")), salt)
+    return df.withColumn(
+        out_col,
+        F.when(flag.isNull(), F.lit(None).cast("boolean"))
+        .when(u < p, flag).otherwise(~flag))
+
+
+@register_op("dp_aggregate", "df")
+def _dp_aggregate_op(df, *args, **kw):
+    return dp_aggregate(df, *args, **kw)
+
+
+@register_op("randomized_response", "df")
+def _rr_op(df, *args, **kw):
+    return randomized_response(df, *args, **kw)
