@@ -174,3 +174,64 @@ def _conf_op(df, *args, **kw):
 @register_op("brier_score", "df")
 def _brier_op(df, *args, **kw):
     return brier_score(df, *args, **kw)
+
+
+def isotonic_calibration(df: DataFrame, score_col: str, label_col,
+                         bins: int = 100) -> list[tuple[float, float]]:
+    """Fit an isotonic (monotone non-decreasing) calibration map by
+    pool-adjacent-violators over equal-population score bins. The
+    distributed part is ONE key-ordered shuffle (NTILE binning via
+    wrangling.rank_transform) + a bins-bounded agg; PAV itself runs
+    on the driver over ≤`bins` weighted points — O(bins), independent
+    of row count (the same bounded-sufficient-statistics split as
+    pca_fit). Returns sorted (bin_min_score, calibrated_p)
+    breakpoints for `apply_calibration`; binning makes it robust to
+    score ties and keeps the step function plan-literal-sized."""
+    from .wrangling import rank_transform
+    y = _label(label_col)
+    s = F.col(score_col).cast("double")
+    base = (df.where(s.isNotNull() & y.isNotNull())
+            .select(s.alias("__s"), y.alias("__y")))
+    binned = rank_transform(base, "__s", bins=bins, out_col="__b")
+    stats = (binned.groupBy("__b")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("__s").alias("s_min"),
+                  (F.sum(_term(F.col("__y").cast("double")))
+                   .cast("double")
+                   / F.count(F.lit(1))).alias("rate"))
+             .orderBy("__b").collect())
+    # weighted PAV: merge adjacent blocks while the rate decreases
+    blocks = []  # [sum_y_weighted, n, s_min]
+    for r in stats:
+        blocks.append([r["rate"] * r["n"], float(r["n"]),
+                       r["s_min"]])
+        while len(blocks) > 1 and (blocks[-2][0] * blocks[-1][1]
+                                   >= blocks[-1][0] * blocks[-2][1]):
+            sy, n, smin = blocks.pop()
+            blocks[-1][0] += sy
+            blocks[-1][1] += n
+    return [(b[2], b[0] / b[1]) for b in blocks]
+
+
+def apply_calibration(df: DataFrame, score_col: str,
+                      model: list[tuple[float, float]],
+                      out_col: str = "calibrated",
+                      digits: int = 6) -> DataFrame:
+    """Input + `out_col` — piecewise-constant lookup of the fitted
+    isotonic map: a row takes the calibrated probability of the last
+    breakpoint whose bin-min score is ≤ its score (scores below the
+    first breakpoint clamp to it). Row-local CASE ladder over the
+    ≤bins breakpoints — plan literals, zero shuffle, pipelines with
+    the scan. NULL scores → NULL."""
+    s = F.col(score_col).cast("double")
+    expr = F.lit(float(model[0][1]))
+    for smin, p in model[1:]:
+        expr = F.when(s >= float(smin), F.lit(float(p))) \
+                .otherwise(expr)
+    return df.withColumn(
+        out_col, F.when(s.isNotNull(), F.round(expr, digits)))
+
+
+@register_op("apply_calibration", "df")
+def _apply_calibration_op(df, *args, **kw):
+    return apply_calibration(df, *args, **kw)
