@@ -7743,6 +7743,57 @@ def p_rr_lang_counts(spark, sf_dir):
             .orderBy("lang"))
 
 
+@query("w_moments_acctbal", """
+WITH a AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s1,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s2,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s3,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s4
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT c_mktsegment, n, CAST(n AS DOUBLE) AS nd,
+    s1 / CAST(n AS DOUBLE) AS mu, s2, s3, s4
+  FROM a
+), m AS (
+  SELECT c_mktsegment, n, mu,
+    s2 / nd - mu * mu AS m2,
+    s3 / nd - 3 * mu * s2 / nd + 2 * mu * mu * mu AS m3,
+    s4 / nd - 4 * mu * s3 / nd + 6 * mu * mu * s2 / nd
+      - 3 * mu * mu * mu * mu AS m4
+  FROM d
+)
+SELECT c_mktsegment, n, ROUND(mu, 6) AS mean,
+  ROUND(m2, 6) AS variance,
+  CASE WHEN m2 > 0 THEN ROUND(m3 / SQRT(m2 * m2 * m2), 6) END
+    AS skewness,
+  CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END
+    AS kurtosis
+FROM m ORDER BY c_mktsegment
+""")
+def w_moments_acctbal(spark, sf_dir):
+    """Full population-moment profile of customer balances per market
+    segment (pipeline/wrangling.py group_moments): mean/variance/
+    skewness/excess-kurtosis expanded algebraically from decimal-
+    exact power sums Σx..Σx⁴ — ONE map-side-combinable hash agg, no
+    windows, engine-exact (population estimators chosen precisely
+    because sample corrections differ across engines)."""
+    from zef_spark.pipeline.wrangling import group_moments
+    cust = _t(spark, sf_dir, "customer")
+    return (group_moments(cust, "c_acctbal", by="c_mktsegment")
+            .orderBy("c_mktsegment"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7805,6 +7856,8 @@ _FRONT = [
     "e_forecast_naive7",
     # (a10) the r07 differential-privacy tier (first driver rows)
     "w_dp_priority_stats", "p_rr_lang_counts",
+    # (a11) population-moment profile (first driver row)
+    "w_moments_acctbal",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7814,13 +7867,13 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Twenty-eight cohort rows
+    # to fill the 50-query window exactly. Twenty-nine cohort rows
     # (concat_union_segments, conditional_bucketing,
     # datetime_functions, g_all_type_counts, g_asof_order_count,
     # g_gather_closure, g_has_order_customers,
     # g_hop2_revenue_by_customer, g_hop_customer_nation,
     # g_point_lookup_by_field, g_quantity_fields,
-    # hash_functions, math_functions,
+    # g_relation_fields_meta, hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7830,7 +7883,7 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_relation_fields_meta", "g_time_travel_duration",
+    "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",
     "group_agg_customer_orders",
 ]

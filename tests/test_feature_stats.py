@@ -114,3 +114,27 @@ def test_linreg_hand_computed(spark):
         (sum(ys) - slope * sum(xs)) / n, abs=1e-6)
     assert r["r2"] == pytest.approx(num * num / (dx * dy),
                                     abs=1e-6)
+
+
+def test_group_moments_known_values(spark):
+    import numpy as np
+    from zef_spark.pipeline.wrangling import group_moments
+    vals = [1.0, 2.0, 2.0, 3.0, 9.0]
+    df = spark.createDataFrame([("a", v) for v in vals] +
+                               [("b", 5.0), ("b", None)],
+                               "k string, x double")
+    out = {r["k"]: r for r in group_moments(df, "x",
+                                            by="k").collect()}
+    x = np.array(vals)
+    m2 = ((x - x.mean()) ** 2).mean()
+    m3 = ((x - x.mean()) ** 3).mean()
+    m4 = ((x - x.mean()) ** 4).mean()
+    a = out["a"]
+    assert a["n"] == 5 and a["mean"] == pytest.approx(x.mean())
+    assert a["variance"] == pytest.approx(m2, abs=1e-6)
+    assert a["skewness"] == pytest.approx(m3 / m2 ** 1.5, abs=1e-6)
+    assert a["kurtosis"] == pytest.approx(m4 / m2 ** 2 - 3, abs=1e-6)
+    # constant key: zero variance → NULL shape stats
+    b = out["b"]
+    assert b["variance"] == 0.0
+    assert b["skewness"] is None and b["kurtosis"] is None

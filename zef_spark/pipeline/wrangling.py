@@ -1154,3 +1154,54 @@ def _mad_outliers_op(df, *args, **kw):
 @register_op("rank_transform", "df")
 def _rank_transform_op(df, *args, **kw):
     return rank_transform(df, *args, **kw)
+
+
+def group_moments(df: DataFrame, value_col: str, by=None,
+                  digits: int = 6) -> DataFrame:
+    """(by..., n, mean, variance, skewness, kurtosis) — the full
+    population-moment profile per key from ONE map-side-combinable
+    hash agg of decimal-exact power sums (Σx..Σx⁴):
+
+        m_k = Σ(x−μ)^k/n  expanded algebraically from raw sums;
+        skewness = m₃/m₂^1.5, kurtosis = m₄/m₂² − 3 (excess).
+
+    POPULATION moments (no bias correction) because the algebra then
+    matches bit-for-bit in any engine computing the same raw sums —
+    sample-corrected variants differ across engines' estimator
+    choices. Zero-variance keys yield NULL skew/kurtosis. One scan,
+    no windows. x⁴ term: values beyond ~|1e6| lose the 12-dp decimal
+    guarantee to double rounding first — same envelope as every other
+    decimal-exact op here."""
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(value_col).cast("double")
+    agg = (df.where(x.isNotNull())
+           .groupBy(*by)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum(term(x)).cast("double").alias("__s1"),
+                F.sum(term(x * x)).cast("double").alias("__s2"),
+                F.sum(term(x * x * x)).cast("double").alias("__s3"),
+                F.sum(term(x * x * x * x)).cast("double")
+                .alias("__s4")))
+    n = F.col("__n").cast("double")
+    mu = F.col("__s1") / n
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = (F.col("__s3") / n - 3 * mu * F.col("__s2") / n
+          + 2 * mu * mu * mu)
+    m4 = (F.col("__s4") / n - 4 * mu * F.col("__s3") / n
+          + 6 * mu * mu * F.col("__s2") / n - 3 * mu * mu * mu * mu)
+    return agg.select(
+        *by, F.col("__n").alias("n"),
+        F.round(mu, digits).alias("mean"),
+        F.round(m2, digits).alias("variance"),
+        F.when(m2 > 0, F.round(m3 / F.sqrt(m2 * m2 * m2), digits))
+        .alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, digits))
+        .alias("kurtosis"))
+
+
+@register_op("group_moments", "df")
+def _group_moments_op(df, *args, **kw):
+    return group_moments(df, *args, **kw)
