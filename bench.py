@@ -43,6 +43,11 @@ HEADLINE = [
     # r06 addition: sessionized journey paths (window + row-local
     # assemble + bounded agg — the event-analytics family)
     "e_session_paths",
+    # r07 additions: the feature-engineering family (signed hashing
+    # trick, Arrow kernel + explode agg) and the time-series scorecard
+    # (lag window + conditional agg)
+    "p_feature_hash_profile",
+    "e_forecast_naive7",
 ]
 
 
