@@ -7794,6 +7794,47 @@ def w_moments_acctbal(spark, sf_dir):
             .orderBy("c_mktsegment"))
 
 
+@query("e_lag_features_daily", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(d AS VARCHAR) AS d, x,
+  LAG(x, 1) OVER w AS lag_1,
+  ROUND(x - LAG(x, 1) OVER w, 6) AS delta_1,
+  LAG(x, 7) OVER w AS lag_7,
+  ROUND(x - LAG(x, 7) OVER w, 6) AS delta_7,
+  CASE WHEN COUNT(x) OVER
+            (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) = 7
+       THEN ROUND((SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) OVER
+                   (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+                  ::DOUBLE / 7, 6) END AS rmean_7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d)
+ORDER BY event_type, d
+""")
+def e_lag_features_daily(spark, sf_dir):
+    """Supervised-learning feature block over each event type's daily
+    series (pipeline/rollup.py lag_features): lags, deltas, and a
+    leakage-safe trailing mean (excludes the current row), ALL from
+    one key-ordered window shuffle — plan-asserted single Exchange in
+    tests. The companion time_series_split (purged temporal split)
+    is filter-only and covered by tests."""
+    from zef_spark.pipeline.rollup import lag_features
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                  .cast("double").alias("x")))
+    feats = lag_features(daily, "d", "x", by="event_type",
+                         lags=(1, 7), windows=(7,))
+    # DATE renders as '2024-01-01' in Spark but widens to a midnight
+    # Timestamp in the DuckDB→pandas oracle path — string both sides
+    return (feats.withColumn("d", F.col("d").cast("string"))
+            .orderBy("event_type", "d"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7858,6 +7899,8 @@ _FRONT = [
     "w_dp_priority_stats", "p_rr_lang_counts",
     # (a11) population-moment profile (first driver row)
     "w_moments_acctbal",
+    # (a12) time-series feature block (first driver row)
+    "e_lag_features_daily",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7867,13 +7910,14 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Twenty-nine cohort rows
+    # to fill the 50-query window exactly. Thirty cohort rows
     # (concat_union_segments, conditional_bucketing,
     # datetime_functions, g_all_type_counts, g_asof_order_count,
     # g_gather_closure, g_has_order_customers,
     # g_hop2_revenue_by_customer, g_hop_customer_nation,
     # g_point_lookup_by_field, g_quantity_fields,
-    # g_relation_fields_meta, hash_functions, math_functions,
+    # g_relation_fields_meta, g_time_travel_duration,
+    # hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7883,7 +7927,6 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",
     "group_agg_customer_orders",
 ]

@@ -1137,3 +1137,65 @@ def forecast_metrics(df, actual_col: str, pred_col: str, by=None,
 @_reg_rollup("forecast_metrics", "df")
 def _forecast_metrics_op(df, *args, **kw):
     return forecast_metrics(df, *args, **kw)
+
+
+def lag_features(df, ts_col: str, value_col: str, by=None,
+                 lags=(1, 7), windows=(7,), digits: int = 6):
+    """Input + the standard supervised-learning feature block for a
+    keyed time series, from ONE key-ordered window shuffle:
+
+        lag_<k>     — value k rows earlier            (per `lags`)
+        rmean_<w>   — trailing mean of the w rows ending at the
+                      CURRENT row's predecessor (excludes self — no
+                      target leakage; NULL until w rows exist)
+        delta_<k>   — value − lag_<k>
+
+    All windows share the same (by, ts) partitioning/ordering, so
+    Catalyst plans ONE Exchange + ONE Sort regardless of how many
+    features are requested. Row-based frames (not time-based): gaps
+    are the caller's modeling decision — gap-fill first if calendar
+    lags are wanted. Trailing means are decimal-exact sums / w."""
+    from pyspark.sql import Window, functions as F
+    dec = "decimal(38,12)"
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"lag_{k}", F.lag(x, int(k)).over(w))
+        out = out.withColumn(
+            f"delta_{k}", F.round(x - F.col(f"lag_{k}"), digits))
+    for win in windows:
+        frame = w.rowsBetween(-int(win), -1)
+        cnt = F.count(x).over(frame)
+        s = F.sum(F.round(x, 12).cast(dec)).over(frame)
+        out = out.withColumn(
+            f"rmean_{win}",
+            F.when(cnt == int(win),
+                   F.round(s.cast("double") / cnt, digits)))
+    return out
+
+
+def time_series_split(df, ts_col: str, cutoff,
+                      embargo_seconds: int = 0):
+    """(train, test) — the leakage-safe temporal split: train is
+    strictly before `cutoff`, test starts at cutoff +
+    `embargo_seconds` (the purge gap that keeps rolling/label
+    windows computed near the boundary from straddling it — the
+    time-series analogue of corpus.leakage_safe_split's rule that
+    near-duplicates never cross the line). Both halves are lazy
+    filters — they push down to the parquet scan, no shuffle, no
+    materialization."""
+    from pyspark.sql import functions as F
+    t = F.col(ts_col).cast("timestamp")
+    cut = F.lit(cutoff).cast("timestamp")
+    train = df.where(t < cut)
+    test = df.where(t >= cut + F.expr(
+        f"INTERVAL {int(embargo_seconds)} SECOND"))
+    return train, test
+
+
+@_reg_rollup("lag_features", "df")
+def _lag_features_op(df, *args, **kw):
+    return lag_features(df, *args, **kw)
