@@ -7835,6 +7835,53 @@ def e_lag_features_daily(spark, sf_dir):
             .orderBy("event_type", "d"))
 
 
+@query("p_negative_sample_pairs", """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey < 20
+), vocab0 AS (SELECT DISTINCT l_partkey AS item FROM lineitem),
+vocab AS (
+  SELECT item, ROW_NUMBER() OVER (ORDER BY item) - 1 AS idx
+  FROM vocab0
+), draws AS (
+  SELECT o_custkey, l_partkey, j.j AS neg_no,
+    ('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR) || ':'
+                        || CAST(l_partkey AS VARCHAR) || ':'
+                        || CAST(j.j AS VARCHAR) || 'neg_v1'),
+             1, 15))::BIGINT % (SELECT COUNT(*) FROM vocab) AS idx
+  FROM pos CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 1)) AS j) j
+), res AS (
+  SELECT d.o_custkey, d.l_partkey, d.neg_no, vb.item AS neg_item
+  FROM draws d JOIN vocab vb ON vb.idx = d.idx
+)
+SELECT r.o_custkey, r.l_partkey, r.neg_no, r.neg_item,
+  (p2.o_custkey IS NOT NULL) AS is_accidental_positive
+FROM res r LEFT JOIN pos p2
+  ON p2.o_custkey = r.o_custkey AND p2.l_partkey = r.neg_item
+ORDER BY 1, 2, 3
+""")
+def p_negative_sample_pairs(spark, sf_dir):
+    """Deterministic contrastive negative sampling (pipeline/
+    corpus.py negative_sample): for each (customer, part) purchase
+    pair of a bounded customer set, k=2 negatives drawn from the
+    full part vocabulary by the bit-portable md5 index — the oracle
+    replays the exact draws, indexing, and accidental-positive
+    flags. Vocab indexing is dimension-sized; draws explode
+    row-locally; resolution is a broadcast hash join."""
+    from zef_spark.pipeline.corpus import negative_sample
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    pos = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .where(F.col("o_custkey") < 20)
+           .select("o_custkey", "l_partkey").distinct())
+    vocab = li.select(F.col("l_partkey").alias("item")).distinct() \
+        .select(F.col("item").alias("l_partkey"))
+    out = negative_sample(pos, "o_custkey", "l_partkey", k=2,
+                          vocab=vocab)
+    return out.orderBy("o_custkey", "l_partkey", "neg_no")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7901,6 +7948,8 @@ _FRONT = [
     "w_moments_acctbal",
     # (a12) time-series feature block (first driver row)
     "e_lag_features_daily",
+    # (a13) contrastive negative sampling (first driver row)
+    "p_negative_sample_pairs",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7910,14 +7959,14 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Thirty cohort rows
+    # to fill the 50-query window exactly. Thirty-one cohort rows
     # (concat_union_segments, conditional_bucketing,
     # datetime_functions, g_all_type_counts, g_asof_order_count,
     # g_gather_closure, g_has_order_customers,
     # g_hop2_revenue_by_customer, g_hop_customer_nation,
     # g_point_lookup_by_field, g_quantity_fields,
     # g_relation_fields_meta, g_time_travel_duration,
-    # hash_functions, math_functions,
+    # g_time_travel_relative, hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7927,7 +7976,7 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_time_travel_relative", "g_tx_instantiated_events",
+    "g_tx_instantiated_events",
     "group_agg_customer_orders",
 ]
 

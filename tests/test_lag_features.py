@@ -48,3 +48,45 @@ def test_time_series_split_embargo(spark):
     assert max(tr) == 4.0          # strictly before Jan 5
     assert min(te) == 6.0          # Jan 5 purged by the 1-day embargo
     assert 5.0 not in tr + te
+
+
+def _py_neg_idx(user, item, j, V, salt="neg_v1"):
+    import hashlib
+    h = hashlib.md5(f"{user}:{item}:{j}{salt}".encode()).hexdigest()
+    return int(h[:15], 16) % V
+
+
+def test_negative_sample_matches_python_replay(spark):
+    from zef_spark.pipeline.corpus import negative_sample
+    pos = [(u, f"i{p}") for u in ("u1", "u2") for p in (1, 2)]
+    df = spark.createDataFrame(pos, "user string, item string")
+    out = negative_sample(df, "user", "item", k=3).collect()
+    vocab = sorted({i for _, i in pos})
+    assert len(out) == len(pos) * 3
+    by_key = {}
+    for r in out:
+        expect = vocab[_py_neg_idx(r["user"], r["item"],
+                                   r["neg_no"], len(vocab))]
+        assert r["neg_item"] == expect
+        # flag is true iff the drawn item is one of the user's
+        # actual positives
+        user_items = {i for u, i in pos if u == r["user"]}
+        assert r["is_accidental_positive"] == \
+            (r["neg_item"] in user_items)
+        by_key[(r["user"], r["item"], r["neg_no"])] = r["neg_item"]
+    # deterministic: second run identical
+    out2 = negative_sample(df, "user", "item", k=3).collect()
+    for r in out2:
+        assert by_key[(r["user"], r["item"], r["neg_no"])] == \
+            r["neg_item"]
+
+
+def test_negative_sample_external_vocab(spark):
+    from zef_spark.pipeline.corpus import negative_sample
+    df = spark.createDataFrame([("u", "a")], "user string, item string")
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)],
+                                  "item string")
+    out = negative_sample(df, "user", "item", k=8,
+                          vocab=vocab).collect()
+    drawn = {r["neg_item"] for r in out}
+    assert drawn <= {"a", "b", "c", "d"} and len(drawn) > 1

@@ -537,3 +537,63 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, key_col: str,
 @register_op("leakage_safe_split", "df")
 def _leakage_safe_split_op(df, pairs, *args, **kw):
     return leakage_safe_split(df, pairs, *args, **kw)
+
+
+def negative_sample(positives: DataFrame, user_col: str,
+                    item_col: str, k: int = 4,
+                    vocab: DataFrame | None = None,
+                    salt: str = "neg_v1") -> DataFrame:
+    """(user, item, neg_item, neg_no, is_accidental_positive) — the
+    contrastive-training pair generator: for every positive
+    (user, item) row, k DETERMINISTIC negatives drawn uniformly from
+    the item vocabulary by the bit-portable md5 idiom (draw j =
+    vocab[md5(user:item:j:salt) mod |V|]) — reproducible across
+    runs/engines, no RNG state, and any engine with md5 replays the
+    exact draws. Accidental hits of the user's true positives are
+    FLAGGED, not dropped (dropping would make output multiplicity
+    data-dependent; filter on the flag if desired — the standard
+    'sampled softmax with replacement' posture).
+
+    Plan: vocabulary indexing is ONE row_number over the item
+    dimension (vocab-sized — a dimension table, not the fact table);
+    the k draws explode row-locally; negatives resolve by a hash
+    join on the index (broadcast when the vocab fits); the flag is
+    one left-semi-shaped join against the positives keyed by
+    (user, item). Nothing quadratic, nothing user×vocab."""
+    from pyspark.sql import Window
+    spark = positives.sparkSession
+    v = (vocab if vocab is not None
+         else positives.select(F.col(item_col)).distinct())
+    v = v.select(F.col(item_col).alias("__item"))
+    # dense 0-based index over the (bounded) item dimension
+    idx = (v.withColumn(
+        "__idx", F.row_number().over(Window.orderBy("__item")) - 1))
+    V = idx.count()  # control-plane scalar (dimension cardinality)
+    draws = F.array(*[
+        F.struct(
+            F.lit(j).alias("neg_no"),
+            F.pmod(F.conv(F.substring(F.md5(F.concat(
+                F.col(user_col).cast("string"), F.lit(":"),
+                F.col(item_col).cast("string"), F.lit(f":{j}"),
+                F.lit(salt))), 1, 15), 16, 10).cast("long"),
+                F.lit(V)).alias("__idx"))
+        for j in range(k)])
+    exploded = (positives.select(
+        F.col(user_col), F.col(item_col),
+        F.explode(draws).alias("__d"))
+        .select(user_col, item_col, "__d.neg_no", "__d.__idx"))
+    resolved = (exploded.join(F.broadcast(idx), "__idx")
+                .withColumnRenamed("__item", "neg_item")
+                .drop("__idx"))
+    pos_keys = (positives.select(
+        F.col(user_col), F.col(item_col).alias("neg_item"))
+        .distinct().withColumn("__hit", F.lit(True)))
+    return (resolved.join(pos_keys, [user_col, "neg_item"], "left")
+            .withColumn("is_accidental_positive",
+                        F.coalesce(F.col("__hit"), F.lit(False)))
+            .drop("__hit"))
+
+
+@register_op("negative_sample", "df")
+def _negative_sample_op(df, *args, **kw):
+    return negative_sample(df, *args, **kw)
