@@ -7882,6 +7882,52 @@ def p_negative_sample_pairs(spark, sf_dir):
     return out.orderBy("o_custkey", "l_partkey", "neg_no")
 
 
+@query("w_quantile_normalize_part", """
+WITH base AS (
+  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS a,
+         CAST(p_size AS DOUBLE) AS b
+  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+), ra AS (SELECT a AS x, ROW_NUMBER() OVER (ORDER BY a) AS r
+          FROM base),
+rb AS (SELECT b AS x, ROW_NUMBER() OVER (ORDER BY b) AS r
+       FROM base),
+ref AS (
+  SELECT r, SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE / 2.0
+         AS m
+  FROM (SELECT x, r FROM ra UNION ALL SELECT x, r FROM rb) u
+  GROUP BY r
+), ma AS (
+  SELECT ra.x,
+    ROUND(SUM(CAST(ROUND(ref.m, 12) AS DECIMAL(38,12)))::DOUBLE
+          / COUNT(*), 6) AS qn
+  FROM ra JOIN ref ON ra.r = ref.r GROUP BY ra.x
+), mb AS (
+  SELECT rb.x,
+    ROUND(SUM(CAST(ROUND(ref.m, 12) AS DECIMAL(38,12)))::DOUBLE
+          / COUNT(*), 6) AS qn
+  FROM rb JOIN ref ON rb.r = ref.r GROUP BY rb.x
+)
+SELECT base.p_partkey, ma.qn AS qn_p_retailprice,
+       mb.qn AS qn_p_size
+FROM base JOIN ma ON ma.x = base.a JOIN mb ON mb.x = base.b
+ORDER BY base.p_partkey
+""")
+def w_quantile_normalize_part(spark, sf_dir):
+    """Quantile normalization of part price and size onto one shared
+    distribution (pipeline/wrangling.py quantile_normalize — the
+    limma/omics standard): per-column global ranks via the range-
+    partitioned two-phase prefix machinery (never a single-partition
+    sort), rank-keyed reference means, value-keyed tie-averaged
+    mapping joined back per column. p_size's heavy ties exercise the
+    tie-span averaging, which is what makes the result independent
+    of rank tie order (and hence engine-replayable)."""
+    from zef_spark.pipeline.wrangling import quantile_normalize
+    part = _t(spark, sf_dir, "part")
+    out = quantile_normalize(part, ["p_retailprice", "p_size"])
+    return (out.select("p_partkey", "qn_p_retailprice", "qn_p_size")
+            .orderBy("p_partkey"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -7950,6 +7996,8 @@ _FRONT = [
     "e_lag_features_daily",
     # (a13) contrastive negative sampling (first driver row)
     "p_negative_sample_pairs",
+    # (a14) quantile normalization (first driver row)
+    "w_quantile_normalize_part",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -7959,14 +8007,15 @@ _FRONT = [
     "e_concurrency_hourly", "e_attribution_last_touch",
     "e_attribution_linear", "e_session_overlaps",
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Thirty-one cohort rows
+    # to fill the 50-query window exactly. Thirty-two cohort rows
     # (concat_union_segments, conditional_bucketing,
     # datetime_functions, g_all_type_counts, g_asof_order_count,
     # g_gather_closure, g_has_order_customers,
     # g_hop2_revenue_by_customer, g_hop_customer_nation,
     # g_point_lookup_by_field, g_quantity_fields,
     # g_relation_fields_meta, g_time_travel_duration,
-    # g_time_travel_relative, hash_functions, math_functions,
+    # g_time_travel_relative, g_tx_instantiated_events,
+    # hash_functions, math_functions,
     # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
     # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
     # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
@@ -7976,7 +8025,6 @@ _FRONT = [
     # judge's independent 130-query sweep re-proved every row
     # outside the r06 driver window, so their most recent proof is
     # r06, not r03.
-    "g_tx_instantiated_events",
     "group_agg_customer_orders",
 ]
 

@@ -138,3 +138,43 @@ def test_group_moments_known_values(spark):
     b = out["b"]
     assert b["variance"] == 0.0
     assert b["skewness"] is None and b["kurtosis"] is None
+
+
+def test_quantile_normalize_classic_example(spark):
+    # the canonical Wikipedia/limma worked example
+    from zef_spark.pipeline.wrangling import quantile_normalize
+    rows = [(5.0, 4.0, 3.0), (2.0, 1.0, 4.0), (3.0, 4.0, 6.0),
+            (4.0, 2.0, 8.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = quantile_normalize(df, ["a", "b", "c"]).collect()
+    got = {(r["a"], r["b"], r["c"]): (r["qn_a"], r["qn_b"], r["qn_c"])
+           for r in out}
+    # sorted cols: a:(2,3,4,5) b:(1,2,4,4) c:(3,4,6,8)
+    # rank means: r1=(2+1+3)/3=2, r2=(3+2+4)/3=3, r3=(4+4+6)/3=14/3,
+    # r4=(5+4+8)/3=17/3; b's tied 4s span ranks 3,4 → (14/3+17/3)/2
+    m = [2.0, 3.0, 14 / 3, 17 / 3]
+    tie_b = (m[2] + m[3]) / 2
+    assert got[(5.0, 4.0, 3.0)] == (
+        pytest.approx(m[3]), pytest.approx(tie_b, abs=1e-6),
+        pytest.approx(m[0]))
+    assert got[(2.0, 1.0, 4.0)] == (
+        pytest.approx(m[0]), pytest.approx(m[0]), pytest.approx(m[1]))
+    assert got[(3.0, 4.0, 6.0)] == (
+        pytest.approx(m[1]), pytest.approx(tie_b, abs=1e-6),
+        pytest.approx(m[2], abs=1e-6))
+    assert got[(4.0, 2.0, 8.0)] == (
+        pytest.approx(m[2], abs=1e-6), pytest.approx(m[1]),
+        pytest.approx(m[3], abs=1e-6))
+
+
+def test_quantile_normalize_identical_distributions_after(spark):
+    import numpy as np
+    from zef_spark.pipeline.wrangling import quantile_normalize
+    rng = np.random.RandomState(2)
+    rows = [(float(a), float(b)) for a, b in
+            zip(rng.randn(50) * 10, rng.exponential(5, 50))]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = quantile_normalize(df, ["a", "b"]).collect()
+    qa = sorted(r["qn_a"] for r in out)
+    qb = sorted(r["qn_b"] for r in out)
+    assert qa == pytest.approx(qb)  # identical post-normalization

@@ -1205,3 +1205,61 @@ def group_moments(df: DataFrame, value_col: str, by=None,
 @register_op("group_moments", "df")
 def _group_moments_op(df, *args, **kw):
     return group_moments(df, *args, **kw)
+
+
+def quantile_normalize(df: DataFrame, cols: list[str],
+                       digits: int = 6) -> DataFrame:
+    """Input + ``qn_<col>`` per listed column — QUANTILE NORMALIZATION
+    (the microarray/omics standard, limma normalizeQuantiles): every
+    column is forced onto the identical distribution, namely the
+    across-column mean of order statistics; a value at sorted
+    position r maps to mean_cols(col's r-th smallest). Ties within a
+    column receive the MEAN of the reference values over their rank
+    span, which makes the result independent of tie order (and of
+    any row-id tiebreak — value-deterministic, so it cross-engine
+    replays exactly).
+
+    Plan, per the standing no-global-sort rule: each column's global
+    rank comes from the range-partitioned two-phase prefix machinery
+    (`_global_ranked` — the gini/Mann-Whitney engine), NOT a
+    single-partition window; the reference distribution is one
+    rank-keyed agg over the k unioned rank vectors; the value→
+    normalized mapping is (col, value)-keyed (distinct-value-sized)
+    and joins back per column as a hash join. Rows with a NULL in
+    ANY listed column are dropped (listwise) so every column shares
+    one n — the definition requires equal-length vectors."""
+    cols = list(cols)
+    k = len(cols)
+    base = df
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    ranked_frames = []
+    for c in cols:
+        ranked, _ = _global_ranked(base, c, c)
+        ranked_frames.append(
+            ranked.select(F.lit(c).alias("__col"),
+                          F.col("__x"), F.col("__rank")))
+    allr = reduce(lambda a, b: a.unionByName(b), ranked_frames)
+    dec = "decimal(38,12)"
+    ref = (allr.groupBy("__rank")
+           .agg((F.sum(F.round(F.col("__x"), 12).cast(dec))
+                 .cast("double") / F.lit(float(k))).alias("__m")))
+    mapping = (allr.join(ref, "__rank")
+               .groupBy("__col", "__x")
+               .agg(F.round(F.sum(F.round(F.col("__m"), 12)
+                                  .cast(dec)).cast("double")
+                            / F.count(F.lit(1)), digits)
+                    .alias("__qn")))
+    out = base
+    for c in cols:
+        m_c = (mapping.where(F.col("__col") == c)
+               .select(F.col("__x").alias("__key"),
+                       F.col("__qn").alias(f"qn_{c}")))
+        out = out.join(m_c, out[c].cast("double") == F.col("__key"),
+                       "left").drop("__key")
+    return out
+
+
+@register_op("quantile_normalize", "df")
+def _quantile_normalize_op(df, *args, **kw):
+    return quantile_normalize(df, *args, **kw)
