@@ -169,3 +169,69 @@ def test_split_on_next_stream_equals_batch_on_events(spark, tmp_path):
         for i, s in enumerate(segs[:-1]):      # drop trailing open buffer
             want[(k, i)] = s
     assert got == want and len(got) > 50
+
+
+def test_heavy_hitters_stream_guarantee_and_state(spark, tmp_path):
+    """MG guarantee on a real file stream, state surviving across
+    micro-batches: est <= true <= est + decr per shard, and every
+    sufficiently frequent item is present in the final snapshot."""
+    import collections
+    import pandas as pd
+    from zef_spark.streaming.stateful import heavy_hitters_stream
+
+    # skewed corpus: 'hot' dominates, spread across two batch files
+    items1 = ["hot"] * 300 + [f"cold{i}" for i in range(150)]
+    items2 = ["hot"] * 200 + ["warm"] * 120 + \
+        [f"cold{i}" for i in range(150, 260)]
+    d = tmp_path / "hh"
+    d.mkdir()
+    spark.createDataFrame([(i,) for i in items1], "item string") \
+        .coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame([(i,) for i in items2], "item string") \
+        .coalesce(1).write.parquet(str(d / "b2"))
+
+    stream = (spark.readStream.schema("item string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d / "*")))
+    out = heavy_hitters_stream(stream, "item", counters=16, shards=4)
+    q = (out.writeStream.format("memory").queryName("hh")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh").collect()
+    assert rows, "no emissions"
+    # final snapshot = max version per shard
+    latest_ver = {}
+    for r in rows:
+        latest_ver[r["shard"]] = max(latest_ver.get(r["shard"], 0),
+                                     r["version"])
+    snap = {(r["shard"], r["item"]): r for r in rows
+            if r["version"] == latest_ver[r["shard"]]}
+    # state crossed micro-batches: some shard emitted version >= 2
+    assert max(latest_ver.values()) >= 2
+    # per-shard guarantee against true within-shard counts
+    true = collections.Counter(items1 + items2)
+    from pyspark.sql import functions as F
+    shard_of = {r["item"]: r["shard"] for r in
+                spark.createDataFrame([(i,) for i in set(items1 + items2)],
+                                      "item string")
+                .select("item", F.pmod(F.xxhash64(F.col("item")),
+                                       F.lit(4)).alias("shard"))
+                .collect()}
+    for (shard, item), r in snap.items():
+        t = true[item]
+        assert r["est"] <= t <= r["est"] + r["decr"], (item, r, t)
+    # the dominant items must survive in their shards
+    for must in ("hot", "warm"):
+        assert (shard_of[must], must) in snap, must
+
+
+def test_heavy_hitters_batch_twin(spark):
+    from zef_spark.streaming.stateful import heavy_hitters_stream
+    df = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [(f"c{i}",) for i in range(40)],
+        "item string")
+    rows = heavy_hitters_stream(df, "item", counters=8,
+                                shards=2).collect()
+    snap = {r["item"]: r for r in rows}
+    assert "a" in snap and "b" in snap
+    assert snap["a"]["est"] <= 50 <= snap["a"]["est"] + snap["a"]["decr"]

@@ -186,3 +186,92 @@ def holt_stream(events: DataFrame, alpha: float, beta: float,
     return (events.groupBy(key_col).applyInPandasWithState(
         fold, HOLT_SCHEMA, _HOLT_STATE, "append",
         GroupStateTimeout.NoTimeout))
+
+
+HH_SCHEMA = StructType([
+    StructField("shard", LongType()),
+    StructField("item", StringType()),
+    StructField("est", LongType()),
+    StructField("decr", LongType()),
+    StructField("version", LongType()),
+])
+
+_HH_STATE = StructType([
+    StructField("items", ArrayType(StringType())),
+    StructField("counts", ArrayType(LongType())),
+    StructField("decr", LongType()),
+    StructField("version", LongType()),
+])
+
+
+def heavy_hitters_stream(events: DataFrame, item_col: str,
+                         counters: int = 64,
+                         shards: int = 8) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters: (shard, item, est, decr,
+    version) — the unbounded-stream form of sketches.heavy_hitters.
+    Items hash-shard into `shards` groups; each shard maintains the
+    classic `counters`-slot MG summary in the state store FOREVER
+    (state is O(shards × counters) — constant, the only shape that
+    survives an unbounded stream). Per shard, every item's true
+    count within the shard obeys est ≤ true ≤ est + decr (decr =
+    total decrement rounds), so merging shards is a sum of ests with
+    a Σdecr error bound. Each micro-batch emits the shard's full
+    current summary stamped with a monotone `version` — readers take
+    the max-version snapshot per shard (update-style consumption of
+    an append sink). Works identically on a batch frame (one
+    'micro-batch' per shard)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    tagged = events.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")),
+               F.lit(shards)).alias("shard"))
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            items, counts, decr, ver = state.get
+            d = dict(zip(list(items), [int(c) for c in counts]))
+            decr, ver = int(decr), int(ver)
+        else:
+            d, decr, ver = {}, 0, 0
+        for pdf in pdf_iter:
+            for it in pdf["item"]:
+                if it in d:
+                    d[it] += 1
+                elif len(d) < counters:
+                    d[it] = 1
+                else:  # MG decrement round: all counters -1, drop 0s
+                    decr += 1
+                    d = {k: v - 1 for k, v in d.items() if v > 1}
+        ver += 1
+        state.update((list(d.keys()),
+                      [int(v) for v in d.values()], decr, ver))
+        yield pd.DataFrame(
+            [(key[0], k, int(v), decr, ver) for k, v in d.items()],
+            columns=["shard", "item", "est", "decr", "version"])
+
+    if events.isStreaming:
+        return (tagged.groupBy("shard").applyInPandasWithState(
+            update, HH_SCHEMA, _HH_STATE, "append",
+            GroupStateTimeout.NoTimeout))
+    return tagged.groupBy("shard").applyInPandas(
+        lambda pdf: _mg_batch(pdf, counters), HH_SCHEMA)
+
+
+def _mg_batch(pdf, counters: int):
+    """Batch twin of the streaming MG update (no state store)."""
+    import pandas as pd
+    d, decr = {}, 0
+    shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+    for it in pdf["item"]:
+        if it in d:
+            d[it] += 1
+        elif len(d) < counters:
+            d[it] = 1
+        else:
+            decr += 1
+            d = {k: v - 1 for k, v in d.items() if v > 1}
+    return pd.DataFrame(
+        [(shard, k, int(v), decr, 1) for k, v in d.items()],
+        columns=["shard", "item", "est", "decr", "version"])
