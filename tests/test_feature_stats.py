@@ -178,3 +178,27 @@ def test_quantile_normalize_identical_distributions_after(spark):
     qa = sorted(r["qn_a"] for r in out)
     qb = sorted(r["qn_b"] for r in out)
     assert qa == pytest.approx(qb)  # identical post-normalization
+
+
+def test_trimmed_mean_known(spark):
+    from zef_spark.ops.df_ops import trimmed_mean
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+    df = spark.createDataFrame([("a", v) for v in vals],
+                               "k string, x double")
+    r = trimmed_mean(df, "k", "x", trim=0.1).collect()[0]
+    # floor(0.1*10)=1 from each end → mean of 2..9
+    assert (r["n"], r["n_used"]) == (10, 8)
+    assert r["tmean"] == pytest.approx(sum(range(2, 10)) / 8)
+
+
+def test_topn_with_other(spark):
+    from zef_spark.ops.df_ops import topn_with_other
+    rows = [("a", 50.0)] * 2 + [("b", 30.0)] + \
+           [(f"t{i}", 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    out = {r["k"]: r for r in
+           topn_with_other(df, "k", "w", n=2).collect()}
+    assert set(out) == {"a", "b", "OTHER"}
+    assert out["a"]["weight"] == 100.0 and out["b"]["weight"] == 30.0
+    assert out["OTHER"]["weight"] == 5.0
+    assert out["a"]["share"] == pytest.approx(100 / 135, abs=1e-6)

@@ -700,3 +700,78 @@ def group_percentiles(df, key_cols, value_col,
 
 
 register_op("group_percentiles", "df")(group_percentiles)
+
+
+def trimmed_mean(df, key_cols, value_col, trim: float = 0.05,
+                 digits: int = 6):
+    """(keys..., n, n_used, tmean) — per-group TRIMMED mean: drop the
+    lowest and highest floor(trim·n) values (the robust location
+    estimator between mean and median), average the rest with
+    decimal-exact sums. Integer-rank trimming (floor semantics) so
+    any engine computing the same ranks matches exactly; the rank
+    window and final agg share ONE group-keyed shuffle."""
+    from pyspark.sql import Window, functions as F
+    dec = "decimal(38,12)"
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(x)
+    wn = Window.partitionBy(*keys)
+    t = (base.withColumn("__rn", F.row_number().over(w))
+         .withColumn("__n", F.count(F.lit(1)).over(wn))
+         .withColumn("__cut", F.floor(F.lit(float(trim))
+                                      * F.col("__n"))))
+    kept = (F.col("__rn") > F.col("__cut")) & \
+           (F.col("__rn") <= F.col("__n") - F.col("__cut"))
+    return (t.groupBy(*keys)
+            .agg(F.max("__n").alias("n"),
+                 F.sum(F.when(kept, 1).otherwise(0)).cast("long")
+                 .alias("n_used"),
+                 F.round(F.sum(F.when(kept, F.round(x, 12)
+                                      .cast(dec))).cast("double")
+                         / F.sum(F.when(kept, 1).otherwise(0)),
+                         digits).alias("tmean")))
+
+
+@register_op("trimmed_mean", "df")
+def _trimmed_mean_op(df, *args, **kw):
+    return trimmed_mean(df, *args, **kw)
+
+
+def topn_with_other(df, key_col, weight_col=None, n: int = 10,
+                    label: str = "OTHER", digits: int = 6):
+    """(key, weight, share) — the reporting staple: the top-n keys by
+    total weight (row count when weight_col is None) plus ONE 'OTHER'
+    row folding the entire tail, with each row's share of the grand
+    total. Vocabulary-sized agg → rank window over the vocabulary
+    (never the fact table) → conditional re-agg; grand total rides
+    along as a window sum, no second scan. Ties at the n-boundary
+    break on the key (deterministic)."""
+    from pyspark.sql import Window, functions as F
+    dec = "decimal(38,12)"
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit("∅"))
+    wgt = (F.lit(1.0) if weight_col is None
+           else F.col(weight_col).cast("double"))
+    per_key = (df.groupBy(k.alias("__k"))
+               .agg(F.sum(F.round(wgt, 12).cast(dec)).alias("__w")))
+    wr = Window.orderBy(F.col("__w").desc(), "__k")
+    wa = Window.partitionBy()
+    ranked = (per_key.withColumn("__r", F.row_number().over(wr))
+              .withColumn("__tot", F.sum("__w").over(wa)))
+    bucket = F.when(F.col("__r") <= n, F.col("__k")) \
+        .otherwise(F.lit(label))
+    grouped = (ranked.groupBy(bucket.alias(key_col))
+               .agg(F.sum("__w").alias("__wsum"),
+                    F.max("__tot").alias("__tot")))
+    return (grouped.select(
+        key_col,
+        F.round(F.col("__wsum").cast("double"), digits)
+        .alias("weight"),
+        F.round(F.col("__wsum").cast("double")
+                / F.col("__tot").cast("double"), digits)
+        .alias("share")))
+
+
+@register_op("topn_with_other", "df")
+def _topn_with_other_op(df, *args, **kw):
+    return topn_with_other(df, *args, **kw)
