@@ -7989,6 +7989,80 @@ def w_topn_parts_revenue(spark, sf_dir):
             .orderBy("l_partkey"))
 
 
+@query("p_rrf_hybrid_search", """
+WITH base AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), dl AS (SELECT doc_id, LEN(toks) AS dl FROM base),
+totals AS (SELECT COUNT(*) * 1.0 AS n, AVG(dl) AS avgdl FROM dl),
+posting AS (
+  SELECT doc_id, t.token, COUNT(*) AS tf
+  FROM base, UNNEST(toks) AS t(token)
+  WHERE t.token IN ('spark', 'merge', 'window')
+  GROUP BY doc_id, t.token
+), dfreq AS (SELECT token, COUNT(*) AS df FROM posting
+             GROUP BY token),
+bm AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (t.n - f.df + 0.5) / (f.df + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / t.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq f USING (token) JOIN dl d USING (doc_id)
+  CROSS JOIN totals t GROUP BY p.doc_id
+), bmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+         AS r
+  FROM bm
+), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         WHERE vec_id = 0),
+cs AS (
+  SELECT vec_id AS doc_id,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+                                      q.qv), 4) AS cosine
+  FROM embeddings, q ORDER BY cosine DESC, doc_id LIMIT 50
+), csr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+         AS r
+  FROM cs
+), u AS (SELECT doc_id, r FROM bmr
+         UNION ALL SELECT doc_id, r FROM csr)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+  ROUND(SUM(CAST(ROUND(1.0 / (60 + r), 12)
+                 AS DECIMAL(38,12)))::DOUBLE, 6) AS rrf
+FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id LIMIT 20
+""")
+def p_rrf_hybrid_search(spark, sf_dir):
+    """Hybrid search by Reciprocal Rank Fusion
+    (pipeline/similarity.py rrf_fuse): a lexical BM25 candidate list
+    fused with a top-50 embedding-cosine list purely by rank —
+    incomparable score scales never mix. Both lists rank on their
+    cross-engine-stable rounded scores with id tie-breaks, so the
+    oracle replays the exact fusion; the rank windows run over
+    CANDIDATE lists (top-k bounded), never the corpus."""
+    from zef_spark.pipeline.corpus import bm25
+    from zef_spark.pipeline.similarity import (cosine_to_query,
+                                               rrf_fuse)
+    docs = _t(spark, sf_dir, "documents")
+    bm = (bm25(docs, "doc_id", "text", ["spark", "merge", "window"])
+          .select("doc_id", "score"))
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    cos = (cosine_to_query(emb, "embedding",
+                           _query_vec(spark, sf_dir))
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.round("cosine", 4).alias("cosine"))
+           .orderBy(F.col("cosine").desc(), "doc_id").limit(50))
+    fused = rrf_fuse([(bm, "score"), (cos, "cosine")], "doc_id",
+                     k=60)
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -8061,6 +8135,8 @@ _FRONT = [
     "w_quantile_normalize_part",
     # (a15) robust/reporting aggregates (first driver rows)
     "w_trimmed_mean_price", "w_topn_parts_revenue",
+    # (a16) hybrid-search rank fusion (first driver row)
+    "p_rrf_hybrid_search",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
@@ -8068,9 +8144,11 @@ _FRONT = [
     # attribution range-frame horizon, overlap-join first-bucket
     "w_group_percentiles", "p_benford_totalprice",
     "e_concurrency_hourly", "e_attribution_last_touch",
-    # (e_attribution_linear rotates to r08: the r07 attribution
-    # change is re-proven by e_attribution_last_touch, same window)
-    "e_session_overlaps",
+    # (e_attribution_linear and e_session_overlaps rotate to r08:
+    # attribution re-proven by e_attribution_last_touch on the same
+    # window path; the overlap-join first-bucket change is
+    # plan-asserted in tests and green in this round's full local
+    # sweeps)
     # (d) staleness rotation: the r03-driver-checked cohort, trimmed
     # to fill the 50-query window exactly. Thirty-four cohort rows
     # (concat_union_segments, conditional_bucketing,

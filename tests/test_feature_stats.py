@@ -202,3 +202,28 @@ def test_topn_with_other(spark):
     assert out["a"]["weight"] == 100.0 and out["b"]["weight"] == 30.0
     assert out["OTHER"]["weight"] == 5.0
     assert out["a"]["share"] == pytest.approx(100 / 135, abs=1e-6)
+
+
+def test_rrf_fuse_known_ranks(spark):
+    from zef_spark.pipeline.similarity import rrf_fuse
+    a = spark.createDataFrame([(1, 9.0), (2, 8.0), (3, 7.0)],
+                              "id long, s double")
+    b = spark.createDataFrame([(3, 0.9), (1, 0.8)],
+                              "id long, c double")
+    out = {r["id"]: r for r in
+           rrf_fuse([(a, "s"), (b, "c")], "id", k=60).collect()}
+    # a-ranks: 1→1, 2→2, 3→3; b-ranks: 3→1, 1→2
+    assert out[1]["rrf"] == pytest.approx(1 / 61 + 1 / 62, abs=1e-6)
+    assert out[2]["rrf"] == pytest.approx(1 / 62, abs=1e-6)
+    assert out[3]["rrf"] == pytest.approx(1 / 63 + 1 / 61, abs=1e-6)
+    assert out[1]["n_lists"] == 2 and out[2]["n_lists"] == 1
+
+
+def test_rrf_fuse_score_ties_break_on_id(spark):
+    from zef_spark.pipeline.similarity import rrf_fuse
+    a = spark.createDataFrame([(2, 5.0), (1, 5.0)],
+                              "id long, s double")
+    out = {r["id"]: r["rrf"] for r in
+           rrf_fuse([(a, "s")], "id", k=10).collect()}
+    assert out[1] == pytest.approx(1 / 11, abs=1e-6)  # id asc wins
+    assert out[2] == pytest.approx(1 / 12, abs=1e-6)

@@ -140,7 +140,10 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     "w_target_encode_priority",
                     # r07 encoding: normalized count_encode's total
                     # is a 1-row scalar broadcast
-                    "w_count_encode_cross"}
+                    "w_count_encode_cross",
+                    # r07 hybrid search: the cosine list inherits
+                    # cosine_to_query's 1-row query-vector broadcast
+                    "p_rrf_hybrid_search"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:

@@ -550,3 +550,50 @@ def ivf_kmeans_topk(df: DataFrame, vec_col: str, id_col: str,
         cand.withColumn(vec_col,
                         F.col(vec_col).cast("array<double>")),
         vec_col, id_col, query, k, digits)
+
+
+def rrf_fuse(rankings, id_col: str, k: int = 60,
+             digits: int = 6) -> DataFrame:
+    """(id, n_lists, rrf) — Reciprocal Rank Fusion (Cormack et al.),
+    the standard hybrid-search combiner: given candidate lists each
+    scored on its own incomparable scale (BM25, embedding cosine,
+    recency, ...), fuse by rank alone:
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    `rankings` is a list of (df, score_col) candidate lists; each is
+    ranked by (score DESC, id) — callers should pre-round scores to
+    their cross-engine-stable precision so ranks are deterministic;
+    the id tie-break finishes the total order. Ranks come from a
+    row_number over each CANDIDATE list (top-k bounded — search
+    results, never the corpus; the window is list-sized by
+    construction). Per-row reciprocal terms are decimal-rounded
+    before summing, so the fused score is partition-order-exact.
+    Items missing from a list simply contribute nothing (the RRF
+    convention); n_lists reports coverage."""
+    from functools import reduce
+    from pyspark.sql import Window
+    dec = "decimal(38,12)"
+    parts = []
+    for df, score_col in rankings:
+        w = Window.orderBy(F.col(score_col).cast("double").desc(),
+                           F.col(id_col))
+        parts.append(df.select(
+            F.col(id_col), F.row_number().over(w).alias("__r")))
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    term = F.round(1.0 / (F.lit(int(k)) + F.col("__r")), 12) \
+        .cast(dec)
+    return (u.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lists"),
+                 F.round(F.sum(term).cast("double"), digits)
+                 .alias("rrf")))
+
+
+from ..ops.core import register_op as _reg_sim  # noqa: E402
+
+
+@_reg_sim("rrf_fuse", "df")
+def _rrf_fuse_op(df, score_col, others, *args, **kw):
+    """Pipe form: ``df | z.rrf_fuse[score_col, [(df2, s2), ...],
+    id_col]`` — df is the first ranking."""
+    return rrf_fuse([(df, score_col)] + list(others), *args, **kw)
