@@ -8063,6 +8063,27 @@ def p_rrf_hybrid_search(spark, sf_dir):
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
+@query("p_class_weights_lang", """
+WITH per AS (
+  SELECT COALESCE(CAST(lang AS VARCHAR), '∅') AS label,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+)
+SELECT label, n,
+  ROUND(CAST((SELECT SUM(n) FROM per) AS DOUBLE)
+        / ((SELECT COUNT(*) FROM per) * n), 6) AS weight
+FROM per ORDER BY label
+""")
+def p_class_weights_lang(spark, sf_dir):
+    """Balanced inverse-frequency class weights over document
+    languages (pipeline/encoding.py class_weights, the sklearn
+    'balanced' formula n/(k·n_c)): one vocabulary-sized hash agg,
+    totals as window sums over the class table — no second scan."""
+    from zef_spark.pipeline.encoding import class_weights
+    docs = _t(spark, sf_dir, "documents")
+    return class_weights(docs, "lang").orderBy("label")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -8137,12 +8158,16 @@ _FRONT = [
     "w_trimmed_mean_price", "w_topn_parts_revenue",
     # (a16) hybrid-search rank fusion (first driver row)
     "p_rrf_hybrid_search",
+    # (a17) balanced class weights (first driver row)
+    "p_class_weights_lang",
     # (b) the r06 red row, re-proof after the DOUBLE cast fix
     "e_rfm_segments",
     # (c) semantics/oracle changed in r07 — re-proof: percentile
     # naming, benford rendering, concurrency segment sweep,
     # attribution range-frame horizon, overlap-join first-bucket
-    "w_group_percentiles", "p_benford_totalprice",
+    "w_group_percentiles",
+    # (p_benford_totalprice rotates to r08: its r07 rendering fix is
+    # green in both of this round's full local sf0.01 sweeps)
     "e_concurrency_hourly", "e_attribution_last_touch",
     # (e_attribution_linear and e_session_overlaps rotate to r08:
     # attribution re-proven by e_attribution_last_touch on the same

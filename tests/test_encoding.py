@@ -95,3 +95,17 @@ def test_encoders_compose(spark):
         interaction_features(_df(spark), ["c", "d"]), "x_c_d",
         normalize=True).collect()
     assert all(r["ce_x_c_d"] == 0.25 for r in out)
+
+
+def test_class_weights_balanced_formula(spark):
+    from zef_spark.pipeline.encoding import class_weights
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1, "c string")
+    out = {r["label"]: r for r in class_weights(df, "c").collect()}
+    # n=10, k=3: w_a = 10/(3*6), w_b = 10/(3*3), w_null = 10/(3*1)
+    assert out["a"]["weight"] == pytest.approx(10 / 18, abs=1e-6)
+    assert out["b"]["weight"] == pytest.approx(10 / 9, abs=1e-6)
+    assert out["∅"]["weight"] == pytest.approx(10 / 3, abs=1e-6)
+    # balanced: sum over classes of n*w equals n_total
+    assert sum(r["n"] * r["weight"] for r in out.values()) == \
+        pytest.approx(10.0, abs=1e-4)

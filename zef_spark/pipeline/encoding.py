@@ -177,3 +177,30 @@ def _interaction_op(df, *args, **kw):
 @register_op("feature_hash", "df")
 def _feature_hash_op(df, *args, **kw):
     return feature_hash(df, *args, **kw)
+
+
+def class_weights(df: DataFrame, label_col: str,
+                  digits: int = 6) -> DataFrame:
+    """(label, n, weight) — inverse-frequency class weights by the
+    standard 'balanced' formula weight_c = n_total / (k·n_c) (each
+    class's weighted mass equals n/k, so the loss sees a balanced
+    problem). One vocabulary-sized hash agg; totals ride along as
+    window sums over the class table — no second scan, no broadcast
+    join. NULL labels are their own class."""
+    from pyspark.sql import Window
+    key = F.coalesce(F.col(label_col).cast("string"), F.lit("∅"))
+    per = (df.groupBy(key.alias("label"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy()
+    return (per
+            .withColumn("__tot", F.sum("n").over(w))
+            .withColumn("__k", F.count(F.lit(1)).over(w))
+            .select("label", "n",
+                    F.round(F.col("__tot").cast("double")
+                            / (F.col("__k") * F.col("n")), digits)
+                    .alias("weight")))
+
+
+@register_op("class_weights", "df")
+def _class_weights_op(df, *args, **kw):
+    return class_weights(df, *args, **kw)
