@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from zef_spark.functions.rounding import sql_round_sig_safe
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
@@ -7157,7 +7159,7 @@ def p_brier_value(spark, sf_dir):
     return brier_score(scored, "s", "y")
 
 
-@query("w_target_encode_priority", """
+@query("w_target_encode_priority", f"""
 WITH cat AS (
   SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '∅') AS c,
     CAST(COUNT(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS nc,
@@ -7169,11 +7171,14 @@ WITH cat AS (
              AS DECIMAL(38,12)))::DOUBLE
          / COUNT(CAST(o_totalprice AS DOUBLE)) AS mu
   FROM orders
+), raw AS (
+  SELECT c,
+    (sc + 10.0 * mu) / (CAST(nc AS DOUBLE) + 10.0) AS te
+  FROM cat CROSS JOIN mu
 )
 SELECT c AS o_orderpriority,
-  ROUND((sc + 10.0 * mu) / (CAST(nc AS DOUBLE) + 10.0), 6)
-    AS te_o_orderpriority
-FROM cat CROSS JOIN mu ORDER BY 1
+  {sql_round_sig_safe('te')} AS te_o_orderpriority
+FROM raw ORDER BY 1
 """)
 def w_target_encode_priority(spark, sf_dir):
     """Smoothed mean-target encoding of order priority against
@@ -7249,7 +7254,7 @@ def w_corr_lineitem(spark, sf_dir):
             .orderBy("col_a", "col_b"))
 
 
-@query("e_linreg_trend", """
+@query("e_linreg_trend", f"""
 WITH s AS (
   SELECT event_type,
     DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS tick,
@@ -7258,39 +7263,52 @@ WITH s AS (
 ), a AS (
   SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS n,
-    SUM(CAST(ROUND(CAST(tick AS DOUBLE), 12)
-             AS DECIMAL(38,12)))::DOUBLE AS sx,
-    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS sy,
-    SUM(CAST(ROUND(CAST(tick AS DOUBLE) * CAST(tick AS DOUBLE), 12)
-             AS DECIMAL(38,12)))::DOUBLE AS qx,
-    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS qy,
-    SUM(CAST(ROUND(CAST(tick AS DOUBLE) * x, 12)
-             AS DECIMAL(38,12)))::DOUBLE AS sxy
+    CAST(ROUND(SUM(CAST(ROUND(CAST(tick AS DOUBLE), 12)
+             AS DECIMAL(38,12))), 3) AS DECIMAL(19,3)) AS sx,
+    CAST(ROUND(SUM(CAST(ROUND(x, 12)
+             AS DECIMAL(38,12))), 3) AS DECIMAL(19,3)) AS sy,
+    CAST(ROUND(SUM(CAST(ROUND(CAST(tick AS DOUBLE) * CAST(tick AS DOUBLE),
+                        12)
+             AS DECIMAL(38,12))), 3) AS DECIMAL(19,3)) AS qx,
+    CAST(ROUND(SUM(CAST(ROUND(x * x, 12)
+             AS DECIMAL(38,12))), 3) AS DECIMAL(19,3)) AS qy,
+    CAST(ROUND(SUM(CAST(ROUND(CAST(tick AS DOUBLE) * x, 12)
+             AS DECIMAL(38,12))), 3) AS DECIMAL(19,3)) AS sxy
   FROM s
   WHERE tick IS NOT NULL AND x IS NOT NULL
   GROUP BY 1
 ), d AS (
-  SELECT a.*, CAST(n AS DOUBLE) AS nd,
-    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
-    CAST(n AS DOUBLE) * qx - sx * sx AS dx,
-    CAST(n AS DOUBLE) * qy - sy * sy AS dy
+  SELECT event_type, n,
+    CAST(n AS DECIMAL(12,0)) * sxy - sx * sy AS num,
+    CAST(n AS DECIMAL(12,0)) * qx - sx * sx AS dx,
+    CAST(n AS DECIMAL(12,0)) * qy - sy * sy AS dy,
+    sy * qx - sx * sxy AS inum
   FROM a
+), r AS (
+  SELECT event_type, n, dx, dy,
+    num::DOUBLE / dx::DOUBLE AS slope_raw,
+    inum::DOUBLE / dx::DOUBLE AS intercept_raw,
+    (num::DOUBLE * num::DOUBLE) / (dx::DOUBLE * dy::DOUBLE) AS r2_raw
+  FROM d
 )
 SELECT event_type, n,
   CASE WHEN n >= 2 AND dx > 0
-       THEN ROUND(num / dx, 6) END AS slope,
+       THEN {sql_round_sig_safe('slope_raw')} END AS slope,
   CASE WHEN n >= 2 AND dx > 0
-       THEN ROUND((sy - num / dx * sx) / nd, 6) END AS intercept,
+       THEN {sql_round_sig_safe('intercept_raw')} END AS intercept,
   CASE WHEN n >= 2 AND dx > 0 AND dy > 0
-       THEN ROUND(num * num / (dx * dy), 6) END AS r2
-FROM d ORDER BY event_type
+       THEN {sql_round_sig_safe('r2_raw')} END AS r2
+FROM r ORDER BY event_type
 """)
 def e_linreg_trend(spark, sf_dir):
     """OLS trend line of each event type's daily value series
     (pipeline/wrangling.py linreg): closed-form slope / intercept /
-    r² from ONE keyed hash agg of decimal-exact sums — the
-    trend-estimation primitive behind growth dashboards. Ticks by
-    epoch-day division, no rank, no sort."""
+    r² from ONE keyed hash agg. Cross-engine-deterministic by
+    construction (r07 verdict order #1): decimal-exact numerators and
+    denominators, ONE double division each, ≤9-significant-digit
+    rounding. Ticks by epoch-day division, no rank, no sort. qscale=3
+    gives 10^15 headroom for the squared-tick sums (epoch-day² ≈
+    4·10⁸ per row)."""
     from zef_spark.pipeline.wrangling import linreg
     dec = "decimal(38,12)"
     ev = _events(spark, sf_dir)
@@ -7300,7 +7318,7 @@ def e_linreg_trend(spark, sf_dir):
                          .alias("tick"))
               .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
                    .cast("double").alias("x")))
-    return (linreg(series, "tick", "x", by="event_type")
+    return (linreg(series, "tick", "x", by="event_type", qscale=3)
             .orderBy("event_type"))
 
 
@@ -7665,12 +7683,12 @@ def e_forecast_naive7(spark, sf_dir):
             .orderBy("event_type"))
 
 
-@query("w_dp_priority_stats", """
+@query("w_dp_priority_stats", f"""
 WITH agg AS (
   SELECT o_orderpriority AS k, CAST(COUNT(*) AS BIGINT) AS n,
-    SUM(CAST(ROUND(LEAST(GREATEST(CAST(o_totalprice AS DOUBLE),
-                                  0.0), 500000.0), 12)
-             AS DECIMAL(38,12)))::DOUBLE AS s
+    CAST(ROUND(SUM(CAST(ROUND(LEAST(GREATEST(
+             CAST(o_totalprice AS DOUBLE), 0.0), 500000.0), 12)
+             AS DECIMAL(38,12))), 6) AS DECIMAL(30,6)) AS s
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), noise AS (
   SELECT k, n, s,
@@ -7681,22 +7699,26 @@ WITH agg AS (
   FROM agg
 ), rel AS (
   SELECT k,
-    ROUND(CAST(n AS DOUBLE)
-      + CASE WHEN uc - 0.5 >= 0
+    (CAST(n AS DECIMAL(18,0))
+     + CAST(ROUND(CASE WHEN uc - 0.5 >= 0
              THEN -2.0 * LN(1.0 - 2.0 * (uc - 0.5))
-             ELSE 2.0 * LN(1.0 + 2.0 * (uc - 0.5)) END, 6)
-      AS dp_count,
-    ROUND(s
-      + CASE WHEN us - 0.5 >= 0
+             ELSE 2.0 * LN(1.0 + 2.0 * (uc - 0.5)) END, 1)
+            AS DECIMAL(18,1)))::DOUBLE AS dpn,
+    (s + CAST(ROUND(CASE WHEN us - 0.5 >= 0
              THEN -1000000.0 * LN(1.0 - 2.0 * (us - 0.5))
-             ELSE 1000000.0 * LN(1.0 + 2.0 * (us - 0.5)) END, 6)
-      AS dp_sum
+             ELSE 1000000.0 * LN(1.0 + 2.0 * (us - 0.5)) END, 1)
+            AS DECIMAL(18,1)))::DOUBLE AS dps
   FROM noise
+), rounded AS (
+  SELECT k,
+    {sql_round_sig_safe('dpn')} AS dp_count,
+    {sql_round_sig_safe('dps')} AS dp_sum
+  FROM rel
 )
 SELECT k AS o_orderpriority, dp_count, dp_sum,
   CASE WHEN dp_count <> 0
-       THEN ROUND(dp_sum / dp_count, 6) END AS dp_mean
-FROM rel ORDER BY 1
+       THEN {sql_round_sig_safe('(dp_sum / dp_count)')} END AS dp_mean
+FROM rounded ORDER BY 1
 """)
 def w_dp_priority_stats(spark, sf_dir):
     """ε=1 differentially-private count/sum/mean of order value per
@@ -7743,7 +7765,7 @@ def p_rr_lang_counts(spark, sf_dir):
             .orderBy("lang"))
 
 
-@query("w_moments_acctbal", """
+@query("w_moments_acctbal", f"""
 WITH a AS (
   SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
     SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE), 12)
@@ -7773,13 +7795,18 @@ WITH a AS (
       - 3 * mu * mu * mu * mu AS m4
   FROM d
 )
-SELECT c_mktsegment, n, ROUND(mu, 6) AS mean,
-  ROUND(m2, 6) AS variance,
-  CASE WHEN m2 > 0 THEN ROUND(m3 / SQRT(m2 * m2 * m2), 6) END
-    AS skewness,
-  CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END
-    AS kurtosis
-FROM m ORDER BY c_mktsegment
+, raws AS (
+  SELECT c_mktsegment, n, mu, m2,
+    CASE WHEN m2 > 0 THEN m3 / SQRT(m2 * m2 * m2) END AS sk,
+    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS ku
+  FROM m
+)
+SELECT c_mktsegment, n,
+  {sql_round_sig_safe('mu')} AS mean,
+  {sql_round_sig_safe('m2')} AS variance,
+  {sql_round_sig_safe('sk')} AS skewness,
+  {sql_round_sig_safe('ku')} AS kurtosis
+FROM raws ORDER BY c_mktsegment
 """)
 def w_moments_acctbal(spark, sf_dir):
     """Full population-moment profile of customer balances per market

@@ -22,6 +22,20 @@ def _py_laplace(key, b, salt):
         else b * math.log(1 + 2 * d)
 
 
+def _sig9(v, digits=6, max_sig=9):
+    """Python replay of functions/rounding.py round_sig_safe."""
+    a = abs(v)
+    int_digits = 0 if a < 1.0 else len(str(int(a)))
+    return round(v, min(digits, max_sig - int_digits))
+
+
+def _release(true_val, key, b, salt="dp_v1"):
+    """Python replay of the r08 mechanism: Laplace draw snapped to
+    the 0.1 grid, added to the exact true aggregate, released with
+    magnitude-safe (≤9 sig digit) rounding."""
+    return _sig9(true_val + round(_py_laplace(key, b, salt), 1))
+
+
 def test_dp_aggregate_matches_python_replay(spark):
     from zef_spark.pipeline.privacy import dp_aggregate
     rows = [("a", float(v)) for v in [1, 2, 3, 400]] + \
@@ -32,14 +46,14 @@ def test_dp_aggregate_matches_python_replay(spark):
                         hi=10.0).collect()}
     # group a: clipped sum = 1+2+3+10 = 16, n = 4
     b_cnt, b_sum = 1.0, 10.0
-    exp_n = round(4 + _py_laplace("a|count", b_cnt, "dp_v1"), 6)
-    exp_s = round(16 + _py_laplace("a|sum", b_sum, "dp_v1"), 6)
+    exp_n = _release(4, "a|count", b_cnt)
+    exp_s = _release(16, "a|sum", b_sum)
     assert out["a"]["dp_count"] == pytest.approx(exp_n, abs=1e-9)
     assert out["a"]["dp_sum"] == pytest.approx(exp_s, abs=1e-9)
     assert out["a"]["dp_mean"] == pytest.approx(
-        round(exp_s / exp_n, 6), abs=1e-9)
+        _sig9(exp_s / exp_n), abs=1e-9)
     # group b: -3 clips to 0, 5 stays → sum 5
-    exp_sb = round(5 + _py_laplace("b|sum", b_sum, "dp_v1"), 6)
+    exp_sb = _release(5, "b|sum", b_sum)
     assert out["b"]["dp_sum"] == pytest.approx(exp_sb, abs=1e-9)
     # true aggregates never leak into the schema
     cols = set(dp_aggregate(df, "x", by="k").columns)

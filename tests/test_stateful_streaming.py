@@ -2,6 +2,7 @@
 file-source stream with cross-micro-batch state."""
 
 import os
+import time
 
 
 def test_split_on_next_stream(spark, tmp_path):
@@ -126,12 +127,12 @@ def test_holt_stream_equals_batch(spark, tmp_path):
 
 
 def test_split_on_next_stream_equals_batch_on_events(spark, tmp_path):
-    """r06 verdict order #5 done-criterion: stream==batch equality
-    segmenting the REAL event stream on marker rows (ITF:9440).
-    Streaming emits every CLOSED segment; the bounded-list form
-    additionally returns the trailing open buffer — so streaming
-    output must equal the bounded segmentation minus each key's
-    final (unterminated) segment."""
+    """r07 verdict order #5 done-criterion: stream==batch equality
+    segmenting the REAL event stream on marker rows INCLUDING each
+    key's trailing open segment (Rx completes the open window on
+    stream completion, ITF:9440). Batch mode flushes at end-of-input;
+    streaming mode flushes via processing-time timeout
+    (flush_timeout_ms) once a key goes idle."""
     from collections import defaultdict
     from pyspark.sql import functions as F
     from zef_spark import ops as z
@@ -144,20 +145,7 @@ def test_split_on_next_stream_equals_batch_on_events(spark, tmp_path):
         F.col("event_id").alias("seq"),
         F.col("event_type").alias("value"))
 
-    # file stream source needs a directory; stage the table into one
-    import shutil
-    d = str(tmp_path / "events_in")
-    os.makedirs(d)
-    shutil.copy(f"{sf}/events.parquet", d)
-    ev_schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = sel(spark.readStream.schema(ev_schema).parquet(d))
-    q = (split_on_next_stream(stream, marker)
-         .writeStream.format("memory").queryName("seg_events")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    got = {(r.key, r.seg_no): list(r.segment)
-           for r in spark.sql("SELECT * FROM seg_events").collect()}
-
+    # expected: the bounded-list segmentation, trailing buffer and all
     per_key = defaultdict(list)
     batch = sel(spark.read.parquet(f"{sf}/events.parquet")) \
         .orderBy("key", "seq").collect()
@@ -165,10 +153,41 @@ def test_split_on_next_stream_equals_batch_on_events(spark, tmp_path):
         per_key[r.key].append(r.value)
     want = {}
     for k, vals in per_key.items():
-        segs = vals | z.split_on_next[marker]
-        for i, s in enumerate(segs[:-1]):      # drop trailing open buffer
+        for i, s in enumerate(vals | z.split_on_next[marker]):
             want[(k, i)] = s
-    assert got == want and len(got) > 50
+
+    # batch form: end of input is stream completion — exact equality
+    got_batch = {(r.key, r.seg_no): list(r.segment)
+                 for r in split_on_next_stream(
+                     sel(spark.read.parquet(f"{sf}/events.parquet")),
+                     marker).collect()}
+    assert got_batch == want and len(got_batch) > 50
+
+    # streaming form: closed segments emit as markers arrive; open
+    # buffers flush when the idle timeout fires in a no-data batch
+    import shutil
+    d = str(tmp_path / "events_in")
+    os.makedirs(d)
+    shutil.copy(f"{sf}/events.parquet", d)
+    ev_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = sel(spark.readStream.schema(ev_schema).parquet(d))
+    q = (split_on_next_stream(stream, marker, flush_timeout_ms=2000)
+         .writeStream.format("memory").queryName("seg_events")
+         .outputMode("append")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = time.time() + 150
+        got = {}
+        while time.time() < deadline:
+            got = {(r.key, r.seg_no): list(r.segment)
+                   for r in spark.sql(
+                       "SELECT * FROM seg_events").collect()}
+            if got == want:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert got == want
 
 
 def test_heavy_hitters_stream_guarantee_and_state(spark, tmp_path):

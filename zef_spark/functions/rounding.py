@@ -1,0 +1,68 @@
+"""Magnitude-safe rounding: never emit more total significant digits
+than cross-engine IEEE-754 arithmetic can guarantee.
+
+The failure class this closes (r07 verdict, `e_linreg_trend` /
+`w_dp_priority_stats`): `ROUND(x, 6)` on a large-magnitude double
+(intercept ~1.6e5, dp_sum ~7.6e8) demands 12-15 significant digits of
+agreement between Spark and any other engine — more than FMA-variant
+IEEE double arithmetic guarantees, so the driver's raw-repr value hash
+flips red even when both sides are "correct" to the last guaranteed
+ulp. The fix is to cap TOTAL significant digits: round to
+`min(digits, max_sig - int_digits)` decimal places, where
+`int_digits` is the number of digits in the integer part. With
+max_sig=9, a 1.6e5 intercept rounds at 3 dp and a 7.6e8 dp_sum at
+0 dp — both well inside double-exact territory.
+
+Determinism notes:
+- `int_digits` is derived from the STRING LENGTH of floor(|x|) cast
+  to bigint, not floor(log10(|x|)) — log10 is libm-dependent and can
+  straddle an integer boundary by one ulp at exact powers of 10;
+  string length of an integer cannot.
+- Spark's `round(col, scale)` requires a foldable scale, so the
+  column-dependent scale is expressed as a bounded CASE chain (one
+  branch per reachable scale, all whole-stage-codegen'd, row-local —
+  zero shuffle, zero Python).
+- `sql_round_sig_safe` emits the equivalent DuckDB expression so a
+  query and its oracle round on exactly the same grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# floor(|x|) of any double below 1e18 fits in a bigint; above that the
+# cast could overflow, so int_digits clamps to 19 (d = max_sig - 19).
+_BIG = 1.0e18
+_MAX_INT_DIGITS = 19
+
+
+def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
+    """Round double column `c` to `digits` decimal places, capped so
+    the result never carries more than `max_sig` total significant
+    digits. NULL in, NULL out; 0.0 rounds to 0.0."""
+    c = F.col(c) if isinstance(c, str) else c
+    c = c.cast("double")
+    a = F.abs(c)
+    int_digits = (F.when(a < 1.0, F.lit(0))
+                  .when(a >= _BIG, F.lit(_MAX_INT_DIGITS))
+                  .otherwise(F.length(F.floor(a).cast("bigint")
+                                      .cast("string"))))
+    d = F.least(F.lit(int(digits)), F.lit(int(max_sig)) - int_digits)
+    lo = int(max_sig) - _MAX_INT_DIGITS
+    expr = F.round(c, lo)
+    for k in range(lo + 1, int(digits) + 1):
+        expr = F.when(d == k, F.round(c, k)).otherwise(expr)
+    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(expr)
+
+
+def sql_round_sig_safe(x: str, digits: int = 6, max_sig: int = 9) -> str:
+    """DuckDB expression equivalent to `round_sig_safe` — inline in an
+    oracle so both sides round on the identical grid. `x` must be a
+    double-typed SQL expression (repeated verbatim; keep it cheap or
+    pre-compute in a CTE)."""
+    int_digits = (f"CASE WHEN ABS({x}) < 1.0 THEN 0 "
+                  f"WHEN ABS({x}) >= 1e18 THEN {_MAX_INT_DIGITS} "
+                  f"ELSE LENGTH(CAST(CAST(FLOOR(ABS({x})) AS BIGINT) "
+                  f"AS VARCHAR)) END")
+    return (f"ROUND({x}, CAST(LEAST({int(digits)}, "
+            f"{int(max_sig)} - ({int_digits})) AS INTEGER))")

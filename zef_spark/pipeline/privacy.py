@@ -66,7 +66,18 @@ def dp_aggregate(df: DataFrame, value_col: str, by=None,
     TRUE n/sum never appear in the output. Assumes ONE row per
     individual (contribution bounding upstream is the caller's
     modeling decision, as in every DP-SQL system). NULL group keys
-    release as their own '∅' group."""
+    release as their own '∅' group.
+
+    Cross-engine determinism (r07 verdict order #2): the Laplace
+    draw is pre-rounded to a 0.1 grid (its own ulp is ~1e-10, so the
+    grid snap is deterministic across libm variants), added to the
+    clipped sum in EXACT decimal, and the release is rounded
+    magnitude-safely to ≤9 total significant digits — a 7.6e8 dp_sum
+    rounds at 0 dp instead of demanding 15 cross-engine digits at
+    6 dp. The 0.1-grid noise costs nothing statistically (Laplace b
+    here is ≥2) and nothing in privacy: rounding is post-processing
+    of an ε-DP release."""
+    from ..functions.rounding import round_sig_safe
     by = [] if by is None else ([by] if isinstance(by, str)
                                 else list(by))
     eps_half = float(epsilon) / 2.0
@@ -79,23 +90,30 @@ def dp_aggregate(df: DataFrame, value_col: str, by=None,
     agg = (df.where(x.isNotNull())
            .groupBy(*by)
            .agg(F.count(F.lit(1)).alias("__n"),
-                F.sum(F.round(clipped, 12).cast(dec)).cast("double")
-                .alias("__s")))
+                F.round(F.sum(F.round(clipped, 12).cast(dec)), 6)
+                .cast("decimal(30,6)").alias("__s")))
     gkey = F.concat_ws("␟", *[
         F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in by])
-    dp_n = (F.col("__n").cast("double")
-            + laplace_noise(F.concat(gkey, F.lit("|count")),
-                            b_cnt, salt))
-    dp_s = F.col("__s") + laplace_noise(
-        F.concat(gkey, F.lit("|sum")), b_sum, salt)
-    out = (agg.withColumn("dp_count", F.round(dp_n, digits))
-           .withColumn("dp_sum", F.round(dp_s, digits))
+    grid = lambda noise: F.round(noise, 1).cast("decimal(18,1)")
+    dp_n_dec = (F.col("__n").cast("decimal(18,0)")
+                + grid(laplace_noise(F.concat(gkey, F.lit("|count")),
+                                     b_cnt, salt)))
+    dp_s_dec = F.col("__s") + grid(laplace_noise(
+        F.concat(gkey, F.lit("|sum")), b_sum, salt))
+    raw = (agg.withColumn("__dpn", dp_n_dec)
+           .withColumn("__dps", dp_s_dec))
+    out = (raw.withColumn("dp_count",
+                          round_sig_safe(F.col("__dpn").cast("double"),
+                                         digits))
+           .withColumn("dp_sum",
+                       round_sig_safe(F.col("__dps").cast("double"),
+                                      digits))
            .withColumn("dp_mean",
-                       F.when(F.round(dp_n, digits) != 0,
-                              F.round(F.round(dp_s, digits)
-                                      / F.round(dp_n, digits),
-                                      digits))))
-    return out.drop("__n", "__s")
+                       F.when(F.col("dp_count") != 0,
+                              round_sig_safe(F.col("dp_sum")
+                                             / F.col("dp_count"),
+                                             digits))))
+    return out.drop("__n", "__s", "__dpn", "__dps")
 
 
 def randomized_response(df: DataFrame, flag_col, key_col: str,

@@ -953,8 +953,15 @@ def target_encode(df: DataFrame, cat_col: str, target_col: str,
             / (nc - 1 + m)).otherwise(F.col("__mu"))
     else:
         enc = (F.col("__sc") + m * F.col("__mu")) / (nc + m)
-    return (joined.withColumn(out_col, F.round(enc, digits))
-            .drop("__cat", "__nc", "__sc", "__mu"))
+    # the smoothed numerator is Σy + m·μ — a multiply-ADD, the
+    # FMA-contraction exposure class (r07 verdict) — so the encoding
+    # rounds magnitude-safely (≤9 total significant digits) rather
+    # than at a fixed 6 dp.
+    from ..functions.rounding import round_sig_safe
+    return (joined.withColumn("__enc_raw", enc)
+            .withColumn(out_col,
+                        round_sig_safe(F.col("__enc_raw"), digits))
+            .drop("__cat", "__nc", "__sc", "__mu", "__enc_raw"))
 
 
 def corr_matrix(df: DataFrame, cols: list[str],
@@ -1007,46 +1014,79 @@ def corr_matrix(df: DataFrame, cols: list[str],
 
 
 def linreg(df: DataFrame, x_col: str, y_col: str, by=None,
-           digits: int = 6) -> DataFrame:
+           digits: int = 6, qscale: int = 4) -> DataFrame:
     """(by..., n, slope, intercept, r2) — closed-form simple OLS of
     y on x per key:
 
         slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
-        intercept = (Σy − slope·Σx) / n
+        intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
         r² = (nΣxy − ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²))
 
     The trend-line primitive (daily-revenue slope per segment,
     latency growth per host). ONE keyed hash agg, map-side
-    combinable, decimal-exact sums; degenerate keys (n<2 or
-    zero x-variance) yield NULL slope/intercept/r2."""
+    combinable; degenerate keys (n<2 or zero x-variance) yield NULL
+    slope/intercept/r2.
+
+    Cross-engine determinism (r07 verdict order #1): every numerator
+    and denominator is built EXACTLY in decimal — sums accumulate in
+    DECIMAL(38,12), quantize once to DECIMAL(19,qscale) (width 19
+    forces DuckDB's int128 multiply path so (19,s)×(19,s)→(38,2s) is
+    exact; Spark computes the product exactly in BigDecimal and its
+    precision-loss adjustment keeps scale 2s, also exact), and the
+    cross products never leave decimal. Each statistic is then ONE
+    double division of two bit-identical doubles (no double
+    multiply-subtract, so no FMA-contraction divergence), rounded
+    magnitude-safely to ≤9 total significant digits
+    (functions/rounding.py). `qscale` trades fractional precision
+    for headroom: sums and squared sums must fit 10^(19-qscale);
+    lower it for large-magnitude series."""
+    from ..functions.rounding import round_sig_safe
     dec = "decimal(38,12)"
+    q = f"decimal(19,{int(qscale)})"
     term = lambda c: F.round(c, 12).cast(dec)
     by = [] if by is None else ([by] if isinstance(by, str)
                                 else list(by))
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    # quantize via explicit ROUND then cast: a bare decimal downcast
+    # TRUNCATES in DuckDB while Spark's rounds HALF_UP — ROUND is
+    # half-away-from-zero in both engines.
+    quant = lambda c: F.round(c, int(qscale)).cast(q)
     agg = (df.where(x.isNotNull() & y.isNotNull())
            .groupBy(*by)
            .agg(F.count(F.lit(1)).alias("__n"),
-                F.sum(term(x)).cast("double").alias("__sx"),
-                F.sum(term(y)).cast("double").alias("__sy"),
-                F.sum(term(x * x)).cast("double").alias("__qx"),
-                F.sum(term(y * y)).cast("double").alias("__qy"),
-                F.sum(term(x * y)).cast("double").alias("__sxy")))
-    n = F.col("__n").cast("double")
-    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    dx = n * F.col("__qx") - F.col("__sx") * F.col("__sx")
-    dy = n * F.col("__qy") - F.col("__sy") * F.col("__sy")
+                quant(F.sum(term(x))).alias("__sx"),
+                quant(F.sum(term(y))).alias("__sy"),
+                quant(F.sum(term(x * x))).alias("__qx"),
+                quant(F.sum(term(y * y))).alias("__qy"),
+                quant(F.sum(term(x * y))).alias("__sxy")))
+    nd = F.col("__n").cast("decimal(12,0)")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = nd * F.col("__qx") - F.col("__sx") * F.col("__sx")
+    dy = nd * F.col("__qy") - F.col("__sy") * F.col("__sy")
+    inum = (F.col("__sy") * F.col("__qx")
+            - F.col("__sx") * F.col("__sxy"))
+    num_d, dx_d, dy_d = (num.cast("double"), dx.cast("double"),
+                         dy.cast("double"))
     ok = (F.col("__n") >= 2) & (dx > 0)
-    slope = F.when(ok, num / dx)
-    intercept = F.when(ok, (F.col("__sy") - num / dx
-                            * F.col("__sx")) / n)
-    r2 = F.when(ok & (dy > 0), F.round(num * num / (dx * dy),
-                                       digits))
-    return agg.select(*by, F.col("__n").alias("n"),
-                      F.round(slope, digits).alias("slope"),
-                      F.round(intercept, digits).alias("intercept"),
-                      r2.alias("r2"))
+    # two-step projection: materialize the raw doubles under aliases
+    # FIRST, then round plain column refs — round_sig_safe expands to
+    # a per-scale CASE chain, and inlining the decimal arithmetic
+    # into every branch blows whole-stage codegen past janino's
+    # method-size limit (observed: 10k-line generated.java,
+    # interpreted fallback). CollapseProject keeps the split because
+    # each raw column is referenced by many non-cheap branches.
+    raw = agg.select(
+        *by, F.col("__n").alias("n"),
+        F.when(ok, num_d / dx_d).alias("__slope_raw"),
+        F.when(ok, inum.cast("double") / dx_d).alias("__int_raw"),
+        F.when(ok & (dy > 0),
+               (num_d * num_d) / (dx_d * dy_d)).alias("__r2_raw"))
+    return raw.select(
+        *by, "n",
+        round_sig_safe(F.col("__slope_raw"), digits).alias("slope"),
+        round_sig_safe(F.col("__int_raw"), digits).alias("intercept"),
+        round_sig_safe(F.col("__r2_raw"), digits).alias("r2"))
 
 
 @register_op("target_encode", "df")
@@ -1185,6 +1225,7 @@ def group_moments(df: DataFrame, value_col: str, by=None,
                 F.sum(term(x * x * x)).cast("double").alias("__s3"),
                 F.sum(term(x * x * x * x)).cast("double")
                 .alias("__s4")))
+    from ..functions.rounding import round_sig_safe
     n = F.col("__n").cast("double")
     mu = F.col("__s1") / n
     m2 = F.col("__s2") / n - mu * mu
@@ -1192,14 +1233,22 @@ def group_moments(df: DataFrame, value_col: str, by=None,
           + 2 * mu * mu * mu)
     m4 = (F.col("__s4") / n - 4 * mu * F.col("__s3") / n
           + 6 * mu * mu * F.col("__s2") / n - 3 * mu * mu * mu * mu)
-    return agg.select(
+    # the central-moment assembly is a multiply-ADD chain in double —
+    # the FMA-contraction exposure class (r07 verdict) — so outputs
+    # round magnitude-safely (≤9 total significant digits) instead of
+    # at a fixed 6 dp: variance ~1e7 at 6 dp would demand 14
+    # cross-engine-identical digits.
+    raw = agg.select(
         *by, F.col("__n").alias("n"),
-        F.round(mu, digits).alias("mean"),
-        F.round(m2, digits).alias("variance"),
-        F.when(m2 > 0, F.round(m3 / F.sqrt(m2 * m2 * m2), digits))
-        .alias("skewness"),
-        F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, digits))
-        .alias("kurtosis"))
+        mu.alias("__mu_raw"), m2.alias("__m2_raw"),
+        F.when(m2 > 0, m3 / F.sqrt(m2 * m2 * m2)).alias("__sk_raw"),
+        F.when(m2 > 0, m4 / (m2 * m2) - 3.0).alias("__ku_raw"))
+    return raw.select(
+        *by, "n",
+        round_sig_safe(F.col("__mu_raw"), digits).alias("mean"),
+        round_sig_safe(F.col("__m2_raw"), digits).alias("variance"),
+        round_sig_safe(F.col("__sk_raw"), digits).alias("skewness"),
+        round_sig_safe(F.col("__ku_raw"), digits).alias("kurtosis"))
 
 
 @register_op("group_moments", "df")

@@ -35,14 +35,60 @@ _STATE_SCHEMA = StructType([
 
 def split_on_next_stream(events: DataFrame, marker: str,
                          key_col: str = "key", seq_col: str = "seq",
-                         value_col: str = "value") -> DataFrame:
+                         value_col: str = "value",
+                         flush_timeout_ms: int | None = None) -> DataFrame:
     """Streaming `split_on_next` (ITF:9440): per key, buffer values
     until a marker arrives, then emit the buffered segment. Works on
     a streaming OR batch DataFrame with (key, seq, value) columns;
-    state persists across micro-batches in the state store."""
+    state persists across micro-batches in the state store.
+
+    Trailing-segment flush (r07 verdict order #5 — Rx completes the
+    open window on stream completion, ITF:9440): on a BATCH frame the
+    end of input IS stream completion, so the open buffer is always
+    emitted as the final segment — exact equality with the
+    bounded-list form (ops/scalar_ops.py split_on_next, which also
+    appends the trailing, possibly empty, buffer). On a STREAMING
+    frame "completion" is unobservable, so pass `flush_timeout_ms`:
+    a key idle for that long flushes its open buffer via a
+    processing-time timeout and clears its state (also the state-GC
+    story — without it an abandoned key's buffer lives forever).
+    The flush removes the key's state, so a key that later resumes
+    restarts at seg_no 0 — a flush IS that key's stream completing."""
     import pandas as pd
 
+    streaming = events.isStreaming
+    use_timeout = streaming and flush_timeout_ms is not None
+    cols = ["key", "seg_no", "segment"]
+
+    if not streaming:
+        # batch twin: applyInPandas (applyInPandasWithState is
+        # streaming-only); end of the group IS stream completion, so
+        # the trailing open buffer always emits — exact equality with
+        # the bounded-list form.
+        def seg_batch(pdf):
+            pdf = pdf.sort_values(seq_col)
+            key = pdf[key_col].iloc[0]
+            out, buf, seg_no = [], [], 0
+            for v in pdf[value_col]:
+                if v == marker:
+                    out.append((key, seg_no, list(buf)))
+                    seg_no += 1
+                    buf = []
+                else:
+                    buf.append(v)
+            out.append((key, seg_no, list(buf)))
+            return pd.DataFrame(out, columns=cols)
+
+        return events.groupBy(key_col).applyInPandas(
+            seg_batch, SEGMENT_SCHEMA)
+
     def segment(key, pdf_iter, state: GroupState):
+        if use_timeout and state.hasTimedOut:
+            buf, seg_no = state.get if state.exists else ([], 0)
+            state.remove()
+            yield pd.DataFrame([(key[0], seg_no, list(buf))],
+                               columns=cols)
+            return
         if state.exists:
             buf, seg_no = state.get
             buf = list(buf)
@@ -59,11 +105,14 @@ def split_on_next_stream(events: DataFrame, marker: str,
                 else:
                     buf.append(v)
         state.update((buf, seg_no))
-        yield pd.DataFrame(out, columns=["key", "seg_no", "segment"])
+        if use_timeout:
+            state.setTimeoutDuration(int(flush_timeout_ms))
+        yield pd.DataFrame(out, columns=cols)
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if use_timeout
+               else GroupStateTimeout.NoTimeout)
     return (events.groupBy(key_col).applyInPandasWithState(
-        segment, SEGMENT_SCHEMA, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout))
+        segment, SEGMENT_SCHEMA, _STATE_SCHEMA, "append", timeout))
 
 
 def run_segments_once(spark, input_dir: str, schema: str, marker: str,
