@@ -6801,6 +6801,7 @@ WITH a AS (
              AS DECIMAL(38,12)) END)::DOUBLE AS qb
   FROM customer
   WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    AND c_acctbal IS NOT NULL
 ), s AS (
   SELECT na, nb,
     sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,

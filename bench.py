@@ -80,23 +80,58 @@ def main():
     spark.catalog.clearCache()
 
     qs = entry.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best = None
-        for _rep in range(2):
-            # collect garbage from the PREVIOUS execution outside the
-            # timing: broadcast/cache debris otherwise triggers GC
-            # pauses inside later queries (measured: the LSH query
-            # swings 5-12s in-bench vs a stable ~4s in isolation)
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+
+    # r07 verdict order #7: the warm-vs-idle host spread (17.3 vs
+    # 15.1 s in r07) dwarfs real plan movement, so every timed pass
+    # records the host state it ran under — loadavg is the honest,
+    # measurable proxy for "was something else running" — and the
+    # bench runs >=2 full passes so a reader can see the spread
+    # instead of mistaking host noise for a regression.
+    def host_state() -> tuple[str, float]:
+        ncpu = os.cpu_count() or 1
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return "unknown", -1.0
+        frac = load1 / ncpu
+        label = ("idle" if frac < 0.25
+                 else "loaded" if frac < 0.75 else "saturated")
+        return label, round(load1, 2)
+
+    def run_pass() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            best = None
+            for _rep in range(2):
+                # collect garbage from the PREVIOUS execution outside
+                # the timing: broadcast/cache debris otherwise
+                # triggers GC pauses inside later queries (measured:
+                # the LSH query swings 5-12s in-bench vs a stable
+                # ~4s in isolation)
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        return timings
+
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    runs = []
+    for p in range(max(1, n_passes)):
+        state, load1 = host_state()
+        t_pass = run_pass()
+        runs.append({"pass": p + 1, "host_state": state,
+                     "load1_start": load1,
+                     "total": round(sum(t_pass.values()), 3),
+                     "queries": t_pass})
+    # headline timings: per-query MIN across passes (the engine's
+    # achievable time; the per-run table preserves the spread)
+    timings = {name: min(r["queries"][name] for r in runs)
+               for name in HEADLINE}
 
     # r06 verdict order #3: put a tracked number on the bucketed /
     # dual-projection graph layout (the cluster posture — hybrid
@@ -132,6 +167,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs": runs,
+        "host_state": runs[-1]["host_state"],
     }
     if bucketed:
         out["layout_bucketed"] = bucketed

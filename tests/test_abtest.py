@@ -34,6 +34,22 @@ def test_welch_ttest_matches_closed_form(spark):
                                       abs=1e-6)
 
 
+def test_welch_ttest_drops_null_values(spark):
+    """r07 ADVICE regression: a NULL value row must drop from n_a/n_b
+    too, not just from the sums — otherwise every moment is biased."""
+    from zef_spark.pipeline.abtest import welch_ttest
+    a = [3.1, 2.9, 3.5, 3.3, 2.8, 3.0]
+    b = [2.1, 2.4, 1.9, 2.6]
+    rows = ([("A", v) for v in a] + [("B", v) for v in b]
+            + [("A", None), ("B", None), ("B", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    t, dof = _welch_ref(a, b)
+    assert r["n_a"] == 6 and r["n_b"] == 4  # NULL rows excluded
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["dof"] == pytest.approx(dof, abs=1e-6)
+
+
 def test_welch_ttest_degenerate_null(spark):
     from zef_spark.pipeline.abtest import welch_ttest
     # constant values in both groups → zero variance → NULL t

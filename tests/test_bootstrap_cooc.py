@@ -23,6 +23,10 @@ def _poisson_w(key, b, salt="boot_v1"):
 def test_bootstrap_ci_matches_python_replay(spark):
     from zef_spark.pipeline.abtest import bootstrap_ci
     rows = [(i, float(10 + (i * 7) % 13)) for i in range(60)]
+    # contract (r07 ADVICE): key_col must uniquely identify rows —
+    # duplicate keys would receive IDENTICAL Poisson draws,
+    # correlating resamples and silently narrowing the CI
+    assert len({k for k, _ in rows}) == len(rows)
     df = spark.createDataFrame(rows, "k long, x double")
     B = 25
     r = bootstrap_ci(df, "x", "k", B=B, alpha=0.2).collect()[0]

@@ -127,6 +127,29 @@ def test_psi_drift_zero_for_identical_and_detects_shift(spark):
     assert all(abs(r["psi"]) < 1e-9 for r in outs)
 
 
+def test_psi_drift_surfaces_keys_without_reference(spark):
+    """r07 ADVICE regression: a by-key present only in sample 'b'
+    (a new segment appearing after the baseline) must SURFACE with
+    NULL psi, not vanish via the old inner join; an empty reference
+    must yield NULL, not the greatest(NULL,eps)=eps garbage."""
+    from zef_spark.pipeline.wrangling import psi_drift
+    rows = ([("x", "a", float(v % 50)) for v in range(200)]
+            + [("x", "b", float(v % 50)) for v in range(200)]
+            + [("y", "b", float(v % 50)) for v in range(100)])
+    df = spark.createDataFrame(rows, "k string, s string, v double")
+    out = {r["k"]: r for r in
+           psi_drift(df, "s", "v", by="k", bins=5).collect()}
+    assert set(out) == {"x", "y"}           # 'y' surfaces
+    assert abs(out["x"]["psi"]) < 1e-9
+    assert out["y"]["psi"] is None          # no reference -> NULL
+    assert out["y"]["n_a"] == 0 and out["y"]["n_b"] == 100
+    # empty reference overall (global path): NULL psi, row present
+    only_b = spark.createDataFrame(
+        [("b", float(v)) for v in range(50)], "s string, v double")
+    g = psi_drift(only_b, "s", "v", bins=5).collect()
+    assert len(g) == 1 and g[0]["psi"] is None
+
+
 def test_seasonal_decompose_recovers_components(spark):
     """x = 10 + phase_pattern: trend ~ 10 flat, seasonal recovers the
     pattern (centered), resid ~ 0; even-period branch also exact."""

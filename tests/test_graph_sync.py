@@ -269,3 +269,115 @@ def test_tags_survive_compaction(spark, tmp_path):
     # the OTHER process mints a fresh id (no reuse of alice's)
     _, receipt = b.commit([E(ET.Person, "dan")])
     assert receipt["dan"] != alice
+
+
+# --- r07 verdict order #6: object-store commit posture -------------
+
+def test_marker_protocol_full_lifecycle(spark, tmp_path):
+    """MarkerCommitProtocol (conditional-put commit markers, no
+    renames): commits, cross-instance visibility, race retry,
+    compact checkpoint and clean all behave exactly like the POSIX
+    rename protocol."""
+    from zef_spark.graph.sync import MarkerCommitProtocol
+    g0 = empty_graph(spark)
+    g1, _ = transact(g0, [E(ET.Person, "alice", fields={"age": 30})])
+    a = GraphStore.init(g1, str(tmp_path / "shared"),
+                        protocol=MarkerCommitProtocol())
+    b = GraphStore(spark, a.path, protocol=MarkerCommitProtocol())
+    # no digit-named dirs ever appear — nothing was renamed
+    a.commit([E(ET.Person, "bob", fields={"age": 25})])
+    assert not any(n.isdigit() for n in
+                   os.listdir(os.path.join(a.path, "txlog")))
+    assert b.refresh().now().all(ET.Person).df.count() == 2
+    # race: b's head is now current, a goes stale, both commit
+    b.commit([E(ET.Person, "carol")])
+    g2, receipt = a.commit([E(ET.Person, "dave")])
+    assert "dave" in receipt
+    assert g2.now().all(ET.Person).df.count() == 4
+    # serializable: markers are dense and unique
+    cdir = os.path.join(a.path, "txlog", "_commits")
+    txs = sorted(int(n[:-5]) for n in os.listdir(cdir))
+    assert txs == list(range(txs[0], txs[0] + len(txs)))
+    # compact + clean under the marker protocol
+    a.compact()
+    removed = a.clean()
+    assert removed
+    gb = b.refresh()
+    assert gb.now().all(ET.Person).df.count() == 4
+
+
+def test_mixed_protocols_share_one_chain(spark, tmp_path):
+    """A rename-claimed store and a marker-claimed store on the same
+    path observe ONE serializable history (migration posture)."""
+    from zef_spark.graph.sync import (MarkerCommitProtocol,
+                                      RenameCommitProtocol)
+    g0 = empty_graph(spark)
+    g1, _ = transact(g0, [E(ET.Person, "alice")])
+    a = GraphStore.init(g1, str(tmp_path / "shared"),
+                        protocol=RenameCommitProtocol())
+    b = GraphStore(spark, a.path, protocol=MarkerCommitProtocol())
+    a.commit([E(ET.Person, "bob")])
+    b.commit([E(ET.Person, "carol")])
+    a.commit([E(ET.Person, "dave")])
+    assert a.refresh().now().all(ET.Person).df.count() == 4
+    assert b.refresh().now().all(ET.Person).df.count() == 4
+
+
+def test_rename_protocol_unsafe_without_atomic_rename(tmp_path,
+                                                      monkeypatch):
+    """PROOF of the documented failure mode at the claim primitive
+    (r07 verdict order #6): under copy+delete-with-overwrite rename
+    semantics (what S3/GCS-style stores actually do), TWO writers'
+    claims of the SAME tx both report success under the rename
+    protocol — the second silently replaces the first segment, a lost
+    commit. The marker protocol's conditional put rejects the second
+    claim under the very same rename semantics, because it never
+    renames at all."""
+    import shutil
+    from zef_spark.graph.sync import (MarkerCommitProtocol,
+                                      RenameCommitProtocol)
+
+    def object_store_rename(src, dst):
+        # S3-style: not atomic, no fail-if-exists — last writer wins
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        shutil.rmtree(src)
+
+    def mk_seg(proto, path, payload):
+        seg = proto.temp_segment(path)
+        os.makedirs(seg)
+        with open(os.path.join(seg, "payload.txt"), "w") as f:
+            f.write(payload)
+        return seg
+
+    # --- rename protocol on the fake object store: DOUBLE CLAIM ---
+    store = tmp_path / "ren"
+    os.makedirs(store / "txlog")
+    ren = RenameCommitProtocol()
+    seg_a = mk_seg(ren, str(store), "writer A tx2")
+    seg_b = mk_seg(ren, str(store), "writer B tx2")
+    monkeypatch.setattr("os.rename", object_store_rename)
+    assert ren.claim(str(store), 2, seg_a) is True
+    assert ren.claim(str(store), 2, seg_b) is True, \
+        "shim no longer models the object-store hazard"
+    monkeypatch.undo()
+    final = store / "txlog" / "000000000002"
+    with open(final / "payload.txt") as f:
+        assert f.read() == "writer B tx2"   # A's commit silently lost
+
+    # --- marker protocol under the SAME rename semantics: SAFE ----
+    store2 = tmp_path / "mark"
+    os.makedirs(store2 / "txlog")
+    mark = MarkerCommitProtocol()
+    seg_a2 = mk_seg(mark, str(store2), "writer A tx2")
+    seg_b2 = mk_seg(mark, str(store2), "writer B tx2")
+    monkeypatch.setattr("os.rename", object_store_rename)
+    assert mark.claim(str(store2), 2, seg_a2) is True
+    assert mark.claim(str(store2), 2, seg_b2) is False  # race DETECTED
+    monkeypatch.undo()
+    # the committed chain still points at A's intact segment
+    from zef_spark.graph.sync import _seg_dirs
+    segs = dict(_seg_dirs(str(store2)))
+    with open(os.path.join(segs[2], "payload.txt")) as f:
+        assert f.read() == "writer A tx2"

@@ -207,16 +207,23 @@ class Graph:
 
     @staticmethod
     def load(spark, path: str) -> "Graph":
+        # explicit schemas: an EMPTY table (a fieldless graph has no
+        # edges yet) materializes as a parquet dir with no data files,
+        # which schema inference cannot read back — the schemas are
+        # fixed by the interval model anyway (graph/schema.py)
+        from .schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA,
+                             NODES_SCHEMA, TAGS_SCHEMA, TXS_SCHEMA)
+        rd = lambda name, sch: spark.read.schema(sch) \
+            .parquet(f"{path}/{name}")
         # tags are optional: only present when the graph ever tagged
         # (mirrors the in-memory Graph where tags=None until first tag)
-        try:
-            tags = spark.read.parquet(f"{path}/tags")
-        except Exception:
-            tags = None
-        return Graph(spark.read.parquet(f"{path}/nodes"),
-                     spark.read.parquet(f"{path}/edges"),
-                     spark.read.parquet(f"{path}/attr_values"),
-                     spark.read.parquet(f"{path}/txs"),
+        import os
+        tags = (rd("tags", TAGS_SCHEMA)
+                if os.path.exists(f"{path}/tags") else None)
+        return Graph(rd("nodes", NODES_SCHEMA),
+                     rd("edges", EDGES_SCHEMA),
+                     rd("attr_values", ATTR_VALUES_SCHEMA),
+                     rd("txs", TXS_SCHEMA),
                      tags=tags)
 
 

@@ -27,7 +27,31 @@ shared storage (the shape Delta Lake's transaction log made standard):
 Any number of processes (or Spark drivers) pointing at the same path
 observe the same serializable tx chain; a reader is never blocked by
 a writer and vice versa. Crash safety: a temp segment that never got
-renamed is invisible garbage; the rename is the commit point.
+claimed is invisible garbage; the claim is the commit point.
+
+STORAGE POSTURE — the claim must be ATOMIC and EXCLUSIVE (r07 verdict
+order #6). Two interchangeable protocols:
+
+- ``RenameCommitProtocol`` (default): claim = ``os.rename(tmp,
+  txlog/<tx>)``. Correct ONLY on filesystems where rename is atomic
+  and fails when the destination exists — POSIX local disks, NFSv4,
+  HDFS. On S3/GCS-style object stores (including FUSE mounts) rename
+  is copy+delete and silently OVERWRITES: two writers can both
+  believe they claimed tx N and one commit is lost. The failure mode
+  is proven by test (tests/test_graph_sync.py, rename-less shim).
+- ``MarkerCommitProtocol``: the object-store posture. The segment is
+  written once to a uuid-named dir (never moved — no cross-dir
+  object copies), and the claim is a tiny JSON marker
+  ``txlog/_commits/<tx>.json`` naming that dir, written with a
+  CONDITIONAL PUT (create-if-absent). Locally that is ``open(path,
+  'x')`` (O_CREAT|O_EXCL); on S3 pass a ``put_if_absent`` hook using
+  ``If-None-Match: *``, on GCS ``x-goog-if-generation-match: 0``, on
+  ABFS/HDFS the O_EXCL create already holds. Exactly the commit
+  shape Delta Lake's LogStore contract standardized.
+
+Both protocols produce one serializable tx chain; a store's readers
+resolve segments claimed under EITHER protocol, so a store can
+migrate postures mid-history.
 """
 
 from __future__ import annotations
@@ -45,13 +69,88 @@ from .schema import (ATTR_VALUES_SCHEMA, EDGES_SCHEMA, NODES_SCHEMA,
 _SEG_FMT = "{:012d}"
 
 
+class RenameCommitProtocol:
+    """Claim tx by atomically renaming the segment dir to its tx
+    number. POSIX/HDFS posture — see module docstring for where this
+    is UNSAFE."""
+
+    def temp_segment(self, path: str) -> str:
+        # dot-prefixed: invisible garbage unless the rename lands
+        return os.path.join(path, "txlog", f".tmp-{uuid.uuid4().hex}")
+
+    def claim(self, path: str, tx: int, seg_tmp: str) -> bool:
+        final = os.path.join(path, "txlog", _SEG_FMT.format(tx))
+        try:
+            os.rename(seg_tmp, final)
+            return True
+        except OSError:
+            return False
+
+    def discard(self, path: str, tx: int, seg_tmp: str) -> None:
+        import shutil
+        shutil.rmtree(seg_tmp, ignore_errors=True)
+
+
+def _posix_put_if_absent(marker_path: str, data: str) -> bool:
+    """Atomic create-if-absent via O_CREAT|O_EXCL — the local-FS
+    stand-in for an object store's conditional PUT."""
+    try:
+        with open(marker_path, "x") as f:
+            f.write(data)
+        return True
+    except FileExistsError:
+        return False
+
+
+class MarkerCommitProtocol:
+    """Claim tx by conditional-putting ``txlog/_commits/<tx>.json``
+    naming the (immovable) uuid segment dir. Object-store posture:
+    no rename ever happens after the segment is written. Pass
+    ``put_if_absent(path, data) -> bool`` to bind a real store's
+    conditional-write primitive; the default is the POSIX O_EXCL
+    create."""
+
+    def __init__(self, put_if_absent=None):
+        self._put = put_if_absent or _posix_put_if_absent
+
+    def temp_segment(self, path: str) -> str:
+        # the segment's PERMANENT home once its marker lands — data
+        # never moves, only the marker commits it
+        return os.path.join(path, "txlog", f"seg-{uuid.uuid4().hex}")
+
+    def claim(self, path: str, tx: int, seg_tmp: str) -> bool:
+        cdir = os.path.join(path, "txlog", "_commits")
+        os.makedirs(cdir, exist_ok=True)
+        marker = os.path.join(cdir, _SEG_FMT.format(tx) + ".json")
+        data = json.dumps({"segment": os.path.basename(seg_tmp)})
+        return self._put(marker, data)
+
+    def discard(self, path: str, tx: int, seg_tmp: str) -> None:
+        import shutil
+        shutil.rmtree(seg_tmp, ignore_errors=True)
+
+
 def _seg_dirs(path: str) -> list[tuple[int, str]]:
+    """Resolve the committed segment chain under BOTH claim styles:
+    rename-claimed digit dirs and marker-claimed uuid dirs. A tx
+    claimed both ways cannot happen (each tx number is claimed by
+    exactly one protocol instance); if a corrupted store presents
+    both, the marker — the stronger claim — wins deterministically."""
     log = os.path.join(path, "txlog")
-    out = []
+    out = {}
     for name in os.listdir(log):
         if name.isdigit():
-            out.append((int(name), os.path.join(log, name)))
-    return sorted(out)
+            out[int(name)] = os.path.join(log, name)
+    cdir = os.path.join(log, "_commits")
+    if os.path.isdir(cdir):
+        for name in os.listdir(cdir):
+            if not name.endswith(".json"):
+                continue
+            tx = int(name[:-5])
+            with open(os.path.join(cdir, name)) as f:
+                seg = json.load(f)["segment"]
+            out[tx] = os.path.join(log, seg)
+    return sorted(out.items())
 
 
 class GraphStore:
@@ -59,16 +158,17 @@ class GraphStore:
     One instance per process; all instances on the same ``path`` see
     one serializable history."""
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, protocol=None):
         self.spark = spark
         self.path = path
+        self.protocol = protocol or RenameCommitProtocol()
         self._head: Graph | None = None
         self._head_seg = -1          # highest applied segment tx
 
     # -- lifecycle ----------------------------------------------------
 
     @classmethod
-    def init(cls, g: Graph, path: str) -> "GraphStore":
+    def init(cls, g: Graph, path: str, protocol=None) -> "GraphStore":
         """Materialize ``g`` as the base snapshot and open the store.
         The base graph's max_tx seeds the tx chain."""
         os.makedirs(os.path.join(path, "txlog"), exist_ok=True)
@@ -85,7 +185,7 @@ class GraphStore:
                 "base_id_floor": getattr(g, "_max_rae_id", None) or 0}
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
-        store = cls(g.spark, path)
+        store = cls(g.spark, path, protocol=protocol)
         return store
 
     def _meta(self) -> dict:
@@ -234,18 +334,13 @@ class GraphStore:
             g = self.refresh()
             tx = g.max_tx() + 1
             g2, receipt = transact(g, wishes, time)
-            tmp = os.path.join(self.path, "txlog",
-                               f".tmp-{uuid.uuid4().hex}")
+            tmp = self.protocol.temp_segment(self.path)
             self._write_segment(g, g2, tx, tmp)
             with open(os.path.join(tmp, "idmax.json"), "w") as f:
                 json.dump({"idmax": g2._max_rae_id or 0}, f)
-            final = os.path.join(self.path, "txlog", _SEG_FMT.format(tx))
-            try:
-                os.rename(tmp, final)
-            except OSError as e:              # lost the race: retry
-                import shutil
-                shutil.rmtree(tmp, ignore_errors=True)
-                last_err = e
+            if not self.protocol.claim(self.path, tx, tmp):
+                self.protocol.discard(self.path, tx, tmp)
+                last_err = f"tx {tx} already claimed"
                 self._head = None             # force re-list
                 continue
             self._head, self._head_seg = g2, tx
@@ -270,8 +365,7 @@ class GraphStore:
             tx = g.max_tx() + 1
             base_name = f"base-{tx:012d}"
             g.materialize(os.path.join(self.path, base_name))
-            tmp = os.path.join(self.path, "txlog",
-                               f".tmp-{uuid.uuid4().hex}")
+            tmp = self.protocol.temp_segment(self.path)
             os.makedirs(tmp, exist_ok=True)
             with open(os.path.join(tmp, "checkpoint.json"), "w") as f:
                 json.dump({"base": base_name}, f)
@@ -287,13 +381,9 @@ class GraphStore:
                   + datetime.timedelta(days=tx))], TXS_SCHEMA) \
                 .coalesce(1).write.mode("overwrite") \
                 .parquet(os.path.join(tmp, "txs"))
-            final = os.path.join(self.path, "txlog",
-                                 _SEG_FMT.format(tx))
-            try:
-                os.rename(tmp, final)
-            except OSError:
+            if not self.protocol.claim(self.path, tx, tmp):
                 import shutil
-                shutil.rmtree(tmp, ignore_errors=True)
+                self.protocol.discard(self.path, tx, tmp)
                 shutil.rmtree(os.path.join(self.path, base_name),
                               ignore_errors=True)
                 self._head = None
@@ -324,8 +414,7 @@ class GraphStore:
                     + datetime.timedelta(days=tx))
             node_parts, edge_parts, av_parts = mapped_parts(
                 batch_df, mapping, tx, batch_label=f"tx {tx}")
-            tmp = os.path.join(self.path, "txlog",
-                               f".tmp-{uuid.uuid4().hex}")
+            tmp = self.protocol.temp_segment(self.path)
             os.makedirs(tmp, exist_ok=True)
 
             def wr(parts, name):
@@ -350,12 +439,8 @@ class GraphStore:
             with open(os.path.join(tmp, "idmax.json"), "w") as f:
                 json.dump({"idmax": max(mapping.max_payload_id,
                                         g._max_rae_id or 0)}, f)
-            final = os.path.join(self.path, "txlog",
-                                 _SEG_FMT.format(tx))
-            try:
-                os.rename(tmp, final)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+            if not self.protocol.claim(self.path, tx, tmp):
+                self.protocol.discard(self.path, tx, tmp)
                 self._head = None
                 continue
             self._head = None          # rebuild picks up the segment
@@ -381,8 +466,15 @@ class GraphStore:
         if ck_tx is None:
             return []
         removed = []
+        cdir = os.path.join(self.path, "txlog", "_commits")
         for tx, sp in segs:
             if tx < ck_tx:
+                # marker first: a marker pointing at a deleted
+                # segment would crash readers that list mid-clean
+                marker = os.path.join(cdir,
+                                      _SEG_FMT.format(tx) + ".json")
+                if os.path.exists(marker):
+                    os.remove(marker)
                 shutil.rmtree(sp)
                 removed.append(sp)
         for name in os.listdir(self.path):

@@ -54,7 +54,11 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
     x = F.col(value_col).cast("double")
     in_a = g == F.lit(group_a)
     in_b = g == F.lit(group_b)
-    agg = (df.where(in_a | in_b)
+    # NULL values drop BEFORE the aggregate (r07 ADVICE): counting a
+    # NULL-value row in n while its term vanishes from Σx/Σx² would
+    # silently bias mean/variance/t/dof/d — same NULL-deletion
+    # convention as ranksum_agg / group_moments / forecast_metrics.
+    agg = (df.where((in_a | in_b) & x.isNotNull())
            .agg(F.sum(in_a.cast("long")).alias("__na"),
                 F.sum(in_b.cast("long")).alias("__nb"),
                 F.sum(F.when(in_a, _term(x))).cast("double")
@@ -203,9 +207,14 @@ def two_proportion_ztest(df: DataFrame, group_col: str,
         z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))
 
     ``success_col`` is a column name or boolean Column marking a
-    success. Plan: ONE conditional-aggregation scan, map-side
-    combinable — four longs total cross the wire. Degenerate inputs
-    (a group empty, or pooled p̂ ∈ {0,1}) yield NULL z."""
+    success. NULL-handling convention, stated explicitly (r07
+    ADVICE): a NULL success flag counts as a FAILURE — the row stays
+    in n but not in the success count (unknown outcome ≠ converted).
+    Pre-filter ``success_col IS NOT NULL`` upstream for NULL-deletion
+    semantics instead. Plan: ONE conditional-aggregation scan,
+    map-side combinable — four longs total cross the wire.
+    Degenerate inputs (a group empty, or pooled p̂ ∈ {0,1}) yield
+    NULL z."""
     g = F.col(group_col)
     s = (F.col(success_col) if isinstance(success_col, str)
          else success_col).cast("boolean")
@@ -260,16 +269,6 @@ POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
 _U32 = 4294967296.0  # 2^32: one 8-hex-digit chunk
 
 
-def _poisson_weight(u):
-    """Deterministic Poisson(1) draw: inverse CDF of a md5-uniform —
-    branch-free form w = Σ_k 1[u ≥ t_k] (count of CDF thresholds at
-    or below u), so `u` is referenced per threshold, never nested."""
-    w = F.lit(0)
-    for t in POISSON1_CDF:
-        w = w + F.when(u >= t, 1).otherwise(0)
-    return w
-
-
 def bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
                  B: int = 100, alpha: float = 0.05,
                  salt: str = "boot_v1", digits: int = 6) -> DataFrame:
@@ -277,7 +276,11 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
     confidence interval for the mean, the bootstrap that scales: each
     row's multiplicity in replicate b is an independent Poisson(1)
     draw (the B→∞ limit of multinomial resampling), so NO resample is
-    ever materialized. Draws are a pure function of the key —
+    ever materialized. ``key_col`` MUST uniquely identify rows (r07
+    ADVICE — e.g. o_orderkey): every replicate weight is a pure
+    function of the key, so duplicate keys would receive IDENTICAL
+    Poisson draws, correlating resamples and silently narrowing the
+    CI. Draws are a pure function of the key —
     md5(key:g:salt) supplies FOUR 32-bit uniforms (8 hex digits each,
     replicates 4g..4g+3) pushed through the inverse-CDF ladder — so
     any engine with md5 replays them bit-for-bit (same family as

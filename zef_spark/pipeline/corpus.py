@@ -569,6 +569,12 @@ def negative_sample(positives: DataFrame, user_col: str,
     idx = (v.withColumn(
         "__idx", F.row_number().over(Window.orderBy("__item")) - 1))
     V = idx.count()  # control-plane scalar (dimension cardinality)
+    if V == 0:
+        # pmod(x, 0) is NULL → the join would silently return an
+        # EMPTY frame; an empty vocabulary is caller error (r07
+        # ADVICE).
+        raise ValueError("negative_sample: empty item vocabulary — "
+                         "nothing to draw negatives from")
     draws = F.array(*[
         F.struct(
             F.lit(j).alias("neg_no"),
@@ -582,7 +588,11 @@ def negative_sample(positives: DataFrame, user_col: str,
         F.col(user_col), F.col(item_col),
         F.explode(draws).alias("__d"))
         .select(user_col, item_col, "__d.neg_no", "__d.__idx"))
-    resolved = (exploded.join(F.broadcast(idx), "__idx")
+    # broadcast only when the vocab actually fits (r07 ADVICE: an
+    # unconditional broadcast of a large item vocabulary OOMs
+    # executors); past the threshold let AQE pick the join strategy.
+    idx_side = F.broadcast(idx) if V <= 5_000_000 else idx
+    resolved = (exploded.join(idx_side, "__idx")
                 .withColumnRenamed("__item", "neg_item")
                 .drop("__idx"))
     pos_keys = (positives.select(

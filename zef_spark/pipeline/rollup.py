@@ -620,12 +620,28 @@ def concurrency_profile(intervals, start_col: str, end_col: str,
     # never NULL where it matters — coalesce is belt-and-braces.
     fdiv = lambda c: ((c - F.pmod(c, F.lit(width))) / width) \
         .cast("long")
+    # r07 ADVICE: one long constant-level segment (weeks at a small
+    # width) would otherwise materialize a single huge F.sequence
+    # array — unbounded per-row memory. Two-level explode caps every
+    # in-flight array at _SEG_CHUNK buckets: segments first split
+    # into chunk starts (step = _SEG_CHUNK), each chunk then explodes
+    # its own ≤_SEG_CHUNK bucket run. A segment spanning B buckets
+    # costs B output rows either way — the cap only bounds the
+    # transient array, which is exactly the OOM vector.
+    _SEG_CHUNK = 4096
     seg = (lvl.where(F.col("__c") > 0)
+           .select("__c", fdiv(F.col("t")).alias("__b0"),
+                   fdiv(F.coalesce(F.col("__nt") - 1,
+                                   F.col("t"))).alias("__b1"))
+           .select("__c", "__b1",
+                   F.explode(F.sequence(
+                       F.col("__b0"), F.col("__b1"),
+                       F.lit(_SEG_CHUNK))).alias("__cs"))
            .select("__c",
                    F.explode(F.sequence(
-                       fdiv(F.col("t")),
-                       fdiv(F.coalesce(F.col("__nt") - 1,
-                                       F.col("t"))))).alias("__b")))
+                       F.col("__cs"),
+                       F.least(F.col("__cs") + F.lit(_SEG_CHUNK - 1),
+                               F.col("__b1")))).alias("__b")))
     bucket = F.timestamp_micros(F.col("__b") * F.lit(width)) \
         .cast("timestamp_ntz")
     return (seg.groupBy(bucket.alias("bucket"))

@@ -627,7 +627,11 @@ def psi_drift(df: DataFrame, sample_col: str, value_col: str,
              .select(*by, F.array(*[F.col(f"__e{i}")
                                     for i in range(1, bins)])
                      .alias("__edges")))
-    joined = (base.join(F.broadcast(edges), by) if by
+    # LEFT join (r07 ADVICE): a by-key present only in sample 'b' —
+    # a NEW segment appearing after the baseline — must SURFACE (as
+    # NULL psi, the no-reference-distribution sentinel), not vanish
+    # from the output the way an inner join made it.
+    joined = (base.join(F.broadcast(edges), by, "left") if by
               else base.crossJoin(F.broadcast(edges)))
     bin_ = F.aggregate("__edges", F.lit(0),
                        lambda acc, e: acc + (e < F.col("__v"))
@@ -640,13 +644,23 @@ def psi_drift(df: DataFrame, sample_col: str, value_col: str,
                    .alias("cb")))
     tot = binned.groupBy(*by).agg(F.sum("ca").alias("n_a"),
                                   F.sum("cb").alias("n_b"))
-    p = F.greatest(F.col("ca") / F.col("n_a"), F.lit(float(eps)))
-    q = F.greatest(F.col("cb") / F.col("n_b"), F.lit(float(eps)))
+    # try_divide: n_a=0 (no reference) must reach the NULL-psi path
+    # below, not throw under ANSI mode
+    p = F.greatest(F.try_divide(F.col("ca"), F.col("n_a")),
+                   F.lit(float(eps)))
+    q = F.greatest(F.try_divide(F.col("cb"), F.col("n_b")),
+                   F.lit(float(eps)))
     term = F.round((q - p) * F.log(q / p), 12).cast("decimal(38,12)")
-    return (binned.join(tot, by) if by
-            else binned.crossJoin(F.broadcast(tot))) \
+    res = (binned.join(tot, by) if by
+           else binned.crossJoin(F.broadcast(tot))) \
         .groupBy(*by, "n_a", "n_b") \
-        .agg(F.round(F.sum(term).cast("double"), digits).alias("psi"))
+        .agg(F.round(F.sum(term).cast("double"), digits)
+             .alias("__psi_raw"))
+    # no reference (n_a=0) or no sample (n_b=0) → psi is UNDEFINED:
+    # emit NULL, never the greatest(NULL,eps)=eps garbage path.
+    return res.select(*by, "n_a", "n_b",
+                      F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                             F.col("__psi_raw")).alias("psi"))
 
 
 @register_op("psi_drift", "df")
