@@ -8113,6 +8113,149 @@ def p_class_weights_lang(spark, sf_dir):
 
 
 # =====================================================================
+# r08 additions: coverage for previously query-less ops — interval
+# coverage, sliding event-time counts, whole-funnel user extraction,
+# per-domain corpus caps, min-max feature scaling
+# =====================================================================
+
+@query("e_interval_coverage", """
+WITH iv AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY user_id, event_type
+), o AS (
+  SELECT user_id, s, e,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS pmax
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM o
+), sp AS (
+  SELECT user_id, isl, MIN(s) AS ss, MAX(e) AS se
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  SUM(EPOCH_US(se) - EPOCH_US(ss))::DOUBLE / 1000000.0
+    AS covered_seconds
+FROM sp GROUP BY 1 ORDER BY 1
+""")
+def e_interval_coverage(spark, sf_dir):
+    """De-double-counted active time per user (pipeline/intervals.py
+    interval_coverage): each user's per-event-type activity interval
+    [min ts, max ts] merges into disjoint spans (classic island
+    detection — ONE user-keyed shuffle shared by the sort window and
+    the span agg), then total covered seconds sum as EXACT integer
+    microseconds with one final double division (sum-order-proof).
+    covered_seconds is a raw one-division double: deterministic by
+    construction, so it ships unrounded (rounding would ADD
+    cross-engine divergence)."""
+    from zef_spark.pipeline.intervals import interval_coverage
+    ev = _events(spark, sf_dir)
+    iv = (ev.groupBy("user_id", "event_type")
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    return (interval_coverage(iv, "s", "e", by="user_id",
+                              unit="seconds")
+            .orderBy("user_id"))
+
+
+@query("e_sliding_count_1h", """
+SELECT event_id,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    AS n_in_window
+FROM events ORDER BY event_id
+""")
+def e_sliding_count_1h(spark, sf_dir):
+    """Per-row trailing-hour same-user event count
+    (pipeline/rollup.py sliding_count, the rate-limiting primitive):
+    a native RANGE-BETWEEN window over microsecond event time — ONE
+    key shuffle, no self-join, no per-second explode; the same
+    semantics run incrementally under a watermark."""
+    from zef_spark.pipeline.rollup import sliding_count
+    ev = _events(spark, sf_dir)
+    return (sliding_count(ev, "ts", "user_id", 3600)
+            .select("event_id", "n_in_window").orderBy("event_id"))
+
+
+@query("e_funnel_users", """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1, MIN(s0.t0) AS t0
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1,
+         MIN(s1.t0) AS t0
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+)
+SELECT user_id, t0, t1, t2 FROM s2 ORDER BY user_id
+""")
+def e_funnel_users(spark, sf_dir):
+    """Whole-funnel completers with their earliest valid per-step
+    timestamps (pipeline/funnel.py funnel_users): the frontier-chain
+    plan — each step is a semi-join against the previous frontier
+    plus a min-timestamp agg, so the funnel never materializes
+    per-user event lists. The row-level face of funnel_counts /
+    funnel_time_stats (both already driver-proven)."""
+    from zef_spark.pipeline.funnel import funnel_users
+    ev = _events(spark, sf_dir)
+    return (funnel_users(ev, ["view", "click", "purchase"])
+            .orderBy("user_id"))
+
+
+@query("p_domain_caps", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY doc_id
+""")
+def p_domain_caps(spark, sf_dir):
+    """Per-source document cap (pipeline/web.py domain_caps — the
+    anti-spam / source-diversity control in web-corpus curation):
+    keep the 5 lowest-doc_id documents per source. ONE shuffle on the
+    domain; deterministic order column so reruns keep identical
+    rows."""
+    from zef_spark.pipeline.web import domain_caps
+    docs = _t(spark, sf_dir, "documents")
+    return (domain_caps(docs, "source", max_per_domain=5,
+                        order_col="doc_id")
+            .select("doc_id", "source").orderBy("doc_id"))
+
+
+@query("w_minmax_price_brand", """
+WITH s AS (
+  SELECT p_brand, MIN(p_retailprice) AS lo, MAX(p_retailprice) AS hi
+  FROM part GROUP BY 1
+)
+SELECT p_partkey, p.p_brand,
+  CASE WHEN hi - lo > 0
+       THEN ROUND((p_retailprice - lo) / (hi - lo), 6)
+  END AS p_retailprice_scaled
+FROM part p JOIN s USING (p_brand) ORDER BY p_partkey
+""")
+def w_minmax_price_brand(spark, sf_dir):
+    """Per-brand [0,1] min-max scaling of part price
+    (pipeline/wrangling.py min_max_scale): ONE vocabulary-sized
+    stats agg broadcast-joined back — no window over the fact table.
+    The scaled value is exact-min/max element selection followed by
+    one subtraction and one division (deterministic single IEEE
+    ops); magnitude ≤ 1 keeps 6 dp inside the 9-digit envelope."""
+    from zef_spark.pipeline.wrangling import min_max_scale
+    part = _t(spark, sf_dir, "part")
+    return (min_max_scale(part, ["p_retailprice"], by="p_brand")
+            .select("p_partkey", "p_brand", "p_retailprice_scaled")
+            .orderBy("p_partkey"))
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 
@@ -8123,104 +8266,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
-# Rotate the registration order each round so every query accumulates a
-# CORRECTNESS row. r07 window: (a) the ten queries NEW this round
-# (PMI collocations, Zipf profile, hourly ACF, leakage-safe split,
-# trigram novelty, PSI drift, weekly seasonal decomposition, mutual
-# information, chi-square independence, funnel time-to-convert),
-# (b) e_rfm_segments — the single red r06 row, fixed by casting the
-# DECIMAL monetary aggregate to DOUBLE on both sides (the driver
-# hashes raw renderings: "1166.10" != "1166.1"), (c) every query
-# whose semantics or oracle changed in r07 (group-percentile column
-# naming, Benford round-trip digit extraction, segment-form
-# concurrency sweep, attribution range-frame horizon, overlap-join
-# first-shared-bucket dedup), and (d) the staleness rotation: the
-# r03-checked cohort (minus sliding_moving_avg and p_token_counts,
-# which rotate to r08 to make room for the ten new rows) — keeping
-# every row's most recent driver proof <=3 rounds old. Everything
-# else rotates to the tail (r04-r06 rows prove it) and stays
-# runnable by name.
+# r08 window (r07 verdict order #4 — the staleness rotation): (a) the
+# 33-row r03-cohort whose last DRIVER proof is r03 (independent judge
+# sweeps re-proved them in r06 and r07, but the driver record itself
+# is three rounds stale), (b) the two r07 driver-red rows after their
+# decimal-exact/sig-safe fixes (e_linreg_trend, w_dp_priority_stats),
+# (c) the rows deferred from the r07 window (sliding_moving_avg,
+# p_token_counts, p_benford_totalprice, e_attribution_linear,
+# e_session_overlaps), (d) rows whose implementation or oracle
+# changed in r08 (w_moments_acctbal and w_target_encode_priority:
+# sig-safe rounding; e_concurrency_hourly: chunked segment explode;
+# e_psi_drift: left-join reference edges; p_negative_sample_pairs:
+# broadcast threshold + empty-vocab guard), and (e) the five NEW r08
+# rows. w_welch_acctbal's oracle gained only a NULL filter that is
+# value-neutral on this data, so its r07 driver proof stands and it
+# rotates to the tail. Everything else stays runnable by name.
 _FRONT = [
-    # (a) NEW in r07 — first driver rows
-    "p_pmi_collocations", "p_zipf_profile", "e_acf_hourly",
-    "p_leakage_safe_split", "p_ngram_novelty", "e_psi_drift",
-    "e_seasonal_decompose", "w_mutual_info", "w_chi2_independence",
-    "e_funnel_time_stats",
-    # (a2) the r07 closing tier — association rules, concentration,
-    # survival, cross-correlation, changepoint (first driver rows;
-    # displaces six judge-r06-verified rotation rows to r08)
-    "p_association_rules", "w_gini_revenue", "w_lorenz_revenue",
-    "e_survival_sessions", "e_ccf_view_purchase",
-    "e_changepoint_daily",
-    # (a3) the r07 hypothesis-testing tier (first driver rows)
-    "w_welch_acctbal", "w_mann_whitney_price", "w_conversion_ztest",
-    "e_periodicity_value",
-    # (a4) the r07 model-evaluation tier (first driver rows)
-    "p_auc_value", "p_calibration_value", "p_confusion_value",
-    "p_brier_value",
-    # (a5) the r07 feature-stats tier (first driver rows)
-    "w_target_encode_priority", "w_corr_lineitem", "e_linreg_trend",
-    # (a6) the r07 dimensionality/robust-stats tier (first driver
-    # rows; PCA fit/project itself is property-tested — the exact
-    # covariance face is the oracle-able part)
-    "p_embed_cov_pairs", "w_mad_outliers_acctbal",
-    "w_rank_decile_price",
-    # (a7) the r07 categorical-encoding tier (first driver rows)
-    "w_one_hot_status", "p_feature_hash_profile",
-    "w_count_encode_cross",
-    # (a8) the r07 bootstrap + co-occurrence pair (first driver rows)
-    "w_bootstrap_mean_price", "p_token_cooccurrence",
-    # (a9) forecast-accuracy scorecard (first driver row)
-    "e_forecast_naive7",
-    # (a10) the r07 differential-privacy tier (first driver rows)
-    "w_dp_priority_stats", "p_rr_lang_counts",
-    # (a11) population-moment profile (first driver row)
-    "w_moments_acctbal",
-    # (a12) time-series feature block (first driver row)
-    "e_lag_features_daily",
-    # (a13) contrastive negative sampling (first driver row)
-    "p_negative_sample_pairs",
-    # (a14) quantile normalization (first driver row)
-    "w_quantile_normalize_part",
-    # (a15) robust/reporting aggregates (first driver rows)
-    "w_trimmed_mean_price", "w_topn_parts_revenue",
-    # (a16) hybrid-search rank fusion (first driver row)
-    "p_rrf_hybrid_search",
-    # (a17) balanced class weights (first driver row)
-    "p_class_weights_lang",
-    # (b) the r06 red row, re-proof after the DOUBLE cast fix
-    "e_rfm_segments",
-    # (c) semantics/oracle changed in r07 — re-proof: percentile
-    # naming, benford rendering, concurrency segment sweep,
-    # attribution range-frame horizon, overlap-join first-bucket
-    "w_group_percentiles",
-    # (p_benford_totalprice rotates to r08: its r07 rendering fix is
-    # green in both of this round's full local sf0.01 sweeps)
-    "e_concurrency_hourly", "e_attribution_last_touch",
-    # (e_attribution_linear and e_session_overlaps rotate to r08:
-    # attribution re-proven by e_attribution_last_touch on the same
-    # window path; the overlap-join first-bucket change is
-    # plan-asserted in tests and green in this round's full local
-    # sweeps)
-    # (d) staleness rotation: the r03-driver-checked cohort, trimmed
-    # to fill the 50-query window exactly. Thirty-four cohort rows
-    # (concat_union_segments, conditional_bucketing,
-    # datetime_functions, g_all_type_counts, g_asof_order_count,
-    # g_gather_closure, g_has_order_customers,
-    # g_hop2_revenue_by_customer, g_hop_customer_nation,
-    # g_point_lookup_by_field, g_quantity_fields,
-    # g_relation_fields_meta, g_time_travel_duration,
-    # g_time_travel_relative, g_tx_instantiated_events,
-    # group_agg_customer_orders, hash_functions, math_functions,
-    # max_by_top_order_per_cust, p_ann_cosine_topk, p_ann_topk_ivf,
-    # p_ann_topk_lsh, p_cosine_pairs_blocked, p_dedup_exact_groups,
-    # p_fingerprint, p_lang_id, p_minhash_lsh_pairs,
-    # p_multimodal_meta, p_ngram_jaccard_pairs, p_simhash_pairs,
-    # p_text_quality, scan_cumulative_revenue, string_functions)
-    # rotate to the r08 front instead — safe, because the r06
-    # judge's independent 130-query sweep re-proved every row
-    # outside the r06 driver window, so their most recent proof is
-    # r06, not r03.
+    # (a) r03-cohort staleness rotation
+    "concat_union_segments", "conditional_bucketing",
+    "datetime_functions", "g_all_type_counts", "g_asof_order_count",
+    "g_gather_closure", "g_has_order_customers",
+    "g_hop2_revenue_by_customer", "g_hop_customer_nation",
+    "g_point_lookup_by_field", "g_quantity_fields",
+    "g_relation_fields_meta", "g_time_travel_duration",
+    "g_time_travel_relative", "g_tx_instantiated_events",
+    "group_agg_customer_orders", "hash_functions", "math_functions",
+    "max_by_top_order_per_cust", "p_ann_cosine_topk", "p_ann_topk_ivf",
+    "p_ann_topk_lsh", "p_cosine_pairs_blocked", "p_dedup_exact_groups",
+    "p_fingerprint", "p_lang_id", "p_minhash_lsh_pairs",
+    "p_multimodal_meta", "p_ngram_jaccard_pairs", "p_simhash_pairs",
+    "p_text_quality", "scan_cumulative_revenue", "string_functions",
+    # (b) the r07 driver-red rows, fixed (decimal-exact single
+    # divisions + <=9-sig-digit releases)
+    "e_linreg_trend", "w_dp_priority_stats",
+    # (c) deferred from the r07 window
+    "sliding_moving_avg", "p_token_counts", "p_benford_totalprice",
+    "e_attribution_linear", "e_session_overlaps",
+    # (d) implementation/oracle changed in r08
+    "w_moments_acctbal", "w_target_encode_priority",
+    "e_concurrency_hourly", "e_psi_drift", "p_negative_sample_pairs",
+    # (e) new in r08
+    "e_interval_coverage", "e_sliding_count_1h", "e_funnel_users",
+    "p_domain_caps", "w_minmax_price_brand",
 ]
 
 

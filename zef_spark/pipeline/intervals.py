@@ -55,16 +55,23 @@ def interval_coverage(df: DataFrame, start_col: str, end_col: str,
                       by: str | list[str] | None = None,
                       unit: str = "seconds") -> DataFrame:
     """Total covered time per key after merging overlaps (double
-    counting removed) plus span count. unit: seconds|minutes|hours."""
+    counting removed) plus span count. unit: seconds|minutes|hours.
+
+    Durations sum as EXACT integer microseconds (one long hash agg,
+    map-side combinable) with a single double division at the end —
+    summing per-span `µs/1e6` doubles would make the total depend on
+    partition-visit order (the cross-engine/cross-run sum-order
+    hazard); an integer sum cannot."""
     divisor = {"seconds": 1, "minutes": 60, "hours": 3600}[unit]
     spans = merge_intervals(df, start_col, end_col, by)
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
-    dur = (F.unix_micros(F.col("span_end").cast("timestamp"))
-           - F.unix_micros(F.col("span_start").cast("timestamp"))) \
-        / F.lit(1_000_000 * divisor)
+    dur_us = (F.unix_micros(F.col("span_end").cast("timestamp"))
+              - F.unix_micros(F.col("span_start").cast("timestamp")))
     return (spans.groupBy(*by)
             .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(dur).alias(f"covered_{unit}")))
+                 (F.sum(dur_us).cast("double")
+                  / F.lit(float(1_000_000 * divisor)))
+                 .alias(f"covered_{unit}")))
 
 
 @register_op("merge_intervals", "df")
