@@ -104,3 +104,42 @@ def test_strict_repr_is_default():
     import tools.check_oracle as co
     assert co.STRICT_REPR, \
         "driver-hash fidelity (raw repr compare) must be the default"
+
+
+def test_round_sig_safe_property_matches_duckdb(spark):
+    """Property form of the equivalence: ~200 adversarial doubles —
+    random magnitudes including near-grid and near-power-of-10
+    values — must round identically in Spark and DuckDB. Uses a
+    fixed-seed generator (house rule: no ambient randomness)."""
+    import random
+    import duckdb
+    from pyspark.sql import functions as F
+    from zef_spark.functions.rounding import (round_sig_safe,
+                                              sql_round_sig_safe)
+    rng = random.Random(2008)
+    vals = []
+    for _ in range(120):
+        mag = rng.uniform(-12, 16)
+        vals.append(rng.uniform(-1, 1) * (10.0 ** mag))
+    # near-grid adversaries: x.xxxxx5 shapes at several magnitudes
+    for m in (0, 2, 5, 8, 11):
+        base = 10.0 ** m
+        for frac in (0.1234565, 0.9999995, 0.0000005):
+            vals.append(base * (1 + frac))
+            vals.append(-base * (1 + frac))
+    # near-power-of-10 magnitude boundaries
+    for m in range(-3, 12):
+        p = 10.0 ** m
+        vals += [p, p * (1 - 1e-15), p * (1 + 1e-15)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in
+           df.select(round_sig_safe(F.col("x")).alias("r")).collect()]
+    con = duckdb.connect()
+    sql = sql_round_sig_safe("x")
+    diffs = []
+    for v, g in zip(vals, got):
+        w = con.execute(f"SELECT {sql} FROM (SELECT ?::DOUBLE AS x)",
+                        [v]).fetchone()[0]
+        if repr(g) != repr(w):
+            diffs.append((v, g, w))
+    assert not diffs, f"{len(diffs)} divergent: {diffs[:5]}"

@@ -52,7 +52,12 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
     expr = F.round(c, lo)
     for k in range(lo + 1, int(digits) + 1):
         expr = F.when(d == k, F.round(c, k)).otherwise(expr)
-    return F.when(c.isNull(), F.lit(None).cast("double")).otherwise(expr)
+    # normalize negative zero: a tiny negative rounds to -0.0 in
+    # DuckDB but 0.0 in Spark — repr('-0.0') != repr('0.0'), so the
+    # driver's raw value hash would split on the SIGN of a zero
+    # (found by the property test in tests/test_rounding.py)
+    return (F.when(c.isNull(), F.lit(None).cast("double"))
+            .when(expr == 0, F.lit(0.0)).otherwise(expr))
 
 
 def sql_round_sig_safe(x: str, digits: int = 6, max_sig: int = 9) -> str:
@@ -64,5 +69,7 @@ def sql_round_sig_safe(x: str, digits: int = 6, max_sig: int = 9) -> str:
                   f"WHEN ABS({x}) >= 1e18 THEN {_MAX_INT_DIGITS} "
                   f"ELSE LENGTH(CAST(CAST(FLOOR(ABS({x})) AS BIGINT) "
                   f"AS VARCHAR)) END")
-    return (f"ROUND({x}, CAST(LEAST({int(digits)}, "
-            f"{int(max_sig)} - ({int_digits})) AS INTEGER))")
+    rounded = (f"ROUND({x}, CAST(LEAST({int(digits)}, "
+               f"{int(max_sig)} - ({int_digits})) AS INTEGER))")
+    # -0.0 normalization: mirror the Spark side (see round_sig_safe)
+    return (f"CASE WHEN {rounded} = 0 THEN 0.0 ELSE {rounded} END")
