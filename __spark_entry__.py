@@ -8255,6 +8255,36 @@ def w_minmax_price_brand(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
+@query("p_stratified_sample_lang", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || 'lang'),
+                    1, 15))::BIGINT AS h
+  FROM documents
+)
+WHERE (lang = 'en' AND h % 10 < 3)
+   OR (lang = 'de' AND h % 2 < 1)
+   OR (lang NOT IN ('en', 'de') AND h % 5 < 1)
+ORDER BY doc_id
+""")
+def p_stratified_sample_lang(spark, sf_dir):
+    """Language-rebalancing corpus sample (pipeline/corpus.py
+    stratified_hash_sample, method='md5'): keep 3/10 of 'en', 1/2 of
+    'de', 1/5 of everything else — the per-stratum deterministic
+    keep decision is a pure row-local function of (doc_id, strata
+    column), zero shuffle, stable across runs/partitions/engines;
+    the oracle replays the exact md5 decision (the default
+    xxhash64 method is the JVM fast path, property-tested to keep
+    rates; md5 is the bit-portable face)."""
+    from zef_spark.pipeline.corpus import stratified_hash_sample
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_hash_sample(
+                docs, "doc_id", "lang",
+                rates={"en": (3, 10), "de": (1, 2)},
+                default=(1, 5), method="md5")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

@@ -99,14 +99,24 @@ def hash_sample(df: DataFrame, rate_num: int, rate_den: int,
 def stratified_hash_sample(df: DataFrame, key_col: str,
                            strata_col: str,
                            rates: dict[str, tuple[int, int]],
-                           default: tuple[int, int] | None = None
-                           ) -> DataFrame:
+                           default: tuple[int, int] | None = None,
+                           method: str = "xxhash64") -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language rebalancing:
     keep 1/1 of 'de', 1/10 of 'en'). `rates` maps stratum value →
-    (num, den); strata not listed keep `default` (or are dropped)."""
-    h = lambda den: F.pmod(  # noqa: E731
-        F.xxhash64(F.col(key_col).cast("string"), F.lit(strata_col)),
-        F.lit(den))
+    (num, den); strata not listed keep `default` (or are dropped).
+    method='xxhash64' (fast, JVM) or 'md5' (bit-portable to any
+    engine with md5) — same pair as hash_sample; both are pure
+    functions of (key, strata_col), so the kept set is stable across
+    runs/partitions and consistent across tables sharing the key."""
+    if method == "md5":
+        hv = F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit(strata_col))), 1, 15), 16, 10) \
+            .cast("long")
+    else:
+        hv = F.xxhash64(F.col(key_col).cast("string"),
+                        F.lit(strata_col))
+    h = lambda den: F.pmod(hv, F.lit(den))  # noqa: E731
     cond = F.lit(False)
     for value, (num, den) in rates.items():
         cond = cond | ((F.col(strata_col) == value) & (h(den) < num))
