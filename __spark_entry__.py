@@ -8286,6 +8286,258 @@ def p_stratified_sample_lang(spark, sf_dir):
 
 
 # =====================================================================
+# r08 statistics tier 2: Spearman rho, Cohen's kappa, JS/KL drift,
+# Kruskal-Wallis H
+# =====================================================================
+
+@query("e_spearman_value_ts", f"""
+WITH r AS (
+  SELECT event_type,
+    RANK() OVER (PARTITION BY event_type ORDER BY EPOCH_US(ts))
+      + (COUNT(*) OVER (PARTITION BY event_type, EPOCH_US(ts)) - 1)
+        / 2.0 AS ra,
+    RANK() OVER (PARTITION BY event_type ORDER BY value)
+      + (COUNT(*) OVER (PARTITION BY event_type, value) - 1)
+        / 2.0 AS rb
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(ROUND(SUM(CAST(ROUND(ra, 12) AS DECIMAL(38,12))), 2)
+         AS DECIMAL(19,2)) AS sa,
+    CAST(ROUND(SUM(CAST(ROUND(rb, 12) AS DECIMAL(38,12))), 2)
+         AS DECIMAL(19,2)) AS sb,
+    CAST(ROUND(SUM(CAST(ROUND(ra * ra, 12) AS DECIMAL(38,12))), 2)
+         AS DECIMAL(19,2)) AS qa,
+    CAST(ROUND(SUM(CAST(ROUND(rb * rb, 12) AS DECIMAL(38,12))), 2)
+         AS DECIMAL(19,2)) AS qb,
+    CAST(ROUND(SUM(CAST(ROUND(ra * rb, 12) AS DECIMAL(38,12))), 2)
+         AS DECIMAL(19,2)) AS sab
+  FROM r GROUP BY 1
+), d AS (
+  SELECT event_type, n,
+    CAST(n AS DECIMAL(12,0)) * sab - sa * sb AS num,
+    CAST(n AS DECIMAL(12,0)) * qa - sa * sa AS dx,
+    CAST(n AS DECIMAL(12,0)) * qb - sb * sb AS dy
+  FROM a
+), raw AS (
+  SELECT event_type, n,
+    CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+         THEN num::DOUBLE / SQRT(dx::DOUBLE * dy::DOUBLE)
+    END AS rho_raw
+  FROM d
+)
+SELECT event_type, n,
+  {sql_round_sig_safe('rho_raw')} AS rho
+FROM raw ORDER BY event_type
+""")
+def e_spearman_value_ts(spark, sf_dir):
+    """Monotone time-trend of event values per type
+    (pipeline/wrangling.py spearman_corr): Spearman rho of
+    (event time, value) with midrank ties — the outlier-proof,
+    scale-free companion to e_linreg_trend's slope. Two rank windows
+    share ONE type-keyed shuffle; rank sums quantize to exact
+    DECIMAL(19,2); rho is one √ and one ÷ of bit-identical doubles,
+    sig-safe released."""
+    from zef_spark.pipeline.wrangling import spearman_corr
+    ev = _events(spark, sf_dir)
+    ticks = ev.select("event_type",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      .alias("tick"), "value")
+    return (spearman_corr(ticks, "tick", "value", by="event_type")
+            .orderBy("event_type"))
+
+
+@query("e_kappa_consecutive_events", f"""
+WITH seq AS (
+  SELECT event_type AS a,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS b
+  FROM events
+), joint AS (
+  SELECT a, b, COUNT(*) AS c_ab FROM seq
+  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2
+), ma AS (SELECT a, SUM(c_ab) AS c_a FROM joint GROUP BY 1),
+mb AS (SELECT b, SUM(c_ab) AS c_b FROM joint GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_ab) AS HUGEINT) AS n FROM joint),
+diag AS (SELECT CAST(SUM(c_ab) AS HUGEINT) AS d FROM joint
+         WHERE a = b),
+pe_s AS (SELECT SUM(CAST(c_a AS HUGEINT) * CAST(c_b AS HUGEINT))
+                AS s
+         FROM ma JOIN mb ON ma.a = mb.b),
+raw AS (
+  SELECT n::BIGINT AS n,
+    COALESCE(d, 0)::DOUBLE / n::DOUBLE AS po_raw,
+    COALESCE(s, 0)::DOUBLE / (n * n)::DOUBLE AS pe_raw
+  FROM tot CROSS JOIN diag CROSS JOIN pe_s
+)
+SELECT n,
+  {sql_round_sig_safe('po_raw')} AS po,
+  {sql_round_sig_safe('pe_raw')} AS pe,
+  CASE WHEN pe_raw < 1.0 THEN
+    {sql_round_sig_safe('((po_raw - pe_raw) / (1.0 - pe_raw))')}
+  END AS kappa
+FROM raw
+""")
+def e_kappa_consecutive_events(spark, sf_dir):
+    """Sequential stickiness of user behavior
+    (pipeline/evaluation.py cohens_kappa): chance-corrected agreement
+    between each event's type and the SAME user's previous event
+    type — κ≈0 means the next action is independent of the last, the
+    null worth testing before building sequence features. Rater
+    pairs come from one user-keyed lag window; kappa itself is the
+    mutual_info/chi2-shaped joint agg + exact-integer divisions."""
+    from zef_spark.pipeline.evaluation import cohens_kappa
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(F.col("event_type").alias("a"),
+                    F.lag("event_type").over(w).alias("b"))
+    return cohens_kappa(seq, "a", "b")
+
+
+@query("p_js_lang_drift", f"""
+WITH s AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS smp,
+         COALESCE(lang, '∅') AS c
+  FROM documents
+), cells AS (
+  SELECT c,
+    SUM(CASE WHEN smp = 'a' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN smp = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM s GROUP BY 1
+), t AS (
+  SELECT c, ca, cb,
+    CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+    CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+  FROM cells
+), terms AS (
+  SELECT n_a, n_b, ca, cb,
+    ca::DOUBLE / n_a::DOUBLE AS p, cb::DOUBLE / n_b::DOUBLE AS q,
+    (ca::DOUBLE / n_a::DOUBLE + cb::DOUBLE / n_b::DOUBLE) / 2.0 AS m
+  FROM t
+), agg AS (
+  SELECT n_a, n_b,
+    MAX(CASE WHEN cb = 0 AND ca > 0 THEN 1 ELSE 0 END) AS bad_ab,
+    MAX(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END) AS bad_ba,
+    SUM(CASE WHEN ca = 0 OR cb = 0
+             THEN CAST(0.0 AS DECIMAL(38,12))
+             ELSE CAST(ROUND(p * LN(p / q), 12) AS DECIMAL(38,12))
+        END) AS kl_ab_s,
+    SUM(CASE WHEN cb = 0 OR ca = 0
+             THEN CAST(0.0 AS DECIMAL(38,12))
+             ELSE CAST(ROUND(q * LN(q / p), 12) AS DECIMAL(38,12))
+        END) AS kl_ba_s,
+    SUM(CASE WHEN ca = 0 THEN CAST(0.0 AS DECIMAL(38,12))
+             ELSE CAST(ROUND(p * LN(p / m), 12) AS DECIMAL(38,12))
+        END) AS js_p,
+    SUM(CASE WHEN cb = 0 THEN CAST(0.0 AS DECIMAL(38,12))
+             ELSE CAST(ROUND(q * LN(q / m), 12) AS DECIMAL(38,12))
+        END) AS js_q
+  FROM terms GROUP BY 1, 2
+)
+, raw AS (
+  SELECT n_a, n_b,
+    CASE WHEN bad_ab = 0 THEN kl_ab_s::DOUBLE END AS klab_raw,
+    CASE WHEN bad_ba = 0 THEN kl_ba_s::DOUBLE END AS klba_raw,
+    (js_p::DOUBLE + js_q::DOUBLE) / 2.0 AS js_raw
+  FROM agg
+)
+SELECT n_a, n_b,
+  {sql_round_sig_safe('klab_raw')} AS kl_ab,
+  {sql_round_sig_safe('klba_raw')} AS kl_ba,
+  {sql_round_sig_safe('js_raw')} AS js
+FROM raw
+""")
+def p_js_lang_drift(spark, sf_dir):
+    """Language-mix drift between two deterministic halves of the
+    corpus (pipeline/wrangling.py js_divergence): KL both ways (NULL
+    on zero-cell undefinedness — no silent smoothing) plus the
+    always-defined Jensen-Shannon, in nats — the categorical
+    companion to e_psi_drift's binned-numeric PSI. Terms derive from
+    exact integer counts and round to scale-12 decimal before the
+    sum (mutual_info discipline)."""
+    from zef_spark.pipeline.wrangling import js_divergence
+    docs = _t(spark, sf_dir, "documents")
+    sampled = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b")
+        .alias("smp"), "lang")
+    return js_divergence(sampled, "smp", "lang")
+
+
+@query("w_kruskal_price_priority", f"""
+WITH vt AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v, COUNT(*) AS cnt,
+    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      AS c0,
+    SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+      AS c1,
+    SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+      AS c2,
+    SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0
+        END) AS c3,
+    SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS c4
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IN
+    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+  GROUP BY 1
+), r AS (
+  SELECT *, SUM(cnt) OVER (ORDER BY v) - cnt AS cb FROM vt
+), s AS (
+  SELECT CAST(SUM(cnt) AS HUGEINT) AS nl,
+    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties,
+    SUM(CAST(c0 AS HUGEINT) * (2 * cb + cnt + 1)) AS r2_0,
+    SUM(CAST(c1 AS HUGEINT) * (2 * cb + cnt + 1)) AS r2_1,
+    SUM(CAST(c2 AS HUGEINT) * (2 * cb + cnt + 1)) AS r2_2,
+    SUM(CAST(c3 AS HUGEINT) * (2 * cb + cnt + 1)) AS r2_3,
+    SUM(CAST(c4 AS HUGEINT) * (2 * cb + cnt + 1)) AS r2_4,
+    SUM(c0) AS n0, SUM(c1) AS n1, SUM(c2) AS n2, SUM(c3) AS n3,
+    SUM(c4) AS n4
+  FROM r
+), raw AS (
+  SELECT nl::BIGINT AS n, CAST(4 AS BIGINT) AS dof,
+    CASE WHEN nl >= 2 AND nl::DOUBLE * nl::DOUBLE * nl::DOUBLE
+                           - nl::DOUBLE > 0
+         THEN 3.0 / (nl::DOUBLE * (nl::DOUBLE + 1.0))
+              * ((CASE WHEN n0 > 0 THEN (r2_0::DOUBLE * r2_0::DOUBLE)
+                                        / n0::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n1 > 0 THEN (r2_1::DOUBLE * r2_1::DOUBLE)
+                                          / n1::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n2 > 0 THEN (r2_2::DOUBLE * r2_2::DOUBLE)
+                                          / n2::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n3 > 0 THEN (r2_3::DOUBLE * r2_3::DOUBLE)
+                                          / n3::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n4 > 0 THEN (r2_4::DOUBLE * r2_4::DOUBLE)
+                                          / n4::DOUBLE ELSE 0.0 END))
+              - 3.0 * (nl::DOUBLE + 1.0)
+    END AS h_raw,
+    1.0 - ties::DOUBLE / (nl::DOUBLE * nl::DOUBLE * nl::DOUBLE
+                          - nl::DOUBLE) AS c_tie
+  FROM s
+)
+SELECT n, dof,
+  {sql_round_sig_safe('h_raw')} AS h,
+  CASE WHEN c_tie > 0
+       THEN {sql_round_sig_safe('(h_raw / c_tie)')}
+  END AS h_corrected
+FROM raw
+""")
+def w_kruskal_price_priority(spark, sf_dir):
+    """Kruskal-Wallis H across all five order priorities on order
+    value (pipeline/abtest.py kruskal_wallis) — the k-group
+    nonparametric ANOVA completing the hypothesis-testing tier
+    (welch k=2 parametric, mann-whitney k=2 rank, this k≥3 rank).
+    Distinct-value collapse + the range-partitioned two-phase prefix
+    rank; DOUBLED rank sums stay exact integers; the oracle replays
+    the identical exact-integer arithmetic via HUGEINT."""
+    from zef_spark.pipeline.abtest import kruskal_wallis
+    o = _t(spark, sf_dir, "orders")
+    return kruskal_wallis(
+        o, "o_orderpriority", "o_totalprice",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+         "5-LOW"])
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 
@@ -8312,20 +8564,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # value-neutral on this data, so its r07 driver proof stands and it
 # rotates to the tail. Everything else stays runnable by name.
 _FRONT = [
-    # (a) r03-cohort staleness rotation
-    "concat_union_segments", "conditional_bucketing",
-    "datetime_functions", "g_all_type_counts", "g_asof_order_count",
+    # (a) r03-cohort staleness rotation (minus the five stable
+    # function batteries — hash/math/datetime/string/concat — which
+    # the r06 AND r07 judge sweeps independently re-proved; they
+    # yield their slots to the five second-half r08 rows)
+    "conditional_bucketing",
+    "g_all_type_counts", "g_asof_order_count",
     "g_gather_closure", "g_has_order_customers",
     "g_hop2_revenue_by_customer", "g_hop_customer_nation",
     "g_point_lookup_by_field", "g_quantity_fields",
     "g_relation_fields_meta", "g_time_travel_duration",
     "g_time_travel_relative", "g_tx_instantiated_events",
-    "group_agg_customer_orders", "hash_functions", "math_functions",
+    "group_agg_customer_orders",
     "max_by_top_order_per_cust", "p_ann_cosine_topk", "p_ann_topk_ivf",
     "p_ann_topk_lsh", "p_cosine_pairs_blocked", "p_dedup_exact_groups",
     "p_fingerprint", "p_lang_id", "p_minhash_lsh_pairs",
     "p_multimodal_meta", "p_ngram_jaccard_pairs", "p_simhash_pairs",
-    "p_text_quality", "scan_cumulative_revenue", "string_functions",
+    "p_text_quality", "scan_cumulative_revenue",
     # (b) the r07 driver-red rows, fixed (decimal-exact single
     # divisions + <=9-sig-digit releases)
     "e_linreg_trend", "w_dp_priority_stats",
@@ -8338,6 +8593,11 @@ _FRONT = [
     # (e) new in r08
     "e_interval_coverage", "e_sliding_count_1h", "e_funnel_users",
     "p_domain_caps", "w_minmax_price_brand",
+    # (f) new in the second half of r08: the rank/agreement/
+    # divergence statistics tier + the md5 stratified sampler
+    "e_spearman_value_ts", "e_kappa_consecutive_events",
+    "p_js_lang_drift", "w_kruskal_price_priority",
+    "p_stratified_sample_lang",
 ]
 
 

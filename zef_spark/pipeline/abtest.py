@@ -378,3 +378,99 @@ def bootstrap_ci(df: DataFrame, value_col: str, key_col: str,
 @register_op("bootstrap_ci", "df")
 def _bootstrap_ci_op(df, *args, **kw):
     return bootstrap_ci(df, *args, **kw)
+
+
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
+                   groups: list, n_ranges: int | None = None,
+                   digits: int = 6) -> DataFrame:
+    """One row (n, dof, h, h_corrected) — the Kruskal-Wallis H test:
+    the k-group extension of mann_whitney_u (does at least one group's
+    distribution stochastically dominate?), with midrank ties and the
+    standard tie correction:
+
+        H = 12/(n(n+1)) · Σ R_i²/n_i − 3(n+1)
+        H_corr = H / (1 − Σ(t³−t)/(n³−n))
+
+    p-values are a χ²(k−1) critical-value lookup (no CDF in either
+    engine) — gate on H_corr.
+
+    Plan: the mann_whitney machinery generalized — ONE value-grouped
+    hash agg collapses the input to the distinct-value table with
+    per-group conditional counts; count-below comes from the
+    range-partitioned two-phase prefix sum (2 scalars per range, no
+    single-partition sort); each group's DOUBLED rank sum
+    2R_i = Σ c_i·(2·below + t + 1) stays an exact integer in
+    decimal. H assembles on the 1-row result from exact-integer
+    casts; |H| is χ²-scale so 6 dp sits inside the 9-digit envelope
+    (sig-safe released)."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    spark = df.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    groups = list(groups)
+    k = len(groups)
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull() & g.isin(groups))
+    aggs = [F.count(F.lit(1)).alias("__cnt")] + [
+        F.sum((g == F.lit(gv)).cast("long")).alias(f"__c{i}")
+        for i, gv in enumerate(groups)]
+    vt = base.groupBy(x.alias("__v")).agg(*aggs)
+    ranged = (vt.repartitionByRange(n_ranges, "__v")
+              .withColumn("__rid", F.spark_partition_id())
+              .localCheckpoint())
+    w_in = (Window.partitionBy("__rid").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("__lc", F.sum("__cnt").over(w_in))
+    rows = sorted((r["__rid"], int(r["__t"])) for r in
+                  ranged.groupBy("__rid")
+                  .agg(F.sum("__cnt").alias("__t")).collect())
+    off, acc = {}, 0
+    for rid, c in rows:
+        off[rid] = acc
+        acc += c
+    off_df = spark.createDataFrame(
+        list(off.items()), "__rid int, __off long")
+    d0 = "decimal(38,0)"
+    cb = (F.col("__lc") + F.col("__off") - F.col("__cnt")).cast(d0)
+    cnt = F.col("__cnt").cast(d0)
+    two = F.lit(2).cast(d0)
+    one_ = F.lit(1).cast(d0)
+    sums = [F.sum(F.col(f"__c{i}").cast(d0)
+                  * (two * cb + cnt + one_)).alias(f"__r2_{i}")
+            for i in range(k)]
+    sums += [F.sum(F.col(f"__c{i}")).alias(f"__n{i}")
+             for i in range(k)]
+    sums += [F.sum("__cnt").alias("__nl"),
+             F.sum(cnt * cnt * cnt - cnt).alias("__ties")]
+    one = local.join(F.broadcast(off_df), "__rid").agg(*sums)
+    nd = F.col("__nl").cast("double")
+    # Σ R_i²/n_i with R_i = r2_i/2  →  H = 3/(n(n+1))·Σ r2_i²/n_i
+    #                                      − 3(n+1)
+    t = None
+    for i in range(k):
+        r2d = F.col(f"__r2_{i}").cast("double")
+        ti = F.when(F.col(f"__n{i}") > 0,
+                    (r2d * r2d) / F.col(f"__n{i}").cast("double")) \
+            .otherwise(F.lit(0.0))
+        t = ti if t is None else t + ti
+    h = 3.0 / (nd * (nd + 1.0)) * t - 3.0 * (nd + 1.0)
+    c_tie = 1.0 - F.col("__ties").cast("double") \
+        / (nd * nd * nd - nd)
+    ok = (F.col("__nl") >= 2) & (nd * nd * nd - nd > 0)
+    raw = one.select(
+        F.col("__nl").cast("long").alias("n"),
+        F.lit(k - 1).cast("long").alias("dof"),
+        F.when(ok, h).alias("__h_raw"),
+        F.when(ok & (c_tie > 0), h / c_tie).alias("__hc_raw"))
+    return raw.select(
+        "n", "dof",
+        round_sig_safe(F.col("__h_raw"), digits).alias("h"),
+        round_sig_safe(F.col("__hc_raw"), digits)
+        .alias("h_corrected"))
+
+
+@register_op("kruskal_wallis", "df")
+def _kw_op(df, *args, **kw):
+    return kruskal_wallis(df, *args, **kw)

@@ -235,3 +235,62 @@ def apply_calibration(df: DataFrame, score_col: str,
 @register_op("apply_calibration", "df")
 def _apply_calibration_op(df, *args, **kw):
     return apply_calibration(df, *args, **kw)
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str,
+                 digits: int = 6) -> DataFrame:
+    """One-row (n, po, pe, kappa) — Cohen's kappa, chance-corrected
+    agreement between two categorical labelings over one label space
+    (annotator consistency in labeling pipelines, model-vs-model
+    agreement, consecutive-state stickiness):
+
+        κ = (p_o − p_e) / (1 − p_e),
+        p_o = Σ_c o_cc / n,   p_e = Σ_c (row_c · col_c) / n²
+
+    Rows with a NULL on either side drop (listwise). κ is NULL when
+    p_e = 1 (a single shared category — agreement is unmeasurable).
+
+    Plan: ONE (a,b) joint hash agg (|A|×|B|-bounded, map-side
+    combinable) + marginal aggs ON the joint table — the
+    mutual_info/chi2 shape. Determinism: p_o and p_e are each ONE
+    double division of exact-integer decimals (Σ row·col is an
+    exact decimal(38,0) product-sum), κ is subtract/divide of those
+    — no multiply-ADD anywhere; sig-safe release (|κ| ≤ 1)."""
+    from ..functions.rounding import round_sig_safe
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    joint = (df.where(a.isNotNull() & b.isNotNull())
+             .select(a.alias("__a"), b.alias("__b"))
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).alias("c_ab")))
+    ma = joint.groupBy("__a").agg(F.sum("c_ab").alias("c_a"))
+    mb = joint.groupBy("__b").agg(F.sum("c_ab").alias("c_b"))
+    d0 = "decimal(19,0)"
+    diag = (joint.where(F.col("__a") == F.col("__b"))
+            .agg(F.sum("c_ab").cast(d0).alias("__diag")))
+    # Σ_c row_c · col_c over the SHARED label space (full outer on
+    # the label: a label seen by only one rater contributes 0)
+    pe_sum = (ma.join(mb, ma["__a"] == mb["__b"], "inner")
+              .agg(F.sum(F.col("c_a").cast(d0)
+                         * F.col("c_b").cast(d0)).alias("__pe_s")))
+    tot = joint.agg(F.sum("c_ab").cast(d0).alias("__n"))
+    one = (tot.crossJoin(F.broadcast(diag))
+           .crossJoin(F.broadcast(pe_sum)))
+    nd = F.col("__n").cast("double")
+    po = F.coalesce(F.col("__diag").cast("double"), F.lit(0.0)) / nd
+    pe = (F.coalesce(F.col("__pe_s").cast("double"), F.lit(0.0))
+          / (F.col("__n") * F.col("__n")).cast("double"))
+    raw = one.select(
+        F.col("__n").cast("long").alias("n"),
+        po.alias("__po_raw"), pe.alias("__pe_raw"),
+        F.when(pe < 1.0, (po - pe) / (1.0 - pe)).alias("__k_raw"))
+    return raw.select(
+        "n",
+        round_sig_safe(F.col("__po_raw"), digits).alias("po"),
+        round_sig_safe(F.col("__pe_raw"), digits).alias("pe"),
+        round_sig_safe(F.col("__k_raw"), digits).alias("kappa"))
+
+
+@register_op("cohens_kappa", "df")
+def _kappa_op(df, *args, **kw):
+    return cohens_kappa(df, *args, **kw)

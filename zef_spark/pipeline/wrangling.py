@@ -1121,6 +1121,152 @@ def _linreg_op(df, *args, **kw):
     return linreg(df, *args, **kw)
 
 
+def spearman_corr(df: DataFrame, x_col: str, y_col: str, by=None,
+                  digits: int = 6) -> DataFrame:
+    """(by..., n, rho) — Spearman rank correlation with midrank tie
+    handling: Pearson r computed over each column's midranks, the
+    monotone-association measure that ignores scale and outliers
+    (the nonparametric sibling of corr_matrix; a rank-based linreg
+    face). NULL in either column drops the row (listwise, shared n).
+
+    Plan: TWO key-ordered windows (one per column — irreducible for
+    ranks) share the single ``by``-keyed shuffle, then ONE hash agg
+    of decimal-exact rank sums. Determinism (same discipline as
+    linreg): midranks are exact halves, sums quantize to
+    DECIMAL(19,2) (exact: midrank products carry scale ≤4),
+    numerator/denominators never leave decimal, and rho is
+    num / √(dx·dy) — a multiply, a √ and a ÷ of bit-identical
+    doubles, no multiply-ADD, released sig-safely (|rho| ≤ 1)."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()) \
+             .select(*by, x.alias("__x"), y.alias("__y"))
+    part = by if by else [F.lit(1)]
+
+    def midrank(c):
+        wr = Window.partitionBy(*part).orderBy(c)
+        wt = Window.partitionBy(*part, c)
+        return (F.rank().over(wr).cast("double")
+                + (F.count(F.lit(1)).over(wt).cast("double") - 1.0)
+                / 2.0)
+
+    ranked = base.select(*by, midrank(F.col("__x")).alias("__ra"),
+                         midrank(F.col("__y")).alias("__rb"))
+    q = "decimal(19,2)"
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    quant = lambda c: F.round(c, 2).cast(q)
+    ra, rb = F.col("__ra"), F.col("__rb")
+    agg = (ranked.groupBy(*by)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                quant(F.sum(term(ra))).alias("__sa"),
+                quant(F.sum(term(rb))).alias("__sb"),
+                quant(F.sum(term(ra * ra))).alias("__qa"),
+                quant(F.sum(term(rb * rb))).alias("__qb"),
+                quant(F.sum(term(ra * rb))).alias("__sab")))
+    nd = F.col("__n").cast("decimal(12,0)")
+    num = nd * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    dx = nd * F.col("__qa") - F.col("__sa") * F.col("__sa")
+    dy = nd * F.col("__qb") - F.col("__sb") * F.col("__sb")
+    raw = agg.select(
+        *by, F.col("__n").alias("n"),
+        F.when((F.col("__n") >= 2) & (dx > 0) & (dy > 0),
+               num.cast("double")
+               / F.sqrt(dx.cast("double") * dy.cast("double")))
+        .alias("__rho_raw"))
+    return raw.select(*by, "n",
+                      round_sig_safe(F.col("__rho_raw"), digits)
+                      .alias("rho"))
+
+
+@register_op("spearman_corr", "df")
+def _spearman_op(df, *args, **kw):
+    return spearman_corr(df, *args, **kw)
+
+
+def js_divergence(df: DataFrame, sample_col: str, cat_col: str,
+                  by=None, digits: int = 6) -> DataFrame:
+    """(by..., n_a, n_b, kl_ab, kl_ba, js) — distribution drift of a
+    CATEGORICAL column between samples 'a' (reference) and 'b'
+    (current), in nats. Jensen-Shannon is always defined (zero cells
+    contribute 0 to their own side); KL(p‖q) is NULL whenever q has
+    a zero cell where p > 0 (the standard undefined case — no
+    silent smoothing; psi_drift is the smoothed-binned alternative
+    for numeric columns).
+
+    Plan: ONE (by, category) hash agg with conditional counts, then
+    a (by)-keyed agg of decimal-quantized terms — every p/q derives
+    from exact integer counts (identical doubles cross-engine), each
+    term rounds half-up to scale-12 DECIMAL before the sum (the
+    mutual_info discipline), output sums are one decimal→double cast
+    (≤ ln 2 magnitude — far inside the 9-digit envelope)."""
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    s = F.col(sample_col)
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("∅"))
+    cells = (df.where(s.isin("a", "b"))
+             .groupBy(*by, cat.alias("__c"))
+             .agg(F.sum(F.when(s == "a", 1).otherwise(0)).alias("ca"),
+                  F.sum(F.when(s == "b", 1).otherwise(0)).alias("cb")))
+    from pyspark.sql import Window
+    wk = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    t = (cells.withColumn("n_a", F.sum("ca").over(wk))
+         .withColumn("n_b", F.sum("cb").over(wk)))
+    p = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    q_ = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    m = (p + q_) / 2.0
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    z = F.lit(0.0).cast(dec)
+    # a zero-q cell with p>0 makes KL(p‖q) UNDEFINED for the whole
+    # key — a NULL term would silently vanish from SUM, so the
+    # undefined state travels as an explicit flag instead (and the
+    # term itself guards the log: 0-count cells never reach p/q_,
+    # which would be a double Infinity and an ANSI decimal-cast
+    # error)
+    kl_ab_t = F.when(F.col("ca") == 0, z) \
+        .when(F.col("cb") == 0, z) \
+        .otherwise(term(p * F.log(p / q_)))
+    kl_ba_t = F.when(F.col("cb") == 0, z) \
+        .when(F.col("ca") == 0, z) \
+        .otherwise(term(q_ * F.log(q_ / p)))
+    bad_ab = F.when((F.col("cb") == 0) & (F.col("ca") > 0), 1) \
+        .otherwise(0)
+    bad_ba = F.when((F.col("ca") == 0) & (F.col("cb") > 0), 1) \
+        .otherwise(0)
+    # the two JS half-terms sum SEPARATELY: adding two DECIMAL(38,12)
+    # values per row trips Spark's precision-loss adjustment
+    # ((38,12)+(38,12)→(38,11) — a silent per-row round DuckDB does
+    # not mirror); two exact sums combined as bit-identical doubles
+    # stay deterministic.
+    js_p = F.when(F.col("ca") == 0, z).otherwise(term(p * F.log(p / m)))
+    js_q = F.when(F.col("cb") == 0, z).otherwise(
+        term(q_ * F.log(q_ / m)))
+    from ..functions.rounding import round_sig_safe
+    raw = (t.groupBy(*by, "n_a", "n_b")
+           .agg(F.when(F.max(bad_ab) == 0,
+                       F.sum(kl_ab_t).cast("double")).alias("__klab"),
+                F.when(F.max(bad_ba) == 0,
+                       F.sum(kl_ba_t).cast("double")).alias("__klba"),
+                ((F.sum(js_p).cast("double")
+                  + F.sum(js_q).cast("double")) / F.lit(2.0))
+                .alias("__js")))
+    return raw.select(
+        *by, "n_a", "n_b",
+        round_sig_safe(F.col("__klab"), digits).alias("kl_ab"),
+        round_sig_safe(F.col("__klba"), digits).alias("kl_ba"),
+        round_sig_safe(F.col("__js"), digits).alias("js"))
+
+
+@register_op("js_divergence", "df")
+def _jsd_op(df, *args, **kw):
+    return js_divergence(df, *args, **kw)
+
+
 def mad_outliers(df: DataFrame, value_col: str, by=None,
                  threshold: float = 3.5,
                  summarize: bool = True) -> DataFrame:
