@@ -8537,6 +8537,121 @@ def w_kruskal_price_priority(spark, sf_dir):
          "5-LOW"])
 
 
+@query("w_anova_price_priority", f"""
+WITH b AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IN
+    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS s,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS q,
+    SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN g = '1-URGENT' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s0,
+    SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN g = '2-HIGH' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s1,
+    SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN g = '3-MEDIUM' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s2,
+    SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n3,
+    SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s3,
+    SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS n4,
+    SUM(CASE WHEN g = '5-LOW' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s4
+  FROM b
+), d AS (
+  SELECT n,
+    ((s0 * s0) / CAST(n0 AS DOUBLE) + (s1 * s1) / CAST(n1 AS DOUBLE)
+     + (s2 * s2) / CAST(n2 AS DOUBLE) + (s3 * s3) / CAST(n3 AS DOUBLE)
+     + (s4 * s4) / CAST(n4 AS DOUBLE)) AS sb,
+    s, q,
+    (n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0) AS ne
+  FROM a
+), raw AS (
+  SELECT n, CAST(5 AS BIGINT) AS k, CAST(4 AS BIGINT) AS dof_between,
+    CAST(n - 5 AS BIGINT) AS dof_within,
+    CASE WHEN ne AND n > 5 AND q - sb > 0
+         THEN ((sb - (s * s) / CAST(n AS DOUBLE)) / 4.0)
+              / ((q - sb) / (CAST(n AS DOUBLE) - 5.0)) END AS f_raw,
+    CASE WHEN ne AND n > 5 AND q - sb > 0
+         THEN (sb - (s * s) / CAST(n AS DOUBLE))
+              / ((sb - (s * s) / CAST(n AS DOUBLE)) + (q - sb))
+    END AS eta_raw
+  FROM d
+)
+SELECT n, k, dof_between, dof_within,
+  {sql_round_sig_safe('f_raw')} AS f_stat,
+  {sql_round_sig_safe('eta_raw')} AS eta_sq
+FROM raw
+""")
+def w_anova_price_priority(spark, sf_dir):
+    """One-way ANOVA F of order value across all five priorities
+    (pipeline/abtest.py anova_oneway) — the parametric k-group test
+    completing the grid (welch k=2 / this k≥3 parametric;
+    mann_whitney k=2 / kruskal_wallis k≥3 rank). ONE conditional-agg
+    scan, decimal-exact sums, Σ S_i²/n_i as fixed-order single
+    divisions; F + η² sig-safe released."""
+    from zef_spark.pipeline.abtest import anova_oneway
+    o = _t(spark, sf_dir, "orders")
+    return anova_oneway(
+        o, "o_orderpriority", "o_totalprice",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+         "5-LOW"])
+
+
+@query("e_theilsen_trend", """
+WITH s AS (
+  SELECT event_type,
+    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS DOUBLE) AS tick,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, (b.x - a.x) / (b.tick - a.tick) AS sl
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.tick < b.tick
+), r AS (
+  SELECT event_type, sl,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY sl) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM p
+), med AS (
+  SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+    MAX(CASE WHEN rn = CEIL(m / 2.0) THEN sl END) AS slope
+  FROM r GROUP BY 1
+), npts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY 1
+)
+SELECT npts.event_type, n, COALESCE(n_pairs, 0) AS n_pairs, slope
+FROM npts LEFT JOIN med USING (event_type)
+ORDER BY npts.event_type
+""")
+def e_theilsen_trend(spark, sf_dir):
+    """Robust daily-trend slope per event type (pipeline/wrangling.py
+    theil_sen): the median of all pairwise slopes over the daily
+    series — the outlier-proof companion to e_linreg_trend (one wild
+    day moves OLS, not this). Quadratic in the BOUNDED per-key daily
+    series (30 points → 435 pair rows per key), key-local join, one
+    shared shuffle; the median is an exact element pick, so the
+    slope ships as a raw deterministic double."""
+    from zef_spark.pipeline.wrangling import theil_sen
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01"))
+                         .cast("double").alias("tick"))
+              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                   .cast("double").alias("x")))
+    return (theil_sen(series, "tick", "x", by="event_type")
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

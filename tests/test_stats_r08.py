@@ -139,3 +139,60 @@ def test_kruskal_wallis_null_and_two_group_consistency(spark):
     kw = kruskal_wallis(df, "g", "v", ["A", "B"]).collect()[0]
     mw = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
     assert kw["h"] == pytest.approx(mw["z"] ** 2, rel=1e-4)
+
+
+def test_anova_oneway_closed_form(spark):
+    from zef_spark.pipeline.abtest import anova_oneway
+    ga = [2.9, 3.0, 2.5, 2.6, 3.2]
+    gb = [3.8, 2.7, 4.0, 2.4]
+    gc = [2.8, 3.4, 3.7, 2.2, 2.0, 2.7]
+    rows = ([("A", v) for v in ga] + [("B", v) for v in gb]
+            + [("C", v) for v in gc])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v", ["A", "B", "C"]).collect()[0]
+    n = 15
+    s = sum(ga) + sum(gb) + sum(gc)
+    q = sum(v * v for v in ga + gb + gc)
+    sb = (sum(ga) ** 2 / 5 + sum(gb) ** 2 / 4 + sum(gc) ** 2 / 6)
+    ssb = sb - s * s / n
+    ssw = q - sb
+    f = (ssb / 2) / (ssw / 12)
+    assert r["n"] == 15 and r["k"] == 3
+    assert r["dof_between"] == 2 and r["dof_within"] == 12
+    assert r["f_stat"] == pytest.approx(f, abs=1e-5)
+    assert r["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+    # identical groups -> F ~ 0; empty group -> NULL
+    same = [("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0)]
+    r2 = anova_oneway(spark.createDataFrame(same, "g string, v double"),
+                      "g", "v", ["A", "B"]).collect()[0]
+    assert r2["f_stat"] == pytest.approx(0.0, abs=1e-9)
+    r3 = anova_oneway(spark.createDataFrame(same, "g string, v double"),
+                      "g", "v", ["A", "B", "MISSING"]).collect()[0]
+    assert r3["f_stat"] is None
+
+
+def _theil_sen_ref(xs, ys):
+    slopes = sorted((ys[j] - ys[i]) / (xs[j] - xs[i])
+                    for i in range(len(xs)) for j in range(len(xs))
+                    if i < j and xs[i] != xs[j])
+    return slopes[math.ceil(len(slopes) / 2) - 1]
+
+
+def test_theil_sen_matches_reference_and_resists_outlier(spark):
+    from zef_spark.pipeline.wrangling import theil_sen
+    xs = [float(i) for i in range(10)]
+    ys = [2.0 * x + 1.0 for x in xs]
+    ys[7] = 500.0                       # one wild outlier
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = theil_sen(df, "x", "y").collect()[0]
+    assert r["n"] == 10 and r["n_pairs"] == 45
+    assert r["slope"] == _theil_sen_ref(xs, ys)
+    assert abs(r["slope"] - 2.0) < 1.0  # OLS would be dragged to ~7
+    # keyed + degenerate (all equal x -> no valid pair -> NULL)
+    rows = ([("k1", x, y) for x, y in zip(xs, ys)]
+            + [("k2", 1.0, 5.0), ("k2", 1.0, 9.0)])
+    out = {r["k"]: r for r in theil_sen(
+        spark.createDataFrame(rows, "k string, x double, y double"),
+        "x", "y", by="k").collect()}
+    assert out["k1"]["slope"] == _theil_sen_ref(xs, ys)
+    assert out["k2"]["slope"] is None and out["k2"]["n_pairs"] == 0

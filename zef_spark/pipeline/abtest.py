@@ -474,3 +474,70 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
 @register_op("kruskal_wallis", "df")
 def _kw_op(df, *args, **kw):
     return kruskal_wallis(df, *args, **kw)
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str,
+                 groups: list, digits: int = 6) -> DataFrame:
+    """One row (n, k, dof_between, dof_within, f_stat, eta_sq) — the
+    one-way fixed-effects ANOVA F test across k named groups,
+    completing the test grid (welch k=2 parametric, this k≥3
+    parametric; mann_whitney k=2 rank, kruskal_wallis k≥3 rank):
+
+        SSB = Σ_i S_i²/n_i − S²/n,   SSW = Q − Σ_i S_i²/n_i
+        F = (SSB/(k−1)) / (SSW/(n−k)),   η² = SSB/(SSB+SSW)
+
+    p-values are an F(k−1, n−k) critical-value lookup; η² is the
+    effect size. NULL values drop (welch convention); degenerate
+    inputs (n ≤ k, SSW = 0, or an empty group) yield NULL F.
+
+    Plan: ONE conditional-aggregation scan — every group's n/Σx/Σx²
+    lands in the same map-side-combinable hash agg (k·3 cells cross
+    the wire, no join, no pivot shuffle). Determinism: sums are
+    decimal-exact; Σ S_i²/n_i assembles as k single divisions of
+    bit-identical doubles added in the fixed `groups` order (the
+    oracle mirrors the order); F and η² magnitudes keep 6 dp inside
+    the 9-digit envelope (sig-safe released)."""
+    from ..functions.rounding import round_sig_safe
+    groups = list(groups)
+    k = len(groups)
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull() & g.isin(groups))
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(_term(x)).cast("double").alias("__s"),
+            F.sum(_term(x * x)).cast("double").alias("__q")]
+    for i, gv in enumerate(groups):
+        cond = g == F.lit(gv)
+        aggs += [F.sum(cond.cast("long")).alias(f"__n{i}"),
+                 F.sum(F.when(cond, _term(x))).cast("double")
+                 .alias(f"__s{i}")]
+    one = base.agg(*aggs)
+    nd = F.col("__n").cast("double")
+    sb = None  # Σ S_i²/n_i, fixed-order double adds
+    nonempty = F.lit(True)
+    for i in range(k):
+        si = F.col(f"__s{i}")
+        ti = (si * si) / F.col(f"__n{i}").cast("double")
+        sb = ti if sb is None else sb + ti
+        nonempty = nonempty & (F.col(f"__n{i}") > 0)
+    ssb = sb - (F.col("__s") * F.col("__s")) / nd
+    ssw = F.col("__q") - sb
+    ok = nonempty & (F.col("__n") > k) & (ssw > 0)
+    f_raw = F.when(ok, (ssb / F.lit(float(k - 1)))
+                   / (ssw / (nd - F.lit(float(k)))))
+    eta_raw = F.when(ok, ssb / (ssb + ssw))
+    raw = one.select(
+        F.col("__n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(k - 1).cast("long").alias("dof_between"),
+        (F.col("__n") - k).cast("long").alias("dof_within"),
+        f_raw.alias("__f_raw"), eta_raw.alias("__eta_raw"))
+    return raw.select(
+        "n", "k", "dof_between", "dof_within",
+        round_sig_safe(F.col("__f_raw"), digits).alias("f_stat"),
+        round_sig_safe(F.col("__eta_raw"), digits).alias("eta_sq"))
+
+
+@register_op("anova_oneway", "df")
+def _anova_op(df, *args, **kw):
+    return anova_oneway(df, *args, **kw)

@@ -1188,6 +1188,61 @@ def _spearman_op(df, *args, **kw):
     return spearman_corr(df, *args, **kw)
 
 
+def theil_sen(df: DataFrame, x_col: str, y_col: str, by=None,
+              digits: int = 6) -> DataFrame:
+    """(by..., n, n_pairs, slope) — the Theil-Sen robust trend
+    estimator: the MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) over x_i < x_j, the 29%-breakdown-point
+    alternative to linreg's OLS slope (one wild day cannot drag it).
+    Pairs with equal x are skipped (slope undefined); keys with no
+    valid pair yield NULL slope.
+
+    COST NOTE: quadratic in per-key points — this is the
+    bounded-series estimator (a key's daily/hourly aggregate rows,
+    tens to low thousands of points), NOT a raw-event op; aggregate
+    first. The join is key-local (one shuffle both sides share), so
+    k keys × m points cost k·m²/2 pair rows — each 24 bytes.
+
+    Determinism: every pair slope is one subtract + one divide of
+    bit-identical doubles; the median is an exact PERCENTILE_DISC
+    element pick (value at ceil(m/2) of the sorted pair-slope
+    multiset, ties broken by value only — duplicates collapse
+    identically in any engine)."""
+    from pyspark.sql import Window
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (df.where(x.isNotNull() & y.isNotNull())
+            .select(*by, x.alias("__x"), y.alias("__y")))
+    part = by if by else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("__x", "__y")
+    pts = base.withColumn("__rn", F.row_number().over(w))
+    a = pts.select(*by, F.col("__x").alias("__xa"),
+                   F.col("__y").alias("__ya"),
+                   F.col("__rn").alias("__ra"))
+    b = pts.select(*by, F.col("__x").alias("__xb"),
+                   F.col("__y").alias("__yb"),
+                   F.col("__rn").alias("__rb"))
+    pairs = (a.join(b, by) if by else a.crossJoin(b))         .where((F.col("__ra") < F.col("__rb"))
+               & (F.col("__xa") != F.col("__xb")))         .select(*by, ((F.col("__yb") - F.col("__ya"))
+                      / (F.col("__xb") - F.col("__xa")))
+                .alias("__sl"))
+    ws = Window.partitionBy(*part).orderBy("__sl")
+    wc = Window.partitionBy(*part)
+    ranked = (pairs.withColumn("__r", F.row_number().over(ws))
+              .withColumn("__m", F.count(F.lit(1)).over(wc)))
+    med = ranked.groupBy(*by).agg(
+        F.max("__m").alias("n_pairs"),
+        F.max(F.when(F.col("__r") == F.ceil(F.col("__m") / 2),
+                     F.col("__sl"))).alias("slope"))
+    npts = base.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    joined = npts.join(med, by, "left") if by else         npts.crossJoin(med)
+    return joined.select(*by, "n",
+                         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                         "slope")
+
+
 def js_divergence(df: DataFrame, sample_col: str, cat_col: str,
                   by=None, digits: int = 6) -> DataFrame:
     """(by..., n_a, n_b, kl_ab, kl_ba, js) — distribution drift of a
@@ -1472,3 +1527,8 @@ def quantile_normalize(df: DataFrame, cols: list[str],
 @register_op("quantile_normalize", "df")
 def _quantile_normalize_op(df, *args, **kw):
     return quantile_normalize(df, *args, **kw)
+
+
+@register_op("theil_sen", "df")
+def _theil_sen_op(df, *args, **kw):
+    return theil_sen(df, *args, **kw)
