@@ -48,6 +48,10 @@ HEADLINE = [
     # (lag window + conditional agg)
     "p_feature_hash_profile",
     "e_forecast_naive7",
+    # r08 addition: the k-group rank-statistics family (distinct-value
+    # collapse + range-partitioned two-phase prefix rank — the
+    # mann-whitney/kruskal/auc machinery under one timed face)
+    "w_kruskal_price_priority",
 ]
 
 

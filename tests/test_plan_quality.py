@@ -143,7 +143,13 @@ def test_every_registered_query_avoids_nested_loops(spark, entry):
                     "w_count_encode_cross",
                     # r07 hybrid search: the cosine list inherits
                     # cosine_to_query's 1-row query-vector broadcast
-                    "p_rrf_hybrid_search"}
+                    "p_rrf_hybrid_search",
+                    # r08 kappa: grand total n, diagonal sum and
+                    # Σ row·col are THREE 1-row scalar broadcasts
+                    # over an |A|×|B|-bounded joint table (the
+                    # marginal-product join itself is a hash join on
+                    # the label)
+                    "e_kappa_consecutive_events"}
     bad = {}
     for name, fn in entry.queries().items():
         if name in SCALAR_CROSS:
