@@ -6883,7 +6883,10 @@ WITH vt AS (
 SELECT na AS n_a, CAST(n - na AS BIGINT) AS n_b,
   ROUND(ua, 6) AS u_a, ROUND(nad * nbd - ua, 6) AS u_b,
   CASE WHEN na > 0 AND nbd > 0 AND var > 0
-       THEN ROUND((ua - nad * nbd / 2) / SQRT(var), 6) END AS z
+       THEN ROUND((ua - nad * nbd / 2) / SQRT(var), 6) END AS z,
+  CASE WHEN na > 0 AND nbd > 0
+       THEN ROUND(2.0 * ua / (nad * nbd) - 1.0, 6)
+  END AS cliffs_delta
 FROM e
 """)
 def w_mann_whitney_price(spark, sf_dir):

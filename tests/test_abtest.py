@@ -72,6 +72,8 @@ def test_mann_whitney_no_ties(spark):
     assert r["u_a"] == 0.0 and r["u_b"] == 6.0
     # z = (0 - 3)/sqrt(3*2*6/12) = -3/sqrt(3)
     assert r["z"] == pytest.approx(-3 / math.sqrt(3), abs=1e-6)
+    # Cliff's delta: every B beats every A -> P(a>b)-P(a<b) = -1
+    assert r["cliffs_delta"] == -1.0
 
 
 def test_mann_whitney_midrank_ties(spark):

@@ -154,7 +154,8 @@ def ranksum_agg(df: DataFrame, value_col: str, in_a,
 def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
                    group_a, group_b, n_ranges: int | None = None,
                    digits: int = 6) -> DataFrame:
-    """One row (n_a, n_b, u_a, u_b, z) — the Mann-Whitney U
+    """One row (n_a, n_b, u_a, u_b, z, cliffs_delta) — the
+    Mann-Whitney U
     (Wilcoxon rank-sum) test between the two named groups, with
     midrank tie handling and the tie-corrected normal approximation:
 
@@ -190,12 +191,19 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
                              / (n * (n - 1)))
     ok = (na > 0) & (nb_ > 0) & (var > 0)
     z = F.when(ok, (ua - mu) / F.sqrt(var))
+    # Cliff's delta = 2U_a/(n_a·n_b) − 1 ∈ [−1,1]: the rank effect
+    # size (P(a>b) − P(a<b)) completing the grid (cohens_d for
+    # welch, η² for anova, V for χ²) — exact-integer arithmetic,
+    # one division
+    delta = F.when((na > 0) & (nb_ > 0),
+                   2.0 * ua / (na * nb_) - 1.0)
     return agg.select(
         F.col("__nal").cast("long").alias("n_a"),
         (F.col("__nl") - F.col("__nal")).cast("long").alias("n_b"),
         F.round(ua, digits).alias("u_a"),
         F.round(na * nb_ - ua, digits).alias("u_b"),
-        F.round(z, digits).alias("z"))
+        F.round(z, digits).alias("z"),
+        F.round(delta, digits).alias("cliffs_delta"))
 
 
 def two_proportion_ztest(df: DataFrame, group_col: str,
