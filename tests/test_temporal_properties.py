@@ -78,11 +78,28 @@ def _apply(spark, history):
     ids: dict[str, int] = {}
     id_history: list[dict[str, int]] = []
     for ws in _wishes(history):
-        # receipts don't persist across transacts: remap names that
-        # were minted in EARLIER txs to their ids
-        ws = [replace(w, target=ids[w.target])
-              if not isinstance(w, E) and w.target in ids else w
-              for w in ws]
+        # receipts don't persist across transacts: remap names minted
+        # in EARLIER txs to their ids — POSITIONALLY: the replay
+        # oracle is sequential, so a name refers to the in-tx E only
+        # once that E precedes it in the wish list (kill-then-
+        # recreate targets the OLD id; create-then-kill targets the
+        # NEW in-tx binding). Two Hypothesis falsifiers pinned this:
+        # new/kill/new-again (stale cross-tx id made Terminate hit
+        # the dead ancestor) and kill-before-recreate (blind in-tx
+        # preference made Terminate a forward reference).
+        minted: set = set()
+        resolved = []
+        for w in ws:
+            if isinstance(w, E):
+                minted.add(w.name)
+                resolved.append(w)
+            elif w.target in minted:
+                resolved.append(w)      # in-tx binding wins
+            elif w.target in ids:
+                resolved.append(replace(w, target=ids[w.target]))
+            else:
+                resolved.append(w)
+        ws = resolved
         g, rc = transact(g, ws)
         ids.update(rc)
         id_history.append(dict(ids))
