@@ -381,3 +381,51 @@ def test_rename_protocol_unsafe_without_atomic_rename(tmp_path,
     segs = dict(_seg_dirs(str(store2)))
     with open(os.path.join(segs[2], "payload.txt")) as f:
         assert f.read() == "writer A tx2"
+
+
+def test_claim_protocol_interleaving_property(tmp_path):
+    """Property: under ANY interleaving of claim attempts by multiple
+    writers (each retrying with incremented tx on rejection), the
+    committed chain is dense, each tx maps to exactly one writer's
+    segment, and no claimed segment is ever overwritten — for both
+    protocols on a POSIX store. Fixed-seed random schedules."""
+    import random
+    from zef_spark.graph.sync import (MarkerCommitProtocol,
+                                      RenameCommitProtocol, _seg_dirs)
+
+    for proto_name, mk in (("rename", RenameCommitProtocol),
+                           ("marker", MarkerCommitProtocol)):
+        rng = random.Random(808)
+        for trial in range(6):
+            store = tmp_path / f"{proto_name}-{trial}"
+            os.makedirs(store / "txlog")
+            writers = []
+            for wid in range(3):
+                proto = mk()
+                writers.append({"id": wid, "proto": proto,
+                                "next_tx": 1, "done": 0})
+            committed = {}
+            # each writer lands 4 commits under a random schedule
+            while any(w["done"] < 4 for w in writers):
+                w = rng.choice([x for x in writers if x["done"] < 4])
+                tx = w["next_tx"]
+                seg = w["proto"].temp_segment(str(store))
+                os.makedirs(seg)
+                with open(os.path.join(seg, "who.txt"), "wt") as f:
+                    f.write(f"w{w['id']}:tx{tx}")
+                if w["proto"].claim(str(store), tx, seg):
+                    committed[tx] = f"w{w['id']}:tx{tx}"
+                    w["done"] += 1
+                    w["next_tx"] = tx + 1
+                else:
+                    w["proto"].discard(str(store), tx, seg)
+                    # refresh: skip past every claimed tx
+                    taken = dict(_seg_dirs(str(store)))
+                    w["next_tx"] = (max(taken) if taken else 0) + 1
+            # dense chain, one segment per tx, contents intact
+            segs = dict(_seg_dirs(str(store)))
+            assert sorted(segs) == list(range(1, 13)), proto_name
+            for tx, path in segs.items():
+                with open(os.path.join(path, "who.txt")) as f:
+                    assert f.read() == committed[tx], \
+                        f"{proto_name}: tx {tx} segment overwritten"
