@@ -6729,7 +6729,7 @@ def e_ccf_view_purchase(spark, sf_dir):
     return ccf(series, "h", "x", "y", max_lag=3).orderBy("lag")
 
 
-@query("e_changepoint_daily", """
+@query("e_changepoint_daily", f"""
 WITH s AS (
   SELECT event_type, DATE_TRUNC('day', ts) AS d,
     SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE
@@ -6745,12 +6745,17 @@ WITH s AS (
     SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) OVER wp::DOUBLE AS s1
   FROM s WINDOW wo AS (PARTITION BY event_type ORDER BY d),
               wp AS (PARTITION BY event_type)
+), raws AS (
+  SELECT event_type, d, i, n,
+    (ps*ps/i + (s1-ps)*(s1-ps)/(n-i)) - s1*s1/n AS g_raw,
+    ps/i AS ml_raw, (s1-ps)/(n-i) AS mr_raw
+  FROM st WHERE i >= 2 AND i <= n - 2
 ), cand AS (
   SELECT event_type, d, i, n,
-    ROUND((ps*ps/i + (s1-ps)*(s1-ps)/(n-i)) - s1*s1/n, 6) AS g,
-    ROUND(ps/i, 6) AS ml,
-    ROUND((s1-ps)/(n-i), 6) AS mr
-  FROM st WHERE i >= 2 AND i <= n - 2
+    {sql_round_sig_safe('g_raw')} AS g,
+    {sql_round_sig_safe('ml_raw')} AS ml,
+    {sql_round_sig_safe('mr_raw')} AS mr
+  FROM raws
 ), rk AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
                                ORDER BY g DESC, i ASC) AS rn

@@ -1000,15 +1000,26 @@ def changepoint(df, ts_col: str, value_col: str, by=None,
     S1 = F.col("__s1")
     gain = (s1k * s1k / k + (S1 - s1k) * (S1 - s1k) / (nn - k)) \
         - S1 * S1 / nn
-    cand = staged.where((k >= int(min_seg))
-                        & (k <= nn - int(min_seg)))
+    # raw values materialize under aliases BEFORE the sig-safe
+    # rounding (round_sig_safe expands to a CASE chain per scale —
+    # inlining `gain` into every branch would bloat codegen), and the
+    # gain rounds MAGNITUDE-SAFELY: at a fixed 6 dp a 10^4-scale gain
+    # demands >9 cross-engine-identical digits of the multiply-add
+    # chain (r08 sf0.001 full-sweep lint catch); the argmax compares
+    # the same sig-safe value, so ulp noise still cannot flip it.
+    from ..functions.rounding import round_sig_safe
+    cand = (staged.where((k >= int(min_seg))
+                         & (k <= nn - int(min_seg)))
+            .withColumn("__g_raw", gain)
+            .withColumn("__ml_raw", s1k / k)
+            .withColumn("__mr_raw", (S1 - s1k) / (nn - k)))
     best = cand.groupBy(*by).agg(F.max(F.struct(
-        F.round(gain, digits).alias("g"),
+        round_sig_safe(F.col("__g_raw"), digits).alias("g"),
         (-k).alias("__negk"),
         k.cast("long").alias("k"),
         F.col("__ts").alias("split_ts"),
-        F.round(s1k / k, digits).alias("ml"),
-        F.round((S1 - s1k) / (nn - k), digits).alias("mr"),
+        round_sig_safe(F.col("__ml_raw"), digits).alias("ml"),
+        round_sig_safe(F.col("__mr_raw"), digits).alias("mr"),
         nn.alias("n"))).alias("b"))
     return best.select(*by,
                        F.col("b.n").alias("n"),
