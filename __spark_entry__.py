@@ -6553,7 +6553,7 @@ WITH """ + _REV_CTE + """, tot AS (
   FROM rev
 )
 SELECT k.point, r.rnk AS cum_count,
-       ROUND(CAST(r.cum AS DOUBLE), 6)         AS cum_value,
+       ROUND(r.cum, 6)::DOUBLE                 AS cum_value,
        ROUND(CAST(r.cum AS DOUBLE) / tot.t, 6) AS cum_share
 FROM (SELECT UNNEST(generate_series(1, 10)) AS point) k
 CROSS JOIN tot

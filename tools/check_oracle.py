@@ -128,11 +128,6 @@ ROUND_MAG_OK: dict[str, str] = {
         "1e6 (one correctly-rounded ÷); the µs total lands on an "
         "accidental ≤6-decimal grid, which the lint's grid sniffing "
         "cannot tell from a ROUND",
-    "w_lorenz_revenue": "cum_value is the DECIMAL-exact cumulative "
-        "sum cast once to double (bit-identical by construction; "
-        "the 6-dp round is sub-ulp at 1e10 scale and identical on "
-        "both sides); cum_share = that value ÷ the decimal-exact "
-        "total (one correctly-rounded ÷)",
 }
 
 

@@ -907,10 +907,17 @@ def lorenz_points(df: DataFrame, value_col: str, tiebreak_col: str,
            .where(k_hi >= k_lo)
            .select(F.explode(F.sequence(k_lo, k_hi)).alias("point"),
                    F.col("__rank").alias("cum_count"),
+                   # round in the DECIMAL domain, cast once: rounding
+                   # the DOUBLE at 6 dp diverges across engines once
+                   # value·10^6 exceeds 2^53 (DuckDB's scale-multiply
+                   # vs Spark's exact-decimal HALF_UP — the sf0.1
+                   # full-sweep strict-gate catch); a decimal round is
+                   # exact in both, so the cast is bit-identical
+                   F.round(F.col("__cum"), digits).cast("double")
+                   .alias("cum_value"),
                    F.col("__cum").cast("double").alias("__cv"),
                    F.col("__sx").cast("double").alias("__t")))
-    return (pts.select("point", "cum_count",
-                       F.round("__cv", digits).alias("cum_value"),
+    return (pts.select("point", "cum_count", "cum_value",
                        F.round(F.col("__cv") / F.col("__t"),
                                digits).alias("cum_share")))
 
