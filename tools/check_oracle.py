@@ -143,8 +143,12 @@ def round_magnitude_violations(name: str, cols, rows) -> list[str]:
             continue
         for r in rows:
             v = r[i]
+            if v is None:
+                continue  # NULL row: keep scanning — the CASE/NULL-
+                # guarded float columns (z, kappa, h_corrected) are
+                # exactly the ones this lint targets
             if not isinstance(v, (float, np.floating)):
-                break  # non-float column
+                break  # genuinely non-float column
             v = float(v)
             if math.isnan(v) or math.isinf(v) or v == 0.0:
                 continue
@@ -220,11 +224,54 @@ def check(name: str, fn, sql: str, spark, sf_dir: str) -> tuple[bool, str]:
     return True, f"OK ({len(srows)} rows)"
 
 
+def _install_stderr_tee(path: str):
+    """Mirror fd 2 into a file so the sweep can grep the JVM's log
+    output afterwards (r08 verdict order #3: a janino method-size
+    overflow logs `ERROR CodeGenerator: Failed to compile` and
+    silently falls back to interpreted aggregation — correct locally,
+    a regression-in-waiting at scale, and invisible unless the log is
+    checked). Must run BEFORE the SparkSession launches the JVM so
+    the JVM inherits the teed fd."""
+    import threading
+    orig = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+    sink = open(path, "wb")
+
+    def pump():
+        while True:
+            data = os.read(r, 65536)
+            if not data:
+                break
+            os.write(orig, data)
+            sink.write(data)
+            sink.flush()
+
+    threading.Thread(target=pump, daemon=True).start()
+    return path
+
+
+CODEGEN_PATTERNS = ("ERROR CodeGenerator", "Failed to compile")
+
+
+def codegen_fallbacks(log_path: str) -> list[str]:
+    try:
+        with open(log_path, "rb") as f:
+            text = f.read().decode("utf-8", "replace")
+    except OSError:
+        return []
+    return [ln for ln in text.splitlines()
+            if any(p in ln for p in CODEGEN_PATTERNS)]
+
+
 def main():
     import __spark_entry__ as entry
     from zef_spark import get_spark
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    log_path = _install_stderr_tee(
+        os.environ.get("CHECK_STDERR_LOG", "/tmp/check_oracle_stderr.log"))
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry.queries(), entry.oracle_sql()
@@ -252,6 +299,16 @@ def main():
         print(f"  {name:40s} {'PASS' if ok else 'FAIL'} {msg}")
         if not ok:
             failed.append(name)
+    cg = codegen_fallbacks(log_path)
+    if cg:
+        print(f"\nCODEGEN-FALLBACK GUARD: {len(cg)} whole-stage-codegen "
+              "compile failure(s) in the sweep log — interpreted "
+              "fallback is correct but a scale regression; fix the "
+              "oversized generated method (pre-project expression "
+              "chains) before shipping:")
+        for ln in cg[:3]:
+            print(f"  {ln[:200]}")
+        failed.append("__codegen_fallback__")
     print(f"\n{checked - len(failed)}/{checked} pass"
           + ("" if not only else f" (subset of {len(qs)} registered)"))
     sys.exit(1 if failed else 0)

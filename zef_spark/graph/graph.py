@@ -216,10 +216,16 @@ class Graph:
         rd = lambda name, sch: spark.read.schema(sch) \
             .parquet(f"{path}/{name}")
         # tags are optional: only present when the graph ever tagged
-        # (mirrors the in-memory Graph where tags=None until first tag)
-        import os
-        tags = (rd("tags", TAGS_SCHEMA)
-                if os.path.exists(f"{path}/tags") else None)
+        # (mirrors the in-memory Graph where tags=None until first
+        # tag). Existence is probed through Spark's own reader, NOT
+        # os.path.exists — the store may live behind any Hadoop-
+        # compatible URI (hdfs://, s3a://) where a local stat would
+        # silently report absent and drop the tags.
+        try:
+            tags = rd("tags", TAGS_SCHEMA)
+            tags.schema  # force analysis so a missing dir surfaces here
+        except Exception:
+            tags = None
         return Graph(rd("nodes", NODES_SCHEMA),
                      rd("edges", EDGES_SCHEMA),
                      rd("attr_values", ATTR_VALUES_SCHEMA),

@@ -92,14 +92,30 @@ class RenameCommitProtocol:
 
 
 def _posix_put_if_absent(marker_path: str, data: str) -> bool:
-    """Atomic create-if-absent via O_CREAT|O_EXCL — the local-FS
-    stand-in for an object store's conditional PUT."""
+    """Atomic create-if-absent WITH content — the local-FS stand-in
+    for an object store's conditional PUT. A real conditional PUT is
+    atomic with its body, so the stand-in must be too: the marker is
+    fully written+fsynced to a tmp file first and only then linked
+    into place (link fails with EEXIST if claimed). ``open(path,'x')``
+    would expose a created-but-empty marker to concurrent readers and
+    a writer crash would wedge the store on a permanently-empty
+    claim."""
+    tmp = marker_path + f".put-{uuid.uuid4().hex}"
     try:
-        with open(marker_path, "x") as f:
+        with open(tmp, "w") as f:
             f.write(data)
-        return True
-    except FileExistsError:
-        return False
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker_path)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 class MarkerCommitProtocol:
@@ -130,6 +146,22 @@ class MarkerCommitProtocol:
         shutil.rmtree(seg_tmp, ignore_errors=True)
 
 
+def _read_marker(mpath: str, retries: int = 3, delay: float = 0.05):
+    """Parse a commit marker, tolerating a non-atomic foreign writer:
+    on a parse failure re-read a few times (the body may still be in
+    flight) and only after it is STABLY unparsable return None so the
+    caller can skip it instead of wedging the store."""
+    import time
+    for attempt in range(retries):
+        try:
+            with open(mpath) as f:
+                return json.load(f)["segment"]
+        except (ValueError, KeyError):
+            if attempt < retries - 1:
+                time.sleep(delay)
+    return None
+
+
 def _seg_dirs(path: str) -> list[tuple[int, str]]:
     """Resolve the committed segment chain under BOTH claim styles:
     rename-claimed digit dirs and marker-claimed uuid dirs. A tx
@@ -147,8 +179,13 @@ def _seg_dirs(path: str) -> list[tuple[int, str]]:
             if not name.endswith(".json"):
                 continue
             tx = int(name[:-5])
-            with open(os.path.join(cdir, name)) as f:
-                seg = json.load(f)["segment"]
+            mpath = os.path.join(cdir, name)
+            seg = _read_marker(mpath)
+            if seg is None:
+                # stably-empty marker from a foreign/crashed writer
+                # (our own put is atomic-with-content): skip rather
+                # than wedge every refresh on a JSONDecodeError
+                continue
             out[tx] = os.path.join(log, seg)
     return sorted(out.items())
 

@@ -466,7 +466,15 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
     h = 3.0 / (nd * (nd + 1.0)) * t - 3.0 * (nd + 1.0)
     c_tie = 1.0 - F.col("__ties").cast("double") \
         / (nd * nd * nd - nd)
-    ok = (F.col("__nl") >= 2) & (nd * nd * nd - nd > 0)
+    # degenerate-input contract matches anova_oneway: an EMPTY listed
+    # group NULLs the statistic outright (its term would contribute 0
+    # while dof stayed k−1, silently overstating degrees of freedom
+    # for the caller's χ²(k−1) critical-value lookup)
+    nonempty = None
+    for i in range(k):
+        gi = F.col(f"__n{i}") > 0
+        nonempty = gi if nonempty is None else nonempty & gi
+    ok = (F.col("__nl") >= 2) & (nd * nd * nd - nd > 0) & nonempty
     raw = one.select(
         F.col("__nl").cast("long").alias("n"),
         F.lit(k - 1).cast("long").alias("dof"),

@@ -1196,7 +1196,8 @@ def _spearman_op(df, *args, **kw):
 
 
 def theil_sen(df: DataFrame, x_col: str, y_col: str, by=None,
-              digits: int = 6) -> DataFrame:
+              digits: int = 6,
+              max_points_per_key: int | None = 5000) -> DataFrame:
     """(by..., n, n_pairs, slope) — the Theil-Sen robust trend
     estimator: the MEDIAN of all pairwise slopes
     (y_j−y_i)/(x_j−x_i) over x_i < x_j, the 29%-breakdown-point
@@ -1225,6 +1226,29 @@ def theil_sen(df: DataFrame, x_col: str, y_col: str, by=None,
     part = by if by else [F.lit(1)]
     w = Window.partitionBy(*part).orderBy("__x", "__y")
     pts = base.withColumn("__rn", F.row_number().over(w))
+    if max_points_per_key is not None:
+        # the COST NOTE, ENFORCED: a key past the cap would silently
+        # launch an m² pair join (50k raw events in one key = 1.25B
+        # pair rows). Fails the job with the fix in the message; an
+        # informed caller passes max_points_per_key=None. The check
+        # rides the row_number's existing partitioning — a count over
+        # the same window adds no shuffle.
+        wc = Window.partitionBy(*part)
+        cap = int(max_points_per_key)
+        pts = pts.withColumn(
+            "__guard",
+            F.when(
+                F.count(F.lit(1)).over(wc) <= cap, F.lit(1)
+            ).otherwise(F.raise_error(F.lit(
+                "theil_sen: a key has more than "
+                f"{cap} points (max_points_per_key) — the "
+                "pairwise-slope join is quadratic per key. "
+                "Aggregate the series first (e.g. one point "
+                "per day: groupBy(key, day).agg(sum(y))) or "
+                "pass max_points_per_key=None if the series "
+                "is genuinely this long and the m^2/2 pair "
+                "cost is intended."))))
+        pts = pts.where(F.col("__guard") == 1).drop("__guard")
     a = pts.select(*by, F.col("__x").alias("__xa"),
                    F.col("__y").alias("__ya"),
                    F.col("__rn").alias("__ra"))
@@ -1305,17 +1329,28 @@ def js_divergence(df: DataFrame, sample_col: str, cat_col: str,
     # ((38,12)+(38,12)→(38,11) — a silent per-row round DuckDB does
     # not mirror); two exact sums combined as bit-identical doubles
     # stay deterministic.
-    js_p = F.when(F.col("ca") == 0, z).otherwise(term(p * F.log(p / m)))
-    js_q = F.when(F.col("cb") == 0, z).otherwise(
-        term(q_ * F.log(q_ / m)))
+    # a key whose sample 'a' (or 'b') is entirely absent has n_a=0:
+    # p would be 0/0 = NaN, which poisons m and the js terms (and
+    # under ANSI mode the NaN→DECIMAL cast throws). Every term is
+    # therefore ALSO conditioned on both window totals being
+    # positive — the term collapses to exact 0 and the OUTPUT is
+    # NULLed below (mirroring psi_drift's no-reference contract).
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    js_p = F.when((F.col("ca") == 0) | ~both, z) \
+        .otherwise(term(p * F.log(p / m)))
+    js_q = F.when((F.col("cb") == 0) | ~both, z) \
+        .otherwise(term(q_ * F.log(q_ / m)))
+    kl_ab_t = F.when(~both, z).otherwise(kl_ab_t)
+    kl_ba_t = F.when(~both, z).otherwise(kl_ba_t)
     from ..functions.rounding import round_sig_safe
     raw = (t.groupBy(*by, "n_a", "n_b")
-           .agg(F.when(F.max(bad_ab) == 0,
+           .agg(F.when((F.max(bad_ab) == 0) & both,
                        F.sum(kl_ab_t).cast("double")).alias("__klab"),
-                F.when(F.max(bad_ba) == 0,
+                F.when((F.max(bad_ba) == 0) & both,
                        F.sum(kl_ba_t).cast("double")).alias("__klba"),
-                ((F.sum(js_p).cast("double")
-                  + F.sum(js_q).cast("double")) / F.lit(2.0))
+                F.when(both,
+                       (F.sum(js_p).cast("double")
+                        + F.sum(js_q).cast("double")) / F.lit(2.0))
                 .alias("__js")))
     return raw.select(
         *by, "n_a", "n_b",
@@ -1439,32 +1474,65 @@ def group_moments(df: DataFrame, value_col: str, by=None,
     by = [] if by is None else ([by] if isinstance(by, str)
                                 else list(by))
     x = F.col(value_col).cast("double")
-    agg = (df.where(x.isNotNull())
-           .groupBy(*by)
+    # the ROUND→DECIMAL(38,12) power chains are PRE-PROJECTED once
+    # (single narrow select) instead of inlined inside each SUM:
+    # inlined, the four decimal expression trees land together in the
+    # generated hashAgg_doAggregateWithKeysOutput method, trip
+    # janino's 64KB method limit, and the whole aggregate silently
+    # falls back to interpreted mode (r08 verdict "what's wrong" #2)
+    # — locally invisible, a real regression at scale. Pre-projected,
+    # the agg sums plain decimal columns and stays in whole-stage
+    # codegen (guarded by tools/check_oracle.py's CODEGEN-FALLBACK
+    # stderr grep and tests/test_new_op_plans.py).
+    pre = (df.where(x.isNotNull())
+           .select(*by,
+                   term(x).alias("__t1"),
+                   term(x * x).alias("__t2"),
+                   term(x * x * x).alias("__t3"),
+                   term(x * x * x * x).alias("__t4")))
+    agg = (pre.groupBy(*by)
            .agg(F.count(F.lit(1)).alias("__n"),
-                F.sum(term(x)).cast("double").alias("__s1"),
-                F.sum(term(x * x)).cast("double").alias("__s2"),
-                F.sum(term(x * x * x)).cast("double").alias("__s3"),
-                F.sum(term(x * x * x * x)).cast("double")
-                .alias("__s4")))
+                F.sum("__t1").cast("double").alias("__s1"),
+                F.sum("__t2").cast("double").alias("__s2"),
+                F.sum("__t3").cast("double").alias("__s3"),
+                F.sum("__t4").cast("double").alias("__s4")))
     from ..functions.rounding import round_sig_safe
+    # STEPWISE projections, each referencing the previous step's
+    # ALIASES (attributes), never re-expanding the python expression
+    # objects: reusing `mu` textually inflates the sk/ku trees ~30×,
+    # and once WholeStageCodegen fuses the projects into
+    # hashAgg_doAggregateWithKeysOutput the method blows janino's
+    # 64KB limit and the agg silently interprets (r08 verdict). With
+    # attribute references each step codegens its value into a local
+    # variable exactly once.
     n = F.col("__n").cast("double")
-    mu = F.col("__s1") / n
-    m2 = F.col("__s2") / n - mu * mu
-    m3 = (F.col("__s3") / n - 3 * mu * F.col("__s2") / n
-          + 2 * mu * mu * mu)
-    m4 = (F.col("__s4") / n - 4 * mu * F.col("__s3") / n
-          + 6 * mu * mu * F.col("__s2") / n - 3 * mu * mu * mu * mu)
+    mu_ = F.col("__mu")
+    d1 = agg.select(*by, "__n",
+                    (F.col("__s1") / n).alias("__mu"),
+                    (F.col("__s2") / n).alias("__p2"),
+                    (F.col("__s3") / n).alias("__p3"),
+                    (F.col("__s4") / n).alias("__p4"))
+    d2 = d1.select(
+        *by, "__n", "__mu",
+        (F.col("__p2") - mu_ * mu_).alias("__m2"),
+        (F.col("__p3") - 3 * mu_ * F.col("__p2")
+         + 2 * mu_ * mu_ * mu_).alias("__m3"),
+        (F.col("__p4") - 4 * mu_ * F.col("__p3")
+         + 6 * mu_ * mu_ * F.col("__p2")
+         - 3 * mu_ * mu_ * mu_ * mu_).alias("__m4"))
+    m2 = F.col("__m2")
     # the central-moment assembly is a multiply-ADD chain in double —
     # the FMA-contraction exposure class (r07 verdict) — so outputs
     # round magnitude-safely (≤9 total significant digits) instead of
     # at a fixed 6 dp: variance ~1e7 at 6 dp would demand 14
     # cross-engine-identical digits.
-    raw = agg.select(
+    raw = d2.select(
         *by, F.col("__n").alias("n"),
-        mu.alias("__mu_raw"), m2.alias("__m2_raw"),
-        F.when(m2 > 0, m3 / F.sqrt(m2 * m2 * m2)).alias("__sk_raw"),
-        F.when(m2 > 0, m4 / (m2 * m2) - 3.0).alias("__ku_raw"))
+        F.col("__mu").alias("__mu_raw"), m2.alias("__m2_raw"),
+        F.when(m2 > 0, F.col("__m3") / F.sqrt(m2 * m2 * m2))
+        .alias("__sk_raw"),
+        F.when(m2 > 0, F.col("__m4") / (m2 * m2) - 3.0)
+        .alias("__ku_raw"))
     return raw.select(
         *by, "n",
         round_sig_safe(F.col("__mu_raw"), digits).alias("mean"),
