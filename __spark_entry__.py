@@ -8671,56 +8671,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
-# r08 window (r07 verdict order #4 — the staleness rotation): (a) the
-# 33-row r03-cohort whose last DRIVER proof is r03 (independent judge
-# sweeps re-proved them in r06 and r07, but the driver record itself
-# is three rounds stale), (b) the two r07 driver-red rows after their
-# decimal-exact/sig-safe fixes (e_linreg_trend, w_dp_priority_stats),
-# (c) the rows deferred from the r07 window (sliding_moving_avg,
-# p_token_counts, p_benford_totalprice, e_attribution_linear,
-# e_session_overlaps), (d) rows whose implementation or oracle
-# changed in r08 (w_moments_acctbal and w_target_encode_priority:
-# sig-safe rounding; e_concurrency_hourly: chunked segment explode;
-# e_psi_drift: left-join reference edges; p_negative_sample_pairs:
-# broadcast threshold + empty-vocab guard), and (e) the five NEW r08
-# rows. w_welch_acctbal's oracle gained only a NULL filter that is
-# value-neutral on this data, so its r07 driver proof stands and it
-# rotates to the tail. Everything else stays runnable by name.
+# r09 window (r08 verdict order #2 — close the driver-proof freshness
+# gap): the registry's per-query "last driver-proven round" ledger
+# (computed from CORRECTNESS_r0{1..8}.json) shows 2 never-proven rows
+# and cohorts of 5@r03 / 47@r04 / 48@r05. This window takes (a) the 2
+# never-proven rows, (b) the full 5-row r03 cohort, and (c) 43 of the
+# 47 r04-cohort rows. The remaining 4 r04 rows (q2_min_cost_supplier,
+# q4_priority_exists, q7_nation_volume, q8_market_share — all judge-
+# sweep-green at two scales every round since r04) are deferred to the
+# r10 window, which absorbs them plus the 48-row r05 cohort (52 rows →
+# 50 + 2 spillover to r11). After r10 no query's latest driver proof
+# is older than 3 rounds — the verdict's 2-round windowing plan.
+# Everything else stays runnable by name.
 _FRONT = [
-    # (a) r03-cohort staleness rotation (minus the five stable
-    # function batteries — hash/math/datetime/string/concat — which
-    # the r06 AND r07 judge sweeps independently re-proved; they
-    # yield their slots to the five second-half r08 rows)
-    "conditional_bucketing",
-    "g_all_type_counts", "g_asof_order_count",
-    "g_gather_closure", "g_has_order_customers",
-    "g_hop2_revenue_by_customer", "g_hop_customer_nation",
-    "g_point_lookup_by_field", "g_quantity_fields",
-    "g_relation_fields_meta", "g_time_travel_duration",
-    "g_time_travel_relative", "g_tx_instantiated_events",
-    "group_agg_customer_orders",
-    "max_by_top_order_per_cust", "p_ann_cosine_topk", "p_ann_topk_ivf",
-    "p_ann_topk_lsh", "p_cosine_pairs_blocked", "p_dedup_exact_groups",
-    "p_fingerprint", "p_lang_id", "p_minhash_lsh_pairs",
-    "p_multimodal_meta", "p_ngram_jaccard_pairs", "p_simhash_pairs",
-    "p_text_quality", "scan_cumulative_revenue",
-    # (b) the r07 driver-red rows, fixed (decimal-exact single
-    # divisions + <=9-sig-digit releases)
-    "e_linreg_trend", "w_dp_priority_stats",
-    # (c) deferred from the r07 window
-    "sliding_moving_avg", "p_token_counts", "p_benford_totalprice",
-    "e_attribution_linear", "e_session_overlaps",
-    # (d) implementation/oracle changed in r08
-    "w_moments_acctbal", "w_target_encode_priority",
-    "e_concurrency_hourly", "e_psi_drift", "p_negative_sample_pairs",
-    # (e) new in r08
-    "e_interval_coverage", "e_sliding_count_1h", "e_funnel_users",
-    "p_domain_caps", "w_minmax_price_brand",
-    # (f) new in the second half of r08: the rank/agreement/
-    # divergence statistics tier + the md5 stratified sampler
-    "e_spearman_value_ts", "e_kappa_consecutive_events",
-    "p_js_lang_drift", "w_kruskal_price_priority",
-    "p_stratified_sample_lang",
+    # (a) registered after the r08 window was drawn — never
+    # driver-proven (judge-sweep-green at sf0.01 AND sf0.001 in r08)
+    "e_theilsen_trend", "w_anova_price_priority",
+    # (b) the r03 cohort: the five stable function batteries whose
+    # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
+    # them independently; the driver record itself is six rounds old)
+    "concat_union_segments", "datetime_functions", "hash_functions",
+    "math_functions", "string_functions",
+    # (c) 43 of the 47-row r04 cohort
+    "chunk_by_event_type_runs", "e_asof_last_purchase",
+    "e_cohort_retention", "e_funnel_counts", "e_hourly_tumbling",
+    "e_hypertable_rollup", "e_range_purchase_window",
+    "e_session_windows", "e_sessionize_30min", "e_split_on_purchase",
+    "gql_aggregate_orders", "gql_all_quantifier",
+    "gql_list_size_filter", "gql_mutation_delete",
+    "gql_mutation_update", "gql_nested_filter_order",
+    "p_ann_pq_topk", "p_contamination", "p_curation_pipeline",
+    "p_domain_stats", "p_dup_clusters", "p_hash_sample",
+    "p_identify_entities", "p_infer_types", "p_pii_redact",
+    "p_repetition_signals", "p_semantic_dup_pairs", "p_sketch_checks",
+    "p_tf_idf", "p_unigram_logprob",
+    "q10_returned_items", "q11_part_value_share",
+    "q12_priority_lateness", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_qty_revenue", "q18_large_orders",
+    "q19_bracketed_revenue", "q21_waiting_suppliers",
+    "q22_idle_customers", "q9_product_profit",
 ]
 
 
