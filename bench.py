@@ -102,11 +102,17 @@ def main():
                  else "loaded" if frac < 0.75 else "saturated")
         return label, round(load1, 2)
 
-    def run_pass() -> dict[str, float]:
+    def run_pass() -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
+        # r08 verdict order #7: record load1 at QUERY start, not pass
+        # start — a pass takes minutes, and "what was the host doing
+        # when THIS query ran" is the number that explains a same-day
+        # 13% spread on an identical plan.
+        loads: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs[name]
             best = None
+            loads[name] = host_state()[1]
             for _rep in range(2):
                 # collect garbage from the PREVIOUS execution outside
                 # the timing: broadcast/cache debris otherwise
@@ -121,15 +127,19 @@ def main():
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
-        return timings
+        return timings, loads
 
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # 3 full passes by default (r08 verdict order #7): per-query MIN
+    # across 3×2 executions tightens the host-noise band the per-run
+    # telemetry made legible in r08.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     runs = []
     for p in range(max(1, n_passes)):
         state, load1 = host_state()
-        t_pass = run_pass()
+        t_pass, q_loads = run_pass()
         runs.append({"pass": p + 1, "host_state": state,
                      "load1_start": load1,
+                     "query_load1": q_loads,
                      "total": round(sum(t_pass.values()), 3),
                      "queries": t_pass})
     # headline timings: per-query MIN across passes (the engine's
