@@ -8660,6 +8660,319 @@ def e_theilsen_trend(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("e_mann_kendall_trend", f"""
+WITH s AS (
+  SELECT event_type,
+    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS DOUBLE) AS tick,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, CAST(SIGN(b.x - a.x) AS BIGINT) AS sgn
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.tick < b.tick
+), sd AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+  FROM p GROUP BY 1
+), vt AS (
+  SELECT event_type, x, COUNT(*) AS t FROM s GROUP BY 1, 2
+), ties AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM vt GROUP BY 1
+), j AS (
+  SELECT ties.event_type, n, s_stat,
+    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+     * (2.0 * CAST(n AS DOUBLE) + 5.0)
+     - CAST(tt AS DOUBLE)) / 18.0 AS var_raw
+  FROM ties JOIN sd USING (event_type)
+), zz AS (
+  SELECT event_type, n, s_stat, var_raw,
+    CASE WHEN var_raw <= 0 THEN NULL
+         WHEN s_stat > 0
+           THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_raw)
+         WHEN s_stat < 0
+           THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_raw)
+         ELSE 0.0 END AS z_raw
+  FROM j
+)
+SELECT event_type, n, s_stat,
+  {sql_round_sig_safe('var_raw')} AS var_s,
+  {sql_round_sig_safe('z_raw')} AS z
+FROM zz ORDER BY event_type
+""")
+def e_mann_kendall_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per event type on the daily
+    series (pipeline/wrangling.py mann_kendall): S = concordant −
+    discordant pair count with the tie-corrected variance — the
+    significance companion to e_theilsen_trend (theil_sen says HOW
+    steep, this says WHETHER the trend is real). Same bounded-series
+    key-local pair join, same max_points_per_key guard; S and the
+    tie term are exact integers, z sig-safe released."""
+    from zef_spark.pipeline.wrangling import mann_kendall
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01"))
+                         .cast("double").alias("tick"))
+              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                   .cast("double").alias("x")))
+    return (mann_kendall(series, "tick", "x", by="event_type")
+            .orderBy("event_type"))
+
+
+@query("w_bh_fdr_cells", """
+WITH cells AS (
+  SELECT o_orderpriority || '|' || o_orderstatus AS id
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), pv AS (
+  SELECT id,
+    CAST(('0x' || SUBSTR(MD5(id), 1, 15))::BIGINT % 1000000
+         AS DOUBLE) / 1000000.0 AS p
+  FROM cells
+), r AS (
+  SELECT id, p,
+    CAST(ROW_NUMBER() OVER (ORDER BY p, id) AS BIGINT) AS rank,
+    CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv
+), adj AS (
+  SELECT id, p, rank, m,
+    LEAST(MIN(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+            OVER (ORDER BY rank DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          1.0) AS p_adj
+  FROM r
+)
+SELECT id, p, rank, m, p_adj, p_adj <= 0.25 AS reject
+FROM adj ORDER BY rank
+""")
+def w_bh_fdr_cells(spark, sf_dir):
+    """Benjamini-Hochberg FDR control across the grid of
+    (priority × status) hypothesis cells (pipeline/abtest.py
+    benjamini_hochberg): rank the p-values, step-up adjust
+    p_adj(i) = min_{{j>=i}} p_(j)·m/j, reject at FDR 0.25. The
+    p-values here are md5-uniform per cell — deterministic and
+    engine-portable — because the mechanics under test are the
+    rank/adjust/reject chain, not the upstream test. ONE key
+    shuffle; rank and the reverse running min share the window
+    partitioning; p·m/i is IEEE-exact, so outputs ship raw."""
+    from zef_spark.pipeline.abtest import benjamini_hochberg
+    o = _t(spark, sf_dir, "orders")
+    cells = (o.groupBy("o_orderpriority", "o_orderstatus").count()
+             .select(F.concat("o_orderpriority", F.lit("|"),
+                              "o_orderstatus").alias("id")))
+    pv = cells.select(
+        "id",
+        (F.conv(F.substring(F.md5("id"), 1, 15), 16, 10)
+         .cast("long") % 1000000).cast("double")
+        .__truediv__(F.lit(1000000.0)).alias("p"))
+    return (benjamini_hochberg(pv, "p", "id", alpha=0.25)
+            .orderBy("rank"))
+
+
+@query("w_brown_forsythe_price", f"""
+WITH b0 AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IN
+    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+), r AS (
+  SELECT g, x,
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+    COUNT(*) OVER (PARTITION BY g) AS cnt
+  FROM b0
+), med AS (
+  SELECT g, MAX(CASE WHEN rn = CEIL(cnt / 2.0) THEN x END) AS md
+  FROM r GROUP BY 1
+), b AS (
+  SELECT b0.g, ABS(b0.x - med.md) AS x
+  FROM b0 JOIN med USING (g)
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS s,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS q,
+    SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN g = '1-URGENT' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s0,
+    SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN g = '2-HIGH' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s1,
+    SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN g = '3-MEDIUM' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s2,
+    SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n3,
+    SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s3,
+    SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS n4,
+    SUM(CASE WHEN g = '5-LOW' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s4
+  FROM b
+), d AS (
+  SELECT n,
+    ((s0 * s0) / CAST(n0 AS DOUBLE) + (s1 * s1) / CAST(n1 AS DOUBLE)
+     + (s2 * s2) / CAST(n2 AS DOUBLE) + (s3 * s3) / CAST(n3 AS DOUBLE)
+     + (s4 * s4) / CAST(n4 AS DOUBLE)) AS sb,
+    s, q,
+    (n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0) AS ne
+  FROM a
+), raw AS (
+  SELECT n, CAST(5 AS BIGINT) AS k, CAST(4 AS BIGINT) AS dof_between,
+    CAST(n - 5 AS BIGINT) AS dof_within,
+    CASE WHEN ne AND n > 5 AND q - sb > 0
+         THEN ((sb - (s * s) / CAST(n AS DOUBLE)) / 4.0)
+              / ((q - sb) / (CAST(n AS DOUBLE) - 5.0)) END AS f_raw,
+    CASE WHEN ne AND n > 5 AND q - sb > 0
+         THEN (sb - (s * s) / CAST(n AS DOUBLE))
+              / ((sb - (s * s) / CAST(n AS DOUBLE)) + (q - sb))
+    END AS eta_raw
+  FROM d
+)
+SELECT n, k, dof_between, dof_within,
+  {sql_round_sig_safe('f_raw')} AS f_stat,
+  {sql_round_sig_safe('eta_raw')} AS eta_sq
+FROM raw
+""")
+def w_brown_forsythe_price(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test of order value
+    across the five priorities (pipeline/abtest.py brown_forsythe):
+    one-way ANOVA on median-centered absolute deviations — the
+    robust Levene variant, and the gatekeeper for anova_oneway's
+    equal-variance assumption. Per-group EXACT median (integer-rank
+    element pick) + the same single conditional-agg ANOVA scan."""
+    from zef_spark.pipeline.abtest import brown_forsythe
+    o = _t(spark, sf_dir, "orders")
+    return brown_forsythe(
+        o, "o_orderpriority", "o_totalprice",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+         "5-LOW"])
+
+
+@query("w_trimmed_mean_acctbal", f"""
+WITH r AS (
+  SELECT c_mktsegment, c_acctbal,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal) AS rn,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer WHERE c_acctbal IS NOT NULL
+), k AS (
+  SELECT c_mktsegment, rn, n, c_acctbal,
+    CAST(FLOOR(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS kk
+  FROM r
+), a AS (
+  SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN rn > kk AND rn <= n - kk THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_used,
+    SUM(CASE WHEN rn > kk AND rn <= n - kk THEN
+        CAST(ROUND(c_acctbal, 12) AS DECIMAL(38,12)) END)::DOUBLE
+    AS s
+  FROM k GROUP BY 1
+), raw AS (
+  SELECT c_mktsegment, n, n_used,
+    CASE WHEN n_used > 0 THEN s / CAST(n_used AS DOUBLE) END AS tm
+  FROM a
+)
+SELECT c_mktsegment, n, n_used,
+  {sql_round_sig_safe('tm')} AS trimmed_mean
+FROM raw ORDER BY c_mktsegment
+""")
+def w_trimmed_mean_acctbal(spark, sf_dir):
+    """10% trimmed mean of customer balance per market segment
+    (pipeline/wrangling.py trimmed_mean): drop the floor(0.1·n)
+    smallest and largest balances, average the middle — the robust
+    location between mean and median. Exact ranks (tie-order-
+    invariant sum), decimal-exact middle sum, ONE division, one
+    key-ordered window shuffle."""
+    from zef_spark.pipeline.wrangling import trimmed_mean
+    cust = _t(spark, sf_dir, "customer")
+    return (trimmed_mean(cust, "c_acctbal", by="c_mktsegment",
+                         trim=0.1)
+            .orderBy("c_mktsegment"))
+
+
+@query("e_runs_test_value", f"""
+WITH s AS (
+  SELECT event_type,
+    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS DOUBLE) AS tick,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, tick, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY x, tick) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+), m AS (
+  SELECT event_type,
+    (MAX(CASE WHEN rn = FLOOR((n + 1) / 2.0) THEN x END)
+     + MAX(CASE WHEN rn = CEIL((n + 1) / 2.0) THEN x END)) / 2.0
+      AS med
+  FROM r GROUP BY 1
+), sg AS (
+  SELECT s.event_type, s.tick,
+    CASE WHEN s.x > m.med THEN 1 ELSE 0 END AS sgn
+  FROM s JOIN m USING (event_type) WHERE s.x <> m.med
+), nr AS (
+  SELECT event_type, sgn,
+    CASE WHEN LAG(sgn) OVER (PARTITION BY event_type
+                             ORDER BY tick) IS NULL
+           OR sgn <> LAG(sgn) OVER (PARTITION BY event_type
+                                    ORDER BY tick)
+         THEN 1 ELSE 0 END AS new_run
+  FROM sg
+), a AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS n1,
+    CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+    CAST(SUM(new_run) AS BIGINT) AS runs
+  FROM nr GROUP BY 1
+), zz AS (
+  SELECT event_type, n1, n2, runs,
+    CASE WHEN n1 > 0 AND n2 > 0 AND
+      (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)) > 0
+    THEN (CAST(runs AS DOUBLE)
+          - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+         / SQRT(
+      (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+          - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+         * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)))
+    END AS z_raw
+  FROM a
+)
+SELECT event_type, n1, n2, runs,
+  {sql_round_sig_safe('z_raw')} AS z
+FROM zz ORDER BY event_type
+""")
+def e_runs_test_value(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily value
+    series per event type (pipeline/abtest.py runs_test): signs
+    above/below the key's EXACT median, runs counted in time order,
+    z from exact-integer counts — the cheapest "is this series
+    i.i.d.?" gate before reaching for ACF or changepoint. One
+    group-ordered window shuffle; median rank and sign-change lag
+    share the partitioning."""
+    from zef_spark.pipeline.abtest import runs_test
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01"))
+                         .cast("double").alias("tick"))
+              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                   .cast("double").alias("x")))
+    return (runs_test(series, "tick", "x", by="event_type")
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

@@ -704,38 +704,15 @@ register_op("group_percentiles", "df")(group_percentiles)
 
 def trimmed_mean(df, key_cols, value_col, trim: float = 0.05,
                  digits: int = 6):
-    """(keys..., n, n_used, tmean) — per-group TRIMMED mean: drop the
-    lowest and highest floor(trim·n) values (the robust location
-    estimator between mean and median), average the rest with
-    decimal-exact sums. Integer-rank trimming (floor semantics) so
-    any engine computing the same ranks matches exactly; the rank
-    window and final agg share ONE group-keyed shuffle."""
-    from pyspark.sql import Window, functions as F
-    dec = "decimal(38,12)"
+    """(keys..., n, n_used, tmean) — per-group TRIMMED mean with the
+    original (keys, value) signature and fixed ROUND(·, digits)
+    `tmean` contract. Thin compatibility wrapper over the single
+    implementation in pipeline.wrangling.trimmed_mean (which adds
+    the NULL-safe empty-middle guard and the sig-safe variant)."""
+    from ..pipeline.wrangling import trimmed_mean as _tm
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    x = F.col(value_col).cast("double")
-    base = df.where(x.isNotNull())
-    w = Window.partitionBy(*keys).orderBy(x)
-    wn = Window.partitionBy(*keys)
-    t = (base.withColumn("__rn", F.row_number().over(w))
-         .withColumn("__n", F.count(F.lit(1)).over(wn))
-         .withColumn("__cut", F.floor(F.lit(float(trim))
-                                      * F.col("__n"))))
-    kept = (F.col("__rn") > F.col("__cut")) & \
-           (F.col("__rn") <= F.col("__n") - F.col("__cut"))
-    return (t.groupBy(*keys)
-            .agg(F.max("__n").alias("n"),
-                 F.sum(F.when(kept, 1).otherwise(0)).cast("long")
-                 .alias("n_used"),
-                 F.round(F.sum(F.when(kept, F.round(x, 12)
-                                      .cast(dec))).cast("double")
-                         / F.sum(F.when(kept, 1).otherwise(0)),
-                         digits).alias("tmean")))
-
-
-@register_op("trimmed_mean", "df")
-def _trimmed_mean_op(df, *args, **kw):
-    return trimmed_mean(df, *args, **kw)
+    return _tm(df, value_col, by=keys, trim=trim, digits=digits,
+               out_col="tmean", fixed_round=True)
 
 
 def topn_with_other(df, key_col, weight_col=None, n: int = 10,

@@ -557,3 +557,183 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str,
 @register_op("anova_oneway", "df")
 def _anova_op(df, *args, **kw):
     return anova_oneway(df, *args, **kw)
+
+
+def benjamini_hochberg(df: DataFrame, p_col: str, id_col: str,
+                       by=None, alpha: float = 0.05) -> DataFrame:
+    """(by..., id, p, rank, m, p_adj, reject) — Benjamini-Hochberg
+    FDR control across a grid of hypothesis tests: rank the m
+    p-values ascending, reject every test at rank i with
+    p_(i) <= (i/m)·alpha, and report the BH-adjusted p-value
+    p_adj(i) = min_{j>=i} (p_(j)·m/j) capped at 1 (the standard
+    step-up adjustment — monotone, so `p_adj <= alpha` reproduces the
+    reject set). The multiple-testing companion to the per-test grid
+    (welch/mann-whitney/…): at pipeline scale EVERY experiment sweep
+    is a multiple-testing problem.
+
+    Reference parity: the reference has no built-in test battery
+    (experiments run through user zefops, ITF); this op exists for
+    the training-data-pipeline surface.
+
+    Plan: ONE key shuffle; the rank and the reverse running min ride
+    the SAME window partitioning (two window specs, one Exchange).
+    Determinism: ties in p order by ``id_col`` (caller-supplied
+    unique id — the deterministic tiebreak); p·m/i is two IEEE-exact
+    ops on doubles, min is selection — every output is bit-identical
+    cross-engine with NO rounding needed."""
+    from pyspark.sql import Window
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    p = F.col(p_col).cast("double")
+    base = df.where(p.isNotNull()).select(
+        *keys, F.col(id_col).alias("id"), p.alias("p"))
+    w = Window.partitionBy(*part).orderBy("p", "id")
+    wm = Window.partitionBy(*part)
+    ranked = (base
+              .withColumn("rank", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1)).over(wm)))
+    raw_adj = (F.col("p") * F.col("m").cast("double")
+               / F.col("rank").cast("double"))
+    wrev = (Window.partitionBy(*part)
+            .orderBy(F.col("rank").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    adj = F.least(F.min(raw_adj).over(wrev), F.lit(1.0))
+    thresh = (F.col("rank").cast("double") * F.lit(float(alpha))
+              / F.col("m").cast("double"))
+    # step-up: reject all ranks <= the LARGEST i with p_(i) <= i/m·a,
+    # equivalently p_adj <= alpha (monotone adjustment)
+    out = ranked.withColumn("p_adj", adj).withColumn(
+        "reject", F.col("p_adj") <= F.lit(float(alpha)))
+    return out.select(*keys, "id", "p", "rank", "m", "p_adj",
+                      "reject")
+
+
+@register_op("benjamini_hochberg", "df")
+def _bh_op(df, *args, **kw):
+    return benjamini_hochberg(df, *args, **kw)
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
+                   groups: list, digits: int = 6) -> DataFrame:
+    """One row (n, k, dof_between, dof_within, f_stat, eta_sq) — the
+    Brown-Forsythe test of VARIANCE homogeneity across k groups:
+    one-way ANOVA on the median-centered absolute deviations
+    z_ij = |x_ij − median(group i)| (Levene's test with the median
+    center — the robust variant). The gatekeeper for anova_oneway's
+    equal-variance assumption: a significant BF says route to
+    welch/kruskal instead.
+
+    Plan: per-group EXACT median by the integer-rank PERCENTILE_DISC
+    definition (value at row ceil(n/2) — engine-exact, the
+    mad_outliers discipline) via ONE group-ordered window shuffle,
+    then the deviations feed anova_oneway's single conditional-agg
+    scan. Two shuffles total, both keyed by the (small) group
+    column."""
+    from pyspark.sql import Window
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull() & g.isin(list(groups))).select(
+        g.alias("__g"), x.alias("__x"))
+    w = Window.partitionBy("__g").orderBy("__x")
+    wn = Window.partitionBy("__g")
+    med = (base.withColumn("__rn", F.row_number().over(w))
+           .withColumn("__n", F.count(F.lit(1)).over(wn))
+           .withColumn("__med", F.max(F.when(
+               F.col("__rn") == F.ceil(F.col("__n") / 2),
+               F.col("__x"))).over(wn)))
+    dev = med.select("__g", F.abs(F.col("__x") - F.col("__med"))
+                     .alias("__z"))
+    return anova_oneway(dev, "__g", "__z", list(groups),
+                        digits=digits)
+
+
+@register_op("brown_forsythe", "df")
+def _bf_op(df, *args, **kw):
+    return brown_forsythe(df, *args, **kw)
+
+
+def runs_test(df: DataFrame, order_col: str, value_col: str,
+              by=None, digits: int = 6) -> DataFrame:
+    """(by..., n1, n2, runs, z) — the Wald-Wolfowitz runs test for
+    randomness of a sequence: values above/below the key's EXACT
+    median (true median: mean of the two middle order statistics
+    for even n, so a binary-valued series still splits in half;
+    values equal to the median drop, the standard convention) are
+    signed, runs of equal sign are counted in ``order_col`` order,
+    and
+
+        E[R] = 1 + 2·n1·n2/n,
+        Var[R] = 2·n1·n2·(2·n1·n2 − n) / (n²·(n−1)),  n = n1+n2
+        z = (R − E[R]) / √Var[R]
+
+    Too few runs = clumped/trending series, too many = oscillating —
+    the cheapest "is this series i.i.d.?" gate before ACF/changepoint.
+
+    Plan: one group-ordered window shuffle computes the median rank
+    AND the sign-change lag (same partitioning, one Exchange); the
+    final per-key agg is exact-integer counts, so E/Var/z assemble
+    from bit-identical integer-derived doubles — z releases sig-safe
+    (single √ + division)."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *keys, F.col(order_col).alias("__t"), x.alias("__x"))
+    wv = Window.partitionBy(*part).orderBy("__x", "__t")
+    wn = Window.partitionBy(*part)
+    half = (F.col("__n") + 1) / 2
+    med = (base.withColumn("__rn", F.row_number().over(wv))
+           .withColumn("__n", F.count(F.lit(1)).over(wn))
+           .withColumn("__lo", F.max(F.when(
+               F.col("__rn") == F.floor(half),
+               F.col("__x"))).over(wn))
+           .withColumn("__hi", F.max(F.when(
+               F.col("__rn") == F.ceil(half),
+               F.col("__x"))).over(wn))
+           .withColumn("__med",
+                       (F.col("__lo") + F.col("__hi")) / 2.0))
+    signed = (med.where(F.col("__x") != F.col("__med"))
+              .withColumn("__s", (F.col("__x") > F.col("__med"))
+                          .cast("int")))
+    wt = Window.partitionBy(*part).orderBy("__t", "__x")
+    runs_col = F.when(
+        F.lag("__s").over(wt).isNull()
+        | (F.col("__s") != F.lag("__s").over(wt)), 1).otherwise(0)
+    agg = (signed.withColumn("__new_run", runs_col)
+           .groupBy(*keys)
+           .agg(F.sum("__s").cast("long").alias("n1"),
+                F.sum(F.lit(1) - F.col("__s")).cast("long")
+                .alias("n2"),
+                F.sum("__new_run").cast("long").alias("runs")))
+    # STEPWISE projections with attribute references (the
+    # group_moments codegen discipline, wrangling.py): inlining
+    # er/vr into the aggregate's result expressions re-expands the
+    # n1·n2 products ~10× and lands the whole tree in
+    # hashAgg_doAggregateWithKeysOutput, tripping janino's method
+    # limit → silent interpreted fallback. Each step below codegens
+    # its value into a local exactly once.
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    d1 = agg.select(*keys, "n1", "n2", "runs",
+                    (n1 * n2).alias("__nn"),
+                    (n1 + n2).alias("__n"))
+    nn, n = F.col("__nn"), F.col("__n")
+    d2 = d1.select(*keys, "n1", "n2", "runs", "__nn", "__n",
+                   (1.0 + 2.0 * nn / n).alias("__er"),
+                   ((2.0 * nn * (2.0 * nn - n))
+                    / (n * n * (n - 1.0))).alias("__vr"))
+    vr = F.col("__vr")
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (vr > 0)
+    z = F.when(ok, (F.col("runs").cast("double") - F.col("__er"))
+               / F.sqrt(vr))
+    return d2.select(*keys, "n1", "n2", "runs",
+                     round_sig_safe(z, digits).alias("z"))
+
+
+@register_op("runs_test", "df")
+def _runs_op(df, *args, **kw):
+    return runs_test(df, *args, **kw)

@@ -1607,3 +1607,135 @@ def _quantile_normalize_op(df, *args, **kw):
 @register_op("theil_sen", "df")
 def _theil_sen_op(df, *args, **kw):
     return theil_sen(df, *args, **kw)
+
+
+def mann_kendall(df: DataFrame, x_col: str, y_col: str, by=None,
+                 digits: int = 6,
+                 max_points_per_key: int | None = 5000) -> DataFrame:
+    """(by..., n, s_stat, var_s, z) — the Mann-Kendall trend test
+    over a series ordered by ``x_col``: S = Σ_{i<j} sign(y_j − y_i)
+    counts concordant minus discordant pairs, with the tie-corrected
+    variance
+
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+
+    and z = (S∓1)/√Var(S) (continuity-corrected; 0 when S=0). The
+    significance companion to theil_sen: theil_sen says HOW steep,
+    Mann-Kendall says WHETHER the monotone trend is real — same
+    bounded-series posture, same key-local pair join, same
+    max_points_per_key guard (quadratic per key; aggregate first).
+
+    Determinism: S and the tie term are exact integers; Var(S)/18
+    and z are two IEEE-exact ops on integer-derived doubles — z
+    releases sig-safe."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (df.where(x.isNotNull() & y.isNotNull())
+            .select(*by, x.alias("__x"), y.alias("__y")))
+    part = by if by else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("__x", "__y")
+    pts = base.withColumn("__rn", F.row_number().over(w))
+    if max_points_per_key is not None:
+        wc = Window.partitionBy(*part)
+        cap = int(max_points_per_key)
+        pts = pts.withColumn(
+            "__guard",
+            F.when(F.count(F.lit(1)).over(wc) <= cap, F.lit(1))
+            .otherwise(F.raise_error(F.lit(
+                "mann_kendall: a key has more than "
+                f"{cap} points (max_points_per_key) — the pair "
+                "join is quadratic per key. Aggregate the series "
+                "first (e.g. one point per day) or pass "
+                "max_points_per_key=None deliberately."))))
+        pts = pts.where(F.col("__guard") == 1).drop("__guard")
+    a = pts.select(*by, F.col("__x").alias("__xa"),
+                   F.col("__y").alias("__ya"),
+                   F.col("__rn").alias("__ra"))
+    b = pts.select(*by, F.col("__x").alias("__xb"),
+                   F.col("__y").alias("__yb"),
+                   F.col("__rn").alias("__rb"))
+    pairs = (a.join(b, by) if by else a.crossJoin(b)) \
+        .where(F.col("__ra") < F.col("__rb")) \
+        .select(*by, F.signum(F.col("__yb") - F.col("__ya"))
+                .cast("long").alias("__sgn"))
+    s_df = pairs.groupBy(*by).agg(
+        F.sum("__sgn").alias("s_stat"))
+    # tie groups over VALUES (y), n per key
+    ties = (base.groupBy(*by, "__y")
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy(*by)
+            .agg(F.sum(F.lit(1) * F.col("__t")).cast("long")
+                 .alias("n"),
+                 F.sum(F.col("__t") * (F.col("__t") - 1)
+                       * (2 * F.col("__t") + 5)).cast("long")
+                 .alias("__tt")))
+    j = (ties.join(s_df, by) if by
+         else ties.crossJoin(F.broadcast(s_df)))  # 1-row broadcast
+    nd = F.col("n").cast("double")
+    var_s = (nd * (nd - 1.0) * (2.0 * nd + 5.0)
+             - F.col("__tt").cast("double")) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(var_s <= 0, F.lit(None).cast("double")) \
+        .when(s > 0, (s - 1.0) / F.sqrt(var_s)) \
+        .when(s < 0, (s + 1.0) / F.sqrt(var_s)) \
+        .otherwise(F.lit(0.0))
+    return j.select(*by, "n", "s_stat",
+                    round_sig_safe(var_s, digits).alias("var_s"),
+                    round_sig_safe(z, digits).alias("z"))
+
+
+@register_op("mann_kendall", "df")
+def _mann_kendall_op(df, *args, **kw):
+    return mann_kendall(df, *args, **kw)
+
+
+def trimmed_mean(df: DataFrame, value_col: str, by=None,
+                 trim: float = 0.1, digits: int = 6,
+                 out_col: str = "trimmed_mean",
+                 fixed_round: bool = False) -> DataFrame:
+    """(by..., n, n_used, trimmed_mean) — the symmetric trimmed mean:
+    drop the k = floor(trim·n) smallest and largest values per key
+    and average the middle n−2k (trim=0.1 → the 10% trimmed mean,
+    the robust-location workhorse between mean and median). Exact
+    ranks (row_number, ties broken among EQUAL values — the trimmed
+    sum is tie-order-invariant), decimal-exact middle sum, ONE
+    division, sig-safe release (or plain ROUND(·, digits) with
+    ``fixed_round=True`` — the ops.df_ops compatibility contract).
+    One key-ordered window shuffle. SINGLE implementation: the
+    ops.df_ops.trimmed_mean entry point delegates here."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    part = by if by else [F.lit(1)]
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(*by, x.alias("__x"))
+    w = Window.partitionBy(*part).orderBy("__x")
+    wn = Window.partitionBy(*part)
+    t = (base.withColumn("__rn", F.row_number().over(w))
+         .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    k = F.floor(F.col("__n").cast("double") * F.lit(float(trim))) \
+        .cast("long")
+    dec = "decimal(38,12)"
+    mid = (F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k)
+    agg = (t.groupBy(*by)
+           .agg(F.max("__n").cast("long").alias("n"),
+                F.sum(F.when(mid, F.lit(1)).otherwise(0))
+                .cast("long").alias("n_used"),
+                F.sum(F.when(mid, F.round(F.col("__x"), 12)
+                             .cast(dec))).cast("double")
+                .alias("__s")))
+    tm = F.when(F.col("n_used") > 0,
+                F.col("__s") / F.col("n_used").cast("double"))
+    val = (F.round(tm, digits) if fixed_round
+           else round_sig_safe(tm, digits))
+    return agg.select(*by, "n", "n_used", val.alias(out_col))
+
+
+@register_op("trimmed_mean", "df")
+def _trimmed_mean_op(df, *args, **kw):
+    return trimmed_mean(df, *args, **kw)
