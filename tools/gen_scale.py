@@ -17,12 +17,21 @@ Construction per table (replica r = 0..K-1; r=0 is the original):
   strings get a replica suffix so string-keyed cardinalities scale
   with the data rather than collapsing into 10-way duplicates.
 - documents: doc_id shifts; the TEXT gets a per-replica WORD
-  BIJECTION (words with crc32(word)%10 < 3 get a replica tag). A
-  bijection on the vocabulary preserves every within-replica
-  similarity relation bit-for-bit (both members of a near-dup pair
-  transform identically) while pushing cross-replica shingle Jaccard
-  far below LSH thresholds — total near-dup workload scales K×
-  linearly instead of exploding 45× on artificial cross-replica dups.
+  BIJECTION — every word maps to a length-preserving md5-derived
+  token keyed by (word, replica). Same word → same token within a
+  replica, so every within-replica similarity relation survives
+  (both members of a near-dup pair transform identically, word runs
+  and byte offsets preserved), while NO word shares bytes across
+  replicas — cross-replica shingle Jaccard collapses to ~0 and the
+  near-dup workload scales K× linearly. The r09 first cut suffixed
+  only ~30% of the vocabulary with "~r": cross-replica copies of a
+  doc then shared most 5-byte shingles (measured avg J=0.645, some
+  byte-identical), creating C(K,2)·n_docs artificial pairs — a
+  QUADRATIC pair structure that showed up as α≈2 on the minhash
+  scaling curve at sf5. Full substitution removes the class.
+  (Truncated-md5 collisions can merge two same-length short words
+  within a replica — rare, and only nudges within-replica Jaccard
+  up; the oracle verifies whatever the corpus actually contains.)
 - embeddings: vec_id shifts; the vector gets a CYCLIC DIMENSION
   ROTATION by r — a permutation is orthogonal, so all within-replica
   cosines are preserved exactly and cross-replica cosines decorrelate.
@@ -42,7 +51,6 @@ from pyspark.sql import DataFrame, functions as F
 
 SHIFT = 1_000_000_000  # disjoint id bands; K·1e9 « 2^63
 
-TAG_FRACTION = 3  # crc32(word) % 10 < 3  → ~30% of vocabulary tagged
 
 
 def _replicas(df: DataFrame, k: int) -> DataFrame:
@@ -106,16 +114,20 @@ def gen(spark, k: int, out_dir: str,
     wr(ev.select(_shift("event_id"), "ts", _shift("user_id"),
                  "event_type", "value", "props"), "events", 2 * k)
 
-    # documents: per-replica word bijection (see module docstring)
+    # documents: per-replica full-vocabulary word bijection (see
+    # module docstring) — length-preserving md5 rename keyed by
+    # (word, replica); replica 0 keeps the original text
     d = _replicas(rd("documents"), k)
     tagged = F.when(
         F.col("__r") == 0, F.col("text")
     ).otherwise(F.array_join(F.transform(
         F.split(F.col("text"), " "),
-        lambda w: F.when(
-            F.crc32(w.cast("binary")) % 10 < TAG_FRACTION,
-            F.concat(w, F.lit("~"), F.col("__r").cast("string"))
-        ).otherwise(w)), " "))
+        lambda w: F.when(F.length(w) == 0, w).otherwise(
+            F.substring(
+                F.concat(F.md5(F.concat(
+                    w, F.lit("|"), F.col("__r").cast("string"))),
+                         F.md5(w)),
+                F.lit(1), F.length(w)))), " "))
     wr(d.select(_shift("doc_id"), tagged.alias("text"), "lang",
                 "source",
                 F.length(tagged).cast("long").alias("n_chars")),
