@@ -8973,6 +8973,167 @@ def e_runs_test_value(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("e_acf_value", f"""
+WITH s AS (
+  SELECT event_type,
+    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
+         AS DOUBLE) AS tick,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS s1,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS s2
+  FROM s GROUP BY 1
+), mu AS (
+  SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mu, s2 FROM st
+), m2 AS (
+  SELECT event_type, n, mu,
+    s2 - CAST(n AS DOUBLE) * mu * mu AS ss FROM mu
+), r AS (
+  SELECT event_type, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tick) AS i
+  FROM s
+), lp AS (
+  SELECT a.event_type, l.lag, m2.mu, m2.n, m2.ss,
+    (a.x - m2.mu) * (b.x - m2.mu) AS prod
+  FROM r a
+  JOIN (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS lag) l ON TRUE
+  JOIN r b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+  JOIN m2 ON m2.event_type = a.event_type
+), ag AS (
+  SELECT event_type, lag, MAX(n) AS n, MAX(ss) AS ss,
+    SUM(CAST(ROUND(prod, 12) AS DECIMAL(38,12)))::DOUBLE AS num
+  FROM lp GROUP BY 1, 2
+), fin AS (
+  SELECT event_type, CAST(lag AS INTEGER) AS lag,
+    CAST(n AS BIGINT) AS n,
+    CASE WHEN ss > 0 THEN num / ss END AS r_raw
+  FROM ag
+)
+SELECT event_type, lag, n,
+  {sql_round_sig_safe('r_raw')} AS acf_value
+FROM fin ORDER BY event_type, lag
+""")
+def e_acf_value(spark, sf_dir):
+    """Sample autocorrelation (lags 1..7) of the daily value series
+    per event type (pipeline/rollup.py acf): the i.i.d. diagnostic
+    that says at WHICH horizon the series has memory — the
+    seasonality companion to e_runs_test_value. Decimal-exact power
+    sums for μ/ss, decimal-exact lag cross-product sums, ONE
+    key-ordered window computes all 7 leads."""
+    from zef_spark.pipeline.rollup import acf
+    dec = "decimal(38,12)"
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.datediff(F.to_date("ts"),
+                                    F.lit("1970-01-01"))
+                         .cast("double").alias("tick"))
+              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                   .cast("double").alias("x")))
+    return (acf(series, "tick", "x", by="event_type", max_lag=7)
+            .orderBy("event_type", "lag"))
+
+
+@query("w_ks_price_priority", f"""
+WITH b AS (
+  SELECT o_orderstatus,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+    CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
+), c AS (
+  SELECT o_orderstatus, ia, x,
+    SUM(ia) OVER (PARTITION BY o_orderstatus ORDER BY x
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+    SUM(1 - ia) OVER (PARTITION BY o_orderstatus ORDER BY x
+      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+    SUM(ia) OVER (PARTITION BY o_orderstatus) AS na,
+    SUM(1 - ia) OVER (PARTITION BY o_orderstatus) AS nb
+  FROM b
+), m AS (
+  SELECT o_orderstatus,
+    CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+    MAX(ABS(CAST(ca AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+            - CAST(cb AS DECIMAL(38,0))
+              * CAST(na AS DECIMAL(38,0)))) AS dnum
+  FROM c GROUP BY 1
+), fin AS (
+  SELECT o_orderstatus, n_a, n_b,
+    CASE WHEN n_a > 0 AND n_b > 0 THEN
+      CAST(dnum AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS d_raw,
+    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS nn,
+    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS ns
+  FROM m
+)
+SELECT o_orderstatus, n_a, n_b,
+  {sql_round_sig_safe('d_raw')} AS d_stat,
+  {sql_round_sig_safe('(SQRT(nn / ns) * d_raw)')} AS ks_stat
+FROM fin ORDER BY o_orderstatus
+""")
+def w_ks_price_priority(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov test (pipeline/abtest.py
+    ks_test): does the URGENT order-price distribution differ in
+    SHAPE from the LOW one, per order status — the distribution
+    companion to mann-whitney's location test. D assembled from
+    exact-integer ecdf cross-products in DECIMAL(38,0) (overflow-
+    free at any n); ONE key-ordered window shuffle (RANGE frames
+    give the correct all-ties ecdf), one agg."""
+    from zef_spark.pipeline.abtest import ks_test
+    o = _t(spark, sf_dir, "orders")
+    return (ks_test(o, "o_orderpriority", "o_totalprice",
+                    "1-URGENT", "5-LOW", by="o_orderstatus")
+            .orderBy("o_orderstatus"))
+
+
+@query("p_pmi_bigrams", f"""
+WITH toks AS (
+  SELECT doc_id,
+    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
+                t -> LEN(t) > 0) AS ts
+  FROM documents WHERE text IS NOT NULL
+), uni AS (SELECT UNNEST(ts) AS w FROM toks),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+nbi AS (
+  SELECT CAST(SUM(CASE WHEN LEN(ts) > 1 THEN LEN(ts) - 1
+                       ELSE 0 END) AS BIGINT) AS n
+  FROM toks
+), bi AS (
+  SELECT UNNEST(LIST_ZIP(ts[1:LEN(ts)-1], ts[2:LEN(ts)])) AS z
+  FROM toks WHERE LEN(ts) >= 2
+), bc AS (
+  SELECT z[1] AS w1, z[2] AS w2,
+    CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), fin AS (
+  SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
+    LN(CAST(CAST(c_xy AS DECIMAL(38,0)) * CAST(nu.n AS DECIMAL(38,0))
+            * CAST(nu.n AS DECIMAL(38,0)) AS DOUBLE)
+       / CAST(CAST(nbi.n AS DECIMAL(38,0))
+              * CAST(x.c AS DECIMAL(38,0))
+              * CAST(y.c AS DECIMAL(38,0)) AS DOUBLE)) AS pmi_raw
+  FROM bc JOIN uc x ON x.w = bc.w1 JOIN uc y ON y.w = bc.w2, nu, nbi
+)
+SELECT w1, w2, c_xy, c_x, c_y,
+  {sql_round_sig_safe('pmi_raw')} AS pmi
+FROM fin ORDER BY w1, w2
+""")
+def p_pmi_bigrams(spark, sf_dir):
+    """PMI collocations over the document corpus (pipeline/corpus.py
+    pmi_collocations): adjacent-bigram pointwise mutual information —
+    the phrase-mining score that tells a tokenizer/vocab build which
+    multi-word units to keep whole. Exact integer counts, ONE
+    decimal-exact ratio, single ln; min_count filter applied before
+    any join so the bigram tail never shuffles twice."""
+    from zef_spark.pipeline.corpus import pmi_collocations
+    docs = _t(spark, sf_dir, "documents")
+    return (pmi_collocations(docs, "doc_id", "text", min_count=5)
+            .orderBy("w1", "w2"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================

@@ -186,6 +186,18 @@ def main():
     }
     if bucketed:
         out["layout_bucketed"] = bucketed
+    # r08 verdict order #1 (scale certification): attach the committed
+    # sf1/sf5 scaling-curve artifact so the per-round BENCH json
+    # carries the beyond-sf0.1 evidence. The artifact is produced by
+    # `tools/gen_scale.py` (fixtures) + `tools/scale_curve.py`
+    # (per-query exponents) and carries its own provenance fields —
+    # it is measured data from this host, not recomputed per bench
+    # invocation (the sf5 pass alone is ~10 min).
+    curves = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "SCALE_CURVES.json")
+    if os.path.exists(curves):
+        with open(curves) as f:
+            out["scale"] = json.load(f)
     print(json.dumps(out))
 
 

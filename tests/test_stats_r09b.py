@@ -1,0 +1,138 @@
+"""Round-9 second statistics batch: ACF, two-sample KS test, PMI
+collocations. Reference parity: assembled from the reference's
+primitive surface (sort/enumerate/frequencies/group_by — ITF zefops);
+these are pipeline-surface extensions (SURVEY.md §2.P)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_acf_constant_and_alternating(spark):
+    from zef_spark.pipeline.rollup import acf
+    # constant series: zero variance -> NULL acf at every lag
+    df = spark.createDataFrame(
+        [("k", float(i), 3.0) for i in range(8)],
+        "g string, t double, v double")
+    rows = acf(df, "t", "v", by="g", max_lag=2).collect()
+    assert len(rows) == 2
+    assert all(r["acf_value"] is None for r in rows)
+    # perfectly alternating ±1: acf(1) ≈ -1, acf(2) ≈ +1 (population
+    # normalization shrinks by (n-l)/n)
+    alt = spark.createDataFrame(
+        [("k", float(i), 1.0 if i % 2 else -1.0) for i in range(20)],
+        "g string, t double, v double")
+    got = {r["lag"]: r["acf_value"]
+           for r in acf(alt, "t", "v", by="g", max_lag=2).collect()}
+    assert got[1] == pytest.approx(-19 / 20, abs=1e-9)
+    assert got[2] == pytest.approx(18 / 20, abs=1e-9)
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+    from zef_spark.pipeline.rollup import acf
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=50).round(6)
+    df = spark.createDataFrame(
+        [("k", float(i), float(v)) for i, v in enumerate(x)],
+        "g string, t double, v double")
+    got = {r["lag"]: r["acf_value"]
+           for r in acf(df, "t", "v", by="g", max_lag=3).collect()}
+    mu = x.mean()
+    ss = ((x - mu) ** 2).sum()
+    for l in (1, 2, 3):
+        want = ((x[:-l] - mu) * (x[l:] - mu)).sum() / ss
+        assert got[l] == pytest.approx(want, abs=1e-5)
+
+
+def test_acf_short_series_no_rows_beyond_n(spark):
+    from zef_spark.pipeline.rollup import acf
+    df = spark.createDataFrame(
+        [("k", 1.0, 1.0), ("k", 2.0, 2.0)],
+        "g string, t double, v double")
+    rows = acf(df, "t", "v", by="g", max_lag=5).collect()
+    # only lag 1 has a surviving cross-product (n=2)
+    assert sorted(r["lag"] for r in rows) == [1]
+
+
+def test_ks_identical_and_disjoint(spark):
+    from zef_spark.pipeline.abtest import ks_test
+    # identical samples -> D = 0
+    rows = ([("a", float(i)) for i in range(20)]
+            + [("b", float(i)) for i in range(20)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert r["n_a"] == 20 and r["n_b"] == 20
+    assert r["d_stat"] == 0.0 and r["ks_stat"] == 0.0
+    # disjoint supports -> D = 1
+    rows2 = ([("a", float(i)) for i in range(10)]
+             + [("b", 100.0 + i) for i in range(10)])
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    r2 = ks_test(df2, "g", "v", "a", "b").collect()[0]
+    assert r2["d_stat"] == 1.0
+    assert r2["ks_stat"] == pytest.approx(
+        math.sqrt(100.0 / 20.0), rel=1e-6)
+
+
+def test_ks_matches_scipy_formula(spark):
+    from zef_spark.pipeline.abtest import ks_test
+    # hand case with ties: a = [1,2,2,3], b = [2,3,3,4]
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0),
+            ("b", 2.0), ("b", 3.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    # ecdfs evaluated after ties: x=1: 1/4 vs 0; x=2: 3/4 vs 1/4;
+    # x=3: 1 vs 3/4; x=4: 1 vs 1 -> D = 1/2
+    assert r["d_stat"] == 0.5
+    # empty side -> NULLs
+    one = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    r0 = ks_test(one, "g", "v", "a", "b").collect()[0]
+    assert r0["d_stat"] is None and r0["ks_stat"] is None
+
+
+def test_ks_keyed(spark):
+    from zef_spark.pipeline.abtest import ks_test
+    rows = ([("k1", "a", float(i)) for i in range(10)]
+            + [("k1", "b", float(i) + 0.5) for i in range(10)]
+            + [("k2", "a", float(i)) for i in range(10)]
+            + [("k2", "b", 50.0 + i) for i in range(10)])
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = {r["k"]: r for r in
+           ks_test(df, "g", "v", "a", "b", by="k").collect()}
+    assert got["k2"]["d_stat"] == 1.0
+    assert 0.0 < got["k1"]["d_stat"] < 1.0
+
+
+def test_pmi_hand_corpus(spark):
+    from zef_spark.pipeline.corpus import pmi_collocations
+    # "x y" always adjacent; "p q" never adjacent
+    docs = [(1, "x y a b c"), (2, "x y c a b"), (3, "x y b c a"),
+            (4, "p a q b c"), (5, "p b q c a"), (6, "p c q a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           pmi_collocations(df, "doc_id", "text",
+                            min_count=3).collect()}
+    assert ("x", "y") in out
+    r = out[("x", "y")]
+    # c_xy=3, c_x=3, c_y=3, N_uni=30, N_bi=24
+    assert r["c_xy"] == 3 and r["c_x"] == 3 and r["c_y"] == 3
+    want = math.log(3 * 30 * 30 / (24 * 3 * 3))
+    assert r["pmi"] == pytest.approx(want, abs=1e-6)
+    assert ("p", "q") not in out        # never adjacent
+    # min_count prunes: nothing else reaches 3 adjacent repeats
+    assert all(v["c_xy"] >= 3 for v in out.values())
+
+
+def test_pmi_short_and_empty_docs(spark):
+    from zef_spark.pipeline.corpus import pmi_collocations
+    docs = [(1, "solo"), (2, ""), (3, None), (4, "a b"),
+            (5, "a b"), (6, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, "doc_id", "text", min_count=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"]) == ("a", "b") and r["c_xy"] == 3
+    # N_uni = 7 (solo + 3x[a b]), N_bi = 3
+    want = math.log(3 * 7 * 7 / (3 * 3 * 3))
+    assert r["pmi"] == pytest.approx(want, abs=1e-6)

@@ -737,3 +737,77 @@ def runs_test(df: DataFrame, order_col: str, value_col: str,
 @register_op("runs_test", "df")
 def _runs_op(df, *args, **kw):
     return runs_test(df, *args, **kw)
+
+
+def ks_test(df: DataFrame, group_col: str, value_col: str,
+            group_a, group_b, by=None, digits: int = 6) -> DataFrame:
+    """(by..., n_a, n_b, d_stat, ks_stat) — the two-sample
+    Kolmogorov-Smirnov test between the ``group_a`` and ``group_b``
+    samples of ``value_col``:
+
+        D = sup_x |F_a(x) − F_b(x)|,
+        ks = √(n_a·n_b/(n_a+n_b)) · D   (the asymptotic statistic)
+
+    The distribution-shape companion to mann_whitney (which only
+    sees location): D reacts to ANY difference — spread, tails,
+    modality. Rows outside the two groups are ignored; a key with an
+    empty side emits NULL statistics (no comparison exists).
+
+    Cross-engine exactness: D is computed as max over the pooled
+    sample of |i_a·n_b − i_b·n_a| (ecdf numerators cross-multiplied
+    — EXACT INTEGERS, promoted to DECIMAL(38,0) so the product can
+    never overflow at any corpus size) divided once by n_a·n_b; ties
+    are handled by RANGE frames (every row with the same value sees
+    the ecdf AFTER all its ties — the mathematically correct ecdf
+    evaluation, identical in any engine). Only the final √/division
+    release needs sig-safe rounding.
+
+    Plan: ONE key-ordered window shuffle (two cumulative RANGE sums
+    + the per-key totals share the same partitioning), one final agg.
+    No pair joins, no sort beyond the window's."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = (df.where(x.isNotNull() & g.isin([group_a, group_b]))
+            .select(*keys, (g == F.lit(group_a)).cast("long")
+                    .alias("__ia"), x.alias("__x")))
+    wr = (Window.partitionBy(*part).orderBy("__x")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(*part)
+    cum = (base
+           .withColumn("__ca", F.sum("__ia").over(wr))
+           .withColumn("__cb", F.sum(F.lit(1) - F.col("__ia"))
+                       .over(wr))
+           .withColumn("__na", F.sum("__ia").over(wn))
+           .withColumn("__nb", F.sum(F.lit(1) - F.col("__ia"))
+                       .over(wn)))
+    dec0 = "decimal(38,0)"
+    diff = F.abs(F.col("__ca").cast(dec0) * F.col("__nb").cast(dec0)
+                 - F.col("__cb").cast(dec0)
+                 * F.col("__na").cast(dec0))
+    agg = (cum.groupBy(*keys)
+           .agg(F.max("__na").alias("n_a"),
+                F.max("__nb").alias("n_b"),
+                F.max(diff).alias("__dnum")))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d1 = agg.select(*keys, "n_a", "n_b", "__dnum",
+                    (na * nb).alias("__nn"), (na + nb).alias("__ns"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    d = F.when(ok, F.col("__dnum").cast("double") / F.col("__nn"))
+    d2 = d1.withColumn("__d", d)
+    ks = F.when(ok, F.sqrt(F.col("__nn") / F.col("__ns"))
+                * F.col("__d"))
+    return d2.select(*keys, "n_a", "n_b",
+                     round_sig_safe(F.col("__d"), digits)
+                     .alias("d_stat"),
+                     round_sig_safe(ks, digits).alias("ks_stat"))
+
+
+@register_op("ks_test", "df")
+def _ks_op(df, *args, **kw):
+    return ks_test(df, *args, **kw)
