@@ -9134,6 +9134,63 @@ def p_pmi_bigrams(spark, sf_dir):
             .orderBy("w1", "w2"))
 
 
+@query("p_chunk_text", """
+WITH toks AS (
+  SELECT doc_id,
+    LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                t -> LEN(t) > 0) AS ts
+  FROM documents WHERE text IS NOT NULL
+), nz AS (
+  SELECT doc_id, ts, LEN(ts) AS n FROM toks WHERE LEN(ts) > 0
+), c AS (
+  SELECT doc_id, ts, n,
+    GREATEST(1, CAST(CEIL((n - 16) / 48.0) AS INTEGER)) AS nc
+  FROM nz
+), e AS (
+  SELECT doc_id, ts, n, UNNEST(GENERATE_SERIES(0, nc - 1)) AS cid
+  FROM c
+)
+SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+  CAST(LEN(ts[cid*48+1 : LEAST(cid*48+64, n)]) AS INTEGER)
+    AS n_tokens,
+  ARRAY_TO_STRING(ts[cid*48+1 : LEAST(cid*48+64, n)], ' ') AS chunk
+FROM e ORDER BY doc_id, chunk_id
+""")
+def p_chunk_text(spark, sf_dir):
+    """RAG-prep chunking of the document corpus (pipeline/corpus.py
+    chunk_text): 64-token windows, 16-token overlap, stable (doc_id,
+    chunk_id) keys. Entirely row-local (split → sequence → slice →
+    explode) — zero shuffle, linear in corpus bytes; the exact
+    shape an embedding/indexing pass consumes."""
+    from zef_spark.pipeline.corpus import chunk_text
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_text(docs, "doc_id", "text",
+                       chunk_tokens=64, overlap=16)
+            .orderBy("doc_id", "chunk_id"))
+
+
+@query("p_sample_k_per_lang", """
+WITH r AS (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY MD5(CAST(doc_id AS VARCHAR) || 'r9'), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, doc_id FROM r WHERE rn <= 7 ORDER BY lang, doc_id
+""")
+def p_sample_k_per_lang(spark, sf_dir):
+    """Deterministic exact-quota sampling (pipeline/corpus.py
+    sample_k_per_group): at most 7 docs per language under the md5
+    order — the reproducible 'k examples per stratum' draw used for
+    eval sets and few-shot pools; a pure function of (doc_id, salt),
+    so reruns and partner tables pick the same rows. ONE group-keyed
+    window shuffle."""
+    from zef_spark.pipeline.corpus import sample_k_per_group
+    docs = _t(spark, sf_dir, "documents")
+    return (sample_k_per_group(docs, "lang", 7, "doc_id", salt="r9")
+            .select("lang", "doc_id").orderBy("lang", "doc_id"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -9158,15 +9215,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # is older than 3 rounds — the verdict's 2-round windowing plan.
 # Everything else stays runnable by name.
 _FRONT = [
-    # (a) registered after the r08 window was drawn — never
-    # driver-proven (judge-sweep-green at sf0.01 AND sf0.001 in r08)
+    # (a) never driver-proven: the 2 rows registered after the r08
+    # window was drawn (judge-sweep-green at two scales in r08) plus
+    # the 8 rows NEW THIS ROUND (statistics tier 3 + acf/ks/pmi) —
+    # new registrations take window priority so no query starts life
+    # with an aging unproven badge
     "e_theilsen_trend", "w_anova_price_priority",
+    "e_mann_kendall_trend", "w_bh_fdr_cells", "w_brown_forsythe_price",
+    "w_trimmed_mean_acctbal", "e_runs_test_value",
+    "e_acf_value", "w_ks_price_priority", "p_pmi_bigrams",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)
     "concat_union_segments", "datetime_functions", "hash_functions",
     "math_functions", "string_functions",
-    # (c) 43 of the 47-row r04 cohort
+    # (c) 35 of the 47-row r04 cohort. The 12 deferred rows
+    # (q2_min_cost_supplier, q4_priority_exists, q7_nation_volume,
+    # q8_market_share, q10_returned_items, q11_part_value_share,
+    # q12_priority_lateness, q13_order_count_distribution,
+    # q14_promo_revenue, q15_top_supplier, q16_supplier_variety,
+    # q17_small_qty_revenue — all judge-sweep-green at two scales
+    # every round since r04) move to the r10 window, which absorbs
+    # them plus the 48-row r05 cohort (60 rows → 50 + 10 spillover
+    # to r11; after r11 no proof is older than 3 rounds).
     "chunk_by_event_type_runs", "e_asof_last_purchase",
     "e_cohort_retention", "e_funnel_counts", "e_hourly_tumbling",
     "e_hypertable_rollup", "e_range_purchase_window",
@@ -9179,12 +9250,9 @@ _FRONT = [
     "p_identify_entities", "p_infer_types", "p_pii_redact",
     "p_repetition_signals", "p_semantic_dup_pairs", "p_sketch_checks",
     "p_tf_idf", "p_unigram_logprob",
-    "q10_returned_items", "q11_part_value_share",
-    "q12_priority_lateness", "q13_order_count_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_qty_revenue", "q18_large_orders",
-    "q19_bracketed_revenue", "q21_waiting_suppliers",
-    "q22_idle_customers", "q9_product_profit",
+    "q18_large_orders", "q19_bracketed_revenue",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "q9_product_profit",
 ]
 
 

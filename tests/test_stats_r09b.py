@@ -136,3 +136,47 @@ def test_pmi_short_and_empty_docs(spark):
     # N_uni = 7 (solo + 3x[a b]), N_bi = 3
     want = math.log(3 * 7 * 7 / (3 * 3 * 3))
     assert r["pmi"] == pytest.approx(want, abs=1e-6)
+
+
+def test_chunk_text_windows(spark):
+    from zef_spark.pipeline.corpus import chunk_text
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, toks), (2, "a b"), (3, ""),
+                                (4, None)],
+                               "doc_id long, text string")
+    rows = chunk_text(df, "doc_id", "text",
+                      chunk_tokens=4, overlap=1).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r for r in rows}
+    # doc 1: stride 3, n=10 -> ceil(9/3)=3 chunks: [0..3],[3..6],[6..9]
+    assert got[(1, 0)]["chunk"] == "t0 t1 t2 t3"
+    assert got[(1, 1)]["chunk"] == "t3 t4 t5 t6"
+    assert got[(1, 2)]["chunk"] == "t6 t7 t8 t9"
+    assert got[(1, 2)]["n_tokens"] == 4
+    # short doc -> exactly one chunk; empty/NULL -> none
+    assert got[(2, 0)]["chunk"] == "a b" and got[(2, 0)]["n_tokens"] == 2
+    assert {d for d, _ in got} == {1, 2}
+    # every token covered, overlap carried
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_sample_k_per_group_deterministic(spark):
+    from zef_spark.pipeline.corpus import sample_k_per_group
+    rows = [(g, i) for g in ("x", "y") for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, id long")
+    a = sorted((r["g"], r["id"]) for r in
+               sample_k_per_group(df, "g", 5, "id").collect())
+    b = sorted((r["g"], r["id"]) for r in
+               sample_k_per_group(df, "g", 5, "id").collect())
+    assert a == b and len(a) == 10
+    assert sum(1 for g, _ in a if g == "x") == 5
+    # different salt -> (almost surely) different draw, same quota
+    c = sorted((r["g"], r["id"]) for r in
+               sample_k_per_group(df, "g", 5, "id",
+                                  salt="other").collect())
+    assert len(c) == 10 and c != a
+    # k beyond group size returns the whole group
+    small = spark.createDataFrame([("x", 1), ("x", 2)],
+                                  "g string, id long")
+    assert sample_k_per_group(small, "g", 99, "id").count() == 2

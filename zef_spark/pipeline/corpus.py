@@ -690,3 +690,91 @@ def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
 @register_op("pmi_collocations", "df")
 def _pmi_op(df, *args, **kw):
     return pmi_collocations(df, *args, **kw)
+
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               chunk_tokens: int = 128, overlap: int = 32) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk) — the RAG/embedding-prep
+    chunker: split each document into windows of ``chunk_tokens``
+    whitespace tokens with ``overlap`` tokens carried between
+    consecutive chunks (stride = chunk_tokens − overlap). The last
+    chunk may be short; a document shorter than one window yields
+    exactly one chunk; empty/NULL docs yield none. chunk_id is the
+    0-based window index — (id, chunk_id) is the stable chunk key
+    downstream embedding/indexing joins on.
+
+    Tokenization is the plain whitespace split (NOT \\W+): chunk text
+    must reassemble into the original byte content, so punctuation
+    stays attached and chunks rejoin with single spaces.
+
+    Plan: entirely ROW-LOCAL (split → sequence → transform/slice →
+    explode) — no shuffle, no UDF; embarrassingly parallel at any
+    corpus size. Chunk count per doc is ceil((n−overlap)/stride), so
+    output rows ≈ input tokens / stride — linear in corpus bytes."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens "
+            f"({chunk_tokens}) or the chunker cannot advance")
+    stride = int(chunk_tokens) - int(overlap)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__ts"))
+            .where(F.size("__ts") > 0))
+    n = F.size("__ts")
+    # window starts: 0, stride, 2·stride, … while start < n, but
+    # never a window that adds no NEW token (start ≥ n − overlap
+    # stops, except the first window) — sequence is 1-based here
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(int(overlap)))
+               / F.lit(float(stride))).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(F.col("__ts"), i * stride + 1,
+                    F.lit(int(chunk_tokens))).alias("__w")))
+    out = (base.select(F.col(id_col),
+                       F.explode(chunks).alias("__c"))
+           .select(F.col(id_col),
+                   F.col("__c.chunk_id").alias("chunk_id"),
+                   F.size("__c.__w").alias("n_tokens"),
+                   F.array_join("__c.__w", " ").alias("chunk")))
+    return out
+
+
+@register_op("chunk_text", "df")
+def _chunk_text_op(df, *args, **kw):
+    return chunk_text(df, *args, **kw)
+
+
+def sample_k_per_group(df: DataFrame, by, k: int,
+                       key_col: str, salt: str = "") -> DataFrame:
+    """The first ``k`` rows of every group under the deterministic
+    md5 order — the exact-quota companion to the rate-based
+    stratified_sample: 'give me AT MOST k docs per language', stable
+    across runs/partitions/engines (the order is a pure function of
+    (key, salt), so reruns and resumes pick the SAME rows, and a
+    second table sharing key_col + salt picks consistent partners).
+    Keys must be unique per row (the md5 rank ties only on equal
+    keys); pass a different salt to draw an independent quota.
+
+    Plan: ONE group-keyed window shuffle (row_number over the md5
+    order), filter rank ≤ k — no sampling UDF, no second scan. The
+    per-group sort is the shuffle's own; k does not affect shuffle
+    size (a TOP-K per group at scale would add a partial windowed
+    prune, which AQE does not yet do — acceptable: the full group
+    had to shuffle for an exact quota anyway)."""
+    from pyspark.sql import Window
+    keys = [by] if isinstance(by, str) else list(by)
+    rnk = F.md5(F.concat(F.col(key_col).cast("string"),
+                         F.lit(str(salt))))
+    w = Window.partitionBy(*keys).orderBy(rnk, F.col(key_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k)).drop("__rn"))
+
+
+@register_op("sample_k_per_group", "df")
+def _sample_k_op(df, *args, **kw):
+    return sample_k_per_group(df, *args, **kw)
