@@ -8973,68 +8973,6 @@ def e_runs_test_value(spark, sf_dir):
             .orderBy("event_type"))
 
 
-@query("e_acf_value", f"""
-WITH s AS (
-  SELECT event_type,
-    CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE))
-         AS DOUBLE) AS tick,
-    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS x
-  FROM events GROUP BY 1, 2
-), st AS (
-  SELECT event_type, COUNT(*) AS n,
-    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS s1,
-    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS s2
-  FROM s GROUP BY 1
-), mu AS (
-  SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mu, s2 FROM st
-), m2 AS (
-  SELECT event_type, n, mu,
-    s2 - CAST(n AS DOUBLE) * mu * mu AS ss FROM mu
-), r AS (
-  SELECT event_type, x,
-    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tick) AS i
-  FROM s
-), lp AS (
-  SELECT a.event_type, l.lag, m2.mu, m2.n, m2.ss,
-    (a.x - m2.mu) * (b.x - m2.mu) AS prod
-  FROM r a
-  JOIN (SELECT UNNEST(GENERATE_SERIES(1, 7)) AS lag) l ON TRUE
-  JOIN r b ON b.event_type = a.event_type AND b.i = a.i + l.lag
-  JOIN m2 ON m2.event_type = a.event_type
-), ag AS (
-  SELECT event_type, lag, MAX(n) AS n, MAX(ss) AS ss,
-    SUM(CAST(ROUND(prod, 12) AS DECIMAL(38,12)))::DOUBLE AS num
-  FROM lp GROUP BY 1, 2
-), fin AS (
-  SELECT event_type, CAST(lag AS INTEGER) AS lag,
-    CAST(n AS BIGINT) AS n,
-    CASE WHEN ss > 0 THEN num / ss END AS r_raw
-  FROM ag
-)
-SELECT event_type, lag, n,
-  {sql_round_sig_safe('r_raw')} AS acf_value
-FROM fin ORDER BY event_type, lag
-""")
-def e_acf_value(spark, sf_dir):
-    """Sample autocorrelation (lags 1..7) of the daily value series
-    per event type (pipeline/rollup.py acf): the i.i.d. diagnostic
-    that says at WHICH horizon the series has memory — the
-    seasonality companion to e_runs_test_value. Decimal-exact power
-    sums for μ/ss, decimal-exact lag cross-product sums, ONE
-    key-ordered window computes all 7 leads."""
-    from zef_spark.pipeline.rollup import acf
-    dec = "decimal(38,12)"
-    ev = _events(spark, sf_dir)
-    series = (ev.groupBy("event_type",
-                         F.datediff(F.to_date("ts"),
-                                    F.lit("1970-01-01"))
-                         .cast("double").alias("tick"))
-              .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
-                   .cast("double").alias("x")))
-    return (acf(series, "tick", "x", by="event_type", max_lag=7)
-            .orderBy("event_type", "lag"))
-
-
 @query("w_ks_price_priority", f"""
 WITH b AS (
   SELECT o_orderstatus,
@@ -9086,52 +9024,6 @@ def w_ks_price_priority(spark, sf_dir):
     return (ks_test(o, "o_orderpriority", "o_totalprice",
                     "1-URGENT", "5-LOW", by="o_orderstatus")
             .orderBy("o_orderstatus"))
-
-
-@query("p_pmi_bigrams", f"""
-WITH toks AS (
-  SELECT doc_id,
-    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\W+'),
-                t -> LEN(t) > 0) AS ts
-  FROM documents WHERE text IS NOT NULL
-), uni AS (SELECT UNNEST(ts) AS w FROM toks),
-uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
-nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
-nbi AS (
-  SELECT CAST(SUM(CASE WHEN LEN(ts) > 1 THEN LEN(ts) - 1
-                       ELSE 0 END) AS BIGINT) AS n
-  FROM toks
-), bi AS (
-  SELECT UNNEST(LIST_ZIP(ts[1:LEN(ts)-1], ts[2:LEN(ts)])) AS z
-  FROM toks WHERE LEN(ts) >= 2
-), bc AS (
-  SELECT z[1] AS w1, z[2] AS w2,
-    CAST(COUNT(*) AS BIGINT) AS c_xy
-  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
-), fin AS (
-  SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y,
-    LN(CAST(CAST(c_xy AS DECIMAL(38,0)) * CAST(nu.n AS DECIMAL(38,0))
-            * CAST(nu.n AS DECIMAL(38,0)) AS DOUBLE)
-       / CAST(CAST(nbi.n AS DECIMAL(38,0))
-              * CAST(x.c AS DECIMAL(38,0))
-              * CAST(y.c AS DECIMAL(38,0)) AS DOUBLE)) AS pmi_raw
-  FROM bc JOIN uc x ON x.w = bc.w1 JOIN uc y ON y.w = bc.w2, nu, nbi
-)
-SELECT w1, w2, c_xy, c_x, c_y,
-  {sql_round_sig_safe('pmi_raw')} AS pmi
-FROM fin ORDER BY w1, w2
-""")
-def p_pmi_bigrams(spark, sf_dir):
-    """PMI collocations over the document corpus (pipeline/corpus.py
-    pmi_collocations): adjacent-bigram pointwise mutual information —
-    the phrase-mining score that tells a tokenizer/vocab build which
-    multi-word units to keep whole. Exact integer counts, ONE
-    decimal-exact ratio, single ln; min_count filter applied before
-    any join so the bigram tail never shuffles twice."""
-    from zef_spark.pipeline.corpus import pmi_collocations
-    docs = _t(spark, sf_dir, "documents")
-    return (pmi_collocations(docs, "doc_id", "text", min_count=5)
-            .orderBy("w1", "w2"))
 
 
 @query("p_chunk_text", """
@@ -9216,27 +9108,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # Everything else stays runnable by name.
 _FRONT = [
     # (a) never driver-proven: the 2 rows registered after the r08
-    # window was drawn (judge-sweep-green at two scales in r08) plus
-    # the 8 rows NEW THIS ROUND (statistics tier 3 + acf/ks/pmi) —
+    # window was drawn (judge-sweep-green at two scales in r08), the
+    # 6 rows NEW THIS ROUND (statistics tier 3 + ks/chunk/quota —
     # new registrations take window priority so no query starts life
-    # with an aging unproven badge
+    # with an aging unproven badge), and the acf/pmi queries whose
+    # ops the r09 consolidation touched (duplicate implementations
+    # removed; the surviving op deserves a fresh driver proof)
     "e_theilsen_trend", "w_anova_price_priority",
     "e_mann_kendall_trend", "w_bh_fdr_cells", "w_brown_forsythe_price",
     "w_trimmed_mean_acctbal", "e_runs_test_value",
-    "e_acf_value", "w_ks_price_priority", "p_pmi_bigrams",
+    "w_ks_price_priority", "p_chunk_text", "p_sample_k_per_lang",
+    "e_acf_hourly", "p_pmi_collocations",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)
     "concat_union_segments", "datetime_functions", "hash_functions",
     "math_functions", "string_functions",
-    # (c) 35 of the 47-row r04 cohort. The 12 deferred rows
+    # (c) 33 of the 47-row r04 cohort. The 14 deferred rows
     # (q2_min_cost_supplier, q4_priority_exists, q7_nation_volume,
     # q8_market_share, q10_returned_items, q11_part_value_share,
     # q12_priority_lateness, q13_order_count_distribution,
     # q14_promo_revenue, q15_top_supplier, q16_supplier_variety,
-    # q17_small_qty_revenue — all judge-sweep-green at two scales
+    # q17_small_qty_revenue, q19_bracketed_revenue,
+    # q21_waiting_suppliers — all judge-sweep-green at two scales
     # every round since r04) move to the r10 window, which absorbs
-    # them plus the 48-row r05 cohort (60 rows → 50 + 10 spillover
+    # them plus the 48-row r05 cohort (62 rows → 50 + 12 spillover
     # to r11; after r11 no proof is older than 3 rounds).
     "chunk_by_event_type_runs", "e_asof_last_purchase",
     "e_cohort_retention", "e_funnel_counts", "e_hourly_tumbling",
@@ -9250,8 +9146,7 @@ _FRONT = [
     "p_identify_entities", "p_infer_types", "p_pii_redact",
     "p_repetition_signals", "p_semantic_dup_pairs", "p_sketch_checks",
     "p_tf_idf", "p_unigram_logprob",
-    "q18_large_orders", "q19_bracketed_revenue",
-    "q21_waiting_suppliers", "q22_idle_customers",
+    "q18_large_orders", "q22_idle_customers",
     "q9_product_profit",
 ]
 

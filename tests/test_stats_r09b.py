@@ -1,7 +1,9 @@
-"""Round-9 second statistics batch: ACF, two-sample KS test, PMI
-collocations. Reference parity: assembled from the reference's
-primitive surface (sort/enumerate/frequencies/group_by — ITF zefops);
-these are pipeline-surface extensions (SURVEY.md §2.P)."""
+"""Round-9 second batch: ACF regression coverage (the surviving
+rollup.acf after the r09 duplicate-removal), the two-sample KS test,
+RAG chunking, and exact-quota sampling. Reference parity: assembled
+from the reference's primitive surface (sort/enumerate/frequencies/
+group_by — ITF zefops); pipeline-surface extensions (SURVEY.md
+§2.P)."""
 
 import math
 
@@ -11,19 +13,19 @@ from pyspark.sql import functions as F
 
 def test_acf_constant_and_alternating(spark):
     from zef_spark.pipeline.rollup import acf
-    # constant series: zero variance -> NULL acf at every lag
+    # constant series: zero variance -> NULL r at every lag
     df = spark.createDataFrame(
         [("k", float(i), 3.0) for i in range(8)],
         "g string, t double, v double")
     rows = acf(df, "t", "v", by="g", max_lag=2).collect()
     assert len(rows) == 2
-    assert all(r["acf_value"] is None for r in rows)
-    # perfectly alternating ±1: acf(1) ≈ -1, acf(2) ≈ +1 (population
+    assert all(r["r"] is None for r in rows)
+    # perfectly alternating ±1: r(1) ≈ -1, r(2) ≈ +1 (population
     # normalization shrinks by (n-l)/n)
     alt = spark.createDataFrame(
         [("k", float(i), 1.0 if i % 2 else -1.0) for i in range(20)],
         "g string, t double, v double")
-    got = {r["lag"]: r["acf_value"]
+    got = {r["lag"]: r["r"]
            for r in acf(alt, "t", "v", by="g", max_lag=2).collect()}
     assert got[1] == pytest.approx(-19 / 20, abs=1e-9)
     assert got[2] == pytest.approx(18 / 20, abs=1e-9)
@@ -37,7 +39,7 @@ def test_acf_matches_numpy(spark):
     df = spark.createDataFrame(
         [("k", float(i), float(v)) for i, v in enumerate(x)],
         "g string, t double, v double")
-    got = {r["lag"]: r["acf_value"]
+    got = {r["lag"]: r["r"]
            for r in acf(df, "t", "v", by="g", max_lag=3).collect()}
     mu = x.mean()
     ss = ((x - mu) ** 2).sum()
@@ -46,14 +48,18 @@ def test_acf_matches_numpy(spark):
         assert got[l] == pytest.approx(want, abs=1e-5)
 
 
-def test_acf_short_series_no_rows_beyond_n(spark):
+def test_acf_short_series_no_pairs_beyond_n(spark):
     from zef_spark.pipeline.rollup import acf
     df = spark.createDataFrame(
         [("k", 1.0, 1.0), ("k", 2.0, 2.0)],
         "g string, t double, v double")
-    rows = acf(df, "t", "v", by="g", max_lag=5).collect()
-    # only lag 1 has a surviving cross-product (n=2)
-    assert sorted(r["lag"] for r in rows) == [1]
+    rows = {r["lag"]: r for r in
+            acf(df, "t", "v", by="g", max_lag=5).collect()}
+    # only lag 1 has a surviving pair (n=2); beyond that: no
+    # evidence, NULL r, zero pairs
+    assert rows[1]["n_pairs"] == 1
+    for l in (2, 3, 4, 5):
+        assert rows[l]["n_pairs"] == 0 and rows[l]["r"] is None
 
 
 def test_ks_identical_and_disjoint(spark):
@@ -102,40 +108,6 @@ def test_ks_keyed(spark):
            ks_test(df, "g", "v", "a", "b", by="k").collect()}
     assert got["k2"]["d_stat"] == 1.0
     assert 0.0 < got["k1"]["d_stat"] < 1.0
-
-
-def test_pmi_hand_corpus(spark):
-    from zef_spark.pipeline.corpus import pmi_collocations
-    # "x y" always adjacent; "p q" never adjacent
-    docs = [(1, "x y a b c"), (2, "x y c a b"), (3, "x y b c a"),
-            (4, "p a q b c"), (5, "p b q c a"), (6, "p c q a b")]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = {(r["w1"], r["w2"]): r for r in
-           pmi_collocations(df, "doc_id", "text",
-                            min_count=3).collect()}
-    assert ("x", "y") in out
-    r = out[("x", "y")]
-    # c_xy=3, c_x=3, c_y=3, N_uni=30, N_bi=24
-    assert r["c_xy"] == 3 and r["c_x"] == 3 and r["c_y"] == 3
-    want = math.log(3 * 30 * 30 / (24 * 3 * 3))
-    assert r["pmi"] == pytest.approx(want, abs=1e-6)
-    assert ("p", "q") not in out        # never adjacent
-    # min_count prunes: nothing else reaches 3 adjacent repeats
-    assert all(v["c_xy"] >= 3 for v in out.values())
-
-
-def test_pmi_short_and_empty_docs(spark):
-    from zef_spark.pipeline.corpus import pmi_collocations
-    docs = [(1, "solo"), (2, ""), (3, None), (4, "a b"),
-            (5, "a b"), (6, "a b")]
-    df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = pmi_collocations(df, "doc_id", "text", min_count=3).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r["w1"], r["w2"]) == ("a", "b") and r["c_xy"] == 3
-    # N_uni = 7 (solo + 3x[a b]), N_bi = 3
-    want = math.log(3 * 7 * 7 / (3 * 3 * 3))
-    assert r["pmi"] == pytest.approx(want, abs=1e-6)
 
 
 def test_chunk_text_windows(spark):

@@ -619,79 +619,6 @@ def _negative_sample_op(df, *args, **kw):
     return negative_sample(df, *args, **kw)
 
 
-def pmi_collocations(df: DataFrame, id_col: str, text_col: str,
-                     min_count: int = 5, digits: int = 6) -> DataFrame:
-    """(w1, w2, c_xy, c_x, c_y, pmi) — pointwise mutual information
-    of adjacent token pairs over the corpus:
-
-        pmi(x,y) = ln( p(x,y) / (p(x)·p(y)) )
-                 = ln( c_xy · N_uni² / (N_bi · c_x · c_y) )
-
-    with c_xy counted over adjacent bigrams (N_bi of them) and
-    c_x/c_y over unigrams (N_uni tokens) — the standard collocation
-    / phrase-mining score (Church & Hanks 1990): high-PMI bigrams
-    ("new york") are the multi-word units a tokenizer or phrase
-    vocabulary should keep whole. Tokenization: lowercase \\W+ split,
-    empty tokens dropped (the corpus-wide convention shared with
-    bm25 / simhash).
-
-    Cross-engine exactness: all counts are exact integers; the ratio
-    is assembled as ONE DECIMAL(38,0) numerator and denominator
-    (never overflows — N ≤ 1e12 tokens keeps c_xy·N² < 1e38), each
-    cast-to-double once (correctly rounded in both engines), then a
-    single division and ln — only the release is sig-safe rounded.
-
-    Plan: one explode→agg for unigram counts, one (guarded slice +
-    zip) explode→agg for bigram counts with the ``min_count`` filter
-    applied BEFORE any join (the heavy tail never shuffles twice);
-    corpus totals ride in as 1-row broadcasts; the two unigram joins
-    are vocabulary-sized (AQE broadcasts them locally; sharded hash
-    join at corpus scale). No driver collects."""
-    from ..functions.rounding import round_sig_safe
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
-                    lambda t: F.length(t) > 0)
-    base = (df.where(F.col(text_col).isNotNull())
-            .select(F.col(id_col), toks.alias("__ts")))
-    uni = (base.select(F.explode("__ts").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
-    n = F.size("__ts")
-    pairs = F.when(n >= 2, F.arrays_zip(
-        F.slice(F.col("__ts"), 1, n - 1),
-        F.slice(F.col("__ts"), 2, n - 1))
-    ).otherwise(F.array())
-    bi = (base.select(F.explode(pairs).alias("__p"))
-          .select(F.col("__p.0").alias("w1"),
-                  F.col("__p.1").alias("w2"))
-          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
-          .where(F.col("c_xy") >= int(min_count)))
-    tot_uni = uni.agg(F.sum("c").alias("__nu"))
-    tot_bi = (base.select(F.greatest(n - 1, F.lit(0)).alias("__nb"))
-              .agg(F.sum("__nb").alias("__nb")))
-    d0 = "decimal(38,0)"
-    joined = (bi
-              .join(uni.select(F.col("w").alias("w1"),
-                               F.col("c").alias("c_x")), "w1")
-              .join(uni.select(F.col("w").alias("w2"),
-                               F.col("c").alias("c_y")), "w2")
-              .crossJoin(F.broadcast(tot_uni))
-              .crossJoin(F.broadcast(tot_bi)))
-    num = (F.col("c_xy").cast(d0) * F.col("__nu").cast(d0)
-           * F.col("__nu").cast(d0)).cast("double")
-    den = (F.col("__nb").cast(d0) * F.col("c_x").cast(d0)
-           * F.col("c_y").cast(d0)).cast("double")
-    staged = joined.select("w1", "w2", "c_xy", "c_x", "c_y",
-                           num.alias("__num"), den.alias("__den"))
-    pmi = F.when(F.col("__den") > 0,
-                 F.log(F.col("__num") / F.col("__den")))
-    return staged.select("w1", "w2", "c_xy", "c_x", "c_y",
-                         round_sig_safe(pmi, digits).alias("pmi"))
-
-
-@register_op("pmi_collocations", "df")
-def _pmi_op(df, *args, **kw):
-    return pmi_collocations(df, *args, **kw)
-
-
 def chunk_text(df: DataFrame, id_col: str, text_col: str,
                chunk_tokens: int = 128, overlap: int = 32) -> DataFrame:
     """(id, chunk_id, n_tokens, chunk) — the RAG/embedding-prep

@@ -1226,98 +1226,3 @@ def time_series_split(df, ts_col: str, cutoff,
 @_reg_rollup("lag_features", "df")
 def _lag_features_op(df, *args, **kw):
     return lag_features(df, *args, **kw)
-
-
-def acf(df, ts_col: str, value_col: str, by=None, max_lag: int = 7,
-        digits: int = 6):
-    """(by..., lag, n, acf_value) — the sample autocorrelation
-    function at lags 1..max_lag for a keyed series ordered by
-    ``ts_col``:
-
-        r_l = Σ_{t≤n−l} (x_t − μ)(x_{t+l} − μ) / Σ_t (x_t − μ)²
-
-    (population denominator over all n terms — the standard ACF
-    normalization, guaranteeing |r_l| ≤ 1 and a Toeplitz-PSD
-    autocorrelation matrix). The i.i.d.-diagnostics companion to
-    runs_test: runs says WHETHER the series is non-random, acf says
-    at WHICH horizon the memory lives (seasonality shows as spikes
-    at the period). NULL acf for zero-variance keys; a lag ≥ n has
-    no surviving cross-products and emits no row (no evidence).
-
-    Cross-engine exactness: μ and the centered sum of squares come
-    from decimal-exact power sums (Σx, Σx² — order-free); the lag
-    cross-products are rounded to 12 dp and summed in DECIMAL
-    (order-free again), so both engines assemble identical doubles
-    and only the final division needs the sig-safe release.
-
-    Plan: ONE agg for the per-key sufficient statistics, joined back
-    (AQE broadcasts the key-sized side), then ONE key-ordered window
-    shuffle computes ALL max_lag lead products (shared window spec),
-    one stack→explode (row-local), one final (key, lag) agg.
-    max_lag is a plan-size constant (max_lag lead expressions) —
-    keep it ≤ ~50; the window state is O(max_lag) per row."""
-    from pyspark.sql import Window
-    from ..functions.rounding import round_sig_safe
-    dec = "decimal(38,12)"
-    keys = ([] if by is None
-            else [by] if isinstance(by, str) else list(by))
-    part = keys if keys else [F.lit(1)]
-    x = F.col(value_col).cast("double")
-    base = df.where(x.isNotNull()).select(
-        *keys, F.col(ts_col).alias("__t"), x.alias("__x"))
-    stats = (base.groupBy(*keys)
-             .agg(F.count(F.lit(1)).alias("__n"),
-                  F.sum(F.round(F.col("__x"), 12).cast(dec))
-                  .cast("double").alias("__s1"),
-                  F.sum(F.round(F.col("__x") * F.col("__x"), 12)
-                        .cast(dec)).cast("double").alias("__s2")))
-    # stepwise attribute-referencing projections (codegen discipline)
-    nd = F.col("__n").cast("double")
-    stats = stats.select(*keys, "__n",
-                         (F.col("__s1") / nd).alias("__mu"),
-                         "__s2")
-    stats = stats.select(
-        *keys, "__n", "__mu",
-        (F.col("__s2") - F.col("__n").cast("double")
-         * F.col("__mu") * F.col("__mu")).alias("__ss"))
-    joined = (base.join(stats, on=keys) if keys
-              else base.crossJoin(F.broadcast(stats)))
-    w = Window.partitionBy(*part).orderBy("__t")
-    # the lead columns materialize in their OWN projection (a Window
-    # node): window expressions are not legal inside a Generate, so
-    # the explode below must see plain attributes
-    leads = joined.select(
-        *keys, "__n", "__ss", "__x", "__mu",
-        *[F.lead("__x", l).over(w).alias(f"__lead_{l}")
-          for l in range(1, int(max_lag) + 1)])
-    xc = F.col("__x") - F.col("__mu")
-    lag_structs = F.array(*[
-        F.struct(F.lit(l).alias("lag"),
-                 (xc * (F.col(f"__lead_{l}") - F.col("__mu")))
-                 .alias("prod"))
-        for l in range(1, int(max_lag) + 1)])
-    # NULL products (series tail / lag ≥ n) are dropped by SUM's
-    # null-skipping — no pre-filter on __prod (it would push down
-    # into the window projection, which Catalyst rejects)
-    prods = (leads
-             .select(*keys, "__n", "__ss",
-                     F.explode(lag_structs).alias("__lp"))
-             .select(*keys, "__n", "__ss",
-                     F.col("__lp.lag").alias("lag"),
-                     F.col("__lp.prod").alias("__prod")))
-    agg = (prods.groupBy(*keys, "lag")
-           .agg(F.max("__n").alias("n"),
-                F.max("__ss").alias("__ss_"),
-                F.sum(F.round(F.col("__prod"), 12).cast(dec))
-                .cast("double").alias("__num"))
-           # a lag with no surviving cross-product (lag ≥ n) has a
-           # NULL sum: no evidence, no row — post-agg filter, safe
-           .where(F.col("__num").isNotNull()))
-    r = F.when(F.col("__ss_") > 0, F.col("__num") / F.col("__ss_"))
-    return agg.select(*keys, "lag", "n",
-                      round_sig_safe(r, digits).alias("acf_value"))
-
-
-@_reg_rollup("acf", "df")
-def _acf_op(df, *args, **kw):
-    return acf(df, *args, **kw)

@@ -533,45 +533,22 @@ def ks_distance(df: DataFrame, key_cols, sample_col: str,
     statistic per key: D = max over observed points of
     |F_a(x) − F_b(x)|, the standard distribution-drift test between
     two samples (sample_col ∈ {'a','b'} — e.g. last week vs this
-    week, corpus v1 vs v2). Exact, not binned: one window per key
-    ordered by (value, sample) accumulates both empirical CDFs in a
-    single pass; ties evaluate AFTER all equal values are absorbed
-    (max over the per-value LAST cumulative pair — the textbook
-    definition on the pooled order statistics).
+    week, corpus v1 vs v2).
 
-    ONE shuffle on the key; the window sort is per-key (inside
-    partitions). For a single global pair of samples, pass a
-    constant key — or pre-aggregate to quantile sketches
-    (pipeline/sketches.py) when a key's sample no longer fits a
-    task."""
-    from pyspark.sql import Window
+    SINGLE KS implementation: thin compatibility face over
+    pipeline.abtest.ks_test (which adds arbitrary group values, the
+    asymptotic √(n_a·n_b/n)·D statistic, and exact-integer ecdf
+    cross-products so D never touches per-row float division). For
+    |D| ≤ 1 the sig-safe release equals the original fixed
+    ROUND(·, digits), so the column contract is unchanged. NULL
+    values now drop before the ecdf (previously they perturbed the
+    cumulative counts — strictly a fix)."""
+    from .abtest import ks_test
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    s = F.col(sample_col)
-    base = df.select(*keys, s.alias("__s"),
-                     F.col(value_col).alias("__v"))
-    counts = base.groupBy(*keys).agg(
-        F.sum(F.when(F.col("__s") == "a", 1).otherwise(0))
-        .cast("long").alias("n_a"),
-        F.sum(F.when(F.col("__s") == "b", 1).otherwise(0))
-        .cast("long").alias("n_b"))
-    w = (Window.partitionBy(*keys).orderBy("__v", "__s")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    cum_a = F.sum(F.when(F.col("__s") == "a", 1).otherwise(0)).over(w)
-    cum_b = F.sum(F.when(F.col("__s") == "b", 1).otherwise(0)).over(w)
-    # per distinct value, the CDF step completes at the LAST pooled
-    # row of that value: take max cum per (keys, value)
-    stepped = (base.select(*keys, "__v",
-                           cum_a.alias("__ca"), cum_b.alias("__cb"))
-               .groupBy(*keys, "__v")
-               .agg(F.max("__ca").alias("ca"),
-                    F.max("__cb").alias("cb")))
-    d = (stepped.join(counts, keys)
-         .select(*keys, "n_a", "n_b",
-                 F.abs(F.col("ca") / F.col("n_a")
-                       - F.col("cb") / F.col("n_b")).alias("__d")))
-    return (d.groupBy(*keys)
-            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
-                 F.round(F.max("__d"), digits).alias("ks")))
+    out = ks_test(df, sample_col, value_col, "a", "b", by=keys,
+                  digits=digits)
+    return out.select(*keys, "n_a", "n_b",
+                      F.col("d_stat").alias("ks"))
 
 
 @register_op("ks_distance", "df")
