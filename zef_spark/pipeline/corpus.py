@@ -687,6 +687,13 @@ def sample_k_per_group(df: DataFrame, by, k: int,
     Keys must be unique per row (the md5 rank ties only on equal
     keys); pass a different salt to draw an independent quota.
 
+    Relationship to ``weighted_sample``: this is semantically its
+    unit-weight special case (Efraimidis-Spirtsos priority −ln(u)/1
+    orders by u, i.e. by the hash), kept as its own face for the
+    TOTAL-ORDER guarantee — the explicit (md5, key) tie-break makes
+    the draw deterministic even under hash collisions, which the
+    float-priority path cannot promise.
+
     Plan: ONE group-keyed window shuffle (row_number over the md5
     order), filter rank ≤ k — no sampling UDF, no second scan. The
     per-group sort is the shuffle's own; k does not affect shuffle
