@@ -163,3 +163,55 @@ print("COMMITTED", g.max_tx())
     ages = sorted(r[1] for r in
                   ga.now().all(ET.Person).field("age").collect())
     assert ages == [30, 99]
+
+
+def test_many_writers_converge_over_one_url(spark, tmp_path, head):
+    """The multi-REPL robot scenario at N=5: five stores, each with a
+    PRIVATE cache dir, share nothing but the URL. Each commits twice
+    from its own thread under full contention (every commit races the
+    other four for the tx number and retries on the refreshed head —
+    the per-tx transactor handoff). Afterwards every store's refresh
+    must converge to the SAME head: all 11 entities present, the tx
+    chain gapless, and every receipt landed exactly once.
+    Reference scenario: python/tests/robot/tests/test.robot (many
+    REPLs, one graph, no shared filesystem)."""
+    import threading
+
+    url, _store = head
+    a = _publish(spark, url, tmp_path)
+    stores = [a] + [
+        RemoteGraphStore(spark, url, str(tmp_path / f"cache{i}"))
+        for i in range(1, 5)]
+    errs: list = []
+
+    def writer(i: int, store: RemoteGraphStore):
+        try:
+            for j in range(2):
+                store.commit([E(ET.Person, f"w{i}_{j}",
+                                fields={"age": 10 * i + j})],
+                             max_retries=40)
+        except Exception as ex:       # pragma: no cover
+            errs.append((i, ex))
+
+    threads = [threading.Thread(target=writer, args=(i, s))
+               for i, s in enumerate(stores)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errs, errs
+    heads = [s.refresh() for s in stores]
+    # same head everywhere: same tx chain, same entity set
+    assert len({g.max_tx() for g in heads}) == 1
+    # 1 publish + 10 contended commits -> gapless chain to tx 11
+    assert heads[0].max_tx() == 11
+    names = sorted(r[1] for r in
+                   heads[0].now().all(ET.Person).field("age")
+                   .collect())
+    want = sorted([30] + [10 * i + j for i in range(5)
+                          for j in range(2)])
+    assert names == want
+    for g in heads[1:]:
+        other = sorted(r[1] for r in
+                       g.now().all(ET.Person).field("age").collect())
+        assert other == names
