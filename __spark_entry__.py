@@ -9083,6 +9083,491 @@ def p_sample_k_per_lang(spark, sf_dir):
             .select("lang", "doc_id").orderBy("lang", "doc_id"))
 
 
+# ---------------------------------------------------------------------
+# r09b additions: paired/ordinal statistics tier (Wilcoxon signed-rank,
+# CUPED, Jarque-Bera, Kendall tau-b, Ljung-Box), model log-loss, and
+# int8 embedding quantization
+# ---------------------------------------------------------------------
+
+@query("w_wilcoxon_view_purchase", f"""
+WITH p AS (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'view'
+        THEN CAST(ROUND(value, 12) AS DECIMAL(38,12)) END)::DOUBLE AS a,
+    SUM(CASE WHEN event_type = 'purchase'
+        THEN CAST(ROUND(value, 12) AS DECIMAL(38,12)) END)::DOUBLE AS b
+  FROM events GROUP BY user_id
+), dd AS (
+  SELECT a - b AS d, ABS(a - b) AS ad
+  FROM p WHERE a IS NOT NULL AND b IS NOT NULL AND a - b <> 0
+), vt AS (
+  SELECT ad AS v,
+    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dd GROUP BY 1
+), c AS (
+  SELECT ca, cnt,
+    SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt AS cb
+  FROM vt
+), ag AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+    SUM(CAST(ca AS HUGEINT) * (2 * CAST(cb AS HUGEINT)
+                               + cnt + 1)) AS r2,
+    SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
+  FROM c
+), s AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd,
+    CAST(r2 AS DOUBLE) / 2.0 AS wp, CAST(ties AS DOUBLE) AS tiesd
+  FROM ag
+), e AS (
+  SELECT n, nd, wp,
+    nd * (nd + 1) * (2 * nd + 1) / 24 - tiesd / 48 AS var
+  FROM s
+), f AS (
+  SELECT n, nd, wp,
+    CASE WHEN n > 0 AND var > 0
+         THEN (wp - nd * (nd + 1) / 4) / SQRT(var) END AS z_raw
+  FROM e
+)
+SELECT n, ROUND(wp, 6) AS w_plus,
+  ROUND(nd * (nd + 1) / 2 - wp, 6) AS w_minus,
+  {sql_round_sig_safe('z_raw')} AS z
+FROM f
+""")
+def w_wilcoxon_view_purchase(spark, sf_dir):
+    """Wilcoxon signed-rank test of paired per-user view vs purchase
+    spend (pipeline/abtest.py wilcoxon_signed_rank): each user pairs
+    their own control, |d| midranks ride the shared ranksum_agg
+    engine (distinct-value collapse + range-partitioned prefix sum,
+    exact x2-scaled integer rank sums), tie-corrected z. Pair values
+    are decimal-exact per-user sums so the tie structure is
+    bit-identical cross-engine."""
+    from zef_spark.pipeline.abtest import wilcoxon_signed_rank
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,12)"
+    pairs = (ev.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("event_type") == "view",
+                               F.round(F.col("value"), 12)
+                               .cast(dec))).cast("double").alias("a"),
+                  F.sum(F.when(F.col("event_type") == "purchase",
+                               F.round(F.col("value"), 12)
+                               .cast(dec))).cast("double")
+                  .alias("b")))
+    return wilcoxon_signed_rank(pairs, "a", "b")
+
+
+@query("w_cuped_price_quantity", f"""
+WITH a AS (
+  SELECT
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         AS BIGINT) AS na,
+    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+         AS BIGINT) AS nb,
+    SUM(CASE WHEN l_returnflag = 'R' THEN
+        CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS ya,
+    SUM(CASE WHEN l_returnflag = 'N' THEN
+        CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS yb,
+    SUM(CASE WHEN l_returnflag = 'R' THEN
+        CAST(ROUND(CAST(l_quantity AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS xa,
+    SUM(CASE WHEN l_returnflag = 'N' THEN
+        CAST(ROUND(CAST(l_quantity AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS xb,
+    SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_extendedprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sxy,
+    SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE)
+                   * CAST(l_quantity AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sxx,
+    SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE)
+                   * CAST(l_extendedprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS syy
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'N')
+    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), d1 AS (
+  SELECT na, nb, ya, yb, xa, xb,
+    CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) AS n,
+    ya + yb AS sy, xa + xb AS sx, sxy, sxx, syy
+  FROM a
+), d2 AS (
+  SELECT na, nb, ya, yb, xa, xb, n, sx,
+    sxy - sx * sy / n AS cxy,
+    sxx - sx * sx / n AS cxx,
+    syy - sy * sy / n AS cyy
+  FROM d1
+), d3 AS (
+  SELECT na, nb, n, sx,
+    ya / CAST(na AS DOUBLE) AS ma, yb / CAST(nb AS DOUBLE) AS mb,
+    xa / CAST(na AS DOUBLE) AS mxa, xb / CAST(nb AS DOUBLE) AS mxb,
+    CASE WHEN na > 0 AND nb > 0 AND cxx > 0
+         THEN cxy / cxx END AS theta,
+    CASE WHEN na > 0 AND nb > 0 AND cxx > 0 AND cyy > 0
+         THEN cxy * cxy / (cxx * cyy) END AS vr
+  FROM d2
+), d4 AS (
+  SELECT na, nb, ma, mb, theta, vr,
+    ma - theta * (mxa - sx / n) AS maa,
+    mb - theta * (mxb - sx / n) AS mba
+  FROM d3
+)
+SELECT na AS n_a, nb AS n_b,
+  {sql_round_sig_safe('theta')} AS theta,
+  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+  {sql_round_sig_safe('maa')} AS mean_a_adj,
+  {sql_round_sig_safe('mba')} AS mean_b_adj,
+  {sql_round_sig_safe('maa - mba')} AS diff_adj,
+  {sql_round_sig_safe('vr')} AS var_reduction
+FROM d4
+""")
+def w_cuped_price_quantity(spark, sf_dir):
+    """CUPED variance-reduction adjustment (Deng et al. WSDM'13) of
+    lineitem extendedprice between return flags R and N with quantity
+    as the covariate (pipeline/abtest.py cuped_adjust): theta =
+    cov(x,y)/var(x) and both adjusted means from ONE conditional-agg
+    scan of decimal-exact sums — the A/B-testing workhorse that
+    shrinks experiment runtimes by 1/(1-rho^2)."""
+    from zef_spark.pipeline.abtest import cuped_adjust
+    li = _t(spark, sf_dir, "lineitem")
+    return cuped_adjust(li, "l_returnflag", "l_extendedprice",
+                        "l_quantity", "R", "N")
+
+
+@query("w_jarque_bera_acctbal", f"""
+WITH a AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s1,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s2,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s3,
+    SUM(CAST(ROUND(CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE)
+                   * CAST(c_acctbal AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS s4
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT c_mktsegment, n,
+    s1 / CAST(n AS DOUBLE) AS mu, s2 / CAST(n AS DOUBLE) AS p2,
+    s3 / CAST(n AS DOUBLE) AS p3, s4 / CAST(n AS DOUBLE) AS p4
+  FROM a
+), m AS (
+  SELECT c_mktsegment, n, mu,
+    p2 - mu * mu AS m2,
+    p3 - 3 * mu * p2 + 2 * mu * mu * mu AS m3,
+    p4 - 4 * mu * p3 + 6 * mu * mu * p2
+      - 3 * mu * mu * mu * mu AS m4
+  FROM d
+), r AS (
+  SELECT c_mktsegment, n,
+    CASE WHEN m2 > 0 THEN m3 / SQRT(m2 * m2 * m2) END AS sk,
+    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS ku
+  FROM m
+), f AS (
+  SELECT c_mktsegment, n, sk, ku,
+    CAST(n AS DOUBLE) / 6.0 * (sk * sk + ku * ku / 4.0) AS jb
+  FROM r
+)
+SELECT c_mktsegment, n,
+  {sql_round_sig_safe('sk')} AS skewness,
+  {sql_round_sig_safe('ku')} AS kurtosis,
+  {sql_round_sig_safe('jb')} AS jb
+FROM f ORDER BY c_mktsegment
+""")
+def w_jarque_bera_acctbal(spark, sf_dir):
+    """Jarque-Bera normality test of customer balances per market
+    segment (pipeline/wrangling.py jarque_bera): JB = n/6*(g1^2 +
+    g2^2/4) from the SAME _moment_raw engine as group_moments — one
+    map-side-combinable hash agg of decimal-exact power sums; gate
+    against the chi2(2) critical value 5.99."""
+    from zef_spark.pipeline.wrangling import jarque_bera
+    cust = _t(spark, sf_dir, "customer")
+    return (jarque_bera(cust, "c_acctbal", by="c_mktsegment")
+            .orderBy("c_mktsegment"))
+
+
+@query("e_kendall_tau_daily", f"""
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    CAST(COUNT(*) AS DOUBLE) AS x,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS y
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type, x, y,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, y) AS rn
+  FROM s
+), pr AS (
+  SELECT a.event_type,
+    CAST(SIGN(b.x - a.x) * SIGN(b.y - a.y) AS BIGINT) AS sgn
+  FROM pts a JOIN pts b
+    ON a.event_type = b.event_type AND a.rn < b.rn
+), sd AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+  FROM pr GROUP BY 1
+), tx AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS xn,
+    SUM(CAST(t AS HUGEINT) * (t - 1)) AS xp2,
+    SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS xv,
+    SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS xp3
+  FROM (SELECT event_type, x, COUNT(*) AS t FROM s GROUP BY 1, 2)
+  GROUP BY 1
+), ty AS (
+  SELECT event_type,
+    SUM(CAST(t AS HUGEINT) * (t - 1)) AS yp2,
+    SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS yv,
+    SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS yp3
+  FROM (SELECT event_type, y, COUNT(*) AS t FROM s GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT tx.event_type, xn, xp2, xv, xp3, yp2, yv, yp3, s_stat
+  FROM tx JOIN ty USING (event_type) JOIN sd USING (event_type)
+), f AS (
+  SELECT event_type, xn AS n, s_stat,
+    CAST(CAST(xn AS HUGEINT) * (xn - 1) - xp2 AS DOUBLE) AS dx,
+    CAST(CAST(xn AS HUGEINT) * (xn - 1) - yp2 AS DOUBLE) AS dy,
+    CAST(s_stat AS DOUBLE) AS sdbl, CAST(xn AS DOUBLE) AS nd,
+    CAST(xp2 AS DOUBLE) AS xp2d, CAST(yp2 AS DOUBLE) AS yp2d,
+    CAST(xv AS DOUBLE) AS xvd, CAST(yv AS DOUBLE) AS yvd,
+    CAST(xp3 AS DOUBLE) AS xp3d, CAST(yp3 AS DOUBLE) AS yp3d
+  FROM j
+), g AS (
+  SELECT event_type, n, s_stat, sdbl,
+    CASE WHEN dx > 0 AND dy > 0
+         THEN 2.0 * sdbl / SQRT(dx * dy) END AS tau_raw,
+    (nd * (nd - 1) * (2 * nd + 5) - xvd - yvd) / 18.0
+      + xp3d * yp3d / (9.0 * nd * (nd - 1) * (nd - 2))
+      + xp2d * yp2d / (2.0 * nd * (nd - 1)) AS var_s
+  FROM f
+), h AS (
+  SELECT event_type, n, s_stat, tau_raw,
+    CASE WHEN var_s > 0 THEN sdbl / SQRT(var_s) END AS z_raw
+  FROM g
+)
+SELECT event_type, n, s_stat,
+  {sql_round_sig_safe('tau_raw')} AS tau_b,
+  {sql_round_sig_safe('z_raw')} AS z
+FROM h ORDER BY event_type
+""")
+def e_kendall_tau_daily(spark, sf_dir):
+    """Kendall tau-b between each event type's daily activity (count)
+    and daily total value (pipeline/wrangling.py kendall_tau):
+    concordant-discordant S and BOTH marginal tie profiles as exact
+    integers, the fully tie-corrected Kendall (1976) variance, one
+    sqrt at release — the ordinal does-more-activity-mean-more-value
+    probe. Bounded-series pair join under the max_points_per_key
+    guard (days per type, never raw events)."""
+    from zef_spark.pipeline.wrangling import kendall_tau
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,12)"
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("x"),
+                  F.sum(F.round(F.col("value"), 12).cast(dec))
+                  .cast("double").alias("y")))
+    return (kendall_tau(daily, "x", "y", by="event_type")
+            .orderBy("event_type"))
+
+
+@query("p_log_loss_purchase", f"""
+WITH t AS (
+  SELECT CASE WHEN event_type = 'purchase'
+         THEN -LN(CAST((user_id % 97) + 1 AS DOUBLE)
+                  / CAST(100 AS DOUBLE))
+         ELSE -LN(1.0 - CAST((user_id % 97) + 1 AS DOUBLE)
+                        / CAST(100 AS DOUBLE)) END AS term
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(term, 12) AS DECIMAL(38,12)))::DOUBLE
+      / CAST(COUNT(*) AS DOUBLE) AS ll
+  FROM t
+)
+SELECT n, {sql_round_sig_safe('ll')} AS log_loss FROM ag
+""")
+def p_log_loss_purchase(spark, sf_dir):
+    """Binary cross-entropy (nats) of a deterministic integer-derived
+    score against the purchase label (pipeline/evaluation.py
+    log_loss): ONE hash agg, each -[y ln p + (1-y) ln(1-p)] term
+    rounded half-up to 12 dp before the decimal sum (the KL/PMI
+    nat-sum discipline) — the training-aligned proper scoring rule
+    beside the polynomial brier_score."""
+    from zef_spark.pipeline.evaluation import log_loss
+    ev = _events(spark, sf_dir)
+    evl = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (((F.col("user_id") % 97) + 1).cast("double")
+         / F.lit(100).cast("double")).alias("p"))
+    return log_loss(evl, "p", "y")
+
+
+@query("e_ljung_box_hourly", f"""
+WITH s AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), led AS (
+  SELECT event_type, x,
+         LEAD(x,1) OVER w AS l1, LEAD(x,2) OVER w AS l2,
+         LEAD(x,3) OVER w AS l3, LEAD(x,4) OVER w AS l4,
+         LEAD(x,5) OVER w AS l5, LEAD(x,6) OVER w AS l6
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY h)
+), st AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(ROUND(x,12) AS DECIMAL(38,12)))::DOUBLE AS s,
+    SUM(CAST(ROUND(x*x,12) AS DECIMAL(38,12)))::DOUBLE AS ss,
+    COUNT(l1) AS m1,
+    SUM(CAST(ROUND(x*l1,12) AS DECIMAL(38,12)))::DOUBLE AS a1,
+    SUM(CASE WHEN l1 IS NOT NULL THEN
+        CAST(ROUND(x+l1,12) AS DECIMAL(38,12)) END)::DOUBLE AS b1,
+    COUNT(l2) AS m2,
+    SUM(CAST(ROUND(x*l2,12) AS DECIMAL(38,12)))::DOUBLE AS a2,
+    SUM(CASE WHEN l2 IS NOT NULL THEN
+        CAST(ROUND(x+l2,12) AS DECIMAL(38,12)) END)::DOUBLE AS b2,
+    COUNT(l3) AS m3,
+    SUM(CAST(ROUND(x*l3,12) AS DECIMAL(38,12)))::DOUBLE AS a3,
+    SUM(CASE WHEN l3 IS NOT NULL THEN
+        CAST(ROUND(x+l3,12) AS DECIMAL(38,12)) END)::DOUBLE AS b3,
+    COUNT(l4) AS m4,
+    SUM(CAST(ROUND(x*l4,12) AS DECIMAL(38,12)))::DOUBLE AS a4,
+    SUM(CASE WHEN l4 IS NOT NULL THEN
+        CAST(ROUND(x+l4,12) AS DECIMAL(38,12)) END)::DOUBLE AS b4,
+    COUNT(l5) AS m5,
+    SUM(CAST(ROUND(x*l5,12) AS DECIMAL(38,12)))::DOUBLE AS a5,
+    SUM(CASE WHEN l5 IS NOT NULL THEN
+        CAST(ROUND(x+l5,12) AS DECIMAL(38,12)) END)::DOUBLE AS b5,
+    COUNT(l6) AS m6,
+    SUM(CAST(ROUND(x*l6,12) AS DECIMAL(38,12)))::DOUBLE AS a6,
+    SUM(CASE WHEN l6 IS NOT NULL THEN
+        CAST(ROUND(x+l6,12) AS DECIMAL(38,12)) END)::DOUBLE AS b6
+  FROM led GROUP BY event_type
+), lagrows AS (
+  SELECT event_type, 1 AS lag, m1 AS np,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a1 - (s/n)*b1 + m1*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 2, m2,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a2 - (s/n)*b2 + m2*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END
+  FROM st
+  UNION ALL
+  SELECT event_type, 3, m3,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a3 - (s/n)*b3 + m3*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END
+  FROM st
+  UNION ALL
+  SELECT event_type, 4, m4,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a4 - (s/n)*b4 + m4*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END
+  FROM st
+  UNION ALL
+  SELECT event_type, 5, m5,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a5 - (s/n)*b5 + m5*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END
+  FROM st
+  UNION ALL
+  SELECT event_type, 6, m6,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a6 - (s/n)*b6 + m6*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END
+  FROM st
+), ag AS (
+  SELECT event_type,
+    MAX(CASE WHEN np > 0 THEN np + lag END) AS n,
+    CAST(COUNT(r) AS BIGINT) AS dof,
+    SUM(CASE WHEN r IS NOT NULL THEN
+        CAST(ROUND(r * r / CAST(np AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS sm
+  FROM lagrows GROUP BY 1
+), fi AS (
+  SELECT event_type, n, dof,
+    CASE WHEN dof > 0 THEN
+      CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * sm END AS q_raw
+  FROM ag
+)
+SELECT event_type, n, dof,
+  {sql_round_sig_safe('q_raw')} AS q_stat
+FROM fi ORDER BY event_type
+""")
+def e_ljung_box_hourly(spark, sf_dir):
+    """Ljung-Box portmanteau Q over each event type's hourly count
+    series, lags 1-6 (pipeline/rollup.py ljung_box): assembles ON
+    TOP of acf's one-window-shuffle sums — each r_k^2/(n-k) term
+    rounds to 12 dp into a decimal sum (lag-order-independent), one
+    double multiply releases sig-safe. The white-noise gate before
+    i.i.d.-assuming statistics on a series."""
+    from zef_spark.pipeline.rollup import ljung_box
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts"))
+                         .cast("timestamp_ntz").alias("h"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return (ljung_box(series, "h", "x", max_lag=6, by="event_type")
+            .orderBy("event_type"))
+
+
+@query("p_quantization_error", f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding,
+                            x -> ABS(CAST(x AS DOUBLE)))) / 127.0
+      AS scale,
+    LEN(embedding) AS d
+  FROM embeddings
+), e AS (
+  SELECT vec_id, scale, d, CAST(u.x AS DOUBLE) AS x
+  FROM q, UNNEST(embedding) AS u(x)
+), t AS (
+  SELECT vec_id, scale, d,
+    CASE WHEN scale > 0
+         THEN x - FLOOR(x / scale + 0.5) * scale
+         ELSE x END AS err
+  FROM e
+), per AS (
+  SELECT vec_id, MAX(scale) AS scale,
+    SUM(CAST(ROUND(err * err, 12) AS DECIMAL(28,12)))::DOUBLE
+      / MAX(d) AS mse,
+    MAX(ABS(err)) AS maxerr
+  FROM t GROUP BY vec_id
+), ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(mse, 12) AS DECIMAL(38,12)))::DOUBLE
+      / CAST(COUNT(*) AS DOUBLE) AS mmse,
+    MAX(maxerr) AS gmax,
+    SUM(CAST(ROUND(scale, 12) AS DECIMAL(38,12)))::DOUBLE
+      / CAST(COUNT(*) AS DOUBLE) AS mscale
+  FROM per
+)
+SELECT n, {sql_round_sig_safe('mmse')} AS mean_mse,
+  {sql_round_sig_safe('gmax')} AS max_abs_err,
+  {sql_round_sig_safe('mscale')} AS mean_scale
+FROM ag
+""")
+def p_quantization_error(spark, sf_dir):
+    """int8 symmetric quantization error profile over the embeddings
+    corpus (pipeline/embeddings.py quantize_embeddings +
+    quantization_profile): per-vector scale = max|v|/127, q =
+    floor(v/scale + 1/2) — the ONE rounding spelling bit-identical
+    across engines — then corpus mean MSE / max element error / mean
+    scale. Row-local transforms, zero shuffle, ONE 1-row agg: the
+    accept gate before swapping a float32 ANN index for its int8
+    twin."""
+    from zef_spark.pipeline.embeddings import quantization_profile
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantization_profile(emb, "embedding")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -9119,6 +9604,13 @@ _FRONT = [
     "w_trimmed_mean_acctbal", "e_runs_test_value",
     "w_ks_price_priority", "p_chunk_text", "p_sample_k_per_lang",
     "e_acf_hourly", "p_pmi_collocations",
+    # (a') NEW THIS ROUND (r09b paired/ordinal statistics tier +
+    # model log-loss + int8 quantization) — new registrations take
+    # window priority so no query starts life unproven
+    "w_wilcoxon_view_purchase", "w_cuped_price_quantity",
+    "w_jarque_bera_acctbal", "e_kendall_tau_daily",
+    "p_log_loss_purchase", "e_ljung_box_hourly",
+    "p_quantization_error",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

@@ -1,0 +1,319 @@
+"""Unit tests for the r09b paired/ordinal statistics tier: Wilcoxon
+signed-rank, CUPED, Jarque-Bera, Kendall tau-b, Ljung-Box, log-loss,
+and int8 embedding quantization."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- wilcoxon
+
+def test_wilcoxon_known_example(spark):
+    from zef_spark.pipeline.abtest import wilcoxon_signed_rank
+    # classic textbook pairs; d = a-b: [5, -3, 8, -1, 2, 4]
+    # |d| sorted: 1,2,3,4,5,8 -> ranks 1..6 (no ties)
+    # positive d: 5(r5), 8(r6), 2(r2), 4(r4) -> W+ = 17, W- = 4
+    rows = [(10.0, 5.0), (4.0, 7.0), (20.0, 12.0),
+            (3.0, 4.0), (9.0, 7.0), (11.0, 7.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r["n"] == 6
+    assert r["w_plus"] == 17.0
+    assert r["w_minus"] == 4.0
+    n = 6.0
+    var = n * (n + 1) * (2 * n + 1) / 24
+    z = (17.0 - n * (n + 1) / 4) / math.sqrt(var)
+    assert abs(r["z"] - z) < 1e-6
+
+
+def test_wilcoxon_zero_diffs_drop_and_ties(spark):
+    from zef_spark.pipeline.abtest import wilcoxon_signed_rank
+    # two zero differences drop; |d| = [1,1,2] -> midranks 1.5,1.5,3
+    rows = [(5.0, 5.0), (7.0, 7.0),
+            (3.0, 2.0), (1.0, 2.0), (6.0, 4.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r["n"] == 3
+    # positive d: +1 (rank 1.5), +2 (rank 3) -> W+ = 4.5
+    assert r["w_plus"] == 4.5
+    assert r["w_minus"] == 1.5
+
+
+def test_wilcoxon_all_zero_diffs_null_z(spark):
+    from zef_spark.pipeline.abtest import wilcoxon_signed_rank
+    df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)],
+                               "a double, b double")
+    r = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert r["n"] == 0 and r["z"] is None
+
+
+# ------------------------------------------------------------------- cuped
+
+def test_cuped_matches_numpy(spark):
+    import numpy as np
+    from zef_spark.pipeline.abtest import cuped_adjust
+    rng = np.random.RandomState(7)
+    x = rng.normal(10, 2, 400)
+    y = 3.0 * x + rng.normal(0, 1, 400)
+    g = np.where(np.arange(400) % 2 == 0, "A", "B")
+    rows = [(str(gi), float(yi), float(xi))
+            for gi, yi, xi in zip(g, y, x)]
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    r = cuped_adjust(df, "g", "y", "x", "A", "B").collect()[0]
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(r["theta"] - theta) < 1e-3
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(r["var_reduction"] - rho2) < 1e-3
+    ya = y[g == "A"].mean()
+    xa = x[g == "A"].mean()
+    maa = ya - theta * (xa - x.mean())
+    assert abs(r["mean_a_adj"] - maa) < 1e-3
+    # CUPED invariance: adjusted diff == raw diff shifted by
+    # theta*(x-bar_a - x-bar_b); with a balanced covariate the two
+    # stay close
+    assert abs((r["mean_a_adj"] - r["mean_b_adj"]) - r["diff_adj"]) \
+        < 1e-6
+
+
+def test_cuped_degenerate_covariate(spark):
+    from zef_spark.pipeline.abtest import cuped_adjust
+    df = spark.createDataFrame(
+        [("A", 1.0, 5.0), ("A", 2.0, 5.0), ("B", 3.0, 5.0)],
+        "g string, y double, x double")
+    r = cuped_adjust(df, "g", "y", "x", "A", "B").collect()[0]
+    assert r["theta"] is None and r["mean_a_adj"] is None
+
+
+# ------------------------------------------------------------- jarque-bera
+
+def test_jarque_bera_matches_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.wrangling import jarque_bera
+    rng = np.random.RandomState(3)
+    v = rng.lognormal(0, 0.6, 500)  # clearly non-normal
+    df = spark.createDataFrame([(float(x),) for x in v], "v double")
+    r = jarque_bera(df, "v").collect()[0]
+    m = v - v.mean()
+    m2, m3, m4 = (m ** 2).mean(), (m ** 3).mean(), (m ** 4).mean()
+    sk = m3 / m2 ** 1.5
+    ku = m4 / m2 ** 2 - 3.0
+    jb = len(v) / 6.0 * (sk * sk + ku * ku / 4.0)
+    assert abs(r["skewness"] - sk) < 1e-4
+    assert abs(r["kurtosis"] - ku) < 1e-4
+    assert abs(r["jb"] - jb) / jb < 1e-4
+    assert r["jb"] > 5.99  # rejects normality
+
+
+def test_jarque_bera_constant_null(spark):
+    from zef_spark.pipeline.wrangling import jarque_bera
+    df = spark.createDataFrame([(1.0,)] * 5, "v double")
+    r = jarque_bera(df, "v").collect()[0]
+    assert r["skewness"] is None and r["jb"] is None
+
+
+def test_jarque_bera_agrees_with_group_moments(spark, sf_dir):
+    from zef_spark.pipeline.wrangling import jarque_bera, group_moments
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    jb = {r["c_mktsegment"]: r for r in
+          jarque_bera(cust, "c_acctbal", by="c_mktsegment").collect()}
+    gm = {r["c_mktsegment"]: r for r in
+          group_moments(cust, "c_acctbal", by="c_mktsegment").collect()}
+    for k in gm:
+        assert jb[k]["skewness"] == gm[k]["skewness"]
+        assert jb[k]["kurtosis"] == gm[k]["kurtosis"]
+
+
+# ------------------------------------------------------------- kendall tau
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    from zef_spark.pipeline.wrangling import kendall_tau
+    rows = [(float(i), float(i * 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["tau_b"] == 1.0 and r["s_stat"] == 45
+    rows = [(float(i), float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["tau_b"] == -1.0
+
+
+def test_kendall_tau_matches_scipy_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.wrangling import kendall_tau
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 8, 60).astype(float)   # heavy ties
+    y = (x + rng.randint(0, 5, 60)).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    # exact reference computation
+    n = len(x)
+    s = sum((1 if (x[j] - x[i]) * (y[j] - y[i]) > 0
+             else -1 if (x[j] - x[i]) * (y[j] - y[i]) < 0 else 0)
+            for i in range(n) for j in range(i + 1, n))
+    from collections import Counter
+    tx = Counter(x.tolist()).values()
+    ty = Counter(y.tolist()).values()
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx)
+    n2 = sum(t * (t - 1) / 2 for t in ty)
+    tau = s / math.sqrt((n0 - n1) * (n0 - n2))
+    assert r["s_stat"] == s
+    assert abs(r["tau_b"] - tau) < 1e-6
+
+
+def test_kendall_tau_guard_fires(spark):
+    from zef_spark.pipeline.wrangling import kendall_tau
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(30)], "x double, y double")
+    with pytest.raises(Exception, match="max_points_per_key"):
+        kendall_tau(df, "x", "y", max_points_per_key=10).collect()
+
+
+# --------------------------------------------------------------- ljung-box
+
+def test_ljung_box_matches_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.rollup import ljung_box, acf
+    rng = np.random.RandomState(5)
+    v = np.cumsum(rng.normal(0, 1, 120))  # strongly autocorrelated
+    rows = [(i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    r = ljung_box(df, "t", "v", max_lag=6).collect()[0]
+    rs = {row["lag"]: row["r"]
+          for row in acf(df, "t", "v", max_lag=6, digits=12).collect()}
+    n = len(v)
+    q = n * (n + 2) * sum(rs[k] ** 2 / (n - k) for k in range(1, 7))
+    assert r["n"] == n and r["dof"] == 6
+    assert abs(r["q_stat"] - q) / q < 1e-6
+    assert r["q_stat"] > 12.59  # chi2_6 critical: serial structure
+
+
+def test_ljung_box_short_series(spark):
+    from zef_spark.pipeline.rollup import ljung_box
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0), (3, 2.0)], "t int, v double")
+    r = ljung_box(df, "t", "v", max_lag=6).collect()[0]
+    assert r["n"] == 3          # lag rows beyond n don't inflate n
+    assert r["dof"] == 2        # only lags 1-2 defined
+
+
+# ---------------------------------------------------------------- log loss
+
+def test_log_loss_matches_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.evaluation import log_loss
+    rng = np.random.RandomState(9)
+    p = rng.uniform(0.05, 0.95, 200)
+    y = (rng.uniform(size=200) < p)
+    df = spark.createDataFrame(
+        [(bool(yi), float(pi)) for yi, pi in zip(y, p)],
+        "y boolean, p double")
+    r = log_loss(df, "p", "y").collect()[0]
+    ref = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+    assert r["n"] == 200
+    assert abs(r["log_loss"] - ref) < 1e-5
+
+
+def test_log_loss_clips_extremes(spark):
+    from zef_spark.pipeline.evaluation import log_loss
+    df = spark.createDataFrame(
+        [(True, 0.0), (False, 1.0)], "y boolean, p double")
+    r = log_loss(df, "p", "y").collect()[0]
+    assert r["log_loss"] is not None and math.isfinite(r["log_loss"])
+
+
+def test_log_loss_keyed_and_confident_mistakes(spark):
+    from zef_spark.pipeline.evaluation import log_loss
+    rows = [("good", True, 0.9), ("good", False, 0.1),
+            ("bad", True, 0.1), ("bad", False, 0.9)]
+    df = spark.createDataFrame(rows, "k string, y boolean, p double")
+    out = {r["k"]: r["log_loss"]
+           for r in log_loss(df, "p", "y", by="k").collect()}
+    assert out["bad"] > out["good"]
+
+
+# ------------------------------------------------------------ quantization
+
+def test_quantize_roundtrip_bound(spark):
+    import numpy as np
+    from zef_spark.pipeline.embeddings import quantize_embeddings
+    rng = np.random.RandomState(2)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = quantize_embeddings(df, "v").collect()
+    for r in q:
+        assert all(-127 <= qi <= 127 for qi in r["q_vec"])
+        err = [abs(x - qi * r["q_scale"])
+               for x, qi in zip(r["v"], r["q_vec"])]
+        assert max(err) <= r["q_scale"] / 2 + 1e-12
+
+
+def test_quantize_zero_vector_and_exact(spark):
+    from zef_spark.pipeline.embeddings import quantize_embeddings
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [127.0, -127.0])],
+        "id long, v array<double>")
+    out = {r["id"]: r for r in quantize_embeddings(df, "v").collect()}
+    assert out[1]["q_vec"] == [0, 0] and out[1]["q_scale"] == 0.0
+    assert out[2]["q_vec"] == [127, -127] and out[2]["q_scale"] == 1.0
+
+
+def test_quantization_profile_bounds(spark, sf_dir):
+    from zef_spark.pipeline.embeddings import quantization_profile
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    r = quantization_profile(emb, "embedding").collect()[0]
+    assert r["n"] > 0
+    # max element error bounded by the worst per-vector scale/2;
+    # scales here are ~max|v|/127 with |v| < 1 -> generous cap
+    assert 0 < r["max_abs_err"] < 0.01
+    assert 0 < r["mean_mse"] < r["max_abs_err"] ** 2
+    assert r["mean_scale"] > 0
+
+
+# ------------------------------------------------- sig-safe release parity
+
+def test_round_sig_safe_array_form_many_columns(spark):
+    """The r09 element_at spelling keeps a WIDE sig-safe release
+    inside whole-stage codegen: 8 chains in one projection used to
+    generate a 1.3MB processNext and trip janino (cuped)."""
+    from zef_spark.functions.rounding import round_sig_safe
+    df = spark.createDataFrame(
+        [(1.23456789e5, -0.000012345, 7.5e8, 0.5)],
+        "a double, b double, c double, d double")
+    cols = [round_sig_safe(F.col(c) * F.lit(m), 6).alias(f"{c}{i}")
+            for i, (c, m) in enumerate(
+                [("a", 1.0), ("b", 1.0), ("c", 1.0), ("d", 1.0),
+                 ("a", -1.0), ("b", -1.0), ("c", 3.0), ("d", 7.0)])]
+    r = df.select(*cols).collect()[0]
+    assert r["a0"] == 123456.789       # 6 int digits -> 3 dp cap
+    assert r["b1"] == -1.2e-05         # < 1 -> full 6 dp
+    assert r["c2"] == 7.5e8            # 9 int digits -> 0 dp
+    assert r["d3"] == 0.5
+
+
+def test_round_sig_safe_value_grid_unchanged(spark):
+    """element_at spelling must land on the IDENTICAL grid as the
+    original CASE chain (and the DuckDB twin)."""
+    import duckdb
+    from zef_spark.functions.rounding import round_sig_safe, \
+        sql_round_sig_safe
+    vals = [0.0, -0.0, 1.5, -1.5, 123456.789123, -123456.789123,
+            1.23e-9, -1.23e-9, 9.87654321e8, -9.87654321e8,
+            1.999999949999, 4.9999999e17, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["y"] for r in
+           df.select(round_sig_safe(F.col("x"), 6).alias("y"))
+           .collect()]
+    con = duckdb.connect()
+    exp = []
+    for v in vals:
+        lit = "CAST(NULL AS DOUBLE)" if v is None \
+            else f"CAST({v!r} AS DOUBLE)"
+        exp.append(con.execute(
+            f"SELECT {sql_round_sig_safe(lit)}").fetchone()[0])
+    assert [repr(g) for g in got] == [repr(e) for e in exp]

@@ -128,6 +128,9 @@ ROUND_MAG_OK: dict[str, str] = {
         "1e6 (one correctly-rounded ÷); the µs total lands on an "
         "accidental ≤6-decimal grid, which the lint's grid sniffing "
         "cannot tell from a ROUND",
+    "w_cuped_price_quantity": "mean_a/mean_b = decimal-exact Σ ÷ int "
+        "n (one ÷, the welch proof); theta/adjusted means/diff/vr "
+        "are sig-safe-rounded multiply-add chains",
 }
 
 

@@ -19,9 +19,18 @@ Determinism notes:
   straddle an integer boundary by one ulp at exact powers of 10;
   string length of an integer cannot.
 - Spark's `round(col, scale)` requires a foldable scale, so the
-  column-dependent scale is expressed as a bounded CASE chain (one
-  branch per reachable scale, all whole-stage-codegen'd, row-local —
-  zero shuffle, zero Python).
+  column-dependent scale is expressed by evaluating every reachable
+  fixed-scale round into ONE inline array and `element_at`-ing the
+  effective scale (all whole-stage-codegen'd, row-local — zero
+  shuffle, zero Python). This spelling replaced the original nested
+  CASE chain in r09: the chain re-evaluated the digit-count
+  subexpression in every arm and the −0.0-normalization wrapper
+  duplicated the whole tree, so a release with 5 sig-safe columns
+  generated a 1.3MB processNext, blew janino's 64KB method limit,
+  and silently fell back to interpreted codegen. The array form is
+  value-identical (same round(c, d) pick, same NULL propagation;
+  `+ 0.0` performs the same −0.0→0.0 normalization IEEE-exactly)
+  and ~20× smaller in generated code.
 - `sql_round_sig_safe` emits the equivalent DuckDB expression so a
   query and its oracle round on exactly the same grid.
 """
@@ -49,15 +58,19 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
                                       .cast("string"))))
     d = F.least(F.lit(int(digits)), F.lit(int(max_sig)) - int_digits)
     lo = int(max_sig) - _MAX_INT_DIGITS
-    expr = F.round(c, lo)
-    for k in range(lo + 1, int(digits) + 1):
-        expr = F.when(d == k, F.round(c, k)).otherwise(expr)
-    # normalize negative zero: a tiny negative rounds to -0.0 in
-    # DuckDB but 0.0 in Spark — repr('-0.0') != repr('0.0'), so the
-    # driver's raw value hash would split on the SIGN of a zero
-    # (found by the property test in tests/test_rounding.py)
-    return (F.when(c.isNull(), F.lit(None).cast("double"))
-            .when(expr == 0, F.lit(0.0)).otherwise(expr))
+    # every reachable fixed scale evaluated into one inline array,
+    # then element_at picks the effective one — d ∈ [lo, digits] by
+    # construction (int_digits ∈ [0, 19]), so the 1-based index is
+    # always in range; NULL c → NULL elements and NULL d → NULL out
+    arr = F.array(*[F.round(c, k) for k in range(lo, int(digits) + 1)])
+    expr = F.element_at(arr, d - F.lit(lo) + F.lit(1))
+    # `+ 0.0` normalizes negative zero (−0.0 + 0.0 = +0.0, and
+    # x + 0.0 = x IEEE-exactly for every other double incl. NULL
+    # propagation): a tiny negative rounds to -0.0 in DuckDB but 0.0
+    # in Spark — repr('-0.0') != repr('0.0'), so the driver's raw
+    # value hash would split on the SIGN of a zero (found by the
+    # property test in tests/test_rounding.py)
+    return expr + F.lit(0.0)
 
 
 def sql_round_sig_safe(x: str, digits: int = 6, max_sig: int = 9) -> str:

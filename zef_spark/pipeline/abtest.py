@@ -811,3 +811,170 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
 @register_op("ks_test", "df")
 def _ks_op(df, *args, **kw):
     return ks_test(df, *args, **kw)
+
+
+def wilcoxon_signed_rank(df: DataFrame, value_a: str, value_b: str,
+                         n_ranges: int | None = None,
+                         digits: int = 6) -> DataFrame:
+    """One row (n, w_plus, w_minus, z) — the Wilcoxon SIGNED-RANK
+    test for PAIRED samples (each row is one subject carrying both
+    measurements): d = a − b, zero differences drop (the standard
+    Wilcoxon reduction), |d| is midranked, and
+
+        W+ = Σ ranks of positive d,   W− = n(n+1)/2 − W+
+        z  = (W+ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+
+    with the tie-corrected normal approximation. The paired
+    companion to mann_whitney_u (independent samples): use it for
+    before/after or promised/actual comparisons where each row pairs
+    its own control (reference parity: the sort+enumerate rank
+    assembly of python/zef/ops — ITF zefops — hand-rolls this).
+
+    Plan: the |d| ranking rides the SAME shared ranksum_agg engine
+    as mann_whitney_u / binary_auc — one value-grouped hash agg to
+    the distinct-|d| table, range-partitioned two-phase prefix sum,
+    exact ×2-scaled integer rank sums. Nothing new shuffles."""
+    from ..functions.rounding import round_sig_safe
+    a = F.col(value_a).cast("double")
+    b = F.col(value_b).cast("double")
+    d = a - b
+    base = (df.where(a.isNotNull() & b.isNotNull() & (d != 0))
+            .select(d.alias("__d"), F.abs(d).alias("__absd")))
+    agg = ranksum_agg(base, "__absd", F.col("__d") > 0, n_ranges)
+    n = F.col("__nl").cast("double")
+    wp = F.col("__r2").cast("double") / F.lit(2.0)
+    wm = n * (n + 1) / 2 - wp
+    var = (n * (n + 1) * (2 * n + 1) / 24
+           - F.col("__ties").cast("double") / 48)
+    ok = (F.col("__nl") > 0) & (var > 0)
+    z = F.when(ok, (wp - n * (n + 1) / 4) / F.sqrt(var))
+    return agg.select(
+        # all diffs zero (or empty input) -> the rank agg sums are
+        # NULL; report n=0 with NULL statistics
+        F.coalesce(F.col("__nl").cast("long"), F.lit(0).cast("long"))
+        .alias("n"),
+        F.round(wp, digits).alias("w_plus"),
+        F.round(wm, digits).alias("w_minus"),
+        round_sig_safe(z, digits).alias("z"))
+
+
+@register_op("wilcoxon_signed_rank", "df")
+def _wilcoxon_op(df, *args, **kw):
+    return wilcoxon_signed_rank(df, *args, **kw)
+
+
+def cuped_adjust(df: DataFrame, group_col: str, metric_col: str,
+                 covariate_col: str, group_a, group_b,
+                 digits: int = 6) -> DataFrame:
+    """One row (n_a, n_b, theta, mean_a, mean_b, mean_a_adj,
+    mean_b_adj, diff_adj, var_reduction) — CUPED (Controlled
+    experiments Using Pre-Experiment Data, Deng et al. WSDM'13):
+    the industry-standard variance-reduction adjustment
+
+        θ     = cov(x, y) / var(x)        (pooled, both groups)
+        ŷ_g   = ȳ_g − θ·(x̄_g − x̄)
+        var_reduction = ρ²(x, y)          (fraction of metric
+                                           variance removed)
+
+    where y is the experiment metric and x a pre-experiment
+    covariate independent of assignment. The same experiment decides
+    with ~1/(1−ρ²) fewer subjects — at pipeline scale this is the
+    difference between a 2-week and a 5-week test.
+
+    Plan: ONE conditional-aggregation scan (welch_ttest's shape) —
+    per-group n/Σy/Σx plus pooled Σxy/Σx²/Σy² all in the same
+    map-side-combinable hash agg; θ and the adjusted means assemble
+    stepwise in double on the 1-row result (attribute-referencing
+    projections, the group_moments codegen discipline). Degenerate
+    inputs (var(x)=0 or an empty group) yield NULL adjusted
+    columns."""
+    from ..functions.rounding import round_sig_safe
+    g = F.col(group_col)
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    in_a = g == F.lit(group_a)
+    in_b = g == F.lit(group_b)
+    # ROUND→DECIMAL term chains PRE-PROJECTED once (narrow select)
+    # instead of inlined in the 9-column agg — nine inline decimal
+    # trees in one hashAgg output method trip janino's 64KB limit
+    # and silently fall back to interpreted aggregation (the
+    # group_moments codegen discipline, r08 verdict #2)
+    pre = (df.where((in_a | in_b) & x.isNotNull() & y.isNotNull())
+           .select(in_a.alias("__ia"), in_b.alias("__ib"),
+                   _term(y).alias("__ty"), _term(x).alias("__tx"),
+                   _term(x * y).alias("__txy"),
+                   _term(x * x).alias("__txx"),
+                   _term(y * y).alias("__tyy")))
+    ia, ib = F.col("__ia"), F.col("__ib")
+    agg = (pre.agg(F.sum(ia.cast("long")).alias("__na"),
+                   F.sum(ib.cast("long")).alias("__nb"),
+                   F.sum(F.when(ia, F.col("__ty"))).cast("double")
+                   .alias("__ya"),
+                   F.sum(F.when(ib, F.col("__ty"))).cast("double")
+                   .alias("__yb"),
+                   F.sum(F.when(ia, F.col("__tx"))).cast("double")
+                   .alias("__xa"),
+                   F.sum(F.when(ib, F.col("__tx"))).cast("double")
+                   .alias("__xb"),
+                   F.sum("__txy").cast("double").alias("__sxy"),
+                   F.sum("__txx").cast("double").alias("__sxx"),
+                   F.sum("__tyy").cast("double").alias("__syy")))
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    d1 = agg.select(
+        "__na", "__nb", "__ya", "__yb", "__xa", "__xb",
+        (na + nb).alias("__n"),
+        (F.col("__ya") + F.col("__yb")).alias("__sy"),
+        (F.col("__xa") + F.col("__xb")).alias("__sx"),
+        "__sxy", "__sxx", "__syy")
+    n = F.col("__n")
+    d2 = d1.select(
+        "__na", "__nb", "__ya", "__yb", "__xa", "__xb", "__n",
+        "__sx",
+        (F.col("__sxy") - F.col("__sx") * F.col("__sy") / n)
+        .alias("__cxy"),
+        (F.col("__sxx") - F.col("__sx") * F.col("__sx") / n)
+        .alias("__cxx"),
+        (F.col("__syy") - F.col("__sy") * F.col("__sy") / n)
+        .alias("__cyy"))
+    ok = (F.col("__na") > 0) & (F.col("__nb") > 0) \
+        & (F.col("__cxx") > 0)
+    d3 = d2.select(
+        "__na", "__nb", "__n", "__sx",
+        (F.col("__ya") / F.col("__na").cast("double")).alias("__ma"),
+        (F.col("__yb") / F.col("__nb").cast("double")).alias("__mb"),
+        (F.col("__xa") / F.col("__na").cast("double"))
+        .alias("__mxa"),
+        (F.col("__xb") / F.col("__nb").cast("double"))
+        .alias("__mxb"),
+        F.when(ok, F.col("__cxy") / F.col("__cxx")).alias("__theta"),
+        F.when(ok & (F.col("__cyy") > 0),
+               F.col("__cxy") * F.col("__cxy")
+               / (F.col("__cxx") * F.col("__cyy")))
+        .alias("__vr"))
+    th = F.col("__theta")
+    mx = F.col("__sx") / F.col("__n")
+    d4 = d3.select(
+        "__na", "__nb", "__ma", "__mb", "__theta", "__vr",
+        (F.col("__ma") - th * (F.col("__mxa") - mx)).alias("__maa"),
+        (F.col("__mb") - th * (F.col("__mxb") - mx)).alias("__mba"))
+    return d4.select(
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        round_sig_safe(F.col("__theta"), digits).alias("theta"),
+        # mean_a/mean_b: decimal-exact Σ ÷ int n (one correctly-
+        # rounded ÷) — plain fixed-dp round, allowlisted in the
+        # magnitude lint with the welch exactness proof; this also
+        # keeps the release at 5 sig-safe CASE chains (7 chains in
+        # one fused projection blow janino's 64KB method limit)
+        F.round(F.col("__ma"), digits).alias("mean_a"),
+        F.round(F.col("__mb"), digits).alias("mean_b"),
+        round_sig_safe(F.col("__maa"), digits).alias("mean_a_adj"),
+        round_sig_safe(F.col("__mba"), digits).alias("mean_b_adj"),
+        round_sig_safe(F.col("__maa") - F.col("__mba"), digits)
+        .alias("diff_adj"),
+        round_sig_safe(F.col("__vr"), digits).alias("var_reduction"))
+
+
+@register_op("cuped_adjust", "df")
+def _cuped_op(df, *args, **kw):
+    return cuped_adjust(df, *args, **kw)

@@ -295,3 +295,95 @@ def _cov_pairs_op(df: DataFrame, *args, **kw):
 @register_op("pca_project", "df")
 def _pca_project_op(df: DataFrame, *args, **kw):
     return pca_project(df, *args, **kw)
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str,
+                        out_col: str = "q_vec",
+                        scale_col: str = "q_scale",
+                        bits: int = 8) -> DataFrame:
+    """Input + (``out_col`` array<int>, ``scale_col`` double) —
+    symmetric per-vector integer quantization (the int8 storage
+    format of every production vector store: 4× smaller than float32,
+    dot products stay SIMD-able):
+
+        scale = max|v| / (2^(bits−1) − 1),   q_i = ⌊v_i/scale + ½⌋
+
+    Round-half-up via ⌊x+½⌋ — the ONE rounding spelling that is
+    bit-identical across engines (banker's vs half-away ROUND
+    variants disagree on exact .5 ties; floor never does). Zero
+    vectors quantize to all-zeros with scale 0. Row-local transform:
+    ZERO shuffle, linear in corpus bytes, no UDF."""
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.col(vec_col)
+    maxabs = F.array_max(
+        F.transform(v, lambda x: F.abs(x.cast("double"))))
+    df2 = df.withColumn(scale_col, maxabs / F.lit(qmax))
+    s = F.col(scale_col)
+    q = (F.when(s > 0,
+                F.transform(v, lambda x: F.floor(
+                    x.cast("double") / s + F.lit(0.5)).cast("int")))
+         .otherwise(F.transform(v, lambda x: F.lit(0))))
+    return df2.withColumn(out_col, q)
+
+
+def quantization_profile(df: DataFrame, vec_col: str,
+                         bits: int = 8,
+                         digits: int = 6) -> DataFrame:
+    """One row (n, mean_mse, max_abs_err, mean_scale) — the
+    reconstruction-error profile of quantize_embeddings over the
+    whole corpus: per-vector MSE of (v − q·scale), the corpus-max
+    absolute element error (bounded by scale/2 ≤ max|v|/254 for
+    int8), and the mean scale. The accept/reject gate before
+    swapping a float32 index for its int8 twin.
+
+    Determinism: per-element squared errors round half-up to 12 dp
+    into decimal(38,12) in-vector folds (element-order fixed,
+    partition-order irrelevant); per-vector MSE rounds to 12 dp
+    before the corpus-level decimal mean; max is exact. One
+    row-local projection + ONE 1-row hash agg."""
+    from ..functions.rounding import round_sig_safe
+    dec = "decimal(38,12)"
+    # in-vector fold accumulates at (28,12): Spark widens (p,12)+(p,12)
+    # to (p+1,12) and only SHRINKS the scale once p+1 > 38 — the silent
+    # (38,12)+(38,12)→(38,11) precision-loss round the JS-divergence
+    # work pinned. 28 digits of headroom >> any 4096-dim error sum.
+    dec_acc = "decimal(28,12)"
+    qd = quantize_embeddings(df, vec_col, "__q", "__scale", bits)
+    v = F.col(vec_col)
+    s = F.col("__scale")
+    err = F.zip_with(v, F.col("__q"),
+                     lambda x, q: x.cast("double")
+                     - q.cast("double") * s)
+    per = qd.select(
+        s.alias("__scale"),
+        (F.aggregate(err, F.lit(0).cast(dec_acc),
+                     lambda acc, e: (acc + F.round(e * e, 12)
+                                     .cast(dec_acc)).cast(dec_acc))
+         .cast("double")
+         / F.size(v).cast("double")).alias("__mse"),
+        F.array_max(F.transform(err, F.abs)).alias("__maxerr"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("__mse"), 12).cast(dec))
+        .cast("double").alias("__smse"),
+        F.max("__maxerr").alias("__gmax"),
+        F.sum(F.round(F.col("__scale"), 12).cast(dec))
+        .cast("double").alias("__sscale"))
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        round_sig_safe(F.col("__smse") / nd, digits)
+        .alias("mean_mse"),
+        round_sig_safe(F.col("__gmax"), digits).alias("max_abs_err"),
+        round_sig_safe(F.col("__sscale") / nd, digits)
+        .alias("mean_scale"))
+
+
+@register_op("quantize_embeddings", "df")
+def _quantize_op(df, *args, **kw):
+    return quantize_embeddings(df, *args, **kw)
+
+
+@register_op("quantization_profile", "df")
+def _quant_profile_op(df, *args, **kw):
+    return quantization_profile(df, *args, **kw)

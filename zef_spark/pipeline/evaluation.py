@@ -9,10 +9,12 @@ midrank rank-sum (exact ×2-scaled integers, shared engine with
 abtest.mann_whitney_u — AUC IS U/(n₊·n₋)); everything else is ONE
 conditional-aggregation scan.
 
-Determinism: integer rank arithmetic and decimal(38,12) term sums —
-no log/exp anywhere (a log-loss variant would hinge on cross-engine
-libm ulp agreement; the Brier score carries the same calibration
-signal polynomially, hence bit-exactly).
+Determinism: integer rank arithmetic and decimal(38,12) term sums.
+The Brier score carries the calibration signal polynomially (hence
+bit-exactly); log_loss (r09) joins it on the KL/PMI/entropy nat-sum
+discipline — each ln term rounds half-up to 12 dp BEFORE the decimal
+sum, the convention proven raw-repr-exact across engines at three
+scales since r07.
 """
 
 from __future__ import annotations
@@ -294,3 +296,42 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str,
 @register_op("cohens_kappa", "df")
 def _kappa_op(df, *args, **kw):
     return cohens_kappa(df, *args, **kw)
+
+
+def log_loss(df: DataFrame, score_col: str, label_col, by=None,
+             eps: float = 1e-15, digits: int = 6) -> DataFrame:
+    """(by..., n, log_loss) — the mean binary cross-entropy (in
+    nats) of a probabilistic score against a binary label:
+
+        −mean[ y·ln(p) + (1−y)·ln(1−p) ],  p clipped to [ε, 1−ε]
+
+    The proper scoring rule that punishes CONFIDENT mistakes
+    super-linearly — the training-loss-aligned companion to
+    brier_score (which stays polynomial) and the standard
+    model-regression gate between pipeline releases.
+
+    Plan: ONE map-side-combinable hash agg; each row's term rounds
+    half-up to 12 dp before the decimal(38,12) sum (the KL/PMI
+    nat-sum discipline — partition-order-independent), the final
+    division is one double op, sig-safe rounded."""
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    lab = _label(label_col)
+    p = F.col(score_col).cast("double")
+    p = F.greatest(F.lit(float(eps)),
+                   F.least(F.lit(1.0 - eps), p))
+    term = F.when(lab, -F.log(p)).otherwise(-F.log(F.lit(1.0) - p))
+    agg = (df.where(lab.isNotNull()
+                    & F.col(score_col).isNotNull())
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(_term(term)).cast("double").alias("__s")))
+    ll = F.col("__s") / F.col("n").cast("double")
+    return agg.select(*keys, "n",
+                      round_sig_safe(ll, digits).alias("log_loss"))
+
+
+@register_op("log_loss", "df")
+def _log_loss_op(df, *args, **kw):
+    return log_loss(df, *args, **kw)

@@ -1226,3 +1226,54 @@ def time_series_split(df, ts_col: str, cutoff,
 @_reg_rollup("lag_features", "df")
 def _lag_features_op(df, *args, **kw):
     return lag_features(df, *args, **kw)
+
+
+def ljung_box(df, ts_col: str, value_col: str, max_lag: int = 6,
+              by=None, digits: int = 6):
+    """(by..., n, dof, q_stat) — the Ljung-Box portmanteau test for
+    autocorrelation over each key's time-ordered series:
+
+        Q = n(n+2) · Σ_{k=1..h} r_k² / (n−k)   ~ χ²_h under
+                                                 white noise
+
+    The "is there ANY serial structure" gate run before trusting
+    i.i.d.-assuming statistics (bootstrap_ci, welch_ttest) on a time
+    series, and the residual-whiteness check after seasonal_decompose
+    / holt_linear. No p-value (χ² CDF unavailable in either engine);
+    gate Q against the χ²_h critical value — dof rides along.
+
+    Plan: Q assembles ON TOP of acf's output — the same ONE
+    key-ordered window shuffle and one hash agg; each lag's
+    r_k²/(n−k) term rounds half-up to 12 dp into a decimal(38,12)
+    sum (lag-order-independent), then one double multiply releases
+    sig-safe. n recovers exactly as n_pairs + lag (lead(x,k) is NULL
+    for precisely the last k rows of a key). Keys shorter than
+    max_lag+1 rows contribute only their defined lags (dof = count
+    of non-NULL r); constant series yield NULL q_stat."""
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    r = acf(df, ts_col, value_col, max_lag=max_lag,
+            by=keys if keys else None, digits=12)
+    dec = "decimal(38,12)"
+    term = F.round(F.col("r") * F.col("r")
+                   / F.col("n_pairs").cast("double"), 12).cast(dec)
+    agg = (r.groupBy(*keys)
+           # n_pairs = n−lag only where the lag is DEFINED (n_pairs>0);
+           # a 3-row series at lag 6 has n_pairs=0 and 0+6=6 would
+           # overstate n — those rows carry NULL r anyway
+           .agg(F.max(F.when(F.col("n_pairs") > 0,
+                             F.col("n_pairs") + F.col("lag")))
+                .alias("n"),
+                F.count("r").alias("dof"),
+                F.sum(F.when(F.col("r").isNotNull(), term))
+                .cast("double").alias("__s")))
+    nd = F.col("n").cast("double")
+    q = F.when(F.col("dof") > 0, nd * (nd + 2) * F.col("__s"))
+    return agg.select(*keys, "n", "dof",
+                      round_sig_safe(q, digits).alias("q_stat"))
+
+
+@_reg_rollup("ljung_box", "df")
+def _ljung_box_op(df, *args, **kw):
+    return ljung_box(df, *args, **kw)

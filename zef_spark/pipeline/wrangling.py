@@ -1430,37 +1430,18 @@ def _rank_transform_op(df, *args, **kw):
     return rank_transform(df, *args, **kw)
 
 
-def group_moments(df: DataFrame, value_col: str, by=None,
-                  digits: int = 6) -> DataFrame:
-    """(by..., n, mean, variance, skewness, kurtosis) — the full
-    population-moment profile per key from ONE map-side-combinable
-    hash agg of decimal-exact power sums (Σx..Σx⁴):
-
-        m_k = Σ(x−μ)^k/n  expanded algebraically from raw sums;
-        skewness = m₃/m₂^1.5, kurtosis = m₄/m₂² − 3 (excess).
-
-    POPULATION moments (no bias correction) because the algebra then
-    matches bit-for-bit in any engine computing the same raw sums —
-    sample-corrected variants differ across engines' estimator
-    choices. Zero-variance keys yield NULL skew/kurtosis. One scan,
-    no windows. x⁴ term: values beyond ~|1e6| lose the 12-dp decimal
-    guarantee to double rounding first — same envelope as every other
-    decimal-exact op here."""
+def _moment_raw(df: DataFrame, value_col: str, by=None) -> DataFrame:
+    """Internal engine shared by group_moments and jarque_bera:
+    (by..., n, __mu_raw, __m2_raw, __sk_raw, __ku_raw) with the
+    population central-moment ratios UNROUNDED (callers round once,
+    at release). One map-side-combinable hash agg of decimal-exact
+    power sums; stepwise attribute-referencing projections (the
+    janino-64KB codegen discipline — see group_moments)."""
     dec = "decimal(38,12)"
     term = lambda c: F.round(c, 12).cast(dec)
     by = [] if by is None else ([by] if isinstance(by, str)
                                 else list(by))
     x = F.col(value_col).cast("double")
-    # the ROUND→DECIMAL(38,12) power chains are PRE-PROJECTED once
-    # (single narrow select) instead of inlined inside each SUM:
-    # inlined, the four decimal expression trees land together in the
-    # generated hashAgg_doAggregateWithKeysOutput method, trip
-    # janino's 64KB method limit, and the whole aggregate silently
-    # falls back to interpreted mode (r08 verdict "what's wrong" #2)
-    # — locally invisible, a real regression at scale. Pre-projected,
-    # the agg sums plain decimal columns and stays in whole-stage
-    # codegen (guarded by tools/check_oracle.py's CODEGEN-FALLBACK
-    # stderr grep and tests/test_new_op_plans.py).
     pre = (df.where(x.isNotNull())
            .select(*by,
                    term(x).alias("__t1"),
@@ -1473,15 +1454,6 @@ def group_moments(df: DataFrame, value_col: str, by=None,
                 F.sum("__t2").cast("double").alias("__s2"),
                 F.sum("__t3").cast("double").alias("__s3"),
                 F.sum("__t4").cast("double").alias("__s4")))
-    from ..functions.rounding import round_sig_safe
-    # STEPWISE projections, each referencing the previous step's
-    # ALIASES (attributes), never re-expanding the python expression
-    # objects: reusing `mu` textually inflates the sk/ku trees ~30×,
-    # and once WholeStageCodegen fuses the projects into
-    # hashAgg_doAggregateWithKeysOutput the method blows janino's
-    # 64KB limit and the agg silently interprets (r08 verdict). With
-    # attribute references each step codegens its value into a local
-    # variable exactly once.
     n = F.col("__n").cast("double")
     mu_ = F.col("__mu")
     d1 = agg.select(*by, "__n",
@@ -1498,18 +1470,46 @@ def group_moments(df: DataFrame, value_col: str, by=None,
          + 6 * mu_ * mu_ * F.col("__p2")
          - 3 * mu_ * mu_ * mu_ * mu_).alias("__m4"))
     m2 = F.col("__m2")
-    # the central-moment assembly is a multiply-ADD chain in double —
-    # the FMA-contraction exposure class (r07 verdict) — so outputs
-    # round magnitude-safely (≤9 total significant digits) instead of
-    # at a fixed 6 dp: variance ~1e7 at 6 dp would demand 14
-    # cross-engine-identical digits.
-    raw = d2.select(
+    return d2.select(
         *by, F.col("__n").alias("n"),
         F.col("__mu").alias("__mu_raw"), m2.alias("__m2_raw"),
         F.when(m2 > 0, F.col("__m3") / F.sqrt(m2 * m2 * m2))
         .alias("__sk_raw"),
         F.when(m2 > 0, F.col("__m4") / (m2 * m2) - 3.0)
         .alias("__ku_raw"))
+
+
+def group_moments(df: DataFrame, value_col: str, by=None,
+                  digits: int = 6) -> DataFrame:
+    """(by..., n, mean, variance, skewness, kurtosis) — the full
+    population-moment profile per key from ONE map-side-combinable
+    hash agg of decimal-exact power sums (Σx..Σx⁴):
+
+        m_k = Σ(x−μ)^k/n  expanded algebraically from raw sums;
+        skewness = m₃/m₂^1.5, kurtosis = m₄/m₂² − 3 (excess).
+
+    POPULATION moments (no bias correction) because the algebra then
+    matches bit-for-bit in any engine computing the same raw sums —
+    sample-corrected variants differ across engines' estimator
+    choices. Zero-variance keys yield NULL skew/kurtosis. One scan,
+    no windows. x⁴ term: values beyond ~|1e6| lose the 12-dp decimal
+    guarantee to double rounding first — same envelope as every other
+    decimal-exact op here."""
+    from ..functions.rounding import round_sig_safe
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    # the ROUND→DECIMAL(38,12) power chains are PRE-PROJECTED once
+    # and the central-moment ratios assemble through STEPWISE
+    # attribute-referencing projections inside _moment_raw — the
+    # janino-64KB codegen discipline (r08 verdict "what's wrong" #2;
+    # guarded by tools/check_oracle.py's CODEGEN-FALLBACK stderr grep
+    # and tests/test_new_op_plans.py).
+    raw = _moment_raw(df, value_col, by)
+    # the central-moment assembly is a multiply-ADD chain in double —
+    # the FMA-contraction exposure class (r07 verdict) — so outputs
+    # round magnitude-safely (≤9 total significant digits) instead of
+    # at a fixed 6 dp: variance ~1e7 at 6 dp would demand 14
+    # cross-engine-identical digits.
     return raw.select(
         *by, "n",
         round_sig_safe(F.col("__mu_raw"), digits).alias("mean"),
@@ -1716,3 +1716,151 @@ def trimmed_mean(df: DataFrame, value_col: str, by=None,
 @register_op("trimmed_mean", "df")
 def _trimmed_mean_op(df, *args, **kw):
     return trimmed_mean(df, *args, **kw)
+
+
+def jarque_bera(df: DataFrame, value_col: str, by=None,
+                digits: int = 6) -> DataFrame:
+    """(by..., n, skewness, kurtosis, jb) — the Jarque-Bera
+    normality test per key:
+
+        JB = n/6 · (g₁² + g₂²/4)
+
+    with g₁/g₂ the population skewness and excess kurtosis. JB ~ χ²₂
+    under normality (critical value 5.99 at α=0.05); the one-scan
+    distribution-shape gate a feature pipeline runs before trusting
+    z-scores or parametric tests on a column. No p-value emitted —
+    neither engine exposes the χ² CDF (abtest house rule); callers
+    gate on the looked-up critical value.
+
+    Plan: rides the SAME _moment_raw engine as group_moments — ONE
+    map-side-combinable hash agg of decimal-exact power sums
+    Σx..Σx⁴, stepwise codegen-safe assembly. Zero-variance keys
+    yield NULL everything (shape undefined)."""
+    from ..functions.rounding import round_sig_safe
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    raw = _moment_raw(df, value_col, by)
+    sk = F.col("__sk_raw")
+    ku = F.col("__ku_raw")
+    jb = F.col("n").cast("double") / 6.0 \
+        * (sk * sk + ku * ku / 4.0)
+    return raw.select(
+        *by, "n",
+        round_sig_safe(sk, digits).alias("skewness"),
+        round_sig_safe(ku, digits).alias("kurtosis"),
+        round_sig_safe(jb, digits).alias("jb"))
+
+
+@register_op("jarque_bera", "df")
+def _jarque_bera_op(df, *args, **kw):
+    return jarque_bera(df, *args, **kw)
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str, by=None,
+                digits: int = 6,
+                max_points_per_key: int | None = 5000) -> DataFrame:
+    """(by..., n, s_stat, tau_b, z) — Kendall's τ-b rank correlation
+    between two variables per key:
+
+        S   = Σ_{i<j} sign(x_j−x_i)·sign(y_j−y_i)   (C − D)
+        τ_b = S / √((n₀−n₁)(n₀−n₂)),  n₀ = n(n−1)/2,
+        n₁/n₂ = Σ t(t−1)/2 over x-/y-tied blocks
+
+    with the fully tie-corrected normal approximation for z
+    (Kendall 1976 — the three-term variance including both marginal
+    tie corrections and the joint cross terms). The ordinal
+    companion to spearman_corr: τ is a direct probability statement
+    (P(concordant) − P(discordant)) and more robust to outlying
+    ranks.
+
+    Plan: mann_kendall's bounded-series posture — the pair join is
+    quadratic PER KEY, so the same max_points_per_key guard raises
+    with the aggregate-first hint before an m² join can launch. S,
+    n₀, n₁, n₂ and every variance term are EXACT integers
+    (decimal(38,0) products, overflow-free); τ and z are a handful
+    of IEEE-exact double ops at release, sig-safe rounded."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    by = [] if by is None else ([by] if isinstance(by, str)
+                                else list(by))
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (df.where(x.isNotNull() & y.isNotNull())
+            .select(*by, x.alias("__x"), y.alias("__y")))
+    part = by if by else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("__x", "__y")
+    pts = base.withColumn("__rn", F.row_number().over(w))
+    if max_points_per_key is not None:
+        wc = Window.partitionBy(*part)
+        cap = int(max_points_per_key)
+        pts = pts.withColumn(
+            "__guard",
+            F.when(F.count(F.lit(1)).over(wc) <= cap, F.lit(1))
+            .otherwise(F.raise_error(F.lit(
+                "kendall_tau: a key has more than "
+                f"{cap} points (max_points_per_key) — the pair "
+                "join is quadratic per key. Aggregate the series "
+                "first (e.g. one point per day) or pass "
+                "max_points_per_key=None deliberately."))))
+        pts = pts.where(F.col("__guard") == 1).drop("__guard")
+    a = pts.select(*by, F.col("__x").alias("__xa"),
+                   F.col("__y").alias("__ya"),
+                   F.col("__rn").alias("__ra"))
+    b = pts.select(*by, F.col("__x").alias("__xb"),
+                   F.col("__y").alias("__yb"),
+                   F.col("__rn").alias("__rb"))
+    pairs = (a.join(b, by) if by else a.crossJoin(b)) \
+        .where(F.col("__ra") < F.col("__rb")) \
+        .select(*by, (F.signum(F.col("__xb") - F.col("__xa"))
+                      * F.signum(F.col("__yb") - F.col("__ya")))
+                .cast("long").alias("__sgn"))
+    s_df = pairs.groupBy(*by).agg(F.sum("__sgn").alias("s_stat"))
+    # marginal tie profiles over x and y values — exact integers
+    d0 = "decimal(38,0)"
+
+    def _tie_profile(col, pre):
+        t = F.col("__t").cast(d0)
+        return (base.groupBy(*by, col)
+                .agg(F.count(F.lit(1)).alias("__t"))
+                .groupBy(*by)
+                .agg(F.sum(F.col("__t")).cast("long")
+                     .alias(f"{pre}n"),
+                     F.sum(t * (t - 1)).alias(f"{pre}p2"),
+                     F.sum(t * (t - 1) * (2 * t + 5))
+                     .alias(f"{pre}v"),
+                     F.sum(t * (t - 1) * (t - 2)).alias(f"{pre}p3")))
+
+    tx = _tie_profile("__x", "__x")
+    ty = _tie_profile("__y", "__y")
+    j = tx.join(ty, by) if by else tx.crossJoin(F.broadcast(ty))
+    j = (j.join(s_df, by) if by
+         else j.crossJoin(F.broadcast(s_df)))  # 1-row broadcasts
+    nL = F.col("__xn").cast(d0)
+    n0 = nL * (nL - 1)  # 2·n₀, exact
+    # τ_b denominator: (2n₀ − Σtx(tx−1))(2n₀ − Σty(ty−1)) / 4
+    dx = (n0 - F.col("__xp2")).cast("double")
+    dy = (n0 - F.col("__yp2")).cast("double")
+    s = F.col("s_stat").cast("double")
+    # dx·dy = 4(n₀−n₁)(n₀−n₂), so τ_b = S/√((n₀−n₁)(n₀−n₂)) = 2S/√(dx·dy)
+    tau = F.when((dx > 0) & (dy > 0), 2.0 * s / F.sqrt(dx * dy))
+    # Kendall (1976) tie-corrected Var(S), three exact-integer terms
+    nd = F.col("__xn").cast("double")
+    v0 = (nd * (nd - 1) * (2 * nd + 5)
+          - F.col("__xv").cast("double")
+          - F.col("__yv").cast("double")) / 18.0
+    v1 = (F.col("__xp3").cast("double")
+          * F.col("__yp3").cast("double")) \
+        / (9.0 * nd * (nd - 1) * (nd - 2))
+    v2 = (F.col("__xp2").cast("double")
+          * F.col("__yp2").cast("double")) \
+        / (2.0 * nd * (nd - 1))
+    var_s = v0 + v1 + v2
+    z = F.when(var_s > 0, s / F.sqrt(var_s))
+    return j.select(*by, F.col("__xn").alias("n"), "s_stat",
+                    round_sig_safe(tau, digits).alias("tau_b"),
+                    round_sig_safe(z, digits).alias("z"))
+
+
+@register_op("kendall_tau", "df")
+def _kendall_tau_op(df, *args, **kw):
+    return kendall_tau(df, *args, **kw)
