@@ -9568,6 +9568,271 @@ def p_quantization_error(spark, sf_dir):
     return quantization_profile(emb, "embedding")
 
 
+@query("p_hamming_topk", """
+WITH b AS (
+  SELECT vec_id,
+    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 2 ELSE 0 END
+     + CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN 4 ELSE 0 END
+     + CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN 8 ELSE 0 END
+     + CASE WHEN CAST(embedding[5] AS DOUBLE) >= 0 THEN 16 ELSE 0 END
+     + CASE WHEN CAST(embedding[6] AS DOUBLE) >= 0 THEN 32 ELSE 0 END
+     + CASE WHEN CAST(embedding[7] AS DOUBLE) >= 0 THEN 64 ELSE 0 END
+     + CASE WHEN CAST(embedding[8] AS DOUBLE) >= 0 THEN 128 ELSE 0 END
+     + CASE WHEN CAST(embedding[9] AS DOUBLE) >= 0 THEN 256 ELSE 0 END
+     + CASE WHEN CAST(embedding[10] AS DOUBLE) >= 0 THEN 512 ELSE 0 END
+     + CASE WHEN CAST(embedding[11] AS DOUBLE) >= 0 THEN 1024 ELSE 0 END
+     + CASE WHEN CAST(embedding[12] AS DOUBLE) >= 0 THEN 2048 ELSE 0 END
+     + CASE WHEN CAST(embedding[13] AS DOUBLE) >= 0 THEN 4096 ELSE 0 END
+     + CASE WHEN CAST(embedding[14] AS DOUBLE) >= 0 THEN 8192 ELSE 0 END
+     + CASE WHEN CAST(embedding[15] AS DOUBLE) >= 0 THEN 16384 ELSE 0 END
+     + CASE WHEN CAST(embedding[16] AS DOUBLE) >= 0 THEN 32768 ELSE 0 END
+     + CASE WHEN CAST(embedding[17] AS DOUBLE) >= 0 THEN 65536 ELSE 0 END
+     + CASE WHEN CAST(embedding[18] AS DOUBLE) >= 0 THEN 131072 ELSE 0 END
+     + CASE WHEN CAST(embedding[19] AS DOUBLE) >= 0 THEN 262144 ELSE 0 END
+     + CASE WHEN CAST(embedding[20] AS DOUBLE) >= 0 THEN 524288 ELSE 0 END
+     + CASE WHEN CAST(embedding[21] AS DOUBLE) >= 0 THEN 1048576 ELSE 0 END
+     + CASE WHEN CAST(embedding[22] AS DOUBLE) >= 0 THEN 2097152 ELSE 0 END
+     + CASE WHEN CAST(embedding[23] AS DOUBLE) >= 0 THEN 4194304 ELSE 0 END
+     + CASE WHEN CAST(embedding[24] AS DOUBLE) >= 0 THEN 8388608 ELSE 0 END
+     + CASE WHEN CAST(embedding[25] AS DOUBLE) >= 0 THEN 16777216 ELSE 0 END
+     + CASE WHEN CAST(embedding[26] AS DOUBLE) >= 0 THEN 33554432 ELSE 0 END
+     + CASE WHEN CAST(embedding[27] AS DOUBLE) >= 0 THEN 67108864 ELSE 0 END
+     + CASE WHEN CAST(embedding[28] AS DOUBLE) >= 0 THEN 134217728 ELSE 0 END
+     + CASE WHEN CAST(embedding[29] AS DOUBLE) >= 0 THEN 268435456 ELSE 0 END
+     + CASE WHEN CAST(embedding[30] AS DOUBLE) >= 0 THEN 536870912 ELSE 0 END
+     + CASE WHEN CAST(embedding[31] AS DOUBLE) >= 0 THEN 1073741824 ELSE 0 END
+     + CASE WHEN CAST(embedding[32] AS DOUBLE) >= 0 THEN 2147483648 ELSE 0 END) AS w0,
+    (CASE WHEN CAST(embedding[33] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(embedding[34] AS DOUBLE) >= 0 THEN 2 ELSE 0 END
+     + CASE WHEN CAST(embedding[35] AS DOUBLE) >= 0 THEN 4 ELSE 0 END
+     + CASE WHEN CAST(embedding[36] AS DOUBLE) >= 0 THEN 8 ELSE 0 END
+     + CASE WHEN CAST(embedding[37] AS DOUBLE) >= 0 THEN 16 ELSE 0 END
+     + CASE WHEN CAST(embedding[38] AS DOUBLE) >= 0 THEN 32 ELSE 0 END
+     + CASE WHEN CAST(embedding[39] AS DOUBLE) >= 0 THEN 64 ELSE 0 END
+     + CASE WHEN CAST(embedding[40] AS DOUBLE) >= 0 THEN 128 ELSE 0 END
+     + CASE WHEN CAST(embedding[41] AS DOUBLE) >= 0 THEN 256 ELSE 0 END
+     + CASE WHEN CAST(embedding[42] AS DOUBLE) >= 0 THEN 512 ELSE 0 END
+     + CASE WHEN CAST(embedding[43] AS DOUBLE) >= 0 THEN 1024 ELSE 0 END
+     + CASE WHEN CAST(embedding[44] AS DOUBLE) >= 0 THEN 2048 ELSE 0 END
+     + CASE WHEN CAST(embedding[45] AS DOUBLE) >= 0 THEN 4096 ELSE 0 END
+     + CASE WHEN CAST(embedding[46] AS DOUBLE) >= 0 THEN 8192 ELSE 0 END
+     + CASE WHEN CAST(embedding[47] AS DOUBLE) >= 0 THEN 16384 ELSE 0 END
+     + CASE WHEN CAST(embedding[48] AS DOUBLE) >= 0 THEN 32768 ELSE 0 END
+     + CASE WHEN CAST(embedding[49] AS DOUBLE) >= 0 THEN 65536 ELSE 0 END
+     + CASE WHEN CAST(embedding[50] AS DOUBLE) >= 0 THEN 131072 ELSE 0 END
+     + CASE WHEN CAST(embedding[51] AS DOUBLE) >= 0 THEN 262144 ELSE 0 END
+     + CASE WHEN CAST(embedding[52] AS DOUBLE) >= 0 THEN 524288 ELSE 0 END
+     + CASE WHEN CAST(embedding[53] AS DOUBLE) >= 0 THEN 1048576 ELSE 0 END
+     + CASE WHEN CAST(embedding[54] AS DOUBLE) >= 0 THEN 2097152 ELSE 0 END
+     + CASE WHEN CAST(embedding[55] AS DOUBLE) >= 0 THEN 4194304 ELSE 0 END
+     + CASE WHEN CAST(embedding[56] AS DOUBLE) >= 0 THEN 8388608 ELSE 0 END
+     + CASE WHEN CAST(embedding[57] AS DOUBLE) >= 0 THEN 16777216 ELSE 0 END
+     + CASE WHEN CAST(embedding[58] AS DOUBLE) >= 0 THEN 33554432 ELSE 0 END
+     + CASE WHEN CAST(embedding[59] AS DOUBLE) >= 0 THEN 67108864 ELSE 0 END
+     + CASE WHEN CAST(embedding[60] AS DOUBLE) >= 0 THEN 134217728 ELSE 0 END
+     + CASE WHEN CAST(embedding[61] AS DOUBLE) >= 0 THEN 268435456 ELSE 0 END
+     + CASE WHEN CAST(embedding[62] AS DOUBLE) >= 0 THEN 536870912 ELSE 0 END
+     + CASE WHEN CAST(embedding[63] AS DOUBLE) >= 0 THEN 1073741824 ELSE 0 END
+     + CASE WHEN CAST(embedding[64] AS DOUBLE) >= 0 THEN 2147483648 ELSE 0 END) AS w1
+  FROM embeddings
+), q AS (
+  SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0
+)
+SELECT b.vec_id,
+  CAST(bit_count(xor(b.w0, q.q0))
+       + bit_count(xor(b.w1, q.q1)) AS BIGINT) AS hamming
+FROM b, q
+ORDER BY hamming, b.vec_id LIMIT 10
+""")
+def p_hamming_topk(spark, sf_dir):
+    """Binary-sketch ANN: top-10 neighbors of the probe embedding by
+    sign-bit Hamming distance (pipeline/similarity.py
+    binary_quantize + hamming_topk): 1-bit quantization packs 32
+    sign bits per BIGINT word (32x smaller than float32), candidate
+    ranking is XOR+popcount — exact integers, map-side, TakeOrdered
+    global top-k, no shuffle beyond it. The bit-vector prefilter
+    stage of production vector search; hamming_topk(rerank=r) adds
+    the exact-cosine rerank over r*k candidates."""
+    from zef_spark.pipeline.similarity import hamming_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, "embedding", "vec_id",
+                        _query_vec(spark, sf_dir), k=10)
+
+
+_PACF_ORACLE = """
+WITH s AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), led AS (
+  SELECT event_type, x,
+         LEAD(x,1) OVER w AS l1, LEAD(x,2) OVER w AS l2,
+         LEAD(x,3) OVER w AS l3, LEAD(x,4) OVER w AS l4,
+         LEAD(x,5) OVER w AS l5, LEAD(x,6) OVER w AS l6
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY h)
+), st AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(CAST(ROUND(x,12) AS DECIMAL(38,12)))::DOUBLE AS s,
+    SUM(CAST(ROUND(x*x,12) AS DECIMAL(38,12)))::DOUBLE AS ss,
+    COUNT(l1) AS m1,
+    SUM(CAST(ROUND(x*l1,12) AS DECIMAL(38,12)))::DOUBLE AS a1,
+    SUM(CASE WHEN l1 IS NOT NULL THEN
+        CAST(ROUND(x+l1,12) AS DECIMAL(38,12)) END)::DOUBLE AS b1,
+    COUNT(l2) AS m2,
+    SUM(CAST(ROUND(x*l2,12) AS DECIMAL(38,12)))::DOUBLE AS a2,
+    SUM(CASE WHEN l2 IS NOT NULL THEN
+        CAST(ROUND(x+l2,12) AS DECIMAL(38,12)) END)::DOUBLE AS b2,
+    COUNT(l3) AS m3,
+    SUM(CAST(ROUND(x*l3,12) AS DECIMAL(38,12)))::DOUBLE AS a3,
+    SUM(CASE WHEN l3 IS NOT NULL THEN
+        CAST(ROUND(x+l3,12) AS DECIMAL(38,12)) END)::DOUBLE AS b3,
+    COUNT(l4) AS m4,
+    SUM(CAST(ROUND(x*l4,12) AS DECIMAL(38,12)))::DOUBLE AS a4,
+    SUM(CASE WHEN l4 IS NOT NULL THEN
+        CAST(ROUND(x+l4,12) AS DECIMAL(38,12)) END)::DOUBLE AS b4,
+    COUNT(l5) AS m5,
+    SUM(CAST(ROUND(x*l5,12) AS DECIMAL(38,12)))::DOUBLE AS a5,
+    SUM(CASE WHEN l5 IS NOT NULL THEN
+        CAST(ROUND(x+l5,12) AS DECIMAL(38,12)) END)::DOUBLE AS b5,
+    COUNT(l6) AS m6,
+    SUM(CAST(ROUND(x*l6,12) AS DECIMAL(38,12)))::DOUBLE AS a6,
+    SUM(CASE WHEN l6 IS NOT NULL THEN
+        CAST(ROUND(x+l6,12) AS DECIMAL(38,12)) END)::DOUBLE AS b6
+  FROM led GROUP BY event_type
+), lagrows AS (
+  SELECT event_type, 1 AS lag,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a1 - (s/n)*b1 + m1*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 2 AS lag,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a2 - (s/n)*b2 + m2*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 3 AS lag,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a3 - (s/n)*b3 + m3*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 4 AS lag,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a4 - (s/n)*b4 + m4*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 5 AS lag,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a5 - (s/n)*b5 + m5*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+  UNION ALL
+  SELECT event_type, 6 AS lag,
+    CASE WHEN ss - n*(s/n)*(s/n) <> 0 THEN
+      ROUND((a6 - (s/n)*b6 + m6*(s/n)*(s/n))
+            / (ss - n*(s/n)*(s/n)), 12) END AS r
+  FROM st
+), piv AS (
+  SELECT event_type,
+    MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+    MAX(CASE WHEN lag = 3 THEN r END) AS r3,
+    MAX(CASE WHEN lag = 4 THEN r END) AS r4,
+    MAX(CASE WHEN lag = 5 THEN r END) AS r5,
+    MAX(CASE WHEN lag = 6 THEN r END) AS r6
+  FROM lagrows GROUP BY event_type
+), s_p1_1 AS (
+  SELECT *, r1 AS p1_1 FROM piv
+), s_den2 AS (
+  SELECT *, 1.0 - (p1_1 * r1) AS den2 FROM s_p1_1
+), s_p2_2 AS (
+  SELECT *, CASE WHEN den2 <> 0 THEN (r2 - (p1_1 * r1)) / den2 END AS p2_2 FROM s_den2
+), s_p2_1 AS (
+  SELECT *, p1_1 - p2_2 * p1_1 AS p2_1 FROM s_p2_2
+), s_den3 AS (
+  SELECT *, 1.0 - (p2_1 * r1 + p2_2 * r2) AS den3 FROM s_p2_1
+), s_p3_3 AS (
+  SELECT *, CASE WHEN den3 <> 0 THEN (r3 - (p2_1 * r2 + p2_2 * r1)) / den3 END AS p3_3 FROM s_den3
+), s_p3_1 AS (
+  SELECT *, p2_1 - p3_3 * p2_2 AS p3_1 FROM s_p3_3
+), s_p3_2 AS (
+  SELECT *, p2_2 - p3_3 * p2_1 AS p3_2 FROM s_p3_1
+), s_den4 AS (
+  SELECT *, 1.0 - (p3_1 * r1 + p3_2 * r2 + p3_3 * r3) AS den4 FROM s_p3_2
+), s_p4_4 AS (
+  SELECT *, CASE WHEN den4 <> 0 THEN (r4 - (p3_1 * r3 + p3_2 * r2 + p3_3 * r1)) / den4 END AS p4_4 FROM s_den4
+), s_p4_1 AS (
+  SELECT *, p3_1 - p4_4 * p3_3 AS p4_1 FROM s_p4_4
+), s_p4_2 AS (
+  SELECT *, p3_2 - p4_4 * p3_2 AS p4_2 FROM s_p4_1
+), s_p4_3 AS (
+  SELECT *, p3_3 - p4_4 * p3_1 AS p4_3 FROM s_p4_2
+), s_den5 AS (
+  SELECT *, 1.0 - (p4_1 * r1 + p4_2 * r2 + p4_3 * r3 + p4_4 * r4) AS den5 FROM s_p4_3
+), s_p5_5 AS (
+  SELECT *, CASE WHEN den5 <> 0 THEN (r5 - (p4_1 * r4 + p4_2 * r3 + p4_3 * r2 + p4_4 * r1)) / den5 END AS p5_5 FROM s_den5
+), s_p5_1 AS (
+  SELECT *, p4_1 - p5_5 * p4_4 AS p5_1 FROM s_p5_5
+), s_p5_2 AS (
+  SELECT *, p4_2 - p5_5 * p4_3 AS p5_2 FROM s_p5_1
+), s_p5_3 AS (
+  SELECT *, p4_3 - p5_5 * p4_2 AS p5_3 FROM s_p5_2
+), s_p5_4 AS (
+  SELECT *, p4_4 - p5_5 * p4_1 AS p5_4 FROM s_p5_3
+), s_den6 AS (
+  SELECT *, 1.0 - (p5_1 * r1 + p5_2 * r2 + p5_3 * r3 + p5_4 * r4 + p5_5 * r5) AS den6 FROM s_p5_4
+), s_p6_6 AS (
+  SELECT *, CASE WHEN den6 <> 0 THEN (r6 - (p5_1 * r5 + p5_2 * r4 + p5_3 * r3 + p5_4 * r2 + p5_5 * r1)) / den6 END AS p6_6 FROM s_den6
+), s_p6_1 AS (
+  SELECT *, p5_1 - p6_6 * p5_5 AS p6_1 FROM s_p6_6
+), s_p6_2 AS (
+  SELECT *, p5_2 - p6_6 * p5_4 AS p6_2 FROM s_p6_1
+), s_p6_3 AS (
+  SELECT *, p5_3 - p6_6 * p5_3 AS p6_3 FROM s_p6_2
+), s_p6_4 AS (
+  SELECT *, p5_4 - p6_6 * p5_2 AS p6_4 FROM s_p6_3
+), s_p6_5 AS (
+  SELECT *, p5_5 - p6_6 * p5_1 AS p6_5 FROM s_p6_4
+)
+SELECT * FROM (
+  SELECT event_type, 1 AS lag, CASE WHEN ROUND(p1_1, CAST(LEAST(6, 9 - (CASE WHEN ABS(p1_1) < 1.0 THEN 0 WHEN ABS(p1_1) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p1_1)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p1_1, CAST(LEAST(6, 9 - (CASE WHEN ABS(p1_1) < 1.0 THEN 0 WHEN ABS(p1_1) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p1_1)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS pacf FROM s_p6_5
+  UNION ALL
+  SELECT event_type, 2 AS lag, CASE WHEN ROUND(p2_2, CAST(LEAST(6, 9 - (CASE WHEN ABS(p2_2) < 1.0 THEN 0 WHEN ABS(p2_2) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p2_2)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p2_2, CAST(LEAST(6, 9 - (CASE WHEN ABS(p2_2) < 1.0 THEN 0 WHEN ABS(p2_2) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p2_2)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS pacf FROM s_p6_5
+  UNION ALL
+  SELECT event_type, 3 AS lag, CASE WHEN ROUND(p3_3, CAST(LEAST(6, 9 - (CASE WHEN ABS(p3_3) < 1.0 THEN 0 WHEN ABS(p3_3) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p3_3)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p3_3, CAST(LEAST(6, 9 - (CASE WHEN ABS(p3_3) < 1.0 THEN 0 WHEN ABS(p3_3) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p3_3)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS pacf FROM s_p6_5
+  UNION ALL
+  SELECT event_type, 4 AS lag, CASE WHEN ROUND(p4_4, CAST(LEAST(6, 9 - (CASE WHEN ABS(p4_4) < 1.0 THEN 0 WHEN ABS(p4_4) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p4_4)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p4_4, CAST(LEAST(6, 9 - (CASE WHEN ABS(p4_4) < 1.0 THEN 0 WHEN ABS(p4_4) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p4_4)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS pacf FROM s_p6_5
+  UNION ALL
+  SELECT event_type, 5 AS lag, CASE WHEN ROUND(p5_5, CAST(LEAST(6, 9 - (CASE WHEN ABS(p5_5) < 1.0 THEN 0 WHEN ABS(p5_5) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p5_5)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p5_5, CAST(LEAST(6, 9 - (CASE WHEN ABS(p5_5) < 1.0 THEN 0 WHEN ABS(p5_5) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p5_5)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS pacf FROM s_p6_5
+  UNION ALL
+  SELECT event_type, 6 AS lag, CASE WHEN ROUND(p6_6, CAST(LEAST(6, 9 - (CASE WHEN ABS(p6_6) < 1.0 THEN 0 WHEN ABS(p6_6) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p6_6)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p6_6, CAST(LEAST(6, 9 - (CASE WHEN ABS(p6_6) < 1.0 THEN 0 WHEN ABS(p6_6) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p6_6)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS pacf FROM s_p6_5
+) ORDER BY event_type, lag"""
+
+
+@query("e_pacf_hourly", _PACF_ORACLE)
+def e_pacf_hourly(spark, sf_dir):
+    """Partial autocorrelation (lags 1-6) of each event type's hourly
+    count series (pipeline/rollup.py pacf): Durbin-Levinson unrolled
+    into stepwise selects over the pivoted 12-dp ACF — fully
+    distributed, no driver collect, and the ORACLE runs the
+    literally identical generated expression steps
+    (durbin_levinson_steps), so an iterative estimator stays
+    raw-repr-exact cross-engine. The AR-order fingerprint beside
+    e_acf_hourly's decay profile."""
+    from zef_spark.pipeline.rollup import pacf
+    ev = _events(spark, sf_dir)
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts"))
+                         .cast("timestamp_ntz").alias("h"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    return (pacf(series, "h", "x", max_lag=6, by="event_type")
+            .orderBy("event_type", "lag"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -9610,13 +9875,16 @@ _FRONT = [
     "w_wilcoxon_view_purchase", "w_cuped_price_quantity",
     "w_jarque_bera_acctbal", "e_kendall_tau_daily",
     "p_log_loss_purchase", "e_ljung_box_hourly",
-    "p_quantization_error",
+    "p_quantization_error", "p_hamming_topk", "e_pacf_hourly",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)
     "concat_union_segments", "datetime_functions", "hash_functions",
     "math_functions", "string_functions",
-    # (c) 33 of the 47-row r04 cohort. The 14 deferred rows
+    # (c) 33 of the 47-row r04 cohort. NOTE: the 7 r09b additions
+    # above push the last 7 rows of this block (p_semantic_dup_pairs
+    # through q9_product_profit) past the 50-query window into the
+    # r10 rotation along with the 14 rows below. The 14 deferred rows
     # (q2_min_cost_supplier, q4_priority_exists, q7_nation_volume,
     # q8_market_share, q10_returned_items, q11_part_value_share,
     # q12_priority_lateness, q13_order_count_distribution,

@@ -317,3 +317,119 @@ def test_round_sig_safe_value_grid_unchanged(spark):
         exp.append(con.execute(
             f"SELECT {sql_round_sig_safe(lit)}").fetchone()[0])
     assert [repr(g) for g in got] == [repr(e) for e in exp]
+
+
+# ------------------------------------------------------- binary ANN
+
+def test_binary_quantize_bits(spark):
+    from zef_spark.pipeline.similarity import binary_quantize
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.0, -2.0])], "id long, v array<double>")
+    r = binary_quantize(df, "v", dim=4).collect()[0]
+    # bits: +,-,+(zero counts as >=0),- -> 0b0101 = 5
+    assert r["sign_w0"] == 5
+
+
+def test_hamming_topk_exact_and_rerank(spark):
+    import numpy as np
+    from zef_spark.pipeline.similarity import hamming_topk
+    rng = np.random.RandomState(4)
+    base = rng.normal(0, 1, 64)
+    rows = [(0, [float(x) for x in base])]
+    # id i flips exactly i signs -> hamming(probe, i) == i
+    for i in range(1, 20):
+        v = base.copy()
+        v[:i] = -v[:i]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = hamming_topk(df, "v", "id", [float(x) for x in base], k=5)
+    got = [(r["id"], r["hamming"]) for r in out.collect()]
+    assert got == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+    # rerank returns cosine-ordered ids with exact cosine attached
+    out2 = hamming_topk(df, "v", "id", [float(x) for x in base],
+                        k=3, rerank=3)
+    rr = out2.collect()
+    assert rr[0]["id"] == 0 and rr[0]["cosine"] == 1.0
+    assert rr[0]["cosine"] >= rr[1]["cosine"] >= rr[2]["cosine"]
+
+
+def test_hamming_estimates_angle(spark):
+    """hamming/bits approximates angle/pi for random vectors."""
+    import numpy as np
+    from zef_spark.pipeline.similarity import hamming_topk
+    rng = np.random.RandomState(8)
+    q = rng.normal(0, 1, 64)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 64)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = hamming_topk(df, "v", "id", [float(x) for x in q], k=200)
+    hams = [r["hamming"] for r in out.collect()]
+    # random vs random: expected hamming = 32 of 64 bits
+    assert 24 < sum(hams) / len(hams) < 40
+
+
+def test_hamming_plan_no_shuffle_before_topk(spark):
+    from zef_spark.pipeline.similarity import hamming_topk
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    q = [0.1] * 64
+    plan = (hamming_topk(emb, "embedding", "vec_id", q, k=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------------------- pacf
+
+def test_pacf_matches_durbin_levinson_reference(spark):
+    import numpy as np
+    from zef_spark.pipeline.rollup import pacf, acf
+    rng = np.random.RandomState(6)
+    v = [0.0]
+    for _ in range(199):          # AR(1), phi = 0.7
+        v.append(0.7 * v[-1] + rng.normal())
+    rows = [(i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    got = {r["lag"]: r["pacf"]
+           for r in pacf(df, "t", "v", max_lag=6).collect()}
+    rs = {r["lag"]: r["r"]
+          for r in acf(df, "t", "v", max_lag=6, digits=12).collect()}
+    # independent python Durbin-Levinson
+    phi = {1: {1: rs[1]}}
+    ref = {1: rs[1]}
+    for k in range(2, 7):
+        num = rs[k] - sum(phi[k-1][j] * rs[k-j] for j in range(1, k))
+        den = 1.0 - sum(phi[k-1][j] * rs[j] for j in range(1, k))
+        pkk = num / den
+        phi[k] = {j: phi[k-1][j] - pkk * phi[k-1][k-j]
+                  for j in range(1, k)}
+        phi[k][k] = pkk
+        ref[k] = pkk
+    for k in range(1, 7):
+        assert abs(got[k] - ref[k]) < 1e-6, (k, got[k], ref[k])
+    # AR(1) signature: pacf(1) ~ 0.7, higher lags near zero
+    assert abs(got[1] - 0.7) < 0.15
+    assert all(abs(got[k]) < 0.2 for k in range(3, 7))
+
+
+def test_pacf_constant_series_null(spark):
+    from zef_spark.pipeline.rollup import pacf
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(30)], "t int, v double")
+    out = pacf(df, "t", "v", max_lag=3).collect()
+    assert all(r["pacf"] is None for r in out)
+
+
+def test_pacf_distributed_no_collect(spark):
+    """pacf must stay a pure DataFrame plan (no driver round-trip):
+    the recursion is unrolled into selects over the pivoted ACF."""
+    from zef_spark.pipeline.rollup import pacf
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    df = pacf(series, "h", "x", by="event_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "LocalTableScan" not in plan  # not a collected result
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -1277,3 +1277,74 @@ def ljung_box(df, ts_col: str, value_col: str, max_lag: int = 6,
 @_reg_rollup("ljung_box", "df")
 def _ljung_box_op(df, *args, **kw):
     return ljung_box(df, *args, **kw)
+
+
+def durbin_levinson_steps(max_lag: int):
+    """The Durbin-Levinson recursion unrolled into a flat list of
+    (column_name, sql_expression) steps over pivoted autocorrelation
+    columns r1..r{max_lag}:
+
+        phi[k][k] = (r_k - SUM_j phi[k-1][j] r_{k-j})
+                    / (1 - SUM_j phi[k-1][j] r_j)
+        phi[k][j] = phi[k-1][j] - phi[k][k] phi[k-1][k-j]
+
+    Each step references only previously-defined names, so the SAME
+    strings drive Spark (sequential selectExpr) AND the DuckDB
+    oracle (sequential CTEs) — both engines execute the literally
+    identical arithmetic on bit-identical 12-dp rounded r inputs,
+    which is what makes an iterative estimator raw-repr-exact
+    cross-engine. Zero-denominator levels emit NULL and propagate."""
+    steps = [("p1_1", "r1")]
+    for k in range(2, int(max_lag) + 1):
+        num = " + ".join(f"p{k-1}_{j} * r{k-j}" for j in range(1, k))
+        den = " + ".join(f"p{k-1}_{j} * r{j}" for j in range(1, k))
+        steps.append((f"den{k}", f"1.0 - ({den})"))
+        steps.append((f"p{k}_{k}",
+                      f"CASE WHEN den{k} <> 0 THEN "
+                      f"(r{k} - ({num})) / den{k} END"))
+        for j in range(1, k):
+            steps.append((f"p{k}_{j}",
+                          f"p{k-1}_{j} - p{k}_{k} * p{k-1}_{k-j}"))
+    return steps
+
+
+def pacf(df, ts_col: str, value_col: str, max_lag: int = 6,
+         by=None, digits: int = 6):
+    """(by..., lag, pacf) — the PARTIAL autocorrelation function at
+    lags 1..max_lag per key: the correlation of x_t with x_{t-k}
+    after regressing out lags 1..k-1, i.e. the AR-order fingerprint
+    (an AR(p) process cuts off after lag p where the ACF only
+    decays). Computed by the Durbin-Levinson recursion over the
+    sample ACF.
+
+    Plan: acf's ONE key-ordered window shuffle + one hash agg, then
+    a pivot to one row per key (max_lag columns) and the recursion
+    unrolled into stepwise attribute-referencing selects — FULLY
+    distributed, no driver collect, codegen-bounded. The same
+    unrolled steps generate the DuckDB oracle, so both engines run
+    identical double arithmetic on identical 12-dp r values."""
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    r = acf(df, ts_col, value_col, max_lag=max_lag,
+            by=keys if keys else None, digits=12)
+    pivoted = (r.groupBy(*keys)
+               .agg(*[F.max(F.when(F.col("lag") == k, F.col("r")))
+                      .alias(f"r{k}")
+                      for k in range(1, max_lag + 1)]))
+    cur = pivoted
+    for name, expr in durbin_levinson_steps(max_lag):
+        cur = cur.selectExpr("*", f"{expr} AS {name}")
+    parts = [F.struct(F.lit(k).alias("lag"),
+                      F.col(f"p{k}_{k}").alias("pacf"))
+             for k in range(1, max_lag + 1)]
+    out = (cur.select(*keys, F.explode(F.array(*parts)).alias("__e"))
+           .select(*keys, "__e.lag",
+                   round_sig_safe(F.col("__e.pacf"), digits)
+                   .alias("pacf")))
+    return out
+
+
+@_reg_rollup("pacf", "df")
+def _pacf_op(df, *args, **kw):
+    return pacf(df, *args, **kw)

@@ -597,3 +597,111 @@ def _rrf_fuse_op(df, score_col, others, *args, **kw):
     """Pipe form: ``df | z.rrf_fuse[score_col, [(df2, s2), ...],
     id_col]`` — df is the first ranking."""
     return rrf_fuse([(df, score_col)] + list(others), *args, **kw)
+
+
+# ---------------------------------------------------------------------
+# Binary (1-bit) quantization + Hamming-distance ANN (r09b): the
+# bit-vector prefilter of production vector stores — 32x smaller than
+# float32, XOR+popcount candidate generation, optional exact cosine
+# rerank. Sign bits pack 32 per BIGINT word so every shift/sum stays
+# far from both engines' overflow edges (bit 63 is a hazard in either).
+# ---------------------------------------------------------------------
+
+_BITS_PER_WORD = 32
+
+
+def _sign_word(vec_col, word: int, dim: int):
+    """One 32-bit sign word as a BIGINT Column: bit j set iff
+    element word*32+j is >= 0. Disjoint powers of two, so + is OR
+    and the word stays < 2^32 — ANSI-overflow-proof."""
+    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
+    terms = []
+    for j in range(_BITS_PER_WORD):
+        i = word * _BITS_PER_WORD + j
+        if i >= dim:
+            break
+        terms.append(
+            F.when(F.element_at(v, i + 1).cast("double") >= 0,
+                   F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def binary_quantize(df: DataFrame, vec_col: str, dim: int,
+                    out_prefix: str = "sign_w") -> DataFrame:
+    """Input + ``sign_w0..sign_w{ceil(dim/32)-1}`` BIGINT columns —
+    1-bit sign quantization of an embedding column (bit = v_i >= 0).
+    The binary sketch preserves angular locality (hamming/bits is an
+    unbiased estimator of angle/pi), stores 32x smaller than float32,
+    and turns candidate generation into XOR+popcount. Row-local,
+    ZERO shuffle, no UDF."""
+    out = df
+    for w in range((dim + _BITS_PER_WORD - 1) // _BITS_PER_WORD):
+        out = out.withColumn(f"{out_prefix}{w}",
+                             _sign_word(F.col(vec_col), w, dim))
+    return out
+
+
+def hamming_distance(words_a: list, words_b: list):
+    """Σ popcount(a XOR b) over word Columns — exact integer."""
+    d = None
+    for a, b in zip(words_a, words_b):
+        t = F.bit_count(a.bitwiseXOR(b)).cast("long")
+        d = t if d is None else d + t
+    return d
+
+
+def hamming_topk(df: DataFrame, vec_col: str, id_col: str,
+                 query: list[float], k: int = 10,
+                 rerank: int = 0, digits: int = 6) -> DataFrame:
+    """(id, hamming[, cosine]) — top-k nearest neighbors of a probe
+    vector by sign-bit Hamming distance (ties by id), optionally
+    exact-cosine-reranked over ``rerank``x k Hamming candidates
+    (rerank=0 returns the pure binary ranking).
+
+    The two-stage shape production binary indexes use: the XOR+
+    popcount scan touches only 2 longs per 64-dim row (32x less I/O
+    than float32), and the expensive float math runs on rerank*k
+    rows instead of the corpus. Plan: map-side integer distance +
+    TakeOrdered — no shuffle beyond the global top-k; everything
+    whole-stage-codegen'd, exact-integer deterministic."""
+    dim = len(query)
+    n_words = (dim + _BITS_PER_WORD - 1) // _BITS_PER_WORD
+    qd = binary_quantize(df, vec_col, dim)
+    q_words = []
+    for w in range(n_words):
+        word = 0
+        for j in range(_BITS_PER_WORD):
+            i = w * _BITS_PER_WORD + j
+            if i < dim and query[i] >= 0:
+                word |= 1 << j
+        q_words.append(F.lit(word).cast("long"))
+    ham = hamming_distance(
+        [F.col(f"sign_w{w}") for w in range(n_words)], q_words)
+    scored = qd.withColumn("hamming", ham)
+    if rerank <= 0:
+        return (scored.select(id_col, "hamming")
+                .orderBy(F.col("hamming"), F.col(id_col))
+                .limit(k))
+    cand = (scored.select(id_col, vec_col, "hamming")
+            .orderBy(F.col("hamming"), F.col(id_col))
+            .limit(int(rerank) * k))
+    exact = cosine_to_query(cand, vec_col, query)
+    return (exact.select(id_col, "hamming",
+                         F.round(F.col("cosine"), digits)
+                         .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+@_reg_sim("binary_quantize", "df")
+def _binary_quantize_op(df, *args, **kw):
+    return binary_quantize(df, *args, **kw)
+
+
+@_reg_sim("hamming_topk", "df")
+def _hamming_topk_op(df, *args, **kw):
+    return hamming_topk(df, *args, **kw)
