@@ -9833,6 +9833,52 @@ def e_pacf_hourly(spark, sf_dir):
             .orderBy("event_type", "lag"))
 
 
+@query("w_srm_check_split", """
+WITH counts AS (
+  SELECT CAST(user_id % 2 AS VARCHAR) AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), st AS (
+  SELECT grp, n,
+    CAST(SUM(n) OVER () AS DOUBLE)
+      * (CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE)) AS e,
+    CAST(COUNT(*) OVER () AS BIGINT) AS k
+  FROM counts
+), per AS (
+  SELECT grp AS "group", n, ROUND(e, 6) AS expected_n,
+    CASE WHEN e > 0 THEN CASE WHEN ROUND((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, CAST(LEAST(6, 9 - (CASE WHEN ABS((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e) < 1.0 THEN 0 WHEN ABS((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, CAST(LEAST(6, 9 - (CASE WHEN ABS((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e) < 1.0 THEN 0 WHEN ABS((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END END AS chi2_term,
+    k
+  FROM st
+), tot AS (
+  SELECT CAST('__total__' AS VARCHAR) AS "group",
+    CAST(SUM(n) AS BIGINT) AS n,
+    CAST(NULL AS DOUBLE) AS expected_n,
+    SUM(CAST(ROUND(chi2_term, 12) AS DECIMAL(38,12)))::DOUBLE AS c,
+    MAX(k) AS k
+  FROM per
+)
+SELECT "group", n, expected_n, chi2_term, CAST(k - 1 AS BIGINT) AS dof
+FROM per
+UNION ALL
+SELECT "group", n, expected_n, CASE WHEN ROUND(c, CAST(LEAST(6, 9 - (CASE WHEN ABS(c) < 1.0 THEN 0 WHEN ABS(c) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(c)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(c, CAST(LEAST(6, 9 - (CASE WHEN ABS(c) < 1.0 THEN 0 WHEN ABS(c) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(c)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS chi2_term,
+  CAST(k - 1 AS BIGINT) AS dof
+FROM tot
+ORDER BY "group"
+""")
+def w_srm_check_split(spark, sf_dir):
+    """Sample Ratio Mismatch check of the user_id%2 assignment split
+    (pipeline/abtest.py srm_check): chi-square goodness-of-fit of
+    realized group counts against the design ratios — the FIRST gate
+    of every A/B readout (a skewed split means corrupted assignment
+    and no trustworthy downstream stat). ONE vocab-sized count agg +
+    window total; exact-integer counts, sig-safe terms."""
+    from zef_spark.pipeline.abtest import srm_check
+    ev = _events(spark, sf_dir)
+    g = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("user_id") % 2).cast("string").alias("grp"))
+    return srm_check(g, "grp").orderBy("group")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -9876,6 +9922,7 @@ _FRONT = [
     "w_jarque_bera_acctbal", "e_kendall_tau_daily",
     "p_log_loss_purchase", "e_ljung_box_hourly",
     "p_quantization_error", "p_hamming_topk", "e_pacf_hourly",
+    "w_srm_check_split",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

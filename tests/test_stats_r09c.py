@@ -433,3 +433,32 @@ def test_pacf_distributed_no_collect(spark):
     assert "Join" not in plan
     assert "LocalTableScan" not in plan  # not a collected result
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+# ------------------------------------------------------------------- srm
+
+def test_srm_balanced_and_skewed(spark):
+    from zef_spark.pipeline.abtest import srm_check
+    rows = [("A",)] * 500 + [("B",)] * 500
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["group"]: r for r in srm_check(df, "g").collect()}
+    assert out["__total__"]["chi2_term"] == 0.0
+    assert out["__total__"]["dof"] == 1
+    assert out["A"]["expected_n"] == 500.0
+    # corrupted split: 600/400 under a 50/50 design -> chi2 = 40
+    rows = [("A",)] * 600 + [("B",)] * 400
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["group"]: r for r in srm_check(df, "g").collect()}
+    assert out["__total__"]["chi2_term"] == 40.0
+    assert out["__total__"]["chi2_term"] > 3.84  # SRM detected
+
+
+def test_srm_explicit_design_ratios(spark):
+    from zef_spark.pipeline.abtest import srm_check
+    # 90/10 design realized exactly -> chi2 = 0
+    rows = [("ctl",)] * 900 + [("trt",)] * 100
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["group"]: r for r in
+           srm_check(df, "g", expected={"ctl": 9, "trt": 1}).collect()}
+    assert out["__total__"]["chi2_term"] == 0.0
+    assert out["ctl"]["expected_n"] == 900.0

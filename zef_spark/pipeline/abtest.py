@@ -978,3 +978,67 @@ def cuped_adjust(df: DataFrame, group_col: str, metric_col: str,
 @register_op("cuped_adjust", "df")
 def _cuped_op(df, *args, **kw):
     return cuped_adjust(df, *args, **kw)
+
+
+def srm_check(df: DataFrame, group_col: str,
+              expected: dict | None = None,
+              digits: int = 6) -> DataFrame:
+    """(group, n, expected_n, chi2_term) + a __total__ row carrying
+    the summed chi-square statistic and dof — the Sample Ratio
+    Mismatch check, the FIRST gate of every A/B readout: if the
+    realized assignment counts differ from the design ratios more
+    than chance allows (χ² = Σ(o−e)²/e over groups ~ χ²_{k−1}),
+    the experiment is corrupted (bot filtering, redirect loss,
+    logging skew) and no downstream statistic can be trusted.
+
+    ``expected`` maps group value → design weight (normalized
+    internally); None means equal split over the OBSERVED groups.
+
+    Plan: ONE count-by-group hash agg (vocab-sized), a 1-row
+    broadcast total, row-local χ² terms — decimal-exact counts, the
+    per-term (o−e)²/e released sig-safe."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    counts = (df.where(F.col(group_col).isNotNull())
+              .groupBy(F.col(group_col).cast("string").alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    if expected is not None:
+        tot_w = float(sum(expected.values()))
+        pairs = [(str(k), float(v) / tot_w) for k, v in
+                 sorted(expected.items(), key=lambda kv: str(kv[0]))]
+        wdf = counts.sparkSession.createDataFrame(
+            pairs, "grp string, w double")
+        counts = counts.join(F.broadcast(wdf), "grp", "left")
+    else:
+        kc = Window.partitionBy()
+        counts = counts.withColumn(
+            "w", F.lit(1.0) / F.count(F.lit(1)).over(kc))
+    wt = Window.partitionBy()
+    st = (counts
+          .withColumn("__tot", F.sum("n").over(wt))
+          .withColumn("__k", F.count(F.lit(1)).over(wt)))
+    e = F.col("__tot").cast("double") * F.col("w")
+    o = F.col("n").cast("double")
+    term = F.when(e > 0, (o - e) * (o - e) / e)
+    per = st.select(
+        F.col("grp").alias("group"), "n",
+        F.round(e, digits).alias("expected_n"),
+        round_sig_safe(term, digits).alias("chi2_term"),
+        "__k")
+    total = (per.agg(
+        F.sum("n").alias("n"),
+        F.max("__k").alias("__k"),
+        F.sum(F.round(F.col("chi2_term"), 12)
+              .cast("decimal(38,12)")).cast("double").alias("__c"))
+        .select(F.lit("__total__").alias("group"), "n",
+                F.lit(None).cast("double").alias("expected_n"),
+                round_sig_safe(F.col("__c"), digits)
+                .alias("chi2_term"), "__k"))
+    return (per.unionByName(total)
+            .select("group", "n", "expected_n", "chi2_term",
+                    (F.col("__k") - 1).cast("long").alias("dof")))
+
+
+@register_op("srm_check", "df")
+def _srm_op(df, *args, **kw):
+    return srm_check(df, *args, **kw)
