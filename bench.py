@@ -52,6 +52,10 @@ HEADLINE = [
     # collapse + range-partitioned two-phase prefix rank — the
     # mann-whitney/kruskal/auc machinery under one timed face)
     "w_kruskal_price_priority",
+    # r09 addition: the quantized-vector-search family (1-bit sign
+    # packing, XOR+popcount candidate ranking, exact-integer
+    # deterministic — the bit-vector prefilter of production ANN)
+    "p_hamming_topk",
 ]
 
 
