@@ -9879,6 +9879,41 @@ def w_srm_check_split(spark, sf_dir):
     return srm_check(g, "grp").orderBy("group")
 
 
+@query("w_weighted_percentile_price", """
+WITH base AS (
+  SELECT l_returnflag,
+    CAST(l_extendedprice AS DOUBLE) AS v,
+    CAST(ROUND(CAST(l_quantity AS DOUBLE) * 1e6) AS HUGEINT) AS wi
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), cum AS (
+  SELECT l_returnflag, v,
+    SUM(wi) OVER (PARTITION BY l_returnflag ORDER BY v
+                  RANGE UNBOUNDED PRECEDING) AS cw,
+    SUM(wi) OVER (PARTITION BY l_returnflag) AS W
+  FROM base
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(MAX(W) AS DOUBLE) / 1e6, 6) AS w_total,
+  MIN(CASE WHEN cw * 100 >= W * 50 THEN v END) AS wp50,
+  MIN(CASE WHEN cw * 100 >= W * 90 THEN v END) AS wp90,
+  MIN(CASE WHEN cw * 100 >= W * 99 THEN v END) AS wp99
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def w_weighted_percentile_price(spark, sf_dir):
+    """Quantity-weighted price percentiles per return flag
+    (pipeline/wrangling.py weighted_percentile): the smallest price
+    whose cumulative quantity reaches p of the total — exact
+    micro-weight integers end to end (no FP), RANGE-frame
+    tie-correct cdf, one group-keyed shuffle shared by both windows
+    and the final agg."""
+    from zef_spark.pipeline.wrangling import weighted_percentile
+    li = _t(spark, sf_dir, "lineitem")
+    return (weighted_percentile(li, "l_extendedprice", "l_quantity",
+                                by="l_returnflag")
+            .orderBy("l_returnflag"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -9922,7 +9957,7 @@ _FRONT = [
     "w_jarque_bera_acctbal", "e_kendall_tau_daily",
     "p_log_loss_purchase", "e_ljung_box_hourly",
     "p_quantization_error", "p_hamming_topk", "e_pacf_hourly",
-    "w_srm_check_split",
+    "w_srm_check_split", "w_weighted_percentile_price",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

@@ -462,3 +462,47 @@ def test_srm_explicit_design_ratios(spark):
            srm_check(df, "g", expected={"ctl": 9, "trt": 1}).collect()}
     assert out["__total__"]["chi2_term"] == 0.0
     assert out["ctl"]["expected_n"] == 900.0
+
+
+# -------------------------------------------------- weighted percentile
+
+def test_weighted_percentile_hand_example(spark):
+    from zef_spark.pipeline.wrangling import weighted_percentile
+    # values 1..4 with weights 1,1,1,7 -> W=10
+    # p50: cum(1)=1,cum(2)=2,cum(3)=3,cum(4)=10 -> first >= 5 is 4
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    r = weighted_percentile(df, "v", "w", ps=(0.3, 0.5)).collect()[0]
+    assert r["wp50"] == 4.0
+    assert r["wp30"] == 3.0      # first cum >= 3 is value 3
+    assert r["w_total"] == 10.0
+
+
+def test_weighted_percentile_unit_weights_match_disc(spark):
+    """weights=1 must reduce to PERCENTILE_DISC (group_percentiles)."""
+    import numpy as np
+    from zef_spark.pipeline.wrangling import weighted_percentile
+    from zef_spark.ops.df_ops import group_percentiles
+    rng = np.random.RandomState(12)
+    rows = [("k", float(x), 1.0) for x in rng.normal(0, 10, 101)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    wp = weighted_percentile(df, "v", "w", by="k",
+                             ps=(0.5, 0.9)).collect()[0]
+    gp = group_percentiles(df, "k", "v", ps=(0.5, 0.9)).collect()[0]
+    assert wp["wp50"] == gp["p50"]
+    assert wp["wp90"] == gp["p90"]
+
+
+def test_weighted_percentile_ties_and_guards(spark):
+    import pytest as _pytest
+    from zef_spark.pipeline.wrangling import weighted_percentile
+    # tied values: RANGE frame sees all ties at once
+    rows = [(5.0, 3.0), (5.0, 3.0), (9.0, 4.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    r = weighted_percentile(df, "v", "w", ps=(0.5,)).collect()[0]
+    assert r["wp50"] == 5.0      # cum(5)=6 >= 5
+    with _pytest.raises(ValueError, match="whole percents"):
+        weighted_percentile(df, "v", "w", ps=(0.505,))
+    neg = spark.createDataFrame([(1.0, -2.0)], "v double, w double")
+    with _pytest.raises(Exception, match="negative weight"):
+        weighted_percentile(neg, "v", "w").collect()

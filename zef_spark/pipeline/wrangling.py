@@ -1864,3 +1864,70 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str, by=None,
 @register_op("kendall_tau", "df")
 def _kendall_tau_op(df, *args, **kw):
     return kendall_tau(df, *args, **kw)
+
+
+def weighted_percentile(df: DataFrame, value_col: str,
+                        weight_col: str, by=None,
+                        ps: tuple = (0.5, 0.9, 0.99),
+                        digits: int = 6) -> DataFrame:
+    """(by..., n, w_total, wp<NN>...) — EXACT weighted percentiles:
+    wp_p = the smallest value v whose cumulative weight (over all
+    rows with value ≤ v) reaches p·W. The reporting form where rows
+    are not equal — revenue-weighted median price, bytes-weighted
+    p99 latency — reducing to PERCENTILE_DISC when weights are 1.
+
+    Determinism: NO floating point anywhere. Weights round half-up
+    to 6 dp and scale to exact micro-weight INTEGERS
+    (decimal(38,0)); the cumulative sum uses a RANGE frame (every
+    row sees the weight of ALL its value-ties — the tie-correct
+    cdf); the threshold test is 100·cumw ≥ pct·W in exact integers
+    (ps must be whole percents). The picked value is an ELEMENT of
+    the input, bit-identical in any engine reading the same data.
+    Zero-weight rows are kept but can never be picked ahead of a
+    lighter value; negative weights raise.
+
+    Plan: ONE group-keyed shuffle — the cumulative RANGE window,
+    the total window, and the final conditional agg all share the
+    by-key partitioning (group_percentiles' shape, weight-
+    generalized)."""
+    from pyspark.sql import Window
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    d0 = "decimal(38,0)"
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    pcts = []
+    for p in ps:
+        pct = round(float(p) * 100)
+        if abs(pct - float(p) * 100) > 1e-9:
+            raise ValueError(
+                "weighted_percentile: ps must be whole percents "
+                f"(got {p}) — the exact-integer threshold test "
+                "compares 100*cumw >= pct*W")
+        pcts.append(int(pct))
+    wi = F.round(w * F.lit(1e6)).cast(d0)
+    base = (df.where(v.isNotNull() & w.isNotNull())
+            .select(*keys, v.alias("__v"),
+                    F.when(w >= 0, wi).otherwise(F.raise_error(F.lit(
+                        "weighted_percentile: negative weight")))
+                    .alias("__wi")))
+    wr = (Window.partitionBy(*part).orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy(*part)
+    cum = (base.withColumn("__cw", F.sum("__wi").over(wr))
+           .withColumn("__W", F.sum("__wi").over(wn)))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.round(F.max("__W").cast("double") / F.lit(1e6), digits)
+            .alias("w_total")]
+    for pct in pcts:
+        cond = (F.col("__cw") * F.lit(100).cast(d0)
+                >= F.col("__W") * F.lit(pct).cast(d0))
+        aggs.append(F.min(F.when(cond, F.col("__v")))
+                    .alias(f"wp{pct}"))
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+@register_op("weighted_percentile", "df")
+def _weighted_percentile_op(df, *args, **kw):
+    return weighted_percentile(df, *args, **kw)
