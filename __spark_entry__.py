@@ -9914,6 +9914,145 @@ def w_weighted_percentile_price(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@query("p_roc_points_purchase", """
+WITH vt AS (
+  SELECT CAST((user_id % 97) + 1 AS DOUBLE) / CAST(100 AS DOUBLE) AS threshold,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+         AS BIGINT) AS nn
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT threshold,
+    SUM(p) OVER (ORDER BY threshold DESC
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(nn) OVER (ORDER BY threshold DESC
+                  ROWS UNBOUNDED PRECEDING) AS fp,
+    SUM(p) OVER () AS P, SUM(nn) OVER () AS N,
+    ROW_NUMBER() OVER (ORDER BY threshold DESC) AS i,
+    COUNT(*) OVER () AS c
+  FROM vt
+), kept AS (
+  SELECT * FROM cum
+  WHERE FLOOR(i * 1000 / c) > FLOOR((i - 1) * 1000 / c) OR i = c
+), f AS (
+  SELECT threshold, CAST(tp AS BIGINT) AS tp,
+    CAST(fp AS BIGINT) AS fp,
+    CASE WHEN P > 0 THEN CAST(tp AS DOUBLE) / CAST(P AS DOUBLE) END
+      AS tpr_raw,
+    CASE WHEN N > 0 THEN CAST(fp AS DOUBLE) / CAST(N AS DOUBLE) END
+      AS fpr_raw
+  FROM kept
+)
+SELECT threshold, tp, fp,
+  CASE WHEN ROUND(tpr_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(tpr_raw) < 1.0 THEN 0 WHEN ABS(tpr_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(tpr_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(tpr_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(tpr_raw) < 1.0 THEN 0 WHEN ABS(tpr_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(tpr_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS tpr,
+  CASE WHEN ROUND(fpr_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(fpr_raw) < 1.0 THEN 0 WHEN ABS(fpr_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(fpr_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(fpr_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(fpr_raw) < 1.0 THEN 0 WHEN ABS(fpr_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(fpr_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS fpr
+FROM f ORDER BY threshold DESC
+""")
+def p_roc_points_purchase(spark, sf_dir):
+    """ROC curve of the integer-derived score against the purchase
+    label (pipeline/evaluation.py roc_points): tp/fp at every
+    distinct score threshold are EXACT integer cumulative sums over
+    the score VOCABULARY (one hash agg + one desc window);
+    deterministic even-spaced thinning to <=1000 points; tpr/fpr are
+    single divisions, sig-safe."""
+    from zef_spark.pipeline.evaluation import roc_points
+    ev = _events(spark, sf_dir)
+    evl = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (((F.col("user_id") % 97) + 1).cast("double")
+         / F.lit(100).cast("double")).alias("p"))
+    return (roc_points(evl, "p", "y")
+            .orderBy(F.col("threshold").desc()))
+
+
+@query("p_average_precision_purchase", """
+WITH vt AS (
+  SELECT CAST((user_id % 97) + 1 AS DOUBLE) / CAST(100 AS DOUBLE) AS s,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p,
+    CAST(COUNT(*) AS BIGINT) AS t
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT p, t,
+    SUM(t) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS ct,
+    SUM(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cp
+  FROM vt
+), ag AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+    CAST(SUM(t) - SUM(p) AS BIGINT) AS n_neg,
+    SUM(CAST(ROUND(CAST(p AS DOUBLE)
+                   * (CAST(cp AS DOUBLE) / CAST(ct AS DOUBLE)), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sm
+  FROM cum
+), f AS (
+  SELECT n_pos, n_neg,
+    CASE WHEN n_pos > 0 THEN sm / CAST(n_pos AS DOUBLE) END AS ap_raw
+  FROM ag
+)
+SELECT n_pos, n_neg, CASE WHEN ROUND(ap_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(ap_raw) < 1.0 THEN 0 WHEN ABS(ap_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(ap_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(ap_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(ap_raw) < 1.0 THEN 0 WHEN ABS(ap_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(ap_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS ap FROM f
+""")
+def p_average_precision_purchase(spark, sf_dir):
+    """Average Precision (area under the PR curve, step rule on the
+    tie-collapsed score table — scikit-learn's convention) of the
+    integer-derived score against the purchase label
+    (pipeline/evaluation.py average_precision): precision@block-end
+    ratios of exact integers, 12-dp-rounded decimal sum, one
+    division sig-safe."""
+    from zef_spark.pipeline.evaluation import average_precision
+    ev = _events(spark, sf_dir)
+    evl = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (((F.col("user_id") % 97) + 1).cast("double")
+         / F.lit(100).cast("double")).alias("p"))
+    return average_precision(evl, "p", "y")
+
+
+@query("w_wilson_ci_value", """
+WITH ag AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      AS successes
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), f AS (
+  SELECT event_type, n, successes,
+    CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    1.0 + 3.8415999999999997 / CAST(n AS DOUBLE) AS denom,
+    (CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+     + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+      / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) AS center,
+    (1.96 * SQRT(CAST(successes AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (1.0 - CAST(successes AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + 3.8415999999999997
+                   / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)) AS half
+  FROM ag
+)
+SELECT event_type, n, successes,
+  CASE WHEN ROUND(p, CAST(LEAST(6, 9 - (CASE WHEN ABS(p) < 1.0 THEN 0 WHEN ABS(p) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(p, CAST(LEAST(6, 9 - (CASE WHEN ABS(p) < 1.0 THEN 0 WHEN ABS(p) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(p)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS rate,
+  CASE WHEN ROUND(center - half, CAST(LEAST(6, 9 - (CASE WHEN ABS(center - half) < 1.0 THEN 0 WHEN ABS(center - half) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(center - half)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(center - half, CAST(LEAST(6, 9 - (CASE WHEN ABS(center - half) < 1.0 THEN 0 WHEN ABS(center - half) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(center - half)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS lo,
+  CASE WHEN ROUND(center + half, CAST(LEAST(6, 9 - (CASE WHEN ABS(center + half) < 1.0 THEN 0 WHEN ABS(center + half) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(center + half)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(center + half, CAST(LEAST(6, 9 - (CASE WHEN ABS(center + half) < 1.0 THEN 0 WHEN ABS(center + half) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(center + half)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS hi
+FROM f ORDER BY event_type
+""")
+def w_wilson_ci_value(spark, sf_dir):
+    """Wilson score interval for the share of high-value events per
+    type (pipeline/evaluation.py wilson_ci): the proportion error
+    bar that behaves at the edges; two exact integers per key, a
+    fixed double expression, sig-safe release."""
+    from zef_spark.pipeline.evaluation import wilson_ci
+    ev = _events(spark, sf_dir)
+    evl = ev.where(F.col("value").isNotNull()).select(
+        "event_type", (F.col("value") > 50).alias("hi_val"))
+    return (wilson_ci(evl, "hi_val", by="event_type")
+            .orderBy("event_type"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -9958,6 +10097,8 @@ _FRONT = [
     "p_log_loss_purchase", "e_ljung_box_hourly",
     "p_quantization_error", "p_hamming_topk", "e_pacf_hourly",
     "w_srm_check_split", "w_weighted_percentile_price",
+    "p_roc_points_purchase", "p_average_precision_purchase",
+    "w_wilson_ci_value",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

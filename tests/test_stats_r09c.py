@@ -506,3 +506,83 @@ def test_weighted_percentile_ties_and_guards(spark):
     neg = spark.createDataFrame([(1.0, -2.0)], "v double, w double")
     with _pytest.raises(Exception, match="negative weight"):
         weighted_percentile(neg, "v", "w").collect()
+
+
+# ------------------------------------------------ roc / ap / wilson
+
+def test_roc_points_exact_small(spark):
+    from zef_spark.pipeline.evaluation import roc_points
+    # scores desc: 0.9(+), 0.8(-), 0.7(+), 0.6(-)
+    rows = [(True, 0.9), (False, 0.8), (True, 0.7), (False, 0.6)]
+    df = spark.createDataFrame(rows, "y boolean, p double")
+    out = {r["threshold"]: r for r in roc_points(df, "p", "y").collect()}
+    assert (out[0.9]["tp"], out[0.9]["fp"]) == (1, 0)
+    assert (out[0.8]["tp"], out[0.8]["fp"]) == (1, 1)
+    assert (out[0.7]["tp"], out[0.7]["fp"]) == (2, 1)
+    assert out[0.6]["tpr"] == 1.0 and out[0.6]["fpr"] == 1.0
+
+
+def test_roc_points_thinning_deterministic(spark):
+    import numpy as np
+    from zef_spark.pipeline.evaluation import roc_points
+    rng = np.random.RandomState(13)
+    rows = [(bool(rng.rand() < 0.3), float(v))
+            for v in rng.uniform(0, 1, 5000)]
+    df = spark.createDataFrame(rows, "y boolean, p double")
+    out = roc_points(df, "p", "y", max_points=100).collect()
+    assert len(out) <= 100
+    # monotone along the curve
+    pts = sorted((r["fpr"], r["tpr"]) for r in out)
+    assert all(pts[i][1] <= pts[i+1][1] for i in range(len(pts)-1))
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.evaluation import average_precision
+    rng = np.random.RandomState(14)
+    y = rng.rand(300) < 0.25
+    p = np.clip(0.25 + 0.4 * y + rng.normal(0, 0.25, 300), 0.001, 0.999)
+    df = spark.createDataFrame(
+        [(bool(a), float(b)) for a, b in zip(y, p)],
+        "y boolean, p double")
+    r = average_precision(df, "p", "y").collect()[0]
+    # reference: step AP over distinct thresholds desc
+    order = np.argsort(-p)
+    ys, ps_ = y[order], p[order]
+    ref, cp, ct = 0.0, 0, 0
+    i = 0
+    while i < len(ps_):
+        j = i
+        while j < len(ps_) and ps_[j] == ps_[i]:
+            j += 1
+        blk_p = int(ys[i:j].sum()); ct = j; cp += blk_p
+        ref += blk_p * (cp / ct)
+        i = j
+    ref /= y.sum()
+    assert abs(r["ap"] - ref) < 1e-6
+    assert r["n_pos"] == int(y.sum())
+
+
+def test_average_precision_perfect_ranking(spark):
+    from zef_spark.pipeline.evaluation import average_precision
+    rows = [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)]
+    df = spark.createDataFrame(rows, "y boolean, p double")
+    assert average_precision(df, "p", "y").collect()[0]["ap"] == 1.0
+
+
+def test_wilson_ci_properties(spark):
+    from zef_spark.pipeline.evaluation import wilson_ci
+    rows = [("a", True)] * 8 + [("a", False)] * 2 \
+        + [("edge", True)] * 10                      # p-hat = 1
+    df = spark.createDataFrame(rows, "k string, y boolean")
+    out = {r["k"]: r for r in wilson_ci(df, "y", by="k").collect()}
+    a = out["a"]
+    assert a["rate"] == 0.8 and a["lo"] < 0.8 < a["hi"]
+    assert 0 <= a["lo"] and a["hi"] <= 1
+    e = out["edge"]                                  # stays inside [0,1]
+    assert e["rate"] == 1.0 and e["hi"] <= 1.0 and e["lo"] > 0.6
+    # wider at smaller n: a (n=10) vs pooled 100x
+    big = spark.createDataFrame(
+        [("b", True)] * 800 + [("b", False)] * 200, "k string, y boolean")
+    b = wilson_ci(big, "y", by="k").collect()[0]
+    assert (b["hi"] - b["lo"]) < (a["hi"] - a["lo"])

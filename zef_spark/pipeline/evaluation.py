@@ -335,3 +335,161 @@ def log_loss(df: DataFrame, score_col: str, label_col, by=None,
 @register_op("log_loss", "df")
 def _log_loss_op(df, *args, **kw):
     return log_loss(df, *args, **kw)
+
+
+def roc_points(df: DataFrame, score_col: str, label_col,
+               max_points: int = 1000, digits: int = 6) -> DataFrame:
+    """(threshold, tp, fp, tpr, fpr) — the ROC curve evaluated at
+    every distinct score (predict positive when score >= threshold),
+    downsampled deterministically to ≤ max_points evenly-spaced
+    points when the score vocabulary is larger. The curve behind
+    binary_auc's scalar — for plotting, threshold picking, and
+    partial-AUC reads.
+
+    Plan: ONE distinct-score hash agg (score vocabulary, not rows),
+    then cumulative sums over the score-ordered window DESC — tp/fp
+    at each threshold are EXACT integers; tpr/fpr are single
+    divisions of exact integers, sig-safe rounded. The window runs
+    over the vocabulary table only."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    lab = _label(label_col)
+    s = F.col(score_col).cast("double")
+    vt = (df.where(lab.isNotNull() & s.isNotNull())
+          .groupBy(s.alias("threshold"))
+          .agg(F.sum(lab.cast("long")).alias("__p"),
+               F.sum((~lab).cast("long")).alias("__n")))
+    wd = (Window.orderBy(F.col("threshold").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wa = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = (vt.withColumn("tp", F.sum("__p").over(wd))
+           .withColumn("fp", F.sum("__n").over(wd))
+           .withColumn("__P", F.sum("__p").over(wa))
+           .withColumn("__N", F.sum("__n").over(wa))
+           .withColumn("__i", F.row_number().over(
+               Window.orderBy(F.col("threshold").desc())))
+           .withColumn("__c", F.count(F.lit(1)).over(wa)))
+    # deterministic even-spaced thinning: keep point i when
+    # floor(i*K/c) > floor((i-1)*K/c), always keeping the last
+    k = F.lit(int(max_points)).cast("long")
+    keep = (F.floor(F.col("__i") * k / F.col("__c"))
+            > F.floor((F.col("__i") - 1) * k / F.col("__c"))) \
+        | (F.col("__i") == F.col("__c"))
+    out = cum.where(keep)
+    tpr = F.when(F.col("__P") > 0,
+                 F.col("tp").cast("double")
+                 / F.col("__P").cast("double"))
+    fpr = F.when(F.col("__N") > 0,
+                 F.col("fp").cast("double")
+                 / F.col("__N").cast("double"))
+    return out.select("threshold", "tp", "fp",
+                      round_sig_safe(tpr, digits).alias("tpr"),
+                      round_sig_safe(fpr, digits).alias("fpr"))
+
+
+@register_op("roc_points", "df")
+def _roc_points_op(df, *args, **kw):
+    return roc_points(df, *args, **kw)
+
+
+def average_precision(df: DataFrame, score_col: str, label_col,
+                      digits: int = 6) -> DataFrame:
+    """One row (n_pos, n_neg, ap) — Average Precision (the area
+    under the precision-recall curve by the step rule):
+
+        AP = Σ_k [rank k is positive] · precision@k / n_pos
+
+    with tie-collapsed steps: a tied score block contributes its
+    positives at the block-END precision (a threshold can only sit
+    between distinct scores — the tie-permutation-invariant
+    convention, matching scikit-learn's step AP on collapsed
+    scores). The imbalanced-data companion to
+    binary_auc: AP weighs early precision, AUC weighs global
+    ranking.
+
+    Determinism: precision@k terms are ratios of exact integers;
+    each block's contribution rounds half-up to 12 dp into a
+    decimal(38,12) sum (partition-order-independent), one division
+    releases sig-safe. Plan: one distinct-score hash agg + the
+    score-DESC cumulative window over the VOCABULARY + one 1-row
+    agg."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    dec = "decimal(38,12)"
+    lab = _label(label_col)
+    s = F.col(score_col).cast("double")
+    vt = (df.where(lab.isNotNull() & s.isNotNull())
+          .groupBy(s.alias("__s"))
+          .agg(F.sum(lab.cast("long")).alias("__p"),
+               F.count(F.lit(1)).alias("__t")))
+    wd = (Window.orderBy(F.col("__s").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (vt.withColumn("__ct", F.sum("__t").over(wd))
+           .withColumn("__cp", F.sum("__p").over(wd)))
+    # step rule on the tie-collapsed table (sklearn's
+    # average_precision_score convention): a tied score block of t
+    # rows with p positives contributes p * precision-at-block-END —
+    # a threshold can only sit BETWEEN distinct scores, so the whole
+    # block enters at its trailing-edge precision, and no within-tie
+    # ordering can change the result.
+    prec_end = (F.col("__cp").cast("double")
+                / F.col("__ct").cast("double"))
+    term = F.round(F.col("__p").cast("double") * prec_end, 12) \
+        .cast(dec)
+    agg = cum.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__t") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.sum(term).cast("double").alias("__sum"))
+    ap = F.when(F.col("n_pos") > 0,
+                F.col("__sum") / F.col("n_pos").cast("double"))
+    return agg.select("n_pos", "n_neg",
+                      round_sig_safe(ap, digits).alias("ap"))
+
+
+@register_op("average_precision", "df")
+def _ap_op(df, *args, **kw):
+    return average_precision(df, *args, **kw)
+
+
+def wilson_ci(df: DataFrame, success_col, by=None, z: float = 1.96,
+              digits: int = 6) -> DataFrame:
+    """(by..., n, successes, rate, lo, hi) — the Wilson score
+    interval for a binomial proportion:
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    The interval that behaves at the edges (p̂ near 0/1, small n)
+    where the naive Wald interval collapses — the right error bar
+    for conversion rates and precision estimates. One
+    map-side-combinable hash agg; the interval assembles from two
+    exact integers (n, successes) in a fixed double expression,
+    sig-safe rounded."""
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    lab = _label(success_col)
+    agg = (df.where(lab.isNotNull())
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(lab.cast("long")).alias("successes")))
+    nd = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / nd
+    z2 = float(z) * float(z)
+    denom = 1.0 + F.lit(z2) / nd
+    center = (p + F.lit(z2) / (2.0 * nd)) / denom
+    half = (F.lit(float(z))
+            * F.sqrt(p * (1.0 - p) / nd
+                     + F.lit(z2) / (4.0 * nd * nd))) / denom
+    ok = F.col("n") > 0
+    return agg.select(
+        *keys, "n", "successes",
+        round_sig_safe(F.when(ok, p), digits).alias("rate"),
+        round_sig_safe(F.when(ok, center - half), digits).alias("lo"),
+        round_sig_safe(F.when(ok, center + half), digits).alias("hi"))
+
+
+@register_op("wilson_ci", "df")
+def _wilson_op(df, *args, **kw):
+    return wilson_ci(df, *args, **kw)
