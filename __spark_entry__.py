@@ -10104,10 +10104,12 @@ _FRONT = [
     # them independently; the driver record itself is six rounds old)
     "concat_union_segments", "datetime_functions", "hash_functions",
     "math_functions", "string_functions",
-    # (c) 33 of the 47-row r04 cohort. NOTE: the 7 r09b additions
-    # above push the last 7 rows of this block (p_semantic_dup_pairs
-    # through q9_product_profit) past the 50-query window into the
-    # r10 rotation along with the 14 rows below. The 14 deferred rows
+    # (c) 33 of the 47-row r04 cohort. NOTE: the 14 r09-continuation
+    # additions above (statistics tier + quantized search) take
+    # window priority, pushing the last 14 rows of this block
+    # (p_domain_stats through q9_product_profit) past the 50-query
+    # window into the r10 rotation along with the rows below. The 14
+    # previously deferred rows
     # (q2_min_cost_supplier, q4_priority_exists, q7_nation_volume,
     # q8_market_share, q10_returned_items, q11_part_value_share,
     # q12_priority_lateness, q13_order_count_distribution,
