@@ -10053,6 +10053,127 @@ def w_wilson_ci_value(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@query("w_tukey_price_priority", """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE)
+                   * CAST(o_totalprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS q,
+    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n0,
+    SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN
+        CAST(ROUND(CAST(o_totalprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS s0,
+    CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+    SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN
+        CAST(ROUND(CAST(o_totalprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS s1,
+    CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n2,
+    SUM(CASE WHEN o_orderpriority = '5-LOW' THEN
+        CAST(ROUND(CAST(o_totalprice AS DOUBLE), 12)
+             AS DECIMAL(38,12)) END)::DOUBLE AS s2
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND o_orderpriority IN ('1-URGENT', '3-MEDIUM', '5-LOW')
+), d AS (
+  SELECT *, CASE WHEN n > 3 THEN
+    (q - (s0 * s0 / CAST(n0 AS DOUBLE) + s1 * s1 / CAST(n1 AS DOUBLE) + s2 * s2 / CAST(n2 AS DOUBLE))) / (CAST(n AS DOUBLE) - 3.0) END AS msw
+  FROM a
+), pr AS (
+  SELECT '1-URGENT' AS group_a, '3-MEDIUM' AS group_b,
+    n0 AS n_a, n1 AS n_b,
+    CASE WHEN n0 > 0 AND n1 > 0 AND msw > 0 THEN s0 / CAST(n0 AS DOUBLE) - s1 / CAST(n1 AS DOUBLE) END AS diff_raw,
+    CASE WHEN n0 > 0 AND n1 > 0 AND msw > 0 THEN ABS(s0 / CAST(n0 AS DOUBLE) - (s1 / CAST(n1 AS DOUBLE))) / SQRT(msw / 2.0 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) END AS q_raw,
+    CAST(n - 3 AS BIGINT) AS dof
+  FROM d
+  UNION ALL  SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+    n0 AS n_a, n2 AS n_b,
+    CASE WHEN n0 > 0 AND n2 > 0 AND msw > 0 THEN s0 / CAST(n0 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) END AS diff_raw,
+    CASE WHEN n0 > 0 AND n2 > 0 AND msw > 0 THEN ABS(s0 / CAST(n0 AS DOUBLE) - (s2 / CAST(n2 AS DOUBLE))) / SQRT(msw / 2.0 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END AS q_raw,
+    CAST(n - 3 AS BIGINT) AS dof
+  FROM d
+  UNION ALL  SELECT '3-MEDIUM' AS group_a, '5-LOW' AS group_b,
+    n1 AS n_a, n2 AS n_b,
+    CASE WHEN n1 > 0 AND n2 > 0 AND msw > 0 THEN s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE) END AS diff_raw,
+    CASE WHEN n1 > 0 AND n2 > 0 AND msw > 0 THEN ABS(s1 / CAST(n1 AS DOUBLE) - (s2 / CAST(n2 AS DOUBLE))) / SQRT(msw / 2.0 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END AS q_raw,
+    CAST(n - 3 AS BIGINT) AS dof
+  FROM d
+
+)
+SELECT group_a, group_b, n_a, n_b,
+  CASE WHEN ROUND(diff_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(diff_raw) < 1.0 THEN 0 WHEN ABS(diff_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(diff_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(diff_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(diff_raw) < 1.0 THEN 0 WHEN ABS(diff_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(diff_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS diff,
+  CASE WHEN ROUND(q_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(q_raw) < 1.0 THEN 0 WHEN ABS(q_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(q_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(q_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(q_raw) < 1.0 THEN 0 WHEN ABS(q_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(q_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS q_stat, dof
+FROM pr ORDER BY group_a, group_b
+""")
+def w_tukey_price_priority(spark, sf_dir):
+    """Tukey-Kramer post-hoc pairs for order totalprice across three
+    priorities (pipeline/abtest.py tukey_hsd): anova_oneway's ONE
+    conditional-agg scan, then all pairwise studentized-range
+    statistics unfold from the 1-row aggregate via an inline array —
+    which pairs differ, at familywise error, no second scan."""
+    from zef_spark.pipeline.abtest import tukey_hsd
+    orders = _t(spark, sf_dir, "orders")
+    return (tukey_hsd(orders, "o_orderpriority", "o_totalprice",
+                      ["1-URGENT", "3-MEDIUM", "5-LOW"])
+            .orderBy("group_a", "group_b"))
+
+
+@query("p_gain_curve_purchase", """
+WITH vt AS (
+  SELECT CAST((user_id % 97) + 1 AS DOUBLE) / CAST(100 AS DOUBLE) AS s,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS p,
+    CAST(COUNT(*) AS BIGINT) AS t
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT SUM(t) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+           AS ct,
+         SUM(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+           AS cp,
+         SUM(t) OVER () AS N, SUM(p) OVER () AS P
+  FROM vt
+), tagged AS (
+  SELECT b.bucket, ct, cp, N, P
+  FROM cum, (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS bucket) b
+  WHERE ct * 10 >= bucket * N
+), fst AS (
+  SELECT bucket, MIN(ct) AS n_cum, MIN_BY(cp, ct) AS pos_cum,
+         MAX(N) AS N, MAX(P) AS P
+  FROM tagged GROUP BY bucket
+), f AS (
+  SELECT bucket, CAST(n_cum AS BIGINT) AS n_cum,
+    CAST(pos_cum AS BIGINT) AS pos_cum,
+    CASE WHEN P > 0 THEN CAST(pos_cum AS DOUBLE) / CAST(P AS DOUBLE)
+      END AS capture_raw,
+    CASE WHEN P > 0 AND n_cum > 0 THEN
+      CAST(pos_cum AS DOUBLE) * CAST(N AS DOUBLE)
+      / (CAST(n_cum AS DOUBLE) * CAST(P AS DOUBLE)) END AS lift_raw
+  FROM fst
+)
+SELECT bucket, n_cum, pos_cum,
+  CASE WHEN ROUND(capture_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(capture_raw) < 1.0 THEN 0 WHEN ABS(capture_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(capture_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(capture_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(capture_raw) < 1.0 THEN 0 WHEN ABS(capture_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(capture_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS capture,
+  CASE WHEN ROUND(lift_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(lift_raw) < 1.0 THEN 0 WHEN ABS(lift_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(lift_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(lift_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(lift_raw) < 1.0 THEN 0 WHEN ABS(lift_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(lift_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS lift
+FROM f ORDER BY bucket
+""")
+def p_gain_curve_purchase(spark, sf_dir):
+    """Cumulative gains / lift table of the integer-derived score
+    against the purchase label (pipeline/evaluation.py gain_curve):
+    decile boundaries evaluated on the tie-collapsed score table
+    (exact integer threshold test — tie blocks never split), exact
+    cumulative counts, lift = capture / population share."""
+    from zef_spark.pipeline.evaluation import gain_curve
+    ev = _events(spark, sf_dir)
+    evl = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (((F.col("user_id") % 97) + 1).cast("double")
+         / F.lit(100).cast("double")).alias("p"))
+    return gain_curve(evl, "p", "y")
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -10098,7 +10219,8 @@ _FRONT = [
     "p_quantization_error", "p_hamming_topk", "e_pacf_hourly",
     "w_srm_check_split", "w_weighted_percentile_price",
     "p_roc_points_purchase", "p_average_precision_purchase",
-    "w_wilson_ci_value",
+    "w_wilson_ci_value", "w_tukey_price_priority",
+    "p_gain_curve_purchase",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

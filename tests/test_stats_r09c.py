@@ -586,3 +586,57 @@ def test_wilson_ci_properties(spark):
         [("b", True)] * 800 + [("b", False)] * 200, "k string, y boolean")
     b = wilson_ci(big, "y", by="k").collect()[0]
     assert (b["hi"] - b["lo"]) < (a["hi"] - a["lo"])
+
+
+# ------------------------------------------------------ tukey / gains
+
+def test_tukey_pairs_match_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.abtest import tukey_hsd
+    rng = np.random.RandomState(15)
+    data = [("a", float(x)) for x in rng.normal(10, 2, 50)] \
+        + [("b", float(x)) for x in rng.normal(12, 2, 60)] \
+        + [("c", float(x)) for x in rng.normal(10.2, 2, 40)]
+    df = spark.createDataFrame(data, "g string, v double")
+    out = {(r["group_a"], r["group_b"]): r
+           for r in tukey_hsd(df, "g", "v", ["a", "b", "c"]).collect()}
+    import numpy as np
+    arr = {k: np.array([v for g, v in data if g == k])
+           for k in "abc"}
+    n = sum(len(a) for a in arr.values())
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arr.values())
+    msw = ssw / (n - 3)
+    for (i, j) in [("a", "b"), ("a", "c"), ("b", "c")]:
+        diff = arr[i].mean() - arr[j].mean()
+        se = (msw / 2 * (1 / len(arr[i]) + 1 / len(arr[j]))) ** 0.5
+        r = out[(i, j)]
+        assert abs(r["diff"] - diff) < 1e-4
+        assert abs(r["q_stat"] - abs(diff) / se) < 1e-3
+        assert r["dof"] == n - 3
+    # the separated pair should dominate
+    assert out[("a", "b")]["q_stat"] > out[("a", "c")]["q_stat"]
+
+
+def test_gain_curve_perfect_and_random(spark):
+    from zef_spark.pipeline.evaluation import gain_curve
+    # 100 rows, 20 positives all with the top scores
+    rows = [(True, float(100 - i)) for i in range(20)] \
+        + [(False, float(80 - i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "y boolean, p double")
+    out = {r["bucket"]: r for r in gain_curve(df, "p", "y").collect()}
+    assert out[2]["capture"] == 1.0      # top 20% captures all
+    assert out[1]["lift"] == 5.0         # 10% of rows, 50% of pos
+    assert out[10]["capture"] == 1.0 and out[10]["lift"] == 1.0
+    assert out[10]["n_cum"] == 100
+
+
+def test_gain_curve_tie_blocks_never_split(spark):
+    from zef_spark.pipeline.evaluation import gain_curve
+    # one giant tie block covering rows 11..100: every decile
+    # boundary inside it reads at the block end
+    rows = [(True, 1.0)] * 10 + [(False, 0.5)] * 90
+    df = spark.createDataFrame(rows, "y boolean, p double")
+    out = {r["bucket"]: r for r in gain_curve(df, "p", "y").collect()}
+    assert out[1]["n_cum"] == 10 and out[1]["capture"] == 1.0
+    for b in range(2, 11):
+        assert out[b]["n_cum"] == 100   # tie block indivisible

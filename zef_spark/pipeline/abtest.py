@@ -1042,3 +1042,79 @@ def srm_check(df: DataFrame, group_col: str,
 @register_op("srm_check", "df")
 def _srm_op(df, *args, **kw):
     return srm_check(df, *args, **kw)
+
+
+def tukey_hsd(df: DataFrame, group_col: str, value_col: str,
+              groups: list, digits: int = 6) -> DataFrame:
+    """(group_a, group_b, n_a, n_b, diff, q_stat, dof) — the
+    Tukey-Kramer post-hoc grid after a significant anova_oneway:
+    every pair of the k named groups with the studentized-range
+    statistic
+
+        q_ij = |ȳ_i − ȳ_j| / √( MSW/2 · (1/n_i + 1/n_j) )
+        MSW  = SSW / (n − k)
+
+    anova says SOMETHING differs; this says WHICH pairs, at the
+    familywise error the studentized-range critical value controls
+    (q_{k, n−k} lookup — no p-values, house rule). The Kramer form
+    handles unequal group sizes.
+
+    Plan: the SAME one-conditional-agg-scan as anova_oneway (k·3
+    cells cross the wire), then the k(k−1)/2 pair rows unfold from
+    the 1-row aggregate via an inline array (corr_matrix's shape) —
+    no join, no second scan. Empty groups or zero within-variance
+    yield NULL q."""
+    from ..functions.rounding import round_sig_safe
+    groups = list(groups)
+    k = len(groups)
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull() & g.isin(groups))
+    aggs = [F.count(F.lit(1)).alias("__n"),
+            F.sum(_term(x * x)).cast("double").alias("__q")]
+    for i, gv in enumerate(groups):
+        cond = g == F.lit(gv)
+        aggs += [F.sum(cond.cast("long")).alias(f"__n{i}"),
+                 F.sum(F.when(cond, _term(x))).cast("double")
+                 .alias(f"__s{i}")]
+    one = base.agg(*aggs)
+    sb = None
+    for i in range(k):
+        si = F.col(f"__s{i}")
+        ti = (si * si) / F.col(f"__n{i}").cast("double")
+        sb = ti if sb is None else sb + ti
+    nd = F.col("__n").cast("double")
+    d1 = one.select("*", (F.col("__q") - sb).alias("__ssw"))
+    d2 = d1.select("*", F.when(
+        F.col("__n") > k,
+        F.col("__ssw") / (nd - F.lit(float(k)))).alias("__msw"))
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            ni = F.col(f"__n{i}").cast("double")
+            nj = F.col(f"__n{j}").cast("double")
+            mi = F.col(f"__s{i}") / ni
+            mj = F.col(f"__s{j}") / nj
+            ok = (F.col(f"__n{i}") > 0) & (F.col(f"__n{j}") > 0) \
+                & (F.col("__msw") > 0)
+            se = F.sqrt(F.col("__msw") / 2.0 * (1.0 / ni + 1.0 / nj))
+            pairs.append(F.struct(
+                F.lit(str(groups[i])).alias("group_a"),
+                F.lit(str(groups[j])).alias("group_b"),
+                F.col(f"__n{i}").alias("n_a"),
+                F.col(f"__n{j}").alias("n_b"),
+                F.when(ok, mi - mj).alias("diff"),
+                F.when(ok, F.abs(mi - mj) / se).alias("q_stat")))
+    exploded = (d2.select((F.col("__n") - k).cast("long")
+                          .alias("dof"),
+                          F.explode(F.array(*pairs)).alias("__e")))
+    return exploded.select(
+        "__e.group_a", "__e.group_b", "__e.n_a", "__e.n_b",
+        round_sig_safe(F.col("__e.diff"), digits).alias("diff"),
+        round_sig_safe(F.col("__e.q_stat"), digits).alias("q_stat"),
+        "dof")
+
+
+@register_op("tukey_hsd", "df")
+def _tukey_op(df, *args, **kw):
+    return tukey_hsd(df, *args, **kw)

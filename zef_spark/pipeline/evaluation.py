@@ -493,3 +493,69 @@ def wilson_ci(df: DataFrame, success_col, by=None, z: float = 1.96,
 @register_op("wilson_ci", "df")
 def _wilson_op(df, *args, **kw):
     return wilson_ci(df, *args, **kw)
+
+
+def gain_curve(df: DataFrame, score_col: str, label_col,
+               n_buckets: int = 10, digits: int = 6) -> DataFrame:
+    """(bucket, n_cum, pos_cum, capture, lift) — the cumulative
+    gains / lift table: at each population decile boundary (targeting
+    the top b/n_buckets of rows by score), the share of all
+    positives captured and the lift over random targeting
+    (capture / population-share). The campaign-targeting readout
+    beside roc_points; a perfect model captures everything in the
+    first positives-rate deciles, lift 1.0 everywhere means the
+    score is noise.
+
+    Tie-safe determinism: boundaries are evaluated on the
+    tie-COLLAPSED score table — bucket b reads at the first distinct
+    score whose cumulative row count reaches b·N/n_buckets (exact
+    integer compare n_buckets·ct ≥ b·N — a tie block is never
+    split, so no within-tie order exists to disagree on). n_cum /
+    pos_cum are exact integers; capture and lift are single
+    divisions, sig-safe.
+
+    Plan: one distinct-score hash agg + one score-DESC cumulative
+    window over the VOCABULARY + a bucket-boundary semi-sort over
+    n_buckets rows."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    lab = _label(label_col)
+    s = F.col(score_col).cast("double")
+    vt = (df.where(lab.isNotNull() & s.isNotNull())
+          .groupBy(s.alias("__s"))
+          .agg(F.sum(lab.cast("long")).alias("__p"),
+               F.count(F.lit(1)).alias("__t")))
+    wd = (Window.orderBy(F.col("__s").desc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wa = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = (vt.withColumn("__ct", F.sum("__t").over(wd))
+           .withColumn("__cp", F.sum("__p").over(wd))
+           .withColumn("__N", F.sum("__t").over(wa))
+           .withColumn("__P", F.sum("__p").over(wa)))
+    b = int(n_buckets)
+    buckets = F.explode(F.sequence(F.lit(1), F.lit(b))).alias("bucket")
+    tagged = cum.select("__ct", "__cp", "__N", "__P", buckets).where(
+        F.col("__ct") * b >= F.col("bucket") * F.col("__N"))
+    wb = Window.partitionBy("bucket").orderBy("__ct")
+    first = (tagged.withColumn("__rn", F.row_number().over(wb))
+             .where(F.col("__rn") == 1))
+    capture = F.when(F.col("__P") > 0,
+                     F.col("__cp").cast("double")
+                     / F.col("__P").cast("double"))
+    lift = F.when((F.col("__P") > 0) & (F.col("__ct") > 0),
+                  F.col("__cp").cast("double")
+                  * F.col("__N").cast("double")
+                  / (F.col("__ct").cast("double")
+                     * F.col("__P").cast("double")))
+    return (first.select(
+        "bucket", F.col("__ct").alias("n_cum"),
+        F.col("__cp").alias("pos_cum"),
+        round_sig_safe(capture, digits).alias("capture"),
+        round_sig_safe(lift, digits).alias("lift"))
+        .orderBy("bucket"))
+
+
+@register_op("gain_curve", "df")
+def _gain_curve_op(df, *args, **kw):
+    return gain_curve(df, *args, **kw)
