@@ -22,11 +22,18 @@ INTENTIONALLY_EMPTY: set[str] = set()
 
 
 def duck_run(sf_dir: str, sql: str):
+    import os as _os
+
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark writes a table as a DIRECTORY of part files (the
+        # gen_scale sf1/sf5 fixtures); the driver fixtures are single
+        # files — glob the directory form so the oracle reads both
+        if _os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con.execute(sql).fetchdf()
 
 
