@@ -10174,6 +10174,157 @@ def p_gain_curve_purchase(spark, sf_dir):
     return gain_curve(evl, "p", "y")
 
 
+@query("e_mcnemar_view_purchase", """
+WITH p AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS a,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+      AS b
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      AS b01,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      AS b10
+  FROM p
+), f AS (
+  SELECT n, b01, b10,
+    CASE WHEN b01 + b10 > 0 THEN
+      CAST(b01 - b10 AS DOUBLE) * CAST(b01 - b10 AS DOUBLE)
+      / CAST(b01 + b10 AS DOUBLE) END AS chi2_raw
+  FROM ag
+)
+SELECT n, b01, b10, CASE WHEN ROUND(chi2_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(chi2_raw) < 1.0 THEN 0 WHEN ABS(chi2_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(chi2_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(chi2_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(chi2_raw) < 1.0 THEN 0 WHEN ABS(chi2_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(chi2_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS chi2 FROM f
+""")
+def e_mcnemar_view_purchase(spark, sf_dir):
+    """McNemar's paired-binary test: does a user who views also
+    purchase, beyond symmetry? (pipeline/abtest.py mcnemar_test):
+    one per-user pivot agg + ONE conditional-agg scan — the
+    discordant cells carry the exact-integer statistic."""
+    from zef_spark.pipeline.abtest import mcnemar_test
+    ev = _events(spark, sf_dir)
+    p = (ev.where(F.col("user_id").isNotNull())
+         .groupBy("user_id")
+         .agg((F.max(F.when(F.col("event_type") == "view", 1)
+                     .otherwise(0)) == 1).alias("a"),
+              (F.max(F.when(F.col("event_type") == "purchase", 1)
+                     .otherwise(0)) == 1).alias("b")))
+    return mcnemar_test(p, "a", "b")
+
+
+@query("w_cochran_q_orders", """
+WITH t AS (
+  SELECT CAST(o_totalprice > 150000 AS BIGINT) AS t0,
+    CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS t1,
+    CAST(o_orderstatus = 'F' AS BIGINT) AS t2
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND o_orderstatus IS NOT NULL
+), ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(t0 + t1 + t2) AS HUGEINT) AS tot,
+    CAST(SUM((t0 + t1 + t2) * (t0 + t1 + t2)) AS HUGEINT) AS R2,
+    CAST(SUM(t0) AS HUGEINT) AS c0, CAST(SUM(t1) AS HUGEINT) AS c1,
+    CAST(SUM(t2) AS HUGEINT) AS c2
+  FROM t
+), f AS (
+  SELECT n,
+    CASE WHEN 3 * tot - R2 > 0 THEN
+      CAST(2 * (3 * (c0*c0 + c1*c1 + c2*c2) - tot * tot) AS DOUBLE)
+      / CAST(3 * tot - R2 AS DOUBLE) END AS q_raw
+  FROM ag
+)
+SELECT n, CAST(3 AS BIGINT) AS k,
+  CASE WHEN ROUND(q_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(q_raw) < 1.0 THEN 0 WHEN ABS(q_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(q_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(q_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(q_raw) < 1.0 THEN 0 WHEN ABS(q_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(q_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS q_stat,
+  CAST(2 AS BIGINT) AS dof
+FROM f
+""")
+def w_cochran_q_orders(spark, sf_dir):
+    """Cochran's Q across three binary order conditions — high
+    value, urgent priority, fulfilled status (pipeline/abtest.py
+    cochrans_q): the k-treatment extension of McNemar (Q == McNemar
+    chi2 at k=2, consistency-tested); one conditional-agg scan,
+    exact integers end to end."""
+    from zef_spark.pipeline.abtest import cochrans_q
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.where(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderpriority").isNotNull()
+        & F.col("o_orderstatus").isNotNull()).select(
+        (F.col("o_totalprice") > 150000).alias("t0"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .alias("t1"),
+        (F.col("o_orderstatus") == "F").alias("t2"))
+    return cochrans_q(t, ["t0", "t1", "t2"])
+
+
+@query("e_friedman_daily_types", """
+WITH s AS (
+  SELECT CAST(ts AS DATE) AS d, event_type AS g,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), cb AS (
+  SELECT d FROM s GROUP BY d
+  HAVING COUNT(*) = 5 AND COUNT(DISTINCT g) = 5
+), f AS (
+  SELECT s.d, s.g, s.v FROM s JOIN cb USING (d)
+), r AS (
+  SELECT d, g,
+    2 * (COUNT(*) OVER (PARTITION BY d ORDER BY v
+                        RANGE UNBOUNDED PRECEDING)
+         - COUNT(*) OVER (PARTITION BY d, v))
+      + COUNT(*) OVER (PARTITION BY d, v) + 1 AS rank2,
+    COUNT(*) OVER (PARTITION BY d, v) AS t
+  FROM f
+), ag AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS nb,
+    SUM(CAST(t AS HUGEINT) * t - 1) AS T,
+    COALESCE(SUM(CASE WHEN g = 'click' THEN CAST(rank2 AS HUGEINT) END), 0) AS s0,
+    COALESCE(SUM(CASE WHEN g = 'error' THEN CAST(rank2 AS HUGEINT) END), 0) AS s1,
+    COALESCE(SUM(CASE WHEN g = 'purchase' THEN CAST(rank2 AS HUGEINT) END), 0) AS s2,
+    COALESCE(SUM(CASE WHEN g = 'signup' THEN CAST(rank2 AS HUGEINT) END), 0) AS s3,
+    COALESCE(SUM(CASE WHEN g = 'view' THEN CAST(rank2 AS HUGEINT) END), 0) AS s4
+  FROM r
+), g1 AS (
+  SELECT nb, CAST(nb AS DOUBLE) AS nd, CAST(T AS DOUBLE) AS Td,
+    CAST(s0 * s0 + s1 * s1 + s2 * s2 + s3 * s3 + s4 * s4 AS DOUBLE) AS s2d
+  FROM ag
+), g2 AS (
+  SELECT nb, nd, Td,
+    CAST(12.0 AS DOUBLE) / (nd * 5.0 * 6.0) * (s2d / 4.0)
+      - 3.0 * nd * 6.0 AS chi2_raw,
+    1.0 - Td / (nd * 5.0 * 24.0) AS corr
+  FROM g1
+), g3 AS (
+  SELECT nb, chi2_raw,
+    CASE WHEN nb > 0 AND corr > 0 THEN chi2_raw / corr END
+      AS chi2c_raw
+  FROM g2
+)
+SELECT nb AS n_blocks, CAST(5 AS BIGINT) AS k,
+  CASE WHEN ROUND(chi2_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(chi2_raw) < 1.0 THEN 0 WHEN ABS(chi2_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(chi2_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(chi2_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(chi2_raw) < 1.0 THEN 0 WHEN ABS(chi2_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(chi2_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS chi2,
+  CASE WHEN ROUND(chi2c_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(chi2c_raw) < 1.0 THEN 0 WHEN ABS(chi2c_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(chi2c_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(chi2c_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(chi2c_raw) < 1.0 THEN 0 WHEN ABS(chi2c_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(chi2c_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS chi2_corrected,
+  CAST(4 AS BIGINT) AS dof
+FROM g3
+""")
+def e_friedman_daily_types(spark, sf_dir):
+    """Friedman blocked-rank test: do the five event types keep a
+    consistent daily activity ordering across days?
+    (pipeline/abtest.py friedman_test): days are blocks, within-day
+    midranks as exact x2-scaled integers from one block-keyed window
+    shuffle, tie-corrected chi2 — completing the rank grid
+    (2-indep / k-indep / 2-paired / k-blocked)."""
+    from zef_spark.pipeline.abtest import friedman_test
+    ev = _events(spark, sf_dir)
+    daily = (ev.groupBy(F.to_date("ts").alias("d"),
+                        F.col("event_type").alias("g"))
+             .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    return friedman_test(daily, "d", "g", "v",
+                         ["click", "error", "purchase", "signup",
+                          "view"])
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -10220,7 +10371,8 @@ _FRONT = [
     "w_srm_check_split", "w_weighted_percentile_price",
     "p_roc_points_purchase", "p_average_precision_purchase",
     "w_wilson_ci_value", "w_tukey_price_priority",
-    "p_gain_curve_purchase",
+    "p_gain_curve_purchase", "e_mcnemar_view_purchase",
+    "w_cochran_q_orders", "e_friedman_daily_types",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

@@ -640,3 +640,90 @@ def test_gain_curve_tie_blocks_never_split(spark):
     assert out[1]["n_cum"] == 10 and out[1]["capture"] == 1.0
     for b in range(2, 11):
         assert out[b]["n_cum"] == 100   # tie block indivisible
+
+
+# --------------------------------------------- paired/blocked binary
+
+def test_mcnemar_known(spark):
+    from zef_spark.pipeline.abtest import mcnemar_test
+    # 10 a-only, 4 b-only, 30 concordant
+    rows = [(True, False)] * 10 + [(False, True)] * 4 \
+        + [(True, True)] * 20 + [(False, False)] * 10
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["b01"], r["b10"]) == (10, 4)
+    assert abs(r["chi2"] - (6 * 6) / 14) < 1e-6
+    conc = spark.createDataFrame([(True, True)] * 5,
+                                 "a boolean, b boolean")
+    assert mcnemar_test(conc, "a", "b").collect()[0]["chi2"] is None
+
+
+def test_cochrans_q_reduces_to_mcnemar_at_k2(spark):
+    import numpy as np
+    from zef_spark.pipeline.abtest import cochrans_q, mcnemar_test
+    rng = np.random.RandomState(16)
+    rows = [(bool(rng.rand() < 0.5), bool(rng.rand() < 0.7))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    q = cochrans_q(df, ["a", "b"]).collect()[0]
+    m = mcnemar_test(df, "a", "b").collect()[0]
+    assert abs(q["q_stat"] - m["chi2"]) < 1e-6
+    assert q["dof"] == 1
+
+
+def test_cochrans_q_matches_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.abtest import cochrans_q
+    rng = np.random.RandomState(17)
+    t = rng.rand(120, 3) < np.array([0.3, 0.5, 0.6])
+    df = spark.createDataFrame(
+        [tuple(bool(v) for v in row) for row in t],
+        "a boolean, b boolean, c boolean")
+    r = cochrans_q(df, ["a", "b", "c"]).collect()[0]
+    k = 3
+    C = t.sum(axis=0); R = t.sum(axis=1); N = R.sum()
+    q = k * (k - 1) * ((C - N / k) ** 2).sum() \
+        / (k * N - (R ** 2).sum())
+    assert abs(r["q_stat"] - q) < 1e-4
+    assert r["k"] == 3 and r["dof"] == 2
+
+
+def test_friedman_matches_formula_and_detects_effect(spark):
+    import numpy as np
+    from zef_spark.pipeline.abtest import friedman_test
+    rng = np.random.RandomState(18)
+    rows = []
+    for b in range(40):
+        base = rng.normal(0, 1)
+        # treatment effects 0, 0.8, 1.6 over a shared block level
+        for i, tv in enumerate(["t1", "t2", "t3"]):
+            rows.append((b, tv, float(base + 0.8 * i
+                                      + rng.normal(0, 0.5))))
+    df = spark.createDataFrame(rows, "blk int, g string, v double")
+    r = friedman_test(df, "blk", "g", "v",
+                      ["t1", "t2", "t3"]).collect()[0]
+    # reference: friedman on the per-block rank matrix
+    vals = np.array([[v for (bb, g, v) in rows if bb == b]
+                     for b in range(40)])
+    rk = np.argsort(np.argsort(vals, axis=1), axis=1) + 1.0
+    n, k = rk.shape
+    rj = rk.sum(axis=0)
+    chi2 = 12.0 / (n * k * (k + 1)) * (rj ** 2).sum() \
+        - 3.0 * n * (k + 1)
+    assert r["n_blocks"] == 40 and r["k"] == 3
+    assert abs(r["chi2"] - chi2) < 1e-4
+    assert r["chi2_corrected"] == r["chi2"]  # continuous: no ties
+    assert r["chi2"] > 5.99                  # effect detected
+
+
+def test_friedman_drops_incomplete_blocks_and_handles_ties(spark):
+    from zef_spark.pipeline.abtest import friedman_test
+    rows = [(1, "a", 1.0), (1, "b", 1.0), (1, "c", 2.0),
+            (2, "a", 3.0), (2, "b", 1.0), (2, "c", 2.0),
+            (3, "a", 1.0), (3, "b", 2.0)]          # block 3 incomplete
+    df = spark.createDataFrame(rows, "blk int, g string, v double")
+    r = friedman_test(df, "blk", "g", "v", ["a", "b", "c"]).collect()[0]
+    assert r["n_blocks"] == 2
+    # block 1 has a tie (a,b at 1.0 -> midranks 1.5,1.5)
+    assert r["chi2_corrected"] is not None
+    assert r["chi2_corrected"] >= r["chi2"]

@@ -1118,3 +1118,190 @@ def tukey_hsd(df: DataFrame, group_col: str, value_col: str,
 @register_op("tukey_hsd", "df")
 def _tukey_op(df, *args, **kw):
     return tukey_hsd(df, *args, **kw)
+
+
+def mcnemar_test(df: DataFrame, a_col, b_col,
+                 digits: int = 6) -> DataFrame:
+    """One row (n, b01, b10, chi2) — McNemar's test for PAIRED
+    binary outcomes (each row one subject under both conditions):
+    only the discordant cells carry information,
+
+        χ² = (b01 − b10)² / (b01 + b10)   ~ χ²₁
+
+    with b01 = a-only successes, b10 = b-only. The binary companion
+    to wilcoxon_signed_rank (and Cochran's Q at k=2). No continuity
+    correction (the exact-integer statistic both engines agree on
+    bit-for-bit; CC variants differ by convention). Zero discordant
+    pairs yield NULL χ².
+
+    Plan: ONE conditional-agg scan; two longs cross the wire."""
+    from ..functions.rounding import round_sig_safe
+    a = (F.col(a_col) if isinstance(a_col, str) else a_col) \
+        .cast("boolean")
+    b = (F.col(b_col) if isinstance(b_col, str) else b_col) \
+        .cast("boolean")
+    agg = (df.where(a.isNotNull() & b.isNotNull())
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum((a & ~b).cast("long")).alias("b01"),
+                F.sum((~a & b).cast("long")).alias("b10")))
+    d = (F.col("b01") - F.col("b10")).cast("double")
+    s = (F.col("b01") + F.col("b10")).cast("double")
+    chi2 = F.when(s > 0, d * d / s)
+    return agg.select("n", "b01", "b10",
+                      round_sig_safe(chi2, digits).alias("chi2"))
+
+
+@register_op("mcnemar_test", "df")
+def _mcnemar_op(df, *args, **kw):
+    return mcnemar_test(df, *args, **kw)
+
+
+def cochrans_q(df: DataFrame, treatment_cols: list,
+               digits: int = 6) -> DataFrame:
+    """One row (n, k, q_stat, dof) — Cochran's Q for k PAIRED binary
+    treatments (each row one subject, one boolean column per
+    treatment):
+
+        Q = k(k−1) · Σ_j (C_j − N/k)² / (k·ΣR_i − ΣR_i²)  ~ χ²_{k−1}
+
+    with C_j the treatment totals, R_i the per-subject success
+    counts, N = ΣR_i. The k-group extension of mcnemar_test (Q
+    reduces to McNemar's χ² at k=2 — consistency-tested). Rows with
+    any NULL treatment drop (complete-case, the paired convention).
+
+    Determinism: every sum is an exact integer; the numerator
+    expands to k·ΣC_j² − N² (integers in decimal(38,0)), so Q is one
+    division of integer-derived doubles, sig-safe. Plan: ONE
+    conditional-agg scan with a row-local R_i fold — k+2 cells cross
+    the wire."""
+    from ..functions.rounding import round_sig_safe
+    cols = [F.col(c) if isinstance(c, str) else c
+            for c in treatment_cols]
+    k = len(cols)
+    bs = [c.cast("boolean") for c in cols]
+    ok = bs[0].isNotNull()
+    for b in bs[1:]:
+        ok = ok & b.isNotNull()
+    ri = None
+    for b in bs:
+        t = b.cast("long")
+        ri = t if ri is None else ri + t
+    base = df.where(ok).select(
+        *[b.cast("long").alias(f"__t{i}") for i, b in enumerate(bs)],
+        ri.alias("__r"))
+    d0 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__r")).cast(d0).alias("__N"),
+            F.sum(F.col("__r") * F.col("__r")).cast(d0)
+            .alias("__R2")]
+    aggs += [F.sum(F.col(f"__t{i}")).cast(d0).alias(f"__c{i}")
+             for i in range(k)]
+    one = base.agg(*aggs)
+    c2 = None
+    for i in range(k):
+        ci = F.col(f"__c{i}")
+        c2 = ci * ci if c2 is None else c2 + ci * ci
+    kL = F.lit(k).cast(d0)
+    num = (F.lit(k - 1).cast(d0)
+           * (kL * c2 - F.col("__N") * F.col("__N")))
+    den = kL * F.col("__N") - F.col("__R2")
+    q = F.when(den > 0,
+               num.cast("double") / den.cast("double"))
+    return one.select(
+        "n", F.lit(k).cast("long").alias("k"),
+        round_sig_safe(q, digits).alias("q_stat"),
+        F.lit(k - 1).cast("long").alias("dof"))
+
+
+@register_op("cochrans_q", "df")
+def _cochrans_q_op(df, *args, **kw):
+    return cochrans_q(df, *args, **kw)
+
+
+def friedman_test(df: DataFrame, block_col: str, treatment_col: str,
+                  value_col: str, treatments: list,
+                  digits: int = 6) -> DataFrame:
+    """One row (n_blocks, k, chi2, chi2_corrected, dof) — the
+    Friedman test for k treatments over matched blocks (the
+    repeated-measures / blocked-design rank ANOVA):
+
+        χ²_F = 12/(n·k(k+1)) · Σ_j R_j² − 3n(k+1)
+        χ²_corrected = χ²_F / (1 − ΣT_b / (n·k(k²−1)))
+
+    with R_j the per-treatment rank sums (values midranked WITHIN
+    each block) and T_b = Σ(t³−t) over each block's tied values.
+    Completes the rank-test grid: mann_whitney (2 indep), kruskal
+    (k indep), wilcoxon_signed_rank (2 paired), THIS (k blocked).
+    Only COMPLETE blocks enter (all k treatments present exactly
+    once — the standard design); others drop.
+
+    Determinism: within-block midranks assemble as exact ×2-scaled
+    integers from a value-grouped RANGE window (ranksum_agg's tie
+    algebra, block-local); rank sums and the tie term are exact
+    integers in decimal(38,0); χ² is a fixed double expression,
+    sig-safe. Plan: ONE block-keyed shuffle (both windows + the
+    completeness filter share it) + a k-cell conditional agg."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    treatments = list(treatments)
+    k = len(treatments)
+    g = F.col(treatment_col)
+    x = F.col(value_col).cast("double")
+    base = (df.where(x.isNotNull() & g.isin(treatments))
+            .select(F.col(block_col).alias("__b"),
+                    g.alias("__g"), x.alias("__v")))
+    wb = Window.partitionBy("__b")
+    # complete blocks only: k rows AND k distinct treatments
+    base = (base
+            .withColumn("__cnt", F.count(F.lit(1)).over(wb))
+            .withColumn("__dst",
+                        F.size(F.collect_set("__g").over(wb)))
+            .where((F.col("__cnt") == k) & (F.col("__dst") == k))
+            .drop("__cnt", "__dst"))
+    # within-block midranks, x2-scaled exact integers: rank2 =
+    # 2*(rows strictly below) + ties_at_value + 1
+    wr = (Window.partitionBy("__b").orderBy("__v")
+          .rangeBetween(Window.unboundedPreceding, 0))
+    wv = Window.partitionBy("__b", "__v")
+    d0 = "decimal(38,0)"
+    ranked = (base
+              .withColumn("__le", F.count(F.lit(1)).over(wr))
+              .withColumn("__t", F.count(F.lit(1)).over(wv))
+              .withColumn("__rank2",
+                          (2 * (F.col("__le") - F.col("__t"))
+                           + F.col("__t") + 1).cast(d0)))
+    # tie term: Σ_blocks Σ_values (t³−t). Each row of a tied group
+    # of size t contributes (t²−1); t rows sum to exactly t³−t.
+    tie_term = (F.col("__t").cast(d0) * F.col("__t")
+                - F.lit(1).cast(d0))
+    aggs = [F.count_distinct(F.col("__b")).alias("__nb"),
+            F.sum(tie_term).alias("__T")]
+    aggs += [F.sum(F.when(F.col("__g") == F.lit(tv),
+                          F.col("__rank2"))).alias(f"__s{i}")
+             for i, tv in enumerate(treatments)]
+    one = ranked.agg(*aggs)
+    s2 = None  # Σ (2R_j)² exact
+    for i in range(k):
+        si = F.coalesce(F.col(f"__s{i}"), F.lit(0).cast(d0))
+        s2 = si * si if s2 is None else s2 + si * si
+    n = F.col("__nb").cast("double")
+    kf = float(k)
+    # Σ R_j² = Σ (2R_j)²/4
+    chi2 = (12.0 / (n * kf * (kf + 1))
+            * (s2.cast("double") / 4.0)) - 3.0 * n * (kf + 1)
+    corr = 1.0 - F.col("__T").cast("double") \
+        / (n * kf * (kf * kf - 1.0))
+    ok = (F.col("__nb") > 0) & (corr > 0)
+    return one.select(
+        F.col("__nb").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k"),
+        round_sig_safe(F.when(F.col("__nb") > 0, chi2), digits)
+        .alias("chi2"),
+        round_sig_safe(F.when(ok, chi2 / corr), digits)
+        .alias("chi2_corrected"),
+        F.lit(k - 1).cast("long").alias("dof"))
+
+
+@register_op("friedman_test", "df")
+def _friedman_op(df, *args, **kw):
+    return friedman_test(df, *args, **kw)
