@@ -10325,6 +10325,101 @@ def e_friedman_daily_types(spark, sf_dir):
                           "view"])
 
 
+@query("p_ece_purchase", """
+WITH t AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+    CAST((user_id % 97) + 1 AS DOUBLE) / CAST(100 AS DOUBLE) AS s
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS INTEGER), 0), 9)
+           AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(SUM(CAST(ROUND(s, 12) AS DECIMAL(38,12)))::DOUBLE
+          / COUNT(*), 6) AS mean_score,
+    ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+  FROM t GROUP BY 1
+), ag AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS bins_used,
+    SUM(CAST(ROUND(CAST(n AS DOUBLE)
+                   * ABS(mean_score - pos_rate), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sm
+  FROM b
+), f AS (
+  SELECT n, bins_used,
+    CASE WHEN n > 0 THEN sm / CAST(n AS DOUBLE) END AS ece_raw
+  FROM ag
+)
+SELECT n, bins_used, CASE WHEN ROUND(ece_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(ece_raw) < 1.0 THEN 0 WHEN ABS(ece_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(ece_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(ece_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(ece_raw) < 1.0 THEN 0 WHEN ABS(ece_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(ece_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS ece FROM f
+""")
+def p_ece_purchase(spark, sf_dir):
+    """Expected Calibration Error of the integer-derived score
+    against the purchase label (pipeline/evaluation.py
+    expected_calibration_error): the n-weighted reliability-gap
+    integral over calibration_bins' own binning and rounding grid —
+    one bins-ary hash agg + a 1-row fold."""
+    from zef_spark.pipeline.evaluation import         expected_calibration_error
+    ev = _events(spark, sf_dir)
+    evl = ev.where(F.col("user_id").isNotNull()).select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (((F.col("user_id") % 97) + 1).cast("double")
+         / F.lit(100).cast("double")).alias("p"))
+    return expected_calibration_error(evl, "p", "y")
+
+
+@query("w_cronbach_lineitem", """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 12) AS DECIMAL(38,12)))::DOUBLE AS s0,
+    SUM(CAST(ROUND((CAST(l_quantity AS DOUBLE)) * (CAST(l_quantity AS DOUBLE)), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS q0,
+    SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE) / CAST(10000 AS DOUBLE), 12) AS DECIMAL(38,12)))::DOUBLE AS s1,
+    SUM(CAST(ROUND((CAST(l_extendedprice AS DOUBLE) / CAST(10000 AS DOUBLE)) * (CAST(l_extendedprice AS DOUBLE) / CAST(10000 AS DOUBLE)), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS q1,
+    SUM(CAST(ROUND(CAST(l_discount AS DOUBLE) * CAST(100 AS DOUBLE), 12) AS DECIMAL(38,12)))::DOUBLE AS s2,
+    SUM(CAST(ROUND((CAST(l_discount AS DOUBLE) * CAST(100 AS DOUBLE)) * (CAST(l_discount AS DOUBLE) * CAST(100 AS DOUBLE)), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS q2,
+    SUM(CAST(ROUND((CAST(l_quantity AS DOUBLE)) + (CAST(l_extendedprice AS DOUBLE) / CAST(10000 AS DOUBLE)) + (CAST(l_discount AS DOUBLE) * CAST(100 AS DOUBLE)), 12) AS DECIMAL(38,12)))::DOUBLE AS ss,
+    SUM(CAST(ROUND(((CAST(l_quantity AS DOUBLE)) + (CAST(l_extendedprice AS DOUBLE) / CAST(10000 AS DOUBLE)) + (CAST(l_discount AS DOUBLE) * CAST(100 AS DOUBLE))) * ((CAST(l_quantity AS DOUBLE)) + (CAST(l_extendedprice AS DOUBLE) / CAST(10000 AS DOUBLE)) + (CAST(l_discount AS DOUBLE) * CAST(100 AS DOUBLE))), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS qq
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), d AS (
+  SELECT n, CAST(n AS DOUBLE) AS nd, s0, q0, s1, q1, s2, q2, ss, qq
+  FROM a
+), f AS (
+  SELECT n,
+    CASE WHEN n >= 2 AND qq / nd - (ss / nd) * (ss / nd) > 0 THEN
+      CAST(1.5 AS DOUBLE)
+      * (1.0 - ((q0 / nd - (s0 / nd) * (s0 / nd)) + (q1 / nd - (s1 / nd) * (s1 / nd)) + (q2 / nd - (s2 / nd) * (s2 / nd))) / (qq / nd - (ss / nd) * (ss / nd)))
+    END AS alpha_raw
+  FROM d
+)
+SELECT n, CAST(3 AS BIGINT) AS k,
+  CASE WHEN ROUND(alpha_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(alpha_raw) < 1.0 THEN 0 WHEN ABS(alpha_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(alpha_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(alpha_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(alpha_raw) < 1.0 THEN 0 WHEN ABS(alpha_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(alpha_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS alpha
+FROM f
+""")
+def w_cronbach_lineitem(spark, sf_dir):
+    """Cronbach's alpha over a three-item lineitem numeric battery
+    (pipeline/evaluation.py cronbach_alpha): population item and
+    row-sum variances from ONE conditional-agg scan of decimal-exact
+    sums — the internal-consistency gate before averaging items into
+    one score."""
+    from zef_spark.pipeline.evaluation import cronbach_alpha
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.where(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()).select(
+        F.col("l_quantity").cast("double").alias("i_q"),
+        (F.col("l_extendedprice").cast("double")
+         / F.lit(10000).cast("double")).alias("i_e"),
+        (F.col("l_discount").cast("double")
+         * F.lit(100).cast("double")).alias("i_d"))
+    return cronbach_alpha(items, ["i_q", "i_e", "i_d"])
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -10373,6 +10468,7 @@ _FRONT = [
     "w_wilson_ci_value", "w_tukey_price_priority",
     "p_gain_curve_purchase", "e_mcnemar_view_purchase",
     "w_cochran_q_orders", "e_friedman_daily_types",
+    "p_ece_purchase", "w_cronbach_lineitem",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

@@ -727,3 +727,56 @@ def test_friedman_drops_incomplete_blocks_and_handles_ties(spark):
     # block 1 has a tie (a,b at 1.0 -> midranks 1.5,1.5)
     assert r["chi2_corrected"] is not None
     assert r["chi2_corrected"] >= r["chi2"]
+
+
+# --------------------------------------------------- ece / cronbach
+
+def test_ece_integrates_calibration_bins(spark):
+    import numpy as np
+    from zef_spark.pipeline.evaluation import (
+        expected_calibration_error, calibration_bins)
+    rng = np.random.RandomState(19)
+    p = rng.uniform(0.05, 0.95, 400)
+    y = rng.uniform(size=400) < np.clip(p + 0.15, 0, 1)  # miscalibrated
+    df = spark.createDataFrame(
+        [(bool(a), float(b)) for a, b in zip(y, p)],
+        "y boolean, p double")
+    e = expected_calibration_error(df, "p", "y").collect()[0]
+    cb = calibration_bins(df, "p", "y").collect()
+    ref = sum(r["n"] * abs(r["mean_score"] - r["pos_rate"])
+              for r in cb) / sum(r["n"] for r in cb)
+    assert abs(e["ece"] - ref) < 1e-6  # ece releases at 6 dp
+    assert e["ece"] > 0.05                       # detects the shift
+    # perfectly calibrated labels -> small ece
+    y2 = rng.uniform(size=400) < p
+    df2 = spark.createDataFrame(
+        [(bool(a), float(b)) for a, b in zip(y2, p)],
+        "y boolean, p double")
+    e2 = expected_calibration_error(df2, "p", "y").collect()[0]
+    assert e2["ece"] < e["ece"]
+
+
+def test_cronbach_alpha_formula_and_extremes(spark):
+    import numpy as np
+    from zef_spark.pipeline.evaluation import cronbach_alpha
+    rng = np.random.RandomState(20)
+    latent = rng.normal(0, 1, 300)
+    items = np.stack([latent + rng.normal(0, 0.4, 300)
+                      for _ in range(3)], axis=1)
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in items],
+        "a double, b double, c double")
+    r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    k = 3
+    vi = items.var(axis=0).sum()
+    vt = items.sum(axis=1).var()
+    ref = k / (k - 1) * (1 - vi / vt)
+    assert abs(r["alpha"] - ref) < 1e-4
+    assert r["alpha"] > 0.7           # strongly correlated items
+    # independent items -> alpha near 0
+    ind = rng.normal(0, 1, (300, 3))
+    df2 = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in ind],
+        "a double, b double, c double")
+    r2 = cronbach_alpha(df2, ["a", "b", "c"]).collect()[0]
+    assert r2["alpha"] < 0.3

@@ -559,3 +559,97 @@ def gain_curve(df: DataFrame, score_col: str, label_col,
 @register_op("gain_curve", "df")
 def _gain_curve_op(df, *args, **kw):
     return gain_curve(df, *args, **kw)
+
+
+def expected_calibration_error(df: DataFrame, score_col: str,
+                               label_col, bins: int = 10,
+                               digits: int = 6) -> DataFrame:
+    """One row (n, bins_used, ece) — the Expected Calibration Error:
+    the n-weighted mean |mean predicted − realized rate| over the
+    reliability bins,
+
+        ECE = Σ_b (n_b/n) · |mean_score_b − pos_rate_b|
+
+    the scalar release of calibration_bins (whose per-bin gaps it
+    integrates — same binning, same rounding grid, so the two
+    readouts can never disagree). ONE bins-ary hash agg + a 1-row
+    fold; per-bin terms round to 12 dp into a decimal sum."""
+    from ..functions.rounding import round_sig_safe
+    dec = "decimal(38,12)"
+    cb = calibration_bins(df, score_col, label_col, bins=bins,
+                          digits=digits)
+    term = F.round(F.col("n").cast("double")
+                   * F.abs(F.col("mean_score")
+                           - F.col("pos_rate")), 12).cast(dec)
+    agg = cb.agg(F.sum("n").alias("n"),
+                 F.count(F.lit(1)).alias("bins_used"),
+                 F.sum(term).cast("double").alias("__s"))
+    ece = F.when(F.col("n") > 0,
+                 F.col("__s") / F.col("n").cast("double"))
+    return agg.select("n", "bins_used",
+                      round_sig_safe(ece, digits).alias("ece"))
+
+
+@register_op("expected_calibration_error", "df")
+def _ece_op(df, *args, **kw):
+    return expected_calibration_error(df, *args, **kw)
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list,
+                   digits: int = 6) -> DataFrame:
+    """One row (n, k, alpha) — Cronbach's α internal-consistency
+    coefficient over k item columns (each row one respondent):
+
+        α = k/(k−1) · (1 − Σ var(item_i) / var(Σ items))
+
+    POPULATION variances (engine-exact, the group_moments
+    convention). The scale-reliability gate before averaging item
+    scores into one metric: α ≥ 0.7 is the usual accept line.
+    Complete-case rows only (any NULL item drops the row).
+
+    Plan: ONE conditional-agg scan — every item's Σx/Σx² plus the
+    row-sum's Σs/Σs² in the same map-side-combinable hash agg;
+    decimal-exact sums, fixed-order variance assembly, sig-safe
+    release. Degenerate inputs (n < 2 or zero total variance) yield
+    NULL α."""
+    from ..functions.rounding import round_sig_safe
+    cols = [F.col(c) if isinstance(c, str) else c for c in item_cols]
+    k = len(cols)
+    xs = [c.cast("double") for c in cols]
+    ok = xs[0].isNotNull()
+    for x in xs[1:]:
+        ok = ok & x.isNotNull()
+    srow = None
+    for x in xs:
+        srow = x if srow is None else srow + x
+    pre = df.where(ok).select(
+        *[x.alias(f"__x{i}") for i, x in enumerate(xs)],
+        srow.alias("__srow"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(k):
+        xi = F.col(f"__x{i}")
+        aggs += [F.sum(_term(xi)).cast("double").alias(f"__s{i}"),
+                 F.sum(_term(xi * xi)).cast("double")
+                 .alias(f"__q{i}")]
+    st = F.col("__srow")
+    aggs += [F.sum(_term(st)).cast("double").alias("__ss"),
+             F.sum(_term(st * st)).cast("double").alias("__qq")]
+    one = pre.agg(*aggs)
+    nd = F.col("n").cast("double")
+    vsum = None  # Σ var_i, fixed item order
+    for i in range(k):
+        vi = F.col(f"__q{i}") / nd \
+            - (F.col(f"__s{i}") / nd) * (F.col(f"__s{i}") / nd)
+        vsum = vi if vsum is None else vsum + vi
+    vt = F.col("__qq") / nd - (F.col("__ss") / nd) \
+        * (F.col("__ss") / nd)
+    okr = (F.col("n") >= 2) & (vt > 0)
+    alpha = F.when(okr, F.lit(float(k) / (k - 1))
+                   * (1.0 - vsum / vt))
+    return one.select("n", F.lit(k).cast("long").alias("k"),
+                      round_sig_safe(alpha, digits).alias("alpha"))
+
+
+@register_op("cronbach_alpha", "df")
+def _cronbach_op(df, *args, **kw):
+    return cronbach_alpha(df, *args, **kw)
