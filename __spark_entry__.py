@@ -10420,6 +10420,106 @@ def w_cronbach_lineitem(spark, sf_dir):
     return cronbach_alpha(items, ["i_q", "i_e", "i_d"])
 
 
+@query("e_mase_daily_value", """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    SUM(CAST(ROUND(value, 12) AS DECIMAL(38,12)))::DOUBLE AS a
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, d, a,
+    LAG(a, 7) OVER (PARTITION BY event_type ORDER BY d) AS p,
+    LAG(a, 1) OVER (PARTITION BY event_type ORDER BY d) AS nv
+  FROM daily
+), ag AS (
+  SELECT event_type,
+    CAST(COUNT(CASE WHEN p IS NOT NULL THEN 1 END) AS BIGINT) AS n,
+    SUM(CASE WHEN p IS NOT NULL THEN
+        CAST(ROUND(ABS(a - p), 12) AS DECIMAL(38,12)) END)::DOUBLE
+      AS sae,
+    CAST(COUNT(CASE WHEN nv IS NOT NULL THEN 1 END) AS BIGINT)
+      AS n_naive,
+    SUM(CASE WHEN nv IS NOT NULL THEN
+        CAST(ROUND(ABS(a - nv), 12) AS DECIMAL(38,12)) END)::DOUBLE
+      AS snae
+  FROM lagged GROUP BY 1
+), f AS (
+  SELECT event_type, n, n_naive,
+    CASE WHEN n > 0 THEN sae / CAST(n AS DOUBLE) END AS mae_raw,
+    CASE WHEN n_naive > 0 THEN snae / CAST(n_naive AS DOUBLE) END
+      AS mnv_raw
+  FROM ag
+), g AS (
+  SELECT event_type, n, n_naive, mae_raw, mnv_raw,
+    CASE WHEN mnv_raw > 0 THEN mae_raw / mnv_raw END AS mase_raw
+  FROM f
+)
+SELECT event_type, n, n_naive,
+  ROUND(mae_raw, 6) AS mae, ROUND(mnv_raw, 6) AS mae_naive,
+  CASE WHEN ROUND(mase_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(mase_raw) < 1.0 THEN 0 WHEN ABS(mase_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(mase_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(mase_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(mase_raw) < 1.0 THEN 0 WHEN ABS(mase_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(mase_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS mase
+FROM g ORDER BY event_type
+""")
+def e_mase_daily_value(spark, sf_dir):
+    """MASE of the lag-7 seasonal-naive forecast over each event
+    type's daily value series (pipeline/rollup.py mase): mean
+    absolute error SCALED by the in-frame lag-1 naive baseline — the
+    scale-free, zero-proof forecast score completing
+    forecast_metrics' scorecard. One key-ordered window shuffle
+    carries the forecast lag, the naive lag, and both decimal-exact
+    MAE sums."""
+    from zef_spark.pipeline.rollup import mase
+    ev = _events(spark, sf_dir)
+    dec = "decimal(38,12)"
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.sum(F.round(F.col("value"), 12).cast(dec))
+                  .cast("double").alias("a")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = daily.withColumn("p", F.lag("a", 7).over(w))
+    return (mase(fc, "d", "a", "p", season=1, by="event_type")
+            .orderBy("event_type"))
+
+
+@query("p_diversity_sources", """
+WITH counts AS (
+  SELECT source, lang AS c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT source, k, SUM(k) OVER (PARTITION BY source) AS n
+  FROM counts
+), ag AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS richness,
+    SUM(CAST(ROUND(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   * LN(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS sh,
+    SUM(CAST(ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+             AS DECIMAL(38,12)))::DOUBLE AS si
+  FROM t GROUP BY source
+), f AS (
+  SELECT source, n, richness, sh, si,
+    CASE WHEN richness > 1 THEN
+      sh / LN(CAST(richness AS DOUBLE)) END AS ev_raw
+  FROM ag
+)
+SELECT source, n, richness,
+  CASE WHEN ROUND(sh, CAST(LEAST(6, 9 - (CASE WHEN ABS(sh) < 1.0 THEN 0 WHEN ABS(sh) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(sh)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(sh, CAST(LEAST(6, 9 - (CASE WHEN ABS(sh) < 1.0 THEN 0 WHEN ABS(sh) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(sh)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS shannon,
+  CASE WHEN ROUND(1.0 - si, CAST(LEAST(6, 9 - (CASE WHEN ABS(1.0 - si) < 1.0 THEN 0 WHEN ABS(1.0 - si) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(1.0 - si)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(1.0 - si, CAST(LEAST(6, 9 - (CASE WHEN ABS(1.0 - si) < 1.0 THEN 0 WHEN ABS(1.0 - si) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(1.0 - si)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS simpson,
+  CASE WHEN ROUND(ev_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(ev_raw) < 1.0 THEN 0 WHEN ABS(ev_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(ev_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(ev_raw, CAST(LEAST(6, 9 - (CASE WHEN ABS(ev_raw) < 1.0 THEN 0 WHEN ABS(ev_raw) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(ev_raw)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS evenness
+FROM f ORDER BY source
+""")
+def p_diversity_sources(spark, sf_dir):
+    """Language-diversity profile of each document source
+    (pipeline/text.py diversity_index): Shannon entropy (nats),
+    Simpson index, and evenness per source — the corpus-balance gate
+    for training mixtures; one vocab-sized agg + one key agg on the
+    nat-sum discipline."""
+    from zef_spark.pipeline.text import diversity_index
+    docs = _t(spark, sf_dir, "documents")
+    return (diversity_index(docs, "lang", by="source")
+            .orderBy("source"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -10469,6 +10569,7 @@ _FRONT = [
     "p_gain_curve_purchase", "e_mcnemar_view_purchase",
     "w_cochran_q_orders", "e_friedman_daily_types",
     "p_ece_purchase", "w_cronbach_lineitem",
+    "e_mase_daily_value", "p_diversity_sources",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)

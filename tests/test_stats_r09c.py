@@ -780,3 +780,53 @@ def test_cronbach_alpha_formula_and_extremes(spark):
         "a double, b double, c double")
     r2 = cronbach_alpha(df2, ["a", "b", "c"]).collect()[0]
     assert r2["alpha"] < 0.3
+
+
+# ------------------------------------------------- mase / diversity
+
+def test_mase_beats_and_loses_to_naive(spark):
+    import numpy as np
+    from zef_spark.pipeline.rollup import mase
+    rng = np.random.RandomState(21)
+    v = np.cumsum(rng.normal(0, 1, 100)) + 50
+    # perfect forecast -> mase 0; shifted-by-large -> mase >> 1
+    rows = [(i, float(a), float(a)) for i, a in enumerate(v)]
+    df = spark.createDataFrame(rows, "t int, a double, p double")
+    r = mase(df, "t", "a", "p").collect()[0]
+    assert r["mase"] == 0.0 and r["mae"] == 0.0
+    rows = [(i, float(a), float(a + 50)) for i, a in enumerate(v)]
+    df = spark.createDataFrame(rows, "t int, a double, p double")
+    r = mase(df, "t", "a", "p").collect()[0]
+    assert r["mase"] > 1.0 and abs(r["mae"] - 50.0) < 1e-9
+    assert r["n_naive"] == 99       # lag-1 defined for 99 rows
+
+
+def test_mase_formula(spark):
+    import numpy as np
+    from zef_spark.pipeline.rollup import mase
+    rng = np.random.RandomState(22)
+    a = rng.normal(10, 3, 80)
+    p = a + rng.normal(0, 1, 80)
+    rows = [(i, float(x), float(y)) for i, (x, y) in
+            enumerate(zip(a, p))]
+    df = spark.createDataFrame(rows, "t int, a double, p double")
+    r = mase(df, "t", "a", "p", season=1).collect()[0]
+    ref = np.abs(a - p).mean() / np.abs(np.diff(a)).mean()
+    assert abs(r["mase"] - ref) < 1e-4
+
+
+def test_diversity_index_extremes(spark):
+    from zef_spark.pipeline.text import diversity_index
+    import math as m
+    rows = [("mono", "en")] * 50 \
+        + [("even", "en")] * 25 + [("even", "de")] * 25
+    df = spark.createDataFrame(rows, "src string, lang string")
+    out = {r["src"]: r for r in
+           diversity_index(df, "lang", by="src").collect()}
+    assert out["mono"]["richness"] == 1
+    assert out["mono"]["shannon"] == 0.0
+    assert out["mono"]["evenness"] is None
+    assert out["even"]["richness"] == 2
+    assert abs(out["even"]["shannon"] - m.log(2)) < 1e-6
+    assert out["even"]["evenness"] == 1.0
+    assert out["even"]["simpson"] == 0.5

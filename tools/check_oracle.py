@@ -138,6 +138,9 @@ ROUND_MAG_OK: dict[str, str] = {
     "w_cuped_price_quantity": "mean_a/mean_b = decimal-exact Σ ÷ int "
         "n (one ÷, the welch proof); theta/adjusted means/diff/vr "
         "are sig-safe-rounded multiply-add chains",
+    "e_mase_daily_value": "mae/mae_naive = decimal-exact Σ|e| ÷ int n "
+        "(one ÷, the e_forecast_naive7 proof); mase itself is "
+        "sig-safe-rounded",
 }
 
 

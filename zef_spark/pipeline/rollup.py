@@ -1348,3 +1348,62 @@ def pacf(df, ts_col: str, value_col: str, max_lag: int = 6,
 @_reg_rollup("pacf", "df")
 def _pacf_op(df, *args, **kw):
     return pacf(df, *args, **kw)
+
+
+def mase(df, ts_col: str, actual_col: str, pred_col: str,
+         season: int = 1, by=None, digits: int = 6):
+    """(by..., n, n_naive, mae, mae_naive, mase) — the Mean Absolute
+    SCALED Error (Hyndman & Koehler 2006):
+
+        MASE = mean|a−p| / mean|a_t − a_{t−season}|
+
+    the scale-free forecast score that compares directly across
+    series of different magnitudes and, unlike MAPE, survives zeros:
+    MASE < 1 beats the seasonal-naive baseline on the same data.
+    Completes forecast_metrics' scorecard (which deliberately leaves
+    scaling to a caller-chosen baseline — this op IS that baseline,
+    computed in-frame).
+
+    Plan: ONE key-ordered window shuffle produces the season lag;
+    the same keying carries both decimal-exact MAE sums in one hash
+    agg. A key with no defined naive errors (series shorter than
+    season+1) or zero naive MAE yields NULL mase."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    dec = "decimal(38,12)"
+    term = lambda c: F.round(c, 12).cast(dec)
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    w = Window.partitionBy(*part).orderBy(ts_col)
+    base = (df.where(a.isNotNull())
+            .withColumn("__lag", F.lag(a, int(season)).over(w)))
+    e = a - p
+    ne = a - F.col("__lag")
+    agg = (base.groupBy(*keys).agg(
+        F.count(F.when(p.isNotNull(), F.lit(1))).alias("n"),
+        F.sum(F.when(p.isNotNull(), term(F.abs(e))))
+        .cast("double").alias("__sae"),
+        F.count(F.when(F.col("__lag").isNotNull(), F.lit(1)))
+        .alias("n_naive"),
+        F.sum(F.when(F.col("__lag").isNotNull(), term(F.abs(ne))))
+        .cast("double").alias("__snae")))
+    mae_ = F.when(F.col("n") > 0,
+                  F.col("__sae") / F.col("n").cast("double"))
+    mnv = F.when(F.col("n_naive") > 0,
+                 F.col("__snae") / F.col("n_naive").cast("double"))
+    d1 = agg.select(*keys, "n", "n_naive",
+                    mae_.alias("__mae"), mnv.alias("__mnv"))
+    ms = F.when(F.col("__mnv") > 0, F.col("__mae") / F.col("__mnv"))
+    return d1.select(
+        *keys, "n", "n_naive",
+        F.round(F.col("__mae"), digits).alias("mae"),
+        F.round(F.col("__mnv"), digits).alias("mae_naive"),
+        round_sig_safe(ms, digits).alias("mase"))
+
+
+@_reg_rollup("mase", "df")
+def _mase_op(df, *args, **kw):
+    return mase(df, *args, **kw)

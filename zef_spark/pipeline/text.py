@@ -891,3 +891,54 @@ def token_cooccurrence(df, text_col: str, window: int = 2,
 @register_op("token_cooccurrence", "df")
 def _token_cooccurrence_op(df, *args, **kw):
     return token_cooccurrence(df, *args, **kw)
+
+
+def diversity_index(df, category_col: str, by=None,
+                    digits: int = 6):
+    """(by..., n, richness, shannon, simpson, evenness) — the
+    ecological diversity profile of a categorical column per key:
+
+        shannon  = −Σ p_c ln p_c      (nats; 0 = monoculture)
+        simpson  = 1 − Σ p_c²         (P two draws differ)
+        evenness = shannon / ln(richness)
+
+    The corpus-balance gate for training mixtures: a source/language
+    mix with low evenness is dominated by a few categories no matter
+    how many exist. Richness counts categories actually present.
+
+    Plan: one (key, category) hash agg (vocab-sized) + one key agg;
+    each −p·ln p / p² term rounds to 12 dp into decimal sums (the
+    KL/PMI nat-sum discipline). Single-category keys yield shannon 0
+    and NULL evenness (ln 1 = 0)."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    dec = "decimal(38,12)"
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    counts = (df.where(F.col(category_col).isNotNull())
+              .groupBy(*keys, F.col(category_col).alias("__c"))
+              .agg(F.count(F.lit(1)).alias("__k")))
+    wn = Window.partitionBy(*part)
+    t = counts.withColumn("__n", F.sum("__k").over(wn))
+    pcol = F.col("__k").cast("double") / F.col("__n").cast("double")
+    sh_term = F.round(-pcol * F.log(pcol), 12).cast(dec)
+    si_term = F.round(pcol * pcol, 12).cast(dec)
+    agg = (t.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("richness"),
+        F.sum(sh_term).cast("double").alias("__sh"),
+        F.sum(si_term).cast("double").alias("__si")))
+    ev = F.when(F.col("richness") > 1,
+                F.col("__sh")
+                / F.log(F.col("richness").cast("double")))
+    return agg.select(
+        *keys, "n", "richness",
+        round_sig_safe(F.col("__sh"), digits).alias("shannon"),
+        round_sig_safe(1.0 - F.col("__si"), digits).alias("simpson"),
+        round_sig_safe(ev, digits).alias("evenness"))
+
+
+@register_op("diversity_index", "df")
+def _diversity_op(df, *args, **kw):
+    return diversity_index(df, *args, **kw)
