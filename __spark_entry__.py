@@ -10520,6 +10520,127 @@ def p_diversity_sources(spark, sf_dir):
             .orderBy("source"))
 
 
+@query("p_hamming_recall10", """
+WITH b AS (
+  SELECT vec_id,
+    (CASE WHEN CAST(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(embedding[2] AS DOUBLE) >= 0 THEN 2 ELSE 0 END
+     + CASE WHEN CAST(embedding[3] AS DOUBLE) >= 0 THEN 4 ELSE 0 END
+     + CASE WHEN CAST(embedding[4] AS DOUBLE) >= 0 THEN 8 ELSE 0 END
+     + CASE WHEN CAST(embedding[5] AS DOUBLE) >= 0 THEN 16 ELSE 0 END
+     + CASE WHEN CAST(embedding[6] AS DOUBLE) >= 0 THEN 32 ELSE 0 END
+     + CASE WHEN CAST(embedding[7] AS DOUBLE) >= 0 THEN 64 ELSE 0 END
+     + CASE WHEN CAST(embedding[8] AS DOUBLE) >= 0 THEN 128 ELSE 0 END
+     + CASE WHEN CAST(embedding[9] AS DOUBLE) >= 0 THEN 256 ELSE 0 END
+     + CASE WHEN CAST(embedding[10] AS DOUBLE) >= 0 THEN 512 ELSE 0 END
+     + CASE WHEN CAST(embedding[11] AS DOUBLE) >= 0 THEN 1024 ELSE 0 END
+     + CASE WHEN CAST(embedding[12] AS DOUBLE) >= 0 THEN 2048 ELSE 0 END
+     + CASE WHEN CAST(embedding[13] AS DOUBLE) >= 0 THEN 4096 ELSE 0 END
+     + CASE WHEN CAST(embedding[14] AS DOUBLE) >= 0 THEN 8192 ELSE 0 END
+     + CASE WHEN CAST(embedding[15] AS DOUBLE) >= 0 THEN 16384 ELSE 0 END
+     + CASE WHEN CAST(embedding[16] AS DOUBLE) >= 0 THEN 32768 ELSE 0 END
+     + CASE WHEN CAST(embedding[17] AS DOUBLE) >= 0 THEN 65536 ELSE 0 END
+     + CASE WHEN CAST(embedding[18] AS DOUBLE) >= 0 THEN 131072 ELSE 0 END
+     + CASE WHEN CAST(embedding[19] AS DOUBLE) >= 0 THEN 262144 ELSE 0 END
+     + CASE WHEN CAST(embedding[20] AS DOUBLE) >= 0 THEN 524288 ELSE 0 END
+     + CASE WHEN CAST(embedding[21] AS DOUBLE) >= 0 THEN 1048576 ELSE 0 END
+     + CASE WHEN CAST(embedding[22] AS DOUBLE) >= 0 THEN 2097152 ELSE 0 END
+     + CASE WHEN CAST(embedding[23] AS DOUBLE) >= 0 THEN 4194304 ELSE 0 END
+     + CASE WHEN CAST(embedding[24] AS DOUBLE) >= 0 THEN 8388608 ELSE 0 END
+     + CASE WHEN CAST(embedding[25] AS DOUBLE) >= 0 THEN 16777216 ELSE 0 END
+     + CASE WHEN CAST(embedding[26] AS DOUBLE) >= 0 THEN 33554432 ELSE 0 END
+     + CASE WHEN CAST(embedding[27] AS DOUBLE) >= 0 THEN 67108864 ELSE 0 END
+     + CASE WHEN CAST(embedding[28] AS DOUBLE) >= 0 THEN 134217728 ELSE 0 END
+     + CASE WHEN CAST(embedding[29] AS DOUBLE) >= 0 THEN 268435456 ELSE 0 END
+     + CASE WHEN CAST(embedding[30] AS DOUBLE) >= 0 THEN 536870912 ELSE 0 END
+     + CASE WHEN CAST(embedding[31] AS DOUBLE) >= 0 THEN 1073741824 ELSE 0 END
+     + CASE WHEN CAST(embedding[32] AS DOUBLE) >= 0 THEN 2147483648 ELSE 0 END) AS w0,
+    (CASE WHEN CAST(embedding[33] AS DOUBLE) >= 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(embedding[34] AS DOUBLE) >= 0 THEN 2 ELSE 0 END
+     + CASE WHEN CAST(embedding[35] AS DOUBLE) >= 0 THEN 4 ELSE 0 END
+     + CASE WHEN CAST(embedding[36] AS DOUBLE) >= 0 THEN 8 ELSE 0 END
+     + CASE WHEN CAST(embedding[37] AS DOUBLE) >= 0 THEN 16 ELSE 0 END
+     + CASE WHEN CAST(embedding[38] AS DOUBLE) >= 0 THEN 32 ELSE 0 END
+     + CASE WHEN CAST(embedding[39] AS DOUBLE) >= 0 THEN 64 ELSE 0 END
+     + CASE WHEN CAST(embedding[40] AS DOUBLE) >= 0 THEN 128 ELSE 0 END
+     + CASE WHEN CAST(embedding[41] AS DOUBLE) >= 0 THEN 256 ELSE 0 END
+     + CASE WHEN CAST(embedding[42] AS DOUBLE) >= 0 THEN 512 ELSE 0 END
+     + CASE WHEN CAST(embedding[43] AS DOUBLE) >= 0 THEN 1024 ELSE 0 END
+     + CASE WHEN CAST(embedding[44] AS DOUBLE) >= 0 THEN 2048 ELSE 0 END
+     + CASE WHEN CAST(embedding[45] AS DOUBLE) >= 0 THEN 4096 ELSE 0 END
+     + CASE WHEN CAST(embedding[46] AS DOUBLE) >= 0 THEN 8192 ELSE 0 END
+     + CASE WHEN CAST(embedding[47] AS DOUBLE) >= 0 THEN 16384 ELSE 0 END
+     + CASE WHEN CAST(embedding[48] AS DOUBLE) >= 0 THEN 32768 ELSE 0 END
+     + CASE WHEN CAST(embedding[49] AS DOUBLE) >= 0 THEN 65536 ELSE 0 END
+     + CASE WHEN CAST(embedding[50] AS DOUBLE) >= 0 THEN 131072 ELSE 0 END
+     + CASE WHEN CAST(embedding[51] AS DOUBLE) >= 0 THEN 262144 ELSE 0 END
+     + CASE WHEN CAST(embedding[52] AS DOUBLE) >= 0 THEN 524288 ELSE 0 END
+     + CASE WHEN CAST(embedding[53] AS DOUBLE) >= 0 THEN 1048576 ELSE 0 END
+     + CASE WHEN CAST(embedding[54] AS DOUBLE) >= 0 THEN 2097152 ELSE 0 END
+     + CASE WHEN CAST(embedding[55] AS DOUBLE) >= 0 THEN 4194304 ELSE 0 END
+     + CASE WHEN CAST(embedding[56] AS DOUBLE) >= 0 THEN 8388608 ELSE 0 END
+     + CASE WHEN CAST(embedding[57] AS DOUBLE) >= 0 THEN 16777216 ELSE 0 END
+     + CASE WHEN CAST(embedding[58] AS DOUBLE) >= 0 THEN 33554432 ELSE 0 END
+     + CASE WHEN CAST(embedding[59] AS DOUBLE) >= 0 THEN 67108864 ELSE 0 END
+     + CASE WHEN CAST(embedding[60] AS DOUBLE) >= 0 THEN 134217728 ELSE 0 END
+     + CASE WHEN CAST(embedding[61] AS DOUBLE) >= 0 THEN 268435456 ELSE 0 END
+     + CASE WHEN CAST(embedding[62] AS DOUBLE) >= 0 THEN 536870912 ELSE 0 END
+     + CASE WHEN CAST(embedding[63] AS DOUBLE) >= 0 THEN 1073741824 ELSE 0 END
+     + CASE WHEN CAST(embedding[64] AS DOUBLE) >= 0 THEN 2147483648 ELSE 0 END) AS w1
+  FROM embeddings
+), q AS (
+  SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0
+), ham AS (
+  SELECT b.vec_id
+  FROM b, q
+  ORDER BY bit_count(xor(b.w0, q.q0))
+           + bit_count(xor(b.w1, q.q1)), b.vec_id
+  LIMIT 10
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = 0
+), exact AS (
+  SELECT e.vec_id
+  FROM embeddings e, qv
+  ORDER BY LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                  qv.v) DESC, e.vec_id
+  LIMIT 10
+), ov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM ham JOIN exact USING (vec_id)
+)
+SELECT CAST(10 AS BIGINT) AS k, n_overlap,
+  CASE WHEN ROUND(CAST(n_overlap AS DOUBLE) / 10.0, CAST(LEAST(6, 9 - (CASE WHEN ABS(CAST(n_overlap AS DOUBLE) / 10.0) < 1.0 THEN 0 WHEN ABS(CAST(n_overlap AS DOUBLE) / 10.0) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(CAST(n_overlap AS DOUBLE) / 10.0)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) = 0 THEN 0.0 ELSE ROUND(CAST(n_overlap AS DOUBLE) / 10.0, CAST(LEAST(6, 9 - (CASE WHEN ABS(CAST(n_overlap AS DOUBLE) / 10.0) < 1.0 THEN 0 WHEN ABS(CAST(n_overlap AS DOUBLE) / 10.0) >= 1e18 THEN 19 ELSE LENGTH(CAST(CAST(FLOOR(ABS(CAST(n_overlap AS DOUBLE) / 10.0)) AS BIGINT) AS VARCHAR)) END)) AS INTEGER)) END AS recall
+FROM ov
+""")
+def p_hamming_recall10(spark, sf_dir):
+    """Measured recall@10 of the PURE 64-bit Hamming ranking against
+    exact cosine top-10 for the probe vector — the honest quality
+    number behind p_hamming_topk (the rerank path exists precisely
+    because a 1-bit sketch trades recall for 32x less I/O; this
+    query pins the trade empirically, per fixture). Both rankings
+    are exact-integer/deterministic, so the overlap is too."""
+    from zef_spark.pipeline.similarity import (hamming_topk,
+                                               brute_force_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    ham = hamming_topk(emb, "embedding", "vec_id", qv, k=10) \
+        .select("vec_id")
+    embd = emb.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    exact = brute_force_topk(embd, "embedding", "vec_id", qv,
+                             k=10).select("vec_id")
+    ov = ham.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"))
+    from zef_spark.functions.rounding import round_sig_safe
+    return ov.select(
+        F.lit(10).cast("long").alias("k"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        round_sig_safe(F.col("n_overlap").cast("double")
+                       / F.lit(10.0), 6).alias("recall"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
@@ -10570,6 +10691,7 @@ _FRONT = [
     "w_cochran_q_orders", "e_friedman_daily_types",
     "p_ece_purchase", "w_cronbach_lineitem",
     "e_mase_daily_value", "p_diversity_sources",
+    "p_hamming_recall10",
     # (b) the r03 cohort: the five stable function batteries whose
     # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
     # them independently; the driver record itself is six rounds old)
