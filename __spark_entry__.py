@@ -9110,7 +9110,9 @@ WITH p AS (
     SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt AS cb
   FROM vt
 ), ag AS (
-  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+  -- COALESCE mirrors the op (r10): all-zero diffs / empty input
+  -- emit n=0 with NULL statistics, not n=NULL
+  SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS n,
     SUM(CAST(ca AS HUGEINT) * (2 * CAST(cb AS HUGEINT)
                                + cnt + 1)) AS r2,
     SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS ties
@@ -9326,8 +9328,11 @@ WITH s AS (
   FROM (SELECT event_type, y, COUNT(*) AS t FROM s GROUP BY 1, 2)
   GROUP BY 1
 ), j AS (
-  SELECT tx.event_type, xn, xp2, xv, xp3, yp2, yv, yp3, s_stat
-  FROM tx JOIN ty USING (event_type) JOIN sd USING (event_type)
+  -- LEFT JOIN + COALESCE mirrors the op (r10): a single-point key
+  -- has no pair rows but still emits (n, s=0, NULL tau/z)
+  SELECT tx.event_type, xn, xp2, xv, xp3, yp2, yv, yp3,
+    COALESCE(s_stat, 0) AS s_stat
+  FROM tx JOIN ty USING (event_type) LEFT JOIN sd USING (event_type)
 ), f AS (
   SELECT event_type, xn AS n, s_stat,
     CAST(CAST(xn AS HUGEINT) * (xn - 1) - xp2 AS DOUBLE) AS dx,
@@ -9346,8 +9351,10 @@ WITH s AS (
       + xp2d * yp2d / (2.0 * nd * (nd - 1)) AS var_s
   FROM f
 ), h AS (
+  -- n > 2 guard mirrors the op (r10): at n = 2 the v1 term divides
+  -- by zero — engines disagree on 0/0 without it
   SELECT event_type, n, s_stat, tau_raw,
-    CASE WHEN var_s > 0 THEN sdbl / SQRT(var_s) END AS z_raw
+    CASE WHEN n > 2 AND var_s > 0 THEN sdbl / SQRT(var_s) END AS z_raw
   FROM g
 )
 SELECT event_type, n, s_stat,

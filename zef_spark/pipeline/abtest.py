@@ -993,6 +993,14 @@ def srm_check(df: DataFrame, group_col: str,
 
     ``expected`` maps group value → design weight (normalized
     internally); None means equal split over the OBSERVED groups.
+    With ``expected``, the join is FULL-OUTER against the design
+    arms (r09 ADVICE): a design arm with ZERO observed rows still
+    contributes its full (0−e)²/e term (the worst mismatch — an arm
+    receiving no traffic — must INFLATE χ², not vanish), dof comes
+    from the DESIGN group count, and an observed group missing from
+    ``expected`` surfaces as a row with NULL expected_n and forces
+    the __total__ χ² to NULL (the design doesn't cover the data —
+    no statistic is honest).
 
     Plan: ONE count-by-group hash agg (vocab-sized), a 1-row
     broadcast total, row-local χ² terms — decimal-exact counts, the
@@ -1008,15 +1016,20 @@ def srm_check(df: DataFrame, group_col: str,
                  sorted(expected.items(), key=lambda kv: str(kv[0]))]
         wdf = counts.sparkSession.createDataFrame(
             pairs, "grp string, w double")
-        counts = counts.join(F.broadcast(wdf), "grp", "left")
+        counts = (counts.join(F.broadcast(wdf), "grp", "full_outer")
+                  .withColumn("n", F.coalesce(F.col("n"),
+                                              F.lit(0).cast("long"))))
+        k_col = F.lit(len(pairs)).cast("long")
     else:
         kc = Window.partitionBy()
         counts = counts.withColumn(
             "w", F.lit(1.0) / F.count(F.lit(1)).over(kc))
+        k_col = None
     wt = Window.partitionBy()
-    st = (counts
-          .withColumn("__tot", F.sum("n").over(wt))
-          .withColumn("__k", F.count(F.lit(1)).over(wt)))
+    st = counts.withColumn("__tot", F.sum("n").over(wt))
+    st = st.withColumn(
+        "__k", k_col if k_col is not None
+        else F.count(F.lit(1)).over(wt).cast("long"))
     e = F.col("__tot").cast("double") * F.col("w")
     o = F.col("n").cast("double")
     term = F.when(e > 0, (o - e) * (o - e) / e)
@@ -1024,16 +1037,21 @@ def srm_check(df: DataFrame, group_col: str,
         F.col("grp").alias("group"), "n",
         F.round(e, digits).alias("expected_n"),
         round_sig_safe(term, digits).alias("chi2_term"),
-        "__k")
+        "__k",
+        # observed group outside the design: poisons the total
+        F.col("w").isNull().cast("int").alias("__uncov"))
     total = (per.agg(
         F.sum("n").alias("n"),
         F.max("__k").alias("__k"),
+        F.max("__uncov").alias("__uncov"),
         F.sum(F.round(F.col("chi2_term"), 12)
               .cast("decimal(38,12)")).cast("double").alias("__c"))
         .select(F.lit("__total__").alias("group"), "n",
                 F.lit(None).cast("double").alias("expected_n"),
-                round_sig_safe(F.col("__c"), digits)
-                .alias("chi2_term"), "__k"))
+                round_sig_safe(
+                    F.when(F.col("__uncov") == 0, F.col("__c")),
+                    digits).alias("chi2_term"),
+                "__k", "__uncov"))
     return (per.unionByName(total)
             .select("group", "n", "expected_n", "chi2_term",
                     (F.col("__k") - 1).cast("long").alias("dof")))
@@ -1062,8 +1080,11 @@ def tukey_hsd(df: DataFrame, group_col: str, value_col: str,
     Plan: the SAME one-conditional-agg-scan as anova_oneway (k·3
     cells cross the wire), then the k(k−1)/2 pair rows unfold from
     the 1-row aggregate via an inline array (corr_matrix's shape) —
-    no join, no second scan. Empty groups or zero within-variance
-    yield NULL q."""
+    no join, no second scan. An EMPTY named group contributes 0 to
+    the between-sum and drops out of dof (r09 ADVICE: its NULL
+    S_i²/n_i must not poison MSW for every valid pair) — its own
+    pairs yield NULL diff/q; MSW/dof use n − k_nonempty. Zero
+    within-variance yields NULL q."""
     from ..functions.rounding import round_sig_safe
     groups = list(groups)
     k = len(groups)
@@ -1078,16 +1099,21 @@ def tukey_hsd(df: DataFrame, group_col: str, value_col: str,
                  F.sum(F.when(cond, _term(x))).cast("double")
                  .alias(f"__s{i}")]
     one = base.agg(*aggs)
-    sb = None
+    sb, knz = None, None
     for i in range(k):
         si = F.col(f"__s{i}")
-        ti = (si * si) / F.col(f"__n{i}").cast("double")
+        nz = F.col(f"__n{i}") > 0
+        ti = F.when(nz, (si * si) / F.col(f"__n{i}").cast("double")) \
+            .otherwise(F.lit(0.0))
         sb = ti if sb is None else sb + ti
+        ci = nz.cast("double")
+        knz = ci if knz is None else knz + ci
     nd = F.col("__n").cast("double")
-    d1 = one.select("*", (F.col("__q") - sb).alias("__ssw"))
+    d1 = one.select("*", (F.col("__q") - sb).alias("__ssw"),
+                    knz.alias("__knz"))
     d2 = d1.select("*", F.when(
-        F.col("__n") > k,
-        F.col("__ssw") / (nd - F.lit(float(k)))).alias("__msw"))
+        nd > F.col("__knz"),
+        F.col("__ssw") / (nd - F.col("__knz"))).alias("__msw"))
     pairs = []
     for i in range(k):
         for j in range(i + 1, k):
@@ -1105,8 +1131,8 @@ def tukey_hsd(df: DataFrame, group_col: str, value_col: str,
                 F.col(f"__n{j}").alias("n_b"),
                 F.when(ok, mi - mj).alias("diff"),
                 F.when(ok, F.abs(mi - mj) / se).alias("q_stat")))
-    exploded = (d2.select((F.col("__n") - k).cast("long")
-                          .alias("dof"),
+    exploded = (d2.select((F.col("__n") - F.col("__knz"))
+                          .cast("long").alias("dof"),
                           F.explode(F.array(*pairs)).alias("__e")))
     return exploded.select(
         "__e.group_a", "__e.group_b", "__e.n_a", "__e.n_b",

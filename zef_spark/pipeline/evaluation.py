@@ -337,52 +337,108 @@ def _log_loss_op(df, *args, **kw):
     return log_loss(df, *args, **kw)
 
 
+def _cum_desc(vt: DataFrame, order_col: str, sum_cols: list,
+              n_ranges: int | None = None
+              ) -> tuple[DataFrame, dict[str, int]]:
+    """Shared DESC-cumulative engine for the eval-curve ops
+    (roc_points / average_precision / gain_curve) — the same
+    range-partitioned two-phase prefix sum abtest.ranksum_agg uses,
+    pointed downhill: repartitionByRange on the order column DESC,
+    a per-range local window (partitioned by range id — never a
+    keyless single-partition sort), and k-scalars-per-range
+    broadcast offsets. On a continuous model score the vocabulary
+    table is row-sized, so the r09 keyless window degenerated to ONE
+    partition holding the whole table at scale; this engine keeps
+    every stage (distinct agg, local window, offset join) fully
+    partitioned — the vocabulary only ever meets one executor as a
+    ≤n_ranges-row offset table.
+
+    Returns (vt + '__cum_<c>' exact-integer running sums in
+    descending ``order_col`` order, {c: grand_total}) — the totals
+    ride the same per-range collect that builds the offsets, so no
+    extra pass and no unbounded window."""
+    from pyspark.sql import Window
+    spark = vt.sparkSession
+    if n_ranges is None:
+        n_ranges = spark.sparkContext.defaultParallelism
+    # localCheckpoint pins partition ids (spark_partition_id is not
+    # stable across recomputation) — the ranksum_agg discipline
+    ranged = (vt.repartitionByRange(n_ranges,
+                                    F.col(order_col).desc())
+              .withColumn("__rid", F.spark_partition_id())
+              .localCheckpoint())
+    w_in = (Window.partitionBy("__rid")
+            .orderBy(F.col(order_col).desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged
+    for c in sum_cols:
+        local = local.withColumn(f"__cum_{c}", F.sum(c).over(w_in))
+    stats = (ranged.groupBy("__rid")
+             .agg(*[F.sum(c).alias(c) for c in sum_cols]))
+    rows = sorted((r["__rid"], r) for r in stats.collect())
+    offs, acc = [], {c: 0 for c in sum_cols}
+    for rid, r in rows:
+        offs.append((rid, *[acc[c] for c in sum_cols]))
+        for c in sum_cols:
+            acc[c] += int(r[c] or 0)
+    schema = "__rid int, " + ", ".join(
+        f"__off_{c} long" for c in sum_cols)
+    off_df = spark.createDataFrame(offs, schema)
+    out = local.join(F.broadcast(off_df), "__rid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__cum_{c}") + F.col(f"__off_{c}"))
+    return out.drop("__rid", *[f"__off_{c}" for c in sum_cols]), acc
+
+
 def roc_points(df: DataFrame, score_col: str, label_col,
-               max_points: int = 1000, digits: int = 6) -> DataFrame:
+               max_points: int = 1000, digits: int = 6,
+               quantize: int | None = None) -> DataFrame:
     """(threshold, tp, fp, tpr, fpr) — the ROC curve evaluated at
     every distinct score (predict positive when score >= threshold),
     downsampled deterministically to ≤ max_points evenly-spaced
     points when the score vocabulary is larger. The curve behind
     binary_auc's scalar — for plotting, threshold picking, and
-    partial-AUC reads.
+    partial-AUC reads. ``quantize`` optionally rounds scores to that
+    many digits BEFORE the distinct agg — an output-grid control for
+    continuous scores (the engine itself no longer needs it).
 
-    Plan: ONE distinct-score hash agg (score vocabulary, not rows),
-    then cumulative sums over the score-ordered window DESC — tp/fp
-    at each threshold are EXACT integers; tpr/fpr are single
-    divisions of exact integers, sig-safe rounded. The window runs
-    over the vocabulary table only."""
-    from pyspark.sql import Window
+    Plan (r10, de-scale-trapped): ONE distinct-score hash agg (score
+    vocabulary, not rows), then the cumulative tp/fp run through the
+    range-partitioned two-phase prefix-sum engine (_cum_desc — the
+    binary_auc/ranksum machinery), never a keyless window: on a
+    continuous score the vocabulary is row-sized and the r09 plan
+    collapsed it onto one partition. tp/fp are EXACT integers;
+    tpr/fpr are single divisions of exact integers, sig-safe
+    rounded; totals ride the offset collect as plan literals."""
     from ..functions.rounding import round_sig_safe
     lab = _label(label_col)
     s = F.col(score_col).cast("double")
+    if quantize is not None:
+        s = F.round(s, int(quantize))
     vt = (df.where(lab.isNotNull() & s.isNotNull())
           .groupBy(s.alias("threshold"))
           .agg(F.sum(lab.cast("long")).alias("__p"),
-               F.sum((~lab).cast("long")).alias("__n")))
-    wd = (Window.orderBy(F.col("threshold").desc())
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wa = Window.rowsBetween(Window.unboundedPreceding,
-                            Window.unboundedFollowing)
-    cum = (vt.withColumn("tp", F.sum("__p").over(wd))
-           .withColumn("fp", F.sum("__n").over(wd))
-           .withColumn("__P", F.sum("__p").over(wa))
-           .withColumn("__N", F.sum("__n").over(wa))
-           .withColumn("__i", F.row_number().over(
-               Window.orderBy(F.col("threshold").desc())))
-           .withColumn("__c", F.count(F.lit(1)).over(wa)))
+               F.sum((~lab).cast("long")).alias("__n"))
+          .withColumn("__one", F.lit(1).cast("long")))
+    cum, tot = _cum_desc(vt, "threshold", ["__p", "__n", "__one"])
+    out = (cum.withColumnRenamed("__cum___p", "tp")
+           .withColumnRenamed("__cum___n", "fp")
+           .withColumnRenamed("__cum___one", "__i"))
+    c_tot = F.lit(tot["__one"]).cast("long")
     # deterministic even-spaced thinning: keep point i when
     # floor(i*K/c) > floor((i-1)*K/c), always keeping the last
     k = F.lit(int(max_points)).cast("long")
-    keep = (F.floor(F.col("__i") * k / F.col("__c"))
-            > F.floor((F.col("__i") - 1) * k / F.col("__c"))) \
-        | (F.col("__i") == F.col("__c"))
-    out = cum.where(keep)
-    tpr = F.when(F.col("__P") > 0,
-                 F.col("tp").cast("double")
-                 / F.col("__P").cast("double"))
-    fpr = F.when(F.col("__N") > 0,
-                 F.col("fp").cast("double")
-                 / F.col("__N").cast("double"))
+    keep = (F.floor(F.col("__i") * k / c_tot)
+            > F.floor((F.col("__i") - 1) * k / c_tot)) \
+        | (F.col("__i") == c_tot)
+    out = out.where(keep)
+    tpr = (F.when(F.lit(tot["__p"]) > 0,
+                  F.col("tp").cast("double") / F.lit(tot["__p"]))
+           if tot["__p"] else F.lit(None).cast("double"))
+    fpr = (F.when(F.lit(tot["__n"]) > 0,
+                  F.col("fp").cast("double") / F.lit(tot["__n"]))
+           if tot["__n"] else F.lit(None).cast("double"))
     return out.select("threshold", "tp", "fp",
                       round_sig_safe(tpr, digits).alias("tpr"),
                       round_sig_safe(fpr, digits).alias("fpr"))
@@ -411,10 +467,11 @@ def average_precision(df: DataFrame, score_col: str, label_col,
     Determinism: precision@k terms are ratios of exact integers;
     each block's contribution rounds half-up to 12 dp into a
     decimal(38,12) sum (partition-order-independent), one division
-    releases sig-safe. Plan: one distinct-score hash agg + the
-    score-DESC cumulative window over the VOCABULARY + one 1-row
-    agg."""
-    from pyspark.sql import Window
+    releases sig-safe. Plan (r10, de-scale-trapped): one
+    distinct-score hash agg + the range-partitioned two-phase
+    prefix sum over the VOCABULARY (_cum_desc — never a keyless
+    window; continuous scores make the vocabulary row-sized) + one
+    1-row agg."""
     from ..functions.rounding import round_sig_safe
     dec = "decimal(38,12)"
     lab = _label(label_col)
@@ -423,10 +480,9 @@ def average_precision(df: DataFrame, score_col: str, label_col,
           .groupBy(s.alias("__s"))
           .agg(F.sum(lab.cast("long")).alias("__p"),
                F.count(F.lit(1)).alias("__t")))
-    wd = (Window.orderBy(F.col("__s").desc())
-          .rowsBetween(Window.unboundedPreceding, 0))
-    cum = (vt.withColumn("__ct", F.sum("__t").over(wd))
-           .withColumn("__cp", F.sum("__p").over(wd)))
+    cum0, _tot = _cum_desc(vt, "__s", ["__p", "__t"])
+    cum = (cum0.withColumnRenamed("__cum___t", "__ct")
+           .withColumnRenamed("__cum___p", "__cp"))
     # step rule on the tie-collapsed table (sklearn's
     # average_precision_score convention): a tied score block of t
     # rows with p positives contributes p * precision-at-block-END —
@@ -514,10 +570,13 @@ def gain_curve(df: DataFrame, score_col: str, label_col,
     pos_cum are exact integers; capture and lift are single
     divisions, sig-safe.
 
-    Plan: one distinct-score hash agg + one score-DESC cumulative
-    window over the VOCABULARY + a bucket-boundary semi-sort over
-    n_buckets rows."""
-    from pyspark.sql import Window
+    Plan (r10, de-scale-trapped): one distinct-score hash agg + the
+    range-partitioned two-phase prefix sum over the VOCABULARY
+    (_cum_desc — never a keyless window) + ONE min_by hash agg for
+    the bucket boundaries (map-side combinable — the r09 per-bucket
+    row_number window put every post-boundary vocab row in one
+    partition per bucket; min_by folds them locally). Totals ride
+    the offset collect as plan literals."""
     from ..functions.rounding import round_sig_safe
     lab = _label(label_col)
     s = F.col(score_col).cast("double")
@@ -525,29 +584,26 @@ def gain_curve(df: DataFrame, score_col: str, label_col,
           .groupBy(s.alias("__s"))
           .agg(F.sum(lab.cast("long")).alias("__p"),
                F.count(F.lit(1)).alias("__t")))
-    wd = (Window.orderBy(F.col("__s").desc())
-          .rowsBetween(Window.unboundedPreceding, 0))
-    wa = Window.rowsBetween(Window.unboundedPreceding,
-                            Window.unboundedFollowing)
-    cum = (vt.withColumn("__ct", F.sum("__t").over(wd))
-           .withColumn("__cp", F.sum("__p").over(wd))
-           .withColumn("__N", F.sum("__t").over(wa))
-           .withColumn("__P", F.sum("__p").over(wa)))
+    cum0, tot = _cum_desc(vt, "__s", ["__p", "__t"])
+    cum = (cum0.withColumnRenamed("__cum___t", "__ct")
+           .withColumnRenamed("__cum___p", "__cp"))
     b = int(n_buckets)
+    n_tot, p_tot = tot["__t"], tot["__p"]
     buckets = F.explode(F.sequence(F.lit(1), F.lit(b))).alias("bucket")
-    tagged = cum.select("__ct", "__cp", "__N", "__P", buckets).where(
-        F.col("__ct") * b >= F.col("bucket") * F.col("__N"))
-    wb = Window.partitionBy("bucket").orderBy("__ct")
-    first = (tagged.withColumn("__rn", F.row_number().over(wb))
-             .where(F.col("__rn") == 1))
-    capture = F.when(F.col("__P") > 0,
-                     F.col("__cp").cast("double")
-                     / F.col("__P").cast("double"))
-    lift = F.when((F.col("__P") > 0) & (F.col("__ct") > 0),
-                  F.col("__cp").cast("double")
-                  * F.col("__N").cast("double")
-                  / (F.col("__ct").cast("double")
-                     * F.col("__P").cast("double")))
+    tagged = cum.select("__ct", "__cp", buckets).where(
+        F.col("__ct") * b >= F.col("bucket") * F.lit(n_tot))
+    # bucket b reads at the FIRST distinct score whose cumulative
+    # count reaches the boundary: min_by on __ct — one hash agg
+    first = (tagged.groupBy("bucket")
+             .agg(F.min("__ct").alias("__ct"),
+                  F.min_by("__cp", "__ct").alias("__cp")))
+    capture = (F.when(F.lit(p_tot) > 0,
+                      F.col("__cp").cast("double") / F.lit(p_tot))
+               if p_tot else F.lit(None).cast("double"))
+    lift = (F.when((F.lit(p_tot) > 0) & (F.col("__ct") > 0),
+                   F.col("__cp").cast("double") * F.lit(n_tot)
+                   / (F.col("__ct").cast("double") * F.lit(p_tot)))
+            if p_tot else F.lit(None).cast("double"))
     return (first.select(
         "bucket", F.col("__ct").alias("n_cum"),
         F.col("__cp").alias("pos_cum"),

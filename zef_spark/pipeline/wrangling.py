@@ -1833,8 +1833,13 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str, by=None,
     tx = _tie_profile("__x", "__x")
     ty = _tie_profile("__y", "__y")
     j = tx.join(ty, by) if by else tx.crossJoin(F.broadcast(ty))
-    j = (j.join(s_df, by) if by
+    # LEFT join (r09 ADVICE): a single-point key produces no pair
+    # rows — it must still emit (n=1, s=0, NULL tau/z), not vanish
+    j = (j.join(s_df, by, "left") if by
          else j.crossJoin(F.broadcast(s_df)))  # 1-row broadcasts
+    j = j.withColumn("s_stat",
+                     F.coalesce(F.col("s_stat"),
+                                F.lit(0).cast("long")))
     nL = F.col("__xn").cast(d0)
     n0 = nL * (nL - 1)  # 2·n₀, exact
     # τ_b denominator: (2n₀ − Σtx(tx−1))(2n₀ − Σty(ty−1)) / 4
@@ -1855,7 +1860,11 @@ def kendall_tau(df: DataFrame, x_col: str, y_col: str, by=None,
           * F.col("__yp2").cast("double")) \
         / (2.0 * nd * (nd - 1))
     var_s = v0 + v1 + v2
-    z = F.when(var_s > 0, s / F.sqrt(var_s))
+    # n > 2 guard (r09 ADVICE): at n = 2 the v1 denominator is 0 —
+    # Spark yields NULL where DuckDB yields ±inf/NaN; the explicit
+    # guard makes the degenerate row engine-portable (z needs n ≥ 3
+    # anyway — the normal approximation has no content below that)
+    z = F.when((nd > 2) & (var_s > 0), s / F.sqrt(var_s))
     return j.select(*by, F.col("__xn").alias("n"), "s_stat",
                     round_sig_safe(tau, digits).alias("tau_b"),
                     round_sig_safe(z, digits).alias("z"))
