@@ -27,6 +27,12 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, sql: str | None = None):
     def deco(fn):
+        # r09 verdict order #3: a duplicate registration silently
+        # SHADOWED its predecessor for two rounds (both k-means
+        # variants under one name) — a collision is now a load error
+        assert name not in QUERIES, (
+            f"duplicate query registration: {name!r} — rename one "
+            "variant; the registry must be shadow-free")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -1580,11 +1586,16 @@ ORDER BY vec_id""")
     return "".join(parts)
 
 
-@query("p_kmeans_clusters", _kmeans_oracle_sql())
-def p_kmeans(spark, sf_dir):
+@query("p_kmeans_float", _kmeans_oracle_sql())
+def p_kmeans_float(spark, sf_dir):
     """Fixed-iteration k-means over the embeddings table
-    (pipeline/clustering.py): broadcast-centroid Lloyd rounds, fully
-    oracle-checked against DuckDB's unrolled CTE mirror."""
+    (pipeline/clustering.py): broadcast-centroid Lloyd rounds in
+    rounded DOUBLE arithmetic, fully oracle-checked against DuckDB's
+    unrolled CTE mirror. The float-centroid variant beside
+    p_kmeans_clusters (pipeline/similarity.py — scaled-integer
+    arithmetic); r10 de-shadowed: the two engines are deliberately
+    distinct (round-6 float centroids vs exact integer SUM DIV n)
+    and now carry distinct registry names (r09 verdict order #3)."""
     from zef_spark.pipeline.clustering import kmeans_assign
     emb = _t(spark, sf_dir, "embeddings")
     return (kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=2)
@@ -10649,6 +10660,290 @@ def p_hamming_recall10(spark, sf_dir):
 
 
 # =====================================================================
+# r10 additions: exact 2x2 inference, classic Levene, ranking
+# metrics (NDCG@k / MRR), quantized ROC grid
+# =====================================================================
+
+@query("w_fisher_exact_orders", f"""
+WITH a AS (
+  SELECT
+    SUM(CASE WHEN o_orderstatus = 'F'
+              AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      AS n11,
+    SUM(CASE WHEN o_orderstatus = 'F'
+              AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+      AS n12,
+    SUM(CASE WHEN o_orderstatus <> 'F'
+              AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      AS n21,
+    SUM(CASE WHEN o_orderstatus <> 'F'
+              AND o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END)
+      AS n22
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+), m AS (
+  SELECT n11, n12, n21, n22,
+    n11 + n12 AS r1, n21 + n22 AS r2, n11 + n21 AS c1,
+    n11 + n12 + n21 + n22 AS n
+  FROM a
+), ks AS (
+  SELECT m.*, UNNEST(RANGE(CAST(GREATEST(0, c1 - r2) AS BIGINT),
+                           CAST(LEAST(r1, c1) + 1 AS BIGINT))) AS k
+  FROM m
+), pmf AS (
+  SELECT n, n11, n12, n21, n22,
+    LGAMMA(r1 + 1.0) - LGAMMA(k + 1.0) - LGAMMA(r1 - k + 1.0)
+      + LGAMMA(r2 + 1.0) - LGAMMA(c1 - k + 1.0)
+      - LGAMMA(r2 - c1 + k + 1.0)
+      + LGAMMA(c1 + 1.0) + LGAMMA(n - c1 + 1.0) - LGAMMA(n + 1.0)
+      AS lp,
+    LGAMMA(r1 + 1.0) - LGAMMA(n11 + 1.0) - LGAMMA(r1 - n11 + 1.0)
+      + LGAMMA(r2 + 1.0) - LGAMMA(c1 - n11 + 1.0)
+      - LGAMMA(r2 - c1 + n11 + 1.0)
+      + LGAMMA(c1 + 1.0) + LGAMMA(n - c1 + 1.0) - LGAMMA(n + 1.0)
+      AS lobs
+  FROM ks
+), p AS (
+  SELECT n, n11, n12, n21, n22,
+    LEAST(SUM(CASE WHEN lp <= lobs + 1e-7 THEN
+      CAST(ROUND(EXP(lp), 12) AS DECIMAL(38,12)) END)::DOUBLE, 1.0)
+      AS p_raw,
+    CASE WHEN n12 * n21 > 0
+         THEN CAST(n11 * n22 AS DOUBLE) / (n12 * n21) END AS or_raw
+  FROM pmf GROUP BY n, n11, n12, n21, n22
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+  CAST(n12 AS BIGINT) AS n12, CAST(n21 AS BIGINT) AS n21,
+  CAST(n22 AS BIGINT) AS n22,
+  {sql_round_sig_safe('or_raw')} AS odds_ratio,
+  {sql_round_sig_safe('p_raw')} AS p_two_sided
+FROM p
+""")
+def w_fisher_exact_orders(spark, sf_dir):
+    """Fisher's exact test of independence between order status F
+    and URGENT priority (pipeline/abtest.py fisher_exact): one
+    conditional-agg scan to four integers, then the bounded
+    hypergeometric tail on the driver (lgamma fold, 12-dp-rounded
+    Decimal term sum) — the DuckDB oracle reproduces the identical
+    fold with LGAMMA over a generated k-range."""
+    from zef_spark.pipeline.abtest import fisher_exact
+    o = _t(spark, sf_dir, "orders")
+    return fisher_exact(
+        o, F.col("o_orderstatus") == "F",
+        F.col("o_orderpriority") == "1-URGENT")
+
+
+@query("w_levene_price_priority", f"""
+WITH b0 AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IN
+    ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+), med AS (
+  SELECT g,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE
+      / CAST(COUNT(*) AS DOUBLE) AS md
+  FROM b0 GROUP BY 1
+), b AS (
+  SELECT b0.g, ABS(b0.x - med.md) AS x
+  FROM b0 JOIN med USING (g)
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12)))::DOUBLE AS s,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))::DOUBLE AS q,
+    SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN g = '1-URGENT' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s0,
+    SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN g = '2-HIGH' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s1,
+    SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN g = '3-MEDIUM' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s2,
+    SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n3,
+    SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s3,
+    SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS n4,
+    SUM(CASE WHEN g = '5-LOW' THEN
+        CAST(ROUND(x, 12) AS DECIMAL(38,12)) END)::DOUBLE AS s4
+  FROM b
+), d AS (
+  SELECT n,
+    ((s0 * s0) / CAST(n0 AS DOUBLE) + (s1 * s1) / CAST(n1 AS DOUBLE)
+     + (s2 * s2) / CAST(n2 AS DOUBLE) + (s3 * s3) / CAST(n3 AS DOUBLE)
+     + (s4 * s4) / CAST(n4 AS DOUBLE)) AS sb,
+    s, q,
+    (n0 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0) AS ne
+  FROM a
+), raw AS (
+  SELECT n, CAST(5 AS BIGINT) AS k, CAST(4 AS BIGINT) AS dof_between,
+    CAST(n - 5 AS BIGINT) AS dof_within,
+    CASE WHEN ne AND n > 5 AND q - sb > 0
+         THEN ((sb - (s * s) / CAST(n AS DOUBLE)) / 4.0)
+              / ((q - sb) / (CAST(n AS DOUBLE) - 5.0)) END AS f_raw,
+    CASE WHEN ne AND n > 5 AND q - sb > 0
+         THEN (sb - (s * s) / CAST(n AS DOUBLE))
+              / ((sb - (s * s) / CAST(n AS DOUBLE)) + (q - sb))
+    END AS eta_raw
+  FROM d
+)
+SELECT n, k, dof_between, dof_within,
+  {sql_round_sig_safe('f_raw')} AS f_stat,
+  {sql_round_sig_safe('eta_raw')} AS eta_sq
+FROM raw
+""")
+def w_levene_price_priority(spark, sf_dir):
+    """Classic (mean-centered) Levene variance-homogeneity test of
+    order totalprice across the five priorities (pipeline/abtest.py
+    levene_test, center='mean') — the Brown-Forsythe battery's
+    companion with the 1960 center; group means are decimal-exact
+    sums over ONE partition-only window, deviations feed
+    anova_oneway's single scan."""
+    from zef_spark.pipeline.abtest import levene_test
+    o = _t(spark, sf_dir, "orders")
+    return levene_test(
+        o, "o_orderpriority", "o_totalprice",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+         "5-LOW"], center="mean")
+
+
+_NDCG_REL = ("CASE event_type WHEN 'purchase' THEN 2.0 "
+             "WHEN 'view' THEN 1.0 ELSE 0.0 END")
+
+
+@query("p_ndcg_events", f"""
+WITH b AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS s,
+    {_NDCG_REL} AS r
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT user_id, s, r,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY s DESC, r DESC) AS ia,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY r DESC) AS ii
+  FROM b
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CASE WHEN ia <= 10 THEN CAST(ROUND(
+      (POWER(2.0, r) - 1.0) / (LN(ia + 1.0) / LN(2.0)), 12)
+      AS DECIMAL(38,12)) END)::DOUBLE AS dcg_raw,
+    SUM(CASE WHEN ii <= 10 THEN CAST(ROUND(
+      (POWER(2.0, r) - 1.0) / (LN(ii + 1.0) / LN(2.0)), 12)
+      AS DECIMAL(38,12)) END)::DOUBLE AS idcg_raw
+  FROM ranked GROUP BY user_id
+), f AS (
+  SELECT user_id, n,
+    COALESCE(dcg_raw, 0.0) AS dcg_c, COALESCE(idcg_raw, 0.0)
+      AS idcg_c,
+    CASE WHEN idcg_raw > 0 THEN dcg_raw / idcg_raw END AS ndcg_raw
+  FROM agg
+)
+SELECT user_id, n,
+  {sql_round_sig_safe('dcg_c')} AS dcg,
+  {sql_round_sig_safe('idcg_c')} AS idcg,
+  {sql_round_sig_safe('ndcg_raw')} AS ndcg
+FROM f ORDER BY user_id
+""")
+def p_ndcg_events(spark, sf_dir):
+    """NDCG@10 of each user's value-ranked event feed against
+    graded relevance (purchase=2, view=1, else 0) —
+    pipeline/evaluation.py ndcg_at_k: one group-keyed shuffle for
+    both the actual and ideal rank windows, 12-dp-rounded decimal
+    term sums."""
+    from zef_spark.pipeline.evaluation import ndcg_at_k
+    ev = _events(spark, sf_dir)
+    rel = (F.when(F.col("event_type") == "purchase", 2.0)
+           .when(F.col("event_type") == "view", 1.0)
+           .otherwise(0.0))
+    return (ndcg_at_k(ev, "value", rel, by="user_id", k=10)
+            .orderBy("user_id"))
+
+
+@query("p_mrr_events", f"""
+WITH b AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS s,
+    (event_type = 'purchase') AS r
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT user_id, s, r,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY s DESC, CAST(r AS INT) DESC) AS rk
+  FROM b
+), agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+    MIN(CASE WHEN r THEN rk END) AS first_rel_rank
+  FROM ranked GROUP BY user_id
+), f AS (
+  SELECT user_id, n, first_rel_rank,
+    COALESCE(1.0 / CAST(first_rel_rank AS DOUBLE), 0.0) AS rr_raw
+  FROM agg
+)
+SELECT user_id, n, first_rel_rank,
+  {sql_round_sig_safe('rr_raw')} AS rr
+FROM f ORDER BY user_id
+""")
+def p_mrr_events(spark, sf_dir):
+    """Per-user reciprocal rank of the first purchase in the
+    value-ranked event feed (pipeline/evaluation.py mrr): one
+    ranking window + conditional-MIN agg; a user with no purchase
+    scores rr = 0 (the standard MRR miss convention)."""
+    from zef_spark.pipeline.evaluation import mrr
+    ev = _events(spark, sf_dir)
+    return (mrr(ev, "value", F.col("event_type") == "purchase",
+                by="user_id")
+            .orderBy("user_id"))
+
+
+@query("p_roc_points_quantized", f"""
+WITH b AS (
+  SELECT ROUND(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
+               / 100000.0, 3) AS t,
+    (l_returnflag = 'R') AS lab
+  FROM lineitem
+), vt AS (
+  SELECT t AS threshold,
+    CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS p,
+    CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS n_
+  FROM b GROUP BY 1
+), cum AS (
+  SELECT threshold,
+    SUM(p) OVER (ORDER BY threshold DESC
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(n_) OVER (ORDER BY threshold DESC
+                  ROWS UNBOUNDED PRECEDING) AS fp,
+    SUM(p) OVER () AS pt, SUM(n_) OVER () AS nt
+  FROM vt
+), f AS (
+  SELECT threshold, CAST(tp AS BIGINT) AS tp,
+    CAST(fp AS BIGINT) AS fp,
+    CASE WHEN pt > 0 THEN CAST(tp AS DOUBLE) / pt END AS tpr_raw,
+    CASE WHEN nt > 0 THEN CAST(fp AS DOUBLE) / nt END AS fpr_raw
+  FROM cum
+)
+SELECT threshold, tp, fp,
+  {sql_round_sig_safe('tpr_raw')} AS tpr,
+  {sql_round_sig_safe('fpr_raw')} AS fpr
+FROM f ORDER BY threshold
+""")
+def p_roc_points_quantized(spark, sf_dir):
+    """ROC curve on a CONTINUOUS revenue score with the r10
+    quantization grid (pipeline/evaluation.py roc_points,
+    quantize=3): scores round to a ≤1051-point grid BEFORE the
+    distinct agg — the output-size control for continuous scores —
+    and the cumulative sums ride the range-partitioned prefix-sum
+    engine, never a keyless window."""
+    from zef_spark.pipeline.evaluation import roc_points
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .cast("double") / 100000.0).alias("score"),
+        (F.col("l_returnflag") == "R").alias("label"))
+    return (roc_points(scored, "score", "label", max_points=2000,
+                       quantize=3)
+            .orderBy("threshold"))
+
+
+# =====================================================================
 # driver entry points
 # =====================================================================
 
@@ -10659,70 +10954,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracle-checks only the FIRST 50 entries of queries().
-# r09 window (r08 verdict order #2 — close the driver-proof freshness
-# gap): the registry's per-query "last driver-proven round" ledger
-# (computed from CORRECTNESS_r0{1..8}.json) shows 2 never-proven rows
-# and cohorts of 5@r03 / 47@r04 / 48@r05. This window takes (a) the 2
-# never-proven rows, (b) the full 5-row r03 cohort, and (c) 43 of the
-# 47 r04-cohort rows. The remaining 4 r04 rows (q2_min_cost_supplier,
-# q4_priority_exists, q7_nation_volume, q8_market_share — all judge-
-# sweep-green at two scales every round since r04) are deferred to the
-# r10 window, which absorbs them plus the 48-row r05 cohort (52 rows →
-# 50 + 2 spillover to r11). After r10 no query's latest driver proof
-# is older than 3 rounds — the verdict's 2-round windowing plan.
+# r10 window (r09 verdict order #6 — rotate onto the oldest cohorts):
+# the per-query "last driver-proven round" ledger (computed from
+# CORRECTNESS_r0{1..9}.json) shows cohorts of 38@r04 / 48@r05 /
+# 43@r06 / 41@r07 / 50@r08 / 50@r09. This window takes (a) the
+# registrations NEW this round (window priority — no query starts
+# life unproven), (b) the FULL 38-row r04 cohort (the verdict's
+# lead order), and (c) the leading rows of the 48-row r05 cohort.
+# The r11 window absorbs the r05 remainder plus the r06 cohort.
 # Everything else stays runnable by name.
 _FRONT = [
-    # (a) never driver-proven: the 2 rows registered after the r08
-    # window was drawn (judge-sweep-green at two scales in r08), the
-    # 6 rows NEW THIS ROUND (statistics tier 3 + ks/chunk/quota —
-    # new registrations take window priority so no query starts life
-    # with an aging unproven badge), and the acf/pmi queries whose
-    # ops the r09 consolidation touched (duplicate implementations
-    # removed; the surviving op deserves a fresh driver proof)
-    "e_theilsen_trend", "w_anova_price_priority",
-    "e_mann_kendall_trend", "w_bh_fdr_cells", "w_brown_forsythe_price",
-    "w_trimmed_mean_acctbal", "e_runs_test_value",
-    "w_ks_price_priority", "p_chunk_text", "p_sample_k_per_lang",
-    "e_acf_hourly", "p_pmi_collocations",
-    # (a') NEW THIS ROUND (r09b paired/ordinal statistics tier +
-    # model log-loss + int8 quantization) — new registrations take
-    # window priority so no query starts life unproven
-    "w_wilcoxon_view_purchase", "w_cuped_price_quantity",
-    "w_jarque_bera_acctbal", "e_kendall_tau_daily",
-    "p_log_loss_purchase", "e_ljung_box_hourly",
-    "p_quantization_error", "p_hamming_topk", "e_pacf_hourly",
-    "w_srm_check_split", "w_weighted_percentile_price",
-    "p_roc_points_purchase", "p_average_precision_purchase",
-    "w_wilson_ci_value", "w_tukey_price_priority",
-    "p_gain_curve_purchase", "e_mcnemar_view_purchase",
-    "w_cochran_q_orders", "e_friedman_daily_types",
-    "p_ece_purchase", "w_cronbach_lineitem",
-    "e_mase_daily_value", "p_diversity_sources",
-    "p_hamming_recall10",
-    # (b) the r03 cohort: the five stable function batteries whose
-    # last driver proof is r03 (r06/r07/r08 judge sweeps re-proved
-    # them independently; the driver record itself is six rounds old)
-    "concat_union_segments", "datetime_functions", "hash_functions",
-    "math_functions", "string_functions",
-    # (c) 33 of the 47-row r04 cohort. NOTE: the 14 r09-continuation
-    # additions above (statistics tier + quantized search) take
-    # window priority, pushing the last 14 rows of this block
-    # (p_domain_stats through q9_product_profit) past the 50-query
-    # window into the r10 rotation along with the rows below. The 14
-    # previously deferred rows
-    # (q2_min_cost_supplier, q4_priority_exists, q7_nation_volume,
-    # q8_market_share, q10_returned_items, q11_part_value_share,
-    # q12_priority_lateness, q13_order_count_distribution,
-    # q14_promo_revenue, q15_top_supplier, q16_supplier_variety,
-    # q17_small_qty_revenue, q19_bracketed_revenue,
-    # q21_waiting_suppliers — all judge-sweep-green at two scales
-    # every round since r04) move to the r10 window, which absorbs
-    # them plus the 48-row r05 cohort (62 rows → 50 + 12 spillover
-    # to r11; after r11 no proof is older than 3 rounds).
-    "chunk_by_event_type_runs", "e_asof_last_purchase",
-    "e_cohort_retention", "e_funnel_counts", "e_hourly_tumbling",
-    "e_hypertable_rollup", "e_range_purchase_window",
-    "e_session_windows", "e_sessionize_30min", "e_split_on_purchase",
+    # (a) NEW THIS ROUND (kept small — the r09 verdict's windowing
+    # plan retires the r04/r05 backlog fastest when new ops don't
+    # jump the queue): the de-shadowed float-centroid k-means (r09
+    # verdict order #3) + the r10 additions
+    "p_kmeans_float", "p_roc_points_quantized",
+    "w_fisher_exact_orders", "w_levene_price_priority",
+    "p_ndcg_events", "p_mrr_events",
+    # (b) the FULL r04 cohort — 38 rows, last driver proof six
+    # rounds old (judge sweeps re-proved them at two scales every
+    # round since; the driver record itself is what ages)
+    "e_split_on_purchase",
     "gql_aggregate_orders", "gql_all_quantifier",
     "gql_list_size_filter", "gql_mutation_delete",
     "gql_mutation_update", "gql_nested_filter_order",
@@ -10731,8 +10983,21 @@ _FRONT = [
     "p_identify_entities", "p_infer_types", "p_pii_redact",
     "p_repetition_signals", "p_semantic_dup_pairs", "p_sketch_checks",
     "p_tf_idf", "p_unigram_logprob",
-    "q18_large_orders", "q22_idle_customers",
+    "q10_returned_items", "q11_part_value_share",
+    "q12_priority_lateness", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_qty_revenue", "q18_large_orders",
+    "q19_bracketed_revenue", "q21_waiting_suppliers",
+    "q22_idle_customers", "q2_min_cost_supplier",
+    "q4_priority_exists", "q7_nation_volume", "q8_market_share",
     "q9_product_profit",
+    # (c) the leading edge of the 48-row r05 cohort (alphabetical;
+    # the remainder leads the r11 window)
+    "e_ewma_user_value", "e_gapfill", "e_json_props_sum",
+    "e_late_data_audit", "e_merge_intervals", "e_rate_limit_events",
+    "e_stream_ingest", "e_stream_interval_join",
+    "enumerate_stride_events", "frequencies_events",
+    "g_bfs_cosupply",
 ]
 
 

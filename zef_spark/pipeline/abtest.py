@@ -614,43 +614,156 @@ def _bh_op(df, *args, **kw):
     return benjamini_hochberg(df, *args, **kw)
 
 
-def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
-                   groups: list, digits: int = 6) -> DataFrame:
-    """One row (n, k, dof_between, dof_within, f_stat, eta_sq) — the
-    Brown-Forsythe test of VARIANCE homogeneity across k groups:
-    one-way ANOVA on the median-centered absolute deviations
-    z_ij = |x_ij − median(group i)| (Levene's test with the median
-    center — the robust variant). The gatekeeper for anova_oneway's
-    equal-variance assumption: a significant BF says route to
+def levene_test(df: DataFrame, group_col: str, value_col: str,
+                groups: list, center: str = "mean",
+                digits: int = 6) -> DataFrame:
+    """One row (n, k, dof_between, dof_within, f_stat, eta_sq) —
+    Levene's test of VARIANCE homogeneity across k groups: one-way
+    ANOVA on the center-absolute deviations z_ij = |x_ij − c_i|,
+    with ``center`` picking the classic MEAN center (Levene 1960)
+    or the robust MEDIAN center (Brown-Forsythe 1974 — exposed as
+    `brown_forsythe`). The gatekeeper for anova_oneway's
+    equal-variance assumption: a significant result says route to
     welch/kruskal instead.
 
-    Plan: per-group EXACT median by the integer-rank PERCENTILE_DISC
-    definition (value at row ceil(n/2) — engine-exact, the
-    mad_outliers discipline) via ONE group-ordered window shuffle,
-    then the deviations feed anova_oneway's single conditional-agg
-    scan. Two shuffles total, both keyed by the (small) group
-    column."""
+    Plan, mean center: per-group mean via ONE group-keyed window
+    (no ordering — the partition-only frame), deviations feed
+    anova_oneway's single conditional-agg scan; the group means are
+    decimal-exact Σ ÷ n. Median center: per-group EXACT median by
+    the integer-rank PERCENTILE_DISC definition (value at row
+    ceil(n/2) — engine-exact, the mad_outliers discipline) via ONE
+    group-ordered window shuffle. Both: two shuffles total, keyed
+    by the (small) group column."""
     from pyspark.sql import Window
     g = F.col(group_col)
     x = F.col(value_col).cast("double")
     base = df.where(x.isNotNull() & g.isin(list(groups))).select(
         g.alias("__g"), x.alias("__x"))
-    w = Window.partitionBy("__g").orderBy("__x")
     wn = Window.partitionBy("__g")
-    med = (base.withColumn("__rn", F.row_number().over(w))
-           .withColumn("__n", F.count(F.lit(1)).over(wn))
-           .withColumn("__med", F.max(F.when(
-               F.col("__rn") == F.ceil(F.col("__n") / 2),
-               F.col("__x"))).over(wn)))
-    dev = med.select("__g", F.abs(F.col("__x") - F.col("__med"))
+    if center == "median":
+        w = Window.partitionBy("__g").orderBy("__x")
+        med = (base.withColumn("__rn", F.row_number().over(w))
+               .withColumn("__n", F.count(F.lit(1)).over(wn))
+               .withColumn("__c", F.max(F.when(
+                   F.col("__rn") == F.ceil(F.col("__n") / 2),
+                   F.col("__x"))).over(wn)))
+    elif center == "mean":
+        med = base.withColumn(
+            "__c",
+            (F.sum(_term(F.col("__x"))).over(wn).cast("double")
+             / F.count(F.lit(1)).over(wn).cast("double")))
+    else:
+        raise ValueError(
+            f"levene_test: center must be 'mean' or 'median', "
+            f"got {center!r}")
+    dev = med.select("__g", F.abs(F.col("__x") - F.col("__c"))
                      .alias("__z"))
     return anova_oneway(dev, "__g", "__z", list(groups),
                         digits=digits)
 
 
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
+                   groups: list, digits: int = 6) -> DataFrame:
+    """Levene's test with the MEDIAN center (Brown-Forsythe 1974) —
+    see levene_test; this is the robust variant, kept as its own
+    name (r04-r09 registry surface)."""
+    return levene_test(df, group_col, value_col, groups,
+                       center="median", digits=digits)
+
+
+@register_op("levene_test", "df")
+def _levene_op(df, *args, **kw):
+    return levene_test(df, *args, **kw)
+
+
 @register_op("brown_forsythe", "df")
 def _bf_op(df, *args, **kw):
     return brown_forsythe(df, *args, **kw)
+
+
+def fisher_exact(df: DataFrame, row_cond, col_cond,
+                 max_support: int = 2_000_000,
+                 digits: int = 6) -> DataFrame:
+    """One row (n, n11, n12, n21, n22, odds_ratio, p_two_sided) —
+    Fisher's EXACT test of independence for the 2×2 table defined
+    by two boolean Columns (rows with a NULL on either side drop):
+
+        p = Σ_{tables T as extreme} P_hypergeom(T)
+        P(k) = C(r1,k)·C(r2,c1−k)/C(n,c1)
+
+    two-sided by the standard pmf rule (sum every table whose
+    point probability ≤ the observed table's, with a 1+1e-7
+    tolerance — scipy's convention). The small-count companion to
+    chi2_contingency: exact at any cell size, no ≥5-expected rule.
+
+    Plan: ONE conditional-agg scan reduces the data to FOUR
+    integers (map-side combinable); the hypergeometric tail is then
+    a BOUNDED driver-side fold over k ∈ [max(0,c1−r2), min(r1,c1)]
+    — O(min margin) lgamma evaluations, the isotonic-PAV split
+    (bounded sufficient statistics on the driver, never row data).
+    ``max_support`` guards the fold: margins beyond it raise with
+    the chi2/g-test hint (Fisher's exactness buys nothing at that
+    n). Determinism: each pmf term rounds half-up to 12 dp before
+    an exact Decimal sum (the nat-sum discipline), p releases
+    sig-safe; the odds ratio is a single division of exact-integer
+    products."""
+    import math
+    from decimal import Decimal
+    from ..functions.rounding import round_sig_safe
+    r = (F.col(row_cond) if isinstance(row_cond, str)
+         else row_cond).cast("boolean")
+    c = (F.col(col_cond) if isinstance(col_cond, str)
+         else col_cond).cast("boolean")
+    agg = (df.where(r.isNotNull() & c.isNotNull())
+           .agg(F.sum((r & c).cast("long")).alias("n11"),
+                F.sum((r & ~c).cast("long")).alias("n12"),
+                F.sum((~r & c).cast("long")).alias("n21"),
+                F.sum((~r & ~c).cast("long")).alias("n22")))
+    row = agg.collect()[0]
+    a, b_, c_, d = (int(row["n11"] or 0), int(row["n12"] or 0),
+                    int(row["n21"] or 0), int(row["n22"] or 0))
+    n, r1, r2, c1 = a + b_ + c_ + d, a + b_, c_ + d, a + c_
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    if hi - lo > max_support:
+        raise ValueError(
+            "fisher_exact: the hypergeometric support has "
+            f"{hi - lo + 1} tables (> max_support={max_support}) — "
+            "at this n use chi2_contingency; exactness buys "
+            "nothing. Raise max_support to proceed deliberately.")
+    p_val = None
+    if n > 0 and r1 > 0 and r2 > 0 and c1 > 0 and (n - c1) > 0:
+        lg = math.lgamma
+
+        def logpmf(k: int) -> float:
+            return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                    + lg(r2 + 1) - lg(c1 - k + 1)
+                    - lg(r2 - c1 + k + 1)
+                    + lg(c1 + 1) + lg(n - c1 + 1) - lg(n + 1))
+
+        cut = logpmf(a) + 1e-7  # scipy's relative-gate analogue
+        acc = Decimal(0)
+        for k in range(lo, hi + 1):
+            lp = logpmf(k)
+            if lp <= cut:
+                acc += Decimal(str(round(math.exp(lp), 12)))
+        p_val = min(float(acc), 1.0)
+    odds = (a * d) / (b_ * c_) if b_ * c_ > 0 else None
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(n, a, b_, c_, d, odds, p_val)],
+        "n long, n11 long, n12 long, n21 long, n22 long, "
+        "odds_ratio double, p_two_sided double")
+    return out.select(
+        "n", "n11", "n12", "n21", "n22",
+        round_sig_safe(F.col("odds_ratio"), digits)
+        .alias("odds_ratio"),
+        round_sig_safe(F.col("p_two_sided"), digits)
+        .alias("p_two_sided"))
+
+
+@register_op("fisher_exact", "df")
+def _fisher_op(df, *args, **kw):
+    return fisher_exact(df, *args, **kw)
 
 
 def runs_test(df: DataFrame, order_col: str, value_col: str,

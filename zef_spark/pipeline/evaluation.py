@@ -617,6 +617,116 @@ def _gain_curve_op(df, *args, **kw):
     return gain_curve(df, *args, **kw)
 
 
+def ndcg_at_k(df: DataFrame, score_col: str, rel_col, by=None,
+              k: int = 10, digits: int = 6) -> DataFrame:
+    """(by..., n, dcg, idcg, ndcg) — Normalized Discounted
+    Cumulative Gain at cutoff k per ranking group (a search query,
+    a recommendation slate):
+
+        DCG@k  = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1)
+        IDCG@k = the same over the ideal (rel-descending) order
+        NDCG   = DCG / IDCG ∈ [0, 1]
+
+    with rows ranked by ``score_col`` DESC; score ties break by
+    rel DESC (the optimistic convention, stated: two tied-score
+    rows with EQUAL rel occupy an unordered position set whose DCG
+    sum is order-invariant, so only cross-rel ties need a rule).
+    Groups with zero relevant rows yield NULL ndcg.
+
+    Plan: ONE group-keyed shuffle — the actual-rank and ideal-rank
+    windows share the by-key partitioning — then one hash agg; each
+    discounted term rounds half-up to 12 dp into a decimal(38,12)
+    sum (partition-order-independent), the final division releases
+    sig-safe."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    dec = "decimal(38,12)"
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    rel = (F.col(rel_col) if isinstance(rel_col, str)
+           else rel_col).cast("double")
+    s = F.col(score_col).cast("double")
+    base = (df.where(s.isNotNull() & rel.isNotNull())
+            .select(*keys, s.alias("__s"), rel.alias("__r")))
+    w_act = (Window.partitionBy(*part)
+             .orderBy(F.col("__s").desc(), F.col("__r").desc()))
+    w_idl = Window.partitionBy(*part).orderBy(F.col("__r").desc())
+    ranked = (base
+              .withColumn("__ia", F.row_number().over(w_act))
+              .withColumn("__ii", F.row_number().over(w_idl)))
+    gain = F.pow(F.lit(2.0), F.col("__r")) - 1.0
+
+    def _disc(idx):
+        return F.round(gain / F.log(2.0, idx.cast("double") + 1.0),
+                       12).cast(dec)
+
+    kk = int(k)
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("__ia") <= kk,
+                             _disc(F.col("__ia"))))
+                .cast("double").alias("__dcg"),
+                F.sum(F.when(F.col("__ii") <= kk,
+                             _disc(F.col("__ii"))))
+                .cast("double").alias("__idcg")))
+    nd = F.when(F.col("__idcg") > 0,
+                F.col("__dcg") / F.col("__idcg"))
+    return agg.select(
+        *keys, "n",
+        round_sig_safe(F.coalesce(F.col("__dcg"), F.lit(0.0)),
+                       digits).alias("dcg"),
+        round_sig_safe(F.coalesce(F.col("__idcg"), F.lit(0.0)),
+                       digits).alias("idcg"),
+        round_sig_safe(nd, digits).alias("ndcg"))
+
+
+@register_op("ndcg_at_k", "df")
+def _ndcg_op(df, *args, **kw):
+    return ndcg_at_k(df, *args, **kw)
+
+
+def mrr(df: DataFrame, score_col: str, rel_col, by=None,
+        digits: int = 6) -> DataFrame:
+    """(by..., n, first_rel_rank, rr) — per-group Reciprocal Rank:
+    the rank (score DESC, ties by rel DESC — ndcg_at_k's stated
+    convention) of the FIRST relevant row, and 1/rank. Groups with
+    no relevant row emit NULL first_rel_rank and rr = 0.0 (the
+    standard MRR convention — a miss scores zero, the group still
+    counts). Average the rr column for the scalar MRR.
+
+    Plan: ONE group-keyed shuffle (ranking window) + one hash agg —
+    the min-rank-where-relevant is a conditional MIN, map-side
+    combinable above the window; rr is one exact division."""
+    from pyspark.sql import Window
+    from ..functions.rounding import round_sig_safe
+    keys = ([] if by is None
+            else [by] if isinstance(by, str) else list(by))
+    part = keys if keys else [F.lit(1)]
+    rel = (F.col(rel_col) if isinstance(rel_col, str)
+           else rel_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    base = (df.where(s.isNotNull() & rel.isNotNull())
+            .select(*keys, s.alias("__s"), rel.alias("__r")))
+    w = (Window.partitionBy(*part)
+         .orderBy(F.col("__s").desc(),
+                  F.col("__r").cast("int").desc()))
+    ranked = base.withColumn("__rk", F.row_number().over(w))
+    agg = (ranked.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min(F.when(F.col("__r"), F.col("__rk")))
+                .alias("first_rel_rank")))
+    rr = F.coalesce(
+        1.0 / F.col("first_rel_rank").cast("double"), F.lit(0.0))
+    return agg.select(*keys, "n", "first_rel_rank",
+                      round_sig_safe(rr, digits).alias("rr"))
+
+
+@register_op("mrr", "df")
+def _mrr_op(df, *args, **kw):
+    return mrr(df, *args, **kw)
+
+
 def expected_calibration_error(df: DataFrame, score_col: str,
                                label_col, bins: int = 10,
                                digits: int = 6) -> DataFrame:
