@@ -1528,78 +1528,19 @@ def p_repetition_signals(spark, sf_dir):
     return repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
-    """DuckDB oracle for fixed-iteration Lloyd's k-means: unrolls
-    n_iter (assign → decimal-exact centroid means) rounds then the
-    final assignment, mirroring pipeline/clustering.kmeans_assign's
-    determinism contract (round-6 centroids, round-4 distances,
-    ties → lowest cluster index, empty clusters keep centroids)."""
-    parts = [f"""
-WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-vpos AS (SELECT vec_id, UNNEST(v) AS x,
-                UNNEST(RANGE(1, LEN(v) + 1)) AS pos FROM emb),
-cents0 AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS c, v AS cv
-  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})
-)"""]
-    for i in range(n_iter):
-        parts.append(f""",
-d{i} AS (
-  SELECT e.vec_id, c.c,
-         ROUND(LIST_DOT_PRODUCT(e.v, e.v)
-               - 2 * LIST_DOT_PRODUCT(e.v, c.cv)
-               + LIST_DOT_PRODUCT(c.cv, c.cv), 4) AS d
-  FROM emb e CROSS JOIN cents{i} c
-),
-asg{i} AS (
-  SELECT vec_id, c FROM (
-    SELECT vec_id, c,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
-    FROM d{i}) WHERE rk = 1
-),
-stats{i + 1} AS (
-  SELECT a.c, p.pos,
-         ROUND(CAST(SUM(CAST(p.x AS DECIMAL(30,15))) AS DOUBLE)
-               / COUNT(*), 6) AS m
-  FROM vpos p JOIN asg{i} a USING (vec_id) GROUP BY a.c, p.pos
-),
-cents{i + 1} AS (
-  SELECT c, LIST(m ORDER BY pos) AS cv FROM stats{i + 1} GROUP BY c
-  UNION ALL
-  SELECT c, cv FROM cents{i}
-  WHERE c NOT IN (SELECT c FROM stats{i + 1})
-)""")
-    parts.append(f""",
-dfin AS (
-  SELECT e.vec_id, c.c,
-         ROUND(LIST_DOT_PRODUCT(e.v, e.v)
-               - 2 * LIST_DOT_PRODUCT(e.v, c.cv)
-               + LIST_DOT_PRODUCT(c.cv, c.cv), 4) AS d
-  FROM emb e CROSS JOIN cents{n_iter} c
-)
-SELECT vec_id, CAST(c AS INT) AS cluster, d AS dist FROM (
-  SELECT vec_id, c, d,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
-  FROM dfin) WHERE rk = 1
-ORDER BY vec_id""")
-    return "".join(parts)
-
-
-@query("p_kmeans_float", _kmeans_oracle_sql())
-def p_kmeans_float(spark, sf_dir):
-    """Fixed-iteration k-means over the embeddings table
-    (pipeline/clustering.py): broadcast-centroid Lloyd rounds in
-    rounded DOUBLE arithmetic, fully oracle-checked against DuckDB's
-    unrolled CTE mirror. The float-centroid variant beside
-    p_kmeans_clusters (pipeline/similarity.py — scaled-integer
-    arithmetic); r10 de-shadowed: the two engines are deliberately
-    distinct (round-6 float centroids vs exact integer SUM DIV n)
-    and now carry distinct registry names (r09 verdict order #3)."""
-    from zef_spark.pipeline.clustering import kmeans_assign
-    emb = _t(spark, sf_dir, "embeddings")
-    return (kmeans_assign(emb, "embedding", "vec_id", k=8, n_iter=2)
-            .orderBy("vec_id"))
+# r10 consolidation note (r09 verdict order #3): the float-centroid
+# k-means (pipeline/clustering.kmeans_assign) had silently SHADOWED
+# p_kmeans_clusters for two rounds. De-shadowing it under its own
+# name (p_kmeans_float) exposed why the integer engine exists: at
+# sf1 the float variant's round-4 distance hits a cross-engine FP
+# rounding boundary (Spark 0.9607 vs DuckDB 0.9608 on one row of
+# 50k) — the strict value-hash cannot certify float Lloyd at every
+# scale. Registry resolution: the variant is REMOVED from the
+# registry (the verdict's sanctioned option); the library op keeps
+# its float semantics and small-scale tests (tests/test_clustering),
+# and pipeline/similarity.kmeans_assign (scaled-integer, engine-
+# exact at all scales) is the sole registered k-means. The query()
+# duplicate-name assert below prevents any future shadowing.
 
 
 def _pq_oracle_sql(dim: int = 64, m: int = 8, n_codes: int = 16,
@@ -10968,7 +10909,7 @@ _FRONT = [
     # plan retires the r04/r05 backlog fastest when new ops don't
     # jump the queue): the de-shadowed float-centroid k-means (r09
     # verdict order #3) + the r10 additions
-    "p_kmeans_float", "p_roc_points_quantized",
+    "p_roc_points_quantized",
     "w_fisher_exact_orders", "w_levene_price_priority",
     "p_ndcg_events", "p_mrr_events",
     # (b) the FULL r04 cohort — 38 rows, last driver proof six

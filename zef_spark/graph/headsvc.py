@@ -65,6 +65,16 @@ class _Store:
         self._staged: dict[str, bytes] = {}
         self._eventual = eventual
         self._lock = threading.Lock()
+        # push channel (r09 verdict order #5): /watch long-pollers
+        # park on this condition; every SETTLED put wakes them —
+        # the ZefHub-subscription-push analogue (reference:
+        # core/include/observable.h:70-116 — the WebSocket broker
+        # pushes graph updates to subscribed clients; here the dumb
+        # object store only ever pushes "something landed", and all
+        # interpretation stays client-side, keeping the store
+        # S3/GCS-shaped: S3 Event Notifications carry keys, not
+        # graph semantics)
+        self._cond = threading.Condition(self._lock)
 
     def put(self, key: str, data: bytes, if_none_match: bool) -> bool:
         with self._lock:
@@ -73,6 +83,8 @@ class _Store:
                 return False
             target = self._staged if self._eventual else self._settled
             target[key] = data
+            if target is self._settled:
+                self._cond.notify_all()
             return True
 
     def get(self, key: str) -> bytes | None:
@@ -96,7 +108,37 @@ class _Store:
             keys = [k for k in self._staged if k.startswith(prefix)]
             for k in keys:
                 self._settled[k] = self._staged.pop(k)
+            if keys:
+                self._cond.notify_all()
             return len(keys)
+
+    def _commit_txs_above(self, since: int) -> list[int]:
+        # caller holds self._lock (via self._cond)
+        out = []
+        pre = "txlog/_commits/"
+        for k in self._settled:
+            if k.startswith(pre) and k.endswith(".json"):
+                name = k[len(pre):-5]
+                if name.isdigit() and int(name) > since:
+                    out.append(int(name))
+        return sorted(out)
+
+    def wait_for_tx(self, since: int, timeout: float) -> list[int]:
+        """Block until a commit marker with tx > ``since`` is
+        SETTLED (visible), up to ``timeout`` seconds; returns the
+        new tx numbers ([] on timeout). The long-poll primitive —
+        wakes on the put itself, no poll interval anywhere."""
+        import time as _time
+        deadline = _time.monotonic() + timeout
+        with self._cond:
+            while True:
+                txs = self._commit_txs_above(since)
+                if txs:
+                    return txs
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return []
+                self._cond.wait(remaining)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -135,6 +177,16 @@ class _Handler(BaseHTTPRequestHandler):
             keys = self.store.list(self.path[len("/list/"):])
             return self._send(200, json.dumps(keys).encode(),
                               "application/json")
+        if self.path.startswith("/watch"):
+            from urllib.parse import parse_qs, urlparse
+            qs = parse_qs(urlparse(self.path).query)
+            since = int(qs.get("since", ["-1"])[0])
+            timeout = min(float(qs.get("timeout", ["25"])[0]), 120.0)
+            txs = self.store.wait_for_tx(since, timeout)
+            if txs:
+                return self._send(200, json.dumps(txs).encode(),
+                                  "application/json")
+            return self._send(204)  # timeout: client re-arms
         self._send(404)
 
 
@@ -193,6 +245,19 @@ class HttpObjectClient:
         with urllib.request.urlopen(
                 f"{self.url}/list/{prefix}",
                 timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def watch(self, since: int, timeout: float = 25.0) -> list[int]:
+        """Long-poll for commit markers with tx > ``since``: the
+        request PARKS server-side on the store's condition variable
+        and returns the instant a marker settles — no poll interval.
+        [] on server timeout (re-arm and call again)."""
+        with urllib.request.urlopen(
+                f"{self.url}/watch?since={int(since)}"
+                f"&timeout={float(timeout)}",
+                timeout=timeout + 10.0) as r:
+            if r.status == 204:
+                return []
             return json.loads(r.read())
 
 
@@ -367,3 +432,90 @@ class RemoteGraphStore(GraphStore):
         return super().refresh()
 
     head = refresh
+
+    # -- push subscriptions (r09 verdict order #5) -------------------
+
+    def subscribe(self, fn, event: str | None = None, token=None,
+                  poll_timeout: float = 25.0) -> "_Subscription":
+        """Fire ``fn`` when ANOTHER process commits — push-based:
+        the background thread parks in the head service's /watch
+        long-poll (server-side condition variable, woken by the
+        marker put itself), so notification latency is one HTTP
+        round-trip, not a poll interval. The ZefHub subscription-push
+        analogue (reference: core/include/observable.h:70-116,
+        butler_handlers_ws.cpp — the broker pushes updates to
+        subscribed clients; here the client parks and the dumb store
+        wakes it, which keeps the service S3-shaped).
+
+        Without ``event``: fn(graph, applied_txs) on every batch of
+        remote commits. With ``event`` ('instantiated' /
+        'terminated' / 'assigned') and optional ``token``: the
+        `on[...]` form — fn(events_df) receives the derived event
+        log filtered to the newly applied txs and the event/token,
+        mirroring `g | on['instantiated', ET.X]`.
+
+        Returns a handle; call .stop() to end the subscription."""
+        self.refresh()
+        start_seg = self._head_seg
+        stop = threading.Event()
+
+        def _loop():
+            import time as _time
+            since = start_seg
+            while not stop.is_set():
+                try:
+                    txs = self.client.watch(since, poll_timeout)
+                except Exception:
+                    if stop.is_set():
+                        return
+                    _time.sleep(0.2)
+                    continue
+                if stop.is_set():
+                    return
+                if not txs:
+                    continue
+                g = self.refresh()
+                applied = [t for t in txs if t <= self._head_seg]
+                if not applied:
+                    # markers visible but blobs still dark
+                    # (eventual visibility) — back off, re-arm
+                    _time.sleep(0.1)
+                    continue
+                since = max(applied)
+                try:
+                    if event is None:
+                        fn(g, applied)
+                    else:
+                        from pyspark.sql import functions as F
+                        from ..streaming.events import (
+                            derive_event_log, on_assigned,
+                            on_instantiated, on_terminated)
+                        log = derive_event_log(g).where(
+                            F.col("tx_id").isin(applied))
+                        pick = {"instantiated": on_instantiated,
+                                "terminated": on_terminated,
+                                "assigned": on_assigned}[event]
+                        fn(pick(log, token))
+                except Exception:  # subscriber errors never kill
+                    pass           # the watch loop
+
+        t = threading.Thread(target=_loop, daemon=True)
+        t.start()
+        return _Subscription(t, stop)
+
+
+class _Subscription:
+    """Handle for a RemoteGraphStore.subscribe loop."""
+
+    def __init__(self, thread: threading.Thread,
+                 stop: threading.Event):
+        self._thread = thread
+        self._stop = stop
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        self._thread.join(timeout=timeout)
+
+    @property
+    def alive(self) -> bool:
+        return self._thread.is_alive()
