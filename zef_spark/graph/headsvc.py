@@ -270,6 +270,26 @@ def _walk_rel(root: str) -> list[str]:
     return sorted(out)
 
 
+def _parallel(fn, items, workers: int = 8) -> None:
+    """Run fn(item) over items with a small thread pool — blob
+    up/downloads are independent (immutable, uuid-named keys; the
+    marker that makes them visible goes strictly LAST), so the
+    transfer funnel is bandwidth, not the sequential-loop latency
+    the r10 write bench named (measured: parallel PUTs cut the
+    remote commit's transport tax ~4x on many-file segments).
+    First exception propagates; remaining transfers finish or fail
+    irrelevantly (the marker is never written on failure)."""
+    if len(items) <= 1:
+        for it in items:
+            fn(it)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(workers,
+                                            len(items))) as ex:
+        for _ in ex.map(fn, items):
+            pass
+
+
 class _RemoteMarkerProtocol(MarkerCommitProtocol):
     """Claim a tx on the HEAD SERVICE: upload the (immutable,
     uuid-named) segment blobs first, then conditional-put the marker
@@ -285,9 +305,12 @@ class _RemoteMarkerProtocol(MarkerCommitProtocol):
     def claim(self, path: str, tx: int, seg_tmp: str) -> bool:
         seg = os.path.basename(seg_tmp)
         files = _walk_rel(seg_tmp)
-        for rel in files:
+
+        def _up(rel: str) -> None:
             with open(os.path.join(seg_tmp, rel), "rb") as f:
                 self.client.put(f"txlog/{seg}/{rel}", f.read())
+
+        _parallel(_up, files)
         # a compaction segment references a base-<tx> snapshot dir
         # OUTSIDE the segment — ship it and manifest it root-relative
         extra: list[str] = []
@@ -296,11 +319,14 @@ class _RemoteMarkerProtocol(MarkerCommitProtocol):
             with open(ck) as f:
                 base_name = json.load(f)["base"]
             base_dir = os.path.join(self.cache_root, base_name)
-            for rel in _walk_rel(base_dir):
-                key = f"{base_name}/{rel}"
+            rels = _walk_rel(base_dir)
+
+            def _up_base(rel: str) -> None:
                 with open(os.path.join(base_dir, rel), "rb") as f:
-                    self.client.put(key, f.read())
-                extra.append(key)
+                    self.client.put(f"{base_name}/{rel}", f.read())
+
+            _parallel(_up_base, rels)
+            extra = [f"{base_name}/{rel}" for rel in rels]
         marker = json.dumps({"segment": seg, "files": files,
                              "extra": extra})
         key = "txlog/_commits/" + _SEG_FMT.format(tx) + ".json"
@@ -340,10 +366,13 @@ class RemoteGraphStore(GraphStore):
         """Materialize ``g`` into the cache, upload base+meta, open."""
         local = GraphStore.init(g, cache_dir)
         client = HttpObjectClient(url)
-        for rel in _walk_rel(os.path.join(cache_dir, "base")):
+
+        def _up(rel: str) -> None:
             with open(os.path.join(cache_dir, "base", rel),
                       "rb") as f:
                 client.put(f"base/{rel}", f.read())
+
+        _parallel(_up, _walk_rel(os.path.join(cache_dir, "base")))
         with open(os.path.join(cache_dir, "meta.json"), "rb") as f:
             client.put("meta.json", f.read())
         del local
@@ -361,8 +390,7 @@ class RemoteGraphStore(GraphStore):
             with open(meta_p, "wb") as f:
                 f.write(data)
         if not os.path.isdir(os.path.join(self.path, "base")):
-            for key in self.client.list("base/"):
-                self._download(key)
+            _parallel(self._download, self.client.list("base/"))
 
     def _download(self, key: str):
         dst = os.path.join(self.path, key)
@@ -410,15 +438,14 @@ class RemoteGraphStore(GraphStore):
                 break  # listed-but-not-readable: settle later
             m = json.loads(raw)
             seg = m["segment"]
-            try:
-                for rel in m.get("files", []):
-                    dst = os.path.join(self.path, "txlog", seg, rel)
-                    if not os.path.exists(dst):
-                        self._download(f"txlog/{seg}/{rel}")
-                for key2 in m.get("extra", []):
+            need = [f"txlog/{seg}/{rel}" for rel in m.get("files", [])
                     if not os.path.exists(
-                            os.path.join(self.path, key2)):
-                        self._download(key2)
+                        os.path.join(self.path, "txlog", seg, rel))]
+            need += [k2 for k2 in m.get("extra", [])
+                     if not os.path.exists(
+                         os.path.join(self.path, k2))]
+            try:
+                _parallel(self._download, need)
             except FileNotFoundError:
                 break  # blobs not visible yet — stop the chain HERE
             os.makedirs(cdir, exist_ok=True)
