@@ -58,13 +58,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 2)                                    AS avg_qty,
-       ROUND(AVG(l_extendedprice), 2)                               AS avg_price,
-       ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+       ROUND(SUM(CAST(ROUND(l_quantity, 12) AS DECIMAL(38,12)))::DOUBLE, 2)
+         AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice, 12) AS DECIMAL(38,12)))::DOUBLE, 2)
+         AS sum_base_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 12)
+                      AS DECIMAL(38,12)))::DOUBLE, 2)
+         AS sum_disc_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 12)
+                      AS DECIMAL(38,12)))::DOUBLE, 2)
+         AS sum_charge,
+       ROUND(SUM(CAST(ROUND(l_quantity, 12) AS DECIMAL(38,12)))::DOUBLE
+             / COUNT(*), 2) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice, 12) AS DECIMAL(38,12)))::DOUBLE
+             / COUNT(*), 2) AS avg_price,
+       ROUND(SUM(CAST(ROUND(l_discount, 12) AS DECIMAL(38,12)))::DOUBLE
+             / COUNT(*), 4) AS avg_disc,
        COUNT(*)                                                     AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -72,19 +81,37 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """)
 def q1(spark, sf_dir):
+    # r10: money sums ride the repo-wide decimal-term discipline
+    # (round-12 into decimal(38,12), exact at any scale) — the sf1
+    # sweep caught the raw double SUM flipping a cent at 6M rows
+    # (engine summation order); the 2-dp fixture values make the
+    # decimal terms lossless, so the rounded release is now
+    # engine-portable at every SF. avgs are the exact Σ ÷ one
+    # correctly-rounded double division (the welch convention).
     from zef_spark import ops as z
     li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,12)"
+
+    def dsum(c):
+        return F.sum(F.round(c, 12).cast(dec)).cast("double")
+
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (li
             | z.filter[F.col("l_shipdate") <= "2000-12-01"]
             | z.group_by[["l_returnflag", "l_linestatus"], {
-                "sum_qty": F.round(F.sum("l_quantity"), 2),
-                "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
-                "sum_disc_price": F.round(F.sum(disc_price), 2),
-                "sum_charge": F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2),
-                "avg_qty": F.round(F.avg("l_quantity"), 2),
-                "avg_price": F.round(F.avg("l_extendedprice"), 2),
-                "avg_disc": F.round(F.avg("l_discount"), 4),
+                "sum_qty": F.round(dsum(F.col("l_quantity")), 2),
+                "sum_base_price": F.round(
+                    dsum(F.col("l_extendedprice")), 2),
+                "sum_disc_price": F.round(dsum(disc_price), 2),
+                "sum_charge": F.round(
+                    dsum(disc_price * (1 + F.col("l_tax"))), 2),
+                "avg_qty": F.round(
+                    dsum(F.col("l_quantity")) / n, 2),
+                "avg_price": F.round(
+                    dsum(F.col("l_extendedprice")) / n, 2),
+                "avg_disc": F.round(
+                    dsum(F.col("l_discount")) / n, 4),
                 "count_order": F.count(F.lit(1))}]
             | z.sort["l_returnflag", "l_linestatus"])
 
@@ -120,7 +147,9 @@ def q3(spark, sf_dir):
 
 
 @query("q5_region_revenue", """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 12)
+                      AS DECIMAL(38,12)))::DOUBLE, 2) AS revenue
 FROM customer
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON l_orderkey = o_orderkey
@@ -146,8 +175,14 @@ def q5(spark, sf_dir):
             .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") *
-                               (1 - F.col("l_discount"))), 2).alias("revenue"))
+            # decimal-term sum (r10): the raw double SUM flipped a
+            # cent at sf1 — exact terms make the release
+            # engine-portable at every scale
+            .agg(F.round(F.sum(
+                F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")), 12)
+                .cast("decimal(38,12)")).cast("double"), 2)
+                .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "n_name"))
 
 
@@ -2250,7 +2285,8 @@ def q4(spark, sf_dir):
 @query("q7_nation_volume", """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 12)
+                      AS DECIMAL(38,12)))::DOUBLE, 2) AS revenue
 FROM lineitem
   JOIN orders   ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
@@ -2282,9 +2318,12 @@ def q7(spark, sf_dir):
                  (F.col("cust_nation") == "NATION_3"))))
     return (j.groupBy("supp_nation", "cust_nation",
                       F.year("l_shipdate").cast("bigint").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice") *
-                               (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"))
+            # decimal-term sum (r10): cent-exact at every scale
+            .agg(F.round(F.sum(
+                F.round(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")), 12)
+                .cast("decimal(38,12)")).cast("double"), 2)
+                .alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
