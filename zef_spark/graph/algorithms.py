@@ -127,8 +127,17 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         elif checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
 
-    return ranks.select("id", F.round(F.col("rank").cast("double"),
-                                      digits).alias("rank"))
+    # release round happens IN DECIMAL (r10): rounding the double
+    # cast flakes across engines when the exact 12-dp rank ends in 5
+    # at position digits+1 — Spark's round(double) half-ups the
+    # SHORTEST DECIMAL REPR while DuckDB rounds the BINARY value
+    # (usually just below), so a shared rank like 0.0000135 released
+    # 1.4e-5 here and 1.3e-5 there (caught by the sf1 sweep, where a
+    # million nodes share few distinct rank values). Half-up on the
+    # exact decimal is identical in both engines; the final
+    # decimal->double cast of a 6-dp value is nearest-even in both.
+    return ranks.select("id", F.round(F.col("rank"), digits)
+                        .cast("double").alias("rank"))
 
 
 def connected_components(edges: DataFrame, src_col: str = "src",
@@ -218,7 +227,7 @@ c{i} AS (
   FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id
 )""")
     sql.append(f"""
-SELECT id, ROUND(CAST(rank AS DOUBLE), {digits}) AS rank
+SELECT id, CAST(ROUND(rank, {digits}) AS DOUBLE) AS rank
 FROM r{n_iter} ORDER BY id""")
     return "".join(sql)
 
