@@ -66,7 +66,31 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
     1/|seeds| on seeds / 0 elsewhere — random-walk-with-restart
     relevance to the seeds (Page et al. 1999 §6 personalized vector).
     Same per-iteration cost (the rank vector shuffles, nothing
-    else)."""
+    else).
+
+    Arithmetic (r10, engine-exact): ranks are SCALED INTEGERS
+    (int64 picorank units, 10^12 = total mass 1.0) and every step is
+    integer — init/teleport = mass DIV n, per-edge contribution =
+    rank DIV out_deg (truncating), damping = (num·Σ) DIV den with
+    damping as an exact thousandth. The r09 decimal chain rounded
+    DOUBLE divisions half-up at 12 dp, and Spark's round(double)
+    (shortest-decimal-repr half-up) disagrees with DuckDB's ROUND
+    (binary-value) exactly when a quotient's repr ends in 5 at the
+    cut — the sf1 sweep caught whole rank-classes flipping 1.4e-5 vs
+    1.3e-5. Integer DIV has no rounding step at all, so the chain is
+    bit-identical on any engine at any scale (the kmeans_assign
+    posture). Truncation loses < 1 picorank per edge per round —
+    1e-12 of mass, far below the release grid."""
+    if digits > 12:
+        raise ValueError("pagerank: digits must be <= 12 "
+                         "(picorank integer scale)")
+    den = 1000
+    num = int(round(damping * den))
+    if abs(num / den - damping) > 1e-12:
+        raise ValueError("pagerank: damping must be a multiple of "
+                         "0.001 (exact integer damping arithmetic)")
+    mass = 10 ** 12
+    tele_mass = (den - num) * (mass // den)
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct())
@@ -75,22 +99,22 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
              .distinct())
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg"))
-    damp = F.lit(damping).cast("decimal(4,3)")
+    zero = F.lit(0).cast("long")
     if seed_pred is None:
         n = nodes.count()  # scalar: drives the teleport constant only
-        teleport = _dec12(F.lit(1.0 - damping) / F.lit(float(n)))
-        ranks = nodes.select("id", _dec12(F.lit(1.0) / F.lit(float(n)))
-                             .alias("rank"))
+        teleport = F.lit(tele_mass // n).cast("long")
+        ranks = nodes.select(
+            "id", F.lit(mass // n).cast("long").alias("rank"))
     else:
         ns = nodes.where(seed_pred).count()
         if ns == 0:
             raise ValueError("personalized pagerank: empty seed set")
-        tele_val = _dec12(F.lit(1.0 - damping) / F.lit(float(ns)))
-        zero = F.lit(0).cast(_DEC)
-        teleport = F.when(seed_pred, tele_val).otherwise(zero)
+        teleport = F.when(seed_pred,
+                          F.lit(tele_mass // ns).cast("long")) \
+            .otherwise(zero)
         ranks = nodes.select(
             "id", F.when(seed_pred,
-                         _dec12(F.lit(1.0) / F.lit(float(ns))))
+                         F.lit(mass // ns).cast("long"))
             .otherwise(zero).alias("rank"))
     if checkpoint_every:
         e = e.localCheckpoint()
@@ -102,42 +126,41 @@ def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
         contribs = (e.join(ranks.join(deg, "id"),
                            e.src == F.col("id"))
                     .select(F.col("dst").alias("id"),
-                            _dec12(F.col("rank").cast("double")
-                                   / F.col("out_deg")).alias("contrib"))
+                            F.expr("rank div out_deg")
+                            .alias("contrib"))
                     .groupBy("id")
                     .agg(F.sum("contrib").alias("in_sum")))
-        # teleport + d*in_sum is exact decimal arithmetic (scale 15);
-        # the explicit ROUND brings it back to scale 12 half-up.
+        # teleport + (num·Σ) DIV den: exact int64 throughout
+        # (num·Σ <= 850 * 10^12 — no overflow)
         prev = ranks
         ranks = (nodes.join(contribs, "id", "left")
                  .select("id",
-                         F.round(teleport + damp
-                                 * F.coalesce(F.col("in_sum"),
-                                              F.lit(0).cast(_DEC)),
-                                 _SCALE).cast(_DEC).alias("rank")))
+                         (teleport + F.expr(
+                             f"({num} * coalesce(in_sum, 0L)) "
+                             f"div {den}").cast("long"))
+                         .alias("rank")))
         if tol is not None:
             ranks = ranks.localCheckpoint()
             delta = (ranks.join(prev.withColumnRenamed("rank", "__p"),
                                 "id")
-                     .agg(F.max(F.abs(F.col("rank") - F.col("__p"))
-                                .cast("double")).alias("d"))
+                     .agg(F.max(F.abs(F.col("rank") - F.col("__p")))
+                          .alias("d"))
                      .collect()[0]["d"])
-            if delta is not None and delta < tol:
+            if delta is not None and delta < tol * mass:
                 break
         elif checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
 
-    # release round happens IN DECIMAL (r10): rounding the double
-    # cast flakes across engines when the exact 12-dp rank ends in 5
-    # at position digits+1 — Spark's round(double) half-ups the
-    # SHORTEST DECIMAL REPR while DuckDB rounds the BINARY value
-    # (usually just below), so a shared rank like 0.0000135 released
-    # 1.4e-5 here and 1.3e-5 there (caught by the sf1 sweep, where a
-    # million nodes share few distinct rank values). Half-up on the
-    # exact decimal is identical in both engines; the final
-    # decimal->double cast of a 6-dp value is nearest-even in both.
-    return ranks.select("id", F.round(F.col("rank"), digits)
-                        .cast("double").alias("rank"))
+    # release: half-up to the digits grid IN INTEGER SPACE
+    # ((r + shift/2) div shift), then one exact int->double cast and
+    # one division by a power of ten — both IEEE-deterministic, so
+    # the released double is bit-identical across engines (no
+    # round(double) anywhere — the r09 flake class is gone).
+    shift = 10 ** (12 - digits)
+    rel = F.expr(f"(rank + {shift // 2}) div {shift}")
+    return ranks.select(
+        "id", (rel.cast("double")
+               / F.lit(float(10 ** digits))).alias("rank"))
 
 
 def connected_components(edges: DataFrame, src_col: str = "src",
@@ -177,33 +200,36 @@ def degrees(edges: DataFrame, src_col: str = "src",
 def pagerank_oracle_sql(edges_cte: str, n_iter: int = 3,
                         damping: float = 0.85, digits: int = 6,
                         seed_pred_sql: str | None = None) -> str:
-    """DuckDB SQL replaying `pagerank` exactly: same decimal scale,
-    same explicit ROUND at every precision boundary, iterations
-    unrolled (recursive CTEs cannot aggregate). `edges_cte` must
-    select columns (src, dst). Float literals are repr()'d so both
-    engines start from bit-identical doubles. ``seed_pred_sql`` (a
-    boolean SQL expression over ``id``) replays the personalized
-    variant — teleport/init mass on the seed set only."""
-    d = damping
-    one_minus_d = repr(1.0 - damping)  # Python double, verbatim
-    dec = f"DECIMAL(26,{_SCALE})"
+    """DuckDB SQL replaying `pagerank` exactly — integer picorank
+    arithmetic (r10): mass 10^12 as BIGINT, init/teleport = mass //
+    n, per-edge contribution = rank // out_deg, damping = (num·Σ) //
+    den, release = ((rank + shift/2) // shift) / 10^digits. Every
+    step is integer division of non-negative integers (truncation ==
+    floor), so the replay is bit-identical to the Spark op with no
+    rounding convention anywhere. Iterations unrolled (recursive
+    CTEs cannot aggregate). `edges_cte` must select (src, dst).
+    ``seed_pred_sql`` (a boolean SQL expression over ``id``) replays
+    the personalized variant — teleport/init mass on the seed set
+    only."""
+    den = 1000
+    num = int(round(damping * den))
+    mass = 10 ** 12
+    tele_mass = (den - num) * (mass // den)
     if seed_pred_sql is None:
-        n_cte = ("n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
-                 "FROM nodes)")
-        r0 = (f"r0 AS (SELECT id, CAST(ROUND(1.0 / (SELECT n FROM n),"
-              f" {_SCALE}) AS {dec}) AS rank FROM nodes)")
-        tele = (f"CAST(ROUND({one_minus_d} / (SELECT n FROM n), "
-                f"{_SCALE}) AS {dec})")
+        n_cte = "n AS (SELECT COUNT(*) AS n FROM nodes)"
+        r0 = (f"r0 AS (SELECT id, CAST({mass} // (SELECT n FROM n) "
+              f"AS BIGINT) AS rank FROM nodes)")
+        tele = f"CAST({tele_mass} // (SELECT n FROM n) AS BIGINT)"
     else:
-        n_cte = (f"n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n "
+        n_cte = (f"n AS (SELECT COUNT(*) AS n "
                  f"FROM nodes WHERE {seed_pred_sql})")
         r0 = (f"r0 AS (SELECT id, CASE WHEN {seed_pred_sql} THEN "
-              f"CAST(ROUND(1.0 / (SELECT n FROM n), {_SCALE}) AS "
-              f"{dec}) ELSE CAST(0 AS {dec}) END AS rank FROM nodes)")
+              f"CAST({mass} // (SELECT n FROM n) AS BIGINT) "
+              f"ELSE CAST(0 AS BIGINT) END AS rank FROM nodes)")
         tele = (f"CASE WHEN nodes.id IN (SELECT id FROM nodes WHERE "
-                f"{seed_pred_sql}) THEN CAST(ROUND({one_minus_d} / "
-                f"(SELECT n FROM n), {_SCALE}) AS {dec}) "
-                f"ELSE CAST(0 AS {dec}) END")
+                f"{seed_pred_sql}) THEN CAST({tele_mass} // "
+                f"(SELECT n FROM n) AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END")
     sql = [f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),
 nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
@@ -214,20 +240,20 @@ deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY src),
         sql.append(f""",
 c{i} AS (
   SELECT e.dst AS id,
-         SUM(CAST(ROUND(CAST(r.rank AS DOUBLE) / deg.out_deg,
-                        {_SCALE}) AS {dec})) AS in_sum
+         SUM(r.rank // deg.out_deg) AS in_sum
   FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON deg.id = r.id
   GROUP BY e.dst
 ), r{i + 1} AS (
   SELECT nodes.id,
-         CAST(ROUND({tele}
-                    + CAST({d} AS DECIMAL(4,3)) * COALESCE(
-                        c{i}.in_sum, CAST(0 AS {dec})),
-                    {_SCALE}) AS {dec}) AS rank
+         CAST({tele}
+              + ({num} * COALESCE(c{i}.in_sum, 0)) // {den}
+              AS BIGINT) AS rank
   FROM nodes LEFT JOIN c{i} ON nodes.id = c{i}.id
 )""")
+    shift = 10 ** (12 - digits)
     sql.append(f"""
-SELECT id, CAST(ROUND(rank, {digits}) AS DOUBLE) AS rank
+SELECT id, CAST((rank + {shift // 2}) // {shift} AS DOUBLE)
+           / {float(10 ** digits)!r} AS rank
 FROM r{n_iter} ORDER BY id""")
     return "".join(sql)
 
