@@ -274,11 +274,14 @@ def _parallel(fn, items, workers: int = 8) -> None:
     """Run fn(item) over items with a small thread pool — blob
     up/downloads are independent (immutable, uuid-named keys; the
     marker that makes them visible goes strictly LAST), so the
-    transfer funnel is bandwidth, not the sequential-loop latency
-    the r10 write bench named (measured: parallel PUTs cut the
-    remote commit's transport tax ~4x on many-file segments).
-    First exception propagates; remaining transfers finish or fail
-    irrelevantly (the marker is never written on failure)."""
+    transfer cost is bandwidth, not the per-file round-trip latency
+    of the r09 sequential loop. Measured (tools/write_bench.py,
+    local loopback): a 1M-row mapped commit through the head
+    service costs ~1 s over the local-disk path (7.3 vs 6.3 s) —
+    against a real object store the per-PUT latency is ~ms, which
+    the pool pipelines instead of summing. First exception
+    propagates; remaining transfers finish or fail irrelevantly
+    (the marker is never written on failure)."""
     if len(items) <= 1:
         for it in items:
             fn(it)
