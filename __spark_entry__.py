@@ -10950,14 +10950,30 @@ def entry(spark: SparkSession) -> DataFrame:
 _FRONT = [
     # (a) NEW THIS ROUND (kept small — the r09 verdict's windowing
     # plan retires the r04/r05 backlog fastest when new ops don't
-    # jump the queue): the de-shadowed float-centroid k-means (r09
-    # verdict order #3) + the r10 additions
+    # jump the queue): the r10 additions
     "p_roc_points_quantized",
     "w_fisher_exact_orders", "w_levene_price_priority",
     "p_ndcg_events", "p_mrr_events",
-    # (b) the FULL r04 cohort — 38 rows, last driver proof six
-    # rounds old (judge sweeps re-proved them at two scales every
-    # round since; the driver record itself is what ages)
+    # (a') CHANGED THIS ROUND — fresh driver proof required: the
+    # decimal-term TPC-H money sums (q1/q5/q7 — q7 listed here, not
+    # in its r04 cohort slot below), the integer-picorank pagerank
+    # pair, the
+    # re-thresholded heavy hitters, the prefix-sum eval curves, and
+    # the ADVICE-touched statistics (srm/tukey/kendall/wilcoxon +
+    # brown_forsythe via the levene refactor)
+    "q1_pricing_summary", "q5_region_revenue", "q7_nation_volume",
+    "p_pagerank", "p_personalized_pagerank", "p_heavy_hitters",
+    "p_roc_points_purchase", "p_average_precision_purchase",
+    "p_gain_curve_purchase",
+    "w_srm_check_split", "w_tukey_price_priority",
+    "e_kendall_tau_daily", "w_wilcoxon_view_purchase",
+    "w_brown_forsythe_price",
+    # (b) the r04 cohort — 38 rows, last driver proof six rounds
+    # old (judge sweeps re-proved them at two scales every round
+    # since; the driver record itself is what ages). The 18
+    # must-prove rows above leave 32 window slots; the final 6 rows
+    # of this block (alphabetical) spill to the r11 window along
+    # with the r05 cohort.
     "e_split_on_purchase",
     "gql_aggregate_orders", "gql_all_quantifier",
     "gql_list_size_filter", "gql_mutation_delete",
@@ -10973,7 +10989,7 @@ _FRONT = [
     "q17_small_qty_revenue", "q18_large_orders",
     "q19_bracketed_revenue", "q21_waiting_suppliers",
     "q22_idle_customers", "q2_min_cost_supplier",
-    "q4_priority_exists", "q7_nation_volume", "q8_market_share",
+    "q4_priority_exists", "q8_market_share",
     "q9_product_profit",
     # (c) the leading edge of the 48-row r05 cohort (alphabetical;
     # the remainder leads the r11 window)
