@@ -8003,7 +8003,7 @@ WITH per AS (
     SUM(w) AS wsum, MAX(tot) AS tot
   FROM r GROUP BY 1
 )
-SELECT l_partkey, ROUND(CAST(wsum AS DOUBLE), 6) AS weight,
+SELECT l_partkey, CAST(ROUND(wsum, 6) AS DOUBLE) AS weight,
   ROUND(CAST(wsum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
 FROM g ORDER BY l_partkey
 """)
@@ -10967,7 +10967,7 @@ _FRONT = [
     "p_gain_curve_purchase",
     "w_srm_check_split", "w_tukey_price_priority",
     "e_kendall_tau_daily", "w_wilcoxon_view_purchase",
-    "w_brown_forsythe_price",
+    "w_brown_forsythe_price", "w_topn_parts_revenue",
     # (b) the r04 cohort — 38 rows, last driver proof six rounds
     # old (judge sweeps re-proved them at two scales every round
     # since; the driver record itself is what ages). The 18

@@ -135,6 +135,17 @@ ROUND_MAG_OK: dict[str, str] = {
         "1e6 (one correctly-rounded ÷); the µs total lands on an "
         "accidental ≤6-decimal grid, which the lint's grid sniffing "
         "cannot tell from a ROUND",
+    "p_association_rules": "lift = (n·pair_count)/(c_a·c_b): exact "
+        "int64 products, ONE correctly-rounded ÷ (both engines cast "
+        "the identical exact ints to double); support/confidence are "
+        "each one exact-int ÷ too. Magnitude crossed 9 digits at sf1 "
+        "(lift 2516.85… on rare pairs) — the ratio stays exact at "
+        "any scale below 2^53 numerators",
+    "e_seasonal_decompose": "trend = decimal-exact window-Σ (round-12 "
+        "terms) cast double, −0.5·endpoint twice (0.5·x is exact), "
+        "÷ period — a fixed chain on bit-identical inputs, one "
+        "correctly-rounded ÷; daily sums crossed 9 digits at sf1 "
+        "(trend 6658.57…) with the chain unchanged",
     "w_cuped_price_quantity": "mean_a/mean_b = decimal-exact Σ ÷ int "
         "n (one ÷, the welch proof); theta/adjusted means/diff/vr "
         "are sig-safe-rounded multiply-add chains",

@@ -740,9 +740,15 @@ def topn_with_other(df, key_col, weight_col=None, n: int = 10,
     grouped = (ranked.groupBy(bucket.alias(key_col))
                .agg(F.sum("__w").alias("__wsum"),
                     F.max("__tot").alias("__tot")))
+    # weight rounds IN DECIMAL before the double cast (r10): at
+    # sf1 the OTHER bucket's sum is ~3e11, where round(double, 6)
+    # needs x*1e6 > 2^53 — both engines then emit ulp NOISE
+    # (…441.39996) instead of the exact …441.4. Rounding the exact
+    # decimal is lossless at any magnitude; the final cast is one
+    # nearest-even conversion, identical everywhere.
     return (grouped.select(
         key_col,
-        F.round(F.col("__wsum").cast("double"), digits)
+        F.round(F.col("__wsum"), digits).cast("double")
         .alias("weight"),
         F.round(F.col("__wsum").cast("double")
                 / F.col("__tot").cast("double"), digits)
