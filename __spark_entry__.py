@@ -57,63 +57,83 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query("q1_pricing_summary", """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sp2,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+             AS BIGINT)) AS sd4,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                   * 1000000) AS BIGINT)) AS sc6,
+    SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sdc2,
+    COUNT(*) AS n
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(CAST(ROUND(l_quantity, 12) AS DECIMAL(38,12)))::DOUBLE, 2)
-         AS sum_qty,
-       ROUND(SUM(CAST(ROUND(l_extendedprice, 12) AS DECIMAL(38,12)))::DOUBLE, 2)
-         AS sum_base_price,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 12)
-                      AS DECIMAL(38,12)))::DOUBLE, 2)
-         AS sum_disc_price,
-       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 12)
-                      AS DECIMAL(38,12)))::DOUBLE, 2)
-         AS sum_charge,
-       ROUND(SUM(CAST(ROUND(l_quantity, 12) AS DECIMAL(38,12)))::DOUBLE
-             / COUNT(*), 2) AS avg_qty,
-       ROUND(SUM(CAST(ROUND(l_extendedprice, 12) AS DECIMAL(38,12)))::DOUBLE
-             / COUNT(*), 2) AS avg_price,
-       ROUND(SUM(CAST(ROUND(l_discount, 12) AS DECIMAL(38,12)))::DOUBLE
-             / COUNT(*), 4) AS avg_disc,
-       COUNT(*)                                                     AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
+  CAST(sq AS DOUBLE) AS sum_qty,
+  CAST(sp2 AS DOUBLE) / 100 AS sum_base_price,
+  CAST((sd4 + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
+  CAST((sc6 + 5000) // 10000 AS DOUBLE) / 100 AS sum_charge,
+  ROUND(CAST(sq AS DOUBLE) / n, 2) AS avg_qty,
+  ROUND(CAST(sp2 AS DOUBLE) / 100 / n, 2) AS avg_price,
+  ROUND(CAST(sdc2 AS DOUBLE) / 100 / n, 4) AS avg_disc,
+  n AS count_order
+FROM s ORDER BY l_returnflag, l_linestatus
 """)
 def q1(spark, sf_dir):
-    # r10: money sums ride the repo-wide decimal-term discipline
-    # (round-12 into decimal(38,12), exact at any scale) — the sf1
-    # sweep caught the raw double SUM flipping a cent at 6M rows
-    # (engine summation order); the 2-dp fixture values make the
-    # decimal terms lossless, so the rounded release is now
-    # engine-portable at every SF. avgs are the exact Σ ÷ one
-    # correctly-rounded double division (the welch convention).
+    # r10: money sums are EXACT SCALED INTEGERS. The sf1 sweep
+    # caught the raw double SUM flipping a cent at 6M rows (engine
+    # summation order at the .005 boundary); the first fix (decimal
+    # (38,12) terms) was exact but 4.5x slower (2.75 vs 0.62 s at
+    # sf0.1 — seven BigDecimal aggregations). The fixture's money
+    # grids are exact (quantity integral; price/discount/tax on 2dp
+    # — verified max |x*100 - round(x*100)| < 1e-9), so qty/price/
+    # disc_price/charge scale to int64 at x1/x100/x1e4/x1e6: long
+    # sums are engine-exact AND as fast as doubles. Releases: 4dp/
+    # 6dp sums half-up to cents IN INTEGER SPACE ((s+half) div
+    # shift — the pagerank posture), then ONE exact int->double
+    # cast + /100 (cents < 2^53 at any certified scale; the charge
+    # int64 sum itself overflows only past ~sf40 in one group —
+    # far beyond the certified sf5 envelope, noted here).
     from zef_spark import ops as z
     li = _t(spark, sf_dir, "lineitem")
-    dec = "decimal(38,12)"
 
-    def dsum(c):
-        return F.sum(F.round(c, 12).cast(dec)).cast("double")
+    def lsum(c, scale):
+        x = c if scale == 1 else c * scale
+        return F.sum(F.round(x, 0).cast("long"))
 
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
-    return (li
-            | z.filter[F.col("l_shipdate") <= "2000-12-01"]
-            | z.group_by[["l_returnflag", "l_linestatus"], {
-                "sum_qty": F.round(dsum(F.col("l_quantity")), 2),
-                "sum_base_price": F.round(
-                    dsum(F.col("l_extendedprice")), 2),
-                "sum_disc_price": F.round(dsum(disc_price), 2),
-                "sum_charge": F.round(
-                    dsum(disc_price * (1 + F.col("l_tax"))), 2),
-                "avg_qty": F.round(
-                    dsum(F.col("l_quantity")) / n, 2),
-                "avg_price": F.round(
-                    dsum(F.col("l_extendedprice")) / n, 2),
-                "avg_disc": F.round(
-                    dsum(F.col("l_discount")) / n, 4),
-                "count_order": F.count(F.lit(1))}]
-            | z.sort["l_returnflag", "l_linestatus"])
+    grouped = (li
+               | z.filter[F.col("l_shipdate") <= "2000-12-01"]
+               | z.group_by[["l_returnflag", "l_linestatus"], {
+                   "__sq": lsum(F.col("l_quantity"), 1),
+                   "__sp2": lsum(F.col("l_extendedprice"), 100),
+                   "__sd4": lsum(disc_price, 10000),
+                   "__sc6": lsum(charge, 1000000),
+                   "__sdc2": lsum(F.col("l_discount"), 100),
+                   "count_order": n}])
+    nn = F.col("count_order")
+    return (grouped.select(
+        "l_returnflag", "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        (F.col("__sp2").cast("double") / 100)
+        .alias("sum_base_price"),
+        (F.expr("(__sd4 + 50) div 100").cast("double") / 100)
+        .alias("sum_disc_price"),
+        (F.expr("(__sc6 + 5000) div 10000").cast("double") / 100)
+        .alias("sum_charge"),
+        F.round(F.col("__sq").cast("double") / nn, 2)
+        .alias("avg_qty"),
+        F.round(F.col("__sp2").cast("double") / 100 / nn, 2)
+        .alias("avg_price"),
+        F.round(F.col("__sdc2").cast("double") / 100 / nn, 4)
+        .alias("avg_disc"),
+        "count_order")
+        | z.sort["l_returnflag", "l_linestatus"])
 
 
 @query("q3_shipping_priority", """
