@@ -95,7 +95,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
                right_on: str | None = None, max_distance: int = 2,
                q: int = 2, keep: list[str] | None = None,
-               max_gram_df: int | None = None) -> DataFrame:
+               max_gram_df: int | None = None,
+               salt_gram_df: int | None = 2000) -> DataFrame:
     """Approximate string join: pair rows whose key strings are within
     ``max_distance`` Levenshtein edits (entity resolution / record
     linkage; the reference's `identify_entities` handles only exact
@@ -120,7 +121,20 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
     bounded work: a pair whose only shared grams are all hot is lost.
     Leave it None (default) when exact recall is required. One shuffle
     keyed by gram + one distinct — no CartesianProduct in the plan.
-    """
+
+    ``salt_gram_df`` (r10, default 2000) fixes the SKEW without the
+    recall trade: on low-entropy keys (measured at sf1 — every
+    "Supplier#000…" key shares its prefix grams) a hot gram's whole
+    block lands in ONE shuffle partition and a single task computes
+    its ~count² candidate pairs alone (observed: >75 min single-core
+    while the host idled). Grams with left-count > salt_gram_df are
+    SALTED: the left side shards by hash(key) mod s
+    (s = ceil(count/cap)), the right side replicates across the s
+    shards, and the candidate join keys on (gram, shard) — every
+    pair still meets exactly once, so the RESULT is bit-identical
+    (candidate set unchanged); only the parallelism changes. Total
+    work is unchanged too (same pair count + the s-fold right-row
+    replication of hot grams only). None disables."""
     right_on = right_on or left_on
     keep = keep or []
     min_len = q * (max_distance + 1)
@@ -150,7 +164,73 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
                .select("__g"))
         lg = lg.join(hot, "__g", "left_anti")
         rg = rg.join(hot, "__g", "left_anti")
-    cand = (lg.join(rg, "__g").drop("__g").distinct())
+
+    # PREFIX FILTERING (r10, Ed-Join / Chaudhuri et al. prefix
+    # filter): a pair within t edits shares >= |set(grams)| - q*t
+    # distinct grams (each edit disturbs at most q grams), so under
+    # ANY fixed global gram order, the (q*t + 1)-prefixes of the two
+    # keys' rarity-sorted gram sets must intersect — candidates can
+    # key on PREFIX grams only, with exact recall. Ordering by
+    # ascending global frequency makes those prefix grams the
+    # RAREST ones, which collapses the low-entropy-key blowup: at
+    # sf1 the naive all-gram join built ~1e9 candidates from the 9
+    # universal "Supplier#0…" prefix grams (>75 min single-core
+    # before salting, ~1e9-row distinct after), while the 5 rarest
+    # grams per key block on the discriminative digit tails. The
+    # frequency table is one gram-sized agg over both sides; the
+    # per-key prefix pick is a window over <= |key| rows.
+    p_len = q * max_distance + 1
+    freq = (lg.select("__g").unionByName(rg.select("__g"))
+            .where(F.col("__g") != "#short")
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("__f")))
+
+    def prefix(g_df, side):
+        from pyspark.sql import Window
+        key = "__key_" + side
+        ident = [key] + [f"{c}_{side}" for c in keep]
+        longs = (g_df.where(F.col("__g") != "#short")
+                 .dropDuplicates(ident + ["__g"])
+                 .join(freq, "__g"))
+        # the prefix is per ENTITY ROW (key + keep identity): two
+        # entities sharing a key string must each keep their own
+        # q*t+1 rarest grams
+        w = (Window.partitionBy(*ident)
+             .orderBy(F.col("__f").asc(), F.col("__g").asc()))
+        pre = (longs.withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= p_len)
+               .drop("__f", "__rk"))
+        return pre.unionByName(g_df.where(F.col("__g") == "#short"))
+
+    lg, rg = prefix(lg, "l"), prefix(rg, "r")
+    salted = None
+    if salt_gram_df is not None:
+        cap = int(salt_gram_df)
+        salted = (lg.groupBy("__g")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .where(F.col("__c") > cap)
+                  .select("__g", F.ceil(F.col("__c") / cap)
+                          .cast("int").alias("__s"))
+                  .collect())  # hot grams only — bounded metadata
+    if salted:
+        spark = left.sparkSession
+        sdf = F.broadcast(spark.createDataFrame(
+            [(r["__g"], int(r["__s"])) for r in salted],
+            "__g string, __s int"))
+        lg = (lg.join(sdf, "__g", "left")
+              .withColumn("__shard", F.when(
+                  F.col("__s").isNotNull(),
+                  F.pmod(F.hash("__key_l"), F.col("__s")))
+                  .otherwise(F.lit(0)))
+              .drop("__s"))
+        rg = (rg.join(sdf, "__g", "left")
+              .withColumn("__shard", F.explode(F.sequence(
+                  F.lit(0),
+                  F.coalesce(F.col("__s"), F.lit(1)) - 1)))
+              .drop("__s"))
+        cand = (lg.join(rg, ["__g", "__shard"])
+                .drop("__g", "__shard").distinct())
+    else:
+        cand = (lg.join(rg, "__g").drop("__g").distinct())
     return (cand.where(
         F.levenshtein("__key_l", "__key_r") <= max_distance)
         .withColumn("distance", F.levenshtein("__key_l", "__key_r"))
