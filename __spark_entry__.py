@@ -29,10 +29,13 @@ def query(name: str, sql: str | None = None):
     def deco(fn):
         # r09 verdict order #3: a duplicate registration silently
         # SHADOWED its predecessor for two rounds (both k-means
-        # variants under one name) — a collision is now a load error
-        assert name not in QUERIES, (
-            f"duplicate query registration: {name!r} — rename one "
-            "variant; the registry must be shadow-free")
+        # variants under one name) — a collision is a load error,
+        # raised unconditionally (not assert: python -O strips
+        # asserts, and the guard must hold in optimized runs too)
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — rename "
+                "one variant; the registry must be shadow-free")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
@@ -10899,11 +10902,19 @@ def p_mrr_events(spark, sf_dir):
 
 
 @query("p_roc_points_quantized", f"""
-WITH b AS (
-  SELECT ROUND(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
-               / 100000.0, 3) AS t,
+WITH b0 AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
+         / 100000.0 AS s,
     (l_returnflag = 'R') AS lab
   FROM lineitem
+), b AS (
+  -- shared half-up grid convention (r11): FLOOR(s*10^q + 0.5)/10^q
+  -- in IEEE doubles — bit-exact vs the Spark side's identical
+  -- computation; ROUND(double, q) differs per engine on boundaries
+  SELECT CASE WHEN ABS(s * 1000.0) < 9007199254740992.0
+              THEN FLOOR(s * 1000.0 + 0.5) / 1000.0 ELSE s END AS t,
+    lab
+  FROM b0
 ), vt AS (
   SELECT t AS threshold,
     CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS p,
@@ -10945,6 +10956,103 @@ def p_roc_points_quantized(spark, sf_dir):
     return (roc_points(scored, "score", "label", max_points=2000,
                        quantize=3)
             .orderBy("threshold"))
+
+
+# =====================================================================
+# r11 additions: real multimodal decode (dependency-free codecs)
+# =====================================================================
+
+@query("p_multimodal_decode", f"""
+WITH ids AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT doc_id, t.j
+  FROM ids, UNNEST(RANGE(144)) AS t(j)
+  WHERE doc_id % 2 = 0
+), imgf AS (
+  SELECT doc_id,
+    SUM(CASE WHEN j % 3 = 0 THEN (doc_id * 7 + j * 13) % 256 END)
+      / 48.0 AS f1,
+    SUM(CASE WHEN j % 3 = 1 THEN (doc_id * 7 + j * 13) % 256 END)
+      / 48.0 AS f2,
+    SUM(CASE WHEN j % 3 = 2 THEN (doc_id * 7 + j * 13) % 256 END)
+      / 48.0 AS f3
+  FROM img GROUP BY doc_id
+), aud AS (
+  SELECT doc_id, t.j FROM ids, UNNEST(RANGE(64)) AS t(j)
+  WHERE doc_id % 2 = 1
+), audf AS (
+  SELECT doc_id,
+    SUM((doc_id * 13 + j * 7) % 2003 - 1001) / 64.0 AS f1,
+    MIN((doc_id * 13 + j * 7) % 2003 - 1001) * 1.0 AS f2,
+    MAX((doc_id * 13 + j * 7) % 2003 - 1001) * 1.0 AS f3
+  FROM aud GROUP BY doc_id
+), u AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+    f1, f2, f3 FROM imgf
+  UNION ALL
+  SELECT doc_id, 'wav', f1, f2, f3 FROM audf
+)
+SELECT CAST(media_id AS BIGINT) AS media_id, codec,
+  {sql_round_sig_safe('f1')} AS f1,
+  {sql_round_sig_safe('f2')} AS f2,
+  {sql_round_sig_safe('f3')} AS f3
+FROM u ORDER BY media_id
+""")
+def p_multimodal_decode(spark, sf_dir):
+    """REAL media decode end-to-end (r11 — retires the r08-r10 stub
+    as the only decode path): every even doc_id becomes an 8×6 image
+    with formula pixels rgb[j] = (doc_id·7 + j·13) % 256, encoded as
+    a real PPM (doc_id % 4 == 0) or 24-bit bottom-up BMP (% 4 == 2);
+    every odd doc_id a 64-sample PCM16 WAV with samples
+    (doc_id·13 + j·7) % 2003 − 1001 (pipeline/codecs.py encoders).
+    extract_features (pipeline/multimodal.py) then PARSES the bytes
+    back — header walk, BGR/bottom-up/padding unwind, RIFF chunk
+    walk — and emits per-channel means / sample stats as exact-int
+    sums ÷ n. The oracle computes the same statistics CLOSED-FORM
+    from the generating formula, so any decoder byte-slip flips the
+    hash. Features: images f1..f3 = channel means; audio f1 = mean,
+    f2/f3 = min/max."""
+    from zef_spark.functions.rounding import round_sig_safe
+    from zef_spark.pipeline.codecs import (encode_bmp, encode_ppm,
+                                           encode_wav)
+    from zef_spark.pipeline.multimodal import extract_features
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+        for pdf in batches:
+            contents, mtypes = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    rgb = bytes((i * 7 + j * 13) % 256
+                                for j in range(144))
+                    contents.append(encode_ppm(8, 6, rgb) if i % 4 == 0
+                                    else encode_bmp(8, 6, rgb))
+                    mtypes.append("image")
+                else:
+                    s = [(i * 13 + j * 7) % 2003 - 1001
+                         for j in range(64)]
+                    contents.append(encode_wav(s, 16000))
+                    mtypes.append("audio")
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "media_type": mtypes,
+                                "content": contents})
+
+    media = d.mapInPandas(
+        build, "media_id long, media_type string, content binary")
+    feats = extract_features(media, dim=9)
+    f = F.col("feature")
+    is_img = F.col("media_type") == "image"
+    f2 = F.when(is_img, F.element_at(f, 5)).otherwise(F.element_at(f, 6))
+    f3 = F.when(is_img, F.element_at(f, 6)).otherwise(F.element_at(f, 7))
+    return (feats.select(
+        "media_id", "codec",
+        round_sig_safe(F.element_at(f, 4)).alias("f1"),
+        round_sig_safe(f2).alias("f2"),
+        round_sig_safe(f3).alias("f3"))
+        .orderBy("media_id"))
 
 
 # =====================================================================

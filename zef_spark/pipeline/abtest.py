@@ -730,23 +730,32 @@ def fisher_exact(df: DataFrame, row_cond, col_cond,
             f"{hi - lo + 1} tables (> max_support={max_support}) — "
             "at this n use chi2_contingency; exactness buys "
             "nothing. Raise max_support to proceed deliberately.")
-    p_val = None
-    if n > 0 and r1 > 0 and r2 > 0 and c1 > 0 and (n - c1) > 0:
-        lg = math.lgamma
+    # Degenerate tables (any zero margin, including n == 0) have a
+    # single-table support: lo == hi, logpmf == 0, p == 1.0 — the
+    # scipy convention and what the oracle's one-term k-range emits.
+    # All lgamma arguments below are >= 1 for every k in [lo, hi]
+    # even at zero margins, so the fold needs no special-case guard.
+    lg = math.lgamma
 
-        def logpmf(k: int) -> float:
-            return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
-                    + lg(r2 + 1) - lg(c1 - k + 1)
-                    - lg(r2 - c1 + k + 1)
-                    + lg(c1 + 1) + lg(n - c1 + 1) - lg(n + 1))
+    def logpmf(k: int) -> float:
+        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                + lg(r2 + 1) - lg(c1 - k + 1)
+                - lg(r2 - c1 + k + 1)
+                + lg(c1 + 1) + lg(n - c1 + 1) - lg(n + 1))
 
-        cut = logpmf(a) + 1e-7  # scipy's relative-gate analogue
-        acc = Decimal(0)
-        for k in range(lo, hi + 1):
-            lp = logpmf(k)
-            if lp <= cut:
-                acc += Decimal(str(round(math.exp(lp), 12)))
-        p_val = min(float(acc), 1.0)
+    cut = logpmf(a) + 1e-7  # scipy's relative-gate analogue
+    acc = Decimal(0)
+    # each term rounds HALF-UP (away from zero — terms are
+    # positive) at 12 dp on the exact binary double, exactly
+    # DuckDB's ROUND(EXP(lp), 12); Python's round() is
+    # ties-to-even and diverged on boundary terms (r10 ADVICE)
+    from decimal import ROUND_HALF_UP
+    q12 = Decimal("1e-12")
+    for k in range(lo, hi + 1):
+        lp = logpmf(k)
+        if lp <= cut:
+            acc += Decimal(math.exp(lp)).quantize(q12, ROUND_HALF_UP)
+    p_val = min(float(acc), 1.0)
     odds = (a * d) / (b_ * c_) if b_ * c_ > 0 else None
     spark = df.sparkSession
     out = spark.createDataFrame(

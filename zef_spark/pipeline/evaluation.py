@@ -415,7 +415,19 @@ def roc_points(df: DataFrame, score_col: str, label_col,
     lab = _label(label_col)
     s = F.col(score_col).cast("double")
     if quantize is not None:
-        s = F.round(s, int(quantize))
+        # Grid via FLOOR(s·10^q + 0.5)/10^q in IEEE doubles — the
+        # identical bit-exact computation in DuckDB SQL, unlike
+        # F.round(double, q) (Spark rounds the SHORTEST-REPR decimal
+        # half-up, DuckDB rounds the binary value half-away; a score
+        # on a .5 grid boundary landed on different thresholds per
+        # engine — r10 ADVICE). Convention: half-up (ties toward
+        # +inf). Past 2^53 the double spacing exceeds any grid, so
+        # rounding is identity there (and floor→long would overflow).
+        p = F.lit(float(10 ** int(quantize)))
+        sp = s * p
+        s = (F.when(F.abs(sp) < F.lit(9007199254740992.0),
+                    F.floor(sp + F.lit(0.5)).cast("double") / p)
+             .otherwise(s))
     vt = (df.where(lab.isNotNull() & s.isNotNull())
           .groupBy(s.alias("threshold"))
           .agg(F.sum(lab.cast("long")).alias("__p"),

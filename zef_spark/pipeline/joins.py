@@ -96,7 +96,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
                right_on: str | None = None, max_distance: int = 2,
                q: int = 2, keep: list[str] | None = None,
                max_gram_df: int | None = None,
-               salt_gram_df: int | None = 2000) -> DataFrame:
+               salt_gram_df: int | str | None = "auto") -> DataFrame:
     """Approximate string join: pair rows whose key strings are within
     ``max_distance`` Levenshtein edits (entity resolution / record
     linkage; the reference's `identify_entities` handles only exact
@@ -122,19 +122,39 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
     Leave it None (default) when exact recall is required. One shuffle
     keyed by gram + one distinct — no CartesianProduct in the plan.
 
-    ``salt_gram_df`` (r10, default 2000) fixes the SKEW without the
-    recall trade: on low-entropy keys (measured at sf1 — every
-    "Supplier#000…" key shares its prefix grams) a hot gram's whole
-    block lands in ONE shuffle partition and a single task computes
-    its ~count² candidate pairs alone (observed: >75 min single-core
-    while the host idled). Grams with left-count > salt_gram_df are
-    SALTED: the left side shards by hash(key) mod s
-    (s = ceil(count/cap)), the right side replicates across the s
-    shards, and the candidate join keys on (gram, shard) — every
-    pair still meets exactly once, so the RESULT is bit-identical
-    (candidate set unchanged); only the parallelism changes. Total
-    work is unchanged too (same pair count + the s-fold right-row
-    replication of hot grams only). None disables."""
+    LENGTH BANDING (r11, recall-exact): a pair within t edits
+    differs at most t in length, so candidates additionally key on
+    a length band of width w = 2t+1 — the left key blocks on
+    floor(len/w); the right key replicates to the at-most-2 bands
+    {floor((len−t)/w), floor((len+t)/w)} (2t < w, so the window
+    [len−t, len+t] crosses ≤1 band boundary, and the monotone floor
+    of any covered left length equals one of the two endpoints's
+    bands — coverage is provable, not heuristic). On mixed-length
+    corpora this splits each hot gram's c_l·c_r block by length for
+    ≤2× replication of the right side.
+
+    ``salt_gram_df`` (r10; r11: symmetric grid + adaptive default)
+    fixes the SKEW without the recall trade: on low-entropy keys
+    (measured at sf1 — every "Supplier#000…" key shares its prefix
+    grams) a hot gram's whole block lands in ONE shuffle partition
+    and a single task computes its ~c_l·c_r candidate pairs alone
+    (observed: >75 min single-core while the host idled). A
+    (gram, band) whose count EXCEEDS the cap on EITHER side (r10
+    detected left-only — a right-hot gram still serialized) is GRID
+    SALTED: each side shards itself by hash(key) mod s_side
+    (s_side = ceil(count_side/cap)) and replicates across the OTHER
+    side's shards; the candidate join keys on (gram, band, shard_l,
+    shard_r), so every pair meets exactly once — the RESULT is
+    bit-identical (candidate set unchanged), each task holds a
+    ≤ cap×cap block, and the replication factor on hot blocks is
+    s_other (the naturally-small side replicates, the big side
+    shards). "auto" (default) derives the cap from the measured
+    (gram, band) pair histogram: cap ≈ sqrt(total_candidate_pairs /
+    (4·parallelism)) clamped to [512, 100_000], so per-task blocks
+    target ~1/(4·par) of the total work at any key entropy — the
+    r10 static 2000 survives as an explicit int. None disables.
+    The collected hot list is metadata-bounded BY CONSTRUCTION
+    (≤ rows/cap entries) and enforced with a raise at 1e6."""
     right_on = right_on or left_on
     keep = keep or []
     min_len = q * (max_distance + 1)
@@ -202,35 +222,81 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
         return pre.unionByName(g_df.where(F.col("__g") == "#short"))
 
     lg, rg = prefix(lg, "l"), prefix(rg, "r")
-    salted = None
+
+    # length banding (r11): w = 2t+1 so [len−t, len+t] crosses at
+    # most one band boundary — the left blocks on its own band, the
+    # right replicates to the ≤2 endpoint bands, recall-exact
+    t, w = int(max_distance), 2 * int(max_distance) + 1
+    lg = lg.withColumn("__b", F.floor(F.length("__key_l") / w))
+    rlen = F.length("__key_r")
+    rg = rg.withColumn("__b", F.explode(F.array_distinct(F.array(
+        F.floor((rlen - t) / w), F.floor((rlen + t) / w)))))
+
+    hot = []
     if salt_gram_df is not None:
-        cap = int(salt_gram_df)
-        salted = (lg.groupBy("__g")
-                  .agg(F.count(F.lit(1)).alias("__c"))
-                  .where(F.col("__c") > cap)
-                  .select("__g", F.ceil(F.col("__c") / cap)
-                          .cast("int").alias("__s"))
-                  .collect())  # hot grams only — bounded metadata
-    if salted:
+        import math
         spark = left.sparkSession
-        sdf = F.broadcast(spark.createDataFrame(
-            [(r["__g"], int(r["__s"])) for r in salted],
-            "__g string, __s int"))
-        lg = (lg.join(sdf, "__g", "left")
-              .withColumn("__shard", F.when(
-                  F.col("__s").isNotNull(),
-                  F.pmod(F.hash("__key_l"), F.col("__s")))
+        cl = (lg.groupBy("__g", "__b")
+              .agg(F.count(F.lit(1)).alias("__cl")))
+        cr = (rg.groupBy("__g", "__b")
+              .agg(F.count(F.lit(1)).alias("__cr")))
+        cnt = cl.join(cr, ["__g", "__b"])  # one-sided blocks pair 0
+        if salt_gram_df == "auto":
+            cnt = cnt.persist()
+            row = cnt.agg(
+                F.sum(F.col("__cl") * F.col("__cr")).alias("__p")
+            ).collect()[0]
+            pairs_total = int(row["__p"] or 0)
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            per_task = max(pairs_total / (4 * par), 250_000.0)
+            cap = int(min(max(math.ceil(math.sqrt(per_task)), 512),
+                          100_000))
+        else:
+            cap = int(salt_gram_df)
+        hot = (cnt.where((F.col("__cl") > cap) | (F.col("__cr") > cap))
+               .select("__g", "__b",
+                       F.greatest(F.ceil(F.col("__cl") / cap), F.lit(1))
+                       .cast("int").alias("__sl"),
+                       F.greatest(F.ceil(F.col("__cr") / cap), F.lit(1))
+                       .cast("int").alias("__sr"))
+               .limit(1_000_001)
+               .collect())  # hot (gram, band)s only — ≤ rows/cap
+        if salt_gram_df == "auto":
+            cnt.unpersist()
+        if len(hot) > 1_000_000:
+            raise ValueError(
+                "fuzzy_join: > 1e6 hot (gram, band) blocks at cap "
+                f"{cap} — the salt table would stop being metadata-"
+                "sized; raise salt_gram_df or pre-aggregate keys")
+    if hot:
+        sdf = F.broadcast(left.sparkSession.createDataFrame(
+            [(r["__g"], int(r["__b"]), int(r["__sl"]), int(r["__sr"]))
+             for r in hot],
+            "__g string, __b long, __sl int, __sr int"))
+        # grid salting: each side shards itself, replicates across
+        # the other side's shards; a pair meets exactly once at
+        # (g, b, hash(key_l) mod s_l, hash(key_r) mod s_r)
+        lg = (lg.join(sdf, ["__g", "__b"], "left")
+              .withColumn("__shl", F.when(
+                  F.col("__sl").isNotNull(),
+                  F.pmod(F.hash("__key_l"), F.col("__sl")))
                   .otherwise(F.lit(0)))
-              .drop("__s"))
-        rg = (rg.join(sdf, "__g", "left")
-              .withColumn("__shard", F.explode(F.sequence(
-                  F.lit(0),
-                  F.coalesce(F.col("__s"), F.lit(1)) - 1)))
-              .drop("__s"))
-        cand = (lg.join(rg, ["__g", "__shard"])
-                .drop("__g", "__shard").distinct())
+              .withColumn("__shr", F.explode(F.sequence(
+                  F.lit(0), F.coalesce(F.col("__sr"), F.lit(1)) - 1)))
+              .drop("__sl", "__sr"))
+        rg = (rg.join(sdf, ["__g", "__b"], "left")
+              .withColumn("__shr", F.when(
+                  F.col("__sr").isNotNull(),
+                  F.pmod(F.hash("__key_r"), F.col("__sr")))
+                  .otherwise(F.lit(0)))
+              .withColumn("__shl", F.explode(F.sequence(
+                  F.lit(0), F.coalesce(F.col("__sl"), F.lit(1)) - 1)))
+              .drop("__sl", "__sr"))
+        cand = (lg.join(rg, ["__g", "__b", "__shl", "__shr"])
+                .drop("__g", "__b", "__shl", "__shr").distinct())
     else:
-        cand = (lg.join(rg, "__g").drop("__g").distinct())
+        cand = (lg.join(rg, ["__g", "__b"])
+                .drop("__g", "__b").distinct())
     return (cand.where(
         F.levenshtein("__key_l", "__key_r") <= max_distance)
         .withColumn("distance", F.levenshtein("__key_l", "__key_r"))
