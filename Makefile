@@ -1,0 +1,37 @@
+# Standing verification gates (r10 VERDICT order #3: the sf1 sweep is
+# a per-round GATE, not an on-demand heroic — it caught six defect
+# classes in r10 that sf0.01 sweeps could not see).
+
+ROUND ?= r11
+SF1 := /root/repo/.scale/sf1
+SF5 := /root/repo/.scale/sf5
+
+# The 3 rows whose plain DuckDB replays are intractable at sf1
+# (all-pairs levenshtein / full shingle expansion, 70-90 GB RSS) —
+# they are proven by tools/sf1_stratified_oracle.py instead.
+INTRACTABLE := p_fuzzy_supplier_pairs,p_minhash_dedup_pipeline,p_leakage_safe_split
+
+.PHONY: test oracle sf1-sweep sf1-stratified bench
+
+test:
+	python -m pytest tests/ -x -q
+
+# fast local correctness gate (driver-fixture scale)
+oracle:
+	python tools/check_oracle.py /root/testdata/sf0.01
+
+# the standing sf1 full-registry gate: strict raw-repr sweep of every
+# registered query at 10x bench scale, plus the stratified proofs for
+# the 3 intractable rows; the log is the committed round artifact.
+sf1-sweep:
+	( CHECK_EXCLUDE=$(INTRACTABLE) \
+	  python tools/check_oracle.py $(SF1) && \
+	  python tools/sf1_stratified_oracle.py $(SF1) ) 2>&1 \
+	  | tee SCALE_SF1_SWEEP_$(ROUND).log
+
+sf1-stratified:
+	python tools/sf1_stratified_oracle.py $(SF1) 2>&1 \
+	  | tee -a SCALE_SF1_SWEEP_$(ROUND).log
+
+bench:
+	python bench.py

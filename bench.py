@@ -106,6 +106,36 @@ def main():
                  else "loaded" if frac < 0.75 else "saturated")
         return label, round(load1, 2)
 
+    # r10 verdict order #8: pin an idle-host protocol so cross-round
+    # totals stop needing host-mood footnotes. Before the timed
+    # passes, WAIT (up to SPARK_GRAFT_BENCH_IDLE_WAIT s, default 120)
+    # for load1/ncpu < 0.25; if the host never goes idle, either
+    # refuse (SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 → exit 3, no record
+    # written) or proceed with "host_contended": true stamped into
+    # BOTH the compact record and the detail file, so a reader can
+    # discard the total without forensic load1 archaeology.
+    idle_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT",
+                                     "120"))
+    require_idle = os.environ.get(
+        "SPARK_GRAFT_BENCH_REQUIRE_IDLE", "") == "1"
+    deadline = time.time() + idle_wait
+    host_contended = True
+    while time.time() < deadline:
+        state, load1 = host_state()
+        if state in ("idle", "unknown"):
+            host_contended = False
+            break
+        print(f"[bench] waiting for idle host (load1={load1})",
+              file=sys.stderr)
+        time.sleep(10)
+    else:
+        state, load1 = host_state()
+        host_contended = state not in ("idle", "unknown")
+    if host_contended and require_idle:
+        print(f"[bench] REFUSING: host not idle (load1={load1}) and "
+              "SPARK_GRAFT_BENCH_REQUIRE_IDLE=1", file=sys.stderr)
+        sys.exit(3)
+
     def run_pass() -> tuple[dict[str, float], dict[str, float]]:
         timings: dict[str, float] = {}
         # r08 verdict order #7: record load1 at QUERY start, not pass
@@ -192,6 +222,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "host_contended": host_contended,
     }
     detail = {
         "runs": runs,

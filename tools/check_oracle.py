@@ -299,9 +299,17 @@ def main():
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # CHECK_EXCLUDE: comma-separated names to SKIP — the standing
+    # sf1 sweep gate (Makefile) excludes the 3 oracle-intractable
+    # rows whose proofs run via tools/sf1_stratified_oracle.py
+    excl = {n for n in os.environ.get("CHECK_EXCLUDE", "").split(",")
+            if n}
     failed, checked = [], 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in excl:
+            print(f"  {name:40s} SKIP (CHECK_EXCLUDE)")
             continue
         checked += 1
         if name not in oracles:

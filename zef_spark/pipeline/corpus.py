@@ -217,9 +217,12 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     the streaming-order packing used for LM batch construction; docs
     longer than context_len get their own pack).
 
-    `shard_col=None` (oracle/small-data mode) packs over ONE total
-    order — a single-partition window, fine up to ~10^8 rows but NOT
-    at 100 TB. Pass `shard_col` to pack within shards instead: the
+    `shard_col=None` packs over ONE total order; since r11 that
+    global cumulative sum runs on the range-partitioned two-phase
+    prefix engine (distkit global_cumsum) instead of a keyless
+    single-partition window — identical values ((order, id) total
+    order), fully partitioned plan, so even the "global" mode holds
+    at scale. Pass `shard_col` to pack within shards instead: the
     window becomes partitionBy(shard).orderBy(order), a normal
     hash-partitioned shuffle with per-shard parallelism, and pack_id
     is made globally unique by offsetting each shard's local ids with
@@ -232,9 +235,9 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         *([F.col(shard_col)] if shard_col else []),
         F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens"))
     if shard_col is None:
-        w = Window.orderBy(order) \
-                  .rowsBetween(Window.unboundedPreceding, 0)
-        return (base.withColumn("__cum", F.sum(n).over(w))
+        from .distkit import global_cumsum
+        n_base = F.least(F.col("n_tokens"), F.lit(context_len))
+        return (global_cumsum(base, [order, id_col], n_base, "__cum")
                 # GREATEST(..., 0): zero-token docs BEFORE the first
                 # real token have cum=0 and would floor to pack -1
                 .withColumn("pack_id",
@@ -242,7 +245,7 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                                 F.floor((F.col("__cum") - 1)
                                         / context_len), F.lit(0)))
                 .withColumn("pack_offset",
-                            (F.col("__cum") - n) % context_len)
+                            (F.col("__cum") - n_base) % context_len)
                 .drop("__cum"))
     w = Window.partitionBy(shard_col).orderBy(order) \
               .rowsBetween(Window.unboundedPreceding, 0)
@@ -461,17 +464,21 @@ def epoch_shuffle(df: DataFrame, key_col: str, epoch: int,
     reshuffle of a pretraining dataloader, engine-portable so a
     restarted job or a different engine replays the same order).
 
-    One rank window over the hash — at 100 TB don't materialize a
-    global dense position: sort shard FILES by the same hash instead
-    (write with sortWithinPartitions + ordered listing) or shuffle
-    within shards (partitionBy(shard) windows, like pack_sequences).
-    The global window is the small/oracle mode."""
-    from pyspark.sql import Window
+    Plan (r11, de-scale-trapped): the dense position comes from the
+    range-partitioned two-phase prefix engine (distkit
+    global_row_number — repartitionByRange on the hash, per-range
+    local row_number, ≤n_ranges broadcast offsets), NEVER a keyless
+    window: the r08-r10 global `Window.orderBy(hash)` put every row
+    on one task (found by the r11 keyless-window sweep). Values are
+    identical (same total order, (hash, key) ties). A bonus at 100 TB:
+    the output comes back range-partitioned BY the shuffled order —
+    exactly the layout a training dataloader reads sequentially."""
+    from .distkit import global_row_number
     h = F.md5(F.concat(F.col(key_col).cast("string"),
                        F.lit(f":epoch{epoch}")))
-    w = Window.orderBy(h.asc(), F.col(key_col).asc())
-    return df.withColumn(out_col,
-                         F.row_number().over(w).cast("long") - 1)
+    return global_row_number(
+        df.withColumn("__h", h), ["__h", key_col], out_col
+    ).drop("__h")
 
 
 @register_op("epoch_shuffle", "df")

@@ -277,11 +277,15 @@ def rfm_segments(events: DataFrame, ts_col: str = "ts",
     boundaries are engine-reproducible. Monetary sums in DECIMAL —
     partition-order-exact.
 
-    The ntile windows are GLOBAL (one task over |users| rows) —
-    right up to ~10⁸ users; past that swap ntile for
-    approx-quantile bucket edges (pipeline/sketches.py) the same way
-    zorder_layout does for its range ranks."""
-    from pyspark.sql import Window
+    The tile assignment (r11, de-scale-trapped) runs three
+    range-partitioned global ranks (distkit global_row_number) plus
+    the closed-form NTILE bucket — bucket b of n rows over t tiles
+    holds n/t rows, the first n%t buckets one extra, exactly the SQL
+    NTILE definition both engines share — replacing the former three
+    keyless ntile windows that put the whole |users| aggregate on
+    one task each (found by the r11 keyless-window sweep). Values
+    are identical; the plan is fully partitioned at any user count."""
+    from .distkit import global_row_number
     conv = events.where(F.col(type_col) == convert_type)
     per_user = conv.groupBy(F.col(user_col).alias("user")).agg(
         F.max(ts_col).alias("__last"),
@@ -298,13 +302,23 @@ def rfm_segments(events: DataFrame, ts_col: str = "ts",
         "recency_days",
         F.datediff(F.col("__asof").cast("date"),
                    F.col("__last").cast("date")))
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("user"))
-    f_w = Window.orderBy(F.asc("frequency"), F.asc("user"))
-    m_w = Window.orderBy(F.asc("monetary"), F.asc("user"))
-    out = (scored
-           .withColumn("r", F.ntile(n_tiles).over(r_w))
-           .withColumn("f", F.ntile(n_tiles).over(f_w))
-           .withColumn("m", F.ntile(n_tiles).over(m_w)))
+    n_users = scored.agg(F.count(F.lit(1)).alias("__nu"))
+
+    def tile(df, order_cols, out_name):
+        d = global_row_number(df, order_cols, "__rk")
+        rk = F.col("__rk") + 1  # 1-based rank
+        q = F.floor(F.col("__nu") / n_tiles)  # base bucket size
+        rem = F.col("__nu") % n_tiles  # first `rem` buckets get +1
+        # CASE evaluates lazily, so the q=0 division (n < tiles)
+        # never runs: rk <= rem*(q+1) = n is then always true
+        b = (F.when(rk <= rem * (q + 1), F.ceil(rk / (q + 1)))
+             .otherwise(rem + F.ceil((rk - rem * (q + 1)) / q)))
+        return d.withColumn(out_name, b.cast("int")).drop("__rk")
+
+    out = scored.crossJoin(F.broadcast(n_users))
+    out = tile(out, [F.desc("recency_days"), F.asc("user")], "r")
+    out = tile(out, [F.asc("frequency"), F.asc("user")], "f")
+    out = tile(out, [F.asc("monetary"), F.asc("user")], "m")
     return out.select(
         "user", "recency_days", "frequency", "monetary", "r", "f", "m",
         F.concat_ws("", F.col("r"), F.col("f"), F.col("m"))
@@ -449,33 +463,40 @@ def kaplan_meier(subjects: DataFrame, duration_col: str,
     partial observation; reference analogue: hand-assembled
     group_by + scan chains (ITF `scan`).
 
-    Plan: ONE duration-keyed hash agg collapses subjects (map-side
-    combinable), then two windows over the DURATION table — whose
-    cardinality is bounded by distinct duration values, metadata-
-    sized by construction, so the single-partition window is not a
-    subject-volume sort. The product is exp∘Σln with per-term
-    decimal-12 rounding (cross-engine bit-stable); a zero factor
-    (risk set exhausted by deaths) pins survival to exactly 0 from
-    that duration on, avoiding ln(0)."""
-    from pyspark.sql import Window
+    Plan (r11, de-scale-trapped): ONE duration-keyed hash agg
+    collapses subjects (map-side combinable), then the cumulative
+    at-risk / log-product sums over the DURATION table run on the
+    range-partitioned two-phase prefix engine (distkit
+    global_cumsums) — on a CONTINUOUS duration the distinct-duration
+    table is row-sized and the former keyless windows collapsed it
+    onto one task (the same class as the r09 ROC trap; found by the
+    r11 keyless-window sweep). The product is exp∘Σln with per-term
+    decimal-12 rounding (cross-engine bit-stable), the log terms
+    summed EXACTLY in decimal through the per-range offsets; a zero
+    factor (risk set exhausted by deaths) pins survival to exactly 0
+    from that duration on, avoiding ln(0)."""
+    from .distkit import global_cumsums
     dec = "decimal(38,12)"
     km = (subjects.groupBy(F.col(duration_col).alias("duration"))
           .agg(F.sum(F.col(observed_col).cast("long"))
                .alias("n_deaths"),
                F.count(F.lit(1)).alias("__tot")))
-    w_desc = Window.orderBy(F.col("duration").desc()) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    w_asc = Window.orderBy("duration") \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    r = km.withColumn("at_risk", F.sum("__tot").over(w_desc))
+    # pass 1 (desc order): at_risk = subjects with duration >= d
+    r = global_cumsums(km, [F.col("duration").desc()],
+                       {"at_risk": ("__tot", "long")})
     ratio = F.lit(1.0) - F.col("n_deaths") \
         / F.col("at_risk").cast("double")
-    term = F.when(ratio > 0,
-                  F.round(F.log(ratio), 12).cast(dec))
-    zero_seen = F.max((ratio == 0).cast("int")).over(w_asc)
-    logsum = F.sum(term).over(w_asc)
-    surv = F.when(zero_seen == 1, F.lit(0.0)) \
-        .otherwise(F.round(F.exp(logsum.cast("double")), digits))
+    # pass 2 (asc order): running Σ ln(ratio) + zero-factor flag
+    term = F.coalesce(
+        F.when(ratio > 0, F.round(F.log(ratio), 12).cast(dec)),
+        F.lit(0).cast(dec))
+    r = global_cumsums(
+        r.withColumn("__z", (ratio == 0).cast("long")),
+        ["duration"],
+        {"__logsum": (term, dec), "__zeros": ("__z", "long")})
+    surv = F.when(F.col("__zeros") > 0, F.lit(0.0)) \
+        .otherwise(F.round(F.exp(F.col("__logsum").cast("double")),
+                           digits))
     return (r.select("duration",
                      F.col("at_risk").alias("n_at_risk"),
                      "n_deaths",

@@ -591,12 +591,24 @@ def psi_drift(df: DataFrame, sample_col: str, value_col: str,
     s, v = F.col(sample_col), F.col(value_col).cast("double")
     base = df.select(*by, s.alias("__s"), v.alias("__v"))
     ref = base.where(F.col("__s") == "a")
-    w = Window.partitionBy(*by).orderBy("__v")
-    wn = Window.partitionBy(*by) if by else \
-        Window.partitionBy(F.lit(1))
-    ranked = (ref.withColumn("__rn", F.row_number().over(
-        w if by else Window.partitionBy(F.lit(1)).orderBy("__v")))
-        .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    if by:
+        w = Window.partitionBy(*by).orderBy("__v")
+        wn = Window.partitionBy(*by)
+        ranked = (ref.withColumn("__rn", F.row_number().over(w))
+                  .withColumn("__n", F.count(F.lit(1)).over(wn)))
+    else:
+        # global mode (r11): the reference sample is ROW-SIZED, so
+        # the rank comes from the range-partitioned two-phase prefix
+        # engine, never a keyless window (Catalyst folds the old
+        # partitionBy(lit(1)) to an empty spec = one task for the
+        # whole reference — found by the r11 keyless-window sweep).
+        # Rank ties on equal __v are edge-value-invariant: the value
+        # at rank ceil(p·n) is the same under any tie permutation.
+        from .distkit import global_row_number
+        nref = ref.agg(F.count(F.lit(1)).alias("__n"))
+        ranked = (global_row_number(ref, ["__v"], "__rn")
+                  .withColumn("__rn", F.col("__rn") + 1)
+                  .crossJoin(F.broadcast(nref)))
     edge_vals = [F.max(F.when(
         F.col("__rn") == F.ceil(F.lit(i / bins) * F.col("__n")),
         F.col("__v"))).alias(f"__e{i}") for i in range(1, bins)]
