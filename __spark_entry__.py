@@ -11076,56 +11076,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # The r11 window absorbs the r05 remainder plus the r06 cohort.
 # Everything else stays runnable by name.
 _FRONT = [
-    # (a) NEW THIS ROUND (kept small — the r09 verdict's windowing
-    # plan retires the r04/r05 backlog fastest when new ops don't
-    # jump the queue): the r10 additions
-    "p_roc_points_quantized",
-    "w_fisher_exact_orders", "w_levene_price_priority",
-    "p_ndcg_events", "p_mrr_events",
+    # (a) NEW THIS ROUND: the real-decode multimodal query (r11)
+    "p_multimodal_decode",
     # (a') CHANGED THIS ROUND — fresh driver proof required: the
-    # decimal-term TPC-H money sums (q1/q5/q7 — q7 listed here, not
-    # in its r04 cohort slot below), the integer-picorank pagerank
-    # pair, the
-    # re-thresholded heavy hitters, the prefix-sum eval curves, and
-    # the ADVICE-touched statistics (srm/tukey/kendall/wilcoxon +
-    # brown_forsythe via the levene refactor)
-    "q1_pricing_summary", "q5_region_revenue", "q7_nation_volume",
-    "p_pagerank", "p_personalized_pagerank", "p_heavy_hitters",
-    "p_roc_points_purchase", "p_average_precision_purchase",
-    "p_gain_curve_purchase",
-    "w_srm_check_split", "w_tukey_price_priority",
-    "e_kendall_tau_daily", "w_wilcoxon_view_purchase",
-    "w_brown_forsythe_price", "w_topn_parts_revenue",
-    # (b) the r04 cohort — 38 rows, last driver proof six rounds
-    # old (judge sweeps re-proved them at two scales every round
-    # since; the driver record itself is what ages). The 18
-    # must-prove rows above leave 32 window slots; the final 6 rows
-    # of this block (alphabetical) spill to the r11 window along
-    # with the r05 cohort.
-    "e_split_on_purchase",
-    "gql_aggregate_orders", "gql_all_quantifier",
-    "gql_list_size_filter", "gql_mutation_delete",
-    "gql_mutation_update", "gql_nested_filter_order",
-    "p_ann_pq_topk", "p_contamination", "p_curation_pipeline",
-    "p_domain_stats", "p_dup_clusters", "p_hash_sample",
-    "p_identify_entities", "p_infer_types", "p_pii_redact",
-    "p_repetition_signals", "p_semantic_dup_pairs", "p_sketch_checks",
-    "p_tf_idf", "p_unigram_logprob",
-    "q10_returned_items", "q11_part_value_share",
-    "q12_priority_lateness", "q13_order_count_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_qty_revenue", "q18_large_orders",
+    # roc quantize grid convention + fisher rounding/degenerate fix,
+    # the fuzzy_join grid-salting/length-banding rewrite, and the
+    # five keyless-window re-plans onto the distkit prefix engine
+    # (epoch_shuffle, pack_sequences global, psi_drift global,
+    # kaplan_meier, rfm ntile)
+    "p_roc_points_quantized", "w_fisher_exact_orders",
+    "p_fuzzy_supplier_pairs",
+    "p_pack_sequences", "p_pack_sharded", "p_epoch_shuffle",
+    "e_rfm_segments", "e_survival_sessions", "e_psi_drift",
+    # (b) the r04-cohort tail — the 7 rows whose last driver proof
+    # is oldest (r04; judge sweeps re-proved them at two scales
+    # every round since — the driver record itself is what ages)
     "q19_bracketed_revenue", "q21_waiting_suppliers",
     "q22_idle_customers", "q2_min_cost_supplier",
-    "q4_priority_exists", "q8_market_share",
-    "q9_product_profit",
-    # (c) the leading edge of the 48-row r05 cohort (alphabetical;
-    # the remainder leads the r11 window)
+    "q4_priority_exists", "q8_market_share", "q9_product_profit",
+    # (c) the r05 cohort continuation (alphabetical; members already
+    # re-proved above are not repeated — the remainder of the r05
+    # block leads the r12 window)
     "e_ewma_user_value", "e_gapfill", "e_json_props_sum",
     "e_late_data_audit", "e_merge_intervals", "e_rate_limit_events",
     "e_stream_ingest", "e_stream_interval_join",
     "enumerate_stride_events", "frequencies_events",
-    "g_bfs_cosupply",
+    "g_bfs_cosupply", "g_clustering_cosupply", "g_frame_diff_counts",
+    "g_triangle_cosupply", "p_bm25_search", "p_bpe_fixed_merges",
+    "p_c4_line_clean", "p_chunk_documents", "p_corr_lineitem",
+    "p_diff_orders", "p_embed_pipeline", "p_gopher_rules",
+    "p_histogram_totalprice", "p_impute_winsorize",
+    "p_incremental_dedup", "p_mixture_sample", "p_nb_classifier",
+    "p_pivot_lang_counts", "p_profile_documents",
+    "p_quality_filter_pipeline", "p_repeated_spans",
+    "p_rollup_order_status", "p_scrub_spans",
 ]
 
 

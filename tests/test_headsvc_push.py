@@ -180,3 +180,108 @@ print("COMMITTED_AT", time.time())
         assert seen["ages"] == [30, 99]
     finally:
         sub.stop(timeout=1.0)
+
+
+def test_graphql_subscription_push_cross_process(spark, tmp_path,
+                                                 head):
+    """r10 VERDICT order #6 e2e — the composed halves: a graph
+    commit in a TRUE second process → head-service /watch wake →
+    THIS process's remote-bridge publish → an SSE
+    `subscription { onPerson }` frame over the wire, with JWT auth
+    on the stream. The bridge's long-poll timeout is 300s and the
+    SSE reader has no polling sleep — only the push path can deliver
+    inside the latency bound."""
+    import http.client
+    import json as _json
+    import subprocess
+    import sys
+    import threading
+    import time as _time
+
+    from zef_spark.graphql import (GraphQLEngine, SubscriptionManager,
+                                   make_server, schema_from_sdl,
+                                   serve_in_thread)
+    from zef_spark.graphql.remote_bridge import bridge_remote_store
+    from zef_spark.graphql.server import AuthConfig, encode_jwt
+
+    url, _store = head
+    _publish(spark, url, tmp_path)
+    b = RemoteGraphStore(spark, url, str(tmp_path / "cacheB"))
+    subs = SubscriptionManager()
+    # subscription-only engine: the event payload rows ARE the table
+    sdl = """
+type Person @table(name: "events", id: "id") {
+  id: String @col(name: "id")
+  token: String @col(name: "token")
+}
+"""
+    eng = GraphQLEngine(schema_from_sdl(sdl), load=lambda t: None,
+                        subscriptions=subs)
+    auth = AuthConfig(secret="push-secret", audience="zef-push")
+    srv = make_server(eng, auth)
+    serve_in_thread(srv)
+    host, port = srv.server_address
+    bridge = bridge_remote_store(b, subs, poll_timeout=300.0)
+    frames, ready = [], threading.Event()
+    jwt = encode_jwt({"aud": "zef-push"}, "push-secret")
+
+    def listen():
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        q = ('subscription { onPerson(kinds: ["added"]) { id } }'
+             .replace(" ", "%20").replace('"', "%22"))
+        conn.request("GET", f"/graphql/stream?query={q}",
+                     headers={"Authorization": f"Bearer {jwt}"})
+        r = conn.getresponse()
+        assert r.status == 200
+        ready.set()
+        while True:
+            line = r.fp.readline().decode()
+            if line.startswith("data: "):
+                payload = _json.loads(line[len("data: "):])
+                if payload == {}:          # heartbeat frame
+                    continue
+                frames.append(payload)
+                break
+        conn.close()
+
+    t = threading.Thread(target=listen, daemon=True)
+    t.start()
+    assert ready.wait(timeout=60)
+    # auth really gates the stream: no/bad token → 401
+    bad = http.client.HTTPConnection(host, port, timeout=30)
+    bad.request("GET", "/graphql/stream?query=subscription%20%7B%20"
+                "onPerson%20%7D")
+    assert bad.getresponse().status == 401
+
+    script = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from zef_spark import ET, get_spark
+from zef_spark.graph.delta import E
+from zef_spark.graph.headsvc import RemoteGraphStore
+spark = get_spark("zef_gql_push_proc_a")
+spark.sparkContext.setLogLevel("ERROR")
+store = RemoteGraphStore(spark, {url!r}, {str(tmp_path / "cacheC")!r})
+import time
+store.commit([E(ET.Person, "dora", fields={{"age": 7}})])
+print("COMMITTED_AT", time.time())
+"""
+    try:
+        out = subprocess.run([sys.executable, "-c", script],
+                             capture_output=True, text=True,
+                             timeout=300)
+        assert "COMMITTED_AT" in out.stdout, out.stderr[-2000:]
+        t_commit = float(
+            out.stdout.split("COMMITTED_AT", 1)[1].split()[0])
+        t.join(timeout=90)
+        assert not t.is_alive(), \
+            "SSE frame never arrived after remote-process mutation"
+        latency = _time.time() - t_commit
+        assert latency < 90, f"latency {latency:.1f}s"
+        assert frames and frames[0]["kind"] == "added"
+        assert frames[0]["type"] == "Person"
+        assert frames[0]["count"] >= 1
+        assert frames[0]["rows"] and "id" in frames[0]["rows"][0]
+    finally:
+        bridge.stop(timeout=1.0)
+        srv.shutdown()
