@@ -200,26 +200,40 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
     # frequency table is one gram-sized agg over both sides; the
     # per-key prefix pick is a window over <= |key| rows.
     p_len = q * max_distance + 1
+    # The gram-frequency table is VOCABULARY-sized (distinct q-grams,
+    # ≤ charset^q — ~9k for the default q=2 over ASCII), nothing like
+    # data-sized: persist it (it feeds BOTH sides' prefix picks — r11
+    # profiling showed the un-persisted freq subtree re-running the
+    # full gram explode 4× inside one call, ~5× total wall) and
+    # broadcast it when small so the prefix pick costs no extra
+    # shuffle of the data-sized gram table.
     freq = (lg.select("__g").unionByName(rg.select("__g"))
             .where(F.col("__g") != "#short")
-            .groupBy("__g").agg(F.count(F.lit(1)).alias("__f")))
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+            .persist())
+    bfreq = F.broadcast(freq) if freq.count() <= 2_000_000 else freq
 
     def prefix(g_df, side):
-        from pyspark.sql import Window
         key = "__key_" + side
         ident = [key] + [f"{c}_{side}" for c in keep]
-        longs = (g_df.where(F.col("__g") != "#short")
-                 .dropDuplicates(ident + ["__g"])
-                 .join(freq, "__g"))
         # the prefix is per ENTITY ROW (key + keep identity): two
         # entities sharing a key string must each keep their own
-        # q*t+1 rarest grams
-        w = (Window.partitionBy(*ident)
-             .orderBy(F.col("__f").asc(), F.col("__g").asc()))
-        pre = (longs.withColumn("__rk", F.row_number().over(w))
-               .where(F.col("__rk") <= p_len)
-               .drop("__f", "__rk"))
-        return pre.unionByName(g_df.where(F.col("__g") == "#short"))
+        # q*t+1 rarest grams. ONE shuffle (the groupBy; map-side
+        # combine applies) — the r10 shape was dropDuplicates + a
+        # row_number window, two shuffles over the full gram table.
+        # array_sort on (freq, gram) structs == the window's
+        # (__f asc, __g asc) order; array_distinct dedups repeated
+        # occurrences of a gram (same (__f, __g) pair).
+        pre = (g_df.where(F.col("__g") != "#short")
+               .join(bfreq, "__g")
+               .groupBy(*ident)
+               .agg(F.slice(F.array_sort(F.array_distinct(
+                   F.collect_list(F.struct("__f", "__g")))),
+                   1, p_len).alias("__pre"))
+               .select(*ident, F.explode("__pre").alias("__p"))
+               .select(*ident, F.col("__p.__g").alias("__g")))
+        return pre.unionByName(
+            g_df.where(F.col("__g") == "#short").select(*ident, "__g"))
 
     lg, rg = prefix(lg, "l"), prefix(rg, "r")
 
@@ -236,6 +250,12 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
     if salt_gram_df is not None:
         import math
         spark = left.sparkSession
+        # the salting path reads each prefix table 2-3× (its count
+        # agg, the pairs-total collect, then the candidate join) —
+        # persist them (≈ rows × (q·t+1) short rows, MEMORY_AND_DISK)
+        # instead of re-running the gram explode + prefix shuffle per
+        # read; the no-salt path reads each once and skips this
+        lg, rg = lg.persist(), rg.persist()
         cl = (lg.groupBy("__g", "__b")
               .agg(F.count(F.lit(1)).alias("__cl")))
         cr = (rg.groupBy("__g", "__b")
@@ -293,15 +313,27 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
                   F.lit(0), F.coalesce(F.col("__sl"), F.lit(1)) - 1)))
               .drop("__sl", "__sr"))
         cand = (lg.join(rg, ["__g", "__b", "__shl", "__shr"])
-                .drop("__g", "__b", "__shl", "__shr").distinct())
+                .drop("__g", "__b", "__shl", "__shr"))
     else:
-        cand = (lg.join(rg, ["__g", "__b"])
-                .drop("__g", "__b").distinct())
-    return (cand.where(
-        F.levenshtein("__key_l", "__key_r") <= max_distance)
-        .withColumn("distance", F.levenshtein("__key_l", "__key_r"))
-        .withColumnRenamed("__key_l", left_on + "_l")
-        .withColumnRenamed("__key_r", right_on + "_r"))
+        cand = lg.join(rg, ["__g", "__b"]).drop("__g", "__b")
+    # THRESHOLDED verify BEFORE the distinct (r11 perf, result
+    # bit-identical): levenshtein(l, r, t) runs the banded O(t·n)
+    # DP with early exit (vs the full O(n²) table) and returns -1
+    # past t, so the verify is map-side on the raw join output —
+    # each true pair appears once per shared (prefix gram, band,
+    # shard), a small constant — and the distinct then shuffles
+    # only VERIFIED pairs (~true pairs) instead of the full
+    # candidate multiset. At sf1 (10k low-entropy supplier keys,
+    # ~2.4M true pairs) the distinct input drops by the
+    # candidate:pair ratio; this was the dominant stage at 150 s.
+    return (cand
+            .withColumn("distance",
+                        F.levenshtein("__key_l", "__key_r",
+                                      int(max_distance)))
+            .where(F.col("distance") >= 0)
+            .distinct()
+            .withColumnRenamed("__key_l", left_on + "_l")
+            .withColumnRenamed("__key_r", right_on + "_r"))
 
 
 def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
