@@ -33,5 +33,15 @@ sf1-stratified:
 	python tools/sf1_stratified_oracle.py $(SF1) 2>&1 \
 	  | tee -a SCALE_SF1_SWEEP_$(ROUND).log
 
+# r10 verdict order #7: strict sweep of the registry's TOP-30 (bench
+# heavies + graph analytics + decimal-release stats + streaming
+# replays + the distkit-re-planned rows) at 50x bench scale — the six
+# r10 catches were all invisible below sf1, so each new scale decade
+# gets its own gate. The list lives in tools/sf5_top30.txt.
+sf5-sweep:
+	python tools/check_oracle.py $(SF5) \
+	  $$(grep -v '^#' tools/sf5_top30.txt) 2>&1 \
+	  | tee SCALE_SF5_SWEEP_$(ROUND).log
+
 bench:
 	python bench.py
