@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from zef_spark.functions.rounding import sql_round_sig_safe
+from zef_spark.functions.rounding import sql_round_sig_safe, sql_round_grid
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -924,17 +924,30 @@ WITH q AS (
            ELSE 0.0 END AS mwl
   FROM q
 )
+, s AS (
+  SELECT doc_id, n_tok, sr, pr, ar, mwl,
+         LEAST(n_tok / 50.0, 1.0) * 0.3
+         + LEAST(sr * 5.0, 1.0) * 0.3
+         + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.2
+         + ar * 0.2 AS qual
+  FROM r
+)
 SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
-       ROUND(sr, 6) AS stopword_ratio,
-       ROUND(pr, 6) AS punct_ratio,
-       ROUND(ar, 6) AS alpha_ratio,
-       ROUND(mwl, 6) AS mean_word_len,
-       ROUND(LEAST(n_tok / 50.0, 1.0) * 0.3
-             + LEAST(sr * 5.0, 1.0) * 0.3
-             + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.2
-             + ar * 0.2, 6) AS quality
-FROM r ORDER BY doc_id
-""".replace("{stop}", "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"))
+       {rss_sr} AS stopword_ratio,
+       {rss_pr} AS punct_ratio,
+       {rss_ar} AS alpha_ratio,
+       {rss_mwl} AS mean_word_len,
+       {rss_qual} AS quality
+FROM s ORDER BY doc_id
+""".replace("{stop}", "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]")
+   # release on the shared floor grid (functions/rounding.py): the
+   # r11 sf5 sweep caught quality on a .5e-6 boundary flipping one
+   # grid ulp between Spark ROUND and DuckDB ROUND
+   .replace("{rss_sr}", sql_round_grid("sr"))
+   .replace("{rss_pr}", sql_round_grid("pr"))
+   .replace("{rss_ar}", sql_round_grid("ar"))
+   .replace("{rss_mwl}", sql_round_grid("mwl"))
+   .replace("{rss_qual}", sql_round_grid("qual")))
 def p_text_quality(spark, sf_dir):
     from zef_spark.pipeline.text import quality_score
     docs = _t(spark, sf_dir, "documents")

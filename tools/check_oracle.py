@@ -26,6 +26,13 @@ def duck_run(sf_dir: str, sql: str):
 
     import duckdb
     con = duckdb.connect()
+    # Bound the replay instead of letting DuckDB default to ~80% of
+    # RAM: an sf5 shingle/banded replay next to the live Spark JVM
+    # OOM-killed the r11 sweep mid-run. With a cap + temp dir DuckDB
+    # SPILLS the big sorts/joins and finishes slow instead of dying.
+    con.execute(f"SET memory_limit='"
+                f"{_os.environ.get('CHECK_DUCK_MEM', '48GB')}'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # Spark writes a table as a DIRECTORY of part files (the

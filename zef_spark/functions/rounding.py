@@ -45,10 +45,58 @@ _BIG = 1.0e18
 _MAX_INT_DIGITS = 19
 
 
+# 2^53: the largest double grid on which every integer is exact; a
+# scaled value at or past it cannot be rounded on a finer grid anyway
+# (the double spacing exceeds 1), so grid rounding is identity there.
+_TWO53 = 9007199254740992.0
+
+
+def _grid(c: Column, k: int) -> Column:
+    """Round to k decimal places as FLOOR(x·10^k + 0.5)/10^k (k ≥ 0)
+    or FLOOR(x/10^⁻ᵏ + 0.5)·10^⁻ᵏ (k < 0) — every step an IEEE double
+    op both engines compute bit-identically, unlike ROUND(double, k)
+    (Spark rounds the SHORTEST-REPR decimal half-up, DuckDB rounds
+    the binary value half-away: a value on a .5 grid boundary flips
+    by one ulp of the grid between engines — the r10 roc_points
+    ADVICE class, caught again by the r11 sf5 sweep in
+    p_text_quality's 6-dp quality release). Convention: half-up
+    (ties toward +inf). 10^|k| is an exact double for |k| ≤ 15 and
+    division by it is correctly rounded, so the negative-k form
+    stays exact-by-construction. Identity past 2^53 (incl. ±inf/NaN:
+    the guard comparison is false)."""
+    p = F.lit(float(10 ** abs(int(k))))
+    sp = c * p if k >= 0 else c / p
+    snapped = F.floor(sp + F.lit(0.5)).cast("double")
+    return F.when(F.abs(sp) < F.lit(_TWO53),
+                  snapped / p if k >= 0 else snapped * p).otherwise(c)
+
+
+def round_grid(c, k: int = 6) -> Column:
+    """Public fixed-scale floor-grid release: `_grid` plus the -0.0
+    normalization. For columns whose magnitude is KNOWN bounded
+    (ratios, probabilities, means of bounded values) this is the
+    whole release — one small expression, codegen-friendly. Use
+    `round_sig_safe` instead when the magnitude is data-dependent
+    (its 17 per-scale arms weigh ~5× more per column; five of them
+    in one projection blew the JVM 64KB codegen method limit in
+    p_text_quality and fell back to interpreted)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return _grid(c.cast("double"), int(k)) + F.lit(0.0)
+
+
+def sql_round_grid(x: str, k: int = 6) -> str:
+    """DuckDB mirror of `round_grid` — identical IEEE double ops."""
+    g = _sql_grid(x, int(k))
+    return f"CASE WHEN ({g}) = 0 THEN 0.0 ELSE ({g}) END"
+
+
 def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
     """Round double column `c` to `digits` decimal places, capped so
     the result never carries more than `max_sig` total significant
-    digits. NULL in, NULL out; 0.0 rounds to 0.0."""
+    digits. NULL in, NULL out; 0.0 rounds to 0.0. Rounds on the
+    engine-portable floor grid (see _grid) so Spark and the DuckDB
+    `sql_round_sig_safe` mirror agree bit-for-bit at every input,
+    including exact .5 grid boundaries."""
     c = F.col(c) if isinstance(c, str) else c
     c = c.cast("double")
     a = F.abs(c)
@@ -58,12 +106,25 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
                                       .cast("string"))))
     d = F.least(F.lit(int(digits)), F.lit(int(max_sig)) - int_digits)
     lo = int(max_sig) - _MAX_INT_DIGITS
-    # every reachable fixed scale evaluated into one inline array,
-    # then element_at picks the effective one — d ∈ [lo, digits] by
-    # construction (int_digits ∈ [0, 19]), so the 1-based index is
-    # always in range; NULL c → NULL elements and NULL d → NULL out
-    arr = F.array(*[F.round(c, k) for k in range(lo, int(digits) + 1)])
-    expr = F.element_at(arr, d - F.lit(lo) + F.lit(1))
+    # ONE grid computation with the scale picked from a LITERAL array
+    # of exact powers 10^|k| (k ∈ [lo, digits]; all ≤ 10^15, exact
+    # doubles) — the earlier shape evaluated a _grid expression tree
+    # PER scale into an inline array (17 arms × ~6 ops × every
+    # round_sig_safe column), and three/four such columns in one
+    # projection blew the JVM 64KB codegen method limit (caught by
+    # check_oracle's codegen-fallback guard on the first post-_grid
+    # sweep: w_jarque_bera, e_kendall_tau, the eval-curve releases).
+    # d ∈ [lo, digits] by construction so the 1-based index is always
+    # in range; NULL c → NULL d → NULL out.
+    pows = F.array(*[F.lit(float(10 ** abs(k)))
+                     for k in range(lo, int(digits) + 1)])
+    p = F.element_at(pows, d - F.lit(lo) + F.lit(1))
+    neg = d < 0          # k < 0: divide down to the grid, not multiply
+    sp = F.when(neg, c / p).otherwise(c * p)
+    snapped = F.floor(sp + F.lit(0.5)).cast("double")
+    expr = F.when(F.abs(sp) < F.lit(_TWO53),
+                  F.when(neg, snapped * p).otherwise(snapped / p)) \
+            .otherwise(c)
     # `+ 0.0` normalizes negative zero (−0.0 + 0.0 = +0.0, and
     # x + 0.0 = x IEEE-exactly for every other double incl. NULL
     # propagation): a tiny negative rounds to -0.0 in DuckDB but 0.0
@@ -73,16 +134,32 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
     return expr + F.lit(0.0)
 
 
+def _sql_grid(x: str, k: int) -> str:
+    """DuckDB mirror of `_grid(c, k)` — identical IEEE double ops."""
+    p = repr(float(10 ** abs(int(k))))  # exact literal, e.g. 1000000.0
+    sp = f"(({x}) * {p})" if k >= 0 else f"(({x}) / {p})"
+    snapped = f"FLOOR({sp} + 0.5)"
+    out = f"({snapped} / {p})" if k >= 0 else f"({snapped} * {p})"
+    return (f"CASE WHEN ABS({sp}) < {_TWO53!r} THEN {out} "
+            f"ELSE ({x}) END")
+
+
 def sql_round_sig_safe(x: str, digits: int = 6, max_sig: int = 9) -> str:
     """DuckDB expression equivalent to `round_sig_safe` — inline in an
     oracle so both sides round on the identical grid. `x` must be a
-    double-typed SQL expression (repeated verbatim; keep it cheap or
-    pre-compute in a CTE)."""
+    double-typed SQL expression (repeated verbatim across the scale
+    arms; keep it cheap or pre-compute in a CTE). Mirrors the Spark
+    side's floor-grid scales (one CASE arm per reachable scale k —
+    the SQL analogue of the Spark inline array), never ROUND(double):
+    the engines' ROUND tie conventions differ at .5 grid boundaries."""
     int_digits = (f"CASE WHEN ABS({x}) < 1.0 THEN 0 "
                   f"WHEN ABS({x}) >= 1e18 THEN {_MAX_INT_DIGITS} "
                   f"ELSE LENGTH(CAST(CAST(FLOOR(ABS({x})) AS BIGINT) "
                   f"AS VARCHAR)) END")
-    rounded = (f"ROUND({x}, CAST(LEAST({int(digits)}, "
-               f"{int(max_sig)} - ({int_digits})) AS INTEGER))")
+    lo = int(max_sig) - _MAX_INT_DIGITS
+    d = f"LEAST({int(digits)}, {int(max_sig)} - ({int_digits}))"
+    arms = " ".join(f"WHEN {k} THEN {_sql_grid(x, k)}"
+                    for k in range(lo, int(digits) + 1))
+    rounded = f"(CASE {d} {arms} END)"
     # -0.0 normalization: mirror the Spark side (see round_sig_safe)
     return (f"CASE WHEN {rounded} = 0 THEN 0.0 ELSE {rounded} END")

@@ -116,13 +116,18 @@ def quality_score(df: DataFrame, text_col: str) -> DataFrame:
              + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
              + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
              + alpha_ratio * 0.2)
+    # release on the engine-portable floor grid, never
+    # F.round(double): the r11 sf5 sweep caught a doc whose exact
+    # quality landed on a .5e-6 boundary and flipped one ulp of the
+    # grid between Spark and DuckDB (functions/rounding.py _grid)
+    from ..functions.rounding import round_grid
     return s2.select(*cols, "n_chars_computed",
                      n_tok.alias("n_tokens"),
-                     F.round(stop_ratio, 6).alias("stopword_ratio"),
-                     F.round(punct_ratio, 6).alias("punct_ratio"),
-                     F.round(alpha_ratio, 6).alias("alpha_ratio"),
-                     F.round(mean_word_len, 6).alias("mean_word_len"),
-                     F.round(score, 6).alias("quality"))
+                     round_grid(stop_ratio, 6).alias("stopword_ratio"),
+                     round_grid(punct_ratio, 6).alias("punct_ratio"),
+                     round_grid(alpha_ratio, 6).alias("alpha_ratio"),
+                     round_grid(mean_word_len, 6).alias("mean_word_len"),
+                     round_grid(score, 6).alias("quality"))
 
 
 #: the Gopher stop set (Rae et al. 2021 §A1.1): a doc must contain at
