@@ -43,5 +43,12 @@ sf5-sweep:
 	  $$(grep -v '^#' tools/sf5_top30.txt) 2>&1 \
 	  | tee SCALE_SF5_SWEEP_$(ROUND).log
 
+# the two pagerank rows whose unrolled DuckDB replay is disk-
+# intractable at sf5: exact numpy replay of the int64 picorank
+# recurrence instead (bit-equal doubles required)
+sf5-graph:
+	python tools/sf5_graph_oracle.py $(SF5) 2>&1 \
+	  | tee -a SCALE_SF5_SWEEP_$(ROUND).log
+
 bench:
 	python bench.py
