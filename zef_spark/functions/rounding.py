@@ -116,15 +116,23 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
     # sweep: w_jarque_bera, e_kendall_tau, the eval-curve releases).
     # d ∈ [lo, digits] by construction so the 1-based index is always
     # in range; NULL c → NULL d → NULL out.
-    pows = F.array(*[F.lit(float(10 ** abs(k)))
-                     for k in range(lo, int(digits) + 1)])
-    p = F.element_at(pows, d - F.lit(lo) + F.lit(1))
-    neg = d < 0          # k < 0: divide down to the grid, not multiply
-    sp = F.when(neg, c / p).otherwise(c * p)
+    # branch-free scaling: pa = 10^k, pb = 1 for k ≥ 0 and pa = 1,
+    # pb = 10^-k for k < 0 — multiply/divide by an exact 1.0 is
+    # IEEE-identity, so c·pa/pb ≡ the sign-correct exact scaling with
+    # no conditional (the when(neg, ...) spelling doubled the
+    # generated code per column and pushed an 8-release chain's
+    # codegen subtree past the plan-guard margin)
+    ks = range(lo, int(digits) + 1)
+    pa = F.element_at(F.array(*[F.lit(float(10 ** max(k, 0)))
+                                for k in ks]),
+                      d - F.lit(lo) + F.lit(1))
+    pb = F.element_at(F.array(*[F.lit(float(10 ** max(-k, 0)))
+                                for k in ks]),
+                      d - F.lit(lo) + F.lit(1))
+    sp = c * pa / pb
     snapped = F.floor(sp + F.lit(0.5)).cast("double")
     expr = F.when(F.abs(sp) < F.lit(_TWO53),
-                  F.when(neg, snapped * p).otherwise(snapped / p)) \
-            .otherwise(c)
+                  snapped / pa * pb).otherwise(c)
     # `+ 0.0` normalizes negative zero (−0.0 + 0.0 = +0.0, and
     # x + 0.0 = x IEEE-exactly for every other double incl. NULL
     # propagation): a tiny negative rounds to -0.0 in DuckDB but 0.0
