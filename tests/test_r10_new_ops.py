@@ -39,12 +39,17 @@ def test_fisher_exact_matches_exact_reference(spark):
 
 
 def test_fisher_exact_degenerate_margin(spark):
-    """All rows in one column class: p undefined -> NULL."""
+    """All rows in one column class: single-table support, p = 1.0
+    (the scipy convention and what the oracle's one-term k-range
+    emits — r11 ADVICE fix; the r10 cut returned NULL and disagreed
+    with its own DuckDB oracle on degenerate data). The odds ratio
+    stays NULL (b·c = 0)."""
     from zef_spark.pipeline.abtest import fisher_exact
     df = spark.createDataFrame(
         [(True, True), (False, True)], "r boolean, c boolean")
     out = fisher_exact(df, "r", "c").collect()[0]
-    assert out["p_two_sided"] is None
+    assert out["p_two_sided"] == 1.0
+    assert out["odds_ratio"] is None
 
 
 def test_fisher_exact_support_guard(spark):
