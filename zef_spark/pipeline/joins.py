@@ -22,8 +22,16 @@ relational operators for event streams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import Window
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+from pyspark.sql import DataFrame, Window, functions as F
+
+# driver-dict gate for fuzzy_join's map-side prefix pick: ~40 MB of
+# py-dict at q<=3; module-level so tests can force the shuffle fallback
+FUZZY_VOCAB_CAP = 1_000_000
+
+# broadcast gate for fuzzy_join's candidate join (est. gram-table
+# bytes); module-level so tests can force the shuffle+salt path
+FUZZY_BCAST_CAP = 64 * 1024 * 1024
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -102,236 +110,340 @@ def fuzzy_join(left: DataFrame, right: DataFrame, left_on: str,
     linkage; the reference's `identify_entities` handles only exact
     match keys — this is the fuzzy tier above it).
 
-    Plan shape (q-gram blocking, NOT all-pairs): each side explodes its
-    key into positional ``q``-grams, candidates are the distinct pairs
-    sharing at least one gram (an equi-join on the gram), and the exact
-    ``levenshtein`` filter runs only on candidates. Completeness: t
-    edits destroy at most q*t of a string's ``|s| - q + 1`` q-grams,
-    so two strings within distance t both of length >= q*(t+1) are
-    GUARANTEED to share a gram; pairs where either key is shorter go
-    through a dedicated short block (every key of length
-    < q*(t+1) + t joins it — distance <= t bounds the length gap by t,
-    so the block provably covers all remaining pairs; it is a tiny,
-    bounded slice in real corpora).
+    Plan shape (q-gram prefix blocking, NOT all-pairs): each side
+    explodes its key into its ``q*max_distance + 1`` RAREST distinct
+    positional ``q``-grams (the Ed-Join / Chaudhuri et al. prefix
+    filter: t edits disturb at most q*t grams, so under ANY fixed
+    total order of grams the (q*t+1)-prefixes of two within-t keys'
+    rarity-sorted gram sets must intersect — exact recall), candidates
+    are pairs sharing a prefix gram, and the exact banded
+    ``levenshtein`` filter runs only on candidates. Pairs where either
+    key is shorter than q*(t+1) go through a dedicated "#short" block
+    (distance <= t bounds the length gap by t, so every key of length
+    < q*(t+1) + t joins it — provably covers all remaining pairs).
 
-    Scale: work is sum over grams of (left_count * right_count).
+    r12 plan shape (two shuffles fewer than r11):
+    - MAP-SIDE PREFIX PICK: the gram-frequency table is
+      VOCABULARY-sized (distinct q-grams <= charset^q — ~9k for the
+      default q=2 over ASCII), so it is aggregated once (map-side
+      combined, vocabulary-sized shuffle) and COLLECTED into a driver
+      dict; each side's prefix is then computed row-locally by an
+      Arrow-batched pandas_udf over the (deduplicated) entity rows —
+      no gram-table explode + groupBy shuffle per side (the r11
+      shape). Falls back to the r11 join+groupBy prefix when the
+      vocabulary exceeds 1M grams (driver-dict no longer metadata).
+    - MIN-COMMON-GRAM EMISSION (PPJoin-style): every gram row carries
+      its key's full ordered prefix array; a candidate meeting at
+      gram g survives only when g IS the first element of
+      array_intersect(pre_l, pre_r) — both arrays sorted by the same
+      global (freq, gram) order, so each true pair is verified and
+      emitted EXACTLY ONCE and the result needs NO ``distinct``
+      shuffle over the candidate multiset (the dominant r11 stage).
+      Entity rows are dropDuplicates'd per side first (entity-sized
+      shuffle) so duplicate input rows cannot re-emit a pair — the
+      same collapse the r11 prefix groupBy provided.
+
+    LENGTH BANDING (r11, recall-exact): a pair within t edits differs
+    at most t in length, so candidates additionally key on a length
+    band of width w = 2t+1 — the left key blocks on floor(len/w); the
+    right key replicates to the at-most-2 bands {floor((len-t)/w),
+    floor((len+t)/w)} (2t < w, so the window [len-t, len+t] crosses
+    <=1 band boundary — coverage is provable, not heuristic). A pair
+    meets in exactly ONE band (the left key's own band).
+
     ``max_gram_df`` drops grams appearing in more than that many LEFT
-    keys (stop-gram cap for key distributions with giant shared
-    substrings) — NOTE this trades the completeness guarantee for
-    bounded work: a pair whose only shared grams are all hot is lost.
-    Leave it None (default) when exact recall is required. One shuffle
-    keyed by gram + one distinct — no CartesianProduct in the plan.
+    entity rows before the prefix pick (stop-gram cap) — NOTE this
+    trades the completeness guarantee for bounded work. Leave it None
+    (default) when exact recall is required.
 
-    LENGTH BANDING (r11, recall-exact): a pair within t edits
-    differs at most t in length, so candidates additionally key on
-    a length band of width w = 2t+1 — the left key blocks on
-    floor(len/w); the right key replicates to the at-most-2 bands
-    {floor((len−t)/w), floor((len+t)/w)} (2t < w, so the window
-    [len−t, len+t] crosses ≤1 band boundary, and the monotone floor
-    of any covered left length equals one of the two endpoints's
-    bands — coverage is provable, not heuristic). On mixed-length
-    corpora this splits each hot gram's c_l·c_r block by length for
-    ≤2× replication of the right side.
-
-    ``salt_gram_df`` (r10; r11: symmetric grid + adaptive default)
-    fixes the SKEW without the recall trade: on low-entropy keys
-    (measured at sf1 — every "Supplier#000…" key shares its prefix
-    grams) a hot gram's whole block lands in ONE shuffle partition
-    and a single task computes its ~c_l·c_r candidate pairs alone
-    (observed: >75 min single-core while the host idled). A
-    (gram, band) whose count EXCEEDS the cap on EITHER side (r10
-    detected left-only — a right-hot gram still serialized) is GRID
-    SALTED: each side shards itself by hash(key) mod s_side
+    ``salt_gram_df`` (r10; r11 symmetric grid + adaptive default;
+    r12: only engages on the SHUFFLE join path — when either gram
+    side fits the 64 MB broadcast gate the candidate join is a
+    BroadcastHashJoin over a round-robin-repartitioned stream, which
+    balances per ROW and needs no salting at all) fixes the shuffle
+    candidate-join SKEW without any recall trade: a (gram,
+    band) block whose count exceeds the cap on EITHER side is GRID
+    SALTED — each side shards itself by hash(key) mod s_side
     (s_side = ceil(count_side/cap)) and replicates across the OTHER
-    side's shards; the candidate join keys on (gram, band, shard_l,
-    shard_r), so every pair meets exactly once — the RESULT is
-    bit-identical (candidate set unchanged), each task holds a
-    ≤ cap×cap block, and the replication factor on hot blocks is
-    s_other (the naturally-small side replicates, the big side
-    shards). "auto" (default) derives the cap from the measured
-    (gram, band) pair histogram: cap ≈ sqrt(total_candidate_pairs /
-    (4·parallelism)) clamped to [512, 100_000], so per-task blocks
-    target ~1/(4·par) of the total work at any key entropy — the
-    r10 static 2000 survives as an explicit int. None disables.
-    The collected hot list is metadata-bounded BY CONSTRUCTION
-    (≤ rows/cap entries) and enforced with a raise at 1e6."""
+    side's shards, so every pair meets exactly once at (gram, band,
+    shard_l, shard_r), each task holds a <= cap x cap block, and the
+    result is bit-identical. "auto" (default) derives the cap from
+    the measured (gram, band) pair histogram: cap ~ sqrt(total_pairs
+    / (4*parallelism)) clamped to [512, 100_000]. None disables. The
+    collected hot list is metadata-bounded BY CONSTRUCTION (<=
+    rows/cap entries) and enforced with a raise at 1e6.
+
+    EAGERNESS + CACHE LIFECYCLE (r12, closes the r11 advisory): this
+    function runs small eager jobs at CALL time — the vocabulary
+    aggregation (always), a one-job entity count/avg-key-length
+    stat for the broadcast decision, and the (gram, band) histogram
+    (shuffle path, salting "auto") — before returning the lazy
+    candidate plan. NOTHING
+    data-sized is persisted: the r11 freq/lg/rg persist()s (which
+    accumulated executor cache until GC) are gone — the per-side
+    pipeline is a narrow explode over entity rows and is simply
+    recomputed by the <=2 readers; the only cached object is the
+    driver-side vocabulary dict, released with the call frame."""
     right_on = right_on or left_on
     keep = keep or []
-    min_len = q * (max_distance + 1)
+    t = int(max_distance)
+    min_len = q * (t + 1)
+    p_len = q * t + 1
+    w = 2 * t + 1
 
-    def grams(df, col, side):
+    def base_side(df, col, side):
         key = F.col(col).alias("__key_" + side)
-        base = df.select(key, *[F.col(c).alias(f"{c}_{side}")
-                                for c in keep])
-        klen = F.length("__key_" + side)
-        g = base.where(klen >= min_len).select(
-            "*", F.explode(F.expr(
-                f"transform(sequence(1, length(__key_{side}) - {q - 1}),"
-                f" i -> substring(__key_{side}, i, {q}))")).alias("__g"))
-        # a pair with min(|a|,|b|) < q*(t+1) has BOTH lengths below
-        # q*(t+1)+t (edit distance bounds the length gap by t), so this
-        # single block covers every pair the gram bound can't guarantee.
-        # "#short" cannot collide with real grams: grams have length q.
-        short_side = (base.where(klen < min_len + max_distance)
-                      .withColumn("__g", F.lit("#short")))
-        return g.unionByName(short_side)
+        cols = [key] + [F.col(c).alias(f"{c}_{side}") for c in keep]
+        return df.select(*cols).dropDuplicates()
 
-    lg, rg = grams(left, left_on, "l"), grams(right, right_on, "r")
-    if max_gram_df is not None:
-        hot = (lg.groupBy("__g").count()
-               .where((F.col("count") > max_gram_df)
-                      & (F.col("__g") != "#short"))
-               .select("__g"))
-        lg = lg.join(hot, "__g", "left_anti")
-        rg = rg.join(hot, "__g", "left_anti")
+    lb, rb = base_side(left, left_on, "l"), base_side(right, right_on, "r")
 
-    # PREFIX FILTERING (r10, Ed-Join / Chaudhuri et al. prefix
-    # filter): a pair within t edits shares >= |set(grams)| - q*t
-    # distinct grams (each edit disturbs at most q grams), so under
-    # ANY fixed global gram order, the (q*t + 1)-prefixes of the two
-    # keys' rarity-sorted gram sets must intersect — candidates can
-    # key on PREFIX grams only, with exact recall. Ordering by
-    # ascending global frequency makes those prefix grams the
-    # RAREST ones, which collapses the low-entropy-key blowup: at
-    # sf1 the naive all-gram join built ~1e9 candidates from the 9
-    # universal "Supplier#0…" prefix grams (>75 min single-core
-    # before salting, ~1e9-row distinct after), while the 5 rarest
-    # grams per key block on the discriminative digit tails. The
-    # frequency table is one gram-sized agg over both sides; the
-    # per-key prefix pick is a window over <= |key| rows.
-    p_len = q * max_distance + 1
-    # The gram-frequency table is VOCABULARY-sized (distinct q-grams,
-    # ≤ charset^q — ~9k for the default q=2 over ASCII), nothing like
-    # data-sized: persist it (it feeds BOTH sides' prefix picks — r11
-    # profiling showed the un-persisted freq subtree re-running the
-    # full gram explode 4× inside one call, ~5× total wall) and
-    # broadcast it when small so the prefix pick costs no extra
-    # shuffle of the data-sized gram table.
-    freq = (lg.select("__g").unionByName(rg.select("__g"))
-            .where(F.col("__g") != "#short")
-            .groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
-            .persist())
-    bfreq = F.broadcast(freq) if freq.count() <= 2_000_000 else freq
+    def gram_arr(keycol):
+        return F.expr(
+            f"transform(sequence(1, length({keycol}) - {q - 1}),"
+            f" i -> substring({keycol}, i, {q}))")
 
-    def prefix(g_df, side):
-        key = "__key_" + side
-        ident = [key] + [f"{c}_{side}" for c in keep]
-        # the prefix is per ENTITY ROW (key + keep identity): two
-        # entities sharing a key string must each keep their own
-        # q*t+1 rarest grams. ONE shuffle (the groupBy; map-side
-        # combine applies) — the r10 shape was dropDuplicates + a
-        # row_number window, two shuffles over the full gram table.
-        # array_sort on (freq, gram) structs == the window's
-        # (__f asc, __g asc) order; array_distinct dedups repeated
-        # occurrences of a gram (same (__f, __g) pair).
-        pre = (g_df.where(F.col("__g") != "#short")
-               .join(bfreq, "__g")
-               .groupBy(*ident)
-               .agg(F.slice(F.array_sort(F.array_distinct(
-                   F.collect_list(F.struct("__f", "__g")))),
-                   1, p_len).alias("__pre"))
-               .select(*ident, F.explode("__pre").alias("__p"))
-               .select(*ident, F.col("__p.__g").alias("__g")))
-        return pre.unionByName(
-            g_df.where(F.col("__g") == "#short").select(*ident, "__g"))
+    # vocabulary: distinct-per-key gram counts over both sides' long
+    # keys. Map-side combine makes the shuffle vocabulary-sized; the
+    # agg also carries the LEFT-side count for the max_gram_df cap.
+    def key_grams(b, side):
+        kl = F.length("__key_" + side)
+        return (b.where(kl >= min_len)
+                .select(F.explode(F.array_distinct(
+                    gram_arr("__key_" + side))).alias("__g"),
+                    F.lit(1 if side == "l" else 0).alias("__is_l")))
 
-    lg, rg = prefix(lg, "l"), prefix(rg, "r")
+    freq_df = (key_grams(lb, "l").unionByName(key_grams(rb, "r"))
+               .groupBy("__g")
+               .agg(F.count(F.lit(1)).alias("__f"),
+                    F.sum("__is_l").alias("__fl")))
+    vocab = freq_df.limit(FUZZY_VOCAB_CAP + 1).collect()
 
-    # length banding (r11): w = 2t+1 so [len−t, len+t] crosses at
-    # most one band boundary — the left blocks on its own band, the
-    # right replicates to the ≤2 endpoint bands, recall-exact
-    t, w = int(max_distance), 2 * int(max_distance) + 1
+    if len(vocab) <= FUZZY_VOCAB_CAP:
+        fmap = {r["__g"]: r["__f"] for r in vocab}
+        hot_grams = (frozenset(
+            r["__g"] for r in vocab if r["__fl"] > max_gram_df)
+            if max_gram_df is not None else frozenset())
+        del vocab
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def pick(keys: pd.Series) -> pd.Series:
+            # row-local prefix: distinct grams sorted by the global
+            # (freq asc, gram asc) order, first q*t+1; borderline keys
+            # (len < min_len + t) append the "#short" sentinel LAST so
+            # a real shared prefix gram always wins the min-common
+            # test and the #short meeting is a no-op for them.
+            out = []
+            for k in keys:
+                n = len(k)
+                pre = []
+                if n >= min_len:
+                    gs = {k[i:i + q] for i in range(n - q + 1)}
+                    if hot_grams:
+                        gs -= hot_grams
+                    gs = sorted(gs, key=lambda g: (fmap.get(g, 0), g))
+                    pre = gs[:p_len]
+                if n < min_len + t:
+                    pre.append("#short")
+                out.append(pre)
+            return pd.Series(out)
+
+        def side_grams(b, side):
+            return (b.withColumn("__pre_" + side,
+                                 pick(F.col("__key_" + side)))
+                    .select("*", F.explode("__pre_" + side).alias("__g")))
+
+        lg, rg = side_grams(lb, "l"), side_grams(rb, "r")
+    else:
+        # vocabulary too big for a driver dict: r11 shuffle prefix —
+        # join the exploded gram table with the (broadcastable)
+        # frequency table, groupBy entity, keep the p_len rarest.
+        # localCheckpoint (not persist) truncates the freq lineage so
+        # the two consumers don't recompute it, with block cleanup
+        # tied to object GC rather than an explicit unpersist the
+        # lazy return plan cannot schedule.
+        freq = freq_df.select("__g", "__f").localCheckpoint(eager=True)
+        # byte-based broadcast gate (r11 advisory): ~ (q bytes of gram
+        # + 8B count + row overhead) per entry, broadcast under 256 MB
+        n_vocab = freq.count()
+        bfreq = (F.broadcast(freq)
+                 if n_vocab * (q + 32) <= 256 * 1024 * 1024 else freq)
+        hot = None
+        if max_gram_df is not None:
+            hot = F.broadcast(
+                freq_df.where(F.col("__fl") > max_gram_df).select("__g"))
+
+        def side_grams(b, side):
+            key = "__key_" + side
+            ident = [key] + [f"{c}_{side}" for c in keep]
+            kl = F.length(key)
+            g = (b.where(kl >= min_len)
+                 .select("*", F.explode(F.array_distinct(
+                     gram_arr(key))).alias("__g")))
+            if hot is not None:
+                g = g.join(hot, "__g", "left_anti")
+            pre = (g.join(bfreq, "__g")
+                   .groupBy(*ident)
+                   .agg(F.slice(F.array_sort(F.array_distinct(
+                       F.collect_list(F.struct("__f", "__g")))),
+                       1, p_len).alias("__ps"))
+                   .select(*ident, F.transform(
+                       "__ps", lambda s: s["__g"]).alias("__pre_" + side)))
+            shorts = (b.where(kl < min_len + t)
+                      .join(pre.select(*ident), ident, "left_anti")
+                      .withColumn("__pre_" + side,
+                                  F.array(F.lit("#short"))))
+            border = (pre.join(b.where(kl < min_len + t).select(*ident),
+                               ident, "left_semi")
+                      .withColumn("__pre_" + side, F.concat(
+                          "__pre_" + side, F.array(F.lit("#short")))))
+            full = (pre.join(b.where(kl < min_len + t).select(*ident),
+                             ident, "left_anti")
+                    .unionByName(border).unionByName(shorts))
+            return full.select("*", F.explode("__pre_" + side).alias("__g"))
+
+        lg, rg = side_grams(lb, "l"), side_grams(rb, "r")
+
+    # length banding: left blocks on its own band, right replicates to
+    # the <=2 endpoint bands
     lg = lg.withColumn("__b", F.floor(F.length("__key_l") / w))
     rlen = F.length("__key_r")
     rg = rg.withColumn("__b", F.explode(F.array_distinct(F.array(
         F.floor((rlen - t) / w), F.floor((rlen + t) / w)))))
 
-    hot = []
-    if salt_gram_df is not None:
-        import math
-        spark = left.sparkSession
-        # the salting path reads each prefix table 2-3× (its count
-        # agg, the pairs-total collect, then the candidate join) —
-        # persist them (≈ rows × (q·t+1) short rows, MEMORY_AND_DISK)
-        # instead of re-running the gram explode + prefix shuffle per
-        # read; the no-salt path reads each once and skips this
-        lg, rg = lg.persist(), rg.persist()
-        cl = (lg.groupBy("__g", "__b")
-              .agg(F.count(F.lit(1)).alias("__cl")))
-        cr = (rg.groupBy("__g", "__b")
-              .agg(F.count(F.lit(1)).alias("__cr")))
-        cnt = cl.join(cr, ["__g", "__b"])  # one-sided blocks pair 0
-        if salt_gram_df == "auto":
-            cnt = cnt.persist()
-            row = cnt.agg(
-                F.sum(F.col("__cl") * F.col("__cr")).alias("__p")
-            ).collect()[0]
-            pairs_total = int(row["__p"] or 0)
-            par = max(spark.sparkContext.defaultParallelism, 1)
-            per_task = max(pairs_total / (4 * par), 250_000.0)
-            cap = int(min(max(math.ceil(math.sqrt(per_task)), 512),
-                          100_000))
+    # JOIN STRATEGY (r12 — the AQE blind spot, measured at sf1): the
+    # gram tables are tiny in BYTES (entity rows x ~(q*t+2) short
+    # rows) but the candidate join's OUTPUT is sum-of-block-products
+    # large, and AQE coalesces shuffle partitions by INPUT bytes —
+    # it planned the ~60M-pair sf1 candidate join onto THREE tasks
+    # (83 s executor time, the whole query serialized on one stage).
+    # When either gram side fits a broadcast, the candidate join is
+    # a BroadcastHashJoin against the SMALL side with the STREAMED
+    # side round-robin repartitioned to 4x cores — per-ROW balance
+    # regardless of (gram, band) skew (each streamed row probes the
+    # hash table independently), no salting, no key shuffle at all.
+    # Only above the broadcast cap does the shuffle path engage:
+    # grid salting against block skew + an explicit-N repartition on
+    # the join keys (user-specified N is exempt from AQE coalescing,
+    # so the output-blind 3-task plan cannot recur).
+    spark = left.sparkSession
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    n_part = max(4 * par, int(spark.conf.get(
+        "spark.sql.shuffle.partitions", "200")))
+    stats = {r["__s"]: r for r in
+             (lb.select(F.lit(0).alias("__s"),
+                        F.length("__key_l").alias("__n"))
+              .unionByName(rb.select(F.lit(1).alias("__s"),
+                                     F.length("__key_r").alias("__n")))
+              .groupBy("__s")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("__n").alias("alen"))
+              .collect())}
+    keep_w = 16 * len(keep)
+
+    def est_bytes(side):
+        r = stats[0 if side == "l" else 1]
+        bands = 1 if side == "l" else 2
+        per_row = float(r["alen"] or 0) + q * p_len + keep_w + 48
+        return int(r["n"]) * (p_len + 1) * bands * per_row
+
+    lbytes, rbytes = est_bytes("l"), est_bytes("r")
+
+    if min(lbytes, rbytes) <= FUZZY_BCAST_CAP:
+        if rbytes <= lbytes:
+            cand = (lg.repartition(n_part)
+                    .join(F.broadcast(rg), ["__g", "__b"]).drop("__b"))
         else:
-            cap = int(salt_gram_df)
-        hot = (cnt.where((F.col("__cl") > cap) | (F.col("__cr") > cap))
-               .select("__g", "__b",
-                       F.greatest(F.ceil(F.col("__cl") / cap), F.lit(1))
-                       .cast("int").alias("__sl"),
-                       F.greatest(F.ceil(F.col("__cr") / cap), F.lit(1))
-                       .cast("int").alias("__sr"))
-               .limit(1_000_001)
-               .collect())  # hot (gram, band)s only — ≤ rows/cap
-        if salt_gram_df == "auto":
-            cnt.unpersist()
-        if len(hot) > 1_000_000:
-            raise ValueError(
-                "fuzzy_join: > 1e6 hot (gram, band) blocks at cap "
-                f"{cap} — the salt table would stop being metadata-"
-                "sized; raise salt_gram_df or pre-aggregate keys")
-    if hot:
-        sdf = F.broadcast(left.sparkSession.createDataFrame(
-            [(r["__g"], int(r["__b"]), int(r["__sl"]), int(r["__sr"]))
-             for r in hot],
-            "__g string, __b long, __sl int, __sr int"))
-        # grid salting: each side shards itself, replicates across
-        # the other side's shards; a pair meets exactly once at
-        # (g, b, hash(key_l) mod s_l, hash(key_r) mod s_r)
-        lg = (lg.join(sdf, ["__g", "__b"], "left")
-              .withColumn("__shl", F.when(
-                  F.col("__sl").isNotNull(),
-                  F.pmod(F.hash("__key_l"), F.col("__sl")))
-                  .otherwise(F.lit(0)))
-              .withColumn("__shr", F.explode(F.sequence(
-                  F.lit(0), F.coalesce(F.col("__sr"), F.lit(1)) - 1)))
-              .drop("__sl", "__sr"))
-        rg = (rg.join(sdf, ["__g", "__b"], "left")
-              .withColumn("__shr", F.when(
-                  F.col("__sr").isNotNull(),
-                  F.pmod(F.hash("__key_r"), F.col("__sr")))
-                  .otherwise(F.lit(0)))
-              .withColumn("__shl", F.explode(F.sequence(
-                  F.lit(0), F.coalesce(F.col("__sl"), F.lit(1)) - 1)))
-              .drop("__sl", "__sr"))
-        cand = (lg.join(rg, ["__g", "__b", "__shl", "__shr"])
-                .drop("__g", "__b", "__shl", "__shr"))
+            cand = (rg.repartition(n_part)
+                    .join(F.broadcast(lg), ["__g", "__b"]).drop("__b"))
     else:
-        cand = lg.join(rg, ["__g", "__b"]).drop("__g", "__b")
-    # THRESHOLDED verify BEFORE the distinct (r11 perf, result
-    # bit-identical): levenshtein(l, r, t) runs the banded O(t·n)
-    # DP with early exit (vs the full O(n²) table) and returns -1
-    # past t, so the verify is map-side on the raw join output —
-    # each true pair appears once per shared (prefix gram, band,
-    # shard), a small constant — and the distinct then shuffles
-    # only VERIFIED pairs (~true pairs) instead of the full
-    # candidate multiset. At sf1 (10k low-entropy supplier keys,
-    # ~2.4M true pairs) the distinct input drops by the
-    # candidate:pair ratio; this was the dominant stage at 150 s.
+        hot_blocks = []
+        if salt_gram_df is not None:
+            import math
+            cl = (lg.groupBy("__g", "__b")
+                  .agg(F.count(F.lit(1)).alias("__cl")))
+            cr = (rg.groupBy("__g", "__b")
+                  .agg(F.count(F.lit(1)).alias("__cr")))
+            cnt = cl.join(cr, ["__g", "__b"])  # one-sided blocks pair 0
+            if salt_gram_df == "auto":
+                cnt = cnt.persist()
+                row = cnt.agg(
+                    F.sum(F.col("__cl") * F.col("__cr")).alias("__p")
+                ).collect()[0]
+                pairs_total = int(row["__p"] or 0)
+                per_task = max(pairs_total / (4 * par), 250_000.0)
+                cap = int(min(max(math.ceil(math.sqrt(per_task)), 512),
+                              100_000))
+            else:
+                cap = int(salt_gram_df)
+            hot_blocks = (cnt.where((F.col("__cl") > cap)
+                                    | (F.col("__cr") > cap))
+                          .select("__g", "__b",
+                                  F.greatest(F.ceil(F.col("__cl") / cap),
+                                             F.lit(1))
+                                  .cast("int").alias("__sl"),
+                                  F.greatest(F.ceil(F.col("__cr") / cap),
+                                             F.lit(1))
+                                  .cast("int").alias("__sr"))
+                          .limit(1_000_001)
+                          .collect())  # hot (gram, band)s — <= rows/cap
+            if salt_gram_df == "auto":
+                cnt.unpersist()
+            if len(hot_blocks) > 1_000_000:
+                raise ValueError(
+                    "fuzzy_join: > 1e6 hot (gram, band) blocks at cap "
+                    f"{cap} — the salt table would stop being metadata-"
+                    "sized; raise salt_gram_df or pre-aggregate keys")
+        if hot_blocks:
+            sdf = F.broadcast(spark.createDataFrame(
+                [(r["__g"], int(r["__b"]), int(r["__sl"]), int(r["__sr"]))
+                 for r in hot_blocks],
+                "__g string, __b long, __sl int, __sr int"))
+            # grid salting: each side shards itself, replicates across
+            # the other side's shards; a pair meets exactly once at
+            # (g, b, hash(key_l) mod s_l, hash(key_r) mod s_r)
+            lg = (lg.join(sdf, ["__g", "__b"], "left")
+                  .withColumn("__shl", F.when(
+                      F.col("__sl").isNotNull(),
+                      F.pmod(F.hash("__key_l"), F.col("__sl")))
+                      .otherwise(F.lit(0)))
+                  .withColumn("__shr", F.explode(F.sequence(
+                      F.lit(0), F.coalesce(F.col("__sr"), F.lit(1)) - 1)))
+                  .drop("__sl", "__sr"))
+            rg = (rg.join(sdf, ["__g", "__b"], "left")
+                  .withColumn("__shr", F.when(
+                      F.col("__sr").isNotNull(),
+                      F.pmod(F.hash("__key_r"), F.col("__sr")))
+                      .otherwise(F.lit(0)))
+                  .withColumn("__shl", F.explode(F.sequence(
+                      F.lit(0), F.coalesce(F.col("__sl"), F.lit(1)) - 1)))
+                  .drop("__sl", "__sr"))
+            jk = ["__g", "__b", "__shl", "__shr"]
+            cand = (lg.repartition(n_part, *jk)
+                    .join(rg.repartition(n_part, *jk), jk)
+                    .drop("__b", "__shl", "__shr"))
+        else:
+            jk = ["__g", "__b"]
+            cand = (lg.repartition(n_part, *jk)
+                    .join(rg.repartition(n_part, *jk), jk).drop("__b"))
+    # MIN-COMMON-GRAM emission + thresholded verify: a pair meets once
+    # per shared (prefix gram, band, shard) but only the meeting at
+    # the FIRST common gram of the two (identically ordered) prefix
+    # arrays survives — each true pair runs the banded O(t*n)
+    # levenshtein (early exit past t, returns -1) exactly once and is
+    # emitted exactly once. No distinct over the candidate multiset
+    # (the dominant r11 stage at sf1).
+    out_cols = (["__key_l"] + [f"{c}_l" for c in keep]
+                + ["__key_r"] + [f"{c}_r" for c in keep])
     return (cand
+            .where(F.col("__g") == F.element_at(
+                F.array_intersect("__pre_l", "__pre_r"), 1))
             .withColumn("distance",
-                        F.levenshtein("__key_l", "__key_r",
-                                      int(max_distance)))
+                        F.levenshtein("__key_l", "__key_r", t))
             .where(F.col("distance") >= 0)
-            .distinct()
+            .select(*out_cols, "distance")
             .withColumnRenamed("__key_l", left_on + "_l")
             .withColumnRenamed("__key_r", right_on + "_r"))
 
