@@ -11016,7 +11016,9 @@ img AS (
   FROM aud GROUP BY doc_id
 ), u AS (
   SELECT doc_id AS media_id,
-    CASE WHEN doc_id % 4 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+    CASE WHEN doc_id % 8 = 0 THEN 'ppm'
+         WHEN doc_id % 8 = 2 THEN 'bmp'
+         ELSE 'png' END AS codec,
     f1, f2, f3 FROM imgf
   UNION ALL
   SELECT doc_id, 'wav', f1, f2, f3 FROM audf
@@ -11028,22 +11030,25 @@ SELECT CAST(media_id AS BIGINT) AS media_id, codec,
 FROM u ORDER BY media_id
 """)
 def p_multimodal_decode(spark, sf_dir):
-    """REAL media decode end-to-end (r11 — retires the r08-r10 stub
-    as the only decode path): every even doc_id becomes an 8×6 image
-    with formula pixels rgb[j] = (doc_id·7 + j·13) % 256, encoded as
-    a real PPM (doc_id % 4 == 0) or 24-bit bottom-up BMP (% 4 == 2);
+    """REAL media decode end-to-end (r11; r12 adds PNG): every even
+    doc_id becomes an 8×6 image with formula pixels
+    rgb[j] = (doc_id·7 + j·13) % 256, encoded per doc_id % 8 as a
+    real PPM (0), 24-bit bottom-up BMP (2), 8-bit RGB PNG (4), or
+    RGBA PNG (6 — alpha bytes (doc_id + p) % 256 are carried in the
+    file and DROPPED by the decoder, proving the RGBA layout unwind);
     every odd doc_id a 64-sample PCM16 WAV with samples
-    (doc_id·13 + j·7) % 2003 − 1001 (pipeline/codecs.py encoders).
-    extract_features (pipeline/multimodal.py) then PARSES the bytes
-    back — header walk, BGR/bottom-up/padding unwind, RIFF chunk
-    walk — and emits per-channel means / sample stats as exact-int
-    sums ÷ n. The oracle computes the same statistics CLOSED-FORM
-    from the generating formula, so any decoder byte-slip flips the
-    hash. Features: images f1..f3 = channel means; audio f1 = mean,
-    f2/f3 = min/max."""
+    (doc_id·13 + j·7) % 2003 − 1001 (pipeline/codecs.py encoders;
+    PNG is stdlib zlib + per-scanline unfilter). extract_features
+    (pipeline/multimodal.py) then PARSES the bytes back — header
+    walk, BGR/bottom-up/padding unwind, zlib inflate + unfilter,
+    RIFF chunk walk — and emits per-channel means / sample stats as
+    exact-int sums ÷ n. The oracle computes the same statistics
+    CLOSED-FORM from the generating formula, so any decoder
+    byte-slip flips the hash. Features: images f1..f3 = channel
+    means; audio f1 = mean, f2/f3 = min/max."""
     from zef_spark.functions.rounding import round_sig_safe
-    from zef_spark.pipeline.codecs import (encode_bmp, encode_ppm,
-                                           encode_wav)
+    from zef_spark.pipeline.codecs import (encode_bmp, encode_png,
+                                           encode_ppm, encode_wav)
     from zef_spark.pipeline.multimodal import extract_features
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
@@ -11056,8 +11061,17 @@ def p_multimodal_decode(spark, sf_dir):
                 if i % 2 == 0:
                     rgb = bytes((i * 7 + j * 13) % 256
                                 for j in range(144))
-                    contents.append(encode_ppm(8, 6, rgb) if i % 4 == 0
-                                    else encode_bmp(8, 6, rgb))
+                    m = i % 8
+                    if m == 0:
+                        contents.append(encode_ppm(8, 6, rgb))
+                    elif m == 2:
+                        contents.append(encode_bmp(8, 6, rgb))
+                    elif m == 4:
+                        contents.append(encode_png(8, 6, rgb))
+                    else:
+                        alpha = bytes((i + p) % 256 for p in range(48))
+                        contents.append(encode_png(8, 6, rgb,
+                                                   alpha=alpha))
                     mtypes.append("image")
                 else:
                     s = [(i * 13 + j * 7) % 2003 - 1001

@@ -161,8 +161,151 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     return sr, nch, list(struct.unpack("<%dh" % n, body[:n * 2]))
 
 
+# --------------------------------------------------------------- PNG
+
+
+def encode_png(width: int, height: int, rgb: bytes,
+               alpha: bytes | None = None) -> bytes:
+    """8-bit PNG from row-major RGB bytes (color type 2), or RGBA
+    (color type 6) when ``alpha`` gives one byte per pixel. Filter 0
+    on every scanline, one zlib IDAT — minimal but spec-conformant
+    (PNG spec ISO/IEC 15948; CRCs via zlib.crc32)."""
+    import zlib
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"encode_png: need {width * height * 3} bytes, got {len(rgb)}")
+    if alpha is not None and len(alpha) != width * height:
+        raise ValueError("encode_png: alpha must be one byte per pixel")
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", crc))
+
+    color = 2 if alpha is None else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    raw = bytearray()
+    row_px = width * 3
+    for y in range(height):
+        raw.append(0)  # filter type None
+        if alpha is None:
+            raw += rgb[y * row_px:(y + 1) * row_px]
+        else:
+            for x in range(width):
+                raw += rgb[(y * width + x) * 3:(y * width + x) * 3 + 3]
+                raw.append(alpha[y * width + x])
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9, Filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, row-major RGB bytes) from an 8-bit PNG —
+    pure stdlib (zlib inflate + per-scanline unfilter incl. Paeth).
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA), non-interlaced, multi-IDAT. Grayscale is
+    replicated to RGB; ALPHA IS DROPPED (feature extraction consumes
+    RGB statistics — compositing policy belongs to the caller).
+    Rejects interlace (Adam7), palette (3), and non-8-bit depths
+    explicitly rather than mis-decoding."""
+    import zlib
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("decode_png: not a PNG (bad signature)")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("decode_png: truncated chunk")
+        if ctype == b"IHDR":
+            (width, height, depth, color,
+             comp, filt, interlace) = struct.unpack(">IIBBBBB", payload)
+            if depth != 8:
+                raise ValueError(
+                    f"decode_png: only bit depth 8 (got {depth})")
+            if color not in (0, 2, 4, 6):
+                raise ValueError(
+                    f"decode_png: unsupported color type {color}"
+                    + (" (palette)" if color == 3 else ""))
+            if comp != 0 or filt != 0:
+                raise ValueError("decode_png: nonstandard comp/filter")
+            if interlace != 0:
+                raise ValueError("decode_png: interlaced (Adam7) "
+                                 "PNGs are rejected, not mis-decoded")
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # len + type + payload + crc
+    if width is None:
+        raise ValueError("decode_png: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("decode_png: raster size mismatch")
+    prev = bytearray(stride)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        if ftype == 1:    # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"decode_png: bad filter type {ftype}")
+        base = y * width * 3
+        if color == 2:
+            out[base:base + stride] = line
+        elif color == 6:
+            for x in range(width):
+                out[base + 3 * x:base + 3 * x + 3] = \
+                    line[4 * x:4 * x + 3]
+        elif color == 0:
+            for x in range(width):
+                g = line[x]
+                out[base + 3 * x:base + 3 * x + 3] = bytes((g, g, g))
+        else:  # 4: gray + alpha
+            for x in range(width):
+                g = line[2 * x]
+                out[base + 3 * x:base + 3 * x + 3] = bytes((g, g, g))
+        prev = line
+    return width, height, bytes(out)
+
+
 def sniff_codec(data: bytes) -> str | None:
-    """'ppm' | 'bmp' | 'wav' from magic bytes, None if unrecognized."""
+    """'ppm' | 'bmp' | 'wav' | 'png' from magic bytes, None if
+    unrecognized."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if data[:2] == b"P6":
         return "ppm"
     if data[:2] == b"BM":

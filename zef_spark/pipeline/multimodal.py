@@ -3,14 +3,16 @@ with typed metadata structs, processed via Arrow-batched
 ``mapInPandas`` — the only sane shape at 100 TB (bytes never leave the
 executor; Python sees Arrow record batches, not rows).
 
-r11: decode is REAL for the container-supportable formats — PPM (P6),
-BMP (24-bit) and WAV (PCM16) parse to actual pixels/samples via the
-dependency-free ``pipeline.codecs`` module, and features are genuine
-content statistics (per-channel means, extrema, RMS, zero-crossing
-rate) computed on numpy views of the decoded bytes. Compressed codecs
-(png/jpeg/opus/h264 — no imaging/AV libs in this environment) still
-fall back to the deterministic digest STUB, clearly marked in the
-output's ``codec`` field as 'stub'. Swap `_decode_stub` for
+r11/r12: decode is REAL for the container-supportable formats — PPM
+(P6), BMP (24-bit), WAV (PCM16) and, since r12, PNG (8-bit
+gray/RGB/gray+alpha/RGBA, stdlib zlib inflate + per-scanline
+unfilter incl. Paeth; interlace/palette rejected) parse to actual
+pixels/samples via the dependency-free ``pipeline.codecs`` module,
+and features are genuine content statistics (per-channel means,
+extrema, RMS, zero-crossing rate) computed on numpy views of the
+decoded bytes. Codecs with no stdlib decompressor (jpeg/opus/h264)
+still fall back to the deterministic digest STUB, clearly marked in
+the output's ``codec`` field as 'stub'. Swap `_decode_stub` for
 PIL/ffmpeg/librosa to productionize those.
 """
 
@@ -24,7 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from .codecs import decode_bmp, decode_ppm, decode_wav, sniff_codec
+from .codecs import (decode_bmp, decode_png, decode_ppm, decode_wav,
+                     sniff_codec)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -95,6 +98,8 @@ def decode_media(content: bytes, media_type: str,
     """(codec, features) — real decode for PPM/BMP/WAV via magic-byte
     sniffing; anything else routes to the digest stub ('stub')."""
     codec = sniff_codec(content)
+    if codec == "png":
+        return codec, _image_features(*decode_png(content), dim)
     if codec == "ppm":
         return codec, _image_features(*decode_ppm(content), dim)
     if codec == "bmp":
