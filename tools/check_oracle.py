@@ -30,8 +30,19 @@ def duck_run(sf_dir: str, sql: str):
     # RAM: an sf5 shingle/banded replay next to the live Spark JVM
     # OOM-killed the r11 sweep mid-run. With a cap + temp dir DuckDB
     # SPILLS the big sorts/joins and finishes slow instead of dying.
+    # default memory cap: min(48GB, 50% of detected host RAM) — a
+    # fixed 48GB only bounds DuckDB on hosts with MORE than that
+    # (the r11 advisory); CHECK_DUCK_MEM still overrides.
+    def _default_mem():
+        try:
+            with open("/proc/meminfo") as fh:
+                kb = int(next(ln for ln in fh
+                              if ln.startswith("MemTotal")).split()[1])
+            return f"{min(48, max(1, kb // 2048 // 1024))}GB"
+        except (OSError, StopIteration, ValueError):
+            return "48GB"
     con.execute(f"SET memory_limit='"
-                f"{_os.environ.get('CHECK_DUCK_MEM', '48GB')}'")
+                f"{_os.environ.get('CHECK_DUCK_MEM', _default_mem())}'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"

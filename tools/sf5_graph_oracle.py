@@ -15,13 +15,15 @@ Usage: python tools/sf5_graph_oracle.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 import pyarrow.dataset as ds
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 MASS = 10 ** 12
 DEN, NUM = 1000, 850          # damping 0.85 as an exact thousandth

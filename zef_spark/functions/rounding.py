@@ -75,7 +75,18 @@ def round_grid(c, k: int = 6) -> Column:
     """Public fixed-scale floor-grid release: `_grid` plus the -0.0
     normalization. For columns whose magnitude is KNOWN bounded
     (ratios, probabilities, means of bounded values) this is the
-    whole release — one small expression, codegen-friendly. Use
+    whole release — one small expression, codegen-friendly.
+
+    TIE CONVENTION (differs from native ROUND): floor(x·10^k + 0.5)
+    rounds ties toward +inf for NEGATIVE values too (-0.5 → 0, where
+    Spark/DuckDB native ROUND give -1 half-away-from-zero), and a
+    double a hair below a .5 boundary can round UP when the +0.5 sum
+    itself rounds (0.49999999999999994 + 0.5 == 1.0 in IEEE). Both
+    effects are at most one grid ulp and are IDENTICAL across
+    engines — that cross-engine bit-equality is the whole point —
+    but callers releasing signed statistics (kendall tau, deltas,
+    effect sizes) should know released values may differ from a
+    native-ROUND pipeline by one grid step at exact ties. Use
     `round_sig_safe` instead when the magnitude is data-dependent
     (its 17 per-scale arms weigh ~5× more per column; five of them
     in one projection blew the JVM 64KB codegen method limit in
@@ -96,7 +107,11 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
     digits. NULL in, NULL out; 0.0 rounds to 0.0. Rounds on the
     engine-portable floor grid (see _grid) so Spark and the DuckDB
     `sql_round_sig_safe` mirror agree bit-for-bit at every input,
-    including exact .5 grid boundaries."""
+    including exact .5 grid boundaries. Tie convention: half-up
+    toward +inf for negatives too, and a double just below a .5
+    boundary can round up when the +0.5 sum rounds — one grid ulp
+    from native ROUND at exact ties, identical across engines (see
+    `round_grid`)."""
     c = F.col(c) if isinstance(c, str) else c
     c = c.cast("double")
     a = F.abs(c)
