@@ -43,7 +43,14 @@ def duck_run(sf_dir: str, sql: str):
             return "48GB"
     con.execute(f"SET memory_limit='"
                 f"{_os.environ.get('CHECK_DUCK_MEM', _default_mem())}'")
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    # Spill dir is configurable (CHECK_DUCK_TMP) so big-sf sweeps can
+    # point it at the roomiest volume — the r11 sf5 top-30 run lost 3
+    # rows to ENOSPC on /tmp, and a killed replay once orphaned 58 GB
+    # of temp files there. The connection is closed in a finally so a
+    # completed replay always releases its spill immediately.
+    spill = _os.environ.get("CHECK_DUCK_TMP", "/tmp/duck_spill")
+    _os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         # Spark writes a table as a DIRECTORY of part files (the
@@ -52,7 +59,10 @@ def duck_run(sf_dir: str, sql: str):
         if _os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    return con.execute(sql).fetchdf()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
 
 
 # r07 verdict order #3: the driver hashes RAW float renderings, so the
@@ -330,6 +340,8 @@ def main():
             print(f"  {name:40s} SKIP (CHECK_EXCLUDE)")
             continue
         checked += 1
+        import time as _time
+        t0 = _time.monotonic()
         if name not in oracles:
             try:
                 n = fn(spark, sf_dir).count()
@@ -346,7 +358,10 @@ def main():
             ok, msg = check(name, fn, oracles[name], spark, sf_dir)
         except Exception as e:
             ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
-        print(f"  {name:40s} {'PASS' if ok else 'FAIL'} {msg}")
+        # wall = Spark eval + DuckDB replay + compare, for cost-
+        # ordering future big-sf sweeps and spotting replay heavies
+        print(f"  {name:40s} {'PASS' if ok else 'FAIL'} {msg}"
+              f"  [{_time.monotonic() - t0:.1f}s]", flush=True)
         if not ok:
             failed.append(name)
     cg = codegen_fallbacks(log_path)
