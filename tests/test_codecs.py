@@ -208,3 +208,186 @@ def test_png_error_paths():
             + struct.pack(">I", zlib.crc32(b"IHDR" + pal) & 0xFFFFFFFF))
     with pytest.raises(ValueError, match="palette"):
         decode_png(badp)
+
+
+# ------------------------------------------------------------- JPEG
+
+
+def _flat_expected_gray(v: int, quality: int) -> int:
+    """Independent closed-form replay of the flat-block DC chain
+    (the contract the SQL oracle uses)."""
+    import math
+
+    from zef_spark.pipeline.codecs import jpeg_quant_tables
+    ql, _ = jpeg_quant_tables(quality)
+    dq = math.floor(8.0 * (v - 128) / ql[0] + 0.5)
+    return min(255, max(0, math.floor((dq * ql[0]) / 8.0
+                                      + 128.0 + 0.5)))
+
+
+def _flat_expected_rgb(r, g, b, quality):
+    import math
+
+    from zef_spark.pipeline.codecs import jpeg_quant_tables
+    ql, qc = jpeg_quant_tables(quality)
+    y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = math.floor(128.0 - 0.168736 * r - 0.331264 * g
+                    + 0.5 * b + 0.5)
+    cr = math.floor(128.0 + 0.5 * r - 0.418688 * g
+                    - 0.081312 * b + 0.5)
+    y, cb, cr = (min(255, max(0, c)) for c in (y, cb, cr))
+    yD = (math.floor(8.0 * (y - 128) / ql[0] + 0.5) * ql[0]) / 8.0 \
+        + 128.0
+    cbD = (math.floor(8.0 * (cb - 128) / qc[0] + 0.5) * qc[0]) / 8.0 \
+        + 128.0
+    crD = (math.floor(8.0 * (cr - 128) / qc[0] + 0.5) * qc[0]) / 8.0 \
+        + 128.0
+    R = math.floor(yD + 1.402 * (crD - 128.0) + 0.5)
+    G = math.floor(yD - 0.344136 * (cbD - 128.0)
+                   - 0.714136 * (crD - 128.0) + 0.5)
+    B = math.floor(yD + 1.772 * (cbD - 128.0) + 0.5)
+    return tuple(min(255, max(0, int(c))) for c in (R, G, B))
+
+
+@given(st.integers(0, 255), st.sampled_from([10, 30, 50, 75, 95]))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_flat_gray_closed_form(v, quality):
+    """Uniform gray decodes to EXACTLY the closed-form DC chain at
+    any quality — the property the p_jpeg_decode oracle relies on."""
+    import numpy as np
+
+    from zef_spark.pipeline.codecs import decode_jpeg, encode_jpeg
+    data = encode_jpeg(16, 16, bytes([v]) * 256, quality=quality,
+                       gray=True)
+    w, h, rgb = decode_jpeg(data)
+    assert (w, h) == (16, 16)
+    got = set(rgb)
+    assert got == {_flat_expected_gray(v, quality)}
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+       st.sampled_from(["4:4:4", "4:2:0"]),
+       st.sampled_from([25, 40, 75, 90]))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_flat_color_closed_form(r, g, b, sub, quality):
+    import numpy as np
+
+    from zef_spark.pipeline.codecs import decode_jpeg, encode_jpeg
+    data = encode_jpeg(16, 16, bytes([r, g, b]) * 256,
+                       quality=quality, subsampling=sub)
+    _, _, rgb = decode_jpeg(data)
+    px = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3)
+    exp = _flat_expected_rgb(r, g, b, quality)
+    for c in range(3):
+        assert set(px[..., c].reshape(-1).tolist()) == {exp[c]}, \
+            (r, g, b, sub, quality, c)
+
+
+def test_jpeg_roundtrip_bounds():
+    """General content: lossy but bounded at high quality, and both
+    subsampling modes invert their own layout (dims + close values)."""
+    import numpy as np
+
+    from zef_spark.pipeline.codecs import decode_jpeg, encode_jpeg
+    # smooth (wrap-free) gradients: sharp wrap edges would add
+    # legitimate Gibbs ringing and turn the bound into a flaky guess
+    rng = [(x * 7, y * 6, x * 3 + y * 4)
+           for y in range(32) for x in range(32)]
+    raw = bytes(v for p in rng for v in p)
+    a = np.frombuffer(raw, np.uint8).astype(int).reshape(32, 32, 3)
+    w, h, rgb = decode_jpeg(encode_jpeg(32, 32, raw, quality=90))
+    out = np.frombuffer(rgb, np.uint8).astype(int).reshape(32, 32, 3)
+    assert (w, h) == (32, 32)
+    assert np.abs(a - out).max() <= 8
+    assert np.abs(a - out).mean() < 2.0
+    # 4:2:0 on 2x2-constant chroma: subsampling is information-
+    # lossless there, so only DCT error remains
+    blocky = np.zeros((16, 16, 3), np.uint8)
+    for y in range(16):
+        for x in range(16):
+            blocky[y, x] = ((x // 2) * 16, (y // 2) * 16,
+                            ((x // 2) + (y // 2)) * 8)
+    w, h, rgb = decode_jpeg(encode_jpeg(
+        16, 16, blocky.tobytes(), quality=95, subsampling="4:2:0"))
+    out = np.frombuffer(rgb, np.uint8).astype(int).reshape(16, 16, 3)
+    assert np.abs(blocky.astype(int) - out).max() <= 6
+    # odd (non-multiple-of-MCU) dimensions survive
+    odd = bytes((i * 37) % 256 for i in range(13 * 9 * 3))
+    w, h, rgb = decode_jpeg(encode_jpeg(13, 9, odd, quality=75,
+                                        subsampling="4:2:0"))
+    assert (w, h, len(rgb)) == (13, 9, 13 * 9 * 3)
+
+
+def test_jpeg_idct_matches_independent_cosine_sum():
+    """The decoder's matrix IDCT against a from-the-spec direct
+    cosine double sum (T.81 A.3.3) — independent implementation of
+    the same transform, elementwise within float tolerance."""
+    import math
+
+    import numpy as np
+
+    from zef_spark.pipeline.codecs import _dct_matrix
+    rng = np.random.RandomState(7)
+    coef = rng.randint(-200, 200, size=(8, 8)).astype(np.float64)
+    A = _dct_matrix()
+    fast = A.T @ coef @ A
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    slow = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (c(u) * c(v) * coef[u, v]
+                          * math.cos((2 * x + 1) * u * math.pi / 16)
+                          * math.cos((2 * y + 1) * v * math.pi / 16))
+            slow[x, y] = s / 4.0
+    assert np.abs(fast - slow).max() < 1e-9
+
+
+def test_jpeg_error_paths_and_sniff():
+    import struct as _struct
+
+    from zef_spark.pipeline.codecs import (decode_jpeg, encode_jpeg,
+                                           sniff_codec)
+    good = encode_jpeg(8, 8, bytes(192), quality=75)
+    assert sniff_codec(good) == "jpeg"
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" + good)
+    # progressive (SOF2) explicitly rejected, not mis-decoded
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # truncated entropy segment
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:len(good) - 12])
+    # DRI with nonzero restart interval rejected
+    dri = (good[:2] + b"\xff\xdd" + _struct.pack(">HH", 4, 8)
+           + good[2:])
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(dri)
+
+
+def test_jpeg_feature_extraction_routing(spark):
+    """extract_features reports codec='jpeg' and the channel means of
+    the DECODED pixels (flat fixture -> closed-form expectation)."""
+    import pandas as pd
+
+    from zef_spark.pipeline.codecs import encode_jpeg
+    from zef_spark.pipeline.multimodal import extract_features
+    exp = _flat_expected_rgb(40, 90, 200, 75)
+    pdf = pd.DataFrame({
+        "media_id": [1],
+        "media_type": ["image"],
+        "content": [encode_jpeg(16, 16, bytes([40, 90, 200]) * 256,
+                                quality=75, subsampling="4:2:0")],
+    })
+    df = spark.createDataFrame(pdf)
+    row = extract_features(df, dim=9).collect()[0]
+    assert row["codec"] == "jpeg"
+    assert row["feature"][3:6] == [float(c) for c in exp]

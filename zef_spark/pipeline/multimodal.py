@@ -10,10 +10,13 @@ unfilter incl. Paeth; interlace/palette rejected) parse to actual
 pixels/samples via the dependency-free ``pipeline.codecs`` module,
 and features are genuine content statistics (per-channel means,
 extrema, RMS, zero-crossing rate) computed on numpy views of the
-decoded bytes. Codecs with no stdlib decompressor (jpeg/opus/h264)
-still fall back to the deterministic digest STUB, clearly marked in
-the output's ``codec`` field as 'stub'. Swap `_decode_stub` for
-PIL/ffmpeg/librosa to productionize those.
+decoded bytes. r12 adds baseline JPEG (JFIF/SOF0, standard huffman +
+quant tables, 4:4:4 and 4:2:0, gray or YCbCr — numpy IDCT, stdlib
+everything else), so the only remaining stub formats are the ones
+with no feasible dependency-free decoder in this container
+(opus/h264): those still fall back to the deterministic digest STUB,
+clearly marked in the output's ``codec`` field as 'stub'. Swap
+`_decode_stub` for ffmpeg/librosa to productionize those.
 """
 
 from __future__ import annotations
@@ -26,8 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from .codecs import (decode_bmp, decode_png, decode_ppm, decode_wav,
-                     sniff_codec)
+from .codecs import (decode_bmp, decode_jpeg, decode_png, decode_ppm,
+                     decode_wav, sniff_codec)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -95,9 +98,12 @@ def _audio_features(sr: int, nch: int, samples: list[int],
 
 def decode_media(content: bytes, media_type: str,
                  dim: int) -> tuple[str, list[float]]:
-    """(codec, features) — real decode for PPM/BMP/WAV via magic-byte
-    sniffing; anything else routes to the digest stub ('stub')."""
+    """(codec, features) — real decode for PPM/BMP/WAV/PNG/JPEG via
+    magic-byte sniffing; anything else routes to the digest stub
+    ('stub')."""
     codec = sniff_codec(content)
+    if codec == "jpeg":
+        return codec, _image_features(*decode_jpeg(content), dim)
     if codec == "png":
         return codec, _image_features(*decode_png(content), dim)
     if codec == "ppm":
