@@ -11097,6 +11097,111 @@ def p_multimodal_decode(spark, sf_dir):
         .orderBy("media_id"))
 
 
+@query("p_jpeg_decode", """
+WITH ids AS (SELECT doc_id FROM documents),
+base AS (
+  SELECT doc_id,
+    (doc_id*7)%256 AS r, (doc_id*13)%256 AS g, (doc_id*29)%256 AS b,
+    (doc_id*31)%256 AS v
+  FROM ids),
+gray AS (
+  SELECT doc_id, 'gray_q30' AS variant,
+    CAST(LEAST(255, GREATEST(0, FLOOR(
+      (FLOOR(8.0*(v-128)/27 + 0.5)*27)/8.0 + 128.0 + 0.5)))
+      AS DOUBLE) AS p
+  FROM base WHERE doc_id % 4 = 0),
+color AS (
+  SELECT doc_id,
+    CASE WHEN doc_id%2=1 THEN 'c444q40' ELSE 'c420q75' END AS variant,
+    CASE WHEN doc_id%2=1 THEN 20 ELSE 8 END AS qy,
+    CASE WHEN doc_id%2=1 THEN 21 ELSE 9 END AS qc,
+    LEAST(255, GREATEST(0,
+      FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+    LEAST(255, GREATEST(0,
+      FLOOR(128.0 - 0.168736*r - 0.331264*g + 0.5*b + 0.5))) AS cb,
+    LEAST(255, GREATEST(0,
+      FLOOR(128.0 + 0.5*r - 0.418688*g - 0.081312*b + 0.5))) AS cr
+  FROM base WHERE doc_id % 2 = 1 OR doc_id % 4 = 2),
+dec AS (
+  SELECT doc_id, variant,
+    (FLOOR(8.0*(y-128)/qy + 0.5)*qy)/8.0 + 128.0 AS yd,
+    (FLOOR(8.0*(cb-128)/qc + 0.5)*qc)/8.0 + 128.0 AS cbd,
+    (FLOOR(8.0*(cr-128)/qc + 0.5)*qc)/8.0 + 128.0 AS crd
+  FROM color),
+px AS (
+  SELECT doc_id, variant,
+    CAST(LEAST(255, GREATEST(0,
+      FLOOR(yd + 1.402*(crd - 128.0) + 0.5))) AS DOUBLE) AS f1,
+    CAST(LEAST(255, GREATEST(0,
+      FLOOR(yd - 0.344136*(cbd - 128.0) - 0.714136*(crd - 128.0)
+            + 0.5))) AS DOUBLE) AS f2,
+    CAST(LEAST(255, GREATEST(0,
+      FLOOR(yd + 1.772*(cbd - 128.0) + 0.5))) AS DOUBLE) AS f3
+  FROM dec)
+SELECT CAST(doc_id AS BIGINT) AS media_id, variant, f1, f2, f3
+FROM px
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), variant, p, p, p FROM gray
+ORDER BY media_id
+""")
+def p_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end (r12): every doc_id
+    becomes a flat-color 16×16 JPEG — doc_id%4==0 grayscale at
+    quality 30 (luma q00=27 exercises the 5000//q scaling branch),
+    doc_id%4==2 YCbCr 4:2:0 at quality 75 (q00 8/9), odd doc_ids
+    YCbCr 4:4:4 at quality 40 (q00 20/21) — then extract_features
+    huffman-decodes the scan, dequantizes, IDCTs and color-converts
+    the actual bitstream back to pixels (pipeline/codecs.py
+    encode_jpeg/decode_jpeg). Flat blocks ride the codec's exact DC
+    path (integer YCbCr + floor-grid quantizer in oracle-replicable
+    operation order — codecs.py module comment), so the oracle
+    replays the ENTIRE lossy chain closed-form from the generating
+    formula: integer color convert → DC quantize floor(8s/q + 0.5)
+    → dequantize/8 → YCbCr→RGB → floor(x+0.5) clamp. Any bitstream,
+    huffman-table, zigzag, dequantize or color-convert slip flips
+    the value hash. Features f1..f3 = decoded channel means (exact:
+    uniform image ⇒ mean = the pixel value)."""
+    from zef_spark.pipeline.codecs import encode_jpeg
+    from zef_spark.pipeline.multimodal import extract_features
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+        for pdf in batches:
+            contents = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rgb = bytes([(i * 7) % 256, (i * 13) % 256,
+                             (i * 29) % 256]) * 256
+                if i % 2 == 1:
+                    contents.append(encode_jpeg(
+                        16, 16, rgb, quality=40, subsampling="4:4:4"))
+                elif i % 4 == 0:
+                    contents.append(encode_jpeg(
+                        16, 16, bytes([(i * 31) % 256]) * 256,
+                        quality=30, gray=True))
+                else:
+                    contents.append(encode_jpeg(
+                        16, 16, rgb, quality=75, subsampling="4:2:0"))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "media_type": "image",
+                                "content": contents})
+
+    media = d.mapInPandas(
+        build, "media_id long, media_type string, content binary")
+    feats = extract_features(media, dim=9)
+    f = F.col("feature")
+    variant = (F.when(F.col("media_id") % 2 == 1, "c444q40")
+               .when(F.col("media_id") % 4 == 0, "gray_q30")
+               .otherwise("c420q75"))
+    return (feats.select(
+        "media_id", variant.alias("variant"),
+        F.element_at(f, 4).alias("f1"),
+        F.element_at(f, 5).alias("f2"),
+        F.element_at(f, 6).alias("f3"))
+        .orderBy("media_id"))
+
+
 # =====================================================================
 # driver entry points
 # =====================================================================
