@@ -2,7 +2,7 @@
 # a per-round GATE, not an on-demand heroic — it caught six defect
 # classes in r10 that sf0.01 sweeps could not see).
 
-ROUND ?= r11
+ROUND ?= r12
 SF1 := /root/repo/.scale/sf1
 SF5 := /root/repo/.scale/sf5
 
@@ -42,6 +42,27 @@ sf5-sweep:
 	python tools/check_oracle.py $(SF5) \
 	  $$(grep -v '^#' tools/sf5_top30.txt) 2>&1 \
 	  | tee SCALE_SF5_SWEEP_$(ROUND).log
+
+# r11 verdict order #1: the WIDENED sf5 gate — the full registry in
+# ascending-cost order (tools/sf5_sweep_order_r12.txt), minus the six
+# rows with dedicated proofs: fuzzy/minhash/dedup/leakage run via the
+# stratified oracle (sf5-stratified), the two pageranks via the exact
+# numpy replay (sf5-graph). Spill lives on the repo volume
+# (CHECK_DUCK_TMP) — the r11 ENOSPC class.
+sf5-full:
+	CHECK_DUCK_TMP=$(PWD)/.scale/duck_spill \
+	  python tools/check_oracle.py $(SF5) \
+	  $$(grep -v '^#' tools/sf5_sweep_order_r12.txt) 2>&1 \
+	  | tee SCALE_SF5_SWEEP_$(ROUND).log
+
+# r11 verdict order #2: stratified sf5 proofs for the oracle-
+# intractable rows (80 strata keep each DuckDB replay at the ~5 GB
+# footprint the sf1/16-strata recipe proved out)
+sf5-stratified:
+	CHECK_DUCK_TMP=$(PWD)/.scale/duck_spill \
+	  python tools/sf1_stratified_oracle.py $(SF5) \
+	  --strata 80 --pick 0,37,61 2>&1 \
+	  | tee -a SCALE_SF5_SWEEP_$(ROUND).log
 
 # the two pagerank rows whose unrolled DuckDB replay is disk-
 # intractable at sf5: exact numpy replay of the int64 picorank

@@ -391,3 +391,38 @@ def test_jpeg_feature_extraction_routing(spark):
     row = extract_features(df, dim=9).collect()[0]
     assert row["codec"] == "jpeg"
     assert row["feature"][3:6] == [float(c) for c in exp]
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 10**6),
+       st.sampled_from(["4:4:4", "4:2:0"]), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_shape_and_determinism(w, h, seed, sub, gray):
+    """Arbitrary content/dims: encode→decode preserves dimensions,
+    output is pure-function deterministic, and values stay in-range.
+    (Value closeness is content-dependent for a lossy codec — the
+    bounded checks live in test_jpeg_roundtrip_bounds.)"""
+    from zef_spark.pipeline.codecs import decode_jpeg, encode_jpeg
+    nch = 1 if gray else 3
+    n = w * h * nch
+    raw = bytes((seed * 2654435761 + i * 97) % 256 for i in range(n))
+    data = encode_jpeg(w, h, raw, quality=80, gray=gray,
+                       subsampling=sub)
+    out1 = decode_jpeg(data)
+    out2 = decode_jpeg(data)
+    assert out1 == out2
+    assert (out1[0], out1[1], len(out1[2])) == (w, h, w * h * 3)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decoder_rejects_garbage(blob):
+    """Arbitrary bytes after an SOI marker must raise ValueError (or
+    a clean struct error) — never hang, loop, or mis-decode."""
+    from zef_spark.pipeline.codecs import decode_jpeg
+    try:
+        decode_jpeg(b"\xff\xd8" + blob)
+    except (ValueError, IndexError) as _:
+        pass
+    except Exception as e:  # struct.error subclasses included
+        import struct as _s
+        assert isinstance(e, _s.error), type(e)
