@@ -321,7 +321,7 @@ def main():
     import __spark_entry__ as entry
     from zef_spark import get_spark
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = list(dict.fromkeys(sys.argv[2:]))  # order-preserving
     log_path = _install_stderr_tee(
         os.environ.get("CHECK_STDERR_LOG", "/tmp/check_oracle_stderr.log"))
     spark = get_spark()
@@ -333,8 +333,16 @@ def main():
     excl = {n for n in os.environ.get("CHECK_EXCLUDE", "").split(",")
             if n}
     failed, checked = [], 0
-    for name, fn in qs.items():
-        if only and name not in only:
+    # honor the COMMAND-LINE order when a subset is given — big-sf
+    # sweeps pass a cost-ascending list so cheap strict rows bank
+    # first (the r12 first cut iterated registry order and burned an
+    # hour on 5M-row replays before the 1-row stats ever ran)
+    names = only if only else list(qs)
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"  {name:40s} FAIL UNKNOWN query name")
+            failed.append(name)
             continue
         if name in excl:
             print(f"  {name:40s} SKIP (CHECK_EXCLUDE)")
