@@ -104,8 +104,14 @@ def q1(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
 
     def lsum(c, scale):
+        # r12: floor(x+0.5) instead of F.round(x, 0) — Spark's Round
+        # on a double goes through BigDecimal.valueOf (a per-row
+        # string round-trip); on the PROVEN money grid above (x·scale
+        # within 1e-9 of an integer, all values >= 0) floor(x+0.5)
+        # returns the identical integer from pure double arithmetic.
+        # The oracle SQL keeps ROUND — values are provably equal.
         x = c if scale == 1 else c * scale
-        return F.sum(F.round(x, 0).cast("long"))
+        return F.sum(F.floor(x + F.lit(0.5)))
 
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -208,9 +214,12 @@ def q5(spark, sf_dir):
             # exact money grid, verified in q1) and releasing with
             # (s + 50) div 100 resolves the tie in INTEGER space,
             # identically on both engines, at any scale.
+            # r12: floor(x+0.5) for round(x, 0) — same integer on the
+            # proven nonnegative money grid (see q1 lsum), without
+            # Round's per-row BigDecimal round-trip.
             .agg(((F.expr(
-                "(sum(cast(round(l_extendedprice * "
-                "(1 - l_discount) * 10000, 0) as long)) + 50) "
+                "(sum(floor(l_extendedprice * "
+                "(1 - l_discount) * 10000 + 0.5d)) + 50) "
                 "div 100")).cast("double") / 100)
                 .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "n_name"))
@@ -949,8 +958,13 @@ FROM s ORDER BY doc_id
    .replace("{rss_mwl}", sql_round_grid("mwl"))
    .replace("{rss_qual}", sql_round_grid("qual")))
 def p_text_quality(spark, sf_dir):
+    from zef_spark.pipeline.distkit import spread_scan
     from zef_spark.pipeline.text import quality_score
-    docs = _t(spark, sf_dir, "documents")
+    # r12: the fixture parquet is one row group → one scan task; the
+    # per-row regexp features are the cost, so spread them across the
+    # cores (guide §2.5; no-op when the scan is already parallel).
+    # Safe: outputs are per-row, released on the deterministic grid.
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     return (quality_score(docs, "text")
             .select("doc_id", "n_tokens", "stopword_ratio", "punct_ratio",
                     "alpha_ratio", "mean_word_len", "quality")
@@ -2370,9 +2384,12 @@ def q7(spark, sf_dir):
             # half-up vs DuckDB binary half-away). int64 sums at
             # x10^4 + (s + 50) div 100 resolve the tie in integer
             # space, identically at any scale.
+            # r12: floor(x+0.5) for round(x, 0) — same integer on the
+            # proven nonnegative money grid (see q1 lsum), without
+            # Round's per-row BigDecimal round-trip.
             .agg(((F.expr(
-                "(sum(cast(round(l_extendedprice * "
-                "(1 - l_discount) * 10000, 0) as long)) + 50) "
+                "(sum(floor(l_extendedprice * "
+                "(1 - l_discount) * 10000 + 0.5d)) + 50) "
                 "div 100")).cast("double") / 100)
                 .alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
@@ -11049,8 +11066,12 @@ def p_multimodal_decode(spark, sf_dir):
     from zef_spark.functions.rounding import round_sig_safe
     from zef_spark.pipeline.codecs import (encode_bmp, encode_png,
                                            encode_ppm, encode_wav)
+    from zef_spark.pipeline.distkit import spread_scan
     from zef_spark.pipeline.multimodal import extract_features
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # r12: spread the single-row-group scan so the encode/decode
+    # Python kernels run on every core, not one task (guide §2.5;
+    # per-row outputs, ordered release — partitioning-invariant).
+    d = spread_scan(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def build(batches):
         import pandas as pd
@@ -11162,8 +11183,11 @@ def p_jpeg_decode(spark, sf_dir):
     the value hash. Features f1..f3 = decoded channel means (exact:
     uniform image ⇒ mean = the pixel value)."""
     from zef_spark.pipeline.codecs import encode_jpeg
+    from zef_spark.pipeline.distkit import spread_scan
     from zef_spark.pipeline.multimodal import extract_features
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # r12: spread the single-row-group scan across cores for the
+    # JPEG encode/decode kernels (guide §2.5; per-row outputs).
+    d = spread_scan(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def build(batches):
         import pandas as pd

@@ -46,6 +46,14 @@ def keyless_window_specs(plan_text: str) -> list[str]:
         args.append("".join(buf).strip())
         pre_frame = [a for a in args
                      if not a.startswith("specifiedwindowframe")]
+        # Structural exemption (r12): the prefix engine's offset
+        # window orders ONLY by `__rid` — spark_partition_id() of an
+        # n_ranges-way repartitionByRange — so its input is bounded
+        # at n_ranges rows by construction (distkit.range_offsets).
+        # A keyless window over that frame is metadata-sized, not
+        # the r09 trap. Any other keyless window still flags.
+        if pre_frame and all(a.startswith("__rid#") for a in pre_frame):
+            continue
         if pre_frame and all((" ASC" in a or " DESC" in a)
                              for a in pre_frame):
             out.append("windowspecdefinition(" + body[:120])

@@ -120,22 +120,17 @@ def ranksum_agg(df: DataFrame, value_col: str, in_a,
           .groupBy(x.alias("__v"))
           .agg(F.sum(in_a.cast("long")).alias("__ca"),
                F.count(F.lit(1)).alias("__cnt")))
-    ranged = (vt.repartitionByRange(n_ranges, "__v")
-              .withColumn("__rid", F.spark_partition_id())
-              .localCheckpoint())
+    # r12: in-plan offsets (distkit.range_offsets) — one Spark
+    # action replaces the eager localCheckpoint job + per-range
+    # collect + createDataFrame round trip; persist pins range
+    # boundaries/ids across the two consumers (distkit docstring).
+    from .distkit import _ranged, range_offsets
+    ranged = _ranged(vt, [F.col("__v")], n_ranges)
     w_in = (Window.partitionBy("__rid").orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, 0))
     local = ranged.withColumn("__lc", F.sum("__cnt").over(w_in))
-    stats = (ranged.groupBy("__rid")
-             .agg(F.sum("__cnt").alias("__c")))
-    rows = sorted((r["__rid"], int(r["__c"]))
-                  for r in stats.collect())
-    off, acc = {}, 0
-    for rid, c in rows:
-        off[rid] = acc
-        acc += c
-    off_df = spark.createDataFrame(
-        list(off.items()), "__rid int, __off long")
+    off_df = (range_offsets(ranged, {"__cnt": "long"})
+              .withColumnRenamed("__off___cnt", "__off"))
     d0 = "decimal(38,0)"
     cb = (F.col("__lc") + F.col("__off") - F.col("__cnt")) \
         .cast(d0)  # count strictly below this value
@@ -425,21 +420,15 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str,
         F.sum((g == F.lit(gv)).cast("long")).alias(f"__c{i}")
         for i, gv in enumerate(groups)]
     vt = base.groupBy(x.alias("__v")).agg(*aggs)
-    ranged = (vt.repartitionByRange(n_ranges, "__v")
-              .withColumn("__rid", F.spark_partition_id())
-              .localCheckpoint())
+    # r12: in-plan offsets (see ranksum_agg) — no eager checkpoint,
+    # no per-range collect, one Spark action.
+    from .distkit import _ranged, range_offsets
+    ranged = _ranged(vt, [F.col("__v")], n_ranges)
     w_in = (Window.partitionBy("__rid").orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, 0))
     local = ranged.withColumn("__lc", F.sum("__cnt").over(w_in))
-    rows = sorted((r["__rid"], int(r["__t"])) for r in
-                  ranged.groupBy("__rid")
-                  .agg(F.sum("__cnt").alias("__t")).collect())
-    off, acc = {}, 0
-    for rid, c in rows:
-        off[rid] = acc
-        acc += c
-    off_df = spark.createDataFrame(
-        list(off.items()), "__rid int, __off long")
+    off_df = (range_offsets(ranged, {"__cnt": "long"})
+              .withColumnRenamed("__off___cnt", "__off"))
     d0 = "decimal(38,0)"
     cb = (F.col("__lc") + F.col("__off") - F.col("__cnt")).cast(d0)
     cnt = F.col("__cnt").cast(d0)

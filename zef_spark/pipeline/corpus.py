@@ -391,17 +391,28 @@ def bm25(df: DataFrame, id_col: str, text_col: str,
     query_terms = [t.lower() for t in query_terms]
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
                     lambda t: t != "")
-    base = df.select(F.col(id_col), toks.alias("__toks"))
-    # per-doc length over ALL tokens (dl), before the term filter
-    dl = base.select(id_col, F.size("__toks").alias("dl"))
-    totals = dl.agg(F.count(F.lit(1)).cast("double").alias("__n"),
-                    F.avg("dl").alias("__avgdl"))
-    posting = (base.select(
+    # r12 (guide §2.3/§5): tokenize ONCE. The former plan consumed
+    # the un-persisted token frame from four subtrees (posting,
+    # dfreq, the dl join side, totals) and Catalyst duplicated the
+    # regex tokenization into four full corpus scans. Now one pass
+    # produces the NARROW per-doc row (id, dl, query-term hits —
+    # bytes per doc, not the text), persisted so the totals agg and
+    # the posting explode share it; dl rides the posting rows
+    # (grouped with the doc key — no dl join back), and df stays
+    # derived from the |terms|-bounded posting as before.
+    from pyspark import StorageLevel
+    base = (df.select(
         F.col(id_col),
-        F.explode(F.filter("__toks",
-                           lambda t: t.isin(*query_terms)))
-        .alias("token"))
-        .groupBy(id_col, "token")
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*query_terms))
+        .alias("__qtoks"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = base.agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                      F.avg("dl").alias("__avgdl"))
+    posting = (base.select(
+        F.col(id_col), F.col("dl"),
+        F.explode("__qtoks").alias("token"))
+        .groupBy(id_col, "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = (posting.groupBy("token")
              .agg(F.count(F.lit(1)).alias("df")))
@@ -411,7 +422,6 @@ def bm25(df: DataFrame, id_col: str, text_col: str,
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
                                    / F.col("__avgdl"))))
     return (posting.join(F.broadcast(dfreq), "token")
-            .join(dl, id_col)
             .crossJoin(F.broadcast(totals))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_matched"),

@@ -269,9 +269,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # (a) Catalyst can't fuse the jaccard filter into the join
     # condition (which evaluates array_intersect a second time per
     # row), and (b) the bucket/pair-gen stage runs exactly once.
+    # r12: no eager cand.count() — the persist's InMemoryRelation is
+    # already the optimization barrier (Catalyst cannot fuse the
+    # jaccard filter through it), and the cache populates during the
+    # verify job's own first pass over the candidates; the count only
+    # added a full extra driver-synchronized job running the whole
+    # bucket/pair-gen pipeline before the real one started. AQE picks
+    # the join build sides from runtime stats either way.
     from pyspark import StorageLevel
     cand = raw_pairs.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    cand.count()
     # join the SAME feats plan twice via dataframe aliases: the two
     # broadcast-exchange subtrees canonicalize identically, so Spark
     # builds ONE broadcast of the feature table and the second join is

@@ -354,41 +354,36 @@ def _cum_desc(vt: DataFrame, order_col: str, sum_cols: list,
     ≤n_ranges-row offset table.
 
     Returns (vt + '__cum_<c>' exact-integer running sums in
-    descending ``order_col`` order, {c: grand_total}) — the totals
-    ride the same per-range collect that builds the offsets, so no
-    extra pass and no unbounded window."""
+    descending ``order_col`` order + '__tot_<c>' grand-total columns
+    (identical on every row), {c: Column referencing '__tot_<c>'}).
+    r12: offsets AND totals are computed in-plan
+    (distkit.range_offsets — no eager checkpoint, no per-range
+    collect, one Spark action); callers that used the totals as
+    driver-side literals now consume them as plan columns."""
     from pyspark.sql import Window
-    spark = vt.sparkSession
-    if n_ranges is None:
-        n_ranges = spark.sparkContext.defaultParallelism
-    # localCheckpoint pins partition ids (spark_partition_id is not
-    # stable across recomputation) — the ranksum_agg discipline
-    ranged = (vt.repartitionByRange(n_ranges,
-                                    F.col(order_col).desc())
-              .withColumn("__rid", F.spark_partition_id())
-              .localCheckpoint())
+
+    from .distkit import _ranged, range_offsets
+    ranged = _ranged(vt, [F.col(order_col).desc()], n_ranges)
     w_in = (Window.partitionBy("__rid")
             .orderBy(F.col(order_col).desc())
             .rowsBetween(Window.unboundedPreceding, 0))
     local = ranged
     for c in sum_cols:
         local = local.withColumn(f"__cum_{c}", F.sum(c).over(w_in))
-    stats = (ranged.groupBy("__rid")
-             .agg(*[F.sum(c).alias(c) for c in sum_cols]))
-    rows = sorted((r["__rid"], r) for r in stats.collect())
-    offs, acc = [], {c: 0 for c in sum_cols}
-    for rid, r in rows:
-        offs.append((rid, *[acc[c] for c in sum_cols]))
-        for c in sum_cols:
-            acc[c] += int(r[c] or 0)
-    schema = "__rid int, " + ", ".join(
-        f"__off_{c} long" for c in sum_cols)
-    off_df = spark.createDataFrame(offs, schema)
+    off_df = range_offsets(ranged, {c: "long" for c in sum_cols},
+                           with_totals=True)
+    off_df = off_df.select(
+        "__rid",
+        *[F.col(f"__off_{c}") for c in sum_cols],
+        *[F.col(f"__tot_{c}") for c in sum_cols])
     out = local.join(F.broadcast(off_df), "__rid")
     for c in sum_cols:
         out = out.withColumn(
-            f"__cum_{c}", F.col(f"__cum_{c}") + F.col(f"__off_{c}"))
-    return out.drop("__rid", *[f"__off_{c}" for c in sum_cols]), acc
+            f"__cum_{c}",
+            F.col(f"__cum_{c}") + F.coalesce(F.col(f"__off_{c}"),
+                                             F.lit(0)))
+    tot = {c: F.col(f"__tot_{c}") for c in sum_cols}
+    return out.drop("__rid", *[f"__off_{c}" for c in sum_cols]), tot
 
 
 def roc_points(df: DataFrame, score_col: str, label_col,
@@ -437,7 +432,10 @@ def roc_points(df: DataFrame, score_col: str, label_col,
     out = (cum.withColumnRenamed("__cum___p", "tp")
            .withColumnRenamed("__cum___n", "fp")
            .withColumnRenamed("__cum___one", "__i"))
-    c_tot = F.lit(tot["__one"]).cast("long")
+    # r12: totals are plan COLUMNS now (_cum_desc in-plan rewrite) —
+    # same values, no driver collect; the zero-total degenerate
+    # cases fold into the F.when (null, as before).
+    c_tot = tot["__one"].cast("long")
     # deterministic even-spaced thinning: keep point i when
     # floor(i*K/c) > floor((i-1)*K/c), always keeping the last
     k = F.lit(int(max_points)).cast("long")
@@ -445,12 +443,10 @@ def roc_points(df: DataFrame, score_col: str, label_col,
             > F.floor((F.col("__i") - 1) * k / c_tot)) \
         | (F.col("__i") == c_tot)
     out = out.where(keep)
-    tpr = (F.when(F.lit(tot["__p"]) > 0,
-                  F.col("tp").cast("double") / F.lit(tot["__p"]))
-           if tot["__p"] else F.lit(None).cast("double"))
-    fpr = (F.when(F.lit(tot["__n"]) > 0,
-                  F.col("fp").cast("double") / F.lit(tot["__n"]))
-           if tot["__n"] else F.lit(None).cast("double"))
+    tpr = F.when(tot["__p"] > 0,
+                 F.col("tp").cast("double") / tot["__p"])
+    fpr = F.when(tot["__n"] > 0,
+                 F.col("fp").cast("double") / tot["__n"])
     return out.select("threshold", "tp", "fp",
                       round_sig_safe(tpr, digits).alias("tpr"),
                       round_sig_safe(fpr, digits).alias("fpr"))
@@ -600,22 +596,26 @@ def gain_curve(df: DataFrame, score_col: str, label_col,
     cum = (cum0.withColumnRenamed("__cum___t", "__ct")
            .withColumnRenamed("__cum___p", "__cp"))
     b = int(n_buckets)
-    n_tot, p_tot = tot["__t"], tot["__p"]
+    # r12: totals are plan COLUMNS now (_cum_desc in-plan rewrite) —
+    # carry them through the boundary agg via first() (identical on
+    # every row), no driver collect.
     buckets = F.explode(F.sequence(F.lit(1), F.lit(b))).alias("bucket")
-    tagged = cum.select("__ct", "__cp", buckets).where(
-        F.col("__ct") * b >= F.col("bucket") * F.lit(n_tot))
+    tagged = cum.select("__ct", "__cp", "__tot___t", "__tot___p",
+                        buckets).where(
+        F.col("__ct") * b >= F.col("bucket") * F.col("__tot___t"))
     # bucket b reads at the FIRST distinct score whose cumulative
     # count reaches the boundary: min_by on __ct — one hash agg
     first = (tagged.groupBy("bucket")
              .agg(F.min("__ct").alias("__ct"),
-                  F.min_by("__cp", "__ct").alias("__cp")))
-    capture = (F.when(F.lit(p_tot) > 0,
-                      F.col("__cp").cast("double") / F.lit(p_tot))
-               if p_tot else F.lit(None).cast("double"))
-    lift = (F.when((F.lit(p_tot) > 0) & (F.col("__ct") > 0),
-                   F.col("__cp").cast("double") * F.lit(n_tot)
-                   / (F.col("__ct").cast("double") * F.lit(p_tot)))
-            if p_tot else F.lit(None).cast("double"))
+                  F.min_by("__cp", "__ct").alias("__cp"),
+                  F.first("__tot___t").alias("__nt"),
+                  F.first("__tot___p").alias("__pt")))
+    n_tot, p_tot = F.col("__nt"), F.col("__pt")
+    capture = F.when(p_tot > 0,
+                     F.col("__cp").cast("double") / p_tot)
+    lift = F.when((p_tot > 0) & (F.col("__ct") > 0),
+                  F.col("__cp").cast("double") * n_tot
+                  / (F.col("__ct").cast("double") * p_tot))
     return (first.select(
         "bucket", F.col("__ct").alias("n_cum"),
         F.col("__cp").alias("pos_cum"),

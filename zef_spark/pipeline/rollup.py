@@ -584,32 +584,22 @@ def concurrency_profile(intervals, start_col: str, end_col: str,
     # max(carried, final) so collapsing loses no peak — and it
     # shrinks the sweep stream before the range exchange.
     net = deltas.groupBy("t").agg(F.sum("d").alias("d"))
-    # PIN the range partitioning: the ranged frame is read by two
-    # jobs (offset totals, then the final join), and without a
-    # materialization the range exchange re-plans per job (AQE
-    # coalescing + boundary sampling), so __rid would not agree
-    # between them. localCheckpoint freezes both the boundaries and
-    # the partition ids.
-    ranged = (net.repartitionByRange(n_ranges, "t")
-              .withColumn("__rid", F.spark_partition_id())
-              .localCheckpoint())
+    # r12: in-plan offsets (distkit.range_offsets) — the persist
+    # pins range boundaries AND partition ids across the two
+    # consumers (distkit docstring); offsets + the next-range-first
+    # boundary patch (a lead over the bounded ≤ n_ranges-row totals)
+    # are plan columns, no driver collect, one Spark action.
+    from .distkit import _ranged, range_offsets
+    ranged = _ranged(net, [F.col("t")], n_ranges)
     w_in = (Window.partitionBy("__rid").orderBy("t")
             .rowsBetween(Window.unboundedPreceding, 0))
     local = ranged.withColumn("__run", F.sum("d").over(w_in))
-    stats = (ranged.groupBy("__rid")
-             .agg(F.sum("d").alias("__tot"), F.min("t").alias("__ft")))
-    # offsets: prefix sum over the (n_ranges)-row totals — driver
-    # math; next-range-first patches the lead() at range boundaries
-    rows = sorted((r["__rid"], r["__tot"], r["__ft"])
-                  for r in stats.collect())
-    off, acc = {}, 0
-    for i, (rid, tot, _ft) in enumerate(rows):
-        nf = rows[i + 1][2] if i + 1 < len(rows) else None
-        off[rid] = (acc, nf)
-        acc += int(tot)
-    off_df = spark.createDataFrame(
-        [(rid, o, nf) for rid, (o, nf) in off.items()],
-        "__rid int, __off long, __nf long")
+    off_df = (range_offsets(
+        ranged, {"d": "long"},
+        extra_aggs=[F.min("t").alias("__ft")],
+        extra_cols=[F.lead("__ft").over(Window.orderBy("__rid"))
+                    .alias("__nf")])
+        .withColumnRenamed("__off_d", "__off"))
     w_lead = Window.partitionBy("__rid").orderBy("t")
     lvl = (local.join(F.broadcast(off_df), "__rid")
            .select("t", (F.col("__run") + F.col("__off")).alias("__c"),

@@ -36,7 +36,19 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.adaptive.autoBroadcastJoinThreshold":
         str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # r12 (guide §3.1): pick the join strategy deliberately — let the
+    # planner use shuffled-hash instead of defaulting to sort-merge
+    # when its size conditions hold (no sort of either side), and let
+    # AQE rewrite a planned sort-merge to shuffled-hash at runtime
+    # when every post-shuffle partition fits the same 64MB bound the
+    # adaptive broadcast threshold already trusts. Scale posture:
+    # both gates are per-partition size checks, so a giant build side
+    # keeps sort-merge; AQE skew splitting applies to SHJ as to SMJ.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions":
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
