@@ -2420,13 +2420,20 @@ def q9(spark, sf_dir):
             .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("bigint").alias("o_year"))
-            # decimal sum: float addition is order-dependent across 32
-            # partitions and can flip the cent rounding vs the oracle;
-            # decimal(18,6) accumulation is exact + associative
-            .agg(F.round(F.sum((F.col("l_extendedprice") *
-                                (1 - F.col("l_discount")))
-                               .cast("decimal(18,6)")), 2)
-                 .cast("double").alias("amount"))
+            # r12: scaled int64 instead of per-row decimal(18,6) casts
+            # (each cast is a BigDecimal round-trip). On the proven
+            # money grid (price 2dp x discount 2dp: x*1e6 within
+            # 5e-5 of a multiple of 100, never near a half boundary)
+            # floor(x*1e6+0.5) equals the
+            # decimal cast exactly; (S+5000) div 10000 is decimal
+            # ROUND(.,2) in integer space (values nonnegative), and
+            # the final exact-int double division matches the decimal
+            # to-double cast bit-for-bit. Exact + associative, like
+            # the decimal sum it replaces; oracle SQL unchanged.
+            .agg(((F.expr(
+                "(sum(floor(l_extendedprice * (1 - l_discount) "
+                "* 1000000 + 0.5d)) + 5000) div 10000"))
+                .cast("double") / 100).alias("amount"))
             .orderBy("nation", F.col("o_year").desc()))
 
 

@@ -30,6 +30,11 @@ def _norm(a):
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: list[float],
                     out_col: str = "cosine") -> DataFrame:
+    # r12 note: an in-plan probe (broadcast 1-row crossJoin instead
+    # of the caller's eager .first()) was A/B-measured SLOWER at
+    # every scale tried — the BroadcastNestedLoopJoin stage costs
+    # more than the one-row probe fetch, which is O(1) work at any
+    # corpus size. The literal-array path stays.
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
     sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
@@ -613,21 +618,38 @@ _BITS_PER_WORD = 32
 def _sign_word(vec_col, word: int, dim: int):
     """One 32-bit sign word as a BIGINT Column: bit j set iff
     element word*32+j is >= 0. Disjoint powers of two, so + is OR
-    and the word stays < 2^32 — ANSI-overflow-proof."""
-    v = vec_col if not isinstance(vec_col, str) else F.col(vec_col)
-    terms = []
+    and the word stays < 2^32 — ANSI-overflow-proof.
+
+    r12: assembled as ONE F.expr SQL string (identical Catalyst
+    tree) instead of ~200 per-term py4j Column calls — building this
+    expression twice per word dominated the driver-side latency of
+    the hamming queries."""
+    name = vec_col if isinstance(vec_col, str) else None
+    if name is None:
+        # Column object: fall back to the per-term builder
+        v = vec_col
+        terms = []
+        for j in range(_BITS_PER_WORD):
+            i = word * _BITS_PER_WORD + j
+            if i >= dim:
+                break
+            terms.append(
+                F.when(F.element_at(v, i + 1).cast("double") >= 0,
+                       F.lit(1 << j).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+    parts = []
     for j in range(_BITS_PER_WORD):
         i = word * _BITS_PER_WORD + j
         if i >= dim:
             break
-        terms.append(
-            F.when(F.element_at(v, i + 1).cast("double") >= 0,
-                   F.lit(1 << j).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+        parts.append(
+            f"(case when cast(element_at(`{name}`, {i + 1}) as double)"
+            f" >= 0 then {1 << j}L else 0L end)")
+    return F.expr(" + ".join(parts))
 
 
 def binary_quantize(df: DataFrame, vec_col: str, dim: int,
@@ -638,11 +660,12 @@ def binary_quantize(df: DataFrame, vec_col: str, dim: int,
     unbiased estimator of angle/pi), stores 32x smaller than float32,
     and turns candidate generation into XOR+popcount. Row-local,
     ZERO shuffle, no UDF."""
-    out = df
-    for w in range((dim + _BITS_PER_WORD - 1) // _BITS_PER_WORD):
-        out = out.withColumn(f"{out_prefix}{w}",
-                             _sign_word(F.col(vec_col), w, dim))
-    return out
+    n_words = (dim + _BITS_PER_WORD - 1) // _BITS_PER_WORD
+    # single select (one py4j projection call) with string-built
+    # sign-word expressions — not n_words chained withColumns
+    return df.select(
+        "*", *[_sign_word(vec_col, w, dim).alias(f"{out_prefix}{w}")
+               for w in range(n_words)])
 
 
 def hamming_distance(words_a: list, words_b: list):
@@ -668,6 +691,9 @@ def hamming_topk(df: DataFrame, vec_col: str, id_col: str,
     rows instead of the corpus. Plan: map-side integer distance +
     TakeOrdered — no shuffle beyond the global top-k; everything
     whole-stage-codegen'd, exact-integer deterministic."""
+    # r12 note: an in-plan DataFrame probe (broadcast sign words +
+    # crossJoin) was A/B-measured slower than this literal path —
+    # see cosine_to_query. The probe fetch is O(1) at any scale.
     dim = len(query)
     n_words = (dim + _BITS_PER_WORD - 1) // _BITS_PER_WORD
     qd = binary_quantize(df, vec_col, dim)
