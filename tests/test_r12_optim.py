@@ -87,6 +87,27 @@ def test_bm25_single_pass_values(spark):
     assert 2 not in out  # non-matching doc absent
 
 
+def test_field_join_skip_matches_joined_path(spark):
+    """field() on an UNFILTERED all[ET.X] (r12: owner-restriction
+    join skipped) must return exactly the rows of the joined path —
+    here forced by filtering with an always-true predicate, which
+    clears the _all_et marker."""
+    from zef_spark import ET, ops as z
+    from zef_spark.graph.mapper import graph_for
+    gs = graph_for(spark, "/root/testdata/sf0.001") | z.now
+    ns = gs | z.all[ET.Order]
+    assert getattr(ns, "_all_et", None) == "Order"
+    fast = {(r["id"], r["o_totalprice"])
+            for r in ns.field("o_totalprice").collect()}
+    # joined path: same frame, marker cleared via NodeSet re-wrap
+    from zef_spark.graph.graph import NodeSet
+    ns2 = NodeSet(ns.frame, ns.df)
+    assert getattr(ns2, "_all_et", None) is None
+    slow = {(r["id"], r["o_totalprice"])
+            for r in ns2.field("o_totalprice").collect()}
+    assert fast == slow and len(fast) > 0
+
+
 def test_spread_scan_parallelizes_and_preserves_rows(spark):
     from zef_spark.pipeline.distkit import spread_scan
     df = spark.createDataFrame([(i,) for i in range(100)],

@@ -260,10 +260,20 @@ class GraphSlice:
 
     def all(self, vt=None) -> "NodeSet":
         df = self.nodes()
+        all_et = None
         if vt is not None:
-            from ..vt import _coerce
-            df = df.where(_coerce(vt).to_column())
-        return NodeSet(self, df)
+            from ..vt import RAEType, _coerce
+            cvt = _coerce(vt)
+            df = df.where(cvt.to_column())
+            # r12: mark the UNFILTERED all-of-one-ET set — field()
+            # can then skip its owner-restriction join (the attr
+            # rows' as-of filter already implies an alive owner of
+            # exactly this type; see _field_df)
+            if isinstance(cvt, RAEType) and cvt.token.kind == "ET":
+                all_et = cvt.token.name
+        ns = NodeSet(self, df)
+        ns._all_et = all_et
+        return ns
 
     def by_tag(self, name: str) -> "NodeSet":
         """Resolve a temporal tag to its target *in this frame*
@@ -450,6 +460,19 @@ class NodeSet:
                               F.lit(1 << ID_KEY_BITS))).alias("id")
             typed = av.select(owner, F.col("vrt"),
                               *[F.col(c) for c in VALUE_COL_LIST])
+            # r12: an UNFILTERED all[ET.X] adds nothing to the attr
+            # rows' own as-of filter — (a) delta.terminate supersedes
+            # a dead node's attr rows at the same tx (delta.py), so
+            # attr-alive-at-t ⟹ owner-alive-at-t; (b) attr_rt plus
+            # the arithmetic owner id construct exactly type-X owner
+            # ids; (c) the set IS every alive X node. Skipping the
+            # join removes one broadcast + a full nodes-branch scan
+            # from every field read on a whole-type set.
+            all_et = getattr(self, "_all_et", None)
+            if all_et is not None and \
+                    (getattr(g, "et_code", None) or {}) \
+                    .get(all_et) == owner_code:
+                return typed
             return self.df.select("id").join(typed, "id")
         e = _alive(g.edges, t).where(F.col("rt") == rt_name) \
             .select(F.col("src_id").alias("id"),

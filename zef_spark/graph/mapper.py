@@ -231,6 +231,9 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
     g.rt_vrt = rt_vrt  # static rt→VRT map: lets field() skip probing
     g.single_assignment = True  # one assignment per AE → no-shuffle reads
     g.field_owner_code = field_owner_code  # arithmetic owner-id reads
+    # et name -> type code: lets field() over an UNFILTERED all[ET.X]
+    # skip the owner-restriction join entirely (r12; _field_df)
+    g.et_code = {et: code for code, et, _ in _TABLES.values()}
     # max_tx without the txs dedup shuffle: datediff is monotonic, so
     # max(tx) = tx_of(max(date)) — two column maxes that parquet
     # aggregate pushdown answers from footer stats.
@@ -313,6 +316,7 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
         g = Graph.load_bucketed(spark, prefix)
     g.rt_vrt = meta["rt_vrt"]
     g.field_owner_code = meta.get("field_owner_code") or {}
+    g.et_code = {et: code for code, et, _ in _TABLES.values()}
     g.single_assignment = True
     g._max_tx = meta["max_tx"]
     g._max_rae_id = meta.get("id_floor")
