@@ -453,23 +453,34 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     """60-bit SimHash fingerprint, fully row-local (zero shuffle).
     Token hash is the low 60 bits of md5 rather than xxhash64 so an
     independent engine can reproduce the fingerprint exactly."""
+    # r12 (guide §4.1 "prefer built-ins/codegen"): the former
+    # 60-fold spelling ran SIXTY interpreted F.aggregate passes over
+    # the token-hash array per row (measured ~6 s at sf0.01 AND at
+    # sf0.001 — pure interpreter/codegen overhead). Now: ONE
+    # explode (Generate, codegen) → md5 hash per token → 60
+    # conditional SUMs in one map-side-combinable hash agg → fp
+    # assembly on the 1-row-per-doc result. Bit-identical including
+    # the edge cases: explode_outer keeps NULL-text docs (their one
+    # NULL-hash row contributes -1 to every bit sum → every bit 0 →
+    # fp 0, exactly what aggregate(NULL array) → NULL → bit 0 gave),
+    # and ''-tokens hash like before (split never yields an empty
+    # array). One doc-keyed exchange of pre-aggregated 60-sum rows
+    # replaces zero shuffle — partial agg collapses map-side, so the
+    # shuffle is |docs|-bounded, not token-bounded.
     tokens = F.split(F.lower(F.col(text_col)), r"\W+")
-    th = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-        .cast("long"))
-    bit_sums = [
-        F.aggregate(th, F.lit(0),
-                    lambda acc, h: acc + F.when(
-                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1)).otherwise(F.lit(-1)))
-        for b in range(SIMHASH_BITS)]
-    fp = None
-    for b, s in enumerate(bit_sums):
-        bit = F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return df.select(F.col(id_col), fp.alias(out_col))
+    toks = df.select(F.col(id_col),
+                     F.explode_outer(tokens).alias("__t"))
+    h = (F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10)
+         .cast("long"))
+    exploded = toks.select(id_col, h.alias("__h"))
+    sums = [F.expr(f"sum(case when (__h >> {b}) & 1 = 1 "
+                   "then 1 else -1 end)").alias(f"__b{b}")
+            for b in range(SIMHASH_BITS)]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    fp = F.expr(" | ".join(
+        f"(case when __b{b} > 0 then shiftleft(1L, {b}) else 0L end)"
+        for b in range(SIMHASH_BITS)))
+    return agg.select(F.col(id_col), fp.alias(out_col))
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -120,15 +120,37 @@ def _centroid(dim: int, cell_idx: int, seed: int) -> list[float]:
     return [x / n for x in out]
 
 
+def _dot_lit_sql(vec_name: str, lit_vec: list[float]) -> str:
+    """SQL string for the left-fold dot of column `vec_name` with a
+    literal vector — replicates _dot's aggregate EXACTLY (leading
+    0.0D reproduces the fold's zero accumulator, so even the ±0.0
+    edge matches), but runs in whole-stage codegen instead of the
+    interpreted HOF path (r12, guide §4.1). Literals embed via
+    CAST('repr' AS DOUBLE) — repr round-trips exactly."""
+    terms = " + ".join(
+        f"(element_at(`{vec_name}`, {j + 1}) * CAST('{x!r}' AS DOUBLE))"
+        for j, x in enumerate(lit_vec))
+    return f"(0.0D + {terms})"
+
+
 def ivf_cell(vec_col, dim: int, n_cells: int = 16, seed: int = 7):
     """IVF coarse-quantizer cell id (1..n_cells) as a Column: argmax
     dot(vec, centroid) over literal centroid arrays. Dots fold
-    left-to-right (zip_with + aggregate) so the doubles are
-    bit-reproducible; ties resolve to the FIRST max on both Spark and
-    DuckDB (array_position / list_indexof semantics)."""
-    dots = F.array(*[
-        _dot(vec_col, F.array(*[F.lit(x) for x in _centroid(dim, c, seed)]))
-        for c in range(n_cells)])
+    left-to-right so the doubles are bit-reproducible; ties resolve
+    to the FIRST max on both Spark and DuckDB (array_position /
+    list_indexof semantics). Pass the vector column NAME for the
+    codegen form (r12: the interpreted n_cells-fold HOF spelling
+    cost ~seconds per call at ANY scale); a Column falls back to the
+    HOF path."""
+    if isinstance(vec_col, str):
+        dots = F.expr("array(" + ", ".join(
+            _dot_lit_sql(vec_col, _centroid(dim, c, seed))
+            for c in range(n_cells)) + ")")
+    else:
+        dots = F.array(*[
+            _dot(vec_col,
+                 F.array(*[F.lit(x) for x in _centroid(dim, c, seed)]))
+            for c in range(n_cells)])
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
@@ -137,14 +159,21 @@ def ivf_cells_topn(vec_col, dim: int, n_cells: int = 16,
     """The `n_assign` nearest IVF cells (1..n_cells) as an
     array<int> Column, nearest first. Sorting (-dot, c) structs gives
     d-descending with first-cell tie-breaks — the same ranking as
-    ``ivf_cell`` extended past the argmax."""
-    entries = F.array(*[
-        F.struct(
-            (-_dot(vec_col, F.array(*[F.lit(x) for x in
-                                      _centroid(dim, c, seed)])))
-            .alias("nd"),
-            F.lit(c + 1).alias("c"))
-        for c in range(n_cells)])
+    ``ivf_cell`` extended past the argmax. Name → codegen form,
+    Column → HOF fallback (see ivf_cell)."""
+    if isinstance(vec_col, str):
+        entries = F.expr("array(" + ", ".join(
+            f"named_struct('nd', -{_dot_lit_sql(vec_col, _centroid(dim, c, seed))}, "
+            f"'c', {c + 1})"
+            for c in range(n_cells)) + ")")
+    else:
+        entries = F.array(*[
+            F.struct(
+                (-_dot(vec_col, F.array(*[F.lit(x) for x in
+                                          _centroid(dim, c, seed)])))
+                .alias("nd"),
+                F.lit(c + 1).alias("c"))
+            for c in range(n_cells)])
     top = F.slice(F.array_sort(entries), 1, n_assign)
     return F.transform(top, lambda s: s["c"])
 
@@ -168,7 +197,7 @@ def semantic_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     Extends the reference's `deduplicate`
     (python/zef/core/op_implementations/data_wrangling.py) to
     embedding space."""
-    cells = ivf_cells_topn(F.col(vec_col), dim, n_cells, n_assign, seed)
+    cells = ivf_cells_topn(vec_col, dim, n_cells, n_assign, seed)
     celled = df.select(F.col(id_col), F.col(vec_col).alias("__v"),
                        F.explode(cells).alias("__cell"))
     a = celled.select("__cell", F.col(id_col).alias("id_a"),
@@ -205,7 +234,7 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
                                                              seed))), c)
                     )[:n_probes]
     celled = df.withColumn("__cell",
-                           ivf_cell(F.col(vec_col), dim, n_cells, seed))
+                           ivf_cell(vec_col, dim, n_cells, seed))
     cand = celled.where(F.col("__cell").isin(probes))
     return brute_force_topk(cand, vec_col, id_col, query, k, digits)
 
@@ -219,7 +248,7 @@ def materialize_ann_index(df: DataFrame, path: str, vec_col: str,
     scan. ``method``: "ivf" (coarse-quantizer cells) or "lsh"
     (hyperplane sign buckets)."""
     if method == "ivf":
-        cell = ivf_cell(F.col(vec_col), dim, n_cells,
+        cell = ivf_cell(vec_col, dim, n_cells,
                         7 if seed is None else seed)
     elif method == "lsh":
         cell = lsh_bucket(F.col(vec_col), dim, n_planes,
@@ -278,19 +307,34 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, dim: int,
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     w = dim // m
-    v = F.col(vec_col)
+    # r12 (guide §4.1): the HOF spelling ran m×(n_codes+1)
+    # interpreted F.aggregate folds PER ROW (measured ~7 s at sf0.01
+    # AND sf0.001 — interpreter overhead, not data). The same
+    # arithmetic now unrolls into whole-stage-codegen scalar
+    # expressions built as SQL strings: per (s, c),
+    # round(Σx² − 2·Σx·cb + cc, 6) with the identical left-to-right
+    # addition order and ((xx − 2·qc) + cc) association the fold
+    # produced, codebook literals embedded via CAST('repr' AS
+    # DOUBLE) (repr round-trips exactly). Values are bit-identical;
+    # only the execution mode changes.
+    def elem(i):
+        return f"element_at(`{vec_col}`, {i})"
+
     codes = []
     for s in range(m):
-        sub = F.slice(v, s * w + 1, w)
-        dists = F.array(*[
-            F.round(_dot(sub, sub)
-                    - 2.0 * _dot(sub, F.array(*[
-                        F.lit(x) for x in _pq_codebook(w, s, c, seed)]))
-                    + F.lit(sum(x * x
-                                for x in _pq_codebook(w, s, c, seed))),
-                    6)
-            for c in range(n_codes)])
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+        xx = " + ".join(f"({elem(s * w + j + 1)} * {elem(s * w + j + 1)})"
+                        for j in range(w))
+        dists = []
+        for c in range(n_codes):
+            cb = _pq_codebook(w, s, c, seed)
+            cc = sum(x * x for x in cb)
+            qc = " + ".join(
+                f"({elem(s * w + j + 1)} * CAST('{cb[j]!r}' AS DOUBLE))"
+                for j in range(w))
+            dists.append(f"round(({xx}) - 2.0D * ({qc}) "
+                         f"+ CAST('{cc!r}' AS DOUBLE), 6)")
+        arr = F.expr("array(" + ", ".join(dists) + ")")
+        codes.append((F.array_position(arr, F.array_min(arr)) - 1)
                      .cast("int"))
     return df.select(F.col(id_col), F.array(*codes).alias(out_col))
 
@@ -362,7 +406,7 @@ def ann_index_add(new_df: DataFrame, path: str, vec_col: str,
     Probes keep pruning identically; periodic compact_parquet bounds
     the per-partition file count on a long-running ingest."""
     if method == "ivf":
-        cell = ivf_cell(F.col(vec_col), dim, n_cells,
+        cell = ivf_cell(vec_col, dim, n_cells,
                         7 if seed is None else seed)
     elif method == "lsh":
         cell = lsh_bucket(F.col(vec_col), dim, n_planes,
