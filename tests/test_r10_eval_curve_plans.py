@@ -25,13 +25,30 @@ def _continuous_scores(spark):
         (F.col("l_returnflag") == "R").alias("label"))
 
 
+def _assert_single_partitions_bounded(plan):
+    """r12 contract (matches tools/keyless_window_scan.py): a
+    SinglePartition exchange is legal ONLY for the in-plan range
+    offsets — its input is the per-range totals aggregate keyed by
+    `__rid`, which can never exceed n_ranges rows. Any OTHER
+    single-partition exchange is a scale trap."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        below = "\n".join(lines[i + 1:i + 4])
+        assert "HashAggregate(keys=[__rid" in below, (
+            "unbounded single-partition exchange:\n"
+            + "\n".join(lines[i:i + 4]))
+
+
 def test_roc_points_no_single_partition_window(spark):
     from zef_spark.pipeline.evaluation import roc_points
     df = roc_points(_continuous_scores(spark), "score", "label")
     plan = _phys(df)
-    # every Window must sit on a hash-partitioned exchange (__rid);
-    # a keyless window shows up as Exchange SinglePartition
-    assert "Exchange SinglePartition" not in plan
+    # every Window must sit on a hash-partitioned exchange (__rid) or
+    # be the BOUNDED __rid-ordered offsets window (r12 in-plan
+    # offsets; input <= n_ranges rows by construction)
+    _assert_single_partitions_bounded(plan)
     assert "Window" in plan  # the per-range local window is real
 
 
@@ -54,7 +71,7 @@ def test_gain_curve_no_single_partition_window(spark):
     from zef_spark.pipeline.evaluation import gain_curve
     df = gain_curve(_continuous_scores(spark), "score", "label")
     plan = _phys(df)
-    assert "Exchange SinglePartition" not in plan
+    _assert_single_partitions_bounded(plan)
     import re
     for m in re.finditer(r"Window .*", plan):
         assert "__rid" in m.group(0), m.group(0)
