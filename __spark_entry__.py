@@ -654,17 +654,16 @@ def g_hop2(spark, sf_dir):
     from zef_spark import ET, RT, ops as z
     gs = _gs(spark, sf_dir)
     li = gs | z.all[ET.Lineitem]
-    price = li.field("l_extendedprice")              # (id, l_extendedprice)
-    part_of = li.out_rels(RT.PartOf).df              # li -> order
     placed_by = (gs | z.all[ET.Order] | z.out_rels[RT.PlacedBy]).df
     # partial aggregation pushed below the second hop: summing per
     # order first shrinks the PlacedBy join input from |lineitem| to
     # |orders| rows (4x fewer shuffled here, more at skewed fan-in) —
-    # same result, strictly smaller second shuffle at corpus scale
-    per_order = (price
-                 .join(part_of.select(F.col("src_id").alias("id"),
-                                      F.col("dst_id").alias("order_id")),
-                       "id")
+    # same result, strictly smaller second shuffle at corpus scale.
+    # r12: the price→order hop is field_via(RT.PartOf, …) — the
+    # PartOf dst key is embedded in the lineitem key, so the former
+    # lineitem-sized edge join is pure id arithmetic (graph.py).
+    per_order = (li.field_via(RT.PartOf, "l_extendedprice")
+                 .withColumnRenamed("id", "order_id")
                  .groupBy("order_id")
                  .agg(F.sum("l_extendedprice").alias("__rev")))
     return (per_order

@@ -137,13 +137,23 @@ def round_sig_safe(c, digits: int = 6, max_sig: int = 9) -> Column:
     # no conditional (the when(neg, ...) spelling doubled the
     # generated code per column and pushed an 8-release chain's
     # codegen subtree past the plan-guard margin)
+    # r12 (driver-overhead finding, guide §1 job census): each literal
+    # F.lit is a py4j round-trip, and the two 17-element arrays were
+    # ~70% of this function's ~0.07 s construction cost PER CALL. One
+    # F.expr parse builds the identical array expression in a single
+    # round-trip (`1E15`-style exponent literals parse as exact
+    # DOUBLEs — same values, same Catalyst tree, bit-identical plan).
     ks = range(lo, int(digits) + 1)
-    pa = F.element_at(F.array(*[F.lit(float(10 ** max(k, 0)))
-                                for k in ks]),
-                      d - F.lit(lo) + F.lit(1))
-    pb = F.element_at(F.array(*[F.lit(float(10 ** max(-k, 0)))
-                                for k in ks]),
-                      d - F.lit(lo) + F.lit(1))
+
+    def _dbl(v: float) -> str:
+        return f"{v:.0E}".replace("E+0", "E").replace("E+", "E")
+
+    pa_arr = F.expr("array(" + ",".join(
+        _dbl(float(10 ** max(k, 0))) for k in ks) + ")")
+    pb_arr = F.expr("array(" + ",".join(
+        _dbl(float(10 ** max(-k, 0))) for k in ks) + ")")
+    pa = F.element_at(pa_arr, d - F.lit(lo) + F.lit(1))
+    pb = F.element_at(pb_arr, d - F.lit(lo) + F.lit(1))
     sp = c * pa / pb
     snapped = F.floor(sp + F.lit(0.5)).cast("double")
     expr = F.when(F.abs(sp) < F.lit(_TWO53),

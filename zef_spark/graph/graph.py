@@ -396,11 +396,37 @@ class NodeSet:
     def Ins(self, rt=None) -> "NodeSet":
         return self._hop(rt, "in")
 
+    def _endpoint_restriction(self, e: DataFrame, endpoint: str):
+        """r12 (guide §2.4 "remove shuffles outright"): restricting an
+        edge scan to the endpoints in THIS set is a row-local type
+        filter — not a join — when the set is an UNFILTERED all[ET.X]
+        of a mapper-built graph: (a) ids carry the type code in their
+        high bits (`_mkid`), so `endpoint >> ID_KEY_BITS == code`
+        selects exactly type-X endpoints; (b) the mapper's liveness
+        invariant (every edge enters at-or-after both endpoints, and
+        single-assignment graphs never terminate) makes edge-alive-at-t
+        imply endpoint-alive-at-t, so the alive-nodes restriction adds
+        nothing to the edge scan's own as-of filter. Returns the
+        filtered frame, or None when the fast path does not apply
+        (filtered/derived sets keep the join)."""
+        g = self.frame.graph
+        all_et = getattr(self, "_all_et", None)
+        if all_et is None or not getattr(g, "single_assignment", False):
+            return None
+        code = (getattr(g, "et_code", None) or {}).get(all_et)
+        if code is None:
+            return None
+        return e.where(
+            F.shiftright(F.col(endpoint), ID_KEY_BITS) == F.lit(code))
+
     def out_rels(self, rt=None) -> "EdgeSet":
         g, t = self.frame.graph, self.frame.tx
         e = _alive(g.edges, t)
         if rt is not None:
             e = e.where(F.col("rt") == _rt_name(rt))
+        fast = self._endpoint_restriction(e, "src_id")
+        if fast is not None:
+            return EdgeSet(self.frame, fast)
         ids = self.df.select(F.col("id").alias("__from"))
         return EdgeSet(self.frame,
                        e.join(ids, e["src_id"] == ids["__from"], "inner")
@@ -413,10 +439,53 @@ class NodeSet:
         e = _alive(src, t)
         if rt is not None:
             e = e.where(F.col("rt") == _rt_name(rt))
+        fast = self._endpoint_restriction(e, "dst_id")
+        if fast is not None:
+            return EdgeSet(self.frame, fast)
         ids = self.df.select(F.col("id").alias("__from"))
         return EdgeSet(self.frame,
                        e.join(ids, e["dst_id"] == ids["__from"], "inner")
                        .drop("__from"))
+
+    def field_via(self, rel_rt, field_rt, alias: str | None = None
+                  ) -> DataFrame:
+        """(id, value) where `id` is the TARGET of each node's
+        outgoing `rel_rt` edge and `value` the node's own `field_rt`
+        — the fused hop+field behind aggregate-along-edge reads
+        (e.g. revenue per order from lineitem prices).
+
+        Fast path (r12): when the mapper declares `rel_rt` in
+        `g.rel_arith` (the relation's dst KEY is embedded in the src
+        key by construction — `__li_key = l_orderkey·128 + …`, so
+        PartOf's dst derives as `key div 128`), the hop is PURE
+        ARITHMETIC on the field read's ids: zero edge scan, zero
+        join. Equality with the join form holds because (a) the dst
+        id is `_mkid(dst_code, src_key div d)` bit-for-bit, (b) the
+        mapper emits exactly one `rel_rt` edge per src row, entering
+        at the src row's own tx, so attr-alive-at-t ⟺ edge-alive-at-t
+        (single-assignment graphs never terminate). Falls back to
+        field() ⋈ out_rels() on any other set/graph/relation."""
+        val = self.field(field_rt, alias)
+        vcol = [c for c in val.columns if c != "id"][0]
+        g = self.frame.graph
+        arith = (getattr(g, "rel_arith", None) or {}) \
+            .get(_rt_name(rel_rt))
+        all_et = getattr(self, "_all_et", None)
+        if arith is not None and all_et is not None \
+                and getattr(g, "single_assignment", False):
+            src_code, dst_code, div = arith
+            if (getattr(g, "et_code", None) or {}) \
+                    .get(all_et) == src_code:
+                # integer div (exact for any divisor; keys are
+                # nonnegative so div == floor division)
+                dst = F.expr(
+                    f"{dst_code * (1 << ID_KEY_BITS)}L "
+                    f"+ pmod(id, {1 << ID_KEY_BITS}L) div {div}L")
+                return val.select(dst.alias("id"), F.col(vcol))
+        edges = self.out_rels(rel_rt).df.select(
+            F.col("src_id").alias("id"), F.col("dst_id"))
+        return (val.join(edges, "id")
+                .select(F.col("dst_id").alias("id"), F.col(vcol)))
 
     def has_out(self, rt) -> "NodeSet":
         """Keep nodes having ≥1 outgoing rt edge — left-semi join

@@ -234,6 +234,12 @@ def build_graph(spark: SparkSession, sf_dir: str) -> Graph:
     # et name -> type code: lets field() over an UNFILTERED all[ET.X]
     # skip the owner-restriction join entirely (r12; _field_df)
     g.et_code = {et: code for code, et, _ in _TABLES.values()}
+    # relations whose dst KEY is embedded in the src key by id
+    # construction: __li_key = (l_orderkey·8 + l_linenumber)·16 + occ,
+    # so PartOf's dst order key = src key div 128 — field_via() hops
+    # them arithmetically, zero edge scan / join (graph.py r12)
+    g.rel_arith = {"PartOf": (_TABLES["lineitem"][0],
+                              _TABLES["orders"][0], 128)}
     # max_tx without the txs dedup shuffle: datediff is monotonic, so
     # max(tx) = tx_of(max(date)) — two column maxes that parquet
     # aggregate pushdown answers from footer stats.
@@ -317,6 +323,8 @@ def graph_for(spark: SparkSession, sf_dir: str) -> Graph:
     g.rt_vrt = meta["rt_vrt"]
     g.field_owner_code = meta.get("field_owner_code") or {}
     g.et_code = {et: code for code, et, _ in _TABLES.values()}
+    g.rel_arith = {"PartOf": (_TABLES["lineitem"][0],
+                              _TABLES["orders"][0], 128)}
     g.single_assignment = True
     g._max_tx = meta["max_tx"]
     g._max_rae_id = meta.get("id_floor")

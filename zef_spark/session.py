@@ -49,6 +49,13 @@ _DEFAULTS = {
         str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions":
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    # r12 (guide §1 job census): PySpark 4 wraps EVERY DataFrame API
+    # call with a Python stack walk + a JVM origin RPC for error
+    # call-site context; on expression-heavy query builders that was
+    # ~35% of plan-construction time (kruskal build 0.50 -> 0.32 s
+    # measured). Driver-side Python overhead, scale-independent —
+    # error messages lose only the Python call-site line.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
