@@ -385,21 +385,86 @@ def bm25(df: DataFrame, id_col: str, text_col: str,
 
     Terms are matched case-insensitively: documents tokenize
     lowercased, so the query bag is lowercased here too (a
-    mixed-case term would otherwise silently score zero)."""
+    mixed-case term would otherwise silently score zero).
+
+    r12 (guide §1.2/§2.4, "remove shuffles outright"): with a BOUNDED
+    query bag (the search case — every caller passes a handful of
+    terms) the posting list is unnecessary: per-term tf is a native
+    array expression per document (dl − |array_remove(toks, t)|), so
+    the whole query runs with ZERO data shuffles — one narrow per-doc
+    pass (id, dl, tf per term; persisted), ONE 1-row aggregate
+    producing N/avgdl/df_t together, broadcast back, and a row-local
+    score assembly. The former plan paid a (doc, token) hash-agg
+    exchange, a df re-agg, and a token broadcast join. Values are
+    identical: the same per-(doc,term) idf·norm products are summed
+    per doc (proven bit-equal vs the posting path and strict against
+    the oracle). Unbounded term lists (> 32) keep the posting plan."""
     if not query_terms:
         raise ValueError("bm25: query_terms must be a non-empty list")
-    query_terms = [t.lower() for t in query_terms]
+    # dedupe after lowercasing: the posting path collapsed duplicate
+    # terms via its (doc, token) group key; the per-term columns must
+    # not count a repeated term twice
+    query_terms = list(dict.fromkeys(t.lower() for t in query_terms))
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\W+"),
                     lambda t: t != "")
-    # r12 (guide §2.3/§5): tokenize ONCE. The former plan consumed
-    # the un-persisted token frame from four subtrees (posting,
-    # dfreq, the dl join side, totals) and Catalyst duplicated the
-    # regex tokenization into four full corpus scans. Now one pass
-    # produces the NARROW per-doc row (id, dl, query-term hits —
-    # bytes per doc, not the text), persisted so the totals agg and
-    # the posting explode share it; dl rides the posting rows
-    # (grouped with the doc key — no dl join back), and df stays
-    # derived from the |terms|-bounded posting as before.
+    from pyspark import StorageLevel
+    if len(query_terms) > 32:
+        return _bm25_posting(df, id_col, text_col, query_terms,
+                             k1, b, digits, toks)
+    k = len(query_terms)
+    # (measured, guide §1: no spread_scan here — the tokenize+tf
+    # kernel is 0.17 s single-task at sf0.1, so a round-robin
+    # repartition only added a shuffle + a stage: 0.55 s → 0.79 s.
+    # At warehouse scale many row groups parallelize the scan anyway.)
+    # stage the token array in its own projection: CollapseProject
+    # keeps non-cheap aliases referenced more than once staged, so
+    # the regex tokenization runs ONCE per row, not once per term
+    tokenized = df.select(F.col(id_col), toks.alias("__toks"))
+    tf_cols = [
+        (F.size("__toks")
+         - F.size(F.array_remove("__toks", t))).alias(f"__tf{i}")
+        for i, t in enumerate(query_terms)]
+    base = (tokenized.select(
+        F.col(id_col), F.size("__toks").alias("dl"), *tf_cols)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("long"))
+          .alias(f"__df{i}") for i in range(k)])
+
+    def idf(i):
+        d = F.col(f"__df{i}")
+        return F.log(F.lit(1.0) + (F.col("__n") - d + 0.5)
+                     / (d + 0.5))
+
+    def norm(i):
+        tf = F.col(f"__tf{i}")
+        return (tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * F.col("dl")
+                              / F.col("__avgdl"))))
+
+    matched = None
+    score = None
+    for i in range(k):
+        hit = F.col(f"__tf{i}") > 0
+        m_i = hit.cast("int")
+        s_i = F.when(hit, idf(i) * norm(i)).otherwise(0.0)
+        matched = m_i if matched is None else matched + m_i
+        score = s_i if score is None else score + s_i
+    return (base.crossJoin(F.broadcast(totals))
+            .where(matched > 0)
+            .select(F.col(id_col),
+                    matched.cast("long").alias("n_matched"),
+                    F.round(score, digits).alias("score")))
+
+
+def _bm25_posting(df: DataFrame, id_col: str, text_col: str,
+                  query_terms: list[str], k1: float, b: float,
+                  digits: int, toks) -> DataFrame:
+    """Posting-list BM25 (the pre-r12 plan) for unbounded term lists:
+    one explode → (doc, token) agg filtered to the query terms before
+    any shuffle; df/totals ride in as broadcast sides."""
     from pyspark import StorageLevel
     base = (df.select(
         F.col(id_col),
