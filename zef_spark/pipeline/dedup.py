@@ -291,6 +291,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                         F.col("__fb.sh").alias("sh_b"),
                         F.col("__fa.n_sh").alias("na"),
                         F.col("__fb.n_sh").alias("nb"))
+                # r12 exact length prefilter (guide §1.2: don't
+                # compute things you throw away): jaccard ≤
+                # min(na,nb)/max(na,nb) — inter ≤ min and union ≥ max
+                # — so a pair whose best-case ratio is already under
+                # the threshold skips the O(|sh|) array_intersect
+                # entirely. Safe at the float boundary: IEEE division
+                # is monotone, so fl(inter/union) ≤ fl(min/max);
+                # any pair the exact filter keeps, this keeps too.
+                .where((F.least("na", "nb").cast("double")
+                        / F.greatest("na", "nb"))
+                       >= F.lit(float(jaccard_threshold)))
                 # intersect staged in its own projection: referenced
                 # twice below, and must not be computed twice per row
                 .withColumn("__inter",
