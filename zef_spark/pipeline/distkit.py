@@ -116,6 +116,36 @@ def spread_scan(df: DataFrame, min_parts: int | None = None
     return df.repartition(target) if n < target else df
 
 
+def spread_keyed(df: DataFrame, keys: list,
+                 min_parts: int | None = None) -> DataFrame:
+    """Keyed twin of `spread_scan` for window/group pipelines whose
+    FIRST exchange AQE would coalesce onto too few cores: when the
+    input scans with fewer than `min_parts` (default:
+    defaultParallelism) partitions — the tiny-input case — repartition
+    it by `keys` to that count. This replaces the downstream
+    ENSURE_REQUIREMENTS exchange (same keys, so windows/aggs reuse
+    it: no extra shuffle) with an explicit REPARTITION_BY_NUM that
+    AQE does not coalesce, keeping per-key compute parallel even
+    when the shuffle is only a few MB (guide §2.5: fixture/one-row-
+    group inputs serialize heavy per-partition work).
+
+    No-op whenever the input already scans wide — at warehouse scale
+    AQE keeps governing the partition count, so this can never pin a
+    100-TB shuffle to the local core count. Results must be
+    key-partitioning-invariant (per-key windows, per-key aggregates
+    with deterministic within-key order), which every caller here is."""
+    sc = df.sparkSession.sparkContext
+    target = int(min_parts or sc.defaultParallelism)
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    keys = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return df.repartition(target, *keys)
+
+
 def global_cumsums(df: DataFrame, order_cols: list,
                    sums: dict[str, tuple],
                    n_ranges: int | None = None) -> DataFrame:

@@ -349,6 +349,13 @@ def session_paths(events: DataFrame, ts_col: str = "ts",
     is a paths-bounded hash agg. Ties inside a session order by
     (ts, tiebreak_col) so the path string is engine-reproducible."""
     from pyspark.sql import Window
+    from .distkit import spread_keyed
+    # r12 (guide §2.5): pin the user-keyed exchange wide on tiny
+    # inputs — AQE otherwise coalesces the few-MB shuffle onto 1-2
+    # tasks and the whole per-user window chain serializes (measured
+    # 0.79 -> 0.66 s for session_paths at sf0.1). No-op on wide
+    # inputs; per-user values are partitioning-invariant.
+    events = spread_keyed(events, [user_col])
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -386,6 +393,13 @@ def sessions_table(events: DataFrame, ts_col: str = "ts",
     shuffle (lag + running session number + the closing agg share
     it)."""
     from pyspark.sql import Window
+    from .distkit import spread_keyed
+    # r12 (guide §2.5): pin the user-keyed exchange wide on tiny
+    # inputs — AQE otherwise coalesces the few-MB shuffle onto 1-2
+    # tasks and the whole per-user window chain serializes (measured
+    # 0.79 -> 0.66 s for session_paths at sf0.1). No-op on wide
+    # inputs; per-user values are partitioning-invariant.
+    events = spread_keyed(events, [user_col])
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
