@@ -393,13 +393,9 @@ def sessions_table(events: DataFrame, ts_col: str = "ts",
     shuffle (lag + running session number + the closing agg share
     it)."""
     from pyspark.sql import Window
-    from .distkit import spread_keyed
-    # r12 (guide §2.5): pin the user-keyed exchange wide on tiny
-    # inputs — AQE otherwise coalesces the few-MB shuffle onto 1-2
-    # tasks and the whole per-user window chain serializes (measured
-    # 0.79 -> 0.66 s for session_paths at sf0.1). No-op on wide
-    # inputs; per-user values are partitioning-invariant.
-    events = spread_keyed(events, [user_col])
+    # (r12: spread_keyed measured a wash here — the lag+sum chain is
+    # light per row, unlike session_paths' rank/collect chain; see
+    # OPTIMIZATION_r12.md.)
     order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
