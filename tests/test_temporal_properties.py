@@ -159,45 +159,58 @@ _rhistory = st.lists(st.lists(_rcmd, min_size=1, max_size=3),
           suppress_health_check=list(HealthCheck))
 @given(_rhistory)
 def test_edge_visibility_matches_endpoint_lifetimes(spark, history):
-    alive: dict[str, bool] = {}
-    # expected edges as (src_name, dst_name, created_tx, closed_tx|None)
+    # A name killed and later re-`new`ed binds to a NEW node (a new
+    # "generation"); edges keep pointing at the generation that was
+    # alive when they were created. The expectation model therefore
+    # tracks ids per (name, generation) — resolving endpoints through
+    # a flat name→id map silently re-pointed old edges at the newest
+    # generation (latent since r08, found by hypothesis in r12; the
+    # engine was right: repro'd identically on the r11 tree).
+    alive: dict[str, int | None] = {}     # name -> live generation
+    gen_ctr: dict[str, int] = {}
+    gid: dict[tuple, int] = {}            # (name, gen) -> node id
+    # expected edges as [src_genkey, dst_genkey, created_tx, closed]
     exp_edges: list[list] = []
     g = empty_graph(spark)
-    ids: dict[str, int] = {}
     next_tx = 1                       # graph tx number IF this tx commits
     for tx in history:
         txi = next_tx
         ws = []
+        created: dict[str, int] = {}      # name -> gen created this tx
         for verb, a, b in tx:
             na, nb = f"e{a}", f"e{b}"
-            if verb == "new" and not alive.get(na):
-                alive[na] = True
+            if verb == "new" and alive.get(na) is None:
+                gen_ctr[na] = gen_ctr.get(na, 0) + 1
+                alive[na] = created[na] = gen_ctr[na]
                 ws.append(E(ET.Thing, name=na))
-            elif verb == "link" and alive.get(na) and alive.get(nb):
-                ws.append(R(na if na in {w.name for w in ws
-                                         if isinstance(w, E)} else ids[na],
+            elif verb == "link" and alive.get(na) is not None \
+                    and alive.get(nb) is not None:
+                ws.append(R(na if na in created
+                            else gid[(na, alive[na])],
                             RT.Link,
-                            nb if nb in {w.name for w in ws
-                                         if isinstance(w, E)} else ids[nb]))
-                exp_edges.append([na, nb, txi, None])
-            elif verb == "kill" and alive.get(na):
-                alive[na] = False
-                ws.append(Terminate(na if na in
-                                    {w.name for w in ws
-                                     if isinstance(w, E)} else ids[na]))
+                            nb if nb in created
+                            else gid[(nb, alive[nb])]))
+                exp_edges.append([(na, alive[na]), (nb, alive[nb]),
+                                  txi, None])
+            elif verb == "kill" and alive.get(na) is not None:
+                kgen = alive[na]
+                ws.append(Terminate(na if na in created
+                                    else gid[(na, kgen)]))
                 for e in exp_edges:
-                    if e[3] is None and na in (e[0], e[1]):
+                    if e[3] is None and (na, kgen) in (e[0], e[1]):
                         e[3] = txi
+                alive[na] = None
         if not ws:
             continue
         g, rc = transact(g, ws)
-        ids.update(rc)
+        for name, gen in created.items():
+            gid[(name, gen)] = rc[name]
         next_tx += 1
     n_tx = g.max_tx()
     for i in range(1, n_tx + 1):
         es = (g.at(i) | z.all[ET.Thing]).out_rels(RT.Link)
         got = sorted((r.src_id, r.dst_id)
                      for r in es.df.select("src_id", "dst_id").collect())
-        want = sorted((ids[s], ids[d]) for s, d, c, k in exp_edges
+        want = sorted((gid[s], gid[d]) for s, d, c, k in exp_edges
                       if c <= i and (k is None or k > i))
         assert got == want, f"slice {i}: edge set mismatch"
