@@ -670,8 +670,92 @@ def _bf_op(df, *args, **kw):
     return brown_forsythe(df, *args, **kw)
 
 
+def _fisher_tail_p(a: int, b_: int, c_: int, d: int,
+                   band_limit: bool = True) -> float:
+    """Driver-side two-sided Fisher p for the 2×2 table
+    (a, b_, c_, d): the hypergeometric tail sum with each term
+    rounded HALF-UP to 12 dp (exact Decimal accumulation — the
+    DuckDB ROUND(EXP(lp), 12) discipline, r10 ADVICE).
+
+    ``band_limit=True`` (the r13 default) folds only the contiguous
+    window of k whose term can quantize to a non-zero Decimal:
+    a term whose float lp < log(4.9e-13) has
+    math.exp(lp) <= 4.9e-13·(1+eps) < 5e-13, which quantizes to
+    EXACTLY Decimal 0 — skipping it is bit-identical to adding it.
+    The pmf is log-concave in k (pmf(k+1)/pmf(k) strictly
+    decreasing), so {k: lp >= ZTH} is one window around the mode;
+    its edges are found by binary search (O(log support) lgamma
+    probes) and the fold is O(band) ≈ a few thousand terms at ANY
+    margin size. Float noise in lgamma (~1e-7 in lp) is dwarfed by
+    the log(5.0/4.9) ≈ 0.02 slack below the 5e-13 cutoff, so any
+    edge term the search excludes would also have contributed 0.
+    ``band_limit=False`` runs the former O(support) full-range fold
+    (kept for the equivalence test).
+
+    Degenerate tables (any zero margin, including n == 0) have a
+    single-table support: lo == hi, logpmf == 0, p == 1.0 — the
+    scipy convention and what the oracle's one-term k-range emits.
+    All lgamma arguments are >= 1 for every k in [lo, hi] even at
+    zero margins, so the fold needs no special-case guard."""
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+    n, r1, r2, c1 = a + b_ + c_ + d, a + b_, c_ + d, a + c_
+    lo, hi = max(0, c1 - r2), min(r1, c1)
+    lg = math.lgamma
+
+    def logpmf(k: int) -> float:
+        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                + lg(r2 + 1) - lg(c1 - k + 1)
+                - lg(r2 - c1 + k + 1)
+                + lg(c1 + 1) + lg(n - c1 + 1) - lg(n + 1))
+
+    cut = logpmf(a) + 1e-7  # scipy's relative-gate analogue
+    if band_limit:
+        ZTH = math.log(4.9e-13)
+        km = (r1 + 1) * (c1 + 1) // (n + 2)
+        km = min(max(km, lo), hi)
+        # insurance nudge to a local (= global, by log-concavity)
+        # max; the closed-form mode is within 1, so this is O(1)
+        while km + 1 <= hi and logpmf(km + 1) > logpmf(km):
+            km += 1
+        while km - 1 >= lo and logpmf(km - 1) > logpmf(km):
+            km -= 1
+        if logpmf(km) < ZTH:
+            kl, kr = 1, 0        # every term quantizes to 0
+        else:
+            bl, bh = lo, km      # first k in [lo, km] with lp>=ZTH
+            while bl < bh:
+                mid = (bl + bh) // 2
+                if logpmf(mid) >= ZTH:
+                    bh = mid
+                else:
+                    bl = mid + 1
+            kl = bl
+            bl, bh = km, hi      # last k in [km, hi] with lp>=ZTH
+            while bl < bh:
+                mid = (bl + bh + 1) // 2
+                if logpmf(mid) >= ZTH:
+                    bl = mid
+                else:
+                    bh = mid - 1
+            kr = bl
+    else:
+        kl, kr = lo, hi
+    acc = Decimal(0)
+    # each term rounds HALF-UP (away from zero — terms are
+    # positive) at 12 dp on the exact binary double, exactly
+    # DuckDB's ROUND(EXP(lp), 12); Python's round() is
+    # ties-to-even and diverged on boundary terms (r10 ADVICE)
+    q12 = Decimal("1e-12")
+    for k in range(kl, kr + 1):
+        lp = logpmf(k)
+        if lp <= cut:
+            acc += Decimal(math.exp(lp)).quantize(q12, ROUND_HALF_UP)
+    return min(float(acc), 1.0)
+
+
 def fisher_exact(df: DataFrame, row_cond, col_cond,
-                 max_support: int = 2_000_000,
+                 max_support: int = None,
                  digits: int = 6) -> DataFrame:
     """One row (n, n11, n12, n21, n22, odds_ratio, p_two_sided) —
     Fisher's EXACT test of independence for the 2×2 table defined
@@ -687,17 +771,24 @@ def fisher_exact(df: DataFrame, row_cond, col_cond,
 
     Plan: ONE conditional-agg scan reduces the data to FOUR
     integers (map-side combinable); the hypergeometric tail is then
-    a BOUNDED driver-side fold over k ∈ [max(0,c1−r2), min(r1,c1)]
-    — O(min margin) lgamma evaluations, the isotonic-PAV split
-    (bounded sufficient statistics on the driver, never row data).
-    ``max_support`` guards the fold: margins beyond it raise with
-    the chi2/g-test hint (Fisher's exactness buys nothing at that
-    n). Determinism: each pmf term rounds half-up to 12 dp before
+    a BAND-LIMITED driver-side fold (bounded sufficient statistics
+    on the driver, never row data). Every term rounds half-up to
+    12 dp before the exact Decimal sum, so a term whose double is
+    < 5e-13 contributes EXACTLY zero — and the pmf is log-concave
+    (unimodal in k), so the non-zero band is one contiguous window
+    around the mode. We binary-search its edges (O(log support)
+    lgamma probes) and fold only the band (O(band) ≈ a few
+    thousand terms at ANY margin size), instead of the former
+    O(support) full-range fold. Term values, the lp<=cut gate and
+    the quantized sum are bit-identical to the full fold by
+    construction (threshold log(4.9e-13) leaves a 2% slack below
+    5e-13, far wider than lgamma float noise). ``max_support``
+    (default None = unbounded, the fold no longer scales with the
+    margins) still raises when set explicitly and exceeded.
+    Determinism: each pmf term rounds half-up to 12 dp before
     an exact Decimal sum (the nat-sum discipline), p releases
     sig-safe; the odds ratio is a single division of exact-integer
     products."""
-    import math
-    from decimal import Decimal
     from ..functions.rounding import round_sig_safe
     r = (F.col(row_cond) if isinstance(row_cond, str)
          else row_cond).cast("boolean")
@@ -713,38 +804,13 @@ def fisher_exact(df: DataFrame, row_cond, col_cond,
                     int(row["n21"] or 0), int(row["n22"] or 0))
     n, r1, r2, c1 = a + b_ + c_ + d, a + b_, c_ + d, a + c_
     lo, hi = max(0, c1 - r2), min(r1, c1)
-    if hi - lo > max_support:
+    if max_support is not None and hi - lo > max_support:
         raise ValueError(
             "fisher_exact: the hypergeometric support has "
             f"{hi - lo + 1} tables (> max_support={max_support}) — "
             "at this n use chi2_contingency; exactness buys "
             "nothing. Raise max_support to proceed deliberately.")
-    # Degenerate tables (any zero margin, including n == 0) have a
-    # single-table support: lo == hi, logpmf == 0, p == 1.0 — the
-    # scipy convention and what the oracle's one-term k-range emits.
-    # All lgamma arguments below are >= 1 for every k in [lo, hi]
-    # even at zero margins, so the fold needs no special-case guard.
-    lg = math.lgamma
-
-    def logpmf(k: int) -> float:
-        return (lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
-                + lg(r2 + 1) - lg(c1 - k + 1)
-                - lg(r2 - c1 + k + 1)
-                + lg(c1 + 1) + lg(n - c1 + 1) - lg(n + 1))
-
-    cut = logpmf(a) + 1e-7  # scipy's relative-gate analogue
-    acc = Decimal(0)
-    # each term rounds HALF-UP (away from zero — terms are
-    # positive) at 12 dp on the exact binary double, exactly
-    # DuckDB's ROUND(EXP(lp), 12); Python's round() is
-    # ties-to-even and diverged on boundary terms (r10 ADVICE)
-    from decimal import ROUND_HALF_UP
-    q12 = Decimal("1e-12")
-    for k in range(lo, hi + 1):
-        lp = logpmf(k)
-        if lp <= cut:
-            acc += Decimal(math.exp(lp)).quantize(q12, ROUND_HALF_UP)
-    p_val = min(float(acc), 1.0)
+    p_val = _fisher_tail_p(a, b_, c_, d)
     odds = (a * d) / (b_ * c_) if b_ * c_ > 0 else None
     spark = df.sparkSession
     out = spark.createDataFrame(
