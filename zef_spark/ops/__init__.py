@@ -20,10 +20,12 @@ from .core import (LazyValue, OP_REGISTRY, ROW, ZefOp,  # noqa: F401
                    register_op)
 
 # ensure graph + pipeline + streaming op registrations load with the
-# namespace
+# namespace (pipeline's __init__ is lazy since r13 — load_all() forces
+# the submodule imports that carry @register_op side effects)
 from .. import graph as _graph         # noqa: F401
-from .. import pipeline as _pipeline   # noqa: F401
-from .. import streaming as _streaming  # noqa: F401
+from ..pipeline import load_all as _pipeline_load_all
+_pipeline_load_all()
+from .. import streaming as _streaming  # noqa: F401,E402
 
 
 def __getattr__(name: str) -> ZefOp:

@@ -19,15 +19,10 @@ from typing import Any, Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# name -> {kind -> impl}; kinds: "df", "local", "graph", "any"
-OP_REGISTRY: dict[str, dict[str, Callable]] = {}
-
-
-def register_op(name: str, kind: str):
-    def deco(fn):
-        OP_REGISTRY.setdefault(name, {})[kind] = fn
-        return fn
-    return deco
+# The registry dict + decorator live in the light top-level module
+# zef_spark._registry (so executor-side modules can register ops
+# without importing the full ops package); re-exported here unchanged.
+from .._registry import OP_REGISTRY, register_op  # noqa: F401,E402
 
 
 class ZefOp:

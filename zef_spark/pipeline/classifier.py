@@ -142,7 +142,7 @@ def nb_confusion(df: DataFrame, model: dict, text_col: str,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 @register_op("nb_train", "df")

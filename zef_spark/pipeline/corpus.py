@@ -358,7 +358,7 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
             .where(F.col("__rn") <= k).drop("__pri", "__rn"))
 
 
-from ..ops.core import register_op  # noqa: E402
+from .._registry import register_op  # noqa: E402
 
 
 @register_op("weighted_sample", "df")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None,

@@ -269,7 +269,7 @@ def pca_project(df: DataFrame, vec_col: str, model: dict,
     return df.withColumn(out_col, proj(F.col(vec_col)))
 
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 @register_op("l2_normalize", "df")

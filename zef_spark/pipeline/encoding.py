@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 def _safe_name(v) -> str:

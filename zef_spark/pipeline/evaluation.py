@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 from .abtest import ranksum_agg
 
 _DEC = "decimal(38,12)"

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 def merge_intervals(df: DataFrame, start_col: str, end_col: str,

@@ -479,7 +479,7 @@ def range_join(points: DataFrame, intervals: DataFrame, point_col: str,
             .drop("__b"))
 
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 @register_op("asof_join", "df")

@@ -161,7 +161,7 @@ def compact_parquet(spark, path: str, target_mb: int = 128,
     return n
 
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 @register_op("z_order", "df")

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 def frequent_itemset_pairs(df: DataFrame, basket_col: str,

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 _U60 = 1152921504606846976.0  # 2^60: 15 hex digits
 

@@ -189,7 +189,7 @@ def ewma(df, key, ts_col: str, value_col: str, alpha: float,
     return res.withColumn(out_col, F.round(F.col(out_col), digits))
 
 
-from ..ops.core import register_op as _reg_rollup  # noqa: E402
+from .._registry import register_op as _reg_rollup  # noqa: E402
 
 
 @_reg_rollup("ewma", "df")

@@ -638,7 +638,7 @@ def rrf_fuse(rankings, id_col: str, k: int = 60,
                  .alias("rrf")))
 
 
-from ..ops.core import register_op as _reg_sim  # noqa: E402
+from .._registry import register_op as _reg_sim  # noqa: E402
 
 
 @_reg_sim("rrf_fuse", "df")

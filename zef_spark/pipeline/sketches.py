@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 def approx_distinct(df: DataFrame, group_cols: list[str], col: str,

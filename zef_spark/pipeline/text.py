@@ -480,7 +480,7 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
                  F.sum("tf").alias("n_tokens")))
 
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 
 @register_op("gopher_rules", "df")

@@ -35,7 +35,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 #: end-of-word marker (standard BPE: keeps word-final pieces distinct)
 EOW = "</w>"

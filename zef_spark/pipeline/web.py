@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 #: query params that never identify content (tracking/session junk)
 TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref",

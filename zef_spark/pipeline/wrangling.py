@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from functools import reduce
 
-from ..ops.core import register_op
+from .._registry import register_op
 
 _CASTS = [  # candidate target types, most specific first
     ("bigint", lambda c: c.try_cast("bigint")),

@@ -41,7 +41,7 @@ def stream_interval_join(left: DataFrame, right: DataFrame, key: str,
     return left.join(r, cond, how)
 
 
-from ..ops.core import register_op  # noqa: E402
+from .._registry import register_op  # noqa: E402
 
 
 @register_op("stream_interval_join", "df")
