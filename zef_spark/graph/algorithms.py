@@ -515,9 +515,16 @@ def hits(edges: DataFrame, src_col: str = "src",
                   .select("id", F.coalesce(F.col("score"),
                                            F.lit(0).cast(_DEC))
                           .alias("score")))
+        # r13: checkpoint EVERY iteration (formerly tol-mode only).
+        # _norm references its input subtree twice (total + rows), so
+        # an uncheckpointed fixed-iteration chain grew the logical
+        # plan ~4x per round — analysis/optimization time dominated
+        # the query. Materializing the two node-sized score vectors
+        # per round bounds the plan; values are untouched (guide §5,
+        # the pagerank checkpoint_every discipline).
+        h = h.localCheckpoint()
+        a = a.localCheckpoint()
         if tol is not None:
-            h = h.localCheckpoint()
-            a = a.localCheckpoint()
             delta = (h.join(prev_h.withColumnRenamed("score", "__p"),
                             "id")
                      .agg(F.max(F.abs(F.col("score") - F.col("__p"))

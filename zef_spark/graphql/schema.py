@@ -240,8 +240,18 @@ type Lineitem @table(name: "lineitem", id: "l_orderkey") {
 """
 
 
+_TPCH_SCHEMA: GqlSchema | None = None
+
+
 def tpch_schema() -> GqlSchema:
-    return schema_from_sdl(TPCH_SDL)
+    """Parsed once and shared (r13): the SDL is a module constant and
+    GqlSchema is construction-time-immutable (no consumer mutates it
+    after schema_from_sdl returns), so mutation/query paths no longer
+    re-parse the schema per call."""
+    global _TPCH_SCHEMA
+    if _TPCH_SCHEMA is None:
+        _TPCH_SCHEMA = schema_from_sdl(TPCH_SDL)
+    return _TPCH_SCHEMA
 
 
 #: VRT -> GraphQL scalar (Time renders as String — SimpleGQL has no
