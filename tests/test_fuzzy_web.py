@@ -11,6 +11,7 @@ def _names(spark, rows):
                                  "id long, name string")
 
 
+@pytest.mark.slow  # r13 gate split: multi-minute test
 def test_fuzzy_join_matches_bruteforce(spark):
     from zef_spark.pipeline.joins import fuzzy_join
     left = _names(spark, ["kitten", "sitting", "flaw", "lawn",

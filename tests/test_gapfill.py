@@ -1,6 +1,8 @@
 """Time-bucket gap filling (pipeline/rollup.py gapfill): dense spine,
 LOCF, linear interpolation, zero fill."""
 
+
+import pytest
 import datetime as dt
 
 import pyspark.sql.functions as F
@@ -56,6 +58,7 @@ def test_groups_fill_independently(spark):
 
 # ------------------------------------------------- streaming rollup
 
+@pytest.mark.slow  # r13 gate split: multi-minute test
 def test_streaming_rollup_exactly_once(spark, tmp_path):
     """Continuous aggregate sink: drains a stream into a persisted
     multi-granularity rollup; equals the batch rollup over the same

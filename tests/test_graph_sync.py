@@ -2,6 +2,11 @@
 with optimistic atomic-rename commits — the engine's ZefHub analogue
 (reference robot suite shares one graph across 10 processes)."""
 
+
+import pytest
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+pytestmark = pytest.mark.slow
 import os
 
 from zef_spark import ET, RT

@@ -495,6 +495,7 @@ def test_subscription_document_surface(schema, store):
     assert len(got) == 1
 
 
+@pytest.mark.slow  # r13 gate split: multi-minute test
 def test_subscription_event_log_streams(schema, store, spark, tmp_path):
     """Stream-shaped subscriptions: events append to a parquet log
     that a Structured-Streaming reader consumes (the one-writer/

@@ -6,6 +6,10 @@ REPLs with no shared filesystem). Includes the r08 verdict order #6
 scenario: the marker protocol's read-resolution chain proven against
 NON-POSIX eventual visibility (marker listable before its blobs)."""
 
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+import pytest
+pytestmark = pytest.mark.slow
 import threading
 
 import pytest

@@ -5,6 +5,10 @@ store's condition variable and wakes on the marker put itself, so
 polling. Reference scenario: ZefHub's subscription push
 (core/include/observable.h:70-116, butler_handlers_ws.cpp)."""
 
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+import pytest
+pytestmark = pytest.mark.slow
 import threading
 import time
 

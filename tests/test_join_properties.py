@@ -57,6 +57,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, sides):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.data())
+@pytest.mark.slow  # r13 gate split: multi-minute test
 def test_rollup_refresh_equals_recompute_property(spark, data):
     from zef_spark.pipeline.rollup import hypertable_rollup, refresh_rollup
     rows = data.draw(st.lists(

@@ -17,6 +17,10 @@ window over row-sized input must be re-planned (distkit
 global_row_number / global_cumsums), not allowlisted.
 """
 
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+import pytest
+pytestmark = pytest.mark.slow
 import sys
 
 import pytest

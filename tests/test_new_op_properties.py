@@ -3,6 +3,11 @@ brute-force all-pairs oracle, merge_intervals vs a pure-Python sweep,
 weighted_sample vs locally recomputed priorities — randomized inputs,
 not just the worked examples."""
 
+
+import pytest
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+pytestmark = pytest.mark.slow
 import datetime as dt
 import hashlib
 import math

@@ -2,6 +2,11 @@
 heavy hitters exactness, gap-fill fill laws, PageRank invariants,
 classifier order-independence."""
 
+
+import pytest
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+pytestmark = pytest.mark.slow
 import datetime as dt
 
 import pyspark.sql.functions as F

@@ -291,6 +291,7 @@ def test_ann_index_partition_pruning(spark, emb, tmp_path):
         plan.split("PartitionFilters")[1][:200]
 
 
+@pytest.mark.slow  # r13 gate split: multi-minute test
 def test_semantic_dup_pairs(spark, emb):
     """IVF-cell-blocked embedding near-dup: finds every pair a full
     all-pairs scan finds at a high threshold (cells only PRUNE, and

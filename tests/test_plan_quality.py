@@ -78,6 +78,7 @@ def test_filter_pushdown_reaches_scan(spark, entry):
         "no parquet filter pushdown in q19"
 
 
+@pytest.mark.slow  # r13 gate split: multi-minute test
 def test_every_registered_query_avoids_nested_loops(spark, entry):
     """Sweep ALL registered queries (not just the guarded headline
     set): any BroadcastNestedLoopJoin/CartesianProduct over more than

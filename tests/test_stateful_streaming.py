@@ -1,6 +1,11 @@
 """Stateful streaming split_on_next (§2.L, ITF:9440) over a real
 file-source stream with cross-micro-batch state."""
 
+
+import pytest
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+pytestmark = pytest.mark.slow
 import os
 import time
 

@@ -1,6 +1,10 @@
 """Streaming graph ingestion (streaming/ingest.py): one tx per
 micro-batch, exactly-once via the on-graph batch ledger."""
 
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+import pytest
+pytestmark = pytest.mark.slow
 import pyspark.sql.functions as F
 
 from zef_spark import ET

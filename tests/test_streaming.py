@@ -1,6 +1,10 @@
 """Structured-Streaming graph-change subscriptions over the event log
 (reference: on[instantiated/terminated/assigned], test_subscribe.py)."""
 
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+import pytest
+pytestmark = pytest.mark.slow
 import tempfile
 
 import pytest

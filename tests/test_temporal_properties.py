@@ -12,6 +12,11 @@ Reference semantics under test: tombstone intervals
 (graph_slice.py:24-74).
 """
 
+
+import pytest
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+pytestmark = pytest.mark.slow
 from dataclasses import replace
 
 from hypothesis import HealthCheck, given, settings

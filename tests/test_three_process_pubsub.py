@@ -8,6 +8,11 @@ parks in the head service's /watch long-poll with a 300 s timeout,
 so only the push wake — not any poll cycle — can deliver the
 mutator's commit inside the latency bound asserted here."""
 
+
+import pytest
+
+# r13 verify-gate split: multi-minute e2e/property lane, opt-in via `make test-slow`
+pytestmark = pytest.mark.slow
 import subprocess
 import sys
 import threading

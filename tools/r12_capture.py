@@ -48,7 +48,8 @@ def get_session_and_queries():
 def capture_plans(names, suffix):
     spark, qs, sf_dir = get_session_and_queries()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(repo, "plans", "r12")
+    outdir = os.path.join(repo, "plans",
+                          os.environ.get("CAPTURE_DIR", "r12"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
