@@ -519,11 +519,16 @@ def hits(edges: DataFrame, src_col: str = "src",
         # _norm references its input subtree twice (total + rows), so
         # an uncheckpointed fixed-iteration chain grew the logical
         # plan ~4x per round — analysis/optimization time dominated
-        # the query. Materializing the two node-sized score vectors
-        # per round bounds the plan; values are untouched (guide §5,
-        # the pagerank checkpoint_every discipline).
-        h = h.localCheckpoint()
-        a = a.localCheckpoint()
+        # the query. LAZY localCheckpoint: the wrapped RDD is created
+        # now (so later iterations build on a bounded LogicalRDD, not
+        # the growing tree) but materializes inside the next real job
+        # instead of an eager job per vector per round (A/B: eager
+        # checkpoints ran 86 jobs/run vs 40 before; lazy keeps the
+        # bounded plan at the before job count). Values are untouched
+        # (pure materialization; guide §5, the pagerank
+        # checkpoint_every discipline).
+        h = h.localCheckpoint(eager=False)
+        a = a.localCheckpoint(eager=False)
         if tol is not None:
             delta = (h.join(prev_h.withColumnRenamed("score", "__p"),
                             "id")
