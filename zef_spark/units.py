@@ -139,6 +139,20 @@ class _Units:
 units = _Units()
 
 
+def __getattr__(name: str):
+    """`from zef_spark import units` can bind THIS MODULE instead of
+    the `_Units` instance: the submodule import sets the package
+    attribute after exec, shadowing the package-level lazy re-export
+    (r13's PEP 562 `zef_spark/__init__`). Delegate unknown module
+    attributes to the instance so `units.kilograms` works identically
+    through either binding."""
+    try:
+        return getattr(units, name)
+    except AttributeError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}") from None
+
+
 def is_duration(q) -> bool:
     """A Quantity in seconds (the reference's is_duration check,
     ITF:5541)."""
