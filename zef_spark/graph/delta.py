@@ -153,13 +153,23 @@ def _local_df(spark, rows, schema):
 
 
 def empty_graph(spark) -> Graph:
+    # _local_df (1 partition) instead of bare createDataFrame: an empty
+    # createDataFrame shards into defaultParallelism (32+) empty
+    # partitions, and EVERY job over a transact chain built on top pays
+    # one task launch per empty partition per stage (measured r13:
+    # g_relation_fields_meta ran 45 jobs x 33 tasks over a 30-row graph).
     g = Graph(
-        spark.createDataFrame([], NODES_SCHEMA),
-        spark.createDataFrame([], EDGES_SCHEMA),
-        spark.createDataFrame([], ATTR_VALUES_SCHEMA),
-        spark.createDataFrame([(0, __import__("datetime").datetime(1970, 1, 1))],
-                              TXS_SCHEMA))
+        _local_df(spark, [], NODES_SCHEMA),
+        _local_df(spark, [], EDGES_SCHEMA),
+        _local_df(spark, [], ATTR_VALUES_SCHEMA),
+        _local_df(spark, [(0, __import__("datetime")
+                           .datetime(1970, 1, 1))], TXS_SCHEMA))
     g.interactive = True
+    # the graph is empty by construction: seed the tx / id high-water
+    # marks so the first transact and now() run ZERO scan jobs
+    g._max_tx = 0
+    g._max_rae_id = 0
+    g.rt_vrt = {}
     return g
 
 
@@ -251,8 +261,19 @@ def transact(g: Graph, wishes: list, time=None,
     def field_ae(owner_id: int, fname: str) -> int | None:
         return ae_cache.get((owner_id, fname))
 
+    # field → VRT registry maintained at write time: transact knows the
+    # VRT of every value it stores, so reads (NodeSet.field) need no
+    # distinct-vrt probe job. A name written with MIXED vrts maps to
+    # None, which field() treats as "probe" (preserving the probe's
+    # behavior exactly for the ambiguous case).
+    tx_vrts: dict[str, str | None] = {}
+
     def av_row(ae_id: int, fname: str, value) -> tuple:
         vrt = _vrt_of(value)
+        if tx_vrts.get(fname, vrt) != vrt:
+            tx_vrts[fname] = None
+        else:
+            tx_vrts[fname] = vrt
         vals = {c: None for c in VALUE_COL_LIST}
         vals[VALUE_COLS[vrt]] = _storage_value(vrt, value)
         return (ae_id, fname, vrt,
@@ -398,7 +419,7 @@ def transact(g: Graph, wishes: list, time=None,
     if close_tags or new_tags:
         from .schema import TAGS_SCHEMA
         if tags is None:
-            tags = spark.createDataFrame([], TAGS_SCHEMA)
+            tags = _local_df(spark, [], TAGS_SCHEMA)
         if close_tags:
             tags = tags.withColumn(
                 "valid_to_tx",
@@ -407,7 +428,7 @@ def transact(g: Graph, wishes: list, time=None,
                        F.lit(tx)).otherwise(F.col("valid_to_tx")))
         if new_tags:
             tags = tags.unionByName(
-                spark.createDataFrame(new_tags, TAGS_SCHEMA))
+                _local_df(spark, new_tags, TAGS_SCHEMA))
 
     out = Graph(nodes, edges, avs, txs, tags)
     out._max_tx = tx
@@ -415,7 +436,19 @@ def transact(g: Graph, wishes: list, time=None,
     # no Spark job at all
     out._max_rae_id = max(last_minted, 1 << 60)
     out.schema_validator = getattr(g, "schema_validator", None)
-    out.rt_vrt = g.rt_vrt
+    # merge this tx's write-time VRTs into the registry (None = the
+    # graph carries none, e.g. mapper-built graphs predating transact
+    # chains: leave as-is — mapper populates its own)
+    if tx_vrts and g.rt_vrt is not None:
+        rv = dict(g.rt_vrt)
+        for fname, vrt in tx_vrts.items():
+            if fname in rv and rv[fname] != vrt:
+                rv[fname] = None        # mixed vrts: field() probes
+            else:
+                rv[fname] = vrt
+        out.rt_vrt = rv
+    else:
+        out.rt_vrt = g.rt_vrt
     out.interactive = getattr(g, "interactive", False)
     return out, receipt
 
