@@ -35,10 +35,13 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
     driver holds only the one-row convergence count per round."""
     edges = (pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
              .where(F.col("a") != F.col("b")))
-    # undirected: both directions once
+    # undirected: both directions once. LAZY checkpoint: the bounded
+    # LogicalRDD exists at construction (later rounds build on it, not
+    # on the growing pair-generation tree) but it materializes inside
+    # round 1's convergence job instead of an extra eager job here.
     sym = (edges.unionByName(edges.select(F.col("b").alias("a"),
                                           F.col("a").alias("b")))
-           .distinct().localCheckpoint())
+           .distinct().localCheckpoint(eager=False))
     labels = (sym.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("cluster", F.col("id")))
@@ -47,18 +50,22 @@ def dup_clusters(pairs: DataFrame, a_col: str = "id_a",
         nbr = (sym.join(labels.withColumnRenamed("id", "b")
                         .withColumnRenamed("cluster", "nbr_cluster"), "b")
                .groupBy("a").agg(F.min("nbr_cluster").alias("nbr_min")))
-        new_labels = (labels.join(nbr.withColumnRenamed("a", "id"),
-                                  "id", "left")
-                      .select("id", F.least(
-                          F.col("cluster"),
-                          F.coalesce(F.col("nbr_min"), F.col("cluster")))
-                          .alias("cluster"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.cluster") != F.col("o.cluster"))
+        # carry the previous label through the round so ONE action per
+        # round both materializes the lazy checkpoint and answers the
+        # convergence probe — no separate checkpoint job, no extra
+        # old-vs-new join (same comparison: old != new on the same id).
+        new_pair = (labels.join(nbr.withColumnRenamed("a", "id"),
+                                "id", "left")
+                    .select("id", F.col("cluster").alias("__old"),
+                            F.least(
+                                F.col("cluster"),
+                                F.coalesce(F.col("nbr_min"),
+                                           F.col("cluster")))
+                            .alias("cluster"))
+                    .localCheckpoint(eager=False))
+        changed = (new_pair.where(F.col("cluster") != F.col("__old"))
                    .limit(1).count())
-        labels = new_labels
+        labels = new_pair.select("id", "cluster")
         if changed == 0:
             break
     return labels
