@@ -531,11 +531,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """Word n-gram Jaccard similarity join via inverted index.
     `max_df` drops n-grams appearing in more than that many docs
     (stopword-like; bounds the quadratic blowup / skew)."""
-    words = F.split(F.lower(F.col(text_col)), r"\W+")
+    # split once into a projection column: referencing the split
+    # EXPRESSION inside the transform lambda would re-tokenize the
+    # whole text per gram (no CSE inside interpreted HOF lambdas)
+    wcol = F.col("__w")
     grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
-    g = df.select(F.col(id_col), grams.alias("__g"))
+        F.sequence(F.lit(0), F.greatest(F.size(wcol) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(wcol, i + 1, n))))
+    g = (df.select(F.col(id_col),
+                   F.split(F.lower(F.col(text_col)), r"\W+").alias("__w"))
+         .select(F.col(id_col), grams.alias("__g")))
     sizes = g.select(id_col, F.size("__g").alias("__n"))
     posting = g.select(id_col, F.explode("__g").alias("gram"))
     if max_df is not None:

@@ -289,8 +289,24 @@ class MappedStreamTransactor:
         out._max_tx = tx
         out._max_rae_id = led_edge
         out.schema_validator = getattr(g, "schema_validator", None)
-        out.rt_vrt = g.rt_vrt
-        out.interactive = getattr(g, "interactive", False)
+        # register the mapped fields' write-time VRTs (mirrors
+        # delta.transact) so readbacks skip the distinct-vrt probe job;
+        # a name remapped to a different type goes ambiguous (None =
+        # field() probes, exactly the pre-registry behavior)
+        if g.rt_vrt is not None:
+            from ..graph.mapper import _SPARK_TO_VRT
+            rv = dict(g.rt_vrt)
+            dt = dict(batch_df.dtypes)
+            for colname in m.fields:
+                vrt = _SPARK_TO_VRT[dt[colname]]
+                rv[colname] = (None if rv.get(colname, vrt) != vrt
+                               else vrt)
+            rv["batch_key"] = ("String"
+                               if rv.get("batch_key", "String") == "String"
+                               else None)
+            out.rt_vrt = rv
+        else:
+            out.rt_vrt = g.rt_vrt
         self._n_applied += 1
         if self._n_applied % self.checkpoint_every == 0:
             out.nodes = out.nodes.localCheckpoint()
