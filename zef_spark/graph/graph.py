@@ -712,17 +712,25 @@ class NodeSet:
                                  F.col("src_id").alias("__b")))
         step_df = reduce(lambda a, b: a.unionByName(b), hops)
 
-        visited = self.df.select("id").distinct().localCheckpoint()
+        # ONE job per BFS round: the frontier is checkpointed lazily and
+        # the convergence count materializes it (count, not take(1) —
+        # take escalates over near-empty frames and a lazy checkpoint
+        # needs a completion pass anyway). `visited` needs no checkpoint
+        # of its own: a union of checkpointed frontiers is already a
+        # flat O(rounds) plan.
+        visited = (self.df.select("id").distinct()
+                   .localCheckpoint(eager=False))
         frontier = visited
         steps = 0
         while max_steps is None or steps < max_steps:
             nxt = (step_df.join(frontier.withColumnRenamed("id", "__a"),
                                 "__a")
                    .select(F.col("__b").alias("id")).distinct())
-            new = nxt.join(visited, "id", "left_anti").localCheckpoint()
-            if not new.take(1):
+            new = (nxt.join(visited, "id", "left_anti")
+                   .localCheckpoint(eager=False))
+            if new.count() == 0:
                 break
-            visited = visited.unionByName(new).localCheckpoint()
+            visited = visited.unionByName(new)
             frontier = new
             steps += 1
         nodes = _alive(g.nodes, t)
