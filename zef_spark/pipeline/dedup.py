@@ -404,11 +404,14 @@ def incremental_minhash_pairs(new_df: DataFrame, index_path: str,
     idx_posts = spark.read.parquet(f"{index_path}/postings")
     # batch side is the small one by construction — broadcast it so
     # the corpus postings scan stays shuffle-free
+    # no eager count barrier: the persist's InMemoryRelation is the
+    # optimization boundary and populates during the verify join's own
+    # first pass (same reasoning as minhash_lsh_pairs, r12) — an eager
+    # count here is one full extra driver-synchronized job
     cand = (idx_posts.join(F.broadcast(new_posts), ["band", "bucket"])
             .select("new_id", F.col("id").alias("old_id"))
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK))
-    cand.count()
     idx_feats = spark.read.parquet(f"{index_path}/features")
     verified = (cand
                 .join(idx_feats, cand.old_id == idx_feats.id)
